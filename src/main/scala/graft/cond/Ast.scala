@@ -1,0 +1,56 @@
+package graft.cond
+
+/** Condition tree. One node per reference `Node`
+  * (reductstore/src/storage/query/condition.rs:41-47); operator names keep
+  * their `$`-form so the interpreter/compiler dispatch mirrors
+  * condition/parser.rs:250-306.
+  */
+sealed trait Node
+object Node {
+  final case class Const(v: Value) extends Node
+  /** `"&name"` — label reference; missing label is a NotFound error
+    * (condition/reference.rs:14-27). */
+  final case class LabelRef(name: String) extends Node
+  /** `"@name"` — computed-label reference (condition/computed_reference.rs). */
+  final case class ComputedRef(name: String) extends Node
+  /** `{"$op": [...]}` — operator with child operands. */
+  final case class Op(name: String, operands: List[Node]) extends Node
+
+  /** Operators that carry mutable per-query state (SURVEY §2.2). Trees
+    * containing these run on the sequential per-entry kernel; pure trees
+    * compile to Catalyst columns.
+    */
+  val statefulOps: Set[String] = Set("$each_n", "$each_t", "$gate", "$limit")
+
+  def isStateful(n: Node): Boolean = n match {
+    case Op(name, ops) => statefulOps.contains(name) || ops.exists(isStateful)
+    case _             => false
+  }
+
+  /** All static `&label` names referenced in the tree. */
+  def labelRefNames(n: Node): Set[String] = n match {
+    case LabelRef(name) => Set(name)
+    case Op(_, ops)     => ops.flatMap(labelRefNames).toSet
+    case _              => Set.empty
+  }
+
+  /** All static `@computed` names referenced in the tree. */
+  def computedRefNames(n: Node): Set[String] = n match {
+    case ComputedRef(name) => Set(name)
+    case Op(_, ops)        => ops.flatMap(computedRefNames).toSet
+    case _                 => Set.empty
+  }
+}
+
+/** Parsed `#directives` (condition/parser.rs:29-41,62-140). */
+final case class Directives(values: Map[String, List[Value]]) {
+  def get(name: String): Option[List[Value]] = values.get(name)
+  def single(name: String): Option[Value] = values.get(name).flatMap {
+    case v :: Nil => Some(v)
+    case other =>
+      throw CondError(s"$name must be a single value (got ${other.size})")
+  }
+}
+object Directives { val empty: Directives = Directives(Map.empty) }
+
+final case class ParsedCondition(root: Node, directives: Directives)

@@ -1,0 +1,83 @@
+package graft.core
+
+/** Path-aware entry glob matching + include/exclude resolution.
+  *
+  * Faithful port of the reference's grammar: `*` matches within a path
+  * segment (a bare trailing-`*` pattern without `/` is a raw prefix match
+  * over the whole name), `**` matches any number of segments, `!pattern`
+  * excludes, and a bare `*` (or empty include list) matches only
+  * wildcard-queryable (non-system) entries.
+  *
+  * Reference: storage/entry/pattern.rs:4-70 (matcher),
+  * storage/bucket/query.rs:96-154 (include/exclude resolution),
+  * storage/entry/system.rs ($meta system entries).
+  */
+object EntryPattern {
+
+  val MetaSegment = "$meta"
+
+  def isSystemMetaEntry(name: String): Boolean =
+    name == MetaSegment || name.endsWith("/" + MetaSegment)
+
+  /** pattern.rs:4-70. */
+  def matches(entry: String, pattern0: String): Boolean = {
+    val pattern = pattern0.dropWhile(_ == '/')
+    if (!pattern.contains('*')) return entry == pattern
+    if (!pattern.contains('/') && pattern.endsWith("*"))
+      return entry.startsWith(pattern.dropRight(1))
+    matchesFrom(entry.split("/", -1).toList, pattern.split("/", -1).toList)
+  }
+
+  private def matchesFrom(entryParts: List[String], patternParts: List[String]): Boolean =
+    patternParts match {
+      case Nil => entryParts.isEmpty
+      case "**" :: tail =>
+        matchesFrom(entryParts, tail) ||
+          (entryParts.nonEmpty && matchesFrom(entryParts.tail, patternParts))
+      case p :: tail =>
+        entryParts.nonEmpty && segmentMatches(entryParts.head, p) &&
+          matchesFrom(entryParts.tail, tail)
+    }
+
+  private def segmentMatches(entry: String, pattern: String): Boolean = {
+    if (pattern == "**") return true
+    var rest = entry
+    val parts = pattern.split("\\*", -1)
+    // first chunk anchors at the start
+    if (parts.head.nonEmpty) {
+      if (!rest.startsWith(parts.head)) return false
+      rest = rest.substring(parts.head.length)
+    }
+    val tailParts = parts.tail.filter(_.nonEmpty)
+    for ((part, idx) <- tailParts.zipWithIndex) {
+      val isLast = idx == tailParts.length - 1
+      if (isLast && !pattern.endsWith("*")) return rest.endsWith(part)
+      val i = rest.indexOf(part)
+      if (i < 0) return false
+      rest = rest.substring(i + part.length)
+    }
+    pattern.endsWith("*") || rest.isEmpty
+  }
+
+  /** bucket/query.rs:96-154: resolve an entry universe against
+    * include/exclude patterns. `patterns == None` → all non-system entries.
+    */
+  def resolve(allEntries: Seq[String], patterns: Option[Seq[String]]): Seq[String] =
+    patterns match {
+      case None => allEntries.filter(e => !isSystemMetaEntry(e))
+      case Some(pats) =>
+        val includes = pats.filterNot(p => p.startsWith("!") && p.length > 1)
+        val excludes = pats.collect {
+          case p if p.startsWith("!") && p.length > 1 => p.substring(1)
+        }
+        allEntries.filter { name =>
+          val queryable = !isSystemMetaEntry(name)
+          val included =
+            if (includes.contains("*")) queryable
+            else if (includes.isEmpty) queryable
+            else if (includes.contains(name)) true
+            else includes.exists(matches(name, _)) && queryable
+          included && !excludes.exists(p => p == name || matches(name, p))
+        }
+    }
+}

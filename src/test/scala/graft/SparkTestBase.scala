@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.Suite
+
+/** Shared local session for specs. ANSI off: the condition language's cast
+  * failures are value-level errors (→ non-strict false), never query
+  * aborts, and non-ANSI casts match Rust's saturating `as` semantics.
+  */
+trait SparkTestBase extends BeforeAndAfterAll { self: Suite =>
+  lazy val spark: SparkSession = SparkTestBase.session
+
+  override def afterAll(): Unit = super.afterAll()
+}
+
+object SparkTestBase {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
