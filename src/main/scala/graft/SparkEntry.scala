@@ -1,13 +1,455 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.Records
+import graft.engine.{QueryEngine, QuerySpec}
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract: one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the training-data pipeline operators), with an exact
+  * DuckDB oracle for every SQL-expressible one. Sequential-state operators
+  * (`$each_t`, `$gate`) and hash-dependent ops (minhash/simhash/LSH) are
+  * declared without oracles (rows-only check) and covered by ScalaTest
+  * golden specs instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def session(s: SparkSession): SparkSession = {
+    // settings this library requires (see SparkTestBase scaladoc)
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    s.conf.set("spark.sql.ansi.enabled", "false")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s
+  }
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Records.fromEvents(session(s).read.parquet(s"$dir/events.parquet"))
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    session(s).read.parquet(s"$dir/documents.parquet")
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    session(s).read.parquet(s"$dir/embeddings.parquet")
+  private def table(s: SparkSession, dir: String, name: String): DataFrame =
+    session(s).read.parquet(s"$dir/$name.parquet")
+
+  /** Query the record table and project the standard comparable columns. */
+  private def q(s: SparkSession, dir: String, spec: QuerySpec): DataFrame =
+    QueryEngine.query(events(s, dir), spec)
+      .select(
+        element_at(col("labels"), "event_id").cast("bigint").as("event_id"),
+        col("entry"), col("ts"))
+      .orderBy("event_id")
+
+  // 2024-01-01 .. 2024-01-08 (µs)
+  private val T0 = 1704067200000000L
+  private val T7 = 1704672000000000L
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    QueryEngine.query(
+      events(spark, "/root/testdata/sf0.001"),
+      QuerySpec(
+        start = Some(T0), stop = Some(T7 + 30L * 86400000000L),
+        entries = Some(Seq("events/*", "!events/error")),
+        when = Some("""{"&value": {"$gt": 50}, "$in": ["&type", "click", "view", "purchase"]}""")))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ----------------------------------------------- reference surface
+    "q_time_range" -> ((s, dir) =>
+      q(s, dir, QuerySpec(start = Some(T0), stop = Some(T7)))),
+
+    "q_cmp" -> ((s, dir) => q(s, dir, QuerySpec(when = Some(
+      """{"&value": {"$gt": 100}, "&user_id": {"$lte": 7}, "&type": {"$ne": "error"}}""")))),
+
+    "q_logic" -> ((s, dir) => q(s, dir, QuerySpec(when = Some(
+      """{"$or": [
+           {"$in": ["&type", "click", "view"]},
+           {"$and": [{"&value": {"$lt": 10}}, {"&type": {"$eq": "purchase"}}]}
+         ],
+         "$not": [{"$eq": ["&user_id", 3]}]}""")))),
+
+    "q_arith" -> ((s, dir) => q(s, dir, QuerySpec(when = Some(
+      """{"$gt": [{"$add": [{"$mult": ["&value", 2]}, "&user_id"]}, 500],
+          "$lt": [{"$div": ["&value", 3]}, 90],
+          "$eq": [{"$rem": [{"$cast": ["&user_id", "int"]}, 2]}, 1]}""")))),
+
+    "q_string" -> ((s, dir) => q(s, dir, QuerySpec(when = Some(
+      """{"$and": [
+           {"&props": {"$starts_with": "{\"k\""}},
+           {"&props": {"$contains": "7"}}
+         ]}""")))),
+
+    "q_date" -> ((s, dir) => q(s, dir, QuerySpec(when = Some(
+      """{"$gte": [{"$hour": ["$timestamp"]}, 6],
+          "$lte": [{"$hour": ["$timestamp"]}, 18],
+          "$in": [{"$weekday": ["$timestamp"]}, 5, 6]}""")))),
+
+    "q_date_tz" -> ((s, dir) => q(s, dir, QuerySpec(when = Some(
+      """{"$eq": [{"$hour": ["$timestamp", "Europe/Berlin"]}, 9]}""")))),
+
+    "q_cast_exists" -> ((s, dir) => q(s, dir, QuerySpec(when = Some(
+      """{"$exists": ["value", "type"], "$gte": [{"$cast": ["&value", "int"]}, 190]}""")))),
+
+    "q_each_n" -> ((s, dir) => q(s, dir, QuerySpec(when = Some(
+      """{"&type": {"$eq": "click"}, "$each_n": 5}""")))),
+
+    "q_limit" -> ((s, dir) => q(s, dir, QuerySpec(when = Some(
+      """{"&type": {"$eq": "view"}, "$limit": 20}""")))),
+
+    "q_ctx_before" -> ((s, dir) => q(s, dir, QuerySpec(when = Some(
+      """{"#ctx_before": 2, "&value": {"$gt": 195}}""")))),
+
+    "q_ctx_after_dur" -> ((s, dir) => q(s, dir, QuerySpec(when = Some(
+      """{"#ctx_after": "1h", "&value": {"$gt": 195}}""")))),
+
+    "q_entries_glob" -> ((s, dir) => q(s, dir, QuerySpec(
+      entries = Some(Seq("events/*", "!events/error", "!events/signup"))))),
+
+    "q_select_labels" -> ((s, dir) =>
+      QueryEngine.query(events(s, dir), QuerySpec(when = Some(
+        """{"#select_labels": ["event_id", "value"], "&type": {"$eq": "purchase"}}""")))
+        .select(
+          element_at(col("labels"), "event_id").cast("bigint").as("event_id"),
+          element_at(col("labels"), "value").as("value_str"),
+          size(map_keys(col("labels"))).cast("bigint").as("n_labels"))
+        .orderBy("event_id")),
+
+    "q_count" -> ((s, dir) => {
+      val n = QueryEngine.count(events(s, dir), QuerySpec(
+        start = Some(T0), stop = Some(T7),
+        when = Some("""{"&value": {"$gt": 100}}""")))
+      session(s).range(1).select(lit(n).as("cnt"))
+    }),
+
+    "q_remove_survivors" -> ((s, dir) => {
+      val (survivors, _) = QueryEngine.remove(events(s, dir),
+        QuerySpec(when = Some("""{"$each_n": 2}""")))
+      survivors
+        .select(element_at(col("labels"), "event_id").cast("bigint").as("event_id"))
+        .orderBy("event_id")
+    }),
+
+    // sequential-state operators (rows-only check; ScalaTest golden specs)
+    "q_each_t" -> ((s, dir) => q(s, dir, QuerySpec(when = Some(
+      """{"$each_t": "6h"}""")))),
+
+    "q_gate" -> ((s, dir) => q(s, dir, QuerySpec(when = Some(
+      """{"$gate": ["12h", {"&value": {"$gt": 150}}]}""")))),
+
+    // ----------------------------------------------- pipeline: dedup
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(docs(s, dir))
+        .select(col("digest"), col("keep_id"), col("dup_count"))
+        .orderBy("keep_id")),
+
+    "q_minhash_pairs" -> ((s, dir) => // rows-only (Spark murmur3 hashes)
+      Dedup.minhashPairs(docs(s, dir), threshold = 0.3).orderBy("a", "b")),
+
+    "q_simhash_pairs" -> ((s, dir) => // rows-only
+      Dedup.simhashPairs(docs(s, dir), maxHamming = 8).orderBy("a", "b")),
+
+    "q_jaccard_pairs" -> ((s, dir) =>
+      Dedup.groupedJaccardPairs(docs(s, dir), "source", threshold = 0.1)
+        .orderBy("id_a", "id_b")),
+
+    // ----------------------------------------------- pipeline: text
+    "q_text_quality" -> ((s, dir) =>
+      TextAnalysis.withQuality(docs(s, dir))
+        .select(col("doc_id"), col("n_tokens").cast("bigint").as("n_tokens"),
+          col("mean_word_len"), col("stopword_ratio"), col("punct_ratio"))
+        .orderBy("doc_id")),
+
+    "q_lang_guess" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.langGuess(col("text")).as("lang_guess"))
+        .orderBy("doc_id")),
+
+    "q_token_stats" -> ((s, dir) =>
+      docs(s, dir).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("bigint")).as("total_tokens"),
+          round(avg(col("n_chars").cast("double")), 6).as("avg_chars"))
+        .orderBy("lang")),
+
+    "q_fingerprint" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // ----------------------------------------------- pipeline: similarity
+    "q_ann_brute" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val queriesDf = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.bruteForceTopK(emb, queriesDf, 10)
+        .select(col("qid"), col("nid"), col("rank").cast("bigint").as("rank"),
+          col("sim"))
+        .orderBy("qid", "rank")
+    }),
+
+    "q_lsh_ann" -> ((s, dir) => { // rows-only (approximate)
+      val emb = embeddings(s, dir)
+      val queriesDf = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.lshTopK(emb, queriesDf, 10).orderBy("qid", "rank")
+    }),
+
+    "q_embed_dup" -> ((s, dir) =>
+      Similarity.cosineDupPairsByGroup(embeddings(s, dir), "label",
+          threshold = 0.3).orderBy("id_a", "id_b")),
+
+    // ----------------------------------------------- pipeline: multimodal
+    "q_multimodal" -> ((s, dir) => { // rows-only (decode is stubbed)
+      val ev = events(s, dir)
+      Multimodal.extractFeatures(ev)
+        .select(
+          element_at(col("labels"), "event_id").cast("bigint").as("event_id"),
+          col("features.width"), col("features.height"),
+          col("features.byte_size"))
+        .orderBy("event_id")
+    }),
+
+    // ----------------------------------------------- analytics (bench)
+    "q_lineitem_agg" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(20,4)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(20,4)")).cast("double").as("sum_base_price"),
+          sum((col("l_extendedprice").cast("decimal(20,4)") *
+            (lit(java.math.BigDecimal.ONE).cast("decimal(20,4)") -
+              col("l_discount").cast("decimal(20,4)"))))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q_orders_join" -> ((s, dir) => {
+      val orders = table(s, dir, "orders")
+      val customer = table(s, dir, "customer")
+      orders.join(broadcast(customer),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(20,4)")).cast("double").as("total_price"))
+        .orderBy("c_mktsegment")
+    }))
+
+  def oracleSql: Map[String, String] = {
+    val evCols = "event_id, 'events/' || event_type AS entry, epoch_us(ts) AS ts"
+    Map(
+      "q_time_range" ->
+        s"""SELECT $evCols FROM events
+            WHERE epoch_us(ts) >= $T0 AND epoch_us(ts) < $T7
+            ORDER BY event_id""",
+
+      "q_cmp" ->
+        s"""SELECT $evCols FROM events
+            WHERE value > 100 AND user_id <= 7 AND event_type <> 'error'
+            ORDER BY event_id""",
+
+      "q_logic" ->
+        s"""SELECT $evCols FROM events
+            WHERE (event_type IN ('click','view')
+                   OR (value < 10 AND event_type = 'purchase'))
+              AND NOT (user_id = 3)
+            ORDER BY event_id""",
+
+      "q_arith" ->
+        s"""SELECT $evCols FROM events
+            WHERE value * 2 + user_id > 500
+              AND value / 3 < 90
+              AND user_id % 2 = 1
+            ORDER BY event_id""",
+
+      "q_string" ->
+        s"""SELECT $evCols FROM events
+            WHERE starts_with(props, '{"k"') AND contains(props, '7')
+            ORDER BY event_id""",
+
+      "q_date" ->
+        s"""SELECT $evCols FROM events
+            WHERE hour(ts) >= 6 AND hour(ts) <= 18 AND (isodow(ts) - 1) IN (5, 6)
+            ORDER BY event_id""",
+
+      "q_date_tz" -> // data spans January only: Berlin is a fixed UTC+1
+        s"""SELECT $evCols FROM events
+            WHERE hour(ts + INTERVAL 1 HOUR) = 9
+            ORDER BY event_id""",
+
+      "q_cast_exists" ->
+        s"""SELECT $evCols FROM events
+            WHERE CAST(trunc(value) AS BIGINT) >= 190
+            ORDER BY event_id""",
+
+      "q_each_n" ->
+        s"""SELECT $evCols FROM (
+              SELECT *, row_number() OVER (PARTITION BY event_type
+                ORDER BY epoch_us(ts)) AS rn
+              FROM events WHERE event_type = 'click') t
+            WHERE rn % 5 = 0 ORDER BY event_id""",
+
+      "q_limit" ->
+        s"""SELECT $evCols FROM (
+              SELECT *, row_number() OVER (PARTITION BY event_type
+                ORDER BY epoch_us(ts)) AS rn
+              FROM events WHERE event_type = 'view') t
+            WHERE rn <= 20 ORDER BY event_id""",
+
+      "q_ctx_before" ->
+        s"""SELECT $evCols FROM (
+              SELECT *, max(CASE WHEN value > 195 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY event_type ORDER BY epoch_us(ts)
+                      ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS e
+              FROM events) t
+            WHERE e = 1 ORDER BY event_id""",
+
+      "q_ctx_after_dur" ->
+        s"""SELECT $evCols FROM (
+              SELECT *, max(CASE WHEN value > 195 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY event_type ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS e
+              FROM events) t
+            WHERE e = 1 ORDER BY event_id""",
+
+      "q_entries_glob" ->
+        s"""SELECT $evCols FROM events
+            WHERE event_type NOT IN ('error', 'signup')
+            ORDER BY event_id""",
+
+      "q_select_labels" ->
+        """SELECT event_id, CAST(value AS VARCHAR) AS value_str,
+                  CAST(2 AS BIGINT) AS n_labels
+           FROM events WHERE event_type = 'purchase' ORDER BY event_id""",
+
+      "q_count" ->
+        s"""SELECT CAST(count(*) AS BIGINT) AS cnt FROM events
+            WHERE epoch_us(ts) >= $T0 AND epoch_us(ts) < $T7 AND value > 100""",
+
+      "q_remove_survivors" ->
+        """SELECT event_id FROM (
+             SELECT event_id, row_number() OVER (PARTITION BY event_type
+               ORDER BY epoch_us(ts)) AS rn
+             FROM events) t
+           WHERE rn % 2 <> 0 ORDER BY event_id""",
+
+      "q_dedup_exact" ->
+        """SELECT md5(text) AS digest, min(doc_id) AS keep_id,
+                  CAST(count(*) AS BIGINT) AS dup_count
+           FROM documents GROUP BY md5(text) ORDER BY keep_id""",
+
+      "q_jaccard_pairs" ->
+        """WITH d AS (
+             SELECT source, doc_id,
+               list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
+             FROM documents)
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+               (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6)
+               AS jaccard
+           FROM d a, d b
+           WHERE a.source = b.source AND a.doc_id < b.doc_id
+             AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+               (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.1
+           ORDER BY id_a, id_b""",
+
+      "q_text_quality" ->
+        """SELECT doc_id,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+               AS n_tokens,
+             round(CASE WHEN trim(text) = '' THEN 0.0
+               ELSE CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+                 / len(regexp_split_to_array(trim(text), '\s+')) END, 6)
+               AS mean_word_len,
+             round(CASE WHEN trim(text) = '' THEN 0.0
+               ELSE CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                 t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+                 / len(regexp_split_to_array(trim(text), '\s+')) END, 6)
+               AS stopword_ratio,
+             round(CASE WHEN length(text) = 0 THEN 0.0
+               ELSE CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+                 AS DOUBLE) / length(text) END, 6) AS punct_ratio
+           FROM documents ORDER BY doc_id""",
+
+      "q_lang_guess" ->
+        """WITH s AS (
+             SELECT doc_id,
+               len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                 t -> t IN ('the','and','of','is'))) AS en,
+               len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                 t -> t IN ('el','la','de','y'))) AS es,
+               len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                 t -> t IN ('der','die','und','das'))) AS de,
+               len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                 t -> t IN ('le','et','les','dans'))) AS fr
+             FROM documents)
+           SELECT doc_id,
+             CASE WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+                  WHEN es >= de AND es >= fr THEN 'es'
+                  WHEN de >= fr THEN 'de'
+                  ELSE 'fr' END AS lang_guess
+           FROM s ORDER BY doc_id""",
+
+      "q_token_stats" ->
+        """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN trim(text) = '' THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT)
+               AS total_tokens,
+             round(avg(CAST(n_chars AS DOUBLE)), 6) AS avg_chars
+           FROM documents GROUP BY lang ORDER BY lang""",
+
+      "q_fingerprint" ->
+        """SELECT doc_id, substring(md5(text), 1, 16) AS fp
+           FROM documents ORDER BY doc_id""",
+
+      "q_embed_dup" ->
+        """WITH e AS (
+             SELECT label, vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings)
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+               AS sim
+           FROM e a, e b
+           WHERE a.label = b.label AND a.vec_id < b.vec_id
+             AND list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+           ORDER BY id_a, id_b""",
+
+      "q_ann_brute" ->
+        """WITH q AS (
+             SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+             FROM embeddings WHERE vec_id < 5),
+           c AS (
+             SELECT vec_id AS nid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS nv
+             FROM embeddings),
+           s AS (
+             SELECT qid, nid,
+               list_dot_product(qv, nv) /
+                 (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))) AS sim
+             FROM q, c WHERE nid <> qid),
+           r AS (
+             SELECT qid, nid, sim,
+               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+             FROM s)
+           SELECT qid, nid, rank, round(sim, 6) AS sim FROM r
+           WHERE rank <= 10 ORDER BY qid, rank""",
+
+      "q_lineitem_agg" ->
+        """SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_base_price,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4)) *
+               (CAST(1 AS DECIMAL(20,4)) - CAST(l_discount AS DECIMAL(20,4)))) AS DOUBLE)
+               AS sum_disc_price,
+             CAST(count(*) AS BIGINT) AS count_order
+           FROM lineitem GROUP BY l_returnflag, l_linestatus
+           ORDER BY l_returnflag, l_linestatus""",
+
+      "q_orders_join" ->
+        """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS total_price
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+  }
 }

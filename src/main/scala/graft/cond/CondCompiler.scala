@@ -4,26 +4,24 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Compiles a *pure* condition tree (no stateful operators) into a single
-  * Catalyst `Column`, entirely out of built-in (whole-stage-codegen'd)
-  * expressions — no UDFs.
+  * Catalyst `Column`.
   *
-  * Dynamic typing: a label value is a string parsed lazily with the
-  * precedence bool→i64→f64→string (value.rs:51-61). Statically-typed
-  * subtrees (literals, `$timestamp`, arithmetic over them) stay plain typed
-  * columns so Catalyst can fold/push them; only label references carry a
-  * runtime tag, encoded as `STRUCT<k:INT, i:BIGINT, f:DOUBLE, s:STRING>`
-  * with k ∈ {0:bool, 1:int, 2:float, 3:string, 4:duration}.
+  * Two value representations:
+  *  - statically-typed subtrees (literals, `$timestamp`, arithmetic over
+  *    them) stay plain typed columns → Catalyst folds/pushes them;
+  *  - label references and anything touching them carry a runtime tag
+  *    `STRUCT<k:INT, i:BIGINT, f:DOUBLE, s:STRING>` (k ∈ 0:bool 1:int
+  *    2:float 3:string 4:duration) and are evaluated by the compact native
+  *    expressions in [[DynOps]] (exact shared semantics with the
+  *    interpreter, single static call per operator — see DynOps scaladoc
+  *    for why built-in cascades don't work here).
   *
-  * Error semantics: evaluation errors (missing label, div-by-zero, bad
-  * cast…) become NULL, and the top-level predicate treats NULL as false —
-  * exactly the reference's non-strict mode (filters/when.rs:81-95). Strict
-  * mode runs on the interpreter kernel instead, where real errors surface.
-  *
-  * Known benign divergences from the reference (documented, all corner
-  * cases never produced by well-formed data): NaN label comparisons use
-  * Spark double semantics; `show` of a *dynamically produced* duration
-  * (only reachable via `$cast` of a label to duration then a string op)
-  * formats as `<n>us` instead of `1h 2m`.
+  * Error semantics: evaluation errors (missing label, ÷0, bad cast…)
+  * become NULL and the top-level predicate treats NULL as false — exactly
+  * the reference's non-strict mode (filters/when.rs:81-95). Strict mode
+  * runs on the interpreter kernel instead, where real errors surface.
+  * Logical ops use Kleene logic, which coincides with the reference's
+  * short-circuit error behavior at the observable (non-strict) level.
   */
 object CondCompiler {
   import Value._
@@ -45,17 +43,14 @@ object CondCompiler {
 
   /** Inputs the compiler reads from. `labelStructs`/`computedStructs` are
     * pre-projected parsed-value structs (one column per referenced label),
-    * so each label parses ONCE per row instead of once per use site — the
-    * inline fallback duplicates the whole parse cascade and can push
-    * generated code past the JVM 64KB method limit.
-    */
+    * so each label parses once per row instead of once per use site. */
   final case class Cols(
       ts: Column, labels: Column, computedLabels: Column,
       labelStructs: Map[String, Column] = Map.empty,
       computedStructs: Map[String, Column] = Map.empty)
 
-  private val nullStruct: Column = lit(null).cast(
-    "struct<k:int,i:bigint,f:double,s:string>")
+  private val structTypeDdl = "struct<k:int,i:bigint,f:double,s:string>"
+  private val nullStruct: Column = lit(null).cast(structTypeDdl)
   private def mkStruct(k: Column, i: Column, f: Column, s: Column): Column =
     struct(k.cast("int").as("k"), i.cast("bigint").as("i"),
       f.cast("double").as("f"), s.cast("string").as("s"))
@@ -64,22 +59,26 @@ object CondCompiler {
   private val nullS = lit(null).cast("string")
   private val nullB = lit(null).cast("boolean")
 
-  private def intStruct(i: Column) = mkStruct(lit(1), i, nullD, nullS)
-  private def floatStruct(f: Column) = mkStruct(lit(2), nullL, f, nullS)
-  private def strStruct(s: Column) = mkStruct(lit(3), nullL, nullD, s)
-  private def boolStruct(b: Column) =
-    mkStruct(lit(0), when(b, 1L).otherwise(0L), nullD, nullS)
-
   private val IntRe = "^[+-]?[0-9]+$"
-  // Rust f64 grammar (digits required somewhere; inf/nan excluded here —
-  // they never round-trip through numeric labels in practice)
   private val FloatRe =
     "^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)([eE][+-]?[0-9]+)?$"
 
-  /** `Value::parse` over a (nullable) string column → tagged struct, via
-    * the native [[ParseValueExpr]] (compact codegen; exact Rust parse-chain
-    * semantics shared with the interpreter). */
+  /** `Value::parse` over a (nullable) string column → tagged struct. */
   def parseValue(s: Column): Column = ParseValueExpr(s)
+
+  /** Static value → tagged struct (error-null preserved). */
+  private def toDyn(v: CVal): Column = v match {
+    case CDynamic(d) => d
+    case CStatic(kind, c) =>
+      val s = kind match {
+        case KBool  => mkStruct(lit(0), when(c, 1L).otherwise(0L), nullD, nullS)
+        case KInt   => mkStruct(lit(1), c, nullD, nullS)
+        case KFloat => mkStruct(lit(2), nullL, c, nullS)
+        case KStr   => mkStruct(lit(3), nullL, nullD, c)
+        case KDur   => mkStruct(lit(4), c, nullD, nullS)
+      }
+      when(c.isNull, nullStruct).otherwise(s)
+  }
 
   /** Compile to the final boolean predicate (NULL-as-false, non-strict). */
   def compilePredicate(root: Node, cols: Cols): Column =
@@ -119,15 +118,9 @@ object CondCompiler {
         case "$nin" =>
           CStatic(KBool, !ops.tail.map(o => eqCol(ops.head, o))
             .foldLeft(lit(false))(_ || _))
-        case "$eq"  => CStatic(KBool, eqCol(ops(0), ops(1)))
-        case "$ne"  => CStatic(KBool, !eqCol(ops(0), ops(1)))
-        case "$gt"  => CStatic(KBool, cmpCol(ops(0), ops(1), _ > _, _ > _))
-        case "$gte" => CStatic(KBool, cmpCol(ops(0), ops(1), _ >= _, _ >= _))
-        case "$lt"  => CStatic(KBool, cmpCol(ops(0), ops(1), _ < _, _ < _))
-        case "$lte" => CStatic(KBool, cmpCol(ops(0), ops(1), _ <= _, _ <= _))
-        case "$add"     => arith(ops(0), ops(1), _ + _, allowConcat = true)
-        case "$sub"     => arith(ops(0), ops(1), _ - _)
-        case "$mult"    => arith(ops(0), ops(1), _ * _)
+        case "$eq" | "$ne" | "$gt" | "$gte" | "$lt" | "$lte" =>
+          CStatic(KBool, cmpDispatch(name, ops(0), ops(1)))
+        case "$add" | "$sub" | "$mult" => arith(name, ops(0), ops(1))
         case "$div"     => divCol(ops(0), ops(1))
         case "$div_num" => divNumCol(ops(0), ops(1))
         case "$rem"     => remCol(ops(0), ops(1))
@@ -145,7 +138,7 @@ object CondCompiler {
         case "$month"   => dateOp(ops, month)
         case "$year"    => dateOp(ops, year)
         case "$weekday" => dateOp(ops, weekday) // Spark weekday(): 0 = Monday
-        case "$exists" | "$has" =>
+        case "$exists" | "$has" => // operators/misc/exists.rs:14-27
           CStatic(KBool, ops.map(o =>
               coalesce(map_contains_key(cols.labels, showCol(o)), lit(false)))
             .foldLeft(lit(true))(_ && _))
@@ -162,44 +155,26 @@ object CondCompiler {
 
   /** Truthiness (value.rs:66-73); NULL propagates. */
   def truthy(v: CVal): Column = v match {
-    case CStatic(KBool, c)        => c
-    case CStatic(KInt | KDur, c)  => c =!= 0L
-    case CStatic(KFloat, c)       => c =!= 0.0
-    case CStatic(KStr, c)         => length(c) > 0
-    case CDynamic(d) =>
-      when(d.isNull, nullB)
-        .when(d("k") === 3, length(d("s")) > 0)
-        .when(d("k") === 2, d("f") =!= 0.0)
-        .otherwise(d("i") =!= 0L)
+    case CStatic(KBool, c)       => c
+    case CStatic(KInt | KDur, c) => c =!= 0L
+    case CStatic(KFloat, c)      => c =!= 0.0
+    case CStatic(KStr, c)        => length(c) > 0
+    case CDynamic(d)             => DynOps.unCol("truthy", d)
   }
 
-  private def isFloatKind(v: CVal): Column = v match {
-    case CStatic(KFloat, _) => lit(true)
-    case CStatic(_, _)      => lit(false)
-    case CDynamic(d)        => d("k") === 2
-  }
-  private def isStrKind(v: CVal): Column = v match {
-    case CStatic(KStr, _) => lit(true)
-    case CStatic(_, _)    => lit(false)
-    case CDynamic(d)      => d("k") === 3
-  }
-  /** Numeric view as double; only valid under a non-string guard. */
   private def numF(v: CVal): Column = v match {
     case CStatic(KBool, c)       => when(c, 1.0).otherwise(0.0)
     case CStatic(KInt | KDur, c) => c.cast("double")
     case CStatic(KFloat, c)      => c
     case CStatic(KStr, c)        => when(c.rlike(FloatRe), c.cast("double"))
-    case CDynamic(d) =>
-      when(d("k") === 2, d("f")).otherwise(d("i").cast("double"))
+    case CDynamic(d)             => DynOps.unCol("as_float", d)
   }
-  /** Numeric view as long (float truncates toward zero, Rust `as i64`). */
   private def numI(v: CVal): Column = v match {
     case CStatic(KBool, c)       => when(c, 1L).otherwise(0L)
     case CStatic(KInt | KDur, c) => c
     case CStatic(KFloat, c)      => f64toI64(c)
     case CStatic(KStr, c)        => when(c.rlike(IntRe), c.cast("bigint"))
-    case CDynamic(d) =>
-      when(d("k") === 2, f64toI64(d("f"))).otherwise(d("i"))
+    case CDynamic(d)             => DynOps.unCol("as_int", d)
   }
   /** Rust saturating `f64 as i64` (NaN→0), ANSI-safe. */
   private def f64toI64(f: Column): Column =
@@ -208,47 +183,18 @@ object CondCompiler {
       .when(f <= lit(Long.MinValue).cast("double"), Long.MinValue)
       .otherwise(f.cast("bigint"))
 
-  private def anyNull(a: CVal, b: CVal): Column = rawCol(a).isNull || rawCol(b).isNull
-  private def rawCol(v: CVal): Column = v match {
-    case CStatic(_, c) => c
-    case CDynamic(d)   => d
-  }
+  /** `as_int` with string-parse semantics (value.rs:78-97). */
+  private def asIntFull(v: CVal): Column = numI(v)
+  private def asFloatFull(v: CVal): Column = numF(v)
 
-  /** `as_int` with string-parse semantics (value.rs:78-97): a *string* kind
-    * parses or errors→NULL. Used by date ops / div_num / cast. */
-  private def asIntFull(v: CVal): Column = v match {
-    case CDynamic(d) =>
-      when(d.isNull, nullL)
-        .when(d("k") === 3, when(d("s").rlike(IntRe), d("s").cast("bigint")))
-        .when(d("k") === 2, f64toI64(d("f")))
-        .otherwise(d("i"))
-    case s @ CStatic(KStr, c) => when(c.rlike(IntRe), c.cast("bigint"))
-    case other                => numI(other)
-  }
-  private def asFloatFull(v: CVal): Column = v match {
-    case CDynamic(d) =>
-      when(d.isNull, nullD)
-        .when(d("k") === 3, when(d("s").rlike(FloatRe), d("s").cast("double")))
-        .when(d("k") === 2, d("f"))
-        .otherwise(d("i").cast("double"))
-    case CStatic(KStr, c) => when(c.rlike(FloatRe), c.cast("double"))
-    case other            => numF(other)
-  }
-
-  /** Rust `Display` (value.rs:131-141). Floats: integral → no ".0". */
+  /** Rust `Display` (value.rs:131-141). */
   def showCol(v: CVal): Column = v match {
-    case CStatic(KBool, c) => when(c, "true").otherwise("false")
-    case CStatic(KInt, c)  => c.cast("string")
+    case CStatic(KBool, c)  => when(c, "true").otherwise("false")
+    case CStatic(KInt, c)   => c.cast("string")
     case CStatic(KFloat, c) => showDouble(c)
-    case CStatic(KStr, c)  => c
-    case CStatic(KDur, c)  => showDurationCol(c)
-    case CDynamic(d) =>
-      when(d.isNull, nullS)
-        .when(d("k") === 3, d("s"))
-        .when(d("k") === 2, showDouble(d("f")))
-        .when(d("k") === 0, when(d("i") =!= 0L, "true").otherwise("false"))
-        .when(d("k") === 4, showDurationCol(d("i")))
-        .otherwise(d("i").cast("string"))
+    case CStatic(KStr, c)   => c
+    case CStatic(KDur, c)   => showDurationCol(c)
+    case CDynamic(d)        => DynOps.unCol("show", d)
   }
   private def showDouble(f: Column): Column =
     when(isnan(f), "NaN")
@@ -256,8 +202,8 @@ object CondCompiler {
       .when(f === Double.NegativeInfinity, "-inf")
       .when(f === floor(f) && abs(f) < 1e16, f.cast("bigint").cast("string"))
       .otherwise(f.cast("string"))
-  /** Partial `fmt_duration`: whole-unit values only (covers literals used
-    * in string contexts; full multi-part formatting lives in Value.show). */
+  /** `fmt_duration` for whole-unit values; static durations are literals so
+    * this folds at plan time. */
   private def showDurationCol(us: Column): Column = {
     val units = List("d" -> 86400000000L, "h" -> 3600000000L,
       "m" -> 60000000L, "s" -> 1000000L, "ms" -> 1000L)
@@ -268,110 +214,76 @@ object CondCompiler {
     }
   }
 
-  /** PartialEq (value/cmp.rs:6-38). NULL on operand error. */
-  def eqCol(a: CVal, b: CVal): Column = (a, b) match {
-    case (CStatic(KStr, x), CStatic(KStr, y)) => x === y
-    case (CStatic(KStr, _), CStatic(_, _)) => falseUnlessNull(a, b)
-    case (CStatic(_, _), CStatic(KStr, _)) => falseUnlessNull(a, b)
+  /** PartialEq (value/cmp.rs:6-38); NULL on operand error. */
+  def eqCol(a: CVal, b: CVal): Column = cmpDispatch("$eq", a, b)
+
+  private def cmpDispatch(op: String, a: CVal, b: CVal): Column = (a, b) match {
     case (CStatic(ka, x), CStatic(kb, y)) =>
-      if (ka == KFloat || kb == KFloat) numF(a) === numF(b)
-      else numI(a) === numI(b)
-    case _ =>
-      when(anyNull(a, b), nullB)
-        .when(isStrKind(a) && isStrKind(b), strOf(a) === strOf(b))
-        .when(isStrKind(a) || isStrKind(b), lit(false))
-        .when(isFloatKind(a) || isFloatKind(b), numF(a) === numF(b))
-        .otherwise(numI(a) === numI(b))
-  }
-  private def falseUnlessNull(a: CVal, b: CVal): Column =
-    when(anyNull(a, b), nullB).otherwise(lit(false))
-  private def strOf(v: CVal): Column = v match {
-    case CStatic(KStr, c) => c
-    case CDynamic(d)      => d("s")
-    case CStatic(_, _)    => nullS
+      val strCmp: (Column, Column) => Column = op match {
+        case "$eq" => _ === _; case "$ne" => _ =!= _
+        case "$gt" => _ > _;   case "$gte" => _ >= _
+        case "$lt" => _ < _;   case "$lte" => _ <= _
+      }
+      (ka, kb) match {
+        case (KStr, KStr) => strCmp(x, y)
+        case (KStr, _) | (_, KStr) =>
+          // string vs non-string: never equal, unordered (cmp.rs:33-36,66-69)
+          val r = op == "$ne"
+          when(x.isNull || y.isNull, nullB).otherwise(lit(r))
+        case _ =>
+          if (ka == KFloat || kb == KFloat) strCmp(numF(a), numF(b))
+          else strCmp(numI(a), numI(b))
+      }
+    case _ => DynOps.cmpCol(op, toDyn(a), toDyn(b))
   }
 
-  /** PartialOrd (value/cmp.rs:40-70): string vs non-string unordered→false. */
-  def cmpCol(a: CVal, b: CVal,
-      fNum: (Column, Column) => Column,
-      fStr: (Column, Column) => Column): Column = (a, b) match {
-    case (CStatic(KStr, x), CStatic(KStr, y)) => fStr(x, y)
-    case (CStatic(KStr, _), CStatic(_, _)) => falseUnlessNull(a, b)
-    case (CStatic(_, _), CStatic(KStr, _)) => falseUnlessNull(a, b)
-    case (CStatic(ka, x), CStatic(kb, y)) =>
-      if (ka == KFloat || kb == KFloat) fNum(numF(a), numF(b))
-      else fNum(numI(a), numI(b))
-    case _ =>
-      when(anyNull(a, b), nullB)
-        .when(isStrKind(a) && isStrKind(b), fStr(strOf(a), strOf(b)))
-        .when(isStrKind(a) || isStrKind(b), lit(false))
-        .when(isFloatKind(a) || isFloatKind(b), fNum(numF(a), numF(b)))
-        .otherwise(fNum(numI(a), numI(b)))
-  }
-
-  /** `$add`/`$sub`/`$mult` (value/arithmetic/{add,sub,mult}.rs): int unless either side
-    * float; string+string concats (add only); string+non-string errors. */
-  private def arith(a: CVal, b: CVal, f: (Column, Column) => Column,
-      allowConcat: Boolean = false): CVal = (a, b) match {
+  /** `$add`/`$sub`/`$mult` (value/arithmetic/{add,sub,mult}.rs). */
+  private def arith(op: String, a: CVal, b: CVal): CVal = (a, b) match {
     case (CStatic(KStr, x), CStatic(KStr, y)) =>
-      if (allowConcat) CStatic(KStr, concat(x, y))
+      if (op == "$add") CStatic(KStr, concat(x, y))
       else CDynamic(nullStruct)
     case (CStatic(KStr, _), CStatic(_, _)) => CDynamic(nullStruct)
     case (CStatic(_, _), CStatic(KStr, _)) => CDynamic(nullStruct)
     case (CStatic(ka, _), CStatic(kb, _)) =>
+      val f: (Column, Column) => Column = op match {
+        case "$add" => _ + _; case "$sub" => _ - _; case "$mult" => _ * _
+      }
       if (ka == KFloat || kb == KFloat) CStatic(KFloat, f(numF(a), numF(b)))
       else CStatic(KInt, f(numI(a), numI(b)))
-    case _ =>
-      val concatBranch =
-        if (allowConcat) strStruct(concat(strOf(a), strOf(b)))
-        else nullStruct
-      CDynamic(
-        when(anyNull(a, b), nullStruct)
-          .when(isStrKind(a) && isStrKind(b), concatBranch)
-          .when(isStrKind(a) || isStrKind(b), nullStruct)
-          .when(isFloatKind(a) || isFloatKind(b), floatStruct(f(numF(a), numF(b))))
-          .otherwise(intStruct(f(numI(a), numI(b)))))
+    case _ => CDynamic(DynOps.binCol(op, toDyn(a), toDyn(b)))
   }
 
   /** `$div`: always float; ÷0 and strings error→NULL (div.rs:26-46). */
-  private def divCol(a: CVal, b: CVal): CVal = {
-    val d = asFloatIfNotStr(b)
-    val n = asFloatIfNotStr(a)
-    CStatic(KFloat,
-      when(anyNull(a, b) || isStrKind(a) || isStrKind(b) || d === 0.0, nullD)
-        .otherwise(n / d))
-  }
-  private def asFloatIfNotStr(v: CVal): Column = v match {
-    case CStatic(KStr, _) => nullD
-    case other            => numF(other)
+  private def divCol(a: CVal, b: CVal): CVal = (a, b) match {
+    case (CStatic(ka, _), CStatic(kb, _)) if ka != KStr && kb != KStr =>
+      val d = numF(b)
+      CStatic(KFloat, when(d === 0.0, nullD).otherwise(numF(a) / d))
+    case (CStatic(_, _), CStatic(_, _)) => CStatic(KFloat, nullD)
+    case _ => CDynamic(DynOps.binCol("$div", toDyn(a), toDyn(b)))
   }
 
-  /** `$div_num`: integer division (div_num.rs:25-45). Exact truncated i64
-    * quotient via `(n - n % d) / d` over decimals (Spark's `/` on integrals
-    * yields double, which is lossy past 2^53). */
-  private def divNumCol(a: CVal, b: CVal): CVal = {
-    val d = asIntIfNotStr(b)
-    val n = asIntIfNotStr(a)
-    val quot = ((n - n % d).cast("decimal(38,0)") / d.cast("decimal(38,0)"))
-      .cast("bigint")
-    CStatic(KInt,
-      when(anyNull(a, b) || isStrKind(a) || isStrKind(b) || d === 0L, nullL)
-        .otherwise(quot))
-  }
-  private def asIntIfNotStr(v: CVal): Column = v match {
-    case CStatic(KStr, _) => nullL
-    case other            => numI(other)
+  /** `$div_num`: integer division (div_num.rs:25-45); exact i64 quotient. */
+  private def divNumCol(a: CVal, b: CVal): CVal = (a, b) match {
+    case (CStatic(ka, _), CStatic(kb, _)) if ka != KStr && kb != KStr =>
+      val d = numI(b); val n = numI(a)
+      val quot = ((n - n % d).cast("decimal(38,0)") / d.cast("decimal(38,0)"))
+        .cast("bigint")
+      CStatic(KInt, when(d === 0L, nullL).otherwise(quot))
+    case (CStatic(_, _), CStatic(_, _)) => CStatic(KInt, nullL)
+    case _ => CDynamic(DynOps.binCol("$div_num", toDyn(a), toDyn(b)))
   }
 
   /** `$rem`: truncated remainder, float-promoting (rem.rs:28-66). */
-  private def remCol(a: CVal, b: CVal): CVal = {
-    val anyF = isFloatKind(a) || isFloatKind(b)
-    val guard = anyNull(a, b) || isStrKind(a) || isStrKind(b)
-    CDynamic(
-      when(guard, nullStruct)
-        .when(anyF, floatStruct(numF(a) % numF(b)))
-        .when(numI(b) === 0L, nullStruct)
-        .otherwise(intStruct(numI(a) % numI(b))))
+  private def remCol(a: CVal, b: CVal): CVal = (a, b) match {
+    case (CStatic(ka, _), CStatic(kb, _)) if ka != KStr && kb != KStr =>
+      if (ka == KFloat || kb == KFloat)
+        CStatic(KFloat, numF(a) % numF(b))
+      else {
+        val d = numI(b)
+        CStatic(KInt, when(d === 0L, nullL).otherwise(numI(a) % d))
+      }
+    case (CStatic(_, _), CStatic(_, _)) => CDynamic(nullStruct)
+    case _ => CDynamic(DynOps.binCol("$rem", toDyn(a), toDyn(b)))
   }
 
   /** `$abs` (abs.rs): bool→int; keeps kind otherwise; string errors. */
@@ -381,12 +293,7 @@ object CondCompiler {
     case CStatic(KDur, c)   => CStatic(KDur, abs(c))
     case CStatic(KFloat, c) => CStatic(KFloat, abs(c))
     case CStatic(KStr, _)   => CDynamic(nullStruct)
-    case CDynamic(d) =>
-      CDynamic(
-        when(d.isNull || d("k") === 3, nullStruct)
-          .otherwise(mkStruct(
-            when(d("k") === 0, 1).otherwise(d("k")),
-            abs(d("i")), abs(d("f")), nullS)))
+    case CDynamic(d)        => CDynamic(DynOps.unCol("abs", d))
   }
 
   /** `$cast` (value/misc/cast.rs:26-35). The target type name is virtually
@@ -402,17 +309,11 @@ object CondCompiler {
         case _          => CDynamic(nullStruct) // Unknown type 'x' → error
       }
       case _ =>
-        val tgt = target match {
-          case CStatic(KStr, c) => c
-          case CDynamic(d)      => d("s")
-          case _                => nullS
-        }
+        val tgt = showCol(target)
+        val dv = toDyn(v)
         CDynamic(
-          when(tgt === "bool", boolStruct(truthy(v)))
-            .when(tgt === "int", intStruct(asIntFull(v)))
-            .when(tgt === "float", floatStruct(asFloatFull(v)))
-            .when(tgt === "string", strStruct(showCol(v)))
-            .when(tgt === "duration", mkStruct(lit(4), asIntFull(v), nullD, nullS))
+          when(tgt.isin("bool", "int", "float", "string", "duration"),
+            DynOps.binCol("$castdyn", dv, toDyn(CStatic(KStr, tgt))))
             .otherwise(nullStruct))
     }
 
@@ -423,9 +324,13 @@ object CondCompiler {
     val utcTs = timestamp_micros(tsUs)
     val local = ops match {
       case _ :: tz :: Nil =>
-        // from_utc_timestamp renders the instant in the given zone
-        // (session tz is UTC, so extraction sees tz-local wall time)
-        val tzStr = when(isStrKind(tz), strOf(tz))
+        val tzStr = tz match {
+          case CStatic(KStr, c) => c
+          case CDynamic(d) =>
+            // non-string tz is an error (date.rs:50-56)
+            when(d("k") === 3, d("s"))
+          case _ => nullS
+        }
         from_utc_timestamp(utcTs, tzStr)
       case _ => utcTs
     }

@@ -109,7 +109,12 @@ object QueryEngine {
     val cmpNames = Node.computedRefNames(root).toSeq.sorted
     val lblCols = lblNames.zipWithIndex.map { case (n, i) => n -> s"__pv$i" }
     val cmpCols = cmpNames.zipWithIndex.map { case (n, i) => n -> s"__pc$i" }
-    var df = base
+    // The marker column is nondeterministic, which stops predicate pushdown
+    // from substituting the parse structs back into the filter (that
+    // re-inlining duplicates the predicate per use site and can push
+    // generated code past the 64KB JVM method limit). The ts/state/entry
+    // filters are applied below this projection and still reach the scan.
+    var df = base.withColumn("__nd", monotonically_increasing_id())
     for ((n, c) <- lblCols)
       df = df.withColumn(c, CondCompiler.parseValue(try_element_at(col("labels"), lit(n))))
     for ((n, c) <- cmpCols)
@@ -119,7 +124,7 @@ object QueryEngine {
       lblCols.map { case (n, c) => n -> col(c) }.toMap,
       cmpCols.map { case (n, c) => n -> col(c) }.toMap)
     (df, (n: Node) => CondCompiler.compilePredicate(n, cols),
-      (lblCols ++ cmpCols).map(_._2))
+      "__nd" +: (lblCols ++ cmpCols).map(_._2))
   }
 
   private def applyWhen(base: DataFrame, parsed: ParsedCondition, strict: Boolean): DataFrame = {

