@@ -104,20 +104,18 @@ object CondCompiler {
       val ops = operandNodes.map(compile(_, cols))
       name match {
         case "$and" | "$all_of" =>
-          CStatic(KBool, ops.map(truthy).foldLeft(lit(true))(_ && _))
+          CStatic(KBool, andFold(ops.map(truthy)))
         case "$or" | "$any_of" =>
-          CStatic(KBool, ops.map(truthy).foldLeft(lit(false))(_ || _))
+          CStatic(KBool, orFold(ops.map(truthy)))
         case "$not" | "$none_of" =>
-          CStatic(KBool, !ops.map(truthy).foldLeft(lit(false))(_ || _))
+          CStatic(KBool, !orFold(ops.map(truthy)))
         case "$xor" | "$one_of" =>
           CStatic(KBool, ops.map(o => truthy(o).cast("int"))
             .reduceLeft(_ + _) === 1)
         case "$in" =>
-          CStatic(KBool, ops.tail.map(o => eqCol(ops.head, o))
-            .foldLeft(lit(false))(_ || _))
+          CStatic(KBool, orFold(ops.tail.map(o => eqCol(ops.head, o))))
         case "$nin" =>
-          CStatic(KBool, !ops.tail.map(o => eqCol(ops.head, o))
-            .foldLeft(lit(false))(_ || _))
+          CStatic(KBool, !orFold(ops.tail.map(o => eqCol(ops.head, o))))
         case "$eq" | "$ne" | "$gt" | "$gte" | "$lt" | "$lte" =>
           CStatic(KBool, cmpDispatch(name, ops(0), ops(1)))
         case "$add" | "$sub" | "$mult" => arith(name, ops(0), ops(1))
@@ -139,9 +137,11 @@ object CondCompiler {
         case "$year"    => dateOp(ops, year)
         case "$weekday" => dateOp(ops, weekday) // Spark weekday(): 0 = Monday
         case "$exists" | "$has" => // operators/misc/exists.rs:14-27
-          CStatic(KBool, ops.map(o =>
-              coalesce(map_contains_key(cols.labels, showCol(o)), lit(false)))
-            .foldLeft(lit(true))(_ && _))
+          CStatic(KBool, andFold(ops.map { o =>
+            val k = showCol(o)
+            when(k.isNull, nullB) // operand error propagates
+              .otherwise(coalesce(map_contains_key(cols.labels, k), lit(false)))
+          }))
         case "$cast" => castCol(ops(0), ops(1), operandNodes(1))
         case "$ref" =>
           CDynamic(parseValue(try_element_at(cols.labels, showCol(ops(0)))))
@@ -153,6 +153,22 @@ object CondCompiler {
 
   // ------------------------------------------------------------ primitives
 
+  /** Sequential short-circuit folds matching the reference's evaluation:
+    * operands evaluate left-to-right and the FIRST error aborts (→ NULL),
+    * unless an earlier operand already decided the result
+    * (all_of.rs/any_of.rs loops + `?` error propagation). Plain Kleene
+    * logic would differ: Kleene `null OR true` = true, but the reference
+    * errors out before ever seeing the `true`.
+    */
+  private def andFold(cs: Seq[Column]): Column =
+    cs.foldLeft(lit(true)) { (acc, c) =>
+      when(acc.isNull, nullB).when(!acc, lit(false)).otherwise(c)
+    }
+  private def orFold(cs: Seq[Column]): Column =
+    cs.foldLeft(lit(false)) { (acc, c) =>
+      when(acc.isNull, nullB).when(acc, lit(true)).otherwise(c)
+    }
+
   /** Truthiness (value.rs:66-73); NULL propagates. */
   def truthy(v: CVal): Column = v match {
     case CStatic(KBool, c)       => c
@@ -163,14 +179,16 @@ object CondCompiler {
   }
 
   private def numF(v: CVal): Column = v match {
-    case CStatic(KBool, c)       => when(c, 1.0).otherwise(0.0)
+    case CStatic(KBool, c)       =>
+      when(c.isNull, nullD).when(c, 1.0).otherwise(0.0)
     case CStatic(KInt | KDur, c) => c.cast("double")
     case CStatic(KFloat, c)      => c
     case CStatic(KStr, c)        => when(c.rlike(FloatRe), c.cast("double"))
     case CDynamic(d)             => DynOps.unCol("as_float", d)
   }
   private def numI(v: CVal): Column = v match {
-    case CStatic(KBool, c)       => when(c, 1L).otherwise(0L)
+    case CStatic(KBool, c)       =>
+      when(c.isNull, nullL).when(c, 1L).otherwise(0L)
     case CStatic(KInt | KDur, c) => c
     case CStatic(KFloat, c)      => f64toI64(c)
     case CStatic(KStr, c)        => when(c.rlike(IntRe), c.cast("bigint"))
@@ -187,31 +205,16 @@ object CondCompiler {
   private def asIntFull(v: CVal): Column = numI(v)
   private def asFloatFull(v: CVal): Column = numF(v)
 
-  /** Rust `Display` (value.rs:131-141). */
+  /** Rust `Display` (value.rs:131-141). Floats and durations go through
+    * the shared native runtime — Java's Double.toString (scientific form
+    * past 1e7) and SQL tricks both diverge from Rust's format. */
   def showCol(v: CVal): Column = v match {
-    case CStatic(KBool, c)  => when(c, "true").otherwise("false")
-    case CStatic(KInt, c)   => c.cast("string")
-    case CStatic(KFloat, c) => showDouble(c)
-    case CStatic(KStr, c)   => c
-    case CStatic(KDur, c)   => showDurationCol(c)
-    case CDynamic(d)        => DynOps.unCol("show", d)
-  }
-  private def showDouble(f: Column): Column =
-    when(isnan(f), "NaN")
-      .when(f === Double.PositiveInfinity, "inf")
-      .when(f === Double.NegativeInfinity, "-inf")
-      .when(f === floor(f) && abs(f) < 1e16, f.cast("bigint").cast("string"))
-      .otherwise(f.cast("string"))
-  /** `fmt_duration` for whole-unit values; static durations are literals so
-    * this folds at plan time. */
-  private def showDurationCol(us: Column): Column = {
-    val units = List("d" -> 86400000000L, "h" -> 3600000000L,
-      "m" -> 60000000L, "s" -> 1000000L, "ms" -> 1000L)
-    units.foldRight(concat(us.cast("string"), lit("us"))) {
-      case ((u, m), elseCol) =>
-        when(us % m === 0L && abs(us) >= m,
-          concat((us / m).cast("string"), lit(u))).otherwise(elseCol)
-    }
+    case CStatic(KBool, c) =>
+      when(c.isNull, nullS).when(c, "true").otherwise("false")
+    case CStatic(KInt, c)  => c.cast("string")
+    case CStatic(KStr, c)  => c
+    case CStatic(KFloat | KDur, _) => DynOps.unCol("show", toDyn(v))
+    case CDynamic(d)       => DynOps.unCol("show", d)
   }
 
   /** PartialEq (value/cmp.rs:6-38); NULL on operand error. */
@@ -231,8 +234,14 @@ object CondCompiler {
           val r = op == "$ne"
           when(x.isNull || y.isNull, nullB).otherwise(lit(r))
         case _ =>
-          if (ka == KFloat || kb == KFloat) strCmp(numF(a), numF(b))
-          else strCmp(numI(a), numI(b))
+          if (ka == KFloat || kb == KFloat) {
+            // Rust f64 partial_cmp: NaN unordered → eq/gt/gte/lt/lte false,
+            // ne true. Spark orders NaN largest and NaN==NaN, so guard.
+            val (l, r) = (numF(a), numF(b))
+            when(l.isNull || r.isNull, nullB)
+              .when(isnan(l) || isnan(r), lit(op == "$ne"))
+              .otherwise(strCmp(l, r))
+          } else strCmp(numI(a), numI(b))
       }
     case _ => DynOps.cmpCol(op, toDyn(a), toDyn(b))
   }
@@ -276,9 +285,11 @@ object CondCompiler {
   /** `$rem`: truncated remainder, float-promoting (rem.rs:28-66). */
   private def remCol(a: CVal, b: CVal): CVal = (a, b) match {
     case (CStatic(ka, _), CStatic(kb, _)) if ka != KStr && kb != KStr =>
-      if (ka == KFloat || kb == KFloat)
-        CStatic(KFloat, numF(a) % numF(b))
-      else {
+      if (ka == KFloat || kb == KFloat) {
+        // Rust f64 % 0.0 = NaN; Spark's Remainder yields NULL there
+        val d = numF(b)
+        CStatic(KFloat, when(d === 0.0, lit(Double.NaN)).otherwise(numF(a) % d))
+      } else {
         val d = numI(b)
         CStatic(KInt, when(d === 0L, nullL).otherwise(numI(a) % d))
       }
@@ -288,7 +299,8 @@ object CondCompiler {
 
   /** `$abs` (abs.rs): bool→int; keeps kind otherwise; string errors. */
   private def absCol(a: CVal): CVal = a match {
-    case CStatic(KBool, c)  => CStatic(KInt, when(c, 1L).otherwise(0L))
+    case CStatic(KBool, c)  =>
+      CStatic(KInt, when(c.isNull, nullL).when(c, 1L).otherwise(0L))
     case CStatic(KInt, c)   => CStatic(KInt, abs(c))
     case CStatic(KDur, c)   => CStatic(KDur, abs(c))
     case CStatic(KFloat, c) => CStatic(KFloat, abs(c))
