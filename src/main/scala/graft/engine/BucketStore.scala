@@ -1,0 +1,284 @@
+package graft.engine
+
+import graft.core.{EntryPattern, Records}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.util.control.NonFatal
+
+/** Parquet-backed bucket storage — the Spark-native replacement for the
+  * reference's block files (SURVEY §1.3).
+  *
+  * Layout: `root/bucket=<b>/entry=<e>/dt=<yyyy-MM-dd>/part-*.zstd.parquet`.
+  *  - `bucket`/`entry` partitions → entry-glob queries become partition
+  *    pruning; `dt` (UTC day of `ts`) partitions → time-range queries prune
+  *    files the way the reference's block index prunes blocks
+  *    (historical.rs:134-156); parquet row-group min/max on `ts` prunes
+  *    within a day.
+  *  - zstd data pages ≈ the reference's block-level zstd
+  *    (block_manager/compress.rs:23-28).
+  *  - writes are append-only; `maxRecordsPerFile` bounds file size like
+  *    `max_block_records` rotation (storage.proto:47-63).
+  *
+  * Duplicate-timestamp conflicts (ts is the record id, storage.proto:38):
+  * batch-internal dups always fail; against existing data the check reads
+  * only the overlapping (entry × time-range) slice — pushdown makes this a
+  * metadata-bounded scan, not a table scan. Belated writes (old ts) land in
+  * their historical partition with no special casing
+  * (entry/write_record.rs:92-160).
+  */
+final class BucketStore(val spark: SparkSession, val root: String) {
+  import BucketStore._
+
+  spark.conf.set("spark.sql.parquet.compression.codec", "zstd")
+  spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+  private def dtCol = to_date(timestamp_micros(col("ts")))
+
+  /** The whole store as one logical table (records schema + dt). */
+  def table(): DataFrame =
+    spark.read.schema(storedSchema).parquet(root)
+      .drop("dt") // derived; queries use ts
+
+  def tableOrEmpty(): DataFrame =
+    try table()
+    catch { case NonFatal(_) => emptyRecords(spark) }
+
+  /** Append a batch of records.
+    * @param onConflict Error → reject batch if any (bucket,entry,ts)
+    *        already exists (the reference's 409, entry.rs conflict);
+    *        Skip → drop conflicting rows; Overwrite is intentionally not
+    *        offered (records are immutable, only labels update).
+    */
+  def write(records: DataFrame, onConflict: Conflict = Conflict.Error): Unit = {
+    val batch0 = records.select(Records.schema.fieldNames.map(col): _*)
+    // batch-internal duplicate ts: reject (Error) or keep-first (Skip —
+    // idempotent replay, e.g. re-delivered streaming micro-batches)
+    val batch = onConflict match {
+      case Conflict.Skip => batch0.dropDuplicates("bucket", "entry", "ts")
+      case Conflict.Error =>
+        val dups = batch0.groupBy("bucket", "entry", "ts").count()
+          .filter(col("count") > 1).limit(1).collect()
+        if (dups.nonEmpty)
+          throw new IllegalArgumentException(
+            s"duplicate timestamp within batch: ${dups(0)}")
+        batch0
+    }
+    val deduped = onConflict match {
+      case Conflict.Skip  => antiExisting(batch)
+      case Conflict.Error =>
+        val bounds = batch.agg(min("ts"), max("ts")).collect()(0)
+        if (!bounds.isNullAt(0)) {
+          val existing = tableOrEmpty()
+            .filter(col("ts").between(bounds.getLong(0), bounds.getLong(1)))
+            .select("bucket", "entry", "ts")
+          val clash = batch.join(existing, Seq("bucket", "entry", "ts"))
+            .limit(1).collect()
+          if (clash.nonEmpty)
+            throw new IllegalArgumentException(
+              s"record already exists: ${clash(0)}")
+        }
+        batch
+    }
+    deduped
+      .withColumn("dt", dtCol)
+      .write
+      .partitionBy("bucket", "entry", "dt")
+      .option("maxRecordsPerFile", 1000000)
+      .mode(SaveMode.Append)
+      .parquet(root)
+  }
+
+  private def antiExisting(batch: DataFrame): DataFrame = {
+    val bounds = batch.agg(min("ts"), max("ts")).collect()(0)
+    if (bounds.isNullAt(0)) return batch
+    val existing = tableOrEmpty()
+      .filter(col("ts").between(bounds.getLong(0), bounds.getLong(1)))
+      .select("bucket", "entry", "ts")
+    batch.join(existing, Seq("bucket", "entry", "ts"), "left_anti")
+  }
+
+  /** PATCH labels (storage/entry/update_labels.rs:14-36): merge `set` keys
+    * over existing labels, drop `remove` keys, payload untouched. Rewrites
+    * only the partitions containing matched records (dynamic overwrite).
+    */
+  def updateLabels(spec: QuerySpec, set: Map[String, String],
+      remove: Set[String] = Set.empty): Long = {
+    val all = table()
+    val matched = QueryEngine.matching(all, spec)
+      .select("bucket", "entry", "ts").withColumn("__upd", lit(1))
+    val n = matched.count()
+    if (n == 0) return 0
+    val patch =
+      if (set.isEmpty) map().cast("map<string,string>")
+      else map(set.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val dropKeys = array((remove ++ set.keys).toSeq.map(lit(_)): _*)
+    val affected = affectedPartitions(matched.drop("__upd"))
+    // join on the full (bucket, entry, dt) key — joining on a prefix would
+    // multiply rows by the number of affected days
+    val rewritten = all.withColumn("dt", dtCol)
+      .join(broadcast(affected), Seq("bucket", "entry", "dt"))
+      .drop("dt")
+      .join(matched, Seq("bucket", "entry", "ts"), "left")
+      .withColumn("labels",
+        when(col("__upd").isNotNull,
+          map_concat(
+            map_filter(coalesce(col("labels"), map().cast("map<string,string>")),
+              (k, _) => !array_contains(dropKeys, k)),
+            patch))
+          .otherwise(col("labels")))
+      .drop("__upd")
+    overwritePartitions(rewritten)
+    n
+  }
+
+  /** Query-as-delete (remove_records.rs:62-160): rewrite only affected
+    * partitions without the matching rows; returns removed count. */
+  def removeQuery(spec: QuerySpec): Long = {
+    val all = table()
+    val matched = QueryEngine.matching(all, spec).select("bucket", "entry", "ts")
+    val n = matched.count()
+    if (n == 0) return 0
+    val affected = affectedPartitions(matched)
+    // materialize the affected-partition list before any file is touched
+    val affectedRows = affected.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDate(2).toString))
+    val survivors = all.withColumn("dt", dtCol)
+      .join(broadcast(affected), Seq("bucket", "entry", "dt"))
+      .drop("dt")
+      .join(matched, Seq("bucket", "entry", "ts"), "left_anti")
+      .localCheckpoint(true)
+    overwritePartitions(survivors)
+    // dynamic overwrite only rewrites partitions PRESENT in the output —
+    // a partition whose every record matched is left untouched, so drop
+    // fully-emptied partition directories explicitly
+    val surviving = survivors.withColumn("dt", dtCol)
+      .select("bucket", "entry", "dt").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDate(2).toString)).toSet
+    for ((b, e, dt) <- affectedRows if !surviving((b, e, dt)))
+      deletePartitionDir(b, e, dt)
+    n
+  }
+
+  private def deletePartitionDir(bucket: String, entry: String, dt: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(
+      s"$root/bucket=${escapePartition(bucket)}/entry=${escapePartition(entry)}/dt=$dt")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(path, true)
+  }
+
+  private def affectedPartitions(matched: DataFrame): DataFrame =
+    matched.withColumn("dt", dtCol).select("bucket", "entry", "dt").distinct()
+
+  /** Dynamic-overwrite only the partitions present in `records`. The input
+    * reads from the same path being overwritten, so lineage is cut first
+    * (`localCheckpoint`); a petabyte-scale deployment would stage to a
+    * sibling directory + atomic partition swap instead. */
+  private def overwritePartitions(records: DataFrame): Unit =
+    records.withColumn("dt", dtCol)
+      .localCheckpoint(true)
+      .write.partitionBy("bucket", "entry", "dt")
+      .mode(SaveMode.Overwrite) // dynamic: only touched partitions
+      .parquet(root)
+
+  /** Entry catalog (names only; from partition listing, no data scan). */
+  def entries(bucket: String): Seq[String] =
+    table().filter(col("bucket") === bucket)
+      .select("entry").distinct().collect().map(_.getString(0)).toSeq.sorted
+
+  /** Rename an entry (storage/bucket/rename_entry.rs): partition rewrite. */
+  def renameEntry(bucket: String, from: String, to: String): Unit = {
+    if (entries(bucket).contains(to))
+      throw new IllegalArgumentException(s"entry '$to' already exists")
+    val moved = table()
+      .filter(col("bucket") === bucket && col("entry") === from)
+      .withColumn("entry", lit(to))
+    if (moved.isEmpty)
+      throw new NoSuchElementException(s"entry '$from' not found")
+    write(moved, Conflict.Error)
+    removeEntryFiles(bucket, from)
+  }
+
+  def removeEntry(bucket: String, entry: String): Unit = {
+    if (EntryPattern.isSystemMetaEntry(entry))
+      throw new IllegalArgumentException("cannot remove system $meta entry")
+    removeEntryFiles(bucket, entry)
+  }
+
+  private def removeEntryFiles(bucket: String, entry: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(
+      s"$root/bucket=$bucket/entry=${escapePartition(entry)}")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(path, true)
+  }
+
+  def removeBucket(bucket: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(s"$root/bucket=$bucket")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(path, true)
+  }
+
+  /** Bytes on disk per bucket (for quotas). */
+  def bucketSizeBytes(bucket: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(s"$root/bucket=$bucket")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) 0L
+    else fs.getContentSummary(path).getLength
+  }
+
+  /** FIFO quota (bucket/quotas.rs:44-95): evict oldest day-partitions
+    * until under `maxBytes`; `$meta` entries are never eviction candidates.
+    * Returns evicted partition count. */
+  def enforceFifoQuota(bucket: String, maxBytes: Long): Int = {
+    var evicted = 0
+    while (bucketSizeBytes(bucket) > maxBytes) {
+      val oldest = table().filter(col("bucket") === bucket)
+        .filter(!col("entry").endsWith("/" + EntryPattern.MetaSegment) &&
+          col("entry") =!= EntryPattern.MetaSegment)
+        .agg(min(dtCol).as("dt")).collect()(0)
+      if (oldest.isNullAt(0)) return evicted
+      val dt = oldest.getDate(0).toString
+      val bpath = new org.apache.hadoop.fs.Path(s"$root/bucket=$bucket")
+      val fs = bpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val entryDirs = fs.listStatus(bpath).filter(_.isDirectory)
+      var any = false
+      for (e <- entryDirs) {
+        val p = new org.apache.hadoop.fs.Path(e.getPath, s"dt=$dt")
+        if (fs.exists(p)) { fs.delete(p, true); any = true; evicted += 1 }
+      }
+      if (!any) return evicted
+    }
+    evicted
+  }
+
+  /** HARD quota (quotas.rs:53-66): reject writes that would exceed it. */
+  def writeWithHardQuota(records: DataFrame, bucket: String, maxBytes: Long): Unit = {
+    if (bucketSizeBytes(bucket) >= maxBytes)
+      throw new IllegalStateException(s"bucket '$bucket' over hard quota")
+    write(records)
+  }
+}
+
+object BucketStore {
+  sealed trait Conflict
+  object Conflict {
+    case object Error extends Conflict
+    case object Skip extends Conflict
+  }
+
+  import org.apache.spark.sql.types._
+  /** Stored schema = record schema + dt partition column. */
+  val storedSchema: StructType =
+    Records.schema.add(StructField("dt", DateType))
+
+  def emptyRecords(spark: SparkSession): DataFrame =
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      Records.schema)
+
+  /** Spark's partition-path escaping for special chars (e.g. '/'). */
+  def escapePartition(v: String): String =
+    v.flatMap {
+      case c if "\"#%'*/:=?\\{[]^".contains(c) =>
+        f"%%${c.toInt}%02X"
+      case c => c.toString
+    }
+}

@@ -1,0 +1,128 @@
+package graft.engine
+
+import graft.cond.{CondError, Parser, Value}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** The Spark analog of the reference's `.so` extension pipeline
+  * (SURVEY §2.7, reduct_base/src/ext.rs:21-66): a `#ext` query directive
+  * names a pipeline of processors; each step carries an optional strict
+  * `when` filter evaluated against the record INCLUDING computed labels
+  * produced by earlier steps (ext_repository.rs:129-220 + tests
+  * `test_pipeline_step_when_applies_before_next_step`,
+  * `test_pipeline_propagates_computed_labels_to_next_step`). Records
+  * failing a step's `when` are dropped before that step.
+  *
+  * Processors are DataFrame → DataFrame transforms (scalar work stays
+  * columnar/codegen; record-splitting uses explode — the Generator analog),
+  * so a pipeline is map-only and scales with the scan.
+  */
+trait RecordProcessor extends Serializable {
+  def name: String
+  /** Transform the record frame (schema-preserving: may rewrite
+    * computed_labels/payload and add/split rows). */
+  def process(df: DataFrame, config: JValue): DataFrame
+}
+
+final case class PipelineStep(
+    processor: String, config: JValue, when: Option[String])
+
+object Processors {
+
+  /** `{"ext_name": {..config..}, "when": {...}}` per step
+    * (ext_repository.rs:140-177: exactly one extension name per step). */
+  def parseStep(json: String): PipelineStep = {
+    val obj = JsonMethods.parse(json) match {
+      case JObject(fields) => fields
+      case _ => throw CondError("#ext step must be an object")
+    }
+    val (whenFields, extFields) = obj.partition(_._1 == "when")
+    if (extFields.isEmpty)
+      throw CondError("Extension name is not found")
+    if (extFields.size > 1)
+      throw CondError("Each '#ext' pipeline step must contain exactly one extension")
+    val (name, config) = extFields.head
+    PipelineStep(name, config,
+      whenFields.headOption.map(f => JsonMethods.compact(f._2)))
+  }
+
+  /** Directive values (the parser stores each step object as a JSON
+    * string, parser.rs:108-125) → pipeline. */
+  def fromDirective(values: List[Value]): List[PipelineStep] =
+    values.map {
+      case Value.StrV(s) => parseStep(s)
+      case other => throw CondError(s"invalid #ext value: $other")
+    }
+
+  /** Run the pipeline: per-step strict `when` (dropping non-matching
+    * records), then the processor transform. */
+  def run(df: DataFrame, steps: List[PipelineStep],
+      registry: Map[String, RecordProcessor]): DataFrame =
+    steps.foldLeft(df) { (acc, step) =>
+      val proc = registry.getOrElse(step.processor,
+        throw CondError(s"Unknown extension '${step.processor}'"))
+      val gated = step.when match {
+        case Some(w) =>
+          // step-local filters are strict (ext_repository.rs:140-147)
+          StatefulKernel.run(acc, Parser.parse(w), strict = true)
+        case None => acc
+      }
+      proc.process(gated, step.config)
+    }
+
+  // ------------------------------------------------- built-in processors
+
+  /** Extract JSON fields from the payload into computed labels:
+    * `{"json_extract": {"fields": ["k", "x.y"]}}` → `@k`, `@x.y`. */
+  object JsonExtract extends RecordProcessor {
+    val name = "json_extract"
+    def process(df: DataFrame, config: JValue): DataFrame = {
+      val fields = config \ "fields" match {
+        case JArray(vs) => vs.collect { case JString(s) => s }
+        case _ => throw CondError("json_extract requires a 'fields' array")
+      }
+      val entries = fields.flatMap { f =>
+        Seq(lit(f), get_json_object(col("payload").cast("string"), s"$$.$f"))
+      }
+      df.withColumn("computed_labels",
+        map_concat(
+          coalesce(col("computed_labels"), map().cast("map<string,string>")),
+          map_filter(map(entries: _*), (_, v) => v.isNotNull)))
+    }
+  }
+
+  /** Payload statistics as computed labels: `@size`, `@crc32`. */
+  object PayloadStats extends RecordProcessor {
+    val name = "payload_stats"
+    def process(df: DataFrame, config: JValue): DataFrame =
+      df.withColumn("computed_labels",
+        map_concat(
+          coalesce(col("computed_labels"), map().cast("map<string,string>")),
+          map(
+            lit("size"), coalesce(length(col("payload")), lit(0)).cast("string"),
+            lit("crc32"), crc32(coalesce(col("payload"), lit(Array[Byte]())))
+              .cast("string"))))
+  }
+
+  /** Record-splitting processor (the Generator analog): one record per
+    * payload line, `@line` = 0-based index. */
+  object SplitLines extends RecordProcessor {
+    val name = "split_lines"
+    def process(df: DataFrame, config: JValue): DataFrame =
+      df.select(col("*"), posexplode(split(col("payload").cast("string"), "\n"))
+          .as(Seq("__pos", "__line")))
+        .withColumn("computed_labels",
+          map_concat(
+            coalesce(col("computed_labels"), map().cast("map<string,string>")),
+            map(lit("line"), col("__pos").cast("string"))))
+        .withColumn("payload", encode(col("__line"), "UTF-8"))
+        .drop("__pos", "__line")
+  }
+
+  val builtins: Map[String, RecordProcessor] = Map(
+    JsonExtract.name -> JsonExtract,
+    PayloadStats.name -> PayloadStats,
+    SplitLines.name -> SplitLines)
+}

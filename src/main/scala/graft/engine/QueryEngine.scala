@@ -39,11 +39,20 @@ object QueryEngine {
     * k-way-merge order of the reference's multi-entry aggregator
     * (storage/bucket/query.rs:156-318, ties broken by entry name).
     */
-  def query(records: DataFrame, spec: QuerySpec): DataFrame = {
+  def query(records: DataFrame, spec: QuerySpec,
+      processors: Map[String, RecordProcessor] = Processors.builtins): DataFrame = {
     val filtered = matching(records, spec)
     val projected = spec.when match {
-      case Some(w) => applySelectLabels(filtered, Parser.parse(w).directives)
-      case None    => filtered
+      case Some(w) =>
+        val directives = Parser.parse(w).directives
+        // #ext pipeline runs on fetched (post-when) records, §2.7
+        val withExt = directives.get("#ext") match {
+          case Some(values) =>
+            Processors.run(filtered, Processors.fromDirective(values), processors)
+          case None => filtered
+        }
+        applySelectLabels(withExt, directives)
+      case None => filtered
     }
     val ordered = projected.orderBy(col("ts"), col("entry"))
     if (spec.onlyMetadata) ordered.drop("payload") else ordered
@@ -114,7 +123,12 @@ object QueryEngine {
     // re-inlining duplicates the predicate per use site and can push
     // generated code past the 64KB JVM method limit). The ts/state/entry
     // filters are applied below this projection and still reach the scan.
-    var df = base.withColumn("__nd", monotonically_increasing_id())
+    // Streaming frames forbid nondeterministic expressions; there the
+    // barrier is skipped — duplication is tolerable since every label
+    // parse is a single native call (ParseValueExpr).
+    var df =
+      if (base.isStreaming) base
+      else base.withColumn("__nd", monotonically_increasing_id())
     for ((n, c) <- lblCols)
       df = df.withColumn(c, CondCompiler.parseValue(try_element_at(col("labels"), lit(n))))
     for ((n, c) <- cmpCols)

@@ -1,0 +1,147 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Row}
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+import javax.crypto.Mac
+import javax.crypto.spec.SecretKeySpec
+
+/** Driver-side query lifecycle: the reference's push-based cursor
+  * (process-global incrementing ids, TTL expiry, batched drain,
+  * storage/query.rs:33-36,99-110 + query/base.rs:52-92) becomes a registry
+  * of pull-based iterators over the result DataFrame. Continuous queries
+  * re-arm from `last_ts + 1` when exhausted (storage/query/continuous.rs:
+  * 16-84). `query links` serialize a QuerySpec with an HMAC signature and
+  * expiry (reduct_base/src/msg/query_link_api.rs:10-35).
+  */
+final class QueryRegistry(defaultTtlMs: Long = 60000L) {
+
+  final class Cursor(
+      val id: Long,
+      records: () => DataFrame,
+      spec: QuerySpec,
+      continuous: Boolean,
+      ttlMs: Long) {
+    private var lastAccess = System.nanoTime()
+    private var lastTs: Option[Long] = None
+    private var iter: Iterator[Row] = newIter(spec)
+
+    private def newIter(s: QuerySpec): Iterator[Row] = {
+      import scala.jdk.CollectionConverters._
+      QueryEngine.query(records(), s).toLocalIterator().asScala
+    }
+
+    def expired: Boolean =
+      (System.nanoTime() - lastAccess) / 1000000L > ttlMs
+
+    /** Drain up to `maxRecords`; empty result = NoContent. A continuous
+      * cursor re-arms from last_ts+1 on exhaustion (continuous.rs:41-66). */
+    def fetch(maxRecords: Int): Seq[Row] = synchronized {
+      lastAccess = System.nanoTime()
+      val out = Seq.newBuilder[Row]
+      var n = 0
+      while (n < maxRecords && ensureNext()) {
+        val row = iter.next()
+        lastTs = Some(row.getLong(row.fieldIndex("ts")))
+        out += row
+        n += 1
+      }
+      out.result()
+    }
+
+    private def ensureNext(): Boolean = {
+      if (iter.hasNext) return true
+      if (!continuous) return false
+      // re-arm a fresh historical query from last emitted ts + 1
+      val next = spec.copy(start = lastTs.map(_ + 1).orElse(spec.start))
+      iter = newIter(next)
+      iter.hasNext
+    }
+  }
+
+  private val nextId = new AtomicLong(1)
+  private val cursors = new ConcurrentHashMap[Long, Cursor]()
+
+  /** Register a query; returns its process-global id (query.rs:33-36). */
+  def open(records: () => DataFrame, spec: QuerySpec,
+      continuous: Boolean = false, ttlMs: Long = defaultTtlMs): Long = {
+    evictExpired()
+    val id = nextId.getAndIncrement()
+    cursors.put(id, new Cursor(id, records, spec, continuous, ttlMs))
+    id
+  }
+
+  def fetch(id: Long, maxRecords: Int): Option[Seq[Row]] = {
+    evictExpired()
+    Option(cursors.get(id)).map(_.fetch(maxRecords))
+  }
+
+  def close(id: Long): Unit = cursors.remove(id)
+  def size: Int = cursors.size()
+
+  private def evictExpired(): Unit = {
+    val it = cursors.entrySet().iterator()
+    while (it.hasNext) if (it.next().getValue.expired) it.remove()
+  }
+}
+
+/** Shareable signed query links (query_link_api.rs:10-35): a serialized
+  * QuerySpec + expiry, HMAC-SHA256-signed so the server can replay it
+  * without trusting the caller. */
+object QueryLinks {
+
+  private def hmac(secret: String, payload: String): String = {
+    val mac = Mac.getInstance("HmacSHA256")
+    mac.init(new SecretKeySpec(secret.getBytes("UTF-8"), "HmacSHA256"))
+    mac.doFinal(payload.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+  }
+
+  private def enc(s: String): String =
+    java.util.Base64.getUrlEncoder.encodeToString(s.getBytes("UTF-8"))
+  private def dec(s: String): String =
+    new String(java.util.Base64.getUrlDecoder.decode(s), "UTF-8")
+
+  private def specJson(spec: QuerySpec, expiresAtMs: Long): String = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val fields = Seq(
+      spec.start.map(v => s"\"start\":$v"),
+      spec.stop.map(v => s"\"stop\":$v"),
+      spec.entries.map(es => s"\"entries\":[${es.map(q).mkString(",")}]"),
+      spec.when.map(w => "\"when\":" + org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.parse(w))),
+      Some(s"\"strict\":${spec.strict}"),
+      Some(s"\"only_metadata\":${spec.onlyMetadata}"),
+      Some(s"\"expires_at\":$expiresAtMs")).flatten
+    fields.mkString("{", ",", "}")
+  }
+
+  /** Create a link token. */
+  def sign(spec: QuerySpec, expiresAtMs: Long, secret: String): String = {
+    val payload = enc(specJson(spec, expiresAtMs))
+    payload + "." + hmac(secret, payload)
+  }
+
+  /** Verify + decode; returns the spec if the signature matches and the
+    * link has not expired. */
+  def verify(token: String, secret: String,
+      nowMs: Long = System.currentTimeMillis()): Option[QuerySpec] = {
+    token.split("\\.", 2) match {
+      case Array(payload, sig) if hmac(secret, payload) == sig =>
+        val json = org.json4s.jackson.JsonMethods.parse(dec(payload))
+        import org.json4s._
+        implicit val fmts: Formats = DefaultFormats
+        val expires = (json \ "expires_at").extractOpt[Long].getOrElse(0L)
+        if (expires < nowMs) None
+        else Some(QuerySpec(
+          start = (json \ "start").extractOpt[Long],
+          stop = (json \ "stop").extractOpt[Long],
+          entries = (json \ "entries").extractOpt[Seq[String]],
+          when = (json \ "when").toOption
+            .map(w => org.json4s.jackson.JsonMethods.compact(w)),
+          strict = (json \ "strict").extractOpt[Boolean].getOrElse(false),
+          onlyMetadata = (json \ "only_metadata").extractOpt[Boolean].getOrElse(false)))
+      case _ => None
+    }
+  }
+}

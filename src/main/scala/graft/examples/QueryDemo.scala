@@ -49,6 +49,28 @@ object QueryDemo {
     QueryEngine.matching(records, QuerySpec(
       start = Some(1704067200000000L), stop = Some(1704672000000000L),
       when = Some("""{"&value": {"$gt": 100}}"""))).explain("formatted")
+
+    // storage engine round trip: ingest → query → ext pipeline → delete
+    val storeDir = java.nio.file.Files.createTempDirectory("graft-demo-store")
+    val store = new graft.engine.BucketStore(spark, storeDir.toString)
+    store.write(records)
+    println(s"store rows: ${store.table().count()}")
+    val viaStore = QueryEngine.query(store.table(), QuerySpec(
+      entries = Some(Seq("events/click")),
+      when = Some("""{"#ext": {"json_extract": {"fields": ["k"]}},
+                      "&value": {"$gt": 250}}""")))
+    println("store query + ext pipeline (@k extracted from payload):")
+    viaStore.select("ts", "computed_labels").show(3, truncate = false)
+    println("store query plan (partition pruning on entry + dt):")
+    QueryEngine.matching(store.table(), QuerySpec(
+      entries = Some(Seq("events/click")),
+      start = Some(1704067200000000L), stop = Some(1704672000000000L)))
+      .explain("formatted")
+
+    val removedN = store.removeQuery(QuerySpec(when = Some("""{"$each_n": 4}""")))
+    println(s"store removeQuery each_n=4: removed=$removedN left=${store.table().count()}")
+    val evicted = store.enforceFifoQuota("default", store.bucketSizeBytes("default") / 2)
+    println(s"fifo quota evicted $evicted day-partitions; left=${store.table().count()}")
     spark.stop()
   }
 }

@@ -1,0 +1,75 @@
+package graft.lifecycle
+
+import graft.engine.{BucketStore, QueryEngine, QuerySpec}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Row, SaveMode}
+
+/** Lifecycle policies (SURVEY §2.6; lifecycle/lifecycle_task.rs:25-90):
+  * periodic batch jobs applying `delete` or `compress` to records older
+  * than a threshold, optionally gated by the same `when` condition engine
+  * and entry globs, with a dry-run mode that only counts.
+  */
+object Lifecycle {
+
+  sealed trait Action
+  object Action {
+    case object Delete extends Action
+    /** Rewrite old partitions with stronger compression (the analog of
+      * block-level zstd re-compression, lifecycle/action/compress.rs). */
+    final case class Compress(codec: String = "zstd", level: Int = 9) extends Action
+  }
+
+  final case class Policy(
+      olderThanUs: Long,
+      action: Action,
+      entries: Option[Seq[String]] = None,
+      when: Option[String] = None,
+      dryRun: Boolean = false)
+
+  final case class Result(matched: Long, applied: Boolean)
+
+  /** Apply one policy pass; `nowUs` is injectable for tests. */
+  def apply(store: BucketStore, policy: Policy, nowUs: Long): Result = {
+    val cutoff = nowUs - policy.olderThanUs
+    val spec = QuerySpec(stop = Some(cutoff), entries = policy.entries,
+      when = policy.when)
+    policy.action match {
+      case Action.Delete =>
+        if (policy.dryRun)
+          Result(QueryEngine.count(store.table(), spec), applied = false)
+        else Result(store.removeQuery(spec), applied = true)
+      case Action.Compress(codec, level) =>
+        val matched = QueryEngine.matching(store.table(), spec)
+        val n = matched.count()
+        if (policy.dryRun || n == 0) return Result(n, applied = false)
+        // rewrite affected day-partitions with the target codec
+        val affected = matched
+          .withColumn("dt", to_date(timestamp_micros(col("ts"))))
+          .select("bucket", "entry", "dt").distinct()
+        val rewritten = store.table()
+          .withColumn("dt", to_date(timestamp_micros(col("ts"))))
+          .join(broadcast(affected), Seq("bucket", "entry", "dt"))
+        rewritten.localCheckpoint(true)
+          .write.partitionBy("bucket", "entry", "dt")
+          .option("compression", codec)
+          .option("parquet.compression.codec.zstd.level", level)
+          .mode(SaveMode.Overwrite)
+          .parquet(store.root)
+        Result(n, applied = true)
+    }
+  }
+
+  /** `$system` usage events (syslog.rs:52-155): the engine's own telemetry
+    * written through the same record model into a `$system` bucket. */
+  def recordUsageEvent(store: BucketStore, instance: String, bucket: String,
+      event: String, detail: Map[String, String], nowUs: Long): Unit = {
+    import scala.jdk.CollectionConverters._
+    val row = Row("$system", s"usage/$instance/$bucket", nowUs,
+      detail + ("event" -> event), Map.empty[String, String],
+      "application/json", graft.core.Records.State.Finished,
+      Array.empty[Byte])
+    val df = store.spark.createDataFrame(
+      Seq(row).asJava, graft.core.Records.schema)
+    store.write(df, BucketStore.Conflict.Skip)
+  }
+}

@@ -1,0 +1,108 @@
+package graft.engine
+
+import graft.SparkTestBase
+import graft.core.Records
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Storage round-trips replaying the reference's entry/bucket semantics
+  * (write conflict on duplicate ts, belated writes, label PATCH, query
+  * remove, FIFO quota, rename). */
+class BucketStoreSpec extends AnyFunSuite with SparkTestBase {
+
+  private def newStore(): BucketStore =
+    new BucketStore(spark, Files.createTempDirectory("graft-store").toString)
+
+  private def recordsDf(rows: Seq[(String, Long, Map[String, String])],
+      bucket: String = "b"): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val data = rows.map { case (entry, ts, labels) =>
+      Row(bucket, entry, ts, labels, Map.empty[String, String],
+        "", Records.State.Finished, s"payload-$ts".getBytes)
+    }.asJava
+    spark.createDataFrame(data, Records.schema)
+  }
+
+  private val day = 86400000000L
+
+  test("write/read round trip with partition pruning layout") {
+    val store = newStore()
+    store.write(recordsDf(Seq(
+      ("sensor/a", 1L, Map("k" -> "1")), ("sensor/a", day + 5L, Map("k" -> "2")),
+      ("sensor/b", 7L, Map("k" -> "3")))))
+    val back = store.table()
+    assert(back.count() == 3)
+    assert(back.filter(col("entry") === "sensor/a").count() == 2)
+    // payload round-trips
+    val r = back.filter(col("ts") === 7L).collect()(0)
+    assert(new String(r.getAs[Array[Byte]]("payload")) == "payload-7")
+  }
+
+  test("duplicate ts conflicts: in-batch and vs existing; Skip mode") {
+    val store = newStore()
+    intercept[IllegalArgumentException] {
+      store.write(recordsDf(Seq(("e", 1L, Map()), ("e", 1L, Map()))))
+    }
+    store.write(recordsDf(Seq(("e", 1L, Map("v" -> "1")))))
+    intercept[IllegalArgumentException] {
+      store.write(recordsDf(Seq(("e", 1L, Map("v" -> "2")))))
+    }
+    // belated write (older ts) is fine
+    store.write(recordsDf(Seq(("e", 0L, Map("v" -> "0")))))
+    // Skip drops the clash, keeps the new row
+    store.write(recordsDf(Seq(("e", 1L, Map()), ("e", 2L, Map()))),
+      BucketStore.Conflict.Skip)
+    assert(store.table().count() == 3)
+  }
+
+  test("updateLabels merges and removes keys, payload untouched") {
+    val store = newStore()
+    store.write(recordsDf(Seq(
+      ("e", 1L, Map("keep" -> "x", "old" -> "1")),
+      ("e", 2L, Map("old" -> "2")))))
+    val n = store.updateLabels(
+      QuerySpec(when = Some("""{"$exists": ["old"]}""")),
+      set = Map("new" -> "v"), remove = Set("old"))
+    assert(n == 2)
+    val rows = store.table().orderBy("ts").collect()
+    val l1 = rows(0).getMap[String, String](rows(0).fieldIndex("labels"))
+    assert(l1 == Map("keep" -> "x", "new" -> "v"))
+    assert(new String(rows(0).getAs[Array[Byte]]("payload")) == "payload-1")
+  }
+
+  test("removeQuery deletes matching records only (benchmark $each_n shape)") {
+    val store = newStore()
+    store.write(recordsDf((0 until 10).map(i => ("e", i.toLong, Map.empty[String, String]))))
+    val n = store.removeQuery(QuerySpec(when = Some("""{"$each_n": 2}""")))
+    assert(n == 5)
+    assert(store.table().select("ts").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(0L, 2L, 4L, 6L, 8L))
+  }
+
+  test("rename and remove entry") {
+    val store = newStore()
+    store.write(recordsDf(Seq(("a", 1L, Map()), ("b", 1L, Map()))))
+    store.renameEntry("b", "a", "c")
+    assert(store.entries("b") == Seq("b", "c"))
+    intercept[IllegalArgumentException] { store.renameEntry("b", "c", "b") }
+    store.removeEntry("b", "c")
+    assert(store.entries("b") == Seq("b"))
+  }
+
+  test("FIFO quota evicts oldest day partitions; HARD quota rejects") {
+    val store = newStore()
+    store.write(recordsDf((0 until 6).map(i =>
+      ("e", i * day, Map("i" -> i.toString)))))
+    val size = store.bucketSizeBytes("b")
+    assert(size > 0)
+    val evicted = store.enforceFifoQuota("b", size / 2)
+    assert(evicted > 0)
+    val minTs = store.table().agg(min("ts")).collect()(0).getLong(0)
+    assert(minTs > 0L, "oldest day evicted first")
+    intercept[IllegalStateException] {
+      store.writeWithHardQuota(recordsDf(Seq(("e", 100L, Map()))), "b", 1L)
+    }
+  }
+}

@@ -1,0 +1,87 @@
+package graft.engine
+
+import graft.SparkTestBase
+import graft.core.Records
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Extension-pipeline analog + query registry + links. */
+class PipelineSpec extends AnyFunSuite with SparkTestBase {
+
+  private def recordsDf(rows: Seq[(String, Long, Map[String, String], String)]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val data = rows.map { case (entry, ts, labels, payload) =>
+      Row("b", entry, ts, labels, Map.empty[String, String],
+        "application/json", Records.State.Finished, payload.getBytes)
+    }.asJava
+    spark.createDataFrame(data, Records.schema)
+  }
+
+  test("#ext json_extract feeds @computed refs in a later step's when") {
+    val df = recordsDf(Seq(
+      ("e", 1L, Map.empty, """{"z": 130}"""),
+      ("e", 2L, Map.empty, """{"z": 10}""")))
+    // step 1 extracts @z; step 2's when gates on it (strict), mirroring
+    // ext_repository.rs test_pipeline_step_when_applies_before_next_step
+    val when =
+      """{"#ext": [
+           {"json_extract": {"fields": ["z"]}},
+           {"payload_stats": {}, "when": {"@z": {"$gte": 124}}}
+         ]}"""
+    val out = QueryEngine.query(df, QuerySpec(when = Some(when))).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(out(0).fieldIndex("ts")) == 1L)
+    val computed = out(0).getMap[String, String](out(0).fieldIndex("computed_labels"))
+    assert(computed("z") == "130")
+    assert(computed.contains("size") && computed.contains("crc32"))
+  }
+
+  test("split_lines produces one record per payload line with @line") {
+    val df = recordsDf(Seq(("e", 1L, Map.empty, "a\nbb\nccc")))
+    val when = """{"#ext": {"split_lines": {}}}"""
+    val out = QueryEngine.query(df, QuerySpec(when = Some(when)))
+      .select(col("computed_labels")("line"), col("payload").cast("string"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(out == Seq(("0", "a"), ("1", "bb"), ("2", "ccc")))
+  }
+
+  test("unknown extension and multi-extension steps are rejected") {
+    val df = recordsDf(Seq(("e", 1L, Map.empty, "x")))
+    intercept[graft.cond.CondError] {
+      QueryEngine.query(df, QuerySpec(
+        when = Some("""{"#ext": {"nope": {}}}"""))).collect()
+    }
+    intercept[graft.cond.CondError] {
+      Processors.parseStep("""{"a": {}, "b": {}}""")
+    }
+  }
+
+  test("query registry: ids increase, cursor pages, TTL evicts") {
+    val df = recordsDf((1 to 25).map(i => ("e", i.toLong, Map.empty[String, String], "p")))
+    val reg = new QueryRegistry()
+    val id1 = reg.open(() => df, QuerySpec())
+    val id2 = reg.open(() => df, QuerySpec(), ttlMs = 1L)
+    assert(id2 > id1) // monotonic ids (query_test.py:7-39)
+    val page1 = reg.fetch(id1, 10).get
+    val page2 = reg.fetch(id1, 10).get
+    val page3 = reg.fetch(id1, 10).get
+    assert(page1.size == 10 && page2.size == 10 && page3.size == 5)
+    assert(reg.fetch(id1, 10).get.isEmpty) // exhausted → NoContent
+    Thread.sleep(5)
+    assert(reg.fetch(id2, 1).isEmpty) // TTL expired (base.rs:52-92)
+  }
+
+  test("query links round-trip, reject tamper and expiry") {
+    val spec = QuerySpec(start = Some(10L), stop = Some(99L),
+      when = Some("""{"&a": {"$gt": 1}}"""), entries = Some(Seq("e*")))
+    val token = QueryLinks.sign(spec, expiresAtMs = System.currentTimeMillis() + 60000, "s3cret")
+    val decoded = QueryLinks.verify(token, "s3cret").get
+    assert(decoded.copy(when = None) == spec.copy(when = None))
+    assert(decoded.when.contains("""{"&a":{"$gt":1}}""")) // canonical form
+    assert(QueryLinks.verify(token + "x", "s3cret").isEmpty)
+    assert(QueryLinks.verify(token, "wrong").isEmpty)
+    val expired = QueryLinks.sign(spec, System.currentTimeMillis() - 1, "s3cret")
+    assert(QueryLinks.verify(expired, "s3cret").isEmpty)
+  }
+}

@@ -1,0 +1,112 @@
+package graft.stream
+
+import graft.SparkTestBase
+import graft.core.Records
+import graft.engine.{BucketStore, QuerySpec}
+import graft.lifecycle.Lifecycle
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class StreamingSpec extends AnyFunSuite with SparkTestBase {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def recordsDf(rows: Seq[(String, Long, Map[String, String])]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val data = rows.map { case (entry, ts, labels) =>
+      Row("b", entry, ts, labels, Map.empty[String, String],
+        "", Records.State.Finished, s"p$ts".getBytes)
+    }.asJava
+    spark.createDataFrame(data, Records.schema)
+  }
+
+  test("streaming ingest appends to the store (idempotent on replayed ts)") {
+    val src = tmp("ingest-src")
+    val store = new BucketStore(spark, tmp("ingest-store"))
+    recordsDf(Seq(("e", 1L, Map("v" -> "1")), ("e", 2L, Map("v" -> "2"))))
+      .write.mode("append").parquet(src)
+    Streaming.ingest(spark, src, store, tmp("ingest-ck")).awaitTermination()
+    assert(store.table().count() == 2)
+    // second batch includes a replayed ts → skipped, new row lands
+    recordsDf(Seq(("e", 2L, Map("v" -> "dup")), ("e", 3L, Map("v" -> "3"))))
+      .write.mode("append").parquet(src)
+    Streaming.ingest(spark, src, store, tmp("ingest-ck2")).awaitTermination()
+    assert(store.table().count() == 3)
+  }
+
+  test("continuous query tails the store with the compiled condition") {
+    val store = new BucketStore(spark, tmp("cq-store"))
+    store.write(recordsDf(Seq(("e", 1L, Map("v" -> "5")), ("e", 2L, Map("v" -> "50")))))
+    val ck = tmp("cq-ck")
+    val outDir = tmp("cq-out")
+    def runOnce(): Unit = {
+      val q = Streaming.continuousQuery(store,
+          QuerySpec(when = Some("""{"&v": {"$gt": 10}}""")))
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    def outTs(): Seq[Long] = spark.read.parquet(outDir)
+      .select("ts").collect().map(_.getLong(0)).toSeq.sorted
+    assert(outTs() == Seq(2L))
+    // late arrivals are picked up on the next trigger (re-arm semantics);
+    // the shared checkpoint means only new files are processed
+    store.write(recordsDf(Seq(("e", 3L, Map("v" -> "99")), ("e", 4L, Map("v" -> "1")))))
+    runOnce()
+    assert(outTs() == Seq(2L, 3L))
+  }
+
+  test("replication applies globs, strict when, dst_prefix; paused is a no-op") {
+    val src = new BucketStore(spark, tmp("repl-src"))
+    val dst = new BucketStore(spark, tmp("repl-dst"))
+    src.write(recordsDf(Seq(
+      ("acc/x", 1L, Map("v" -> "5")), ("acc/y", 2L, Map("v" -> "50")),
+      ("other", 3L, Map("v" -> "50")))))
+    val settings = Streaming.ReplicationSettings(
+      entries = Some(Seq("acc/*")), when = Some("""{"&v": {"$gt": 10}}"""),
+      dstBucket = "replica", dstPrefix = "mirror/")
+    Streaming.replicate(src, dst, settings, tmp("repl-ck")).get.awaitTermination()
+    val got = dst.table().select("bucket", "entry", "ts").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(("replica", "mirror/acc/y", 2L)))
+    // paused: stream runs, nothing written
+    val paused = settings.copy(mode = Streaming.ReplicationMode.Paused)
+    Streaming.replicate(src, dst, paused, tmp("repl-ck2")).get.awaitTermination()
+    assert(dst.table().count() == 1)
+    assert(Streaming.replicate(src, dst,
+      settings.copy(mode = Streaming.ReplicationMode.Disabled), tmp("x")).isEmpty)
+  }
+
+  test("lifecycle delete/compress with older_than + when + dry run") {
+    val store = new BucketStore(spark, tmp("lc-store"))
+    val day = 86400000000L
+    store.write(recordsDf((0 until 6).map(i =>
+      ("e", i * day, Map("keep" -> (if (i % 2 == 0) "1" else "0"))))))
+    val dry = Lifecycle.apply(store,
+      Lifecycle.Policy(olderThanUs = 3 * day, action = Lifecycle.Action.Delete,
+        when = Some("""{"&keep": {"$eq": 0}}"""), dryRun = true),
+      nowUs = 6 * day)
+    assert(dry == Lifecycle.Result(1, applied = false)) // ts=day only (< 3*day cutoff, keep=0)
+    val real = Lifecycle.apply(store,
+      Lifecycle.Policy(olderThanUs = 3 * day, action = Lifecycle.Action.Delete,
+        when = Some("""{"&keep": {"$eq": 0}}""")),
+      nowUs = 6 * day)
+    assert(real == Lifecycle.Result(1, applied = true))
+    assert(store.table().count() == 5)
+    val comp = Lifecycle.apply(store,
+      Lifecycle.Policy(olderThanUs = 3 * day, action = Lifecycle.Action.Compress()),
+      nowUs = 6 * day)
+    assert(comp.matched == 2 && comp.applied)
+    assert(store.table().count() == 5) // rewrite preserves rows
+    // usage event lands in the $system bucket
+    Lifecycle.recordUsageEvent(store, "inst", "b", "lifecycle_run",
+      Map("deleted" -> "1"), nowUs = 6 * day)
+    assert(store.table().filter(col("bucket") === "$system").count() == 1)
+  }
+}
