@@ -72,14 +72,54 @@ object QueryEngine {
     matching(records, spec).count()
 
   /** Query-as-delete (storage/entry/remove_records.rs:62-160): returns the
-    * surviving records and the removed count. The matching side runs
-    * metadata-only; deletion is an anti-join on the record key.
+    * surviving records and the removed count.
+    *
+    * Fast path: when the condition compiles (no kernel, no ctx frames),
+    * survivors are a single scan with a negated match flag — no join, no
+    * shuffle beyond any window the condition itself needs. Kernel-path
+    * conditions fall back to an anti-join on the record key.
     */
   def remove(records: DataFrame, spec: QuerySpec): (DataFrame, Long) = {
-    val doomed = matching(records, spec).select("bucket", "entry", "ts").cache()
-    val n = doomed.count()
-    val survivors = records.join(doomed, Seq("bucket", "entry", "ts"), "left_anti")
-    (survivors, n)
+    matchFlag(records, spec) match {
+      case Some((df, flag, helpers)) =>
+        val flagged = df.withColumn("__rm", coalesce(flag, lit(false)))
+        val n = flagged.filter(col("__rm")).count()
+        val survivors = flagged.filter(!col("__rm"))
+          .drop("__rm").drop(helpers: _*)
+        (survivors, n)
+      case None =>
+        val doomed = matching(records, spec).select("bucket", "entry", "ts").cache()
+        val n = doomed.count()
+        val survivors = records.join(doomed, Seq("bucket", "entry", "ts"), "left_anti")
+        (survivors, n)
+    }
+  }
+
+  /** Matched-record flag over the UNFILTERED record set, when expressible
+    * without the sequential kernel and without ctx directives (whose
+    * row frames are defined over the candidate set, not the full set). */
+  private def matchFlag(records: DataFrame, spec: QuerySpec): Option[(DataFrame, Column, Seq[String])] = {
+    val parsed = spec.when.map(Parser.parse)
+    val dirs = parsed.map(_.directives)
+    val hasCtx = dirs.exists(d => d.get("#ctx_before").isDefined ||
+      d.get("#ctx_after").isDefined || d.get("#ext").isDefined)
+    if (hasCtx) return None
+    if (spec.strict && parsed.exists(p => mayError(p.root))) return None
+    var flag = col("state") === Records.State.Finished
+    spec.start.foreach(s => flag = flag && col("ts") >= s)
+    spec.stop.foreach(s => flag = flag && col("ts") < s)
+    entriesPredicate(records, spec.entries).foreach(p => flag = flag && p)
+    parsed match {
+      case None => Some((records, flag, Nil))
+      case Some(p) if !Node.isStateful(p.root) =>
+        val (df, compile, helpers) = staged(records, p.root)
+        Some((df, flag && compile(p.root), helpers))
+      case Some(p) =>
+        splitTrailingStateful(p.root).map { case (pure, trailing) =>
+          val (df, compile, helpers) = staged(records, pure)
+          (df, trailingFlag(flag && compile(pure), trailing), helpers)
+        }
+    }
   }
 
   // ------------------------------------------------------------- pipeline
@@ -98,14 +138,20 @@ object QueryEngine {
     * entry-partitioned table this becomes partition pruning.
     */
   private def applyEntries(records: DataFrame, patterns: Option[Seq[String]]): DataFrame =
+    entriesPredicate(records, patterns) match {
+      case None    => records
+      case Some(p) => records.filter(p)
+    }
+
+  private def entriesPredicate(records: DataFrame, patterns: Option[Seq[String]]): Option[Column] =
     patterns match {
-      case None => records
-      case Some(pats) if pats.isEmpty || pats == Seq("*") => records
+      case None => None
+      case Some(pats) if pats.isEmpty || pats == Seq("*") => None
       case Some(_) =>
         val all = records.select("entry").distinct()
           .collect().map(_.getString(0)).toSeq
         val keep = EntryPattern.resolve(all, patterns)
-        records.filter(col("entry").isin(keep: _*))
+        Some(col("entry").isin(keep: _*))
     }
 
   private def entryWindow = Window.partitionBy("bucket", "entry").orderBy("ts")

@@ -62,15 +62,20 @@ object Dedup {
   }
   private val P = 2147483647L // 2^31-1
 
-  /** MinHash signature (array of `numHashes` longs) over the shingle set.
-    * Shingle hash = Spark murmur3 `hash()` (codegen'd). */
-  def minhashSignature(shingleCol: Column, numHashes: Int = 64): Column = {
+  /** MinHash signature (array of `numHashes` longs) over PRE-HASHED
+    * shingles (see [[shingleHashes]] — hashing once instead of once per
+    * permutation cuts signature cost ~64×). */
+  def minhashSignature(hashedShingles: Column, numHashes: Int = 64): Column = {
     val sig = perms(numHashes).map { case (a, b) =>
-      array_min(transform(shingleCol,
-        s => pmod(lit(a) * pmod(hash(s).cast("long"), lit(P)) + lit(b), lit(P))))
+      array_min(transform(hashedShingles,
+        x => pmod(lit(a) * x + lit(b), lit(P))))
     }
     array(sig: _*)
   }
+
+  /** Murmur3 shingle hashes folded into [0, P). */
+  def shingleHashes(shingleCol: Column): Column =
+    transform(shingleCol, s => pmod(hash(s).cast("long"), lit(P)))
 
   /** LSH band-bucket candidate pairs + exact Jaccard verification.
     *
@@ -85,29 +90,39 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val withSig = docs
-      .select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-    // explode to (band, bucket = hash of the band's slice of the signature)
-    val banded = withSig.select(col("id"), col("sh"),
+      .select(col(idCol).as("id"), shingleHashes(shingles(col(textCol), k)).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .withColumn("sig", minhashSignature(col("hs"), numHashes))
+      .drop("hs")
+    // explode to (band, bucket = hash of the band's slice of the signature);
+    // only ids travel through the bucket shuffle — shingle arrays would
+    // multiply the shuffle by bands×
+    val banded = withSig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => hash(slice(col("sig"), b * r + 1, lit(r))))).as(Seq("band", "bucket")))
     // candidate pairs inside each (band,bucket); bounded against hot buckets
     val byBucket = banded.groupBy("band", "bucket")
-      .agg(collect_list(struct(col("id"), col("sh"))).as("grp"))
+      .agg(collect_list(col("id")).as("grp"))
       .filter(size(col("grp")).between(2, maxBucketSize))
     val pairs = byBucket.select(explode(expr(
       """filter(
            flatten(transform(grp, (x, i) ->
              transform(slice(grp, i + 2, size(grp)), y ->
-               struct(x.id as a, y.id as b, x.sh as sha, y.sh as shb)))),
+               struct(x as a, y as b)))),
            p -> p.a < p.b)""")).as("p"))
-      .select(col("p.a"), col("p.b"), col("p.sha"), col("p.shb"))
+      .select(col("p.a"), col("p.b"))
       .dropDuplicates("a", "b")
-    // exact Jaccard verification (runs only on candidates)
-    pairs.withColumn("jaccard",
-        size(array_intersect(col("sha"), col("shb"))).cast("double") /
-          size(array_union(col("sha"), col("shb"))))
+    // exact Jaccard verification: shingles recomputed for the (small)
+    // candidate set only — the full corpus is scanned once for signatures
+    val txt = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
+    pairs
+      .join(txt.select(col("id").as("a"), col("txt").as("ta")), "a")
+      .join(txt.select(col("id").as("b"), col("txt").as("tb")), "b")
+      .withColumn("sha", shingles(col("ta"), k))
+      .withColumn("shb", shingles(col("tb"), k))
+      .withColumn("ni", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", col("ni").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("ni")))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -171,10 +186,13 @@ object Dedup {
     val d = docs.select(col(groupCol).as("g"), col(idCol).as("id"),
       array_distinct(TextAnalysis.tokens(col(textCol))).as("toks"))
     val a = d.as("a"); val b = d.as("b")
+    // |A∪B| = |A|+|B|-|A∩B| (inputs are distinct) — avoids building the
+    // union array per pair
     a.join(b, col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .withColumn("ni", size(array_intersect(col("a.toks"), col("b.toks"))))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (size(array_intersect(col("a.toks"), col("b.toks"))).cast("double") /
-          size(array_union(col("a.toks"), col("b.toks")))).as("j"))
+        (col("ni").cast("double") /
+          (size(col("a.toks")) + size(col("b.toks")) - col("ni"))).as("j"))
       .filter(col("j") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
   }

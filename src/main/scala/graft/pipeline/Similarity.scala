@@ -36,10 +36,13 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val joined = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
-      .crossJoin(broadcast(queries.select(col("qid"), col("qvec"))))
+    // norms precomputed per side: 1 dot per pair instead of 3
+    val joined = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
+        norm(col(vecCol)).as("nnorm"))
+      .crossJoin(broadcast(queries.select(col("qid"), col("qvec"),
+        norm(col("qvec")).as("qnorm"))))
       .filter(col("nid") =!= col("qid"))
-      .withColumn("sim", cosine(col("nvec"), col("qvec")))
+      .withColumn("sim", dot(col("nvec"), col("qvec")) / (col("nnorm") * col("qnorm")))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
     joined.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -95,10 +98,11 @@ object Similarity {
       threshold: Double, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val d = corpus.select(col(groupCol).as("g"), col(idCol).as("id"),
-      col(vecCol).as("vec"))
+      col(vecCol).as("vec"), norm(col(vecCol)).as("nrm"))
     val a = d.as("a"); val b = d.as("b")
     a.join(b, col("a.g") === col("b.g") && col("a.id") < col("b.id"))
-      .withColumn("sim", cosine(col("a.vec"), col("b.vec")))
+      .withColumn("sim",
+        dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")))
       .filter(col("sim") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(col("sim"), 6).as("sim"))
