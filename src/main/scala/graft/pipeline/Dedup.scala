@@ -104,11 +104,13 @@ object Dedup {
     val byBucket = banded.groupBy("band", "bucket")
       .agg(collect_list(col("id")).as("grp"))
       .filter(size(col("grp")).between(2, maxBucketSize))
+    // normalize each unordered pair to (min, max) — collect_list order is
+    // arbitrary, so filtering on x < y would drop half the pairs
     val pairs = byBucket.select(explode(expr(
       """filter(
            flatten(transform(grp, (x, i) ->
              transform(slice(grp, i + 2, size(grp)), y ->
-               struct(x as a, y as b)))),
+               struct(least(x, y) as a, greatest(x, y) as b)))),
            p -> p.a < p.b)""")).as("p"))
       .select(col("p.a"), col("p.b"))
       .dropDuplicates("a", "b")
@@ -168,7 +170,8 @@ object Dedup {
       """filter(
            flatten(transform(grp, (x, i) ->
              transform(slice(grp, i + 2, size(grp)), y ->
-               struct(x.id as a, y.id as b, x.fp as fpa, y.fp as fpb)))),
+               struct(least(x.id, y.id) as a, greatest(x.id, y.id) as b,
+                      x.fp as fpa, y.fp as fpb)))),
            p -> p.a < p.b)""")).as("p"))
       .select(col("p.a"), col("p.b"),
         bit_count(col("p.fpa").bitwiseXOR(col("p.fpb"))).as("hamming"))

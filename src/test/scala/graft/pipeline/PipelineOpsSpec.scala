@@ -1,0 +1,135 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Correctness evidence for the operators without SQL oracles:
+  * MinHash+LSH recall on planted near-duplicates, SimHash Hamming
+  * properties, LSH-ANN recall vs brute force, multimodal plumbing.
+  */
+class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
+
+  private val words = Vector("spark", "query", "row", "data", "filter",
+    "merge", "sort", "batch", "join", "scan", "table", "window", "hash",
+    "key", "order", "group", "value", "stream", "fast", "slow")
+
+  private def synthText(seed: Int, n: Int = 60): String = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" ")
+  }
+
+  /** Corrupt ~`frac` of the tokens (near-duplicate generator). */
+  private def corrupt(text: String, frac: Double, seed: Int): String = {
+    val rnd = new scala.util.Random(seed)
+    text.split(" ").map { w =>
+      if (rnd.nextDouble() < frac) words(rnd.nextInt(words.size)) else w
+    }.mkString(" ")
+  }
+
+  private def docsDf(texts: Seq[String]) = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+  }
+
+  test("minhash LSH finds planted near-duplicates, skips distinct docs") {
+    val originals = (0 until 30).map(i => synthText(i))
+    // plant near-dups of docs 0..4 (ids 30..34), 5% token corruption
+    val nearDups = (0 until 5).map(i => corrupt(originals(i), 0.05, 100 + i))
+    val df = docsDf(originals ++ nearDups)
+    val pairs = Dedup.minhashPairs(df, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (i <- 0 until 5)
+      assert(pairs.contains((i.toLong, (30 + i).toLong)),
+        s"planted near-dup pair ($i, ${30 + i}) not found: $pairs")
+    // no false positives among unrelated docs (verified-Jaccard guarantees)
+    assert(pairs.forall { case (a, b) => b - a == 30 },
+      s"unexpected pairs: $pairs")
+  }
+
+  test("simhash: identical docs distance 0; near-dups close; distinct far") {
+    import spark.implicits._
+    val base = synthText(1, 80)
+    val df = Seq(
+      (0L, base), (1L, base), (2L, corrupt(base, 0.05, 7)),
+      (3L, synthText(99, 80)))
+      .toDF("doc_id", "text")
+    val fp = df.select(col("doc_id"), Dedup.simhash64(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(fp(a) ^ fp(b))
+    assert(ham(0, 1) == 0)
+    assert(ham(0, 2) < ham(0, 3),
+      s"near-dup ${ham(0, 2)} should beat unrelated ${ham(0, 3)}")
+    val pairs = Dedup.simhashPairs(df, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("LSH ANN recall vs brute force on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(emb, queries, 10)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(emb, queries, 10, planes = 6)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // random embeddings have no cluster structure, so bucket recall is
+    // inherently modest; planted near-identical vectors below show the
+    // high-similarity regime where LSH is actually used
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall > 0.15, s"LSH recall $recall too low")
+    import spark.implicits._
+    val planted = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), x => x * 1.001f).as("embedding"),
+        col("label"))
+    val emb2 = emb.unionByName(planted)
+    val q2 = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val found = Similarity.lshTopK(emb2, q2, 1, planes = 6)
+      .filter(col("nid") === col("qid") + 100000L).count()
+    assert(found >= 8, s"only $found/10 planted near-identical neighbors found")
+    // exact top-1 similarity ordering sanity
+    val top = Similarity.bruteForceTopK(emb, queries, 1).collect()
+    assert(top.forall(_.getDouble(3) <= 1.000001))
+  }
+
+  test("multimodal feature extraction plumbing: schema, determinism, batching") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array[Byte](1, 2, 3)), (2L, Array[Byte](9, 9)),
+      (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "payload")
+    val out = Multimodal.extractFeatures(df)
+    assert(out.schema("features").dataType == Multimodal.featureSchema)
+    val rows = out.orderBy("id").collect()
+    val f1 = rows(0).getStruct(rows(0).fieldIndex("features"))
+    assert(f1.getInt(f1.fieldIndex("byte_size")) == 3)
+    assert(f1.getInt(f1.fieldIndex("width")) >= 64)
+    // deterministic across runs (compare the features struct)
+    def feats(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getStruct(2).toString).toSeq
+    val again = Multimodal.extractFeatures(df).orderBy("id").collect()
+    assert(feats(rows) == feats(again))
+    // null payload flows through the stubbed decoder
+    val f3 = rows(2).getStruct(rows(2).fieldIndex("features"))
+    assert(f3.getInt(f3.fieldIndex("byte_size")) == 0)
+    // frame sampling emits bounded per-record rows
+    val frames = Multimodal.sampleFrames(df.filter(col("id") === 1L), everyNth = 1, maxFrames = 2)
+    assert(frames.count() == 2)
+  }
+
+  test("text analysis metrics on edge cases") {
+    import spark.implicits._
+    val df = Seq((1L, ""), (2L, "   "), (3L, "the cat. and dog!"),
+      (4L, "das der und die")).toDF("doc_id", "text")
+    val q = TextAnalysis.withQuality(df).orderBy("doc_id").collect()
+    assert(q(0).getInt(q(0).fieldIndex("n_tokens")) == 0)
+    assert(q(1).getInt(q(1).fieldIndex("n_tokens")) == 0)
+    assert(q(2).getInt(q(2).fieldIndex("n_tokens")) == 4)
+    val langs = df.select(col("doc_id"), TextAnalysis.langGuess(col("text")).as("l"))
+      .orderBy("doc_id").collect().map(_.getString(1)).toSeq
+    assert(langs(2) == "en" && langs(3) == "de")
+  }
+}
