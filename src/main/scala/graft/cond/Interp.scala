@@ -150,59 +150,31 @@ final class Interp(root: Node) {
     }
   }
 
-  /** each_t.rs:37-66 — time debounce; resets when time goes backwards. */
+  /** each_t.rs:37-66 — time debounce; resets when time goes backwards.
+    * Transition logic shared with the streaming path (StateMachines). */
   private final class EachT(tOp: Eval) extends (Ctx => Value) {
-    private var lastTimestamp: Option[Long] = None
+    private var state = StateMachines.EachTState()
     def apply(ctx: Ctx): Value = {
-      if (lastTimestamp.isEmpty) lastTimestamp = Some(ctx.timestamp)
-      val lastTime = lastTimestamp.get
       val v = tOp(ctx)
       val s = if (v.isDuration) v.asFloat / 1e6 else v.asFloat
-      if (ctx.timestamp < lastTime) {
-        lastTimestamp = Some(ctx.timestamp)
-        return BoolV(false)
-      }
-      // Rust `(s * 1e6) as u64` saturates negative to 0
-      val intervalUs = math.max(0.0, s * 1e6).toLong
-      val ret = ctx.timestamp - lastTime >= intervalUs
-      if (ret) lastTimestamp = Some(ctx.timestamp)
+      val (next, ret) = StateMachines.eachT(state, ctx.timestamp, s)
+      state = next
       BoolV(ret)
     }
   }
 
-  /** gate.rs:75-140 — edge-triggered gate with reset latch. */
+  /** gate.rs:75-140 — edge-triggered gate with reset latch.
+    * Transition logic shared with the streaming path (StateMachines). */
   private final class Gate(durOp: Eval, inputOp: Eval) extends (Ctx => Value) {
-    private var gateDeadline: Option[Long] = None
-    private var previousInput = false
-    private var resetRequired = false
-    private var lastTimestamp: Option[Long] = None
-
+    private var state = StateMachines.GateState()
     def apply(ctx: Ctx): Value = {
-      if (lastTimestamp.exists(ctx.timestamp < _)) { // time went backwards
-        gateDeadline = None; previousInput = false; resetRequired = false
-      }
-      lastTimestamp = Some(ctx.timestamp)
       val dv = durOp(ctx)
       val duration = // gate.rs:42-53: duration literal in µs, number in sec
         math.max(0L, if (dv.isDuration) dv.asInt else (dv.asFloat * 1e6).toLong)
       val input = inputOp(ctx).asBool
-      // 1) expire active window, arm reset latch
-      if (gateDeadline.exists(ctx.timestamp >= _)) {
-        gateDeadline = None; resetRequired = true
-      }
-      // 2) after timeout, force false until input seen false once
-      if (resetRequired) {
-        if (!input) resetRequired = false
-        previousInput = input
-        return BoolV(false)
-      }
-      // 3) open a new window only on a rising edge
-      if (gateDeadline.isEmpty && !previousInput && input)
-        gateDeadline = Some(ctx.timestamp + duration)
-      // 4) while open, mirror input; otherwise force false
-      val output = gateDeadline.exists(ctx.timestamp < _) && input
-      previousInput = input
-      BoolV(output)
+      val (next, out) = StateMachines.gate(state, ctx.timestamp, duration, input)
+      state = next
+      BoolV(out)
     }
   }
 

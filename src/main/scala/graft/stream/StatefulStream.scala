@@ -1,0 +1,72 @@
+package graft.stream
+
+import graft.cond.StateMachines
+import graft.cond.StateMachines.{EachTState, GateState}
+import graft.engine.QueryEngine
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Sequential-state operators over *streams*: the batch kernel's per-entry
+  * scan becomes `flatMapGroupsWithState` keyed by (bucket, entry) — the
+  * same state machines ([[StateMachines]]) with their state persisted in
+  * the streaming state store across micro-batches. Rows inside one
+  * micro-batch are sorted by ts per key (the group iterator itself is
+  * unordered); late data that time-travels backwards triggers the
+  * machines' documented reset semantics, exactly like the reference's
+  * continuous query observing a belated write.
+  */
+object StatefulStream {
+
+  private type KV = ((String, String), Row)
+
+  /** `$each_t` over a streaming record frame: emits the debounced records
+    * (one per >= interval per entry). */
+  def eachT(records: DataFrame, intervalSec: Double): DataFrame =
+    statefulFilter[EachTState](records, EachTState()) {
+      (state, tsUs) => StateMachines.eachT(state, tsUs, intervalSec)
+    }
+
+  /** `$gate` over a streaming record frame: `inputFlag` must be a boolean
+    * column computable per record (e.g. a compiled pure condition). */
+  def gate(records: DataFrame, durationUs: Long, inputFlag: org.apache.spark.sql.Column): DataFrame = {
+    val flagged = records.withColumn("__in", coalesce(inputFlag, lit(false)))
+    val out = statefulFilterFlag[GateState](flagged, GateState()) {
+      (state, tsUs, in) => StateMachines.gate(state, tsUs, durationUs, in)
+    }
+    out.drop("__in")
+  }
+
+  private def statefulFilter[S: scala.reflect.ClassTag](records: DataFrame, init: S)(
+      step: (S, Long) => (S, Boolean)): DataFrame =
+    statefulFilterFlag[S](records.withColumn("__in", lit(true)), init) {
+      (s, ts, _) => step(s, ts)
+    }.drop("__in")
+
+  private def statefulFilterFlag[S: scala.reflect.ClassTag](records: DataFrame, init: S)(
+      step: (S, Long, Boolean) => (S, Boolean)): DataFrame = {
+    val schema = records.schema
+    val tsIdx = schema.fieldIndex("ts")
+    val inIdx = schema.fieldIndex("__in")
+    implicit val rowEnc = Encoders.row(schema)
+    implicit val keyEnc = Encoders.tuple(Encoders.STRING, Encoders.STRING)
+    implicit val stateEnc = Encoders.kryo[S]
+    val grouped = records.groupByKey { r: Row =>
+      (r.getString(schema.fieldIndex("bucket")),
+        r.getString(schema.fieldIndex("entry")))
+    }
+    grouped.flatMapGroupsWithState[S, Row](
+      OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      (_: (String, String), rows: Iterator[Row], gs: GroupState[S]) =>
+        var state = gs.getOption.getOrElse(init)
+        val sorted = rows.toArray.sortBy(_.getLong(tsIdx))
+        val out = sorted.flatMap { row =>
+          val (next, emit) = step(state, row.getLong(tsIdx), row.getBoolean(inIdx))
+          state = next
+          if (emit) Some(row) else None
+        }
+        gs.update(state)
+        out.iterator
+    }.toDF()
+  }
+}

@@ -1,0 +1,77 @@
+package graft.stream
+
+import graft.SparkTestBase
+import graft.core.Records
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Streaming stateful operators: state persists across micro-batches via
+  * flatMapGroupsWithState — the debounce must continue where the previous
+  * trigger left off, per entry. */
+class StatefulStreamSpec extends AnyFunSuite with SparkTestBase {
+
+  private def writeBatch(dir: String, rows: Seq[(String, Long, String)]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val data = rows.map { case (entry, ts, v) =>
+      Row("b", entry, ts, Map("v" -> v), Map.empty[String, String],
+        "", Records.State.Finished, Array[Byte]())
+    }.asJava
+    spark.createDataFrame(data, Records.schema)
+      .write.mode("append").parquet(dir)
+  }
+
+  test("each_t debounce state persists across micro-batches per entry") {
+    val src = Files.createTempDirectory("sfs-src").toString
+    val ck = Files.createTempDirectory("sfs-ck").toString
+    val out = Files.createTempDirectory("sfs-out").toString
+    def run(): Unit = {
+      val stream = spark.readStream.schema(Records.schema).parquet(src)
+      StatefulStream.eachT(stream, intervalSec = 0.002) // 2ms
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    // batch 1: ts 0..3ms each 1ms → emits 2000 (0 arms, 2000 passes)
+    writeBatch(src, Seq(("e", 0L, "a"), ("e", 1000L, "a"), ("e", 2000L, "a"),
+      ("e", 3000L, "a")))
+    run()
+    def got(): Seq[Long] = spark.read.parquet(out)
+      .select("ts").collect().map(_.getLong(0)).toSeq.sorted
+    assert(got() == Seq(2000L))
+    // batch 2 continues the SAME state: last emitted 2000 → 4ms passes,
+    // 5ms too close to 4ms
+    writeBatch(src, Seq(("e", 4000L, "a"), ("e", 5000L, "a")))
+    run()
+    assert(got() == Seq(2000L, 4000L))
+    // a different entry has independent state
+    writeBatch(src, Seq(("f", 100L, "a"), ("f", 2100L, "a")))
+    run()
+    val byEntry = spark.read.parquet(out).select("entry", "ts").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(byEntry == Set(("e", 2000L), ("e", 4000L), ("f", 2100L)))
+  }
+
+  test("gate stream opens on rising edge and honors the window") {
+    val src = Files.createTempDirectory("sfg-src").toString
+    val ck = Files.createTempDirectory("sfg-ck").toString
+    val out = Files.createTempDirectory("sfg-out").toString
+    writeBatch(src, Seq(
+      ("e", 0L, "1"), ("e", 1000L, "1"), ("e", 2000L, "1"),
+      ("e", 3000L, "0"), ("e", 4000L, "1")))
+    val stream = spark.readStream.schema(Records.schema).parquet(src)
+    StatefulStream.gate(stream, durationUs = 2000L,
+        try_element_at(col("labels"), lit("v")) === "1")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    // rising edge at 0 → open until 2000 exclusive: 0, 1000 emitted;
+    // 2000 hits deadline (reset latch), 3000 input false clears latch,
+    // 4000 rising edge → open again
+    val got = spark.read.parquet(out).select("ts").collect()
+      .map(_.getLong(0)).toSeq.sorted
+    assert(got == Seq(0L, 1000L, 4000L))
+  }
+}
