@@ -1,5 +1,15 @@
 package graft
+
+import graft.core.Records
+import graft.engine.{BucketStore, QueryEngine, QuerySpec}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Headline benchmark: every SparkEntry query at the target SF, plus the
+  * reference benchmark's workload shape (python-benchmark.py: write /
+  * read-with-payload / update-labels / conditional-remove over a bucket
+  * store). Prints ONE JSON line.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,17 +17,50 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def timed(f: => Unit): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try f catch { case e: Throwable =>
+        System.err.println(s"[bench] failed: ${e.getMessage}") }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+    // declared queries (count() forces full evaluation)
+    for ((name, fn) <- SparkEntry.queries)
+      results(name) = timed { fn(spark, sfDir).count(): Unit }
+
+    // reference workload shape (python-benchmark.py:43-127) on a store
+    val storeDir = java.nio.file.Files.createTempDirectory("graft-bench").toString
+    val store = new BucketStore(spark, storeDir)
+    val records = Records.fromEvents(
+      spark.read.parquet(s"$sfDir/events.parquet")).cache()
+    records.count()
+    results("w_write") = timed { store.write(records) }
+    results("w_read_payload") = timed {
+      // full scan via query cursor incl. payload bytes (read B/s analog)
+      val n = QueryEngine.query(store.table(), QuerySpec())
+        .agg(sum(length(col("payload")))).collect()(0).getLong(0)
+      require(n > 0)
+    }
+    results("w_update_labels") = timed {
+      store.updateLabels(QuerySpec(), set = Map("key" -> "value2")): Unit
+    }
+    results("w_remove_each_n") = timed {
+      store.removeQuery(QuerySpec(when = Some("""{"$each_n": 2}"""))): Unit
+    }
+    records.unpersist()
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
