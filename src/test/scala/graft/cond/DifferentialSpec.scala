@@ -54,7 +54,14 @@ class DifferentialSpec extends AnyFunSuite with SparkTestBase {
       } yield Node.Op("$cast", List(c, Node.Const(Value.StrV(t))))),
       1 -> genTree(depth - 1).map(c => Node.Op("$abs", List(c))),
       1 -> Gen.oneOf("$hour", "$day", "$weekday", "$month")
-        .map(h => Node.Op(h, List(Node.Op("$timestamp", Nil)))))
+        .map(h => Node.Op(h, List(Node.Op("$timestamp", Nil)))),
+      1 -> (for {
+        op <- Gen.oneOf("$exists", "$has")
+        names <- Gen.nonEmptyListOf(Gen.oneOf(labelNames :+ "zz"))
+      } yield Node.Op(op,
+        names.take(3).map(n => Node.Const(Value.StrV(n))))),
+      1 -> Gen.oneOf(labelNames :+ "zz").map(n =>
+        Node.Op("$ref", List(Node.Const(Value.StrV(n))))))
 
   private val genLabels: Gen[Map[String, String]] = for {
     n <- Gen.chooseNum(0, 3)
