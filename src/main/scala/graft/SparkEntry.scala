@@ -176,6 +176,12 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    "q_bpe_tokens" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens"))
+        .orderBy("doc_id")),
+
     // ----------------------------------------------- pipeline: similarity
     "q_ann_brute" -> ((s, dir) => {
       val emb = embeddings(s, dir)
@@ -192,6 +198,13 @@ object SparkEntry {
       val queriesDf = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Similarity.lshTopK(emb, queriesDf, 10).orderBy("qid", "rank")
+    }),
+
+    "q_ivf_ann" -> ((s, dir) => { // rows-only (approximate)
+      val emb = embeddings(s, dir)
+      val queriesDf = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfTopK(emb, queriesDf, 10).orderBy("qid", "rank")
     }),
 
     "q_embed_dup" -> ((s, dir) =>
@@ -400,6 +413,13 @@ object SparkEntry {
 
       "q_fingerprint" ->
         """SELECT doc_id, substring(md5(text), 1, 16) AS fp
+           FROM documents ORDER BY doc_id""",
+
+      "q_bpe_tokens" ->
+        """SELECT doc_id,
+             CAST(coalesce(len(regexp_extract_all(text,
+               '''(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')), 0)
+               AS BIGINT) AS bpe_tokens
            FROM documents ORDER BY doc_id""",
 
       "q_embed_dup" ->

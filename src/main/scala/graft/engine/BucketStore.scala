@@ -97,6 +97,21 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     batch.join(existing, Seq("bucket", "entry", "ts"), "left_anti")
   }
 
+  /** Batch-write convenience (the wire batch-protocol analog,
+    * reduct_base/src/batch/v1.rs): records as (ts, labels, payload)
+    * triples for one bucket/entry. */
+  def writeBatch(bucket: String, entry: String,
+      records: Seq[(Long, Map[String, String], Array[Byte])],
+      contentType: String = "application/octet-stream",
+      onConflict: Conflict = Conflict.Error): Unit = {
+    import scala.jdk.CollectionConverters._
+    val rows = records.map { case (ts, labels, payload) =>
+      org.apache.spark.sql.Row(bucket, entry, ts, labels,
+        Map.empty[String, String], contentType, Records.State.Finished, payload)
+    }.asJava
+    write(spark.createDataFrame(rows, Records.schema), onConflict)
+  }
+
   /** PATCH labels (storage/entry/update_labels.rs:14-36): merge `set` keys
     * over existing labels, drop `remove` keys, payload untouched. Rewrites
     * only the partitions containing matched records (dynamic overwrite).

@@ -92,6 +92,64 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank"), round(col("sim"), 6).as("sim"))
   }
 
+  /** IVF (inverted-file) ANN: the corpus is assigned once to its nearest
+    * of `k` centroids (map-only; at scale you'd write bucketed-by-centroid
+    * so probes prune partitions), queries probe the `nprobe` nearest
+    * centroids and rank exactly within them. Centroids are a deterministic
+    * sample of the corpus refined by one k-means (Lloyd) step — enough
+    * structure for probing without iterative training.
+    */
+  /** Nearest-centroid id by cosine against driver-side centroids. */
+  private def assignCentroid(vec: Column, cents: Array[Array[Double]]): Column = {
+    val scored = cents.zipWithIndex.map { case (c, i) =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      call_function("named_struct", lit("s"),
+        dot(vec, array(c.map(lit(_)): _*)) / n, lit("ci"), lit(i))
+    }
+    array_max(array(scored: _*))("ci")
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 16, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // deterministic seed sample: first nCentroids in id-hash order
+    val seeds = corpus
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+      .orderBy(abs(hash(col("cid"))), col("cid"))
+      .limit(nCentroids).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    // one distributed Lloyd step: per-(centroid, dim) mean via posexplode
+    val refined: Array[Array[Double]] = {
+      val dims = seeds(0).length
+      val sums = corpus
+        .select(assignCentroid(col(vecCol), seeds).as("c"),
+          posexplode(transform(col(vecCol), _.cast("double"))).as(Seq("d", "x")))
+        .groupBy("c", "d").agg(avg(col("x")).as("m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      seeds.indices.map { ci =>
+        val c = Array.tabulate(dims)(d => sums.getOrElse((ci, d), seeds(ci)(d)))
+        if (sums.contains((ci, 0))) c else seeds(ci)
+      }.toArray
+    }
+    val bucketed = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
+      assignCentroid(col(vecCol), refined).as("bucket"))
+    // query probes: the nprobe highest-scoring centroids
+    val centArr = array(refined.zipWithIndex.map { case (c, i) =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      call_function("named_struct", lit("s"),
+        dot(col("qvec"), array(c.map(lit(_)): _*)) / n, lit("ci"), lit(i))
+    }: _*)
+    val probes = queries.select(col("qid"), col("qvec"),
+      explode(slice(reverse(array_sort(centArr)), 1, nprobe)("ci")).as("bucket"))
+    val joined = bucketed.join(broadcast(probes), "bucket")
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("sim", cosine(col("nvec"), col("qvec")))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), round(col("sim"), 6).as("sim"))
+  }
+
   /** Exact cosine near-duplicate pairs inside an explicit grouping column
     * (bounded cross join per group; deterministic, oracle-checkable). */
   def cosineDupPairsByGroup(corpus: DataFrame, groupCol: String,

@@ -70,6 +70,14 @@ object TextAnalysis {
       .otherwise("fr")
   }
 
+  /** BPE-ish subword token estimate: counts GPT-2-style pretokenizer
+    * matches (contractions, space-prefixed word/number runs, punctuation
+    * runs). A deterministic proxy for LLM token budgeting at corpus scale;
+    * the same pattern evaluates identically in DuckDB's regexp engine. */
+  val BpeTokenRe = "'(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+  def bpeTokenCount(text: Column): Column =
+    coalesce(regexp_count(text, lit(BpeTokenRe)), lit(0)).cast("bigint")
+
   /** Content fingerprint: 64-bit prefix of md5 (hex) — exact-dup grouping
     * key that any engine reproduces. (A rolling Karp-Rabin variant powers
     * shingling in [[Dedup]]; md5 is the cross-engine canonical form.) */

@@ -81,6 +81,21 @@ class BucketStoreSpec extends AnyFunSuite with SparkTestBase {
       Seq(0L, 2L, 4L, 6L, 8L))
   }
 
+  test("writeBatch convenience (wire batch-protocol analog)") {
+    val store = newStore()
+    store.writeBatch("b", "sensor/x", Seq(
+      (1L, Map("k" -> "v", "index" -> "0"), "p0".getBytes),
+      (2L, Map("k" -> "v", "index" -> "1"), "p1".getBytes)))
+    val rows = store.table().orderBy("ts").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(rows(0).fieldIndex("content_type")) ==
+      "application/octet-stream")
+    assert(new String(rows(1).getAs[Array[Byte]]("payload")) == "p1")
+    intercept[IllegalArgumentException] {
+      store.writeBatch("b", "sensor/x", Seq((2L, Map(), "dup".getBytes)))
+    }
+  }
+
   test("rename and remove entry") {
     val store = newStore()
     store.write(recordsDf(Seq(("a", 1L, Map()), ("b", 1L, Map()))))

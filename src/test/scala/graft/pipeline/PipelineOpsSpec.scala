@@ -95,6 +95,28 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(top.forall(_.getDouble(3) <= 1.000001))
   }
 
+  test("IVF ANN: planted near-identical vectors found via centroid probes") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val planted = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), x => x * 1.001f).as("embedding"),
+        col("label"))
+    val emb2 = emb.unionByName(planted)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val found = Similarity.ivfTopK(emb2, queries, 1, nCentroids = 8, nprobe = 2)
+      .filter(col("nid") === col("qid") + 100000L).count()
+    assert(found >= 9, s"only $found/10 planted neighbors found via IVF")
+    // general recall vs brute force
+    val exact = Similarity.bruteForceTopK(emb, queries, 10)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, 10, nCentroids = 8, nprobe = 4)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall > 0.3, s"IVF recall $recall too low")
+  }
+
   test("multimodal feature extraction plumbing: schema, determinism, batching") {
     import spark.implicits._
     val df = Seq(
