@@ -72,6 +72,22 @@ class BucketStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(new String(rows(0).getAs[Array[Byte]]("payload")) == "payload-1")
   }
 
+  test("updateLabels across multiple day partitions keeps row counts exact") {
+    val store = newStore()
+    // 3 entries × 4 days — the shape that exposed the prefix-join
+    // multiplication bug in removeQuery
+    store.write(recordsDf(for {
+      e <- Seq("a", "b", "c"); d <- 0 until 4
+    } yield (e, d * day + e.hashCode.abs % 1000, Map("m" -> (d % 2).toString))))
+    assert(store.table().count() == 12)
+    val n = store.updateLabels(
+      QuerySpec(when = Some("""{"&m": {"$eq": 1}}""")), set = Map("u" -> "1"))
+    assert(n == 6)
+    assert(store.table().count() == 12, "row count unchanged by label update")
+    assert(store.table()
+      .filter(map_contains_key(col("labels"), "u")).count() == 6)
+  }
+
   test("removeQuery deletes matching records only (benchmark $each_n shape)") {
     val store = newStore()
     store.write(recordsDf((0 until 10).map(i => ("e", i.toLong, Map.empty[String, String]))))

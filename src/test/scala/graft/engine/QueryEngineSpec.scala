@@ -98,6 +98,26 @@ class QueryEngineSpec extends AnyFunSuite with SparkTestBase {
     assert(tss(kernel) == expect)
   }
 
+  test("nested stateful ops tick per short-circuit evaluation (kernel)") {
+    // {"$or": [cond, {"$each_n": 2}]}: each_n ticks ONLY when cond is
+    // false (any_of.rs short-circuits on the first truthy operand)
+    val df = recordsDf((1 to 8).map(i =>
+      ("e", i.toLong, Map("v" -> (if (i <= 2) "1" else "0")))))
+    val when = """{"$or": [{"&v": {"$eq": 1}}, {"$each_n": 2}]}"""
+    // rows 1,2: cond true → match, no tick. rows 3..8: ticks 1..6 →
+    // true on even ticks: rows 4, 6, 8
+    assert(tss(QueryEngine.query(df, QuerySpec(when = Some(when)))) ==
+      Seq(1L, 2L, 4L, 6L, 8L))
+  }
+
+  test("each_n with label-driven operand (kernel; non-lowerable)") {
+    // n comes from the record's own label — evaluated per record
+    val df = recordsDf((1 to 6).map(i => ("e", i.toLong, Map("n" -> "2"))))
+    val when = """{"$each_n": ["&n"]}"""
+    assert(tss(QueryEngine.query(df, QuerySpec(when = Some(when)))) ==
+      Seq(2L, 4L, 6L))
+  }
+
   test("each_t debounce on the kernel (each_t.rs:37-66)") {
     val df = recordsDf((0 to 10).map(i => ("e", i * 1000L, Map.empty[String, String])))
     val when = """{"$each_t": "2ms"}"""
