@@ -49,6 +49,22 @@ object Streaming {
     QueryEngine.matching(stream, spec)
   }
 
+  /** Event-time windowed per-entry stats with a watermark — the streaming
+    * analog of the reference's `$system` usage aggregation
+    * (syslog/aggregate): record counts + payload bytes per (entry,
+    * window), tolerating `lateness` of belated writes before a window
+    * finalizes.
+    */
+  def windowedStats(stream: DataFrame, windowDur: String = "1 hour",
+      lateness: String = "10 minutes"): DataFrame =
+    stream
+      .withColumn("event_time", timestamp_micros(col("ts")))
+      .withWatermark("event_time", lateness)
+      .groupBy(window(col("event_time"), windowDur),
+        col("bucket"), col("entry"))
+      .agg(count(lit(1)).as("n_records"),
+        sum(coalesce(length(col("payload")), lit(0))).as("payload_bytes"))
+
   sealed trait ReplicationMode
   object ReplicationMode {
     case object Enabled extends ReplicationMode

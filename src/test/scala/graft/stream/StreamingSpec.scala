@@ -83,6 +83,26 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       settings.copy(mode = Streaming.ReplicationMode.Disabled), tmp("x")).isEmpty)
   }
 
+  test("windowed per-entry stats with watermark over a record stream") {
+    val store = new BucketStore(spark, tmp("ws-store"))
+    val h = 3600000000L
+    store.write(recordsDf(Seq(
+      ("e", 0L, Map()), ("e", h / 2, Map()), ("e", h + 1L, Map()),
+      ("f", h / 4, Map()))))
+    val stream = spark.readStream.schema(BucketStore.storedSchema)
+      .option("basePath", store.root).parquet(store.root).drop("dt")
+    val q = Streaming.windowedStats(stream)
+      .writeStream.format("memory").queryName("ws_out")
+      .outputMode("complete")
+      .option("checkpointLocation", tmp("ws-ck"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.sql("select entry, n_records from ws_out order by entry, n_records")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // entry e: 2 records in hour 0, 1 in hour 1; entry f: 1 in hour 0
+    assert(got == Seq(("e", 1L), ("e", 2L), ("f", 1L)))
+  }
+
   test("lifecycle delete/compress with older_than + when + dry run") {
     val store = new BucketStore(spark, tmp("lc-store"))
     val day = 86400000000L
