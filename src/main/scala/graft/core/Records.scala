@@ -57,6 +57,20 @@ object Records {
       encode(col("props"), "UTF-8").as("payload"))
   }
 
+  /** Typed record for `Dataset[Record]` use where compile-time field
+    * checks help (custom per-partition logic, streaming state functions).
+    * The engine itself stays `DataFrame`-based: the condition language is
+    * inherently dynamic over the labels map. */
+  final case class Record(
+      bucket: String, entry: String, ts: Long,
+      labels: Map[String, String], computed_labels: Map[String, String],
+      content_type: String, state: Int, payload: Array[Byte])
+
+  def typed(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.Dataset[Record] = {
+    import df.sparkSession.implicits._
+    df.as[Record]
+  }
+
   /** µs timestamp column from the raw events table. The driver's parquet
     * carries TIMESTAMP(NANOS), which Spark only reads as a nanosecond LONG
     * (`spark.sql.legacy.parquet.nanosAsLong=true` — set in every session

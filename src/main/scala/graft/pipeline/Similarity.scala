@@ -99,15 +99,25 @@ object Similarity {
     * sample of the corpus refined by one k-means (Lloyd) step — enough
     * structure for probing without iterative training.
     */
+  /** Centroids as ONE literal array<struct<ci,n,cv>> so scoring is a
+    * single transform+aggregate expression (16 separate dot expressions
+    * made codegen compile time dominate the query at small scale). */
+  private def centroidLit(cents: Array[Array[Double]]): Column =
+    array(cents.zipWithIndex.map { case (c, i) =>
+      call_function("named_struct",
+        lit("ci"), lit(i),
+        lit("n"), lit(math.sqrt(c.map(x => x * x).sum)),
+        lit("cv"), array(c.map(lit(_)): _*))
+    }: _*)
+
+  private def centroidScores(vec: Column, cents: Array[Array[Double]]): Column =
+    transform(centroidLit(cents), c =>
+      call_function("named_struct",
+        lit("s"), dot(vec, c("cv")) / c("n"), lit("ci"), c("ci")))
+
   /** Nearest-centroid id by cosine against driver-side centroids. */
-  private def assignCentroid(vec: Column, cents: Array[Array[Double]]): Column = {
-    val scored = cents.zipWithIndex.map { case (c, i) =>
-      val n = math.sqrt(c.map(x => x * x).sum)
-      call_function("named_struct", lit("s"),
-        dot(vec, array(c.map(lit(_)): _*)) / n, lit("ci"), lit(i))
-    }
-    array_max(array(scored: _*))("ci")
-  }
+  private def assignCentroid(vec: Column, cents: Array[Array[Double]]): Column =
+    array_max(centroidScores(vec, cents))("ci")
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 16, nprobe: Int = 4,
@@ -118,12 +128,17 @@ object Similarity {
       .orderBy(abs(hash(col("cid"))), col("cid"))
       .limit(nCentroids).collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
-    // one distributed Lloyd step: per-(centroid, dim) mean via posexplode
+    // one distributed Lloyd step: per-(centroid, dim) mean via posexplode.
+    // The repartition is a deliberate pipeline boundary: without it the
+    // Generate (explode) re-evaluates the centroid-assignment expression
+    // once per exploded element (dims× the work).
     val refined: Array[Array[Double]] = {
       val dims = seeds(0).length
       val sums = corpus
-        .select(assignCentroid(col(vecCol), seeds).as("c"),
-          posexplode(transform(col(vecCol), _.cast("double"))).as(Seq("d", "x")))
+        .select(assignCentroid(col(vecCol), seeds).as("c"), col(vecCol).as("v"))
+        .repartition(col("c"))
+        .select(col("c"),
+          posexplode(transform(col("v"), _.cast("double"))).as(Seq("d", "x")))
         .groupBy("c", "d").agg(avg(col("x")).as("m"))
         .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
       seeds.indices.map { ci =>
@@ -134,11 +149,7 @@ object Similarity {
     val bucketed = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
       assignCentroid(col(vecCol), refined).as("bucket"))
     // query probes: the nprobe highest-scoring centroids
-    val centArr = array(refined.zipWithIndex.map { case (c, i) =>
-      val n = math.sqrt(c.map(x => x * x).sum)
-      call_function("named_struct", lit("s"),
-        dot(col("qvec"), array(c.map(lit(_)): _*)) / n, lit("ci"), lit(i))
-    }: _*)
+    val centArr = centroidScores(col("qvec"), refined)
     val probes = queries.select(col("qid"), col("qvec"),
       explode(slice(reverse(array_sort(centArr)), 1, nprobe)("ci")).as("bucket"))
     val joined = bucketed.join(broadcast(probes), "bucket")
