@@ -53,29 +53,16 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
   }
 
-  /** Deterministic permutation parameters (LCG, fixed seed); kept below
-    * 2^31 so a*x+b stays inside Long. */
-  private def perms(numHashes: Int): Seq[(Long, Long)] = {
-    var s = 0x5DEECE66DL
-    def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s >>> 17 }
-    Seq.fill(numHashes)(((next() % (P - 1)) + 1, next() % P))
-  }
-  private val P = 2147483647L // 2^31-1
-
   /** MinHash signature (array of `numHashes` longs) over PRE-HASHED
-    * shingles (see [[shingleHashes]] — hashing once instead of once per
-    * permutation cuts signature cost ~64×). */
-  def minhashSignature(hashedShingles: Column, numHashes: Int = 64): Column = {
-    val sig = perms(numHashes).map { case (a, b) =>
-      array_min(transform(hashedShingles,
-        x => pmod(lit(a) * x + lit(b), lit(P))))
-    }
-    array(sig: _*)
-  }
+    * shingles — a native tight-loop expression; the equivalent
+    * array_min(transform(...)) per permutation evaluates interpreted with
+    * per-element boxing (see [[DedupRuntime]]). */
+  def minhashSignature(hashedShingles: Column, numHashes: Int = 64): Column =
+    DedupExprs.minhashSig(hashedShingles, numHashes)
 
   /** Murmur3 shingle hashes folded into [0, P). */
   def shingleHashes(shingleCol: Column): Column =
-    transform(shingleCol, s => pmod(hash(s).cast("long"), lit(P)))
+    transform(shingleCol, s => pmod(hash(s).cast("long"), lit(DedupRuntime.P)))
 
   /** LSH band-bucket candidate pairs + exact Jaccard verification.
     *
@@ -131,24 +118,11 @@ object Dedup {
 
   // ----------------------------------------------------------- simhash
 
-  /** 64-bit SimHash over whitespace tokens (xxhash64 token hashes). */
-  def simhash64(text: Column): Column = {
-    val toks = TextAnalysis.tokens(text)
-    val counts = aggregate(
-      toks,
-      array_repeat(lit(0L), 64),
-      (acc, t) => zip_with(acc,
-        transform(sequence(lit(0), lit(63)),
-          j => when(call_function("shiftright", xxhash64(t), j)
-              .bitwiseAND(lit(1L)) === 1L, 1L)
-            .otherwise(-1L)),
-        (x, y) => x + y))
-    aggregate(
-      zip_with(counts, sequence(lit(0), lit(63)),
-        (c, j) => when(c > 0L, call_function("shiftleft", lit(1L), j))
-          .otherwise(0L)),
-      lit(0L), (acc, v) => acc.bitwiseOR(v))
-  }
+  /** 64-bit SimHash over whitespace tokens (xxhash64 token hashes) — a
+    * native expression (see [[DedupRuntime.simhash64]]); the HOF
+    * formulation allocated 64-wide arrays per token. */
+  def simhash64(text: Column): Column =
+    DedupExprs.simhash64(TextAnalysis.tokens(text))
 
   /** SimHash near-dup pairs: block on the four 16-bit chunks (a pair within
     * Hamming distance ≤ 3 of 64 bits shares at least one exact chunk), then
