@@ -83,7 +83,14 @@ object Streaming {
   /** Start a replication stream src → dst. Disabled → no-op (returns
     * None); Paused → the stream runs but batches are skipped (transaction
     * log keeps accumulating via the checkpoint, like the reference's
-    * paused mode). */
+    * paused mode).
+    *
+    * Known limit: a *stateful* `when` ($each_n/$each_t/$gate) evaluates
+    * per micro-batch here — counters reset at batch boundaries, whereas
+    * the reference keeps them for the replication's lifetime. Wire
+    * [[StatefulStream]] (state-store-backed) in front for exact
+    * cross-batch semantics; pure conditions (the overwhelmingly common
+    * replication filters) are exact as-is. */
   def replicate(src: BucketStore, dst: BucketStore,
       settings: ReplicationSettings, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow()): Option[StreamingQuery] = {
