@@ -87,6 +87,26 @@ object SparkEntry {
     "q_date_tz" -> ((s, dir) => q(s, dir, QuerySpec(when = Some(
       """{"$eq": [{"$hour": ["$timestamp", "Europe/Berlin"]}, 9]}""")))),
 
+    "q_xor_nin" -> ((s, dir) => q(s, dir, QuerySpec(when = Some(
+      """{"$xor": [{"&value": {"$gt": 250}}, {"&user_id": {"$lt": 20}}],
+          "$nin": ["&type", "signup", "error"]}""")))),
+
+    "q_arith2" -> ((s, dir) => q(s, dir, QuerySpec(when = Some(
+      """{"$lt": [{"$abs": [{"$sub": ["&value", 200]}]}, 60],
+          "$eq": [{"$div_num": [{"$cast": ["&user_id", "int"]}, 10]}, 3]}""")))),
+
+    "q_date2" -> ((s, dir) => q(s, dir, QuerySpec(when = Some(
+      """{"$and": [
+           {"$lt": [{"$minute": ["$timestamp"]}, 15]},
+           {"$gte": [{"$second": ["$timestamp"]}, 30]},
+           {"$lte": [{"$day": ["$timestamp"]}, 10]},
+           {"$eq": [{"$month": ["$timestamp"]}, 1]},
+           {"$eq": [{"$year": ["$timestamp"]}, 2024]}
+         ]}""")))),
+
+    "q_string2" -> ((s, dir) => q(s, dir, QuerySpec(when = Some(
+      """{"&props": {"$ends_with": "7}"}}""")))),
+
     "q_cast_exists" -> ((s, dir) => q(s, dir, QuerySpec(when = Some(
       """{"$exists": ["value", "type"], "$gte": [{"$cast": ["&value", "int"]}, 190]}""")))),
 
@@ -288,6 +308,29 @@ object SparkEntry {
         s"""SELECT $evCols FROM events
             WHERE hour(ts + INTERVAL 1 HOUR) = 9
             ORDER BY event_id""",
+
+      "q_xor_nin" ->
+        s"""SELECT $evCols FROM events
+            WHERE ((CASE WHEN value > 250 THEN 1 ELSE 0 END +
+                    CASE WHEN user_id < 20 THEN 1 ELSE 0 END) = 1)
+              AND event_type NOT IN ('signup', 'error')
+            ORDER BY event_id""",
+
+      "q_arith2" ->
+        s"""SELECT $evCols FROM events
+            WHERE abs(value - 200) < 60
+              AND (user_id - user_id %% 10) / 10 = 3
+            ORDER BY event_id""".replace("%%", "%"),
+
+      "q_date2" ->
+        s"""SELECT $evCols FROM events
+            WHERE minute(ts) < 15 AND second(ts) >= 30
+              AND day(ts) <= 10 AND month(ts) = 1 AND year(ts) = 2024
+            ORDER BY event_id""",
+
+      "q_string2" ->
+        s"""SELECT $evCols FROM events
+            WHERE ends_with(props, '7}') ORDER BY event_id""",
 
       "q_cast_exists" ->
         s"""SELECT $evCols FROM events

@@ -35,9 +35,19 @@ object Parser {
     ParsedCondition(Node.Op("$and", expressions), directives)
   }
 
+  /** serde_json (preserve_order) semantics for duplicate object keys:
+    * the later value wins but keeps the first occurrence's position.
+    * json4s keeps every field, so normalize here. */
+  private def dedupFields(fields: List[JField]): List[JField] = {
+    val last = fields.toMap // Map keeps the last value per key
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    fields.collect { case (k, _) if seen.add(k) => k -> last(k) }
+  }
+
   // parser.rs:62-140
   private def parseDirectives(json: JValue): (Directives, JValue) = json match {
-    case JObject(fields) =>
+    case JObject(fields0) =>
+      val fields = dedupFields(fields0)
       val (dirFields, rest) = fields.partition(_._1.startsWith("#"))
       val parsed = dirFields.map { case (key, value) =>
         if (!directiveNames.contains(key))
@@ -76,7 +86,7 @@ object Parser {
 
   // parser.rs:141-158
   private def parseRecursively(json: JValue): List[Node] = json match {
-    case JObject(fields) => parseObject(fields)
+    case JObject(fields) => parseObject(dedupFields(fields))
     case JBool(b)        => List(Node.Const(Value.BoolV(b)))
     case JInt(i)         => List(Node.Const(Value.IntV(i.toLong)))
     case JLong(l)        => List(Node.Const(Value.IntV(l)))

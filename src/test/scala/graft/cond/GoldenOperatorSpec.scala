@@ -126,6 +126,9 @@ class GoldenOperatorSpec extends AnyFunSuite with SparkTestBase {
       case Node.Op("$and", children) => assert(children.size == 2)
       case other => fail(s"unexpected root $other")
     }
+    // duplicate object keys: later value wins (serde_json preserve_order)
+    val dup = Parser.parse("""{"$eq": [1, 1], "$eq": [1, 2]}""")
+    assert(!new Interp(dup.root)(Ctx(0, Map.empty)).asBool)
     // duration directive value
     val d2 = Parser.parse("""{"#ctx_after": "1s"}""")
     assert(d2.directives.single("#ctx_after").contains(Value.DurV(1000000L)))
