@@ -343,7 +343,10 @@ object CondCompiler {
             when(d("k") === 3, d("s"))
           case _ => nullS
         }
-        from_utc_timestamp(utcTs, tzStr)
+        // invalid tz → NULL (per-record error, absorbed as false in
+        // non-strict mode) — from_utc_timestamp itself would throw
+        // [INVALID_TIMEZONE] and crash the query (ADVICE r1)
+        from_utc_timestamp(utcTs, DynOps.validZoneCol(tzStr))
       case _ => utcTs
     }
     CStatic(KInt, field(local).cast("bigint"))

@@ -88,6 +88,18 @@ object DynOps {
       }
     } catch { case _: CondError => null }
 
+  /** Zone-id gate for the date operators: the string itself when it is a
+    * valid strict IANA `ZoneId.of` id, else null. Matches the interpreter's
+    * validity check (Interp.dateOp), where an invalid tz is a CondError →
+    * false in non-strict mode — whereas a raw `from_utc_timestamp` on an
+    * invalid zone throws [INVALID_TIMEZONE] even with ANSI off and would
+    * kill the whole distributed query. */
+  def validZone(tz: UTF8String): UTF8String =
+    if (tz == null) null
+    else
+      try { java.time.ZoneId.of(tz.toString); tz }
+      catch { case _: Exception => null }
+
   // Column-level constructors
   def binCol(op: String, a: Column, b: Column): Column =
     GraftColumnBridge.column(DynBinExpr(op,
@@ -97,6 +109,26 @@ object DynOps {
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
   def unCol(op: String, a: Column): Column =
     GraftColumnBridge.column(DynUnaryExpr(op, GraftColumnBridge.expression(a)))
+  def validZoneCol(a: Column): Column =
+    GraftColumnBridge.column(ValidZoneExpr(GraftColumnBridge.expression(a)))
+}
+
+/** String → same string if a strict-valid zone id, else null. */
+final case class ValidZoneExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_valid_zone"
+
+  override protected def nullSafeEval(a: Any): Any =
+    DynOps.validZone(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.cond.DynOps.validZone($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+
+  override protected def withNewChildInternal(newChild: Expression): ValidZoneExpr =
+    copy(child = newChild)
 }
 
 /** Arithmetic over two dynamic values → dynamic value. */

@@ -37,14 +37,22 @@ object Records {
     *
     * Events can collide on (entry, ts); the record model requires ts unique
     * per entry (storage.proto:38 "timestamp works as ID"), so collisions are
-    * disambiguated by event_id ordering via a deterministic µs nudge.
+    * disambiguated by event_id ordering via a deterministic µs nudge
+    * (`ts + row_number - 1` within the colliding group). The nudge resolves
+    * first-order collisions only — a nudged ts landing on another record's
+    * ts is not re-resolved (none exist in the generated data); write-time
+    * conflict checks (BucketStore Conflict.Error) remain the backstop.
     */
   def fromEvents(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val tsUs = eventTsUs(events)
+    val entryCol = concat(lit("events/"), col("event_type"))
+    val w = Window.partitionBy(entryCol, tsUs).orderBy(col("event_id"))
+    val nudged = tsUs + row_number().over(w).cast("long") - lit(1L)
     events.select(
       lit("default").as("bucket"),
-      concat(lit("events/"), col("event_type")).as("entry"),
-      tsUs.as("ts"),
+      entryCol.as("entry"),
+      nudged.as("ts"),
       map(
         lit("event_id"), col("event_id").cast("string"),
         lit("user_id"), col("user_id").cast("string"),

@@ -145,14 +145,22 @@ object QueryEngine {
 
   private def entriesPredicate(records: DataFrame, patterns: Option[Seq[String]]): Option[Column] =
     patterns match {
-      case None => None
-      case Some(pats) if pats.isEmpty || pats == Seq("*") => None
+      // default and bare-wildcard queries follow resolve semantics: every
+      // NON-SYSTEM entry (bucket/query.rs:96-154 — '*' never matches $meta).
+      // A static column predicate, so no distinct-scan is needed and the
+      // partition-pruning filter stays a plain conjunct.
+      case None => Some(nonSystemEntry)
+      case Some(pats) if pats.isEmpty || pats == Seq("*") => Some(nonSystemEntry)
       case Some(_) =>
         val all = records.select("entry").distinct()
           .collect().map(_.getString(0)).toSeq
         val keep = EntryPattern.resolve(all, patterns)
         Some(col("entry").isin(keep: _*))
     }
+
+  private def nonSystemEntry: Column =
+    col("entry") =!= EntryPattern.MetaSegment &&
+      !col("entry").endsWith("/" + EntryPattern.MetaSegment)
 
   private def entryWindow = Window.partitionBy("bucket", "entry").orderBy("ts")
 

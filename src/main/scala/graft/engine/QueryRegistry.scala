@@ -127,7 +127,10 @@ object QueryLinks {
   def verify(token: String, secret: String,
       nowMs: Long = System.currentTimeMillis()): Option[QuerySpec] = {
     token.split("\\.", 2) match {
-      case Array(payload, sig) if hmac(secret, payload) == sig =>
+      // constant-time comparison — plain string equality leaks a
+      // byte-by-byte timing side channel that allows signature forgery
+      case Array(payload, sig) if java.security.MessageDigest.isEqual(
+          hmac(secret, payload).getBytes("UTF-8"), sig.getBytes("UTF-8")) =>
         val json = org.json4s.jackson.JsonMethods.parse(dec(payload))
         import org.json4s._
         implicit val fmts: Formats = DefaultFormats

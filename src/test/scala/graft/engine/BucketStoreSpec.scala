@@ -136,4 +136,22 @@ class BucketStoreSpec extends AnyFunSuite with SparkTestBase {
       store.writeWithHardQuota(recordsDf(Seq(("e", 100L, Map()))), "b", 1L)
     }
   }
+
+  test("FIFO quota never evicts system $meta entries (ADVICE r1)") {
+    val store = newStore()
+    // $meta data on the OLDEST day — the first eviction candidate if
+    // unprotected (test_fifo_quota_ignores_meta_entries_for_eviction)
+    store.write(recordsDf(Seq(
+      ("$meta", 0L, Map("sys" -> "1")),
+      ("app/$meta", 0L, Map("sys" -> "2")))))
+    store.write(recordsDf((0 until 6).map(i =>
+      ("e", i * day, Map("i" -> i.toString)))))
+    val evicted = store.enforceFifoQuota("b", store.bucketSizeBytes("b") / 2)
+    assert(evicted > 0)
+    val metas = store.table()
+      .filter(col("entry") === "$meta" || col("entry") === "app/$meta")
+    assert(metas.count() == 2, "system $meta records survive FIFO eviction")
+    // non-meta day-0 partition was evicted
+    assert(store.table().filter(col("entry") === "e" && col("ts") === 0L).count() == 0)
+  }
 }

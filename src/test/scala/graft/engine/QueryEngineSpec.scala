@@ -152,6 +152,43 @@ class QueryEngineSpec extends AnyFunSuite with SparkTestBase {
       Seq("acc-a/x"))
   }
 
+  test("wildcard and default queries never match system $meta entries (ADVICE r1)") {
+    val df = recordsDf(Seq(
+      ("a", 1L, Map.empty), ("$meta", 1L, Map.empty),
+      ("app/$meta", 2L, Map.empty), ("b", 2L, Map.empty)))
+    def names(spec: QuerySpec) = QueryEngine.query(df, spec)
+      .select("entry").distinct().collect().map(_.getString(0)).toSet
+    assert(names(QuerySpec()) == Set("a", "b"), "default query")
+    assert(names(QuerySpec(entries = Some(Seq("*")))) == Set("a", "b"), "bare *")
+    assert(names(QuerySpec(entries = Some(Seq.empty))) == Set("a", "b"), "empty list")
+    // explicit naming still reaches a $meta entry
+    assert(names(QuerySpec(entries = Some(Seq("$meta")))) == Set("$meta"))
+    // wildcard remove must not delete $meta either
+    val (survivors, removed) = QueryEngine.remove(df, QuerySpec(entries = Some(Seq("*"))))
+    assert(removed == 2L)
+    assert(survivors.select("entry").distinct().collect().map(_.getString(0)).toSet ==
+      Set("$meta", "app/$meta"))
+  }
+
+  test("invalid timezone degrades to per-record false, not a crash (ADVICE r1)") {
+    val df = recordsDf(Seq(
+      ("e", 3600000000L, Map("tz" -> "Europe/Berlin")),
+      ("e", 7200000000L, Map("tz" -> "Bogus/Zone"))))
+    // constant bad tz: every record errors → false; query must not throw
+    val bad = QueryEngine.query(df,
+      QuerySpec(when = Some("""{"$gte": [{"$hour": ["$timestamp", "Bogus/Zone"]}, 0]}""")))
+    assert(bad.count() == 0)
+    // label-driven tz: one bad value must not poison the valid record
+    val mixed = QueryEngine.query(df,
+      QuerySpec(when = Some("""{"$gte": [{"$hour": ["$timestamp", "&tz"]}, 0]}""")))
+    assert(tss(mixed) == Seq(3600000000L))
+    // strict mode surfaces the error instead
+    intercept[Exception] {
+      QueryEngine.query(df, QuerySpec(strict = true,
+        when = Some("""{"$gte": [{"$hour": ["$timestamp", "Bogus/Zone"]}, 0]}"""))).count()
+    }
+  }
+
   test("select_labels projection (filters/when/select_labels.rs)") {
     val df = recordsDf(Seq(("e", 1L, Map(
       "label" -> "true", "label1" -> "v1", "label2" -> "v2", "label3" -> "v3"))))
