@@ -7,11 +7,12 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver contract: one `queries` entry per implemented operator from
-  * SURVEY.md §2 (+ the training-data pipeline operators), with an exact
-  * DuckDB oracle for every SQL-expressible one. Sequential-state operators
-  * (`$each_t`, `$gate`) and hash-dependent ops (minhash/simhash/LSH) are
-  * declared without oracles (rows-only check) and covered by ScalaTest
-  * golden specs instead.
+  * SURVEY.md §2 (+ the training-data pipeline operators), each with an
+  * exact DuckDB oracle. Sequential-state operators (`$each_t`, `$gate`)
+  * unroll as recursive CTEs; hash-sketch ops (minhash/simhash/LSH/IVF) use
+  * md5-derived constants so the oracle regenerates identical hashes;
+  * floating-point pipelines keep every reduction a left fold so doubles
+  * are bit-identical across engines.
   */
 object SparkEntry {
 
@@ -162,7 +163,8 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
-    // sequential-state operators (rows-only check; ScalaTest golden specs)
+    // sequential-state operators (oracle: state machines unrolled as
+    // DuckDB recursive CTEs)
     "q_each_t" -> ((s, dir) => q(s, dir, QuerySpec(when = Some(
       """{"$each_t": "6h"}""")))),
 
@@ -175,11 +177,13 @@ object SparkEntry {
         .select(col("digest"), col("keep_id"), col("dup_count"))
         .orderBy("keep_id")),
 
-    "q_minhash_pairs" -> ((s, dir) => // rows-only (Spark murmur3 hashes)
+    "q_minhash_pairs" -> ((s, dir) => // oracle: md5-derived hashes + slice-valued LSH buckets
       Dedup.minhashPairs(docs(s, dir), threshold = 0.3).orderBy("a", "b")),
 
-    "q_simhash_pairs" -> ((s, dir) => // rows-only
-      Dedup.simhashPairs(docs(s, dir), maxHamming = 8).orderBy("a", "b")),
+    "q_simhash_pairs" -> ((s, dir) => // oracle: md5-derived 60-bit simhash
+      Dedup.simhashPairs(docs(s, dir), maxHamming = 8)
+        .select(col("a"), col("b"), col("hamming").cast("bigint").as("hamming"))
+        .orderBy("a", "b")),
 
     "q_jaccard_pairs" -> ((s, dir) =>
       Dedup.groupedJaccardPairs(docs(s, dir), "source", threshold = 0.1)
@@ -226,18 +230,24 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
-    "q_lsh_ann" -> ((s, dir) => { // rows-only (approximate)
+    "q_lsh_ann" -> ((s, dir) => { // oracle: md5-derived hyperplanes
       val emb = embeddings(s, dir)
       val queriesDf = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      Similarity.lshTopK(emb, queriesDf, 10).orderBy("qid", "rank")
+      Similarity.lshTopK(emb, queriesDf, 10)
+        .select(col("qid"), col("nid"), col("rank").cast("bigint").as("rank"),
+          col("sim"))
+        .orderBy("qid", "rank")
     }),
 
-    "q_ivf_ann" -> ((s, dir) => { // rows-only (approximate)
+    "q_ivf_ann" -> ((s, dir) => { // oracle: unrefined md5-seeded centroids
       val emb = embeddings(s, dir)
       val queriesDf = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      Similarity.ivfTopK(emb, queriesDf, 10).orderBy("qid", "rank")
+      Similarity.ivfTopK(emb, queriesDf, 10, refine = false)
+        .select(col("qid"), col("nid"), col("rank").cast("bigint").as("rank"),
+          col("sim"))
+        .orderBy("qid", "rank")
     }),
 
     "q_embed_dup" -> ((s, dir) =>
@@ -401,6 +411,66 @@ object SparkEntry {
              FROM events) t
            WHERE rn % 2 <> 0 ORDER BY event_id""",
 
+      // $each_t debounce: the state machine (StateMachines.eachT) unrolled
+      // as a recursive CTE — first record anchors without emitting; emit
+      // when ts - anchor >= 6h, then re-anchor
+      "q_each_t" ->
+        """WITH RECURSIVE n AS (
+             SELECT 'events/' || event_type AS entry, event_id,
+               epoch_us(ts) AS tsu,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY epoch_us(ts)) AS rn
+             FROM events),
+           r AS (
+             SELECT entry, event_id, tsu, rn, tsu AS anchor, false AS emitted
+             FROM n WHERE rn = 1
+             UNION ALL
+             SELECT n.entry, n.event_id, n.tsu, n.rn,
+               CASE WHEN n.tsu - r.anchor >= 21600000000 THEN n.tsu
+                    ELSE r.anchor END,
+               n.tsu - r.anchor >= 21600000000
+             FROM r JOIN n ON n.entry = r.entry AND n.rn = r.rn + 1)
+           SELECT event_id, entry, tsu AS ts FROM r WHERE emitted
+           ORDER BY event_id""",
+
+      // $gate edge-triggered window (StateMachines.gate) as a recursive
+      // CTE: state = (deadline d, previous-input p, reset-latch rr);
+      // dur = 12h, input = value > 150
+      "q_gate" ->
+        """WITH RECURSIVE n AS (
+             SELECT 'events/' || event_type AS entry, event_id,
+               epoch_us(ts) AS tsu, value > 150 AS inp,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY epoch_us(ts)) AS rn
+             FROM events),
+           r AS (
+             SELECT entry, 0::BIGINT AS rn, NULL::BIGINT AS d, false AS p,
+                    false AS rr, false AS emitted, NULL::BIGINT AS tsu,
+                    NULL::BIGINT AS event_id
+             FROM (SELECT DISTINCT entry FROM n)
+             UNION ALL
+             SELECT n.entry, n.rn,
+               CASE WHEN (r.rr OR (r.d IS NOT NULL AND n.tsu >= r.d)) THEN
+                   CASE WHEN r.d IS NOT NULL AND n.tsu >= r.d THEN NULL ELSE r.d END
+                 WHEN (CASE WHEN r.d IS NOT NULL AND n.tsu >= r.d THEN NULL ELSE r.d END) IS NULL
+                      AND NOT r.p AND n.inp THEN n.tsu + 43200000000
+                 ELSE (CASE WHEN r.d IS NOT NULL AND n.tsu >= r.d THEN NULL ELSE r.d END) END AS d,
+               n.inp AS p,
+               CASE WHEN (r.rr OR (r.d IS NOT NULL AND n.tsu >= r.d)) THEN n.inp
+                    ELSE false END AS rr,
+               CASE WHEN (r.rr OR (r.d IS NOT NULL AND n.tsu >= r.d)) THEN false
+                 ELSE (CASE WHEN (CASE WHEN r.d IS NOT NULL AND n.tsu >= r.d THEN NULL ELSE r.d END) IS NULL
+                            AND NOT r.p AND n.inp THEN n.tsu + 43200000000
+                       ELSE (CASE WHEN r.d IS NOT NULL AND n.tsu >= r.d THEN NULL ELSE r.d END) END) IS NOT NULL
+                   AND n.tsu < (CASE WHEN (CASE WHEN r.d IS NOT NULL AND n.tsu >= r.d THEN NULL ELSE r.d END) IS NULL
+                            AND NOT r.p AND n.inp THEN n.tsu + 43200000000
+                       ELSE (CASE WHEN r.d IS NOT NULL AND n.tsu >= r.d THEN NULL ELSE r.d END) END)
+                   AND n.inp END AS emitted,
+               n.tsu, n.event_id
+             FROM r JOIN n ON n.entry = r.entry AND n.rn = r.rn + 1)
+           SELECT event_id, entry, tsu AS ts FROM r
+           WHERE rn >= 1 AND emitted ORDER BY event_id""",
+
       "q_dedup_exact" ->
         """SELECT md5(text) AS digest, min(doc_id) AS keep_id,
                   CAST(count(*) AS BIGINT) AS dup_count
@@ -420,6 +490,71 @@ object SparkEntry {
              AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
                (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.1
            ORDER BY id_a, id_b""",
+
+      // MinHash near-dup: every stage is md5-reproducible — 60-bit shingle
+      // hashes, md5-derived permutation constants, LSH candidacy = equality
+      // of a 4-long signature slice in any of 16 bands, then exact
+      // hashed-shingle Jaccard >= 0.3
+      "q_minhash_pairs" ->
+        """WITH consts AS (
+             SELECT
+               list_transform(range(64), j ->
+                 ('0x' || substring(md5('graft:minhash:a:' || j), 1, 15))::BIGINT
+                   % 2147483646 + 1) AS pa,
+               list_transform(range(64), j ->
+                 ('0x' || substring(md5('graft:minhash:b:' || j), 1, 15))::BIGINT
+                   % 2147483647) AS pb),
+           hs AS (
+             SELECT doc_id AS id,
+               CASE WHEN trim(text) = '' THEN []::BIGINT[]
+                 WHEN len(regexp_split_to_array(trim(text), '\s+')) < 3 THEN
+                   [('0x' || substring(md5(array_to_string(
+                      regexp_split_to_array(trim(text), '\s+'), ' ')), 1, 15))::BIGINT]
+                 ELSE list_sort(list_distinct(list_transform(
+                   range(len(regexp_split_to_array(trim(text), '\s+')) - 2), i ->
+                     ('0x' || substring(md5(array_to_string(
+                        regexp_split_to_array(trim(text), '\s+')[i+1:i+3], ' ')),
+                        1, 15))::BIGINT)))
+               END AS h
+             FROM documents),
+           sigs AS (
+             SELECT id, h,
+               list_transform(range(64), j ->
+                 list_min(list_transform(h, x ->
+                   (pa[j+1] * (x % 2147483647) + pb[j+1]) % 2147483647))) AS sig
+             FROM hs, consts WHERE len(h) > 0)
+           SELECT a.id AS a, b.id AS b,
+             round(CAST(len(list_intersect(a.h, b.h)) AS DOUBLE) /
+               (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))), 6) AS jaccard
+           FROM sigs a JOIN sigs b ON a.id < b.id
+           WHERE len(list_filter(range(16), bb ->
+               a.sig[bb*4+1:bb*4+4] = b.sig[bb*4+1:bb*4+4])) > 0
+             AND CAST(len(list_intersect(a.h, b.h)) AS DOUBLE) /
+               (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))) >= 0.3
+           ORDER BY a, b""",
+
+      // SimHash near-dup: 60-bit md5 token-hash bit votes; candidacy =
+      // sharing any of the four 16-bit fingerprint chunks; hamming <= 8
+      "q_simhash_pairs" ->
+        """WITH f AS (
+             SELECT doc_id AS id,
+               CASE WHEN trim(text) = '' THEN 0 ELSE
+                 CAST(list_sum(list_transform(range(60), b ->
+                   CASE WHEN 2 * len(list_filter(
+                       list_transform(regexp_split_to_array(trim(text), '\s+'), t ->
+                         ('0x' || substring(md5(t), 1, 15))::BIGINT),
+                       x -> (x >> b) & 1 = 1))
+                     - len(regexp_split_to_array(trim(text), '\s+')) > 0
+                   THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT)
+               END AS fp
+             FROM documents)
+           SELECT a.id AS a, b.id AS b,
+             CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+           FROM f a JOIN f b ON a.id < b.id
+           WHERE len(list_filter(range(4), c ->
+               ((a.fp >> (c*16)) & 65535) = ((b.fp >> (c*16)) & 65535))) > 0
+             AND bit_count(xor(a.fp, b.fp)) <= 8
+           ORDER BY a, b""",
 
       "q_text_quality" ->
         """SELECT doc_id,
@@ -510,6 +645,115 @@ object SparkEntry {
              FROM s)
            SELECT qid, nid, rank, round(sim, 6) AS sim FROM r
            WHERE rank <= 10 ORDER BY qid, rank""",
+
+      // LSH ANN: md5-derived hyperplanes; sign-bucket + Hamming-1 probes;
+      // every dot product is a left fold, bit-identical across engines
+      "q_lsh_ann" ->
+        """WITH hp AS (
+             SELECT i, list_transform(range(64), d ->
+               ('0x'||substring(md5('graft:lsh:'||i||':'||d),1,15))::BIGINT::DOUBLE
+                 / 576460752303423488.0 - 1.0) AS plane
+             FROM range(8) t(i)),
+           e AS (
+             SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+               sqrt(list_reduce(list_prepend(0.0, list_transform(
+                 list_transform(embedding, x -> x::DOUBLE), x -> x*x)),
+                 (a,b)->a+b)) AS nrm
+             FROM embeddings),
+           sigs AS (
+             SELECT vec_id, any_value(v) AS v, any_value(nrm) AS nrm,
+               CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << i) ELSE 0 END)
+                 AS BIGINT) AS bucket
+             FROM (
+               SELECT e.vec_id, e.v, e.nrm, hp.i,
+                 list_reduce(list_prepend(0.0, list_transform(range(64), dd ->
+                   e.v[dd+1]*hp.plane[dd+1])), (a,b)->a+b) AS dot
+               FROM e, hp)
+             GROUP BY vec_id),
+           probes AS (
+             SELECT qid, qv, qnrm, unnest(list_prepend(bucket,
+               list_transform(range(8), i -> xor(bucket, (1::BIGINT << i))))) AS bucket
+             FROM (SELECT vec_id AS qid, v AS qv, nrm AS qnrm, bucket
+                   FROM sigs WHERE vec_id < 5)),
+           cand AS (
+             SELECT p.qid, s.vec_id AS nid,
+               list_reduce(list_prepend(0.0, list_transform(range(64), dd ->
+                 s.v[dd+1]*p.qv[dd+1])), (a,b)->a+b) / (s.nrm * p.qnrm) AS sim
+             FROM probes p JOIN sigs s ON s.bucket = p.bucket
+             WHERE s.vec_id <> p.qid),
+           r AS (
+             SELECT qid, nid, sim,
+               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+             FROM cand)
+           SELECT qid, nid, rank, round(sim, 6) AS sim FROM r
+           WHERE rank <= 10 ORDER BY qid, rank""",
+
+      // IVF ANN (unrefined configuration): centroids = 16 corpus vectors in
+      // md5-of-id order; assignment/probes = cosine argmax with (score,
+      // centroid) DESC tie-break, mirroring Spark's struct array_max
+      "q_ivf_ann" ->
+        """WITH e AS (
+             SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+               sqrt(list_reduce(list_prepend(0.0, list_transform(
+                 list_transform(embedding, x -> x::DOUBLE), x -> x*x)),
+                 (a,b)->a+b)) AS nrm
+             FROM embeddings),
+           cents AS (
+             SELECT row_number() OVER (ORDER BY
+                 ('0x'||substring(md5(vec_id::VARCHAR),1,15))::BIGINT, vec_id) - 1 AS ci,
+               v AS cv,
+               sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x*x)),
+                 (a,b)->a+b)) AS cnrm
+             FROM e
+             ORDER BY ('0x'||substring(md5(vec_id::VARCHAR),1,15))::BIGINT, vec_id
+             LIMIT 16),
+           scores AS (
+             SELECT e.vec_id, e.v, e.nrm, c.ci,
+               list_reduce(list_prepend(0.0, list_transform(range(64), dd ->
+                 e.v[dd+1]*c.cv[dd+1])), (a,b)->a+b) / c.cnrm AS s
+             FROM e, cents c),
+           assigned AS (
+             SELECT vec_id, v, nrm, ci AS bucket FROM (
+               SELECT *, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY s DESC, ci DESC) AS rn
+               FROM scores) WHERE rn = 1),
+           probes AS (
+             SELECT vec_id AS qid, v AS qv, nrm AS qnrm, ci AS bucket FROM (
+               SELECT *, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY s DESC, ci DESC) AS rn
+               FROM scores WHERE vec_id < 5) WHERE rn <= 4),
+           cand AS (
+             SELECT p.qid, a.vec_id AS nid,
+               list_reduce(list_prepend(0.0, list_transform(range(64), dd ->
+                 a.v[dd+1]*p.qv[dd+1])), (a2,b2)->a2+b2) / (a.nrm * p.qnrm) AS sim
+             FROM probes p JOIN assigned a ON a.bucket = p.bucket
+             WHERE a.vec_id <> p.qid),
+           r AS (
+             SELECT qid, nid, sim,
+               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+             FROM cand)
+           SELECT qid, nid, rank, round(sim, 6) AS sim FROM r
+           WHERE rank <= 10 ORDER BY qid, rank""",
+
+      // multimodal stub decode: the deterministic fake dimensions are a
+      // wrapping signed-64 polynomial hash of the payload bytes —
+      // reproduced in HUGEINT mod-2^64 arithmetic (floorMod(h, 1024) of
+      // the signed value == unsigned value % 1024)
+      "q_multimodal" ->
+        """WITH h AS (
+             SELECT event_id,
+               CAST(length(props) AS INT) AS byte_size,
+               list_reduce(
+                 list_prepend(1125899906842597::HUGEINT,
+                   list_transform(range(length(props)), i ->
+                     ascii(props[i+1:i+1])::HUGEINT)),
+                 (a, b) -> (31*a + b) % 18446744073709551616::HUGEINT) AS u
+             FROM events)
+           SELECT event_id,
+             CAST(64 + u % 1024 AS INT) AS width,
+             CAST(64 + (u // 1024) % 1024 AS INT) AS height,
+             byte_size
+           FROM h ORDER BY event_id""",
 
       "q_lineitem_agg" ->
         """SELECT l_returnflag, l_linestatus,

@@ -42,29 +42,26 @@ object Dedup {
 
   // ----------------------------------------------------------- minhash
 
-  /** Word k-shingles as a distinct array. */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val toks = TextAnalysis.tokens(text)
-    val n = size(toks)
-    when(n < k, when(n === 0, array().cast("array<string>")) // short doc → whole text
-        .otherwise(array(concat_ws(" ", toks))))
-      .otherwise(array_distinct(transform(
-        sequence(lit(0), n - k),
-        i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
-  }
+  /** Sorted distinct 60-bit md5 hashes of word k-shingles — one native
+    * pass over the text ([[DedupRuntime.shingleHash60]]). md5-based so an
+    * external engine (the DuckDB oracle) reproduces the exact values. */
+  def shingleHashes(text: Column, k: Int = 3): Column =
+    DedupExprs.shingleHash60(text, k)
 
-  /** MinHash signature (array of `numHashes` longs) over PRE-HASHED
-    * shingles — a native tight-loop expression; the equivalent
+  /** MinHash signature (array of `numHashes` longs) over hashed shingles —
+    * a native tight-loop expression; the equivalent
     * array_min(transform(...)) per permutation evaluates interpreted with
     * per-element boxing (see [[DedupRuntime]]). */
   def minhashSignature(hashedShingles: Column, numHashes: Int = 64): Column =
     DedupExprs.minhashSig(hashedShingles, numHashes)
 
-  /** Murmur3 shingle hashes folded into [0, P). */
-  def shingleHashes(shingleCol: Column): Column =
-    transform(shingleCol, s => pmod(hash(s).cast("long"), lit(DedupRuntime.P)))
-
   /** LSH band-bucket candidate pairs + exact Jaccard verification.
+    *
+    * Oracle-checkable end to end: shingle hashes and permutation constants
+    * are md5-derived, and the LSH bucket key is the band's signature slice
+    * VALUE (not an engine hash of it), so candidacy = slice equality — a
+    * condition any engine can re-evaluate. Only (id, 4-long slice) rows
+    * travel through the bucket shuffle.
     *
     * @param threshold keep pairs with exact shingle-Jaccard ≥ threshold
     * @param bands × rowsPerBand must equal numHashes; with 16×4 the S-curve
@@ -76,17 +73,16 @@ object Dedup {
       maxBucketSize: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val withSig = docs
-      .select(col(idCol).as("id"), shingleHashes(shingles(col(textCol), k)).as("hs"))
+    val hsTab = docs
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), k).as("hs"))
       .filter(size(col("hs")) > 0)
+    val withSig = hsTab
       .withColumn("sig", minhashSignature(col("hs"), numHashes))
       .drop("hs")
-    // explode to (band, bucket = hash of the band's slice of the signature);
-    // only ids travel through the bucket shuffle — shingle arrays would
-    // multiply the shuffle by bands×
+    // explode to (band, bucket = the band's slice of the signature)
     val banded = withSig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(slice(col("sig"), b * r + 1, lit(r))))).as(Seq("band", "bucket")))
+        b => slice(col("sig"), b * r + 1, lit(r)))).as(Seq("band", "bucket")))
     // candidate pairs inside each (band,bucket); bounded against hot buckets
     val byBucket = banded.groupBy("band", "bucket")
       .agg(collect_list(col("id")).as("grp"))
@@ -101,28 +97,26 @@ object Dedup {
            p -> p.a < p.b)""")).as("p"))
       .select(col("p.a"), col("p.b"))
       .dropDuplicates("a", "b")
-    // exact Jaccard verification: shingles recomputed for the (small)
-    // candidate set only — the full corpus is scanned once for signatures
-    val txt = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
+    // exact Jaccard verification over the sorted hash sets (native merge
+    // kernel) — recomputed for the (small) candidate set only
     pairs
-      .join(txt.select(col("id").as("a"), col("txt").as("ta")), "a")
-      .join(txt.select(col("id").as("b"), col("txt").as("tb")), "b")
-      .withColumn("sha", shingles(col("ta"), k))
-      .withColumn("shb", shingles(col("tb"), k))
-      .withColumn("ni", size(array_intersect(col("sha"), col("shb"))))
+      .join(hsTab.select(col("id").as("a"), col("hs").as("ha")), "a")
+      .join(hsTab.select(col("id").as("b"), col("hs").as("hb")), "b")
+      .withColumn("ni", DedupExprs.sortedIntersectCount(col("ha"), col("hb")))
       .withColumn("jaccard", col("ni").cast("double") /
-        (size(col("sha")) + size(col("shb")) - col("ni")))
+        (size(col("ha")) + size(col("hb")) - col("ni")))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   // ----------------------------------------------------------- simhash
 
-  /** 64-bit SimHash over whitespace tokens (xxhash64 token hashes) — a
-    * native expression (see [[DedupRuntime.simhash64]]); the HOF
-    * formulation allocated 64-wide arrays per token. */
+  /** 60-bit SimHash over whitespace tokens (md5-60 token hashes, with
+    * multiplicity) — a native expression (see [[DedupRuntime.simhash60]]);
+    * the HOF formulation allocated 64-wide arrays per token. md5-based so
+    * the DuckDB oracle recomputes identical fingerprints. */
   def simhash64(text: Column): Column =
-    DedupExprs.simhash64(TextAnalysis.tokens(text))
+    DedupExprs.simhash60(text)
 
   /** SimHash near-dup pairs: block on the four 16-bit chunks (a pair within
     * Hamming distance ≤ 3 of 64 bits shares at least one exact chunk), then
@@ -156,17 +150,25 @@ object Dedup {
   // ------------------------------------------ n-gram jaccard (oracle-able)
 
   /** Exact token-set Jaccard for all doc pairs sharing `groupCol` (bounded
-    * cross join inside groups; the group key is the shuffle key). */
+    * cross join inside groups; the group key is the shuffle key).
+    *
+    * The token sets are hashed to sorted long arrays BEFORE the pairwise
+    * stage: the per-pair kernel is then a primitive merge
+    * ([[DedupRuntime.sortedIntersectCount]]) instead of a boxed-string
+    * hash-set intersect — the set cardinalities (and hence Jaccard) are
+    * unchanged absent a 64-bit token-hash collision. O(pairs) dominates
+    * O(docs), so per-pair cost is the thing to minimize. */
   def groupedJaccardPairs(docs: DataFrame, groupCol: String,
       idCol: String = "doc_id", textCol: String = "text",
       threshold: Double = 0.2): DataFrame = {
     val d = docs.select(col(groupCol).as("g"), col(idCol).as("id"),
-      array_distinct(TextAnalysis.tokens(col(textCol))).as("toks"))
+      sort_array(array_distinct(transform(
+        TextAnalysis.tokens(col(textCol)), t => xxhash64(t)))).as("toks"))
     val a = d.as("a"); val b = d.as("b")
     // |A∪B| = |A|+|B|-|A∩B| (inputs are distinct) — avoids building the
     // union array per pair
     a.join(b, col("a.g") === col("b.g") && col("a.id") < col("b.id"))
-      .withColumn("ni", size(array_intersect(col("a.toks"), col("b.toks"))))
+      .withColumn("ni", DedupExprs.sortedIntersectCount(col("a.toks"), col("b.toks")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         (col("ni").cast("double") /
           (size(col("a.toks")) + size(col("b.toks")) - col("ni"))).as("j"))

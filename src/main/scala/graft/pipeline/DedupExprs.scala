@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -19,15 +19,31 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object DedupRuntime {
 
-  /** MinHash permutation constants — single source of truth for any
-    * signature width (LCG, fixed seed, values < 2^31 so a*x+b stays in
-    * Long; see Dedup.perms rationale). */
-  val P = 2147483647L // 2^31-1
-  def perms(numHashes: Int): Array[(Long, Long)] = {
-    var s = 0x5DEECE66DL
-    def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s >>> 17 }
-    Array.fill(numHashes)(((next() % (P - 1)) + 1, next() % P))
+  /** 60-bit content hash: the first 15 hex chars of md5 as a long. The
+    * cross-engine canonical hash — DuckDB reproduces it exactly as
+    * `('0x' || substring(md5(s),1,15))::BIGINT`, which is what makes the
+    * sketch operators oracle-checkable end-to-end. */
+  def h60(s: String): Long = {
+    val md = localMd5.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 8 bytes big-endian, then drop the low nibble = first 15 hex chars
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    v >>> 4
   }
+  private val localMd5 = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** MinHash permutation constants — md5-derived (via [[h60]]) so an
+    * external engine can regenerate them from the same formula; single
+    * source of truth for any signature width. Values < 2^31 so
+    * a*(h mod P)+b stays in Long. */
+  val P = 2147483647L // 2^31-1
+  def perms(numHashes: Int): Array[(Long, Long)] =
+    Array.tabulate(numHashes)(j =>
+      (h60(s"graft:minhash:a:$j") % (P - 1) + 1, h60(s"graft:minhash:b:$j") % P))
 
   private val permCache = new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
   private def permArrays(n: Int): (Array[Long], Array[Long]) =
@@ -35,18 +51,22 @@ object DedupRuntime {
       val ps = perms(k); (ps.map(_._1), ps.map(_._2))
     })
 
-  /** hashedShingles (longs in [0,P)) → minhash signature of width n. */
+  /** hashed shingles (any non-negative longs; folded mod P internally) →
+    * minhash signature of width n. */
   def minhashSig(hashed: ArrayData, n: Int): ArrayData = {
     val (as, bs) = permArrays(n)
     val m = hashed.numElements()
+    val folded = new Array[Long](m)
+    var i = 0
+    while (i < m) { folded(i) = hashed.getLong(i) % P; i += 1 }
     val out = new Array[Any](n)
     var j = 0
     while (j < n) {
       val a = as(j); val b = bs(j)
       var min = Long.MaxValue
-      var i = 0
+      i = 0
       while (i < m) {
-        val v = (a * hashed.getLong(i) + b) % P
+        val v = (a * folded(i) + b) % P
         if (v < min) min = v
         i += 1
       }
@@ -56,28 +76,78 @@ object DedupRuntime {
     new GenericArrayData(out)
   }
 
-  /** tokens → 64-bit SimHash (xxhash64 seed 42, same as functions.xxhash64). */
-  def simhash64(tokens: ArrayData): Long = {
-    val counts = new Array[Int](64)
-    val m = tokens.numElements()
-    var i = 0
-    while (i < m) {
-      val t = tokens.getUTF8String(i)
-      if (t != null) {
-        val h = XxHash64Function.hash(t, StringType, 42L)
+  /** text, k → SORTED DISTINCT 60-bit md5 hashes of word k-shingles.
+    * One native pass: tokenize (same `\s+`-on-trimmed rule as
+    * TextAnalysis.tokens), build k-gram strings, [[h60]] each, dedupe.
+    * Docs with 0 < tokens < k hash the whole token string as one shingle;
+    * empty text → empty array. Replaces a HOF pipeline in which Catalyst
+    * re-inlined the tokenization into the shingle lambda — re-splitting
+    * the text once per shingle index (~50x redundant regex work/doc). */
+  def shingleHash60(text: UTF8String, k: Int): ArrayData = {
+    val s = text.toString.trim
+    if (s.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val toks = s.split("\\s+")
+    val set = new java.util.TreeSet[java.lang.Long]()
+    if (toks.length < k) set.add(h60(toks.mkString(" ")))
+    else {
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i <= toks.length - k) {
+        sb.setLength(0)
         var j = 0
-        while (j < 64) {
-          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
-          j += 1
-        }
+        while (j < k) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+        set.add(h60(sb.toString))
+        i += 1
+      }
+    }
+    val out = new Array[Any](set.size)
+    val it = set.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** text → 60-bit SimHash long over [[h60]] token hashes (tokens with
+    * multiplicity, same tokenization as above; bits 60-63 always 0).
+    * Oracle-reproducible: DuckDB recomputes the same bit votes from the
+    * same per-token md5 hashes. */
+  def simhash60(text: UTF8String): Long = {
+    val s = text.toString.trim
+    if (s.isEmpty) return 0L
+    val toks = s.split("\\s+")
+    val counts = new Array[Int](60)
+    var i = 0
+    while (i < toks.length) {
+      val h = h60(toks(i))
+      var j = 0
+      while (j < 60) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
       }
       i += 1
     }
     var fp = 0L
     var j = 0
-    while (j < 64) { if (counts(j) > 0) fp |= (1L << j); j += 1 }
+    while (j < 60) { if (counts(j) > 0) fp |= (1L << j); j += 1 }
     fp
   }
+
+  /** Intersection size of two SORTED long arrays (single merge pass, no
+    * hash set, no boxing). The pairwise-similarity hot loop: set-Jaccard
+    * over hashed token/shingle sets runs per candidate PAIR, so this is
+    * the most-executed kernel in dedup. */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var n = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
+
 }
 
 /** array<bigint> hashed shingles → array<bigint> minhash signature. */
@@ -97,27 +167,68 @@ final case class MinhashSigExpr(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
-/** array<string> tokens → bigint simhash fingerprint. */
-final case class Simhash64Expr(child: Expression) extends UnaryExpression {
+/** string text → bigint 60-bit simhash fingerprint. */
+final case class Simhash60Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
-  override def prettyName: String = "graft_simhash64"
+  override def prettyName: String = "graft_simhash60"
 
   override protected def nullSafeEval(input: Any): Any =
-    DedupRuntime.simhash64(input.asInstanceOf[ArrayData])
+    DedupRuntime.simhash60(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.pipeline.DedupRuntime.simhash64($c)")
+      c => s"graft.pipeline.DedupRuntime.simhash60($c)")
 
-  override protected def withNewChildInternal(newChild: Expression): Simhash64Expr =
+  override protected def withNewChildInternal(newChild: Expression): Simhash60Expr =
     copy(child = newChild)
+}
+
+/** string text → sorted distinct array<bigint> of 60-bit k-shingle hashes. */
+final case class ShingleHash60Expr(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hash60"
+
+  override protected def nullSafeEval(input: Any): Any =
+    DedupRuntime.shingleHash60(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.pipeline.DedupRuntime.shingleHash60($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHash60Expr =
+    copy(child = newChild)
+}
+
+/** (sorted array<bigint>, sorted array<bigint>) → int intersection size. */
+final case class SortedIntersectCountExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_sorted_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DedupRuntime.sortedIntersectCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.pipeline.DedupRuntime.sortedIntersectCount($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectCountExpr =
+    copy(left = l, right = r)
 }
 
 object DedupExprs {
   def minhashSig(hashed: Column, numHashes: Int): Column =
     GraftColumnBridge.column(
       MinhashSigExpr(GraftColumnBridge.expression(hashed), numHashes))
-  def simhash64(tokens: Column): Column =
+  def simhash60(text: Column): Column =
     GraftColumnBridge.column(
-      Simhash64Expr(GraftColumnBridge.expression(tokens)))
+      Simhash60Expr(GraftColumnBridge.expression(text)))
+  def shingleHash60(text: Column, k: Int): Column =
+    GraftColumnBridge.column(
+      ShingleHash60Expr(GraftColumnBridge.expression(text), k))
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftColumnBridge.column(SortedIntersectCountExpr(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }

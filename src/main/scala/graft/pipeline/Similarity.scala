@@ -49,15 +49,13 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank"), round(col("sim"), 6).as("sim"))
   }
 
-  /** Deterministic pseudo-random hyperplane matrix (LCG, fixed seed). */
-  private def hyperplanes(planes: Int, dim: Int): Array[Array[Double]] = {
-    var s = 0x9E3779B97F4A7C15L
-    def next(): Double = {
-      s = s * 6364136223846793005L + 1442695040888963407L
-      ((s >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
-    }
-    Array.fill(planes, dim)(next())
-  }
+  /** Deterministic hyperplane matrix, md5-derived per (plane, dim) cell
+    * via [[DedupRuntime.h60]] — regenerable by any engine from the same
+    * formula (the DuckDB oracle recomputes it inline), unlike a wrapping
+    * LCG stream. Uniform in [-1, 1). */
+  private def hyperplanes(planes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(planes, dim)((i, d) =>
+      DedupRuntime.h60(s"graft:lsh:$i:$d").toDouble / (1L << 59).toDouble - 1.0)
 
   /** Sign-bucket signature of a vector under `planes` hyperplanes. */
   def lshSignature(vec: Column, planes: Int, dim: Int): Column = {
@@ -119,20 +117,28 @@ object Similarity {
   private def assignCentroid(vec: Column, cents: Array[Array[Double]]): Column =
     array_max(centroidScores(vec, cents))("ci")
 
+  /** @param refine run one distributed Lloyd step over the seed centroids.
+    *        Better-balanced lists, but the per-(centroid,dim) means sum
+    *        floating-point in engine-dependent order — so the
+    *        oracle-checked configuration is `refine = false`, where every
+    *        arithmetic step is a deterministic left fold. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 16, nprobe: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // deterministic seed sample: first nCentroids in id-hash order
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      refine: Boolean = true): DataFrame = {
+    // deterministic seed sample: first nCentroids in md5-of-id order (a
+    // formula any engine reproduces, unlike an engine-native hash)
     val seeds = corpus
       .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
-      .orderBy(abs(hash(col("cid"))), col("cid"))
+      .orderBy(conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+        .cast("long"), col("cid"))
       .limit(nCentroids).collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
     // one distributed Lloyd step: per-(centroid, dim) mean via posexplode.
     // The repartition is a deliberate pipeline boundary: without it the
     // Generate (explode) re-evaluates the centroid-assignment expression
     // once per exploded element (dims× the work).
-    val refined: Array[Array[Double]] = {
+    val refined: Array[Array[Double]] = if (!refine) seeds else {
       val dims = seeds(0).length
       val sums = corpus
         .select(assignCentroid(col(vecCol), seeds).as("c"), col(vecCol).as("v"))
