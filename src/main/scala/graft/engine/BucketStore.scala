@@ -126,30 +126,30 @@ final class BucketStore(val spark: SparkSession, val root: String) {
       remove: Set[String] = Set.empty): Long = {
     val all = table()
     val matched = QueryEngine.matching(all, spec)
-      .select("bucket", "entry", "ts").withColumn("__upd", lit(1))
-    val n = matched.count()
-    if (n == 0) return 0
-    val patch =
-      if (set.isEmpty) map().cast("map<string,string>")
-      else map(set.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
-    val dropKeys = array((remove ++ set.keys).toSeq.map(lit(_)): _*)
-    val affected = affectedPartitions(matched.drop("__upd"))
-    // join on the full (bucket, entry, dt) key — joining on a prefix would
-    // multiply rows by the number of affected days
-    val rewritten = all.withColumn("dt", dtCol)
-      .join(broadcast(affected), Seq("bucket", "entry", "dt"))
-      .drop("dt")
-      .join(matched, Seq("bucket", "entry", "ts"), "left")
-      .withColumn("labels",
-        when(col("__upd").isNotNull,
-          map_concat(
-            map_filter(coalesce(col("labels"), map().cast("map<string,string>")),
-              (k, _) => !array_contains(dropKeys, k)),
-            patch))
-          .otherwise(col("labels")))
-      .drop("__upd")
-    overwritePartitions(rewritten)
-    n
+      .select("bucket", "entry", "ts")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = matched.count() // also materializes the persist for reuse
+      if (n == 0) return 0
+      val patch =
+        if (set.isEmpty) map().cast("map<string,string>")
+        else map(set.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+      val dropKeys = array((remove ++ set.keys).toSeq.map(lit(_)): _*)
+      val affected = collectAffected(matched)
+      val rewritten = prunedPartitionScan(affected)
+        .join(matched.withColumn("__upd", lit(1)),
+          Seq("bucket", "entry", "ts"), "left")
+        .withColumn("labels",
+          when(col("__upd").isNotNull,
+            map_concat(
+              map_filter(coalesce(col("labels"), map().cast("map<string,string>")),
+                (k, _) => !array_contains(dropKeys, k)),
+              patch))
+            .otherwise(col("labels")))
+        .drop("__upd")
+      overwritePartitions(rewritten)
+      n
+    } finally matched.unpersist()
   }
 
   /** Query-as-delete (remove_records.rs:62-160): rewrite only affected
@@ -157,27 +157,48 @@ final class BucketStore(val spark: SparkSession, val root: String) {
   def removeQuery(spec: QuerySpec): Long = {
     val all = table()
     val matched = QueryEngine.matching(all, spec).select("bucket", "entry", "ts")
-    val n = matched.count()
-    if (n == 0) return 0
-    val affected = affectedPartitions(matched)
-    // materialize the affected-partition list before any file is touched
-    val affectedRows = affected.collect()
-      .map(r => (r.getString(0), r.getString(1), r.getDate(2).toString))
-    val survivors = all.withColumn("dt", dtCol)
-      .join(broadcast(affected), Seq("bucket", "entry", "dt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = matched.count()
+      if (n == 0) return 0
+      // materialize the affected-partition list before any file is touched
+      val affected = collectAffected(matched)
+      val survivors = prunedPartitionScan(affected)
+        .join(matched, Seq("bucket", "entry", "ts"), "left_anti")
+        .localCheckpoint(true) // cut lineage: the write overwrites its input
+      overwritePartitions(survivors, checkpointed = true)
+      // dynamic overwrite only rewrites partitions PRESENT in the output —
+      // a partition whose every record matched is left untouched, so drop
+      // fully-emptied partition directories explicitly
+      val surviving = survivors.withColumn("dt", dtCol)
+        .select("bucket", "entry", "dt").distinct().collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDate(2).toString)).toSet
+      for ((b, e, dt) <- affected if !surviving((b, e, dt)))
+        deletePartitionDir(b, e, dt)
+      n
+    } finally matched.unpersist()
+  }
+
+  private def collectAffected(matched: DataFrame): Array[(String, String, String)] =
+    matched.withColumn("dt", dtCol).select("bucket", "entry", "dt").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDate(2).toString))
+
+  /** Scan exactly the given (bucket, entry, dt) partitions, `dt` dropped.
+    * The isin filters are on PARTITION columns, so they prune at the file
+    * index — the rewrite never touches unaffected partitions' files. The
+    * single-column isin sets over-approximate the tuple set; the exact
+    * tuple filter runs on top (cheap: it only sees pruned rows). */
+  private def prunedPartitionScan(affected: Array[(String, String, String)]): DataFrame = {
+    val bs = affected.map(_._1).distinct.toSeq
+    val es = affected.map(_._2).distinct.toSeq
+    val ds = affected.map(_._3).distinct.toSeq
+    val keys = affected.map { case (b, e, d) => s"$b\u0001$e\u0001$d" }.toSet
+    val keyCol = concat_ws("\u0001", col("bucket"), col("entry"), col("dt").cast("string"))
+    spark.read.schema(storedSchema).parquet(root)
+      .filter(col("bucket").isin(bs: _*) && col("entry").isin(es: _*) &&
+        col("dt").cast("string").isin(ds: _*))
+      .filter(keyCol.isin(keys.toSeq: _*))
       .drop("dt")
-      .join(matched, Seq("bucket", "entry", "ts"), "left_anti")
-      .localCheckpoint(true)
-    overwritePartitions(survivors)
-    // dynamic overwrite only rewrites partitions PRESENT in the output —
-    // a partition whose every record matched is left untouched, so drop
-    // fully-emptied partition directories explicitly
-    val surviving = survivors.withColumn("dt", dtCol)
-      .select("bucket", "entry", "dt").distinct().collect()
-      .map(r => (r.getString(0), r.getString(1), r.getDate(2).toString)).toSet
-    for ((b, e, dt) <- affectedRows if !surviving((b, e, dt)))
-      deletePartitionDir(b, e, dt)
-    n
   }
 
   private def deletePartitionDir(bucket: String, entry: String, dt: String): Unit = {
@@ -187,20 +208,20 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     fs.delete(path, true)
   }
 
-  private def affectedPartitions(matched: DataFrame): DataFrame =
-    matched.withColumn("dt", dtCol).select("bucket", "entry", "dt").distinct()
-
   /** Dynamic-overwrite only the partitions present in `records`. The input
     * reads from the same path being overwritten, so lineage is cut first
-    * (`localCheckpoint`); a petabyte-scale deployment would stage to a
-    * sibling directory + atomic partition swap instead. */
-  private def overwritePartitions(records: DataFrame): Unit =
-    records.withColumn("dt", dtCol)
-      .localCheckpoint(true)
+    * (`localCheckpoint`) unless the caller already did; a petabyte-scale
+    * deployment would stage to a sibling directory + atomic partition swap
+    * instead. */
+  private def overwritePartitions(records: DataFrame,
+      checkpointed: Boolean = false): Unit = {
+    val cut = if (checkpointed) records else records.localCheckpoint(true)
+    cut.withColumn("dt", dtCol)
       .repartition(col("bucket"), col("entry"), col("dt")) // one task per dir
       .write.partitionBy("bucket", "entry", "dt")
       .mode(SaveMode.Overwrite) // dynamic: only touched partitions
       .parquet(root)
+  }
 
   /** Entry catalog (names only; from partition listing, no data scan). */
   def entries(bucket: String): Seq[String] =

@@ -50,8 +50,12 @@ object Lifecycle {
           .withColumn("dt", to_date(timestamp_micros(col("ts"))))
           .join(broadcast(affected), Seq("bucket", "entry", "dt"))
         rewritten.localCheckpoint(true)
+          .repartition(col("bucket"), col("entry"), col("dt")) // one task/dir
           .write.partitionBy("bucket", "entry", "dt")
           .option("compression", codec)
+          // writer options propagate into the task-side Hadoop conf, which
+          // is where parquet-java reads the zstd level from (verified by
+          // size in LifecycleSpec — the level is not recorded in footers)
           .option("parquet.compression.codec.zstd.level", level)
           .mode(SaveMode.Overwrite)
           .parquet(store.root)
