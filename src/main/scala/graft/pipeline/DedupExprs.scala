@@ -132,6 +132,24 @@ object DedupRuntime {
     fp
   }
 
+  /** Left-fold dot product over two numeric arrays, accumulated in double
+    * — bit-identical to `aggregate(zip_with(a, b, *), 0.0, +)` (same
+    * IEEE operation order) but a primitive loop instead of an interpreted
+    * higher-order-function pipeline with per-element boxing. Arrays may be
+    * float or double (floats widen exactly). */
+  def dotProduct(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+
   /** Intersection size of two SORTED long arrays (single merge pass, no
     * hash set, no boxing). The pairwise-similarity hot loop: set-Jaccard
     * over hashed token/shingle sets runs per candidate PAIR, so this is
@@ -200,6 +218,32 @@ final case class ShingleHash60Expr(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** (array<float|double>, array<float|double>) → double dot product. */
+final case class DotProductExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(s"dot over $other")
+  }
+  private lazy val lf = isFloat(left)
+  private lazy val rf = isFloat(right)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DedupRuntime.dotProduct(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], lf, rf)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.pipeline.DedupRuntime.dotProduct($a, $b, $lf, $rf)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductExpr =
+    copy(left = l, right = r)
+}
+
 /** (sorted array<bigint>, sorted array<bigint>) → int intersection size. */
 final case class SortedIntersectCountExpr(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
@@ -230,5 +274,8 @@ object DedupExprs {
       ShingleHash60Expr(GraftColumnBridge.expression(text), k))
   def sortedIntersectCount(a: Column, b: Column): Column =
     GraftColumnBridge.column(SortedIntersectCountExpr(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  def dotProduct(a: Column, b: Column): Column =
+    GraftColumnBridge.column(DotProductExpr(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }

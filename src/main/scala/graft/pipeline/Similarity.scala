@@ -22,10 +22,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ over two float-array columns, accumulated in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Σ aᵢ·bᵢ over two float/double-array columns, accumulated in double.
+    * Native left-fold kernel — bit-identical to the
+    * `aggregate(zip_with(...))` HOF formulation (same IEEE order) but
+    * ~10x cheaper: HOFs evaluate interpreted with per-element boxing,
+    * and this runs once per candidate PAIR. */
+  def dot(a: Column, b: Column): Column = DedupExprs.dotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
