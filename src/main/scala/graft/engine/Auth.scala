@@ -1,0 +1,239 @@
+package graft.engine
+
+import java.security.{MessageDigest, SecureRandom}
+import scala.collection.mutable
+
+/** Token authentication + authorization policies — the engine-level port
+  * of the reference's auth stack (reductstore/src/auth): a token
+  * repository holding salted-SHA256 secrets, bearer-header validation with
+  * expiry / inactivity-TTL / IP-allowlist checks, and the per-route policy
+  * lattice (anonymous < authenticated < read < write < full access).
+  *
+  * Transport-agnostic: [[HttpApi]] (or any other facade) passes the raw
+  * `Authorization` header value. All failures raise [[ApiError]] with the
+  * reference's status codes and messages.
+  */
+object Auth {
+
+  final case class ApiError(status: Int, message: String)
+      extends RuntimeException(message)
+  def unauthorized(msg: String) = ApiError(401, msg)
+  def forbidden(msg: String) = ApiError(403, msg)
+  def notFound(msg: String) = ApiError(404, msg)
+  def conflict(msg: String) = ApiError(409, msg)
+  def unprocessable(msg: String) = ApiError(422, msg)
+
+  final case class Permissions(
+      fullAccess: Boolean = false,
+      read: Seq[String] = Seq.empty,
+      write: Seq[String] = Seq.empty)
+
+  final case class Token(
+      name: String,
+      value: String, // salted-sha256 secret, never the raw token
+      createdAtMs: Long,
+      permissions: Option[Permissions],
+      isProvisioned: Boolean = false,
+      expiresAtMs: Option[Long] = None,
+      ttlSec: Option[Long] = None,
+      lastAccessMs: Option[Long] = None,
+      ipAllowlist: Seq[String] = Seq.empty)
+
+  final case class TokenCreateResponse(value: String, createdAtMs: Long)
+
+  val InitTokenName = "init-token"
+
+  // ------------------------------------------------------- secret hashing
+
+  private val Sha256Prefix = "sha256$"
+  private val rng = new SecureRandom()
+
+  private def sha256(bytes: Array[Byte]): Array[Byte] =
+    MessageDigest.getInstance("SHA-256").digest(bytes)
+
+  private def hex(b: Array[Byte]): String = b.map(x => f"${x & 0xFF}%02x").mkString
+
+  private def unhex(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  /** token_secret.rs hash_token_secret: `sha256$<salt-hex>:<hash-hex>`. */
+  def hashTokenSecret(value: String): String = {
+    val salt = new Array[Byte](16)
+    rng.nextBytes(salt)
+    val h = sha256(salt ++ value.getBytes("UTF-8"))
+    s"$Sha256Prefix${hex(salt)}:${hex(h)}"
+  }
+
+  def isHashedTokenSecret(v: String): Boolean = v.startsWith(Sha256Prefix)
+
+  /** Constant-time verification against the stored salted hash. */
+  def verifyTokenSecret(stored: String, candidate: String): Boolean = {
+    if (!isHashedTokenSecret(stored)) return false
+    stored.substring(Sha256Prefix.length).split(":", 2) match {
+      case Array(saltHex, hashHex) =>
+        try MessageDigest.isEqual(
+          sha256(unhex(saltHex) ++ candidate.getBytes("UTF-8")), unhex(hashHex))
+        catch { case _: NumberFormatException => false }
+      case _ => false
+    }
+  }
+
+  // ------------------------------------------------------------ policies
+
+  /** auth/policy.rs — validate an already-resolved token lookup. */
+  sealed trait Policy {
+    def validate(token: Either[ApiError, Token]): Unit
+  }
+  /** Allows anything, even an invalid token. */
+  case object AnonymousPolicy extends Policy {
+    def validate(token: Either[ApiError, Token]): Unit = ()
+  }
+  case object AuthenticatedPolicy extends Policy {
+    def validate(token: Either[ApiError, Token]): Unit =
+      token.left.foreach(throw _)
+  }
+  case object FullAccessPolicy extends Policy {
+    def validate(token: Either[ApiError, Token]): Unit = {
+      val t = token.fold(throw _, identity)
+      if (!t.permissions.exists(_.fullAccess))
+        throw forbidden(s"Token '${t.name}' doesn't have full access")
+    }
+  }
+  final case class ReadAccessPolicy(bucket: String) extends Policy {
+    def validate(token: Either[ApiError, Token]): Unit = {
+      val t = token.fold(throw _, identity)
+      val p = t.permissions.getOrElse(Permissions())
+      if (!p.fullAccess && !checkBucketPermissions(p.read, bucket))
+        throw forbidden(s"Token '${t.name}' doesn't have read access to bucket '$bucket'")
+    }
+  }
+  final case class WriteAccessPolicy(bucket: String) extends Policy {
+    def validate(token: Either[ApiError, Token]): Unit = {
+      val t = token.fold(throw _, identity)
+      val p = t.permissions.getOrElse(Permissions())
+      if (!p.fullAccess && !checkBucketPermissions(p.write, bucket))
+        throw forbidden(s"Token '${t.name}' doesn't have write access to bucket '$bucket'")
+    }
+  }
+
+  /** policy.rs check_bucket_permissions: exact names always match;
+    * trailing-`*` wildcards match by prefix but NEVER grant access to
+    * `$`-system buckets. */
+  def checkBucketPermissions(grants: Seq[String], bucket: String): Boolean =
+    grants.exists { g =>
+      g == bucket ||
+        (!bucket.startsWith("$") && g.endsWith("*") &&
+          bucket.startsWith(g.dropRight(1)))
+    }
+
+  // ---------------------------------------------------------- repository
+
+  def parseBearerToken(header: String): String = {
+    if (!header.startsWith("Bearer "))
+      throw unauthorized("No bearer token in request header")
+    header.substring(7)
+  }
+
+  /** token_repository/repo.rs — in-memory (the storage backend would be a
+    * `$system` entry at scale; see Lifecycle.recordUsageEvent). `nowMs` is
+    * injectable for deterministic tests. */
+  final class TokenRepository(apiToken: String,
+      nowMs: () => Long = () => System.currentTimeMillis()) {
+
+    private val repo = mutable.LinkedHashMap.empty[String, Token]
+    private val bucketNameRe = "^[A-Za-z0-9_*-]+$".r
+
+    // read_only.rs:148-177 — the configured API token becomes a
+    // provisioned full-access init token
+    if (apiToken.nonEmpty)
+      repo(InitTokenName) = Token(InitTokenName, hashTokenSecret(apiToken),
+        nowMs(), Some(Permissions(fullAccess = true)), isProvisioned = true)
+
+    def authRequired: Boolean = apiToken.nonEmpty
+
+    def createToken(name: String, permissions: Permissions,
+        expiresAtMs: Option[Long] = None, ttlSec: Option[Long] = None,
+        ipAllowlist: Seq[String] = Seq.empty,
+        provisioned: Boolean = false): TokenCreateResponse = {
+      if (name.isEmpty) throw unprocessable("Token name can't be empty")
+      if (repo.contains(name)) throw conflict(s"Token '$name' already exists")
+      for (e <- permissions.read ++ permissions.write)
+        if (!e.startsWith("$") && !bucketNameRe.matches(e))
+          throw unprocessable(
+            s"Permission can contain only bucket names or wildcard '*', got '$e'")
+      if (ttlSec.contains(0L))
+        throw unprocessable("Token TTL must be greater than zero")
+      val createdAt = nowMs()
+      expiresAtMs.foreach(e => if (e < createdAt)
+        throw unprocessable("Token expiration date must not be in the past"))
+      val value = s"$name-${(0 until 32).map(_ => f"${rng.nextInt(16)}%x").mkString}"
+      repo(name) = Token(name, hashTokenSecret(value), createdAt,
+        Some(permissions), isProvisioned = provisioned,
+        expiresAtMs = expiresAtMs, ttlSec = ttlSec, ipAllowlist = ipAllowlist)
+      TokenCreateResponse(value, createdAt)
+    }
+
+    def getToken(name: String): Token =
+      repo.getOrElse(name, throw notFound(s"Token '$name' doesn't exist"))
+
+    def tokenList: Seq[Token] = repo.values.toSeq
+
+    def removeToken(name: String): Unit = {
+      repo.get(name).foreach(t => if (t.isProvisioned)
+        throw conflict(s"Can't remove provisioned token '$name'"))
+      if (repo.remove(name).isEmpty)
+        throw notFound(s"Token '$name' doesn't exist")
+    }
+
+    /** repo.rs rotate_token — re-issue the secret, keep the grants. */
+    def rotateToken(name: String): TokenCreateResponse = {
+      if (name == InitTokenName) throw conflict("Can't rotate init token")
+      val t = repo.getOrElse(name, throw notFound(s"Token '$name' doesn't exist"))
+      if (t.isProvisioned) throw conflict(s"Can't rotate provisioned token '$name'")
+      t.expiresAtMs.foreach(e => if (nowMs() >= e)
+        throw unprocessable(s"Can't rotate expired token '$name'"))
+      val value = s"$name-${(0 until 32).map(_ => f"${rng.nextInt(16)}%x").mkString}"
+      repo(name) = t.copy(value = hashTokenSecret(value), createdAtMs = nowMs())
+      TokenCreateResponse(value, nowMs())
+    }
+
+    /** repo.rs validate_token — bearer parse, hash match, lifetime + IP. */
+    def validateToken(header: Option[String],
+        clientIp: Option[String] = None): Token = {
+      val value = parseBearerToken(header.getOrElse(""))
+      val token = repo.values
+        .find(t => verifyTokenSecret(t.value, value))
+        .getOrElse(throw unauthorized("Invalid token"))
+      checkTokenLifetime(token)
+      checkIpAllowlist(token, clientIp)
+      repo(token.name) = token.copy(lastAccessMs = Some(nowMs()))
+      token
+    }
+
+    private def checkTokenLifetime(t: Token): Unit = {
+      val now = nowMs()
+      if (t.expiresAtMs.exists(now >= _))
+        throw unauthorized(s"Token '${t.name}' expired")
+      for (ttl <- t.ttlSec; last <- t.lastAccessMs)
+        if ((now - last) / 1000 > ttl)
+          throw unauthorized(s"Token '${t.name}' expired")
+    }
+
+    private def checkIpAllowlist(t: Token, ip: Option[String]): Unit =
+      if (t.ipAllowlist.nonEmpty) ip match {
+        case Some(addr) if t.ipAllowlist.contains(addr) => ()
+        case _ => throw unauthorized(
+          s"Token '${t.name}' is not allowed from this IP address")
+      }
+
+    /** token_auth.rs check — no API token configured → open instance. */
+    def check(header: Option[String], clientIp: Option[String],
+        policy: Policy): Unit = {
+      if (apiToken.isEmpty) return
+      val resolved =
+        try Right(validateToken(header, clientIp))
+        catch { case e: ApiError => Left(e) }
+      policy.validate(resolved)
+    }
+  }
+}
