@@ -1,0 +1,393 @@
+package graft.engine
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.core.EntryPattern
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Minimal HTTP façade exposing the engine over the reference's REST
+  * surface (api/http/server.rs, bucket.rs, entry.rs, token.rs — SURVEY
+  * §2.8), built on the JDK's HttpServer so the library stays
+  * dependency-free. This is a single-node serving front for the
+  * Spark-backed store — the cluster does the heavy lifting; the façade
+  * translates routes, headers and auth:
+  *
+  *  - `HEAD /api/v1/alive`, `GET /api/v1/info`, `GET /api/v1/list`,
+  *    `GET /api/v1/me`
+  *  - bucket CRUD `POST|GET|DELETE /api/v1/b/:bucket`
+  *  - entry IO `POST|GET|PATCH /api/v1/b/:bucket/:entry?ts=` with
+  *    `x-reduct-label-*` headers (write/read/update-labels)
+  *  - query cursors `POST /api/v1/b/:b/:e/q` → `{"id":N}`, batched read
+  *    `GET /api/v1/b/:b/:e/batch?q=N` (v1 record headers +
+  *    `x-reduct-last`), query-as-delete `DELETE /api/v1/b/:b/:e/q`
+  *  - token CRUD `GET|POST|DELETE /api/v1/tokens[/:name]`
+  *
+  * Route policies mirror token_auth usage: entry reads need bucket read
+  * grants, writes need write grants, bucket/token management needs full
+  * access; an empty api token runs the instance open.
+  */
+final class HttpApi(store: BucketStore, apiToken: String = "",
+    port: Int = 0, queryTtlMs: Long = 60000L) {
+  import Auth._
+  import HttpApi._
+
+  val tokens = new TokenRepository(apiToken)
+  private val registry = new QueryRegistry(queryTtlMs)
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+  server.createContext("/api/v1/", (ex: HttpExchange) => handle(ex))
+
+  def start(): Int = { server.start(); server.getAddress.getPort }
+  def stop(): Unit = server.stop(0)
+  def boundPort: Int = server.getAddress.getPort
+
+  // ------------------------------------------------------------- routing
+
+  private def handle(ex: HttpExchange): Unit =
+    try {
+      val path = ex.getRequestURI.getPath.stripPrefix("/api/v1").stripPrefix("/")
+      val segs = path.split("/").filter(_.nonEmpty).map(urlDecode).toList
+      val method = ex.getRequestMethod.toUpperCase
+      val q = queryParams(ex)
+      (method, segs) match {
+        case ("HEAD", List("alive")) => respond(ex, 200, Array.empty)
+        case ("GET", List("info"))   => auth(ex, AuthenticatedPolicy); info(ex)
+        case ("GET", List("list"))   => auth(ex, AuthenticatedPolicy); list(ex)
+        case ("GET", List("me"))     => me(ex)
+        case ("GET", List("tokens")) =>
+          auth(ex, FullAccessPolicy)
+          json(ex, 200, JArray(tokens.tokenList.map(tokenJson).toList))
+        case ("POST", List("tokens", name)) =>
+          auth(ex, FullAccessPolicy); createToken(ex, name)
+        case ("GET", List("tokens", name)) =>
+          auth(ex, FullAccessPolicy); json(ex, 200, tokenJson(tokens.getToken(name)))
+        case ("DELETE", List("tokens", name)) =>
+          auth(ex, FullAccessPolicy); tokens.removeToken(name); json(ex, 200, JObject())
+        case ("POST", List("b", bucket)) =>
+          auth(ex, FullAccessPolicy); createBucket(ex, bucket)
+        case ("GET", List("b", bucket)) =>
+          auth(ex, ReadAccessPolicy(bucket)); bucketInfo(ex, bucket)
+        case ("DELETE", List("b", bucket)) =>
+          auth(ex, FullAccessPolicy); removeBucket(ex, bucket)
+        case ("POST", "b" :: bucket :: rest)
+            if rest.length > 1 && rest.last == "q" =>
+          auth(ex, ReadAccessPolicy(bucket))
+          openQuery(ex, bucket, rest.dropRight(1).mkString("/"))
+        case ("DELETE", "b" :: bucket :: rest)
+            if rest.length > 1 && rest.last == "q" =>
+          auth(ex, WriteAccessPolicy(bucket))
+          removeQuery(ex, bucket, rest.dropRight(1).mkString("/"))
+        case ("GET", "b" :: bucket :: rest)
+            if rest.length > 1 && rest.last == "batch" =>
+          auth(ex, ReadAccessPolicy(bucket))
+          readBatched(ex, bucket, rest.dropRight(1).mkString("/"), q)
+        case ("POST", "b" :: bucket :: rest) if rest.nonEmpty =>
+          auth(ex, WriteAccessPolicy(bucket)); writeSingle(ex, bucket, rest.mkString("/"), q)
+        case ("GET", "b" :: bucket :: rest) if rest.nonEmpty =>
+          auth(ex, ReadAccessPolicy(bucket)); readSingle(ex, bucket, rest.mkString("/"), q)
+        case ("PATCH", "b" :: bucket :: rest) if rest.nonEmpty =>
+          auth(ex, WriteAccessPolicy(bucket)); updateSingle(ex, bucket, rest.mkString("/"), q)
+        case ("DELETE", "b" :: bucket :: rest) if rest.nonEmpty =>
+          auth(ex, FullAccessPolicy)
+          store.removeEntry(bucket, rest.mkString("/")); json(ex, 200, JObject())
+        case _ => throw notFound(s"Route not found: $method ${ex.getRequestURI.getPath}")
+      }
+    } catch {
+      case e: ApiError =>
+        errorResponse(ex, e.status, e.message)
+      case e: IllegalArgumentException =>
+        errorResponse(ex, 422, Option(e.getMessage).getOrElse("unprocessable"))
+      case e: NoSuchElementException =>
+        errorResponse(ex, 404, Option(e.getMessage).getOrElse("not found"))
+      case e: Throwable =>
+        errorResponse(ex, 500, Option(e.getMessage).getOrElse(e.getClass.getName))
+    } finally ex.close()
+
+  private def auth(ex: HttpExchange, policy: Policy): Unit =
+    tokens.check(Option(ex.getRequestHeaders.getFirst("Authorization")),
+      Option(ex.getRemoteAddress).map(_.getAddress.getHostAddress), policy)
+
+  // ------------------------------------------------------------- server
+
+  private def info(ex: HttpExchange): Unit = {
+    val t = store.tableOrEmpty().groupBy()
+      .agg(count(lit(1)), min("ts"), max("ts"), countDistinct("bucket"))
+      .collect()(0)
+    json(ex, 200, JObject(
+      "version" -> JString("1.16.0-spark"),
+      "bucket_count" -> JInt(if (t.isNullAt(3)) 0 else t.getLong(3)),
+      "usage" -> JInt(BigInt(storeBytes)),
+      "oldest_record" -> JInt(if (t.isNullAt(1)) 0 else BigInt(t.getLong(1))),
+      "latest_record" -> JInt(if (t.isNullAt(2)) 0 else BigInt(t.getLong(2)))))
+  }
+
+  private def storeBytes: Long = {
+    val p = new org.apache.hadoop.fs.Path(store.root)
+    val fs = p.getFileSystem(store.spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+  }
+
+  private def list(ex: HttpExchange): Unit = {
+    val rows = store.tableOrEmpty().groupBy("bucket")
+      .agg(count(lit(1)).as("n"), countDistinct("entry").as("entries"),
+        min("ts").as("oldest"), max("ts").as("latest"))
+      .orderBy("bucket").collect()
+    json(ex, 200, JObject("buckets" -> JArray(rows.map { r =>
+      JObject(
+        "name" -> JString(r.getString(0)),
+        "size" -> JInt(BigInt(store.bucketSizeBytes(r.getString(0)))),
+        "entry_count" -> JInt(BigInt(r.getLong(1))),
+        "oldest_record" -> JInt(BigInt(r.getLong(2))),
+        "latest_record" -> JInt(BigInt(r.getLong(3))))
+    }.toList)))
+  }
+
+  private def me(ex: HttpExchange): Unit = {
+    if (!tokens.authRequired)
+      return json(ex, 200, JObject("name" -> JString("anonymous")))
+    val t = tokens.validateToken(
+      Option(ex.getRequestHeaders.getFirst("Authorization")))
+    json(ex, 200, tokenJson(t))
+  }
+
+  private def tokenJson(t: Token): JObject = JObject(
+    "name" -> JString(t.name),
+    "created_at" -> JInt(BigInt(t.createdAtMs)),
+    "is_provisioned" -> JBool(t.isProvisioned),
+    "permissions" -> t.permissions.map(p => JObject(
+      "full_access" -> JBool(p.fullAccess),
+      "read" -> JArray(p.read.map(JString(_)).toList),
+      "write" -> JArray(p.write.map(JString(_)).toList))).getOrElse(JNull))
+
+  private def createToken(ex: HttpExchange, name: String): Unit = {
+    val body = JsonMethods.parseOpt(new String(readBody(ex), UTF_8)).getOrElse(JObject())
+    implicit val fmts: Formats = DefaultFormats
+    val perms = (body \ "permissions")
+    val p = Permissions(
+      fullAccess = (perms \ "full_access").extractOpt[Boolean].getOrElse(false),
+      read = (perms \ "read").extractOpt[Seq[String]].getOrElse(Seq.empty),
+      write = (perms \ "write").extractOpt[Seq[String]].getOrElse(Seq.empty))
+    val resp = tokens.createToken(name, p)
+    json(ex, 200, JObject("value" -> JString(resp.value),
+      "created_at" -> JInt(BigInt(resp.createdAtMs))))
+  }
+
+  // ------------------------------------------------------------- buckets
+
+  private val createdBuckets = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def bucketExists(bucket: String): Boolean =
+    createdBuckets.contains(bucket) || store.bucketSizeBytes(bucket) > 0
+
+  private def createBucket(ex: HttpExchange, bucket: String): Unit = {
+    if (bucketExists(bucket)) throw conflict(s"Bucket '$bucket' already exists")
+    createdBuckets.add(bucket)
+    json(ex, 200, JObject())
+  }
+
+  private def bucketInfo(ex: HttpExchange, bucket: String): Unit = {
+    if (!bucketExists(bucket)) throw notFound(s"Bucket '$bucket' is not found")
+    val entries = store.tableOrEmpty().filter(col("bucket") === bucket)
+      .groupBy("entry").agg(count(lit(1)).as("n"),
+        min("ts").as("oldest"), max("ts").as("latest"))
+      .orderBy("entry").collect()
+    json(ex, 200, JObject(
+      "info" -> JObject(
+        "name" -> JString(bucket),
+        "size" -> JInt(BigInt(store.bucketSizeBytes(bucket))),
+        "entry_count" -> JInt(entries.length),
+        "record_count" -> JInt(BigInt(entries.map(_.getLong(1)).sum))),
+      "entries" -> JArray(entries.map { r =>
+        JObject("name" -> JString(r.getString(0)),
+          "record_count" -> JInt(BigInt(r.getLong(1))),
+          "oldest_record" -> JInt(BigInt(r.getLong(2))),
+          "latest_record" -> JInt(BigInt(r.getLong(3))))
+      }.toList)))
+  }
+
+  private def removeBucket(ex: HttpExchange, bucket: String): Unit = {
+    if (!bucketExists(bucket)) throw notFound(s"Bucket '$bucket' is not found")
+    store.removeBucket(bucket)
+    createdBuckets.remove(bucket)
+    json(ex, 200, JObject())
+  }
+
+  // ------------------------------------------------------------ entry IO
+
+  private def labelHeaders(ex: HttpExchange): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    ex.getRequestHeaders.asScala.flatMap { case (k, vs) =>
+      val lower = k.toLowerCase
+      if (lower.startsWith("x-reduct-label-"))
+        Some(lower.stripPrefix("x-reduct-label-") -> vs.asScala.mkString(","))
+      else None
+    }.toMap
+  }
+
+  private def writeSingle(ex: HttpExchange, bucket: String, entry: String,
+      q: Map[String, String]): Unit = {
+    val ts = q.getOrElse("ts",
+      throw unprocessable("'ts' parameter is required")).toLong
+    val ct = Option(ex.getRequestHeaders.getFirst("Content-Type"))
+      .getOrElse("application/octet-stream")
+    val body = readBody(ex)
+    try store.writeBatch(bucket, entry, Seq((ts, labelHeaders(ex), body)), ct)
+    catch { case e: IllegalArgumentException if
+        Option(e.getMessage).exists(_.contains("already exists")) =>
+      throw conflict(s"A record with timestamp $ts already exists") }
+    createdBuckets.add(bucket)
+    json(ex, 200, JObject())
+  }
+
+  private def recordAt(bucket: String, entry: String,
+      q: Map[String, String]): Row = {
+    val base = store.table()
+      .filter(col("bucket") === bucket && col("entry") === entry)
+    val at = q.get("ts") match {
+      case Some(ts) => base.filter(col("ts") === ts.toLong)
+      case None     => base.orderBy(col("ts").desc).limit(1)
+    }
+    at.collect().headOption.getOrElse(throw notFound("No record found"))
+  }
+
+  private def readSingle(ex: HttpExchange, bucket: String, entry: String,
+      q: Map[String, String]): Unit = {
+    val r = recordAt(bucket, entry, q)
+    val payload = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.empty[Byte])
+    val h = ex.getResponseHeaders
+    h.set("Content-Type", Option(r.getAs[String]("content_type"))
+      .filter(_.nonEmpty).getOrElse("application/octet-stream"))
+    h.set("x-reduct-time", r.getAs[Long]("ts").toString)
+    h.set("x-reduct-last", "true")
+    val labels = Option(r.getAs[collection.Map[String, String]]("labels"))
+      .getOrElse(Map.empty[String, String])
+    for ((k, v) <- labels) h.set(s"x-reduct-label-$k", v)
+    respond(ex, 200, payload)
+  }
+
+  private def updateSingle(ex: HttpExchange, bucket: String, entry: String,
+      q: Map[String, String]): Unit = {
+    val ts = q.getOrElse("ts",
+      throw unprocessable("'ts' parameter is required")).toLong
+    recordAt(bucket, entry, q) // 404 if absent
+    // empty header value removes the label (update_labels.rs:116)
+    val (set, remove) = labelHeaders(ex).partition(_._2.nonEmpty)
+    store.updateLabels(
+      QuerySpec(start = Some(ts), stop = Some(ts + 1),
+        entries = Some(Seq(entry)), bucket = Some(bucket)),
+      set = set, remove = remove.keySet)
+    json(ex, 200, JObject())
+  }
+
+  // -------------------------------------------------------------- query
+
+  private def parseQueryEntry(body: String): (QuerySpec, Long, Boolean) = {
+    val j = JsonMethods.parseOpt(body).getOrElse(JObject())
+    implicit val fmts: Formats = DefaultFormats
+    val spec = QuerySpec(
+      start = (j \ "start").extractOpt[Long],
+      stop = (j \ "stop").extractOpt[Long],
+      entries = (j \ "entries").extractOpt[Seq[String]],
+      when = (j \ "when").toOption.filter(_ != JNothing)
+        .map(w => JsonMethods.compact(JsonMethods.render(w))),
+      strict = (j \ "strict").extractOpt[Boolean].getOrElse(false),
+      onlyMetadata = (j \ "only_metadata").extractOpt[Boolean].getOrElse(false))
+    val ttlMs = (j \ "ttl").extractOpt[Long].map(_ * 1000).getOrElse(queryTtlMs)
+    val continuous = (j \ "continuous").extractOpt[Boolean].getOrElse(false)
+    (spec, ttlMs, continuous)
+  }
+
+  private def openQuery(ex: HttpExchange, bucket: String, entry: String): Unit = {
+    val (spec0, ttlMs, continuous) = parseQueryEntry(new String(readBody(ex), UTF_8))
+    val spec = spec0.copy(bucket = Some(bucket),
+      entries = Some(spec0.entries.getOrElse(Seq(entry))))
+    val id = registry.open(() => store.table(), spec,
+      continuous = continuous, ttlMs = ttlMs)
+    json(ex, 200, JObject("id" -> JInt(BigInt(id))))
+  }
+
+  private def readBatched(ex: HttpExchange, bucket: String, entry: String,
+      q: Map[String, String]): Unit = {
+    val id = q.getOrElse("q", throw unprocessable("'q' parameter is required")).toLong
+    val max = q.get("max").map(_.toInt).getOrElse(85)
+    val rows = registry.fetch(id, max)
+      .getOrElse(throw notFound(s"Query $id doesn't exist or expired"))
+    if (rows.isEmpty) {
+      ex.getResponseHeaders.set("x-reduct-last", "true")
+      respond(ex, 204, Array.empty)
+      return
+    }
+    val h = ex.getResponseHeaders
+    val payloads = rows.map { r =>
+      val payload = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.empty[Byte])
+      val labels = Option(r.getAs[collection.Map[String, String]]("labels"))
+        .getOrElse(Map.empty[String, String])
+      val ct = Option(r.getAs[String]("content_type"))
+        .filter(_.nonEmpty).getOrElse("application/octet-stream")
+      h.set(BatchWire.makeTimeHeaderName(r.getAs[Long]("ts")),
+        BatchWire.formatBatchedHeader(
+          BatchWire.RecordHeader(payload.length.toLong, ct, labels.toMap)))
+      payload
+    }
+    h.set("Content-Type", "application/octet-stream")
+    h.set("x-reduct-last", (rows.size < max).toString)
+    respond(ex, 200, payloads.toArray.flatten)
+  }
+
+  private def removeQuery(ex: HttpExchange, bucket: String, entry: String): Unit = {
+    val (spec0, _, _) = parseQueryEntry(new String(readBody(ex), UTF_8))
+    val spec = spec0.copy(bucket = Some(bucket),
+      entries = Some(spec0.entries.getOrElse(Seq(entry))
+        .filter(e => !EntryPattern.isSystemMetaEntry(e))))
+    val n = store.removeQuery(spec)
+    json(ex, 200, JObject("removed_records" -> JInt(BigInt(n))))
+  }
+}
+
+object HttpApi {
+  import com.sun.net.httpserver.HttpExchange
+
+  private[engine] def urlDecode(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  private[engine] def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).map(_.split("&").toSeq
+      .filter(_.nonEmpty).map { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => urlDecode(k) -> urlDecode(v)
+          case Array(k)    => urlDecode(k) -> ""
+        }
+      }.toMap).getOrElse(Map.empty)
+
+  private[engine] def readBody(ex: HttpExchange): Array[Byte] =
+    ex.getRequestBody.readAllBytes()
+
+  private[engine] def respond(ex: HttpExchange, status: Int, body: Array[Byte]): Unit = {
+    if (status == 204 || ex.getRequestMethod.equalsIgnoreCase("HEAD")) {
+      ex.sendResponseHeaders(status, -1)
+    } else {
+      ex.sendResponseHeaders(status, if (body.isEmpty) -1 else body.length.toLong)
+      if (body.nonEmpty) {
+        val os = ex.getResponseBody
+        os.write(body)
+        os.close()
+      }
+    }
+  }
+
+  private[engine] def json(ex: HttpExchange, status: Int, j: JValue): Unit = {
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    respond(ex, status,
+      org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(j)).getBytes(UTF_8))
+  }
+
+  private[engine] def errorResponse(ex: HttpExchange, status: Int, msg: String): Unit = {
+    ex.getResponseHeaders.set("x-reduct-error", msg)
+    json(ex, status, JObject("detail" -> JString(msg)))
+  }
+}

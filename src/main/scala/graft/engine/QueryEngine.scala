@@ -19,7 +19,10 @@ final case class QuerySpec(
     entries: Option[Seq[String]] = None,
     when: Option[String] = None,
     strict: Boolean = false,
-    onlyMetadata: Boolean = false)
+    onlyMetadata: Boolean = false,
+    /** Scope to one bucket (the HTTP routes are per-bucket; a plain
+      * conjunct so it prunes the bucket= partition). None = all buckets. */
+    bucket: Option[String] = None)
 
 /** Plans a record query as a Spark DataFrame.
   *
@@ -60,7 +63,8 @@ object QueryEngine {
 
   /** The matching record set (unordered) — shared by read/count/remove. */
   def matching(records: DataFrame, spec: QuerySpec): DataFrame = {
-    val base = applyEntries(applyRange(records, spec), spec.entries)
+    val scoped = spec.bucket.fold(records)(b => records.filter(col("bucket") === b))
+    val base = applyEntries(applyRange(scoped, spec), spec.entries)
     spec.when match {
       case None => base
       case Some(whenJson) => applyWhen(base, Parser.parse(whenJson), spec.strict)
@@ -106,6 +110,7 @@ object QueryEngine {
     if (hasCtx) return None
     if (spec.strict && parsed.exists(p => mayError(p.root))) return None
     var flag = col("state") === Records.State.Finished
+    spec.bucket.foreach(b => flag = flag && col("bucket") === b)
     spec.start.foreach(s => flag = flag && col("ts") >= s)
     spec.stop.foreach(s => flag = flag && col("ts") < s)
     entriesPredicate(records, spec.entries).foreach(p => flag = flag && p)

@@ -1,0 +1,120 @@
+package graft.engine
+
+import graft.SparkTestBase
+import org.scalatest.funsuite.AnyFunSuite
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+/** End-to-end REST façade drive: write/read/query/remove over real HTTP
+  * against the Spark-backed store, with token auth enforced — the shape of
+  * integration_tests/api/entry_api/query_test.py. */
+class HttpApiSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val store =
+    new BucketStore(spark, Files.createTempDirectory("graft-http").toString)
+  private lazy val api = new HttpApi(store, apiToken = "root-token")
+  private lazy val port = { api.start(); api.boundPort }
+  private lazy val client = HttpClient.newHttpClient()
+
+  private def req(method: String, path: String, body: Array[Byte] = Array.empty,
+      token: String = "root-token",
+      headers: Seq[(String, String)] = Seq.empty): HttpResponse[Array[Byte]] = {
+    var b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/v1$path"))
+      .method(method, HttpRequest.BodyPublishers.ofByteArray(body))
+    if (token.nonEmpty) b = b.header("Authorization", s"Bearer $token")
+    for ((k, v) <- headers) b = b.header(k, v)
+    client.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
+  }
+
+  private def jsonOf(r: HttpResponse[Array[Byte]]): org.json4s.JValue =
+    org.json4s.jackson.JsonMethods.parse(new String(r.body(), "UTF-8"))
+
+  test("alive, auth rejection, and token lifecycle") {
+    assert(req("HEAD", "/alive", token = "").statusCode() == 200)
+    assert(req("GET", "/info", token = "").statusCode() == 401)
+    assert(req("GET", "/info", token = "wrong").statusCode() == 401)
+    assert(req("GET", "/info").statusCode() == 200)
+    // create a scoped token and verify its powers
+    val resp = req("POST", "/tokens/reader",
+      """{"permissions": {"read": ["b1"]}}""".getBytes)
+    assert(resp.statusCode() == 200)
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val readerTok = (jsonOf(resp) \ "value").extract[String]
+    assert(readerTok.startsWith("reader-"))
+    assert(req("GET", "/tokens", token = readerTok).statusCode() == 403)
+    val me = jsonOf(req("GET", "/me", token = readerTok))
+    assert((me \ "name").extract[String] == "reader")
+  }
+
+  test("bucket + entry IO round trip over HTTP") {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    assert(req("POST", "/b/b1").statusCode() == 200)
+    assert(req("POST", "/b/b1").statusCode() == 409, "duplicate bucket")
+    // write two records with labels
+    assert(req("POST", "/b/b1/sensor%2Fa?ts=1000", "hello".getBytes,
+      headers = Seq("Content-Type" -> "text/plain",
+        "x-reduct-label-k" -> "v1")).statusCode() == 200)
+    assert(req("POST", "/b/b1/sensor%2Fa?ts=2000", "world".getBytes,
+      headers = Seq("Content-Type" -> "text/plain",
+        "x-reduct-label-k" -> "v2")).statusCode() == 200)
+    // duplicate ts → 409
+    assert(req("POST", "/b/b1/sensor%2Fa?ts=1000", "dup".getBytes)
+      .statusCode() == 409)
+    // read back by ts and latest
+    val r1 = req("GET", "/b/b1/sensor%2Fa?ts=1000")
+    assert(r1.statusCode() == 200 && new String(r1.body()) == "hello")
+    assert(r1.headers().firstValue("x-reduct-label-k").get() == "v1")
+    assert(r1.headers().firstValue("x-reduct-time").get() == "1000")
+    val latest = req("GET", "/b/b1/sensor%2Fa")
+    assert(new String(latest.body()) == "world")
+    // label PATCH: set one, remove via empty value
+    assert(req("PATCH", "/b/b1/sensor%2Fa?ts=1000",
+      headers = Seq("x-reduct-label-new" -> "x", "x-reduct-label-k" -> ""))
+      .statusCode() == 200)
+    val patched = req("GET", "/b/b1/sensor%2Fa?ts=1000")
+    assert(patched.headers().firstValue("x-reduct-label-new").get() == "x")
+    assert(patched.headers().firstValue("x-reduct-label-k").isEmpty)
+    assert(new String(patched.body()) == "hello", "payload untouched by PATCH")
+    // bucket info reflects the entry
+    val info = jsonOf(req("GET", "/b/b1"))
+    assert((info \ "info" \ "record_count").extract[Long] == 2)
+    assert((info \ "entries")(0) \ "name" == org.json4s.JString("sensor/a"))
+    // server list sees the bucket
+    val buckets = jsonOf(req("GET", "/list")) \ "buckets"
+    assert(buckets.children.exists(b => (b \ "name").extract[String] == "b1"))
+  }
+
+  test("query cursor: open, batched read with v1 headers, delete query") {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    assert(req("POST", "/b/b2").statusCode() == 200)
+    for (i <- 0 until 10)
+      assert(req("POST", s"/b/b2/e?ts=${i * 100}", s"p$i".getBytes,
+        headers = Seq("x-reduct-label-i" -> i.toString)).statusCode() == 200)
+    // conditional query: labels >= 5
+    val open = req("POST", "/b/b2/e/q",
+      """{"when": {"$gte": [{"$cast": ["&i", "int"]}, 5]}}""".getBytes)
+    assert(open.statusCode() == 200)
+    val qid = (jsonOf(open) \ "id").extract[Long]
+    val batch = req("GET", s"/b/b2/e/batch?q=$qid")
+    assert(batch.statusCode() == 200)
+    val times = batch.headers().map().keySet().toArray.map(_.toString)
+      .filter(_.toLowerCase.startsWith("x-reduct-time-"))
+    assert(times.length == 5)
+    val h500 = batch.headers().firstValue("x-reduct-time-500").get()
+    val parsed = BatchWire.parseBatchedHeader(h500)
+    assert(parsed.labels("i") == "5" && parsed.contentLength == 2)
+    assert(new String(batch.body()) == "p5p6p7p8p9", "payloads in ts order")
+    // cursor drained → 204
+    assert(req("GET", s"/b/b2/e/batch?q=$qid").statusCode() == 204)
+    assert(req("GET", "/b/b2/e/batch?q=99999").statusCode() == 404)
+    // remove query deletes every other record
+    val rm = req("DELETE", "/b/b2/e/q", """{"when": {"$each_n": 2}}""".getBytes)
+    assert(rm.statusCode() == 200)
+    assert((jsonOf(rm) \ "removed_records").extract[Long] == 5)
+    // unauthorized writer cannot delete
+    val ro = req("POST", "/tokens/ro2", """{"permissions": {"read": ["b2"]}}""".getBytes)
+    val roTok = (jsonOf(ro) \ "value").extract[String]
+    assert(req("DELETE", "/b/b2/e/q", "{}".getBytes, token = roTok).statusCode() == 403)
+  }
+}
