@@ -375,9 +375,10 @@ object BatchWire {
     val labelNames = hmap.get(LabelsHeader).map(parseLabelsHeader)
     val recs = headers
       .filter { case (n, _) =>
-        n.startsWith(HeaderPrefix) && !n.startsWith(ErrorHeaderPrefix) &&
-          n != EntriesHeader && n != StartTsHeader && n != LabelsHeader &&
-          n != QueryIdHeader && !n.startsWith(TimeHeaderPrefix) }
+        // record headers are exactly `x-reduct-<digits>-<digits>` — other
+        // x-reduct-* metadata (entries, start-ts, last, errors…) is not
+        n.startsWith(HeaderPrefix) &&
+          n.substring(HeaderPrefix.length).headOption.exists(_.isDigit) }
       .map { case (n, v) => val (i, d) = parseBatchedHeaderName(n); (i, d, v) }
       .sortBy(t => (t._1, t._2))
     val prevByEntry = mutable.HashMap.empty[Int, RecordHeader]

@@ -179,6 +179,42 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     } finally matched.unpersist()
   }
 
+  /** Remove records by explicit (entry, ts) keys (remove_records.rs:34-60,
+    * the ts-list form); returns per-key found/not-found. */
+  def removeRecords(bucket: String,
+      keys: Seq[(String, Long)]): Map[(String, Long), Boolean] = {
+    if (keys.isEmpty) return Map.empty
+    import scala.jdk.CollectionConverters._
+    val keyDf = spark.createDataFrame(
+      keys.map { case (e, ts) => org.apache.spark.sql.Row(bucket, e, ts) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("entry", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType))))
+    val existing = table()
+      .filter(col("bucket") === bucket && col("entry").isin(keys.map(_._1).distinct: _*) &&
+        col("ts").between(keys.map(_._2).min, keys.map(_._2).max))
+      .join(broadcast(keyDf), Seq("bucket", "entry", "ts"), "left_semi")
+      .select("bucket", "entry", "ts")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val found = existing.collect().map(r => (r.getString(1), r.getLong(2))).toSet
+      if (found.nonEmpty) {
+        val affected = collectAffected(existing)
+        val survivors = prunedPartitionScan(affected)
+          .join(broadcast(existing), Seq("bucket", "entry", "ts"), "left_anti")
+          .localCheckpoint(true)
+        overwritePartitions(survivors, checkpointed = true)
+        val surviving = survivors.withColumn("dt", dtCol)
+          .select("bucket", "entry", "dt").distinct().collect()
+          .map(r => (r.getString(0), r.getString(1), r.getDate(2).toString)).toSet
+        for ((b, e, dt) <- affected if !surviving((b, e, dt)))
+          deletePartitionDir(b, e, dt)
+      }
+      keys.map(k => k -> found(k)).toMap
+    } finally existing.unpersist()
+  }
+
   private def collectAffected(matched: DataFrame): Array[(String, String, String)] =
     matched.withColumn("dt", dtCol).select("bucket", "entry", "dt").distinct()
       .collect().map(r => (r.getString(0), r.getString(1), r.getDate(2).toString))

@@ -94,6 +94,17 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
         case ("DELETE", "b" :: bucket :: rest) if rest.nonEmpty =>
           auth(ex, FullAccessPolicy)
           store.removeEntry(bucket, rest.mkString("/")); json(ex, 200, JObject())
+        // ------------------------- io API v2 (api/http/io.rs:19-29)
+        case ("POST", List("io", bucket, "q")) =>
+          auth(ex, ReadAccessPolicy(bucket)); ioQuery(ex, bucket)
+        case ("GET", List("io", bucket, "read")) =>
+          auth(ex, ReadAccessPolicy(bucket)); ioRead(ex, bucket)
+        case ("POST", List("io", bucket, "write")) =>
+          auth(ex, WriteAccessPolicy(bucket)); ioWrite(ex, bucket)
+        case ("DELETE", List("io", bucket, "remove")) =>
+          auth(ex, WriteAccessPolicy(bucket)); ioRemove(ex, bucket)
+        case ("PATCH", List("io", bucket, "update")) =>
+          auth(ex, WriteAccessPolicy(bucket)); ioUpdate(ex, bucket)
         case _ => throw notFound(s"Route not found: $method ${ex.getRequestURI.getPath}")
       }
     } catch {
@@ -336,6 +347,149 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     h.set("Content-Type", "application/octet-stream")
     h.set("x-reduct-last", (rows.size < max).toString)
     respond(ex, 200, payloads.toArray.flatten)
+  }
+
+  // ------------------------------------------------------- io API v2
+
+  private def requestHeaders(ex: HttpExchange): Seq[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    ex.getRequestHeaders.asScala.toSeq.flatMap { case (k, vs) =>
+      vs.asScala.map(v => (k.toLowerCase, v))
+    }
+  }
+
+  /** POST /io/:bucket/q — multi-entry query; entries come in the body. */
+  private def ioQuery(ex: HttpExchange, bucket: String): Unit = {
+    val (spec0, ttlMs, continuous) = parseQueryEntry(new String(readBody(ex), UTF_8))
+    val spec = spec0.copy(bucket = Some(bucket))
+    val id = registry.open(() => store.table(), spec,
+      continuous = continuous, ttlMs = ttlMs)
+    json(ex, 200, JObject("id" -> JInt(BigInt(id))))
+  }
+
+  /** GET /io/:bucket/read — drain a cursor as a batch-protocol-v2
+    * response: entries/start-ts/labels dictionaries + per-record
+    * `x-reduct-<idx>-<delta>` delta headers, concatenated payloads. */
+  private def ioRead(ex: HttpExchange, bucket: String): Unit = {
+    val id = Option(ex.getRequestHeaders.getFirst(BatchWire.QueryIdHeader))
+      .getOrElse(throw unprocessable(s"${BatchWire.QueryIdHeader} header is required"))
+      .toLong
+    val max = queryParams(ex).get("max").map(_.toInt).getOrElse(85)
+    val rows = registry.fetch(id, max)
+      .getOrElse(throw notFound(s"Query $id doesn't exist or expired"))
+    if (rows.isEmpty) {
+      ex.getResponseHeaders.set("x-reduct-last", "true")
+      respond(ex, 204, Array.empty)
+      return
+    }
+    val recs = rows.map { r =>
+      val payload = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.empty[Byte])
+      val labels = Option(r.getAs[collection.Map[String, String]]("labels"))
+        .getOrElse(Map.empty[String, String])
+      val ct = Option(r.getAs[String]("content_type"))
+        .filter(_.nonEmpty).getOrElse("application/octet-stream")
+      ((r.getAs[String]("entry"), r.getAs[Long]("ts"),
+        BatchWire.RecordHeader(payload.length.toLong, ct, labels.toMap)), payload)
+    }
+    val h = ex.getResponseHeaders
+    for ((name, value) <- BatchWire.encodeBatchV2(recs.map(_._1)))
+      h.set(name, value)
+    h.set("Content-Type", "application/octet-stream")
+    h.set("x-reduct-last", (rows.size < max).toString)
+    respond(ex, 200, recs.map(_._2).toArray.flatten)
+  }
+
+  /** POST /io/:bucket/write — batch-protocol-v2 multi-entry write. */
+  private def ioWrite(ex: HttpExchange, bucket: String): Unit = {
+    val decoded = BatchWire.decodeBatchV2(requestHeaders(ex))
+    val body = readBody(ex)
+    var offset = 0
+    val rows = decoded.map { rec =>
+      val len = rec.header.contentLength.toInt
+      if (offset + len > body.length)
+        throw unprocessable("Content length mismatch with record headers")
+      val payload = java.util.Arrays.copyOfRange(body, offset, offset + len)
+      offset += len
+      (rec.entry, rec.timestamp, rec.header, payload)
+    }
+    if (offset != body.length)
+      throw unprocessable("Content length mismatch with record headers")
+    import scala.jdk.CollectionConverters._
+    val df = store.spark.createDataFrame(
+      rows.map { case (entry, ts, hdr, payload) =>
+        Row(bucket, entry, ts, hdr.labels, Map.empty[String, String],
+          hdr.contentType, graft.core.Records.State.Finished, payload)
+      }.asJava, graft.core.Records.schema)
+    try store.write(df)
+    catch { case e: IllegalArgumentException if
+        Option(e.getMessage).exists(_.contains("already exists")) =>
+      throw conflict(e.getMessage) }
+    createdBuckets.add(bucket)
+    json(ex, 200, JObject())
+  }
+
+  /** DELETE /io/:bucket/remove — remove by (entry, ts) keys from v2
+    * headers; per-record misses reported as x-reduct-error-* headers. */
+  private def ioRemove(ex: HttpExchange, bucket: String): Unit = {
+    val headers = requestHeaders(ex)
+    val hmap = headers.toMap
+    val entries = hmap.get(BatchWire.EntriesHeader)
+      .map(BatchWire.parseEntriesHeader)
+      .getOrElse(throw unprocessable("x-reduct-entries header is required"))
+    val startTs = hmap.get(BatchWire.StartTsHeader)
+      .getOrElse(throw unprocessable("x-reduct-start-ts header is required")).toLong
+    // remove targets are addressed by header NAME only (no content metadata)
+    val keys = headers.collect {
+      case (n, _) if n.startsWith(BatchWire.HeaderPrefix) &&
+          !Set(BatchWire.EntriesHeader, BatchWire.StartTsHeader,
+            BatchWire.LabelsHeader, BatchWire.QueryIdHeader).contains(n) &&
+          !n.startsWith(BatchWire.ErrorHeaderPrefix) &&
+          !n.startsWith(BatchWire.TimeHeaderPrefix) &&
+          n.substring(BatchWire.HeaderPrefix.length).headOption.exists(_.isDigit) =>
+        val (idx, delta) = BatchWire.parseBatchedHeaderName(n)
+        if (idx >= entries.length) throw unprocessable(s"Entry index '$idx' is out of range")
+        (idx, entries(idx), startTs + delta)
+    }
+    val result = store.removeRecords(bucket, keys.map(k => (k._2, k._3)))
+    val h = ex.getResponseHeaders
+    for ((idx, entry, ts) <- keys if !result((entry, ts)))
+      h.set(s"${BatchWire.ErrorHeaderPrefix}$idx-${ts - startTs}", "404,Record not found")
+    json(ex, 200, JObject(
+      "removed_records" -> JInt(result.values.count(identity))))
+  }
+
+  /** PATCH /io/:bucket/update — per-record label deltas (`k=` removes).
+    * Each distinct delta shape becomes one partition-rewrite pass. */
+  private def ioUpdate(ex: HttpExchange, bucket: String): Unit = {
+    val headers = requestHeaders(ex)
+    val hmap = headers.toMap
+    val entries = hmap.get(BatchWire.EntriesHeader)
+      .map(BatchWire.parseEntriesHeader)
+      .getOrElse(throw unprocessable("x-reduct-entries header is required"))
+    val startTs = hmap.get(BatchWire.StartTsHeader)
+      .getOrElse(throw unprocessable("x-reduct-start-ts header is required")).toLong
+    val labelNames = hmap.get(BatchWire.LabelsHeader).map(BatchWire.parseLabelsHeader)
+    val updates = headers
+      .filter { case (n, _) => n.startsWith(BatchWire.HeaderPrefix) &&
+        !Set(BatchWire.EntriesHeader, BatchWire.StartTsHeader,
+          BatchWire.LabelsHeader, BatchWire.QueryIdHeader).contains(n) &&
+        !n.startsWith(BatchWire.ErrorHeaderPrefix) &&
+        !n.startsWith(BatchWire.TimeHeaderPrefix) &&
+        n.substring(BatchWire.HeaderPrefix.length).headOption.exists(_.isDigit) }
+      .map { case (n, v) =>
+        val (idx, delta) = BatchWire.parseBatchedHeaderName(n)
+        if (idx >= entries.length) throw unprocessable(s"Entry index '$idx' is out of range")
+        // value here is just the label delta (no content length for updates)
+        val (set, remove) = BatchWire.parseLabelDelta(v, labelNames)
+        (entries(idx), startTs + delta, set, remove)
+      }
+    var n = 0L
+    for ((entry, ts, set, remove) <- updates)
+      n += store.updateLabels(
+        QuerySpec(start = Some(ts), stop = Some(ts + 1),
+          entries = Some(Seq(entry)), bucket = Some(bucket)),
+        set = set, remove = remove)
+    json(ex, 200, JObject("updated_records" -> JInt(BigInt(n))))
   }
 
   private def removeQuery(ex: HttpExchange, bucket: String, entry: String): Unit = {

@@ -117,4 +117,57 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
     val roTok = (jsonOf(ro) \ "value").extract[String]
     assert(req("DELETE", "/b/b2/e/q", "{}".getBytes, token = roTok).statusCode() == 403)
   }
+
+  test("io API v2: batch write, multi-entry query/read, remove, update") {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    // encode a multi-entry batch with BatchWire and ship it over the wire
+    val recs = Seq(
+      ("ea", 1000L, BatchWire.RecordHeader(2, "text/plain", Map("k" -> "a"))),
+      ("ea", 2000L, BatchWire.RecordHeader(2, "text/plain", Map("k" -> "b"))),
+      ("eb", 1500L, BatchWire.RecordHeader(2, "application/json", Map("j" -> "x"))))
+    val wireHeaders = BatchWire.encodeBatchV2(recs)
+    val body = "r1r2r3".getBytes
+    val w = req("POST", "/io/b3/write", body, headers = wireHeaders)
+    assert(w.statusCode() == 200, new String(w.body()))
+    // multi-entry conditional query over both entries
+    val open = req("POST", "/io/b3/q", """{"entries": ["*"]}""".getBytes)
+    assert(open.statusCode() == 200)
+    val qid = (jsonOf(open) \ "id").extract[Long]
+    val read = req("GET", "/io/b3/read",
+      headers = Seq(BatchWire.QueryIdHeader -> qid.toString))
+    assert(read.statusCode() == 200)
+    import scala.jdk.CollectionConverters._
+    val respHeaders = read.headers().map().asScala.toSeq.flatMap {
+      case (k, vs) => vs.asScala.map(v => (k.toLowerCase, v)) }
+    val decoded = BatchWire.decodeBatchV2(respHeaders)
+    assert(decoded.map(r => (r.entry, r.timestamp)).toSet ==
+      Set(("ea", 1000L), ("ea", 2000L), ("eb", 1500L)))
+    assert(decoded.find(_.timestamp == 1500L).get.header.labels == Map("j" -> "x"))
+    // records arrive ts-ordered within the concatenated body
+    assert(new String(read.body()) == "r1r3r2")
+    // update labels per record (k= removes, new=v adds)
+    val updHeaders = Seq(
+      BatchWire.EntriesHeader -> BatchWire.makeEntriesHeader(Seq("ea")),
+      BatchWire.StartTsHeader -> "1000",
+      BatchWire.makeBatchedHeaderName(0, 0) -> "k=,mark=yes")
+    val upd = req("PATCH", "/io/b3/update", headers = updHeaders)
+    assert(upd.statusCode() == 200, new String(upd.body()))
+    assert((jsonOf(upd) \ "updated_records").extract[Long] == 1)
+    val after = req("GET", "/b/b3/ea?ts=1000")
+    assert(after.headers().firstValue("x-reduct-label-mark").get() == "yes")
+    assert(after.headers().firstValue("x-reduct-label-k").isEmpty)
+    // remove one existing + one missing record
+    val rmHeaders = Seq(
+      BatchWire.EntriesHeader -> BatchWire.makeEntriesHeader(Seq("ea")),
+      BatchWire.StartTsHeader -> "1000",
+      BatchWire.makeBatchedHeaderName(0, 0) -> "0",
+      BatchWire.makeBatchedHeaderName(0, 77) -> "0")
+    val rm = req("DELETE", "/io/b3/remove", headers = rmHeaders)
+    assert(rm.statusCode() == 200)
+    assert((jsonOf(rm) \ "removed_records").extract[Long] == 1)
+    assert(rm.headers().firstValue("x-reduct-error-0-77").get()
+      .startsWith("404"))
+    assert(req("GET", "/b/b3/ea?ts=1000").statusCode() == 404)
+    assert(req("GET", "/b/b3/ea?ts=2000").statusCode() == 200)
+  }
 }
