@@ -290,6 +290,20 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     fs.delete(path, true)
   }
 
+  /** Rename a bucket (storage/bucket rename): a directory move — no data
+    * rewrite, the partition values live in the path. */
+  def renameBucket(from: String, to: String): Unit = {
+    val src = new org.apache.hadoop.fs.Path(s"$root/bucket=$from")
+    val dst = new org.apache.hadoop.fs.Path(s"$root/bucket=$to")
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(src))
+      throw new NoSuchElementException(s"Bucket '$from' is not found")
+    if (fs.exists(dst))
+      throw new IllegalArgumentException(s"Bucket '$to' already exists")
+    if (!fs.rename(src, dst))
+      throw new IllegalStateException(s"rename failed: $src -> $dst")
+  }
+
   def removeBucket(bucket: String): Unit = {
     val path = new org.apache.hadoop.fs.Path(s"$root/bucket=$bucket")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)

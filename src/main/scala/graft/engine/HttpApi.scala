@@ -94,6 +94,22 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
         case ("DELETE", "b" :: bucket :: rest) if rest.nonEmpty =>
           auth(ex, FullAccessPolicy)
           store.removeEntry(bucket, rest.mkString("/")); json(ex, 200, JObject())
+        // ----------------- renames (bucket.rs:73, entry.rs:295)
+        case ("PUT", List("b", bucket, "rename")) =>
+          auth(ex, FullAccessPolicy)
+          val to = renameTarget(ex)
+          store.renameBucket(bucket, to)
+          if (createdBuckets.remove(bucket)) createdBuckets.add(to)
+          json(ex, 200, JObject())
+        case ("PUT", "b" :: bucket :: rest)
+            if rest.length > 1 && rest.last == "rename" =>
+          auth(ex, FullAccessPolicy)
+          store.renameEntry(bucket, rest.dropRight(1).mkString("/"), renameTarget(ex))
+          json(ex, 200, JObject())
+        // ----------------- query links (api/http/links.rs:55-58)
+        case ("POST", "links" :: _) =>
+          auth(ex, AuthenticatedPolicy); createLink(ex)
+        case ("GET", "links" :: _) => resolveLink(ex, q) // token IS the auth
         // ------------------------- io API v2 (api/http/io.rs:19-29)
         case ("POST", List("io", bucket, "q")) =>
           auth(ex, ReadAccessPolicy(bucket)); ioQuery(ex, bucket)
@@ -349,6 +365,54 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     respond(ex, 200, payloads.toArray.flatten)
   }
 
+  // ---------------------------------------------------------- links
+
+  private def renameTarget(ex: HttpExchange): String = {
+    implicit val fmts: Formats = DefaultFormats
+    (JsonMethods.parseOpt(new String(readBody(ex), UTF_8)).getOrElse(JObject())
+      \ "new_name").extractOpt[String].filter(_.nonEmpty)
+      .getOrElse(throw unprocessable("'new_name' is required"))
+  }
+
+  private def linkSecret: String = s"$apiToken/links"
+
+  /** POST /links/... — sign a shareable query link
+    * (query_link_api.rs:10-35): `{bucket, entry, query, expires_at}` →
+    * `{"link": "/api/v1/links/<file>?token=…"}`. */
+  private def createLink(ex: HttpExchange): Unit = {
+    implicit val fmts: Formats = DefaultFormats
+    val j = JsonMethods.parseOpt(new String(readBody(ex), UTF_8)).getOrElse(JObject())
+    val bucket = (j \ "bucket").extractOpt[String]
+      .getOrElse(throw unprocessable("'bucket' is required"))
+    val entry = (j \ "entry").extractOpt[String]
+      .getOrElse(throw unprocessable("'entry' is required"))
+    val expiresAtMs = (j \ "expires_at").extractOpt[Long]
+      .getOrElse(System.currentTimeMillis() + 3600000L)
+    val qj = j \ "query"
+    val spec = QuerySpec(
+      start = (qj \ "start").extractOpt[Long],
+      stop = (qj \ "stop").extractOpt[Long],
+      entries = Some(Seq(entry)),
+      when = (qj \ "when").toOption.filter(_ != JNothing)
+        .map(w => JsonMethods.compact(JsonMethods.render(w))),
+      bucket = Some(bucket))
+    val token = QueryLinks.sign(spec, expiresAtMs, linkSecret)
+    val file = ex.getRequestURI.getPath.stripPrefix("/api/v1/links").stripPrefix("/")
+    json(ex, 200, JObject(
+      "link" -> JString(s"/api/v1/links/$file?token=${urlEncode(token)}")))
+  }
+
+  /** GET /links/...?token= — replay the signed query (no other auth) and
+    * stream the first page like a batched read. */
+  private def resolveLink(ex: HttpExchange, q: Map[String, String]): Unit = {
+    val token = q.getOrElse("token", throw unprocessable("'token' is required"))
+    val spec = QueryLinks.verify(token, linkSecret)
+      .getOrElse(throw unauthorized("Invalid or expired query link"))
+    val id = registry.open(() => store.table(), spec)
+    val bucket = spec.bucket.getOrElse("")
+    readBatched(ex, bucket, "", q + ("q" -> id.toString))
+  }
+
   // ------------------------------------------------------- io API v2
 
   private def requestHeaders(ex: HttpExchange): Seq[(String, String)] = {
@@ -507,6 +571,9 @@ object HttpApi {
 
   private[engine] def urlDecode(s: String): String =
     java.net.URLDecoder.decode(s, "UTF-8")
+
+  private[engine] def urlEncode(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
 
   private[engine] def queryParams(ex: HttpExchange): Map[String, String] =
     Option(ex.getRequestURI.getRawQuery).map(_.split("&").toSeq

@@ -110,6 +110,7 @@ object QueryLinks {
       spec.entries.map(es => s"\"entries\":[${es.map(q).mkString(",")}]"),
       spec.when.map(w => "\"when\":" + org.json4s.jackson.JsonMethods.compact(
         org.json4s.jackson.JsonMethods.parse(w))),
+      spec.bucket.map(b => s"\"bucket\":${q(b)}"),
       Some(s"\"strict\":${spec.strict}"),
       Some(s"\"only_metadata\":${spec.onlyMetadata}"),
       Some(s"\"expires_at\":$expiresAtMs")).flatten
@@ -143,7 +144,8 @@ object QueryLinks {
           when = (json \ "when").toOption
             .map(w => org.json4s.jackson.JsonMethods.compact(w)),
           strict = (json \ "strict").extractOpt[Boolean].getOrElse(false),
-          onlyMetadata = (json \ "only_metadata").extractOpt[Boolean].getOrElse(false)))
+          onlyMetadata = (json \ "only_metadata").extractOpt[Boolean].getOrElse(false),
+          bucket = (json \ "bucket").extractOpt[String]))
       case _ => None
     }
   }

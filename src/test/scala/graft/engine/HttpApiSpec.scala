@@ -118,6 +118,34 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
     assert(req("DELETE", "/b/b2/e/q", "{}".getBytes, token = roTok).statusCode() == 403)
   }
 
+  test("renames and signed query links") {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    assert(req("POST", "/b/ren1/e1?ts=100", "x".getBytes,
+      headers = Seq("x-reduct-label-v" -> "1")).statusCode() == 200)
+    // entry rename
+    assert(req("PUT", "/b/ren1/e1/rename",
+      """{"new_name": "e2"}""".getBytes).statusCode() == 200)
+    assert(req("GET", "/b/ren1/e2?ts=100").statusCode() == 200)
+    assert(req("GET", "/b/ren1/e1?ts=100").statusCode() == 404)
+    // bucket rename
+    assert(req("PUT", "/b/ren1/rename",
+      """{"new_name": "ren2"}""".getBytes).statusCode() == 200)
+    assert(req("GET", "/b/ren2/e2?ts=100").statusCode() == 200)
+    assert(req("PUT", "/b/ren1/rename", """{"new_name": "x"}""".getBytes)
+      .statusCode() == 404)
+    // signed link: create, resolve WITHOUT a bearer token, reject tamper
+    val mk = req("POST", "/links/share.json",
+      """{"bucket": "ren2", "entry": "e2", "query": {}}""".getBytes)
+    assert(mk.statusCode() == 200)
+    val link = (jsonOf(mk) \ "link").extract[String]
+    val resolved = req("GET", link.stripPrefix("/api/v1"), token = "")
+    assert(resolved.statusCode() == 200)
+    assert(new String(resolved.body()) == "x")
+    assert(resolved.headers().firstValue("x-reduct-time-100").isPresent)
+    assert(req("GET", link.stripPrefix("/api/v1") + "x", token = "")
+      .statusCode() == 401)
+  }
+
   test("io API v2: batch write, multi-entry query/read, remove, update") {
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
     // encode a multi-entry batch with BatchWire and ship it over the wire
