@@ -35,6 +35,10 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
   import Auth._
   import HttpApi._
 
+  import graft.stream.Streaming
+  import graft.lifecycle.Lifecycle
+  import scala.jdk.CollectionConverters._
+
   val tokens = new TokenRepository(apiToken)
   private val registry = new QueryRegistry(queryTtlMs)
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -110,6 +114,62 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
         case ("POST", "links" :: _) =>
           auth(ex, AuthenticatedPolicy); createLink(ex)
         case ("GET", "links" :: _) => resolveLink(ex, q) // token IS the auth
+        // --------- replication CRUD (api/http/replication.rs:86-93)
+        case ("GET", List("replications")) =>
+          auth(ex, FullAccessPolicy)
+          json(ex, 200, JObject("replications" -> JArray(
+            replications.asScala.toList.sortBy(_._1).map { case (n, s) =>
+              replicationJson(n, s) })))
+        case ("GET", List("replications", name)) =>
+          auth(ex, FullAccessPolicy)
+          json(ex, 200, replicationJson(name, Option(replications.get(name))
+            .getOrElse(throw notFound(s"Replication '$name' doesn't exist"))))
+        case ("POST", List("replications", name)) =>
+          auth(ex, FullAccessPolicy)
+          if (replications.containsKey(name))
+            throw conflict(s"Replication '$name' already exists")
+          replications.put(name, parseReplication(ex)); json(ex, 200, JObject())
+        case ("PUT", List("replications", name)) =>
+          auth(ex, FullAccessPolicy)
+          if (!replications.containsKey(name))
+            throw notFound(s"Replication '$name' doesn't exist")
+          replications.put(name, parseReplication(ex)); json(ex, 200, JObject())
+        case ("PATCH", List("replications", name, "mode")) =>
+          auth(ex, FullAccessPolicy); setReplicationMode(ex, name)
+        case ("DELETE", List("replications", name)) =>
+          auth(ex, FullAccessPolicy)
+          if (replications.remove(name) == null)
+            throw notFound(s"Replication '$name' doesn't exist")
+          json(ex, 200, JObject())
+        case ("POST", List("replications", name, "run")) =>
+          auth(ex, FullAccessPolicy); runReplication(ex, name)
+        // --------- lifecycle CRUD (api/http/lifecycle.rs:86-93)
+        case ("GET", List("lifecycle")) =>
+          auth(ex, FullAccessPolicy)
+          json(ex, 200, JObject("policies" -> JArray(
+            lifecyclePolicies.asScala.toList.sortBy(_._1).map { case (n, p) =>
+              lifecycleJson(n, p) })))
+        case ("GET", List("lifecycle", name)) =>
+          auth(ex, FullAccessPolicy)
+          json(ex, 200, lifecycleJson(name, Option(lifecyclePolicies.get(name))
+            .getOrElse(throw notFound(s"Lifecycle policy '$name' doesn't exist"))))
+        case ("POST", List("lifecycle", name)) =>
+          auth(ex, FullAccessPolicy)
+          if (lifecyclePolicies.containsKey(name))
+            throw conflict(s"Lifecycle policy '$name' already exists")
+          lifecyclePolicies.put(name, parseLifecycle(ex)); json(ex, 200, JObject())
+        case ("PUT", List("lifecycle", name)) =>
+          auth(ex, FullAccessPolicy)
+          if (!lifecyclePolicies.containsKey(name))
+            throw notFound(s"Lifecycle policy '$name' doesn't exist")
+          lifecyclePolicies.put(name, parseLifecycle(ex)); json(ex, 200, JObject())
+        case ("DELETE", List("lifecycle", name)) =>
+          auth(ex, FullAccessPolicy)
+          if (lifecyclePolicies.remove(name) == null)
+            throw notFound(s"Lifecycle policy '$name' doesn't exist")
+          json(ex, 200, JObject())
+        case ("POST", List("lifecycle", name, "run")) =>
+          auth(ex, FullAccessPolicy); runLifecycle(ex, name, q)
         // ------------------------- io API v2 (api/http/io.rs:19-29)
         case ("POST", List("io", bucket, "q")) =>
           auth(ex, ReadAccessPolicy(bucket)); ioQuery(ex, bucket)
@@ -363,6 +423,122 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     h.set("Content-Type", "application/octet-stream")
     h.set("x-reduct-last", (rows.size < max).toString)
     respond(ex, 200, payloads.toArray.flatten)
+  }
+
+  // ------------------------------------- replication + lifecycle CRUD
+
+  private val replications =
+    new java.util.concurrent.ConcurrentHashMap[String, Streaming.ReplicationSettings]()
+  private val lifecyclePolicies =
+    new java.util.concurrent.ConcurrentHashMap[String, Lifecycle.Policy]()
+
+  private def parseReplication(ex: HttpExchange): Streaming.ReplicationSettings = {
+    implicit val fmts: Formats = DefaultFormats
+    val j = JsonMethods.parseOpt(new String(readBody(ex), UTF_8)).getOrElse(JObject())
+    Streaming.ReplicationSettings(
+      entries = (j \ "entries").extractOpt[Seq[String]],
+      when = (j \ "when").toOption.filter(_ != JNothing)
+        .map(w => JsonMethods.compact(JsonMethods.render(w))),
+      srcBucket = (j \ "src_bucket").extractOpt[String],
+      dstBucket = (j \ "dst_bucket").extractOpt[String].getOrElse("default"),
+      dstPrefix = (j \ "dst_prefix").extractOpt[String].getOrElse(""),
+      mode = parseMode((j \ "mode").extractOpt[String].getOrElse("enabled")))
+  }
+
+  private def parseMode(s: String): Streaming.ReplicationMode = s.toLowerCase match {
+    case "enabled"  => Streaming.ReplicationMode.Enabled
+    case "paused"   => Streaming.ReplicationMode.Paused
+    case "disabled" => Streaming.ReplicationMode.Disabled
+    case other => throw unprocessable(s"Invalid replication mode '$other'")
+  }
+
+  private def modeName(m: Streaming.ReplicationMode): String = m match {
+    case Streaming.ReplicationMode.Enabled  => "enabled"
+    case Streaming.ReplicationMode.Paused   => "paused"
+    case Streaming.ReplicationMode.Disabled => "disabled"
+  }
+
+  private def replicationJson(name: String,
+      s: Streaming.ReplicationSettings): JObject = JObject(
+    "name" -> JString(name),
+    "src_bucket" -> s.srcBucket.map(JString(_)).getOrElse(JNull),
+    "dst_bucket" -> JString(s.dstBucket),
+    "dst_prefix" -> JString(s.dstPrefix),
+    "mode" -> JString(modeName(s.mode)),
+    "entries" -> s.entries.map(es => JArray(es.map(JString(_)).toList))
+      .getOrElse(JNull),
+    "when" -> s.when.map(JsonMethods.parse(_)).getOrElse(JNull))
+
+  private def setReplicationMode(ex: HttpExchange, name: String): Unit = {
+    implicit val fmts: Formats = DefaultFormats
+    val s = Option(replications.get(name))
+      .getOrElse(throw notFound(s"Replication '$name' doesn't exist"))
+    val j = JsonMethods.parseOpt(new String(readBody(ex), UTF_8)).getOrElse(JObject())
+    val mode = (j \ "mode").extractOpt[String]
+      .getOrElse(throw unprocessable("'mode' is required"))
+    replications.put(name, s.copy(mode = parseMode(mode)))
+    json(ex, 200, JObject())
+  }
+
+  /** One catch-up replication pass (Trigger.AvailableNow) into this
+    * store — the façade's analog of the reference's background sender;
+    * a deployment would keep the stream running on the cluster. */
+  private def runReplication(ex: HttpExchange, name: String): Unit = {
+    val s = Option(replications.get(name))
+      .getOrElse(throw notFound(s"Replication '$name' doesn't exist"))
+    // checkpoint lives INSIDE the store under an underscore dir: ignored
+    // by parquet file listing, unique per store (a /tmp-shared path would
+    // leak a stale file index into the next deployment's stream)
+    val checkpoint = s"${store.root}/_replication/$name"
+    Streaming.replicate(store, store, s, checkpoint) match {
+      case Some(q) => q.awaitTermination(); json(ex, 200, JObject())
+      case None => json(ex, 200, JObject("skipped" -> JString("disabled")))
+    }
+  }
+
+  private def parseLifecycle(ex: HttpExchange): Lifecycle.Policy = {
+    implicit val fmts: Formats = DefaultFormats
+    val j = JsonMethods.parseOpt(new String(readBody(ex), UTF_8)).getOrElse(JObject())
+    val action = (j \ "action").extractOpt[String].getOrElse("delete") match {
+      case "delete" => Lifecycle.Action.Delete
+      case "compress" => Lifecycle.Action.Compress(
+        (j \ "codec").extractOpt[String].getOrElse("zstd"),
+        (j \ "level").extractOpt[Int].getOrElse(9))
+      case other => throw unprocessable(s"Invalid lifecycle action '$other'")
+    }
+    Lifecycle.Policy(
+      olderThanUs = (j \ "older_than_s").extractOpt[Long]
+        .getOrElse(throw unprocessable("'older_than_s' is required")) * 1000000L,
+      action = action,
+      entries = (j \ "entries").extractOpt[Seq[String]],
+      when = (j \ "when").toOption.filter(_ != JNothing)
+        .map(w => JsonMethods.compact(JsonMethods.render(w))),
+      dryRun = (j \ "dry_run").extractOpt[Boolean].getOrElse(false))
+  }
+
+  private def lifecycleJson(name: String, p: Lifecycle.Policy): JObject = JObject(
+    "name" -> JString(name),
+    "older_than_s" -> JInt(BigInt(p.olderThanUs / 1000000L)),
+    "action" -> (p.action match {
+      case Lifecycle.Action.Delete => JString("delete")
+      case Lifecycle.Action.Compress(codec, level) => JObject(
+        "compress" -> JObject("codec" -> JString(codec), "level" -> JInt(level)))
+    }),
+    "entries" -> p.entries.map(es => JArray(es.map(JString(_)).toList))
+      .getOrElse(JNull),
+    "when" -> p.when.map(JsonMethods.parse(_)).getOrElse(JNull),
+    "dry_run" -> JBool(p.dryRun))
+
+  private def runLifecycle(ex: HttpExchange, name: String,
+      q: Map[String, String]): Unit = {
+    val p = Option(lifecyclePolicies.get(name))
+      .getOrElse(throw notFound(s"Lifecycle policy '$name' doesn't exist"))
+    val nowUs = q.get("now_us").map(_.toLong)
+      .getOrElse(System.currentTimeMillis() * 1000L)
+    val res = Lifecycle.apply(store, p, nowUs)
+    json(ex, 200, JObject(
+      "matched" -> JInt(BigInt(res.matched)),
+      "applied" -> JBool(res.applied)))
   }
 
   // ---------------------------------------------------------- links

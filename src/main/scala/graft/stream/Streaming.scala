@@ -72,10 +72,13 @@ object Streaming {
     case object Disabled extends ReplicationMode
   }
 
-  /** Replication settings (reduct_base/src/msg/replication_api.rs:38-66). */
+  /** Replication settings (reduct_base/src/msg/replication_api.rs:38-66).
+    * `srcBucket` scopes the stream to one source bucket (the reference's
+    * replications are per-bucket); None replicates the whole store. */
   final case class ReplicationSettings(
       entries: Option[Seq[String]] = None, // glob patterns incl. '!'
       when: Option[String] = None,         // strict condition
+      srcBucket: Option[String] = None,
       dstBucket: String = "default",
       dstPrefix: String = "",
       mode: ReplicationMode = ReplicationMode.Enabled)
@@ -95,11 +98,13 @@ object Streaming {
       settings: ReplicationSettings, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow()): Option[StreamingQuery] = {
     if (settings.mode == ReplicationMode.Disabled) return None
-    val stream = src.spark.readStream
+    val stream0 = src.spark.readStream
       .schema(BucketStore.storedSchema)
       .option("basePath", src.root)
       .parquet(src.root)
       .drop("dt")
+    val stream = settings.srcBucket
+      .fold(stream0)(b => stream0.filter(col("bucket") === b))
     val q = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)

@@ -146,6 +146,45 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
       .statusCode() == 401)
   }
 
+  test("replication and lifecycle management routes") {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    // seed a source bucket
+    for (i <- 0 until 6)
+      assert(req("POST", s"/b/src1/logs?ts=${i * 1000}", s"r$i".getBytes,
+        headers = Seq("x-reduct-label-sev" -> (if (i % 2 == 0) "info" else "error")))
+        .statusCode() == 200)
+    // replication CRUD + run: copy only errors into bucket 'dst1'
+    assert(req("POST", "/replications/errs",
+      """{"src_bucket": "src1", "dst_bucket": "dst1", "dst_prefix": "rep/",
+          "when": {"$eq": ["&sev", "error"]}}""".getBytes).statusCode() == 200)
+    assert(req("POST", "/replications/errs", "{}".getBytes).statusCode() == 409)
+    val listed = jsonOf(req("GET", "/replications")) \ "replications"
+    assert(listed.children.map(r => (r \ "name").extract[String]) == List("errs"))
+    assert(req("POST", "/replications/errs/run").statusCode() == 200)
+    val rep = req("GET", "/b/dst1/rep%2Flogs?ts=1000")
+    assert(rep.statusCode() == 200 && new String(rep.body()) == "r1")
+    // paused mode: run is a no-op for new data
+    assert(req("PATCH", "/replications/errs/mode",
+      """{"mode": "paused"}""".getBytes).statusCode() == 200)
+    assert((jsonOf(req("GET", "/replications/errs")) \ "mode")
+      .extract[String] == "paused")
+    // lifecycle CRUD + dry-run + run (delete everything older than now)
+    assert(req("POST", "/lifecycle/purge",
+      """{"older_than_s": 0, "action": "delete", "dry_run": true}""".getBytes)
+      .statusCode() == 200)
+    val dry = jsonOf(req("POST", "/lifecycle/purge/run?now_us=100000000"))
+    assert((dry \ "matched").extract[Long] > 0 && !(dry \ "applied").extract[Boolean])
+    assert(req("PUT", "/lifecycle/purge",
+      """{"older_than_s": 0, "action": "delete",
+          "when": {"$eq": ["&sev", "info"]}}""".getBytes).statusCode() == 200)
+    val run = jsonOf(req("POST", "/lifecycle/purge/run?now_us=100000000"))
+    assert((run \ "applied").extract[Boolean])
+    assert(req("GET", "/b/src1/logs?ts=0").statusCode() == 404, "info deleted")
+    assert(req("GET", "/b/src1/logs?ts=1000").statusCode() == 200, "error kept")
+    assert(req("DELETE", "/lifecycle/purge").statusCode() == 200)
+    assert(req("GET", "/lifecycle/purge").statusCode() == 404)
+  }
+
   test("io API v2: batch write, multi-entry query/read, remove, update") {
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
     // encode a multi-entry batch with BatchWire and ship it over the wire
