@@ -343,7 +343,22 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
 
   private def readSingle(ex: HttpExchange, bucket: String, entry: String,
       q: Map[String, String]): Unit = {
+    // ?q=<id>: sequential cursor read — the next record of an open query
+    // (read_single.rs + query_test.py:41-76 cursor semantics)
+    q.get("q").foreach { qid =>
+      val rows = registry.fetch(qid.toLong, 1)
+        .getOrElse(throw notFound(s"Query $qid doesn't exist or expired"))
+      if (rows.isEmpty) {
+        ex.getResponseHeaders.set("x-reduct-last", "true")
+        respond(ex, 204, Array.empty)
+      } else serveRecord(ex, rows.head)
+      return
+    }
     val r = recordAt(bucket, entry, q)
+    serveRecord(ex, r)
+  }
+
+  private def serveRecord(ex: HttpExchange, r: Row): Unit = {
     val payload = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.empty[Byte])
     val h = ex.getResponseHeaders
     h.set("Content-Type", Option(r.getAs[String]("content_type"))
@@ -394,15 +409,58 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
       entries = Some(spec0.entries.getOrElse(Seq(entry))))
     val id = registry.open(() => store.table(), spec,
       continuous = continuous, ttlMs = ttlMs)
+    rememberBatchLimits(id, spec)
     json(ex, 200, JObject("id" -> JInt(BigInt(id))))
+  }
+
+  /** `#batch_records` / `#batch_size` directives — per-query overrides of
+    * the batched-read page limits (filters/when/io_cfg.rs; defaults
+    * cfg/io.rs:18-47). */
+  private val queryLimits =
+    new java.util.concurrent.ConcurrentHashMap[Long, (Int, Long)]()
+  private val DefaultBatchRecords = 85
+  private val DefaultBatchBytes = 8000000L
+
+  private def rememberBatchLimits(id: Long, spec: QuerySpec): Unit =
+    for (w <- spec.when) {
+      val d = graft.cond.Parser.parse(w).directives
+      val mr = d.single("#batch_records").map(_.asInt.toInt)
+      val mb = d.single("#batch_size").map(_.asInt)
+      if (mr.isDefined || mb.isDefined)
+        queryLimits.put(id, (mr.getOrElse(DefaultBatchRecords),
+          mb.getOrElse(DefaultBatchBytes)))
+    }
+
+  /** Drain one page from a cursor: up to the record cap, stopping once
+    * the payload-byte budget is exceeded (at least one record is always
+    * served). Returns (rows, last). */
+  private def fetchPage(id: Long, maxParam: Option[Int]): (Seq[Row], Boolean) = {
+    val (dirRec, dirBytes) = queryLimits.getOrDefault(id,
+      (DefaultBatchRecords, DefaultBatchBytes))
+    val maxRec = math.min(maxParam.getOrElse(dirRec), dirRec)
+    val out = Seq.newBuilder[Row]
+    var n = 0
+    var bytes = 0L
+    var last = false
+    while (n < maxRec && bytes < dirBytes && !last) {
+      registry.fetch(id, 1) match {
+        case None => throw notFound(s"Query $id doesn't exist or expired")
+        case Some(Nil) => last = true
+        case Some(rows) =>
+          val r = rows.head
+          bytes += Option(r.getAs[Array[Byte]]("payload")).map(_.length.toLong)
+            .getOrElse(0L)
+          out += r
+          n += 1
+      }
+    }
+    (out.result(), last)
   }
 
   private def readBatched(ex: HttpExchange, bucket: String, entry: String,
       q: Map[String, String]): Unit = {
     val id = q.getOrElse("q", throw unprocessable("'q' parameter is required")).toLong
-    val max = q.get("max").map(_.toInt).getOrElse(85)
-    val rows = registry.fetch(id, max)
-      .getOrElse(throw notFound(s"Query $id doesn't exist or expired"))
+    val (rows, last) = fetchPage(id, q.get("max").map(_.toInt))
     if (rows.isEmpty) {
       ex.getResponseHeaders.set("x-reduct-last", "true")
       respond(ex, 204, Array.empty)
@@ -421,7 +479,7 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
       payload
     }
     h.set("Content-Type", "application/octet-stream")
-    h.set("x-reduct-last", (rows.size < max).toString)
+    h.set("x-reduct-last", last.toString)
     respond(ex, 200, payloads.toArray.flatten)
   }
 
@@ -604,6 +662,7 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     val spec = spec0.copy(bucket = Some(bucket))
     val id = registry.open(() => store.table(), spec,
       continuous = continuous, ttlMs = ttlMs)
+    rememberBatchLimits(id, spec)
     json(ex, 200, JObject("id" -> JInt(BigInt(id))))
   }
 
@@ -614,9 +673,7 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     val id = Option(ex.getRequestHeaders.getFirst(BatchWire.QueryIdHeader))
       .getOrElse(throw unprocessable(s"${BatchWire.QueryIdHeader} header is required"))
       .toLong
-    val max = queryParams(ex).get("max").map(_.toInt).getOrElse(85)
-    val rows = registry.fetch(id, max)
-      .getOrElse(throw notFound(s"Query $id doesn't exist or expired"))
+    val (rows, last) = fetchPage(id, queryParams(ex).get("max").map(_.toInt))
     if (rows.isEmpty) {
       ex.getResponseHeaders.set("x-reduct-last", "true")
       respond(ex, 204, Array.empty)
@@ -635,7 +692,7 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     for ((name, value) <- BatchWire.encodeBatchV2(recs.map(_._1)))
       h.set(name, value)
     h.set("Content-Type", "application/octet-stream")
-    h.set("x-reduct-last", (rows.size < max).toString)
+    h.set("x-reduct-last", last.toString)
     respond(ex, 200, recs.map(_._2).toArray.flatten)
   }
 

@@ -108,6 +108,20 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
     // cursor drained → 204
     assert(req("GET", s"/b/b2/e/batch?q=$qid").statusCode() == 204)
     assert(req("GET", "/b/b2/e/batch?q=99999").statusCode() == 404)
+    // sequential single-record cursor reads (?q=) + #batch_records paging
+    val open2 = req("POST", "/b/b2/e/q",
+      """{"when": {"#batch_records": 3, "$gte": [{"$cast": ["&i", "int"]}, 5]}}""".getBytes)
+    val qid2 = (jsonOf(open2) \ "id").extract[Long]
+    val single = req("GET", s"/b/b2/e?q=$qid2")
+    assert(single.statusCode() == 200 && new String(single.body()) == "p5")
+    assert(single.headers().firstValue("x-reduct-time").get() == "500")
+    // remaining 4 matches page by the directive's 3-record cap
+    val page1 = req("GET", s"/b/b2/e/batch?q=$qid2")
+    assert(page1.statusCode() == 200)
+    assert(new String(page1.body()) == "p6p7p8")
+    assert(page1.headers().firstValue("x-reduct-last").get() == "false")
+    val page2 = req("GET", s"/b/b2/e/batch?q=$qid2")
+    assert(new String(page2.body()) == "p9")
     // remove query deletes every other record
     val rm = req("DELETE", "/b/b2/e/q", """{"when": {"$each_n": 2}}""".getBytes)
     assert(rm.statusCode() == 200)
