@@ -134,16 +134,22 @@ object Dedup {
     val grouped = blocked.groupBy("block", "key")
       .agg(collect_list(struct(col("id"), col("fp"))).as("grp"))
       .filter(size(col("grp")).between(2, maxBucketSize))
+    // a pair sharing k chunks would surface in k buckets — emit it only
+    // from the FIRST shared block (no earlier chunk of fpa^fpb is zero),
+    // so every pair materializes exactly once and the dedup shuffle over
+    // the k-times-duplicated candidate set disappears
     grouped.select(explode(expr(
       """filter(
            flatten(transform(grp, (x, i) ->
              transform(slice(grp, i + 2, size(grp)), y ->
                struct(least(x.id, y.id) as a, greatest(x.id, y.id) as b,
-                      x.fp as fpa, y.fp as fpb)))),
-           p -> p.a < p.b)""")).as("p"))
-      .select(col("p.a"), col("p.b"),
-        bit_count(col("p.fpa").bitwiseXOR(col("p.fpb"))).as("hamming"))
-      .dropDuplicates("a", "b")
+                      x.fp ^ y.fp as d)))),
+           p -> p.a < p.b
+             AND (block < 1 OR (p.d & 65535) != 0)
+             AND (block < 2 OR (shiftright(p.d, 16) & 65535) != 0)
+             AND (block < 3 OR (shiftright(p.d, 32) & 65535) != 0))"""))
+        .as("p"))
+      .select(col("p.a"), col("p.b"), bit_count(col("p.d")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 

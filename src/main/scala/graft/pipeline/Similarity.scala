@@ -76,13 +76,16 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val bucketed = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
       lshSignature(col(vecCol), planes, dim).as("bucket"))
-    // query probes: own bucket + flip each bit once
-    val probes = queries.select(col("qid"), col("qvec"),
-      explode(array((0 to planes).map { i =>
-        if (i == 0) lshSignature(col("qvec"), planes, dim)
-        else lshSignature(col("qvec"), planes, dim)
-          .bitwiseXOR(lit(1 << (i - 1)))
-      }: _*)).as("bucket"))
+    // query probes: own bucket + flip each bit once. The signature is
+    // staged as a column FIRST — inlining it into each of the planes+1
+    // probe elements replicates the (planes x dim)-literal hyperplane
+    // tree that many times and codegen time dominates the query
+    val probes = queries
+      .select(col("qid"), col("qvec"),
+        lshSignature(col("qvec"), planes, dim).as("__sig"))
+      .select(col("qid"), col("qvec"),
+        explode(array(col("__sig") +: (0 until planes).map(i =>
+          col("__sig").bitwiseXOR(lit(1 << i))): _*)).as("bucket"))
     val joined = bucketed.join(broadcast(probes), "bucket")
       .filter(col("nid") =!= col("qid"))
       .withColumn("sim", cosine(col("nvec"), col("qvec")))
