@@ -53,31 +53,30 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     val batch0 = records.select(Records.schema.fieldNames.map(col): _*)
     // batch-internal duplicate ts: reject (Error) or keep-first (Skip —
     // idempotent replay, e.g. re-delivered streaming micro-batches)
-    val batch = onConflict match {
-      case Conflict.Skip => batch0.dropDuplicates("bucket", "entry", "ts")
-      case Conflict.Error =>
-        val dups = batch0.groupBy("bucket", "entry", "ts").count()
-          .filter(col("count") > 1).limit(1).collect()
-        if (dups.nonEmpty)
-          throw new IllegalArgumentException(
-            s"duplicate timestamp within batch: ${dups(0)}")
-        batch0
-    }
     val deduped = onConflict match {
-      case Conflict.Skip  => antiExisting(batch)
+      case Conflict.Skip => antiExisting(batch0.dropDuplicates("bucket", "entry", "ts"))
       case Conflict.Error =>
-        val bounds = batch.agg(min("ts"), max("ts")).collect()(0)
-        if (!bounds.isNullAt(0)) {
+        // one aggregation pass yields BOTH the in-batch-duplicate flag and
+        // the ts bounds for the overlap check (was two scans)
+        val stats = batch0.groupBy("bucket", "entry", "ts").count()
+          .agg(max("count"), min("ts"), max("ts")).collect()(0)
+        if (!stats.isNullAt(0) && stats.getLong(0) > 1) {
+          val dup = batch0.groupBy("bucket", "entry", "ts").count()
+            .filter(col("count") > 1).limit(1).collect()(0) // rare path
+          throw new IllegalArgumentException(
+            s"duplicate timestamp within batch: $dup")
+        }
+        if (!stats.isNullAt(1)) {
           val existing = tableOrEmpty()
-            .filter(col("ts").between(bounds.getLong(0), bounds.getLong(1)))
+            .filter(col("ts").between(stats.getLong(1), stats.getLong(2)))
             .select("bucket", "entry", "ts")
-          val clash = batch.join(existing, Seq("bucket", "entry", "ts"))
+          val clash = batch0.join(existing, Seq("bucket", "entry", "ts"))
             .limit(1).collect()
           if (clash.nonEmpty)
             throw new IllegalArgumentException(
               s"record already exists: ${clash(0)}")
         }
-        batch
+        batch0
     }
     // co-locate each output partition in one task before the partitioned
     // write — otherwise every task writes a file into every (entry, dt)
@@ -175,6 +174,55 @@ final class BucketStore(val spark: SparkSession, val root: String) {
         .map(r => (r.getString(0), r.getString(1), r.getDate(2).toString)).toSet
       for ((b, e, dt) <- affected if !surviving((b, e, dt)))
         deletePartitionDir(b, e, dt)
+      n
+    } finally matched.unpersist()
+  }
+
+  /** Batched per-record label updates (the io v2 PATCH verb): each key
+    * carries its own set/remove delta; ONE pruned partition-rewrite pass
+    * applies them all (a per-record loop would rewrite partitions k
+    * times). Returns the number of records found and patched. */
+  def updateLabelsBatch(bucket: String,
+      updates: Seq[(String, Long, Map[String, String], Set[String])]): Long = {
+    if (updates.isEmpty) return 0
+    import scala.jdk.CollectionConverters._
+    val patchSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("entry", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("__set",
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType)),
+      org.apache.spark.sql.types.StructField("__drop",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))))
+    val patches = spark.createDataFrame(
+      updates.map { case (e, ts, set, remove) =>
+        org.apache.spark.sql.Row(bucket, e, ts, set, (remove ++ set.keys).toSeq)
+      }.asJava, patchSchema)
+    val matched = table()
+      .filter(col("bucket") === bucket &&
+        col("entry").isin(updates.map(_._1).distinct: _*) &&
+        col("ts").between(updates.map(_._2).min, updates.map(_._2).max))
+      .join(broadcast(patches.select("bucket", "entry", "ts")),
+        Seq("bucket", "entry", "ts"), "left_semi")
+      .select("bucket", "entry", "ts")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = matched.count()
+      if (n == 0) return 0
+      val affected = collectAffected(matched)
+      val rewritten = prunedPartitionScan(affected)
+        .join(broadcast(patches), Seq("bucket", "entry", "ts"), "left")
+        .withColumn("labels",
+          when(col("__set").isNotNull || col("__drop").isNotNull,
+            map_concat(
+              map_filter(coalesce(col("labels"), map().cast("map<string,string>")),
+                (k, _) => !array_contains(coalesce(col("__drop"),
+                  array().cast("array<string>")), k)),
+              coalesce(col("__set"), map().cast("map<string,string>"))))
+            .otherwise(col("labels")))
+        .drop("__set", "__drop")
+      overwritePartitions(rewritten)
       n
     } finally matched.unpersist()
   }

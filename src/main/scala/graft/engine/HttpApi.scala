@@ -755,8 +755,8 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
       "removed_records" -> JInt(result.values.count(identity))))
   }
 
-  /** PATCH /io/:bucket/update — per-record label deltas (`k=` removes).
-    * Each distinct delta shape becomes one partition-rewrite pass. */
+  /** PATCH /io/:bucket/update — per-record label deltas (`k=` removes),
+    * applied in ONE batched partition-rewrite pass. */
   private def ioUpdate(ex: HttpExchange, bucket: String): Unit = {
     val headers = requestHeaders(ex)
     val hmap = headers.toMap
@@ -780,12 +780,7 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
         val (set, remove) = BatchWire.parseLabelDelta(v, labelNames)
         (entries(idx), startTs + delta, set, remove)
       }
-    var n = 0L
-    for ((entry, ts, set, remove) <- updates)
-      n += store.updateLabels(
-        QuerySpec(start = Some(ts), stop = Some(ts + 1),
-          entries = Some(Seq(entry)), bucket = Some(bucket)),
-        set = set, remove = remove)
+    val n = store.updateLabelsBatch(bucket, updates.toSeq)
     json(ex, 200, JObject("updated_records" -> JInt(BigInt(n))))
   }
 
