@@ -95,9 +95,20 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
           auth(ex, ReadAccessPolicy(bucket)); readSingle(ex, bucket, rest.mkString("/"), q)
         case ("PATCH", "b" :: bucket :: rest) if rest.nonEmpty =>
           auth(ex, WriteAccessPolicy(bucket)); updateSingle(ex, bucket, rest.mkString("/"), q)
+        case ("DELETE", "b" :: bucket :: rest)
+            if rest.length > 1 && rest.last == "batch" =>
+          auth(ex, WriteAccessPolicy(bucket))
+          removeBatched(ex, bucket, rest.dropRight(1).mkString("/"))
         case ("DELETE", "b" :: bucket :: rest) if rest.nonEmpty =>
           auth(ex, FullAccessPolicy)
           store.removeEntry(bucket, rest.mkString("/")); json(ex, 200, JObject())
+        case ("HEAD", "b" :: bucket :: rest)
+            if rest.length > 1 && rest.last == "batch" =>
+          auth(ex, ReadAccessPolicy(bucket))
+          readBatched(ex, bucket, rest.dropRight(1).mkString("/"), q)
+        case ("HEAD", "b" :: bucket :: rest) if rest.nonEmpty =>
+          auth(ex, ReadAccessPolicy(bucket))
+          readSingle(ex, bucket, rest.mkString("/"), q)
         // ----------------- renames (bucket.rs:73, entry.rs:295)
         case ("PUT", List("b", bucket, "rename")) =>
           auth(ex, FullAccessPolicy)
@@ -782,6 +793,20 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
       }
     val n = store.updateLabelsBatch(bucket, updates.toSeq)
     json(ex, 200, JObject("updated_records" -> JInt(BigInt(n))))
+  }
+
+  /** DELETE /b/:b/:e/batch (remove_batched.rs): delete the records named
+    * by `x-reduct-time-<ts>` headers; misses come back as
+    * `x-reduct-error-<ts>` headers. */
+  private def removeBatched(ex: HttpExchange, bucket: String, entry: String): Unit = {
+    val times = BatchWire.sortHeadersByTime(requestHeaders(ex)).map(_._1)
+    if (times.isEmpty) throw unprocessable("No records to remove")
+    val result = store.removeRecords(bucket, times.map(ts => (entry, ts)))
+    val h = ex.getResponseHeaders
+    for (ts <- times if !result((entry, ts)))
+      h.set(s"x-reduct-error-$ts", "404,No record with timestamp " + ts)
+    json(ex, 200, JObject(
+      "removed_records" -> JInt(result.values.count(identity))))
   }
 
   private def removeQuery(ex: HttpExchange, bucket: String, entry: String): Unit = {

@@ -160,6 +160,25 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
       .statusCode() == 401)
   }
 
+  test("batched remove by time headers and HEAD metadata reads") {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    for (i <- 0 until 4)
+      assert(req("POST", s"/b/rb/e?ts=${i * 10}", s"x$i".getBytes).statusCode() == 200)
+    // HEAD single: headers only, no body
+    val head = req("HEAD", "/b/rb/e?ts=10")
+    assert(head.statusCode() == 200 && head.body().isEmpty)
+    assert(head.headers().firstValue("x-reduct-time").get() == "10")
+    // batched remove: two hits, one miss
+    val rm = req("DELETE", "/b/rb/e/batch", headers = Seq(
+      "x-reduct-time-0" -> "0", "x-reduct-time-20" -> "0",
+      "x-reduct-time-999" -> "0"))
+    assert(rm.statusCode() == 200)
+    assert((jsonOf(rm) \ "removed_records").extract[Long] == 2)
+    assert(rm.headers().firstValue("x-reduct-error-999").get().startsWith("404"))
+    assert(req("GET", "/b/rb/e?ts=0").statusCode() == 404)
+    assert(req("GET", "/b/rb/e?ts=10").statusCode() == 200)
+  }
+
   test("replication and lifecycle management routes") {
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
     // seed a source bucket
