@@ -53,8 +53,19 @@ class DifferentialSpec extends AnyFunSuite with SparkTestBase {
         t <- Gen.oneOf("bool", "int", "float", "string", "duration")
       } yield Node.Op("$cast", List(c, Node.Const(Value.StrV(t))))),
       1 -> genTree(depth - 1).map(c => Node.Op("$abs", List(c))),
-      1 -> Gen.oneOf("$hour", "$day", "$weekday", "$month")
-        .map(h => Node.Op(h, List(Node.Op("$timestamp", Nil)))),
+      1 -> (for {
+        h <- Gen.oneOf("$hour", "$day", "$weekday", "$month", "$minute",
+          "$second", "$year")
+        // tz operand: absent, valid, strictly-invalid (ZoneId.of rejects
+        // "EST" and "Bogus/Zone" -> per-record error -> false on both
+        // paths), or label-driven (often a non-string -> error)
+        tz <- Gen.oneOf[List[Node]](Nil,
+          List(Node.Const(Value.StrV("Europe/Berlin"))),
+          List(Node.Const(Value.StrV("UTC"))),
+          List(Node.Const(Value.StrV("Bogus/Zone"))),
+          List(Node.Const(Value.StrV("EST"))),
+          List(Node.LabelRef("a")))
+      } yield Node.Op(h, Node.Op("$timestamp", Nil) :: tz)),
       1 -> (for {
         op <- Gen.oneOf("$exists", "$has")
         names <- Gen.nonEmptyListOf(Gen.oneOf(labelNames :+ "zz"))
