@@ -1,0 +1,62 @@
+package graft.examples
+
+import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The north-star composition: a training-data curation pass over the
+  * documents + embeddings tables — exact dedup, MinHash near-dedup,
+  * quality/language filtering, token budgeting, and embedding-level
+  * near-dup pruning — all declarative DataFrame stages (one shuffle per
+  * sketch, everything else map-side), so the same program scales from
+  * sf0.001 to a 100 TB corpus.
+  */
+object TrainingPipelineDemo {
+  def main(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val total = docs.count()
+
+    // 1. exact dedup: keep the smallest doc_id per distinct text
+    val exact = Dedup.exactDedup(docs)
+
+    // 2. near-dedup: drop the higher id of every MinHash pair >= 0.5
+    val nearPairs = Dedup.minhashPairs(exact, threshold = 0.5)
+    val dropNear = nearPairs.select(col("b").as("doc_id")).distinct()
+    val deduped = exact.join(dropNear, Seq("doc_id"), "left_anti")
+
+    // 3. quality gate: token count, stopword ratio, mean word length
+    val scored = TextAnalysis.withQuality(deduped)
+      .withColumn("lang_guess", TextAnalysis.langGuess(col("text")))
+      .withColumn("bpe_tokens", TextAnalysis.bpeTokenCount(col("text")))
+    val kept = scored.filter(
+      col("n_tokens") >= 5 && col("mean_word_len").between(2.0, 12.0))
+
+    // 4. per-language token budget report (the "what did we keep" view)
+    val report = kept.groupBy("lang_guess")
+      .agg(count(lit(1)).as("docs"), sum("bpe_tokens").as("bpe_tokens"))
+      .orderBy(col("bpe_tokens").desc)
+
+    // 5. embedding near-dup pass on the embeddings table
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val embDups = Similarity.embeddingDupPairs(emb, threshold = 0.98)
+
+    println(s"corpus:            $total docs")
+    println(s"after exact dedup: ${exact.count()}")
+    println(s"after near dedup:  ${deduped.count()} (dropped ${dropNear.count()} near-dups)")
+    println(s"after quality:     ${kept.count()}")
+    println("per-language token budget:")
+    report.collect().foreach(r => println(f"  ${r.getString(0)}%-4s ${r.getLong(1)}%6d docs ${r.getLong(2)}%10d bpe tokens"))
+    println(s"embedding near-dup pairs (cos >= 0.98): ${embDups.count()}")
+    spark.stop()
+  }
+}
