@@ -271,8 +271,33 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     * The isin filters are on PARTITION columns, so they prune at the file
     * index — the rewrite never touches unaffected partitions' files. The
     * single-column isin sets over-approximate the tuple set; the exact
-    * tuple filter runs on top (cheap: it only sees pruned rows). */
-  private def prunedPartitionScan(affected: Array[(String, String, String)]): DataFrame = {
+    * tuple filter runs on top (cheap: it only sees pruned rows).
+    *
+    * A rewrite spanning a huge partition set would bloat the plan with
+    * isin literals; past the threshold the exact filter switches to a
+    * broadcast semi-join, keeping only the (coarser, but still pruning)
+    * distinct-value isin lists in the plan. */
+  private val PruneListMax = 1000
+
+  private def prunedPartitionScan(affected: Array[(String, String, String)]): DataFrame =
+    if (affected.length <= PruneListMax) prunedPartitionScanIsin(affected)
+    else {
+      import scala.jdk.CollectionConverters._
+      val keyDf = spark.createDataFrame(
+        affected.map { case (b, e, d) =>
+          org.apache.spark.sql.Row(b, e, java.sql.Date.valueOf(d)) }.toSeq.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("entry", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("dt", org.apache.spark.sql.types.DateType))))
+      spark.read.schema(storedSchema).parquet(root)
+        .filter(col("bucket").isin(affected.map(_._1).distinct.toSeq: _*) &&
+          col("dt").cast("string").isin(affected.map(_._3).distinct.toSeq: _*))
+        .join(broadcast(keyDf), Seq("bucket", "entry", "dt"), "left_semi")
+        .drop("dt")
+    }
+
+  private def prunedPartitionScanIsin(affected: Array[(String, String, String)]): DataFrame = {
     val bs = affected.map(_._1).distinct.toSeq
     val es = affected.map(_._2).distinct.toSeq
     val ds = affected.map(_._3).distinct.toSeq
