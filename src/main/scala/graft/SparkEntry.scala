@@ -254,6 +254,10 @@ object SparkEntry {
       Similarity.cosineDupPairsByGroup(embeddings(s, dir), "label",
           threshold = 0.3).orderBy("id_a", "id_b")),
 
+    "q_embed_lsh_dup" -> ((s, dir) => // oracle: md5-derived hyperplanes
+      Similarity.embeddingDupPairs(embeddings(s, dir), threshold = 0.2)
+        .orderBy("id_a", "id_b")),
+
     // ----------------------------------------------- pipeline: multimodal
     "q_multimodal" -> ((s, dir) => { // rows-only (decode is stubbed)
       val ev = events(s, dir)
@@ -626,6 +630,39 @@ object SparkEntry {
              AND list_dot_product(a.v, b.v) /
                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
            ORDER BY id_a, id_b""",
+
+      // LSH-bucketed embedding near-dup: same md5 hyperplanes as q_lsh_ann;
+      // all same-bucket pairs with left-fold cosine >= threshold
+      "q_embed_lsh_dup" ->
+        """WITH hp AS (
+             SELECT i, list_transform(range(64), d ->
+               ('0x'||substring(md5('graft:lsh:'||i||':'||d),1,15))::BIGINT::DOUBLE
+                 / 576460752303423488.0 - 1.0) AS plane
+             FROM range(8) t(i)),
+           e AS (
+             SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+               sqrt(list_reduce(list_prepend(0.0, list_transform(
+                 list_transform(embedding, x -> x::DOUBLE), x -> x*x)),
+                 (a,b)->a+b)) AS nrm
+             FROM embeddings),
+           sigs AS (
+             SELECT vec_id, any_value(v) AS v, any_value(nrm) AS nrm,
+               CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << i) ELSE 0 END)
+                 AS BIGINT) AS bucket
+             FROM (
+               SELECT e.vec_id, e.v, e.nrm, hp.i,
+                 list_reduce(list_prepend(0.0, list_transform(range(64), dd ->
+                   e.v[dd+1]*hp.plane[dd+1])), (a,b)->a+b) AS dot
+               FROM e, hp)
+             GROUP BY vec_id),
+           cand AS (
+             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_reduce(list_prepend(0.0, list_transform(range(64), dd ->
+                 a.v[dd+1]*b.v[dd+1])), (a,b)->a+b) / (a.nrm * b.nrm) AS sim
+             FROM sigs a JOIN sigs b
+               ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+           SELECT id_a, id_b, round(sim, 6) AS sim FROM cand
+           WHERE sim >= 0.2 ORDER BY id_a, id_b""",
 
       "q_ann_brute" ->
         """WITH q AS (

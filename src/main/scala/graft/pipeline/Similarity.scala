@@ -189,18 +189,44 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs via LSH buckets (all pairs in a
-    * bucket with cosine ≥ threshold). Complements [[Dedup]]. */
+    * bucket with cosine ≥ threshold). Complements [[Dedup]].
+    *
+    * Candidate pairs come from id-only bucket groups bounded by
+    * `maxBucketSize` — the same hot-bucket guard as
+    * [[Dedup.minhashPairs]]/[[Dedup.simhashPairs]]. A dominant embedding
+    * cluster (common in real corpora: boilerplate, near-zero vectors)
+    * lands in one sign-bucket; an unbounded self-join there is quadratic.
+    * Buckets over the bound are dropped whole. Only (id, bucket) rows
+    * travel through the candidate shuffle; vectors join back for the
+    * cosine verification over the (small) candidate set only. */
   def embeddingDupPairs(corpus: DataFrame, threshold: Double = 0.95,
       planes: Int = 8, dim: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding",
       maxBucketSize: Int = 10000): DataFrame = {
     val bucketed = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      norm(col(vecCol)).as("nrm"),
       lshSignature(col(vecCol), planes, dim).as("bucket"))
-    val a = bucketed.as("a"); val b = bucketed.as("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("sim", cosine(col("a.vec"), col("b.vec")))
+    val byBucket = bucketed.select(col("id"), col("bucket"))
+      .groupBy("bucket")
+      .agg(collect_list(col("id")).as("grp"))
+      .filter(size(col("grp")).between(2, maxBucketSize))
+    // normalize each unordered pair to (min, max) — collect_list order is
+    // arbitrary (see Dedup.minhashPairs)
+    val pairs = byBucket.select(explode(expr(
+      """filter(
+           flatten(transform(grp, (x, i) ->
+             transform(slice(grp, i + 2, size(grp)), y ->
+               struct(least(x, y) as a, greatest(x, y) as b)))),
+           p -> p.a < p.b)""")).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+    val vecs = bucketed.select(col("id"), col("vec"), col("nrm"))
+    pairs
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("va"),
+        col("nrm").as("na")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vb"),
+        col("nrm").as("nb")), "id_b")
+      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("sim") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(col("sim"), 6).as("sim"))
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
 }

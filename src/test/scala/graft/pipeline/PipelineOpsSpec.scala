@@ -117,6 +117,27 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(recall > 0.3, s"IVF recall $recall too low")
   }
 
+  test("embeddingDupPairs drops hot buckets over maxBucketSize") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val v1 = Array.fill(64)(rnd.nextFloat() * 2f - 1f)
+    val v2 = v1.map(-_) // opposite sign on every plane → different bucket
+    // 10 identical vectors = one hot sign-bucket (45 potential pairs)
+    val hot = (0L until 10L).map(i => (i, v1))
+    val good = Seq((100L, v2), (101L, v2.map(x => x * 1.001f)))
+    val df = (hot ++ good).toDF("vec_id", "embedding")
+    val bounded = Similarity.embeddingDupPairs(df, threshold = 0.9,
+        maxBucketSize = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bounded == Set((100L, 101L)),
+      s"hot-bucket pairs must be dropped, got $bounded")
+    val unbounded = Similarity.embeddingDupPairs(df, threshold = 0.9,
+        maxBucketSize = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unbounded.size == 45 + 1,
+      s"expected all 46 pairs under a loose bound, got ${unbounded.size}")
+  }
+
   test("multimodal feature extraction plumbing: schema, determinism, batching") {
     import spark.implicits._
     val df = Seq(
