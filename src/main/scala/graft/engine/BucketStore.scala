@@ -49,7 +49,8 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     *        Skip → drop conflicting rows; Overwrite is intentionally not
     *        offered (records are immutable, only labels update).
     */
-  def write(records: DataFrame, onConflict: Conflict = Conflict.Error): Unit = {
+  def write(records: DataFrame, onConflict: Conflict = Conflict.Error,
+      maxRecordsPerFile: Long = 1000000L): Unit = {
     val batch0 = records.select(Records.schema.fieldNames.map(col): _*)
     // batch-internal duplicate ts: reject (Error) or keep-first (Skip —
     // idempotent replay, e.g. re-delivered streaming micro-batches)
@@ -88,7 +89,7 @@ final class BucketStore(val spark: SparkSession, val root: String) {
       .repartition(col("bucket"), col("entry"), col("dt"))
       .write
       .partitionBy("bucket", "entry", "dt")
-      .option("maxRecordsPerFile", 1000000)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
       .mode(SaveMode.Append)
       .parquet(root)
   }
@@ -104,7 +105,9 @@ final class BucketStore(val spark: SparkSession, val root: String) {
 
   /** Batch-write convenience (the wire batch-protocol analog,
     * reduct_base/src/batch/v1.rs): records as (ts, labels, payload)
-    * triples for one bucket/entry. */
+    * triples for one bucket/entry. This is the wire path, so it honors
+    * the bucket's persisted settings (quota type/size, block rotation)
+    * via [[writeWithSettings]]. */
   def writeBatch(bucket: String, entry: String,
       records: Seq[(Long, Map[String, String], Array[Byte])],
       contentType: String = "application/octet-stream",
@@ -114,7 +117,8 @@ final class BucketStore(val spark: SparkSession, val root: String) {
       org.apache.spark.sql.Row(bucket, entry, ts, labels,
         Map.empty[String, String], contentType, Records.State.Finished, payload)
     }.asJava
-    write(spark.createDataFrame(rows, Records.schema), onConflict)
+    writeWithSettings(bucket, spark.createDataFrame(rows, Records.schema),
+      onConflict, incomingBytes = records.map(_._3.length.toLong).sum)
   }
 
   /** PATCH labels (storage/entry/update_labels.rs:14-36): merge `set` keys
@@ -432,6 +436,68 @@ final class BucketStore(val spark: SparkSession, val root: String) {
       throw new IllegalStateException(s"bucket '$bucket' over hard quota")
     write(records)
   }
+
+  // ----------------------------------------------------- bucket settings
+
+  private def settingsPath(bucket: String) =
+    new org.apache.hadoop.fs.Path(
+      s"$root/bucket=${escapePartition(bucket)}/$SettingsFile")
+
+  /** Stored settings for a bucket, if the bucket has been created /
+    * written through the settings-aware path. */
+  def bucketSettings(bucket: String): Option[BucketSettings] = {
+    val p = settingsPath(bucket)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(BucketSettings.fromJson(
+        new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)))
+      finally in.close()
+    }
+  }
+
+  /** Persist settings for a bucket (overwrites; callers merge first —
+    * [[BucketSettings.over]] gives the reference's fill_settings
+    * semantics, bucket/settings.rs:61-79). */
+  def putBucketSettings(bucket: String, s: BucketSettings): Unit = {
+    val p = settingsPath(bucket)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s.toJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def bucketSettingsExist(bucket: String): Boolean = {
+    val p = settingsPath(bucket)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Write honoring the bucket's persisted settings (keep_quota_for,
+    * bucket/quotas.rs:44-66): NONE → plain append; HARD → reject when
+    * current size + incoming would exceed quota_size ("Quota of 'b'
+    * exceeded", the reference's bad_request); FIFO → append, then evict
+    * oldest day-partitions until back under quota. `max_block_records`
+    * maps to the parquet writer's file rotation (maxRecordsPerFile —
+    * the analog of block rotation, storage.proto:47-63); max_block_size
+    * is stored for API parity (parquet files rotate on records, and a
+    * day-partition bounds them physically).
+    *
+    * @param incomingBytes payload size of the batch when the caller knows
+    *        it (the HTTP body length) — counted against a HARD quota
+    *        without a pre-write scan. */
+  def writeWithSettings(bucket: String, records: DataFrame,
+      onConflict: Conflict = Conflict.Error, incomingBytes: Long = 0L): Unit = {
+    val s = bucketSettings(bucket).getOrElse(BucketSettings.defaults)
+    val quota = s.quotaSize.getOrElse(0L)
+    if (s.quotaType.contains("HARD") && quota > 0 &&
+        bucketSizeBytes(bucket) + incomingBytes > quota)
+      throw new IllegalArgumentException(s"Quota of '$bucket' exceeded")
+    write(records, onConflict,
+      maxRecordsPerFile = s.maxBlockRecords.filter(_ > 0).getOrElse(1000000L))
+    if (s.quotaType.contains("FIFO") && quota > 0)
+      enforceFifoQuota(bucket, quota)
+  }
 }
 
 object BucketStore {
@@ -439,6 +505,66 @@ object BucketStore {
   object Conflict {
     case object Error extends Conflict
     case object Skip extends Conflict
+  }
+
+  /** Settings JSON file inside the bucket's partition directory — the
+    * underscore prefix hides it from Spark's parquet partition discovery,
+    * so the data table never sees it. */
+  val SettingsFile = "_settings.json"
+
+  /** Per-bucket settings (reduct_base/src/msg/bucket_api.rs:57-67).
+    * All fields optional; a PUT merges present fields over the stored
+    * value (fill_settings, bucket/settings.rs:61-79). quota_type is one
+    * of NONE | FIFO | HARD (bucket_api.rs:15-20). */
+  final case class BucketSettings(
+      quotaType: Option[String] = None,
+      quotaSize: Option[Long] = None,
+      maxBlockSize: Option[Long] = None,
+      maxBlockRecords: Option[Long] = None) {
+
+    /** This settings object layered over `base`: present fields win,
+      * missing fields fall back (the reference's fill_settings). */
+    def over(base: BucketSettings): BucketSettings = BucketSettings(
+      quotaType.orElse(base.quotaType),
+      quotaSize.orElse(base.quotaSize),
+      maxBlockSize.orElse(base.maxBlockSize),
+      maxBlockRecords.orElse(base.maxBlockRecords))
+
+    def toJson: String = {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      JsonMethods.compact(JsonMethods.render(JObject(
+        "quota_type" -> quotaType.map(JString(_)).getOrElse(JNull),
+        "quota_size" -> quotaSize.map(v => JInt(BigInt(v))).getOrElse(JNull),
+        "max_block_size" -> maxBlockSize.map(v => JInt(BigInt(v))).getOrElse(JNull),
+        "max_block_records" -> maxBlockRecords.map(v => JInt(BigInt(v)))
+          .getOrElse(JNull))))
+    }
+  }
+
+  object BucketSettings {
+    /** Bucket::defaults (bucket/settings.rs:49-57). */
+    val defaults: BucketSettings = BucketSettings(
+      quotaType = Some("NONE"), quotaSize = Some(0L),
+      maxBlockSize = Some(64000000L), maxBlockRecords = Some(1024L))
+
+    val QuotaTypes: Set[String] = Set("NONE", "FIFO", "HARD")
+
+    def fromJson(s: String): BucketSettings = {
+      import org.json4s._
+      implicit val fmts: Formats = DefaultFormats
+      val j = org.json4s.jackson.JsonMethods.parseOpt(s).getOrElse(JObject())
+      val qt = (j \ "quota_type").extractOpt[String]
+      qt.foreach { t =>
+        if (!QuotaTypes(t))
+          throw new IllegalArgumentException(s"Invalid quota type '$t'")
+      }
+      BucketSettings(
+        quotaType = qt,
+        quotaSize = (j \ "quota_size").extractOpt[Long],
+        maxBlockSize = (j \ "max_block_size").extractOpt[Long],
+        maxBlockRecords = (j \ "max_block_records").extractOpt[Long])
+    }
   }
 
   import org.apache.spark.sql.types._

@@ -16,9 +16,11 @@ import java.nio.charset.StandardCharsets.UTF_8
   * Spark-backed store — the cluster does the heavy lifting; the façade
   * translates routes, headers and auth:
   *
-  *  - `HEAD /api/v1/alive`, `GET /api/v1/info`, `GET /api/v1/list`,
-  *    `GET /api/v1/me`
-  *  - bucket CRUD `POST|GET|DELETE /api/v1/b/:bucket`
+  *  - `HEAD|GET /api/v1/alive`, `HEAD|GET /api/v1/ready`,
+  *    `GET /api/v1/info`, `GET /api/v1/list`, `GET /api/v1/me`
+  *  - bucket CRUD `POST|GET|HEAD|PUT|DELETE /api/v1/b/:bucket` with
+  *    persisted per-bucket settings (quota_type/quota_size/
+  *    max_block_size/max_block_records) enforced on the write path
   *  - entry IO `POST|GET|PATCH /api/v1/b/:bucket/:entry?ts=` with
   *    `x-reduct-label-*` headers (write/read/update-labels)
   *  - query cursors `POST /api/v1/b/:b/:e/q` → `{"id":N}`, batched read
@@ -58,7 +60,10 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
       val method = ex.getRequestMethod.toUpperCase
       val q = queryParams(ex)
       (method, segs) match {
-        case ("HEAD", List("alive")) => respond(ex, 200, Array.empty)
+        // health probes, both verbs (api/http/server.rs:26-32) —
+        // orchestration GETs /ready constantly
+        case ("HEAD" | "GET", List("alive")) => respond(ex, 200, Array.empty)
+        case ("HEAD" | "GET", List("ready")) => respond(ex, 200, Array.empty)
         case ("GET", List("info"))   => auth(ex, AuthenticatedPolicy); info(ex)
         case ("GET", List("list"))   => auth(ex, AuthenticatedPolicy); list(ex)
         case ("GET", List("me"))     => me(ex)
@@ -75,6 +80,12 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
           auth(ex, FullAccessPolicy); createBucket(ex, bucket)
         case ("GET", List("b", bucket)) =>
           auth(ex, ReadAccessPolicy(bucket)); bucketInfo(ex, bucket)
+        case ("HEAD", List("b", bucket)) => // head_bucket (bucket/head.rs)
+          auth(ex, AuthenticatedPolicy)
+          if (!bucketExists(bucket)) throw notFound(s"Bucket '$bucket' is not found")
+          respond(ex, 200, Array.empty)
+        case ("PUT", List("b", bucket)) => // update_bucket (bucket/update.rs)
+          auth(ex, FullAccessPolicy); updateBucket(ex, bucket)
         case ("DELETE", List("b", bucket)) =>
           auth(ex, FullAccessPolicy); removeBucket(ex, bucket)
         case ("POST", "b" :: bucket :: rest)
@@ -278,14 +289,46 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
 
   private val createdBuckets = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** A bucket exists if it was created this session, has data on disk, or
+    * has a persisted settings file (creation survives restarts). */
   private def bucketExists(bucket: String): Boolean =
-    createdBuckets.contains(bucket) || store.bucketSizeBytes(bucket) > 0
+    createdBuckets.contains(bucket) || store.bucketSettingsExist(bucket) ||
+      store.bucketSizeBytes(bucket) > 0
 
+  /** Settings from the request body; empty body = no overrides
+    * (BucketSettingsAxum::from_request, bucket.rs:44-64). */
+  private def parseSettings(ex: HttpExchange): BucketStore.BucketSettings = {
+    val body = new String(readBody(ex), UTF_8)
+    if (body.trim.isEmpty) BucketStore.BucketSettings()
+    else BucketStore.BucketSettings.fromJson(body)
+  }
+
+  /** POST /b/:bucket — create with settings; missing fields filled with
+    * defaults (create.rs + fill_settings). */
   private def createBucket(ex: HttpExchange, bucket: String): Unit = {
     if (bucketExists(bucket)) throw conflict(s"Bucket '$bucket' already exists")
+    store.putBucketSettings(bucket,
+      parseSettings(ex).over(BucketStore.BucketSettings.defaults))
     createdBuckets.add(bucket)
     json(ex, 200, JObject())
   }
+
+  /** PUT /b/:bucket — merge present fields over stored settings
+    * (update.rs → set_settings → fill_settings over current). */
+  private def updateBucket(ex: HttpExchange, bucket: String): Unit = {
+    if (!bucketExists(bucket)) throw notFound(s"Bucket '$bucket' is not found")
+    val current = store.bucketSettings(bucket)
+      .getOrElse(BucketStore.BucketSettings.defaults)
+    store.putBucketSettings(bucket, parseSettings(ex).over(current))
+    json(ex, 200, JObject())
+  }
+
+  private def settingsJson(s: BucketStore.BucketSettings): JObject = JObject(
+    "quota_type" -> s.quotaType.map(JString(_)).getOrElse(JNull),
+    "quota_size" -> s.quotaSize.map(v => JInt(BigInt(v))).getOrElse(JNull),
+    "max_block_size" -> s.maxBlockSize.map(v => JInt(BigInt(v))).getOrElse(JNull),
+    "max_block_records" -> s.maxBlockRecords.map(v => JInt(BigInt(v)))
+      .getOrElse(JNull))
 
   private def bucketInfo(ex: HttpExchange, bucket: String): Unit = {
     if (!bucketExists(bucket)) throw notFound(s"Bucket '$bucket' is not found")
@@ -298,7 +341,14 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
         "name" -> JString(bucket),
         "size" -> JInt(BigInt(store.bucketSizeBytes(bucket))),
         "entry_count" -> JInt(entries.length),
-        "record_count" -> JInt(BigInt(entries.map(_.getLong(1)).sum))),
+        "record_count" -> JInt(BigInt(entries.map(_.getLong(1)).sum)),
+        "oldest_record" -> JInt(BigInt(
+          if (entries.isEmpty) 0L else entries.map(_.getLong(2)).min)),
+        "latest_record" -> JInt(BigInt(
+          if (entries.isEmpty) 0L else entries.map(_.getLong(3)).max)),
+        "is_provisioned" -> JBool(false)),
+      "settings" -> settingsJson(store.bucketSettings(bucket)
+        .getOrElse(BucketStore.BucketSettings.defaults)),
       "entries" -> JArray(entries.map { r =>
         JObject("name" -> JString(r.getString(0)),
           "record_count" -> JInt(BigInt(r.getLong(1))),
@@ -728,7 +778,7 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
         Row(bucket, entry, ts, hdr.labels, Map.empty[String, String],
           hdr.contentType, graft.core.Records.State.Finished, payload)
       }.asJava, graft.core.Records.schema)
-    try store.write(df)
+    try store.writeWithSettings(bucket, df, incomingBytes = body.length.toLong)
     catch { case e: IllegalArgumentException if
         Option(e.getMessage).exists(_.contains("already exists")) =>
       throw conflict(e.getMessage) }

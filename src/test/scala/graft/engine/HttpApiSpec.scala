@@ -270,4 +270,73 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
     assert(req("GET", "/b/b3/ea?ts=1000").statusCode() == 404)
     assert(req("GET", "/b/b3/ea?ts=2000").statusCode() == 200)
   }
+
+  test("health probes: alive + ready on both verbs, unauthenticated") {
+    for (verb <- Seq("HEAD", "GET"); route <- Seq("/alive", "/ready"))
+      assert(req(verb, route, token = "").statusCode() == 200,
+        s"$verb $route should be 200")
+  }
+
+  test("bucket settings: create → HEAD → PUT partial merge → quota enforcement") {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    // create with partial settings: missing fields fill from defaults
+    assert(req("POST", "/b/bs",
+      """{"quota_type": "FIFO", "quota_size": 9000000}""".getBytes)
+      .statusCode() == 200)
+    val got = jsonOf(req("GET", "/b/bs"))
+    assert((got \ "settings" \ "quota_type").extract[String] == "FIFO")
+    assert((got \ "settings" \ "quota_size").extract[Long] == 9000000L)
+    assert((got \ "settings" \ "max_block_size").extract[Long] == 64000000L)
+    assert((got \ "settings" \ "max_block_records").extract[Long] == 1024L)
+    assert((got \ "info" \ "is_provisioned").extract[Boolean] == false)
+    // HEAD: existence probe, no body
+    assert(req("HEAD", "/b/bs").statusCode() == 200)
+    assert(req("HEAD", "/b/nope").statusCode() == 404)
+    assert(req("PUT", "/b/nope").statusCode() == 404)
+    // PUT a partial update: only the named field changes
+    assert(req("PUT", "/b/bs",
+      """{"quota_type": "HARD", "quota_size": 2000}""".getBytes)
+      .statusCode() == 200)
+    val upd = jsonOf(req("GET", "/b/bs"))
+    assert((upd \ "settings" \ "quota_type").extract[String] == "HARD")
+    assert((upd \ "settings" \ "quota_size").extract[Long] == 2000L)
+    assert((upd \ "settings" \ "max_block_records").extract[Long] == 1024L,
+      "fields absent from the PUT body must keep their stored values")
+    // invalid quota type → 422
+    assert(req("PUT", "/b/bs", """{"quota_type": "BOGUS"}""".getBytes)
+      .statusCode() == 422)
+    // HARD quota: first write lands, then the bucket is over 2000 bytes
+    // on disk (parquet + partition overhead) and further writes bounce
+    assert(req("POST", "/b/bs/e?ts=1", Array.fill[Byte](10)('x'))
+      .statusCode() == 200)
+    val denied = req("POST", "/b/bs/e?ts=2", Array.fill[Byte](10)('y'))
+    assert(denied.statusCode() == 422, new String(denied.body()))
+    assert(new String(denied.body()).contains("Quota"))
+    assert(req("GET", "/b/bs/e?ts=1").statusCode() == 200,
+      "existing data still readable under a full HARD quota")
+    // switch to NONE → write goes through again
+    assert(req("PUT", "/b/bs", """{"quota_type": "NONE"}""".getBytes)
+      .statusCode() == 200)
+    assert(req("POST", "/b/bs/e?ts=2", "ok".getBytes).statusCode() == 200)
+    // FIFO quota: evicts oldest day-partitions instead of rejecting.
+    // Quota is sized from the measured two-day footprint so exactly the
+    // oldest day must go when a third day arrives.
+    assert(req("POST", "/b/bf",
+      """{"quota_type": "FIFO", "quota_size": 100000000}""".getBytes)
+      .statusCode() == 200)
+    val day = 86400L * 1000000L
+    assert(req("POST", "/b/bf/e?ts=1000000", "old".getBytes).statusCode() == 200)
+    assert(req("POST", s"/b/bf/e?ts=$day", "mid".getBytes).statusCode() == 200)
+    val twoDays = store.bucketSizeBytes("bf")
+    assert(req("PUT", "/b/bf",
+      s"""{"quota_size": ${twoDays + 500}}""".getBytes).statusCode() == 200)
+    assert(req("POST", s"/b/bf/e?ts=${2 * day}", "new".getBytes)
+      .statusCode() == 200)
+    assert(req("GET", "/b/bf/e?ts=1000000").statusCode() == 404,
+      "oldest day evicted by FIFO quota")
+    assert(req("GET", s"/b/bf/e?ts=$day").statusCode() == 200,
+      "second day survives FIFO eviction")
+    assert(req("GET", s"/b/bf/e?ts=${2 * day}").statusCode() == 200,
+      "newest record survives FIFO eviction")
+  }
 }
