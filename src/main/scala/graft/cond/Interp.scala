@@ -24,12 +24,36 @@ final case class Ctx(
 final class Interp(root: Node) {
   import Value._
 
+  /** Stateful node instances in tree (build) order — the hooks for the
+    * streaming path to persist interpreter state across micro-batches
+    * ([[graft.stream.StatefulStream.whenFilter]]). Build order is the
+    * deterministic depth-first walk of the parsed tree, so snapshots
+    * taken by one Interp instance restore into any other built from an
+    * equal tree. */
+  private val statefulNodes =
+    scala.collection.mutable.ArrayBuffer.empty[StatefulEval]
+
   private val evalRoot = build(root)
 
   /** Evaluate the condition for one record. Throws [[CondError]] on
     * evaluation errors and [[InterruptSignal]] when `$limit` is exhausted.
     */
   def apply(ctx: Ctx): Value = evalRoot(ctx)
+
+  /** Serializable snapshot of every stateful operator's state. */
+  def stateSnapshot: Vector[Any] = statefulNodes.map(_.snapshot).toVector
+
+  /** Restore a [[stateSnapshot]] taken from an Interp over an equal tree.
+    * Ignores a snapshot of mismatched shape (e.g. after a replication's
+    * `when` was edited — state restarts fresh, the only sane recovery). */
+  def restoreState(s: Seq[Any]): Unit =
+    if (s.length == statefulNodes.length)
+      statefulNodes.zip(s).foreach { case (n, v) => n.restore(v) }
+
+  private trait StatefulEval {
+    def snapshot: Any
+    def restore(s: Any): Unit
+  }
 
   private type Eval = Ctx => Value
 
@@ -140,8 +164,11 @@ final class Interp(root: Node) {
     }
 
   /** each_n.rs:34-54 — counter ticks per *evaluation*, true every n-th. */
-  private final class EachN(nOp: Eval) extends (Ctx => Value) {
+  private final class EachN(nOp: Eval) extends (Ctx => Value) with StatefulEval {
+    statefulNodes += this
     private var count = 0L
+    def snapshot: Any = count
+    def restore(s: Any): Unit = count = s.asInstanceOf[Long]
     def apply(ctx: Ctx): Value = {
       count += 1
       val n = nOp(ctx).asInt
@@ -152,8 +179,11 @@ final class Interp(root: Node) {
 
   /** each_t.rs:37-66 — time debounce; resets when time goes backwards.
     * Transition logic shared with the streaming path (StateMachines). */
-  private final class EachT(tOp: Eval) extends (Ctx => Value) {
+  private final class EachT(tOp: Eval) extends (Ctx => Value) with StatefulEval {
+    statefulNodes += this
     private var state = StateMachines.EachTState()
+    def snapshot: Any = state
+    def restore(s: Any): Unit = state = s.asInstanceOf[StateMachines.EachTState]
     def apply(ctx: Ctx): Value = {
       val v = tOp(ctx)
       val s = if (v.isDuration) v.asFloat / 1e6 else v.asFloat
@@ -165,8 +195,11 @@ final class Interp(root: Node) {
 
   /** gate.rs:75-140 — edge-triggered gate with reset latch.
     * Transition logic shared with the streaming path (StateMachines). */
-  private final class Gate(durOp: Eval, inputOp: Eval) extends (Ctx => Value) {
+  private final class Gate(durOp: Eval, inputOp: Eval) extends (Ctx => Value) with StatefulEval {
+    statefulNodes += this
     private var state = StateMachines.GateState()
+    def snapshot: Any = state
+    def restore(s: Any): Unit = state = s.asInstanceOf[StateMachines.GateState]
     def apply(ctx: Ctx): Value = {
       val dv = durOp(ctx)
       val duration = // gate.rs:42-53: duration literal in µs, number in sec
@@ -179,8 +212,11 @@ final class Interp(root: Node) {
   }
 
   /** limit.rs:30-43 — Interrupt past n evaluations. */
-  private final class Limit(nOp: Eval) extends (Ctx => Value) {
+  private final class Limit(nOp: Eval) extends (Ctx => Value) with StatefulEval {
+    statefulNodes += this
     private var count = 0L
+    def snapshot: Any = count
+    def restore(s: Any): Unit = count = s.asInstanceOf[Long]
     def apply(ctx: Ctx): Value = {
       count += 1
       if (count > nOp(ctx).asInt) throw new InterruptSignal

@@ -59,6 +59,81 @@ object EntryPattern {
     pattern.endsWith("*") || rest.isEmpty
   }
 
+  // ------------------------------------------------- Column predicates
+
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.lit
+
+  /** [[matches]] as a static Column predicate (equality / startsWith /
+    * rlike — all codegen'd). Lets streaming paths apply glob semantics
+    * without enumerating the entry universe (no distinct+collect). */
+  def matchesCol(entry: Column, pattern0: String): Column = {
+    val pattern = pattern0.dropWhile(_ == '/')
+    if (!pattern.contains('*')) entry === pattern
+    else if (!pattern.contains('/') && pattern.endsWith("*"))
+      entry.startsWith(pattern.dropRight(1))
+    else entry.rlike("^" + globRegex(pattern) + "$")
+  }
+
+  /** Glob → Java regex with [[matches]]' exact segment semantics:
+    * in-segment `*` → `[^/]*`; `**` → zero or more whole segments
+    * (so `a/&#42;&#42;/x` matches `a/x`, and a trailing `/&#42;&#42;`
+    * matches the bare parent). */
+  private def globRegex(pattern: String): String = {
+    val segs = pattern.split("/", -1)
+    val sb = new StringBuilder
+    var pendingSep = false // a literal segment was emitted; next needs '/'
+    for ((s, idx) <- segs.zipWithIndex) {
+      val isLast = idx == segs.length - 1
+      if (s == "**") {
+        if (isLast && !pendingSep) sb.append(".*")
+        else if (pendingSep) sb.append("(?:/[^/]+)*") // keeps pendingSep
+        else sb.append("(?:[^/]+/)*")
+      } else {
+        if (pendingSep) sb.append('/')
+        sb.append(segRegex(s))
+        pendingSep = true
+      }
+    }
+    sb.toString
+  }
+
+  private def segRegex(seg: String): String =
+    seg.split("\\*", -1).map {
+      case "" => ""
+      case chunk => java.util.regex.Pattern.quote(chunk)
+    }.mkString("[^/]*")
+
+  /** [[resolve]] as a static Column predicate: same include/exclude and
+    * system-entry semantics, but evaluated per row instead of against a
+    * collected entry list — the form streaming filters need (a per-batch
+    * `distinct().collect()` in a hot foreachBatch loop is a driver
+    * round-trip per micro-batch). */
+  def predicateCol(entry: Column, patterns: Option[Seq[String]]): Column = {
+    val queryable = !(entry === MetaSegment) &&
+      !entry.endsWith("/" + MetaSegment)
+    patterns match {
+      case None => queryable
+      case Some(pats) =>
+        val includes = pats.filterNot(p => p.startsWith("!") && p.length > 1)
+        val excludes = pats.collect {
+          case p if p.startsWith("!") && p.length > 1 => p.substring(1)
+        }
+        val included =
+          if (includes.isEmpty || includes.contains("*")) queryable
+          else {
+            val exactHit = includes.map(p => entry === p).reduce(_ || _)
+            val globHit =
+              includes.map(p => matchesCol(entry, p)).reduce(_ || _) && queryable
+            exactHit || globHit
+          }
+        val excluded = excludes
+          .map(p => (entry === p) || matchesCol(entry, p))
+          .reduceOption(_ || _).getOrElse(lit(false))
+        included && !excluded
+    }
+  }
+
   /** bucket/query.rs:96-154: resolve an entry universe against
     * include/exclude patterns. `patterns == None` → all non-system entries.
     */

@@ -37,6 +37,61 @@ object StatefulStream {
     out.drop("__in")
   }
 
+  /** A full `when` tree over a streaming record frame, with every stateful
+    * operator's state ($each_n/$limit counters, $each_t/$gate machines)
+    * persisted in the streaming state store across micro-batches — keyed
+    * by (bucket, entry), matching the reference's one-filter-chain-per-
+    * entry model for the lifetime of a replication
+    * (replication/transaction_filter.rs:52-110).
+    *
+    * Rows are sorted by ts within each (key, micro-batch); the condition
+    * evaluates through the same [[graft.cond.Interp]] as the batch kernel
+    * (StatefulKernel), so semantics are identical — only the state's
+    * lifetime differs. Directives (#ctx_*, #select_labels) don't apply
+    * here: replication filters are bare conditions in the reference too.
+    */
+  def whenFilter(records: DataFrame, when: String,
+      strict: Boolean = true): DataFrame = {
+    val root = graft.cond.Parser.parse(when).root
+    val schema = records.schema
+    val tsIdx = schema.fieldIndex("ts")
+    val labelsIdx = schema.fieldIndex("labels")
+    val computedIdx = schema.fieldIndex("computed_labels")
+    implicit val rowEnc = Encoders.row(schema)
+    implicit val keyEnc = Encoders.tuple(Encoders.STRING, Encoders.STRING)
+    implicit val stateEnc = Encoders.kryo[Vector[Any]]
+    records.groupByKey { r: Row =>
+      (r.getString(schema.fieldIndex("bucket")),
+        r.getString(schema.fieldIndex("entry")))
+    }.flatMapGroupsWithState[Vector[Any], Row](
+      OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      (_: (String, String), rows: Iterator[Row], gs: GroupState[Vector[Any]]) =>
+        val interp = new graft.cond.Interp(root)
+        gs.getOption.foreach(interp.restoreState)
+        val sorted = rows.toArray.sortBy(_.getLong(tsIdx))
+        var interrupted = false
+        val out = sorted.flatMap { row =>
+          if (interrupted) None
+          else {
+            val labels =
+              if (row.isNullAt(labelsIdx)) Map.empty[String, String]
+              else row.getMap[String, String](labelsIdx)
+            val computed =
+              if (row.isNullAt(computedIdx)) Map.empty[String, String]
+              else row.getMap[String, String](computedIdx)
+            val ctx = graft.cond.Ctx(row.getLong(tsIdx), labels, computed)
+            try { if (interp(ctx).asBool) Some(row) else None }
+            catch {
+              case _: graft.cond.InterruptSignal => interrupted = true; None
+              case e: graft.cond.CondError => if (strict) throw e else None
+            }
+          }
+        }
+        gs.update(interp.stateSnapshot)
+        out.iterator
+    }.toDF()
+  }
+
   private def statefulFilter[S: scala.reflect.ClassTag](records: DataFrame, init: S)(
       step: (S, Long) => (S, Boolean)): DataFrame =
     statefulFilterFlag[S](records.withColumn("__in", lit(true)), init) {

@@ -88,39 +88,57 @@ object Streaming {
     * log keeps accumulating via the checkpoint, like the reference's
     * paused mode).
     *
-    * Known limit: a *stateful* `when` ($each_n/$each_t/$gate) evaluates
-    * per micro-batch here — counters reset at batch boundaries, whereas
-    * the reference keeps them for the replication's lifetime. Wire
-    * [[StatefulStream]] (state-store-backed) in front for exact
-    * cross-batch semantics; pure conditions (the overwhelmingly common
-    * replication filters) are exact as-is. */
+    * Entry globs compile to a static Column predicate
+    * ([[EntryPattern.predicateCol]] — equality/startsWith/rlike, all
+    * codegen'd), so glob filtering is map-only on the stream with no
+    * per-batch driver round-trip.
+    *
+    * A *stateful* `when` ($each_n/$each_t/$gate/$limit) routes through
+    * [[StatefulStream.whenFilter]]: operator state lives in the streaming
+    * state store keyed by (bucket, entry), so counters survive micro-batch
+    * boundaries AND restarts of the same checkpoint — the reference keeps
+    * them for the replication's lifetime
+    * (replication/transaction_filter.rs:52-110). The stateful filter runs
+    * on the stream itself (state stores don't exist inside foreachBatch);
+    * it only sees records that pass the bucket + entry predicates, which
+    * matches the reference's filter-chain order (entry scoping before the
+    * condition ticks). Pure conditions keep the batch path: the compiled
+    * predicate inside foreachBatch (same compiler as queries). */
   def replicate(src: BucketStore, dst: BucketStore,
       settings: ReplicationSettings, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow()): Option[StreamingQuery] = {
     if (settings.mode == ReplicationMode.Disabled) return None
+    val parsed = settings.when.map(w => graft.cond.Parser.parse(w))
+    val statefulWhen = parsed.exists(p => graft.cond.Node.isStateful(p.root))
     val stream0 = src.spark.readStream
       .schema(BucketStore.storedSchema)
       .option("basePath", src.root)
       .parquet(src.root)
       .drop("dt")
-    val stream = settings.srcBucket
+    val bucketScoped = settings.srcBucket
       .fold(stream0)(b => stream0.filter(col("bucket") === b))
+    val entryScoped = settings.entries
+      .fold(bucketScoped)(pats =>
+        bucketScoped.filter(EntryPattern.predicateCol(col("entry"), Some(pats))))
+      // only finished records replicate (and tick stateful counters) —
+      // the batch path gets this from QueryEngine.matching's state flag
+      .filter(col("state") === graft.core.Records.State.Finished)
+    // paused replications skip batches in the sink but must not tick
+    // stateful counters either — mode is checked before the state filter
+    val enabled = settings.mode == ReplicationMode.Enabled
+    val stream =
+      if (statefulWhen && enabled)
+        StatefulStream.whenFilter(entryScoped, settings.when.get, strict = true)
+      else entryScoped
     val q = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (settings.mode == ReplicationMode.Enabled) {
-          // entry globs resolve against this batch's entries (strict when)
-          val entryFiltered = settings.entries match {
-            case None => batch
-            case Some(pats) =>
-              val all = batch.select("entry").distinct()
-                .collect().map(_.getString(0)).toSeq
-              val keep = EntryPattern.resolve(all, Some(pats))
-              batch.filter(col("entry").isin(keep: _*))
-          }
-          val matched = QueryEngine.matching(entryFiltered,
-            QuerySpec(when = settings.when, strict = true))
+        if (enabled) {
+          val matched =
+            if (statefulWhen) batch // already filtered on the stream
+            else QueryEngine.matching(batch,
+              QuerySpec(when = settings.when, strict = true))
           val renamed = matched
             .withColumn("bucket", lit(settings.dstBucket))
             .withColumn("entry", concat(lit(settings.dstPrefix), col("entry")))

@@ -83,6 +83,33 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       settings.copy(mode = Streaming.ReplicationMode.Disabled), tmp("x")).isEmpty)
   }
 
+  test("replication with stateful when keeps $each_n state across micro-batches") {
+    val src = new BucketStore(spark, tmp("replst-src"))
+    val dst = new BucketStore(spark, tmp("replst-dst"))
+    val ck = tmp("replst-ck")
+    val settings = Streaming.ReplicationSettings(
+      when = Some("""{"$each_n": 2}"""), dstBucket = "replica")
+    // micro-batch 1: 3 records → every-2nd overall = ts 200
+    src.write(recordsDf(Seq(
+      ("e", 100L, Map()), ("e", 200L, Map()), ("e", 300L, Map()))))
+    Streaming.replicate(src, dst, settings, ck).get.awaitTermination()
+    def replicated(): Seq[Long] = dst.table()
+      .select("ts").collect().map(_.getLong(0)).toSeq.sorted
+    assert(replicated() == Seq(200L))
+    // micro-batch 2 (same checkpoint → same state store): the counter
+    // continues at 3, so ts 400 (4th overall) and 600 (6th) replicate.
+    // A per-batch evaluation would instead pick 500 (2nd of this batch).
+    src.write(recordsDf(Seq(
+      ("e", 400L, Map()), ("e", 500L, Map()), ("e", 600L, Map()))))
+    Streaming.replicate(src, dst, settings, ck).get.awaitTermination()
+    assert(replicated() == Seq(200L, 400L, 600L),
+      "$each_n counter must survive the micro-batch boundary")
+    // state is per entry: a different entry starts its own counter
+    src.write(recordsDf(Seq(("f", 50L, Map()), ("f", 60L, Map()))))
+    Streaming.replicate(src, dst, settings, ck).get.awaitTermination()
+    assert(replicated() == Seq(60L, 200L, 400L, 600L))
+  }
+
   test("windowed per-entry stats with watermark over a record stream") {
     val store = new BucketStore(spark, tmp("ws-store"))
     val h = 3600000000L
