@@ -219,6 +219,25 @@ object SparkEntry {
           TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens"))
         .orderBy("doc_id")),
 
+    // --------------------------------------------- #ext pipeline (§2.7)
+    "q_ext_pipeline" -> ((s, dir) => {
+      // json_extract produces @k from the payload; the next step's strict
+      // when gates on the computed ref; payload_stats adds @size
+      // (ext_repository.rs:129-220 pipeline semantics)
+      val when =
+        """{"#ext": [
+             {"json_extract": {"fields": ["k"]}},
+             {"payload_stats": {}, "when": {"$gte": [{"$cast": ["@k", "int"]}, 50]}}
+           ]}"""
+      QueryEngine.query(events(s, dir), QuerySpec(when = Some(when)))
+        .select(
+          element_at(col("labels"), "event_id").cast("bigint").as("event_id"),
+          col("entry"), col("ts"),
+          element_at(col("computed_labels"), "k").cast("bigint").as("k"),
+          element_at(col("computed_labels"), "size").cast("bigint").as("payload_size"))
+        .orderBy("event_id")
+    }),
+
     // ----------------------------------------------- pipeline: similarity
     "q_ann_brute" -> ((s, dir) => {
       val emb = embeddings(s, dir)
@@ -245,6 +264,16 @@ object SparkEntry {
       val queriesDf = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Similarity.ivfTopK(emb, queriesDf, 10, refine = false)
+        .select(col("qid"), col("nid"), col("rank").cast("bigint").as("rank"),
+          col("sim"))
+        .orderBy("qid", "rank")
+    }),
+
+    "q_ivf_refined" -> ((s, dir) => { // oracle: sorted-fold Lloyd step
+      val emb = embeddings(s, dir)
+      val queriesDf = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfTopK(emb, queriesDf, 10, refine = true)
         .select(col("qid"), col("nid"), col("rank").cast("bigint").as("rank"),
           col("sim"))
         .orderBy("qid", "rank")
@@ -631,6 +660,17 @@ object SparkEntry {
                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
            ORDER BY id_a, id_b""",
 
+      // #ext pipeline: json_extract → computed-ref when → payload stats.
+      // payload bytes == strlen(props): the payload IS the props JSON.
+      "q_ext_pipeline" ->
+        s"""SELECT event_id, 'events/' || event_type AS entry,
+             epoch_us(ts) AS ts,
+             CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k,
+             CAST(strlen(props) AS BIGINT) AS payload_size
+           FROM events
+           WHERE CAST(json_extract_string(props, '$$.k') AS BIGINT) >= 50
+           ORDER BY event_id""",
+
       // LSH-bucketed embedding near-dup: same md5 hyperplanes as q_lsh_ann;
       // all same-bucket pairs with left-fold cosine >= threshold
       "q_embed_lsh_dup" ->
@@ -764,6 +804,79 @@ object SparkEntry {
                list_reduce(list_prepend(0.0, list_transform(range(64), dd ->
                  a.v[dd+1]*p.qv[dd+1])), (a2,b2)->a2+b2) / (a.nrm * p.qnrm) AS sim
              FROM probes p JOIN assigned a ON a.bucket = p.bucket
+             WHERE a.vec_id <> p.qid),
+           r AS (
+             SELECT qid, nid, sim,
+               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+             FROM cand)
+           SELECT qid, nid, rank, round(sim, 6) AS sim FROM r
+           WHERE rank <= 10 ORDER BY qid, rank""",
+
+      // IVF with one Lloyd refinement step: assignment over the md5-seeded
+      // centroids, then per-(centroid,dim) means as LEFT FOLDS OVER THE
+      // VALUE-SORTED member lists (bit-identical to Spark's
+      // aggregate(sort_array(collect_list(x)))); empty centroids keep
+      // their seed vector; buckets/probes re-score against the refined
+      // centroids with the same (score, ci) DESC tie-break
+      "q_ivf_refined" ->
+        """WITH e AS (
+             SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+               sqrt(list_reduce(list_prepend(0.0, list_transform(
+                 list_transform(embedding, x -> x::DOUBLE), x -> x*x)),
+                 (a,b)->a+b)) AS nrm
+             FROM embeddings),
+           cents AS (
+             SELECT row_number() OVER (ORDER BY
+                 ('0x'||substring(md5(vec_id::VARCHAR),1,15))::BIGINT, vec_id) - 1 AS ci,
+               v AS cv,
+               sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x*x)),
+                 (a,b)->a+b)) AS cnrm
+             FROM e
+             ORDER BY ('0x'||substring(md5(vec_id::VARCHAR),1,15))::BIGINT, vec_id
+             LIMIT 16),
+           scores AS (
+             SELECT e.vec_id, e.v, e.nrm, c.ci,
+               list_reduce(list_prepend(0.0, list_transform(range(64), dd ->
+                 e.v[dd+1]*c.cv[dd+1])), (a,b)->a+b) / c.cnrm AS s
+             FROM e, cents c),
+           assigned AS (
+             SELECT vec_id, v, nrm, ci AS bucket FROM (
+               SELECT *, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY s DESC, ci DESC) AS rn
+               FROM scores) WHERE rn = 1),
+           cell AS (
+             SELECT a.bucket AS ci, dd.d AS d,
+               list_reduce(list_prepend(0.0, list_sort(list(a.v[dd.d+1]))),
+                 (x,y)->x+y) / CAST(count(*) AS DOUBLE) AS m
+             FROM assigned a, range(64) dd(d)
+             GROUP BY a.bucket, dd.d),
+           rvec AS (
+             SELECT ci, list(m ORDER BY d) AS cv FROM cell GROUP BY ci),
+           rcents AS (
+             SELECT c.ci, coalesce(r.cv, c.cv) AS cv,
+               sqrt(list_reduce(list_prepend(0.0, list_transform(
+                 coalesce(r.cv, c.cv), x -> x*x)), (a,b)->a+b)) AS cnrm
+             FROM cents c LEFT JOIN rvec r ON r.ci = c.ci),
+           scores2 AS (
+             SELECT e.vec_id, e.v, e.nrm, c.ci,
+               list_reduce(list_prepend(0.0, list_transform(range(64), dd ->
+                 e.v[dd+1]*c.cv[dd+1])), (a,b)->a+b) / c.cnrm AS s
+             FROM e, rcents c),
+           assigned2 AS (
+             SELECT vec_id, v, nrm, ci AS bucket FROM (
+               SELECT *, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY s DESC, ci DESC) AS rn
+               FROM scores2) WHERE rn = 1),
+           probes2 AS (
+             SELECT vec_id AS qid, v AS qv, nrm AS qnrm, ci AS bucket FROM (
+               SELECT *, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY s DESC, ci DESC) AS rn
+               FROM scores2 WHERE vec_id < 5) WHERE rn <= 4),
+           cand AS (
+             SELECT p.qid, a.vec_id AS nid,
+               list_reduce(list_prepend(0.0, list_transform(range(64), dd ->
+                 a.v[dd+1]*p.qv[dd+1])), (a2,b2)->a2+b2) / (a.nrm * p.qnrm) AS sim
+             FROM probes2 p JOIN assigned2 a ON a.bucket = p.bucket
              WHERE a.vec_id <> p.qid),
            r AS (
              SELECT qid, nid, sim,

@@ -122,11 +122,15 @@ object Similarity {
   private def assignCentroid(vec: Column, cents: Array[Array[Double]]): Column =
     array_max(centroidScores(vec, cents))("ci")
 
-  /** @param refine run one distributed Lloyd step over the seed centroids.
-    *        Better-balanced lists, but the per-(centroid,dim) means sum
-    *        floating-point in engine-dependent order — so the
-    *        oracle-checked configuration is `refine = false`, where every
-    *        arithmetic step is a deterministic left fold. */
+  /** @param refine run one distributed Lloyd step over the seed centroids
+    *        (better-balanced lists). The per-(centroid,dim) mean is a
+    *        left fold over the VALUE-SORTED member contributions, so the
+    *        result is bit-deterministic regardless of partitioning — any
+    *        engine folding the same sorted list reproduces it exactly
+    *        (the DuckDB oracle does). Sorting costs one collect_list per
+    *        (centroid,dim) group; a 100 TB deployment would train on a
+    *        deterministic corpus sample instead (as IVF trainers do), not
+    *        fold billions of contributions per cell. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 16, nprobe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
@@ -150,8 +154,13 @@ object Similarity {
         .repartition(col("c"))
         .select(col("c"),
           posexplode(transform(col("v"), _.cast("double"))).as(Seq("d", "x")))
-        .groupBy("c", "d").agg(avg(col("x")).as("m"))
-        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+        .groupBy("c", "d")
+        .agg(aggregate(sort_array(collect_list(col("x"))), lit(0.0),
+            (acc, x) => acc + x).as("sum"),
+          count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2) / r.getLong(3))
+        .toMap
       seeds.indices.map { ci =>
         val c = Array.tabulate(dims)(d => sums.getOrElse((ci, d), seeds(ci)(d)))
         if (sums.contains((ci, 0))) c else seeds(ci)
