@@ -430,6 +430,43 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     evicted
   }
 
+  // -------------------------------------------------------- staged upload
+
+  /** Fresh staging location for a large record payload, on the store's
+    * own filesystem so every executor can read it (a serving node's
+    * local /tmp would not be cluster-visible). The underscore dir is
+    * invisible to parquet partition discovery. */
+  def stageUploadPath(): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      s"$root/$StagingDir/${java.util.UUID.randomUUID}")
+
+  /** Write one record whose payload was spooled to a staging file
+    * (HttpApi streams request bodies there in fixed-size chunks — the
+    * analog of the reference's streamed bodies,
+    * api/http/entry/write_single.rs). The bytes flow staging file →
+    * executor task → parquet writer via a `binaryFile` scan; the serving
+    * layer never materializes the payload. The staging file is deleted
+    * whether the write succeeds or not. */
+  def writeStaged(bucket: String, entry: String, ts: Long,
+      labels: Map[String, String], contentType: String,
+      staged: org.apache.hadoop.fs.Path,
+      onConflict: Conflict = Conflict.Error): Unit = {
+    val fs = staged.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val len = fs.getFileStatus(staged).getLen
+      val df = spark.read.format("binaryFile").load(staged.toString)
+        .select(
+          lit(bucket).as("bucket"), lit(entry).as("entry"),
+          lit(ts).as("ts"),
+          typedLit(labels).as("labels"),
+          typedLit(Map.empty[String, String]).as("computed_labels"),
+          lit(contentType).as("content_type"),
+          lit(Records.State.Finished).as("state"),
+          col("content").as("payload"))
+      writeWithSettings(bucket, df, onConflict, incomingBytes = len)
+    } finally fs.delete(staged, false)
+  }
+
   /** HARD quota (quotas.rs:53-66): reject writes that would exceed it. */
   def writeWithHardQuota(records: DataFrame, bucket: String, maxBytes: Long): Unit = {
     if (bucketSizeBytes(bucket) >= maxBytes)
@@ -511,6 +548,9 @@ object BucketStore {
     * underscore prefix hides it from Spark's parquet partition discovery,
     * so the data table never sees it. */
   val SettingsFile = "_settings.json"
+
+  /** Staging directory for streamed uploads (underscore-hidden). */
+  val StagingDir = "_upload"
 
   /** Per-bucket settings (reduct_base/src/msg/bucket_api.rs:57-67).
     * All fields optional; a PUT merges present fields over the stored

@@ -33,9 +33,14 @@ import java.nio.charset.StandardCharsets.UTF_8
   * access; an empty api token runs the instance open.
   */
 final class HttpApi(store: BucketStore, apiToken: String = "",
-    port: Int = 0, queryTtlMs: Long = 60000L) {
+    port: Int = 0, queryTtlMs: Long = 60000L,
+    spoolThresholdBytes: Int = 1 << 20) {
   import Auth._
   import HttpApi._
+
+  /** Count of single-record writes that took the spooled (streamed)
+    * path — observable so tests can prove a large body never buffered. */
+  val spooledWrites = new java.util.concurrent.atomic.AtomicLong
 
   import graft.stream.Streaming
   import graft.lifecycle.Lifecycle
@@ -382,9 +387,30 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
       throw unprocessable("'ts' parameter is required")).toLong
     val ct = Option(ex.getRequestHeaders.getFirst("Content-Type"))
       .getOrElse("application/octet-stream")
-    val body = readBody(ex)
-    try store.writeBatch(bucket, entry, Seq((ts, labelHeaders(ex), body)), ct)
-    catch { case e: IllegalArgumentException if
+    // Stream, don't buffer (write_single.rs streams bodies): read up to
+    // the spool threshold in memory; anything larger is copied to a
+    // staging file on the store's filesystem in 64 KiB chunks, so a
+    // 10 MB record costs this handler one chunk buffer, not 10 MB.
+    val in = ex.getRequestBody
+    val head = in.readNBytes(spoolThresholdBytes)
+    try {
+      if (head.length < spoolThresholdBytes)
+        store.writeBatch(bucket, entry, Seq((ts, labelHeaders(ex), head)), ct)
+      else {
+        val staged = store.stageUploadPath()
+        val fs = staged.getFileSystem(
+          store.spark.sparkContext.hadoopConfiguration)
+        val out = fs.create(staged, true)
+        try {
+          out.write(head)
+          val buf = new Array[Byte](64 * 1024)
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        } finally out.close()
+        spooledWrites.incrementAndGet()
+        store.writeStaged(bucket, entry, ts, labelHeaders(ex), ct, staged)
+      }
+    } catch { case e: IllegalArgumentException if
         Option(e.getMessage).exists(_.contains("already exists")) =>
       throw conflict(s"A record with timestamp $ts already exists") }
     createdBuckets.add(bucket)

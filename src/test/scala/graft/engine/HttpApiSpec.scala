@@ -339,4 +339,32 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
     assert(req("GET", s"/b/bf/e?ts=${2 * day}").statusCode() == 200,
       "newest record survives FIFO eviction")
   }
+
+  test("large record bodies stream through the staging path, not memory") {
+    assert(req("POST", "/b/big").statusCode() == 200)
+    // 10 MB of deterministic bytes — an order of magnitude over the 1 MiB
+    // spool threshold (write_single.rs streams bodies; the façade spools
+    // to the store's filesystem in 64 KiB chunks)
+    val big = Array.tabulate[Byte](10 * 1024 * 1024)(i => (i * 31 + 7).toByte)
+    val before = api.spooledWrites.get()
+    assert(req("POST", "/b/big/blob?ts=42", big,
+      headers = Seq("Content-Type" -> "application/octet-stream",
+        "x-reduct-label-sz" -> "10m")).statusCode() == 200)
+    assert(api.spooledWrites.get() == before + 1,
+      "10 MB body must take the spooled path")
+    val back = req("GET", "/b/big/blob?ts=42")
+    assert(back.statusCode() == 200)
+    assert(back.body().length == big.length, "payload length round-trips")
+    assert(java.util.Arrays.equals(back.body(), big), "payload bytes round-trip")
+    assert(back.headers().firstValue("x-reduct-label-sz").get() == "10m")
+    // staging dir left clean
+    val staging = new org.apache.hadoop.fs.Path(
+      s"${store.root}/${BucketStore.StagingDir}")
+    val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(staging) || fs.listStatus(staging).isEmpty,
+      "staging file deleted after the write")
+    // a small body still takes the buffered path
+    assert(req("POST", "/b/big/blob?ts=43", "tiny".getBytes).statusCode() == 200)
+    assert(api.spooledWrites.get() == before + 1)
+  }
 }
