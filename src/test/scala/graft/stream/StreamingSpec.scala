@@ -110,6 +110,34 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(replicated() == Seq(60L, 200L, 400L, 600L))
   }
 
+  test("belated write is replicated exactly once") {
+    val src = new BucketStore(spark, tmp("replbel-src"))
+    val dst = new BucketStore(spark, tmp("replbel-dst"))
+    val ck = tmp("replbel-ck")
+    val settings = Streaming.ReplicationSettings(dstBucket = "replica")
+    src.write(recordsDf(Seq(
+      ("e", 1000L, Map()), ("e", 2000L, Map()), ("e", 3000L, Map()))))
+    Streaming.replicate(src, dst, settings, ck).get.awaitTermination()
+    def replicated(): Seq[Long] = dst.table()
+      .select("ts").collect().map(_.getLong(0)).toSeq.sorted
+    assert(replicated() == Seq(1000L, 2000L, 3000L))
+    // a belated write: ts between already-replicated records, landing in
+    // a NEW file of an old partition. The file-source tracking must pick
+    // it up on the next trigger (the reference skips only TooEarly blocks,
+    // historical.rs:138-176 — belated records still replicate) and must
+    // not re-emit the records around it.
+    src.write(recordsDf(Seq(("e", 1500L, Map("late" -> "1")))))
+    Streaming.replicate(src, dst, settings, ck).get.awaitTermination()
+    assert(replicated() == Seq(1000L, 1500L, 2000L, 3000L),
+      "belated record replicated; neighbors not re-emitted")
+    // replaying the same trigger with nothing new is a no-op
+    Streaming.replicate(src, dst, settings, ck).get.awaitTermination()
+    assert(replicated() == Seq(1000L, 1500L, 2000L, 3000L),
+      "no duplicates on an idle re-trigger")
+    assert(dst.table().filter(col("ts") === 1500L).count() == 1,
+      "belated record lands exactly once")
+  }
+
   test("windowed per-entry stats with watermark over a record stream") {
     val store = new BucketStore(spark, tmp("ws-store"))
     val h = 3600000000L
