@@ -34,7 +34,8 @@ import java.nio.charset.StandardCharsets.UTF_8
   */
 final class HttpApi(store: BucketStore, apiToken: String = "",
     port: Int = 0, queryTtlMs: Long = 60000L,
-    spoolThresholdBytes: Int = 1 << 20) {
+    spoolThresholdBytes: Int = 1 << 20,
+    ssl: Option[javax.net.ssl.SSLContext] = None) {
   import Auth._
   import HttpApi._
 
@@ -48,7 +49,17 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
 
   val tokens = new TokenRepository(apiToken)
   private val registry = new QueryRegistry(queryTtlMs)
-  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  // TLS when an SSLContext is supplied — the analog of the reference's
+  // cert_path/cert_key_path settings (HTTPS server, cfg/mod.rs); the
+  // JVM-idiomatic key source is a PKCS12 keystore ([[HttpApi.sslContext]])
+  private val server = ssl match {
+    case Some(ctx) =>
+      val s = com.sun.net.httpserver.HttpsServer.create(
+        new InetSocketAddress("127.0.0.1", port), 0)
+      s.setHttpsConfigurator(new com.sun.net.httpserver.HttpsConfigurator(ctx))
+      s
+    case None => HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  }
   server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
   server.createContext("/api/v1/", (ex: HttpExchange) => handle(ex))
 
@@ -915,6 +926,20 @@ object HttpApi {
 
   private[engine] def readBody(ex: HttpExchange): Array[Byte] =
     ex.getRequestBody.readAllBytes()
+
+  /** SSLContext from a PKCS12 keystore — the JVM packaging of the
+    * reference's cert_path + cert_key_path PEM pair. */
+  def sslContext(keystorePath: String, password: String): javax.net.ssl.SSLContext = {
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    val in = new java.io.FileInputStream(keystorePath)
+    try ks.load(in, password.toCharArray) finally in.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, password.toCharArray)
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, null, null)
+    ctx
+  }
 
   private[engine] def respond(ex: HttpExchange, status: Int, body: Array[Byte]): Unit = {
     if (status == 204 || ex.getRequestMethod.equalsIgnoreCase("HEAD")) {

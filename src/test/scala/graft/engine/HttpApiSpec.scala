@@ -367,4 +367,60 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
     assert(req("POST", "/b/big/blob?ts=43", "tiny".getBytes).statusCode() == 200)
     assert(api.spooledWrites.get() == before + 1)
   }
+
+  test("TLS: write/read round trip over HTTPS") {
+    // self-signed PKCS12 keystore via the JDK's keytool (offline) — the
+    // packaging of the reference's cert_path/cert_key_path PEM pair
+    val dir = Files.createTempDirectory("graft-tls")
+    val ksPath = dir.resolve("ks.p12").toString
+    val keytool = System.getProperty("java.home") + "/bin/keytool"
+    val rc = new ProcessBuilder(keytool, "-genkeypair", "-alias", "graft",
+      "-keyalg", "RSA", "-keysize", "2048", "-dname", "CN=localhost",
+      "-ext", "SAN=IP:127.0.0.1,DNS:localhost", "-validity", "1",
+      "-storetype", "PKCS12", "-keystore", ksPath, "-storepass", "changeit")
+      .redirectErrorStream(true).start()
+    rc.getInputStream.readAllBytes()
+    assert(rc.waitFor() == 0, "keytool keystore generation")
+
+    val tlsStore = new BucketStore(spark,
+      Files.createTempDirectory("graft-https").toString)
+    val tlsApi = new HttpApi(tlsStore, apiToken = "root-token",
+      ssl = Some(HttpApi.sslContext(ksPath, "changeit")))
+    val tlsPort = { tlsApi.start(); tlsApi.boundPort }
+    try {
+      // client trusts the self-signed cert via a trust-all manager
+      val trustAll = new javax.net.ssl.X509TrustManager {
+        def checkClientTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+        def checkServerTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+        def getAcceptedIssuers: Array[java.security.cert.X509Certificate] = Array.empty
+      }
+      val cctx = javax.net.ssl.SSLContext.getInstance("TLS")
+      cctx.init(null, Array(trustAll), new java.security.SecureRandom)
+      val tlsClient = HttpClient.newBuilder().sslContext(cctx).build()
+      def treq(method: String, path: String, body: Array[Byte] = Array.empty,
+          headers: Seq[(String, String)] = Seq.empty): HttpResponse[Array[Byte]] = {
+        var b = HttpRequest.newBuilder(
+          URI.create(s"https://localhost:$tlsPort/api/v1$path"))
+          .method(method, HttpRequest.BodyPublishers.ofByteArray(body))
+          .header("Authorization", "Bearer root-token")
+        for ((k, v) <- headers) b = b.header(k, v)
+        tlsClient.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
+      }
+      assert(treq("GET", "/alive").statusCode() == 200)
+      assert(treq("POST", "/b/sec").statusCode() == 200)
+      assert(treq("POST", "/b/sec/e?ts=7", "encrypted-in-flight".getBytes,
+        headers = Seq("x-reduct-label-k" -> "v")).statusCode() == 200)
+      val back = treq("GET", "/b/sec/e?ts=7")
+      assert(back.statusCode() == 200)
+      assert(new String(back.body()) == "encrypted-in-flight")
+      assert(back.headers().firstValue("x-reduct-label-k").get() == "v")
+      // plain HTTP against the TLS port is refused
+      val plain = try {
+        client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$tlsPort/api/v1/alive")).GET().build(),
+          HttpResponse.BodyHandlers.ofByteArray()).statusCode()
+      } catch { case _: java.io.IOException => -1 }
+      assert(plain != 200, "cleartext must not be served on the TLS port")
+    } finally tlsApi.stop()
+  }
 }
