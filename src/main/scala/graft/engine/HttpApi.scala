@@ -71,6 +71,10 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
 
   private def handle(ex: HttpExchange): Unit =
     try {
+      // every response advertises the served API generation — client SDKs
+      // gate compatibility on x-reduct-api (api/http/middleware.rs:29-45)
+      ex.getResponseHeaders.set("Server", s"graft ${HttpApi.ServerVersion}")
+      ex.getResponseHeaders.set("x-reduct-api", HttpApi.ApiVersion)
       val path = ex.getRequestURI.getPath.stripPrefix("/api/v1").stripPrefix("/")
       val segs = path.split("/").filter(_.nonEmpty).map(urlDecode).toList
       val method = ex.getRequestMethod.toUpperCase
@@ -92,6 +96,11 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
           auth(ex, FullAccessPolicy); json(ex, 200, tokenJson(tokens.getToken(name)))
         case ("DELETE", List("tokens", name)) =>
           auth(ex, FullAccessPolicy); tokens.removeToken(name); json(ex, 200, JObject())
+        case ("POST", List("tokens", name, "rotate")) => // token/rotate.rs
+          auth(ex, FullAccessPolicy)
+          val r = tokens.rotateToken(name)
+          json(ex, 200, JObject("value" -> JString(r.value),
+            "created_at" -> JInt(BigInt(r.createdAtMs))))
         case ("POST", List("b", bucket)) =>
           auth(ex, FullAccessPolicy); createBucket(ex, bucket)
         case ("GET", List("b", bucket)) =>
@@ -206,6 +215,8 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
           if (lifecyclePolicies.remove(name) == null)
             throw notFound(s"Lifecycle policy '$name' doesn't exist")
           json(ex, 200, JObject())
+        case ("PATCH", List("lifecycle", name, "mode")) =>
+          auth(ex, FullAccessPolicy); setLifecycleMode(ex, name)
         case ("POST", List("lifecycle", name, "run")) =>
           auth(ex, FullAccessPolicy); runLifecycle(ex, name, q)
         // ------------------------- io API v2 (api/http/io.rs:19-29)
@@ -243,7 +254,7 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
       .agg(count(lit(1)), min("ts"), max("ts"), countDistinct("bucket"))
       .collect()(0)
     json(ex, 200, JObject(
-      "version" -> JString("1.16.0-spark"),
+      "version" -> JString(s"${HttpApi.ServerVersion}-spark"),
       "bucket_count" -> JInt(if (t.isNullAt(3)) 0 else t.getLong(3)),
       "usage" -> JInt(BigInt(storeBytes)),
       "oldest_record" -> JInt(if (t.isNullAt(1)) 0 else BigInt(t.getLong(1))),
@@ -662,7 +673,7 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
         (j \ "level").extractOpt[Int].getOrElse(9))
       case other => throw unprocessable(s"Invalid lifecycle action '$other'")
     }
-    Lifecycle.Policy(
+    val base = Lifecycle.Policy(
       olderThanUs = (j \ "older_than_s").extractOpt[Long]
         .getOrElse(throw unprocessable("'older_than_s' is required")) * 1000000L,
       action = action,
@@ -670,6 +681,31 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
       when = (j \ "when").toOption.filter(_ != JNothing)
         .map(w => JsonMethods.compact(JsonMethods.render(w))),
       dryRun = (j \ "dry_run").extractOpt[Boolean].getOrElse(false))
+    (j \ "mode").extractOpt[String].fold(base)(m => withLifecycleMode(base, m))
+  }
+
+  /** `mode` ∈ enabled | disabled | dry_run
+    * (reduct_base/src/msg/lifecycle_api.rs:23-31). */
+  private def withLifecycleMode(p: Lifecycle.Policy, mode: String): Lifecycle.Policy =
+    mode match {
+      case "enabled"  => p.copy(enabled = true, dryRun = false)
+      case "disabled" => p.copy(enabled = false)
+      case "dry_run"  => p.copy(enabled = true, dryRun = true)
+      case other => throw unprocessable(s"Invalid lifecycle mode '$other'")
+    }
+
+  private def lifecycleModeName(p: Lifecycle.Policy): String =
+    if (!p.enabled) "disabled" else if (p.dryRun) "dry_run" else "enabled"
+
+  private def setLifecycleMode(ex: HttpExchange, name: String): Unit = {
+    implicit val fmts: Formats = DefaultFormats
+    val p = Option(lifecyclePolicies.get(name))
+      .getOrElse(throw notFound(s"Lifecycle policy '$name' doesn't exist"))
+    val j = JsonMethods.parseOpt(new String(readBody(ex), UTF_8)).getOrElse(JObject())
+    val mode = (j \ "mode").extractOpt[String]
+      .getOrElse(throw unprocessable("'mode' is required"))
+    lifecyclePolicies.put(name, withLifecycleMode(p, mode))
+    json(ex, 200, JObject())
   }
 
   private def lifecycleJson(name: String, p: Lifecycle.Policy): JObject = JObject(
@@ -683,6 +719,7 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     "entries" -> p.entries.map(es => JArray(es.map(JString(_)).toList))
       .getOrElse(JNull),
     "when" -> p.when.map(JsonMethods.parse(_)).getOrElse(JNull),
+    "mode" -> JString(lifecycleModeName(p)),
     "dry_run" -> JBool(p.dryRun))
 
   private def runLifecycle(ex: HttpExchange, name: String,
@@ -908,6 +945,12 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
 
 object HttpApi {
   import com.sun.net.httpserver.HttpExchange
+
+  /** Served engine version and the API generation advertised in
+    * `x-reduct-api` (major.minor — the reference derives it from its
+    * crate version the same way, api/http/middleware.rs:39-44). */
+  val ServerVersion = "1.21.0"
+  val ApiVersion: String = ServerVersion.split('.').take(2).mkString(".")
 
   private[engine] def urlDecode(s: String): String =
     java.net.URLDecoder.decode(s, "UTF-8")

@@ -19,17 +19,23 @@ object Lifecycle {
     final case class Compress(codec: String = "zstd", level: Int = 9) extends Action
   }
 
+  /** enabled=false ↔ the reference's LifecycleMode::Disabled; dryRun ↔
+    * LifecycleMode::DryRun (preview — count, remove nothing)
+    * (reduct_base/src/msg/lifecycle_api.rs:23-31). */
   final case class Policy(
       olderThanUs: Long,
       action: Action,
       entries: Option[Seq[String]] = None,
       when: Option[String] = None,
-      dryRun: Boolean = false)
+      dryRun: Boolean = false,
+      enabled: Boolean = true)
 
   final case class Result(matched: Long, applied: Boolean)
 
-  /** Apply one policy pass; `nowUs` is injectable for tests. */
+  /** Apply one policy pass; `nowUs` is injectable for tests. A disabled
+    * policy is a no-op (lifecycle_task.rs skips inactive policies). */
   def apply(store: BucketStore, policy: Policy, nowUs: Long): Result = {
+    if (!policy.enabled) return Result(0, applied = false)
     val cutoff = nowUs - policy.olderThanUs
     val spec = QuerySpec(stop = Some(cutoff), entries = policy.entries,
       when = policy.when)

@@ -32,6 +32,10 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
 
   test("alive, auth rejection, and token lifecycle") {
     assert(req("HEAD", "/alive", token = "").statusCode() == 200)
+    // every response advertises the API generation (SDKs gate on it)
+    val probe = req("GET", "/alive", token = "")
+    assert(probe.headers().firstValue("x-reduct-api").get() == HttpApi.ApiVersion)
+    assert(probe.headers().firstValue("Server").get().startsWith("graft "))
     assert(req("GET", "/info", token = "").statusCode() == 401)
     assert(req("GET", "/info", token = "wrong").statusCode() == 401)
     assert(req("GET", "/info").statusCode() == 200)
@@ -216,6 +220,38 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
     assert(req("GET", "/b/src1/logs?ts=1000").statusCode() == 200, "error kept")
     assert(req("DELETE", "/lifecycle/purge").statusCode() == 200)
     assert(req("GET", "/lifecycle/purge").statusCode() == 404)
+    // lifecycle mode: disabled policies don't run; dry_run only counts
+    assert(req("POST", "/lifecycle/lc2",
+      """{"older_than_s": 0, "action": "delete", "mode": "disabled"}""".getBytes)
+      .statusCode() == 200)
+    assert((jsonOf(req("GET", "/lifecycle/lc2")) \ "mode")
+      .extract[String] == "disabled")
+    val off = jsonOf(req("POST", "/lifecycle/lc2/run?now_us=100000000"))
+    assert((off \ "matched").extract[Long] == 0 &&
+      !(off \ "applied").extract[Boolean], "disabled policy is a no-op")
+    assert(req("PATCH", "/lifecycle/lc2/mode",
+      """{"mode": "dry_run"}""".getBytes).statusCode() == 200)
+    val preview = jsonOf(req("POST", "/lifecycle/lc2/run?now_us=100000000"))
+    assert((preview \ "matched").extract[Long] > 0 &&
+      !(preview \ "applied").extract[Boolean], "dry_run counts, applies nothing")
+    assert(req("PATCH", "/lifecycle/lc2/mode",
+      """{"mode": "bogus"}""".getBytes).statusCode() == 422)
+  }
+
+  test("token rotate re-issues the secret and keeps the grants") {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val created = jsonOf(req("POST", "/tokens/spin",
+      """{"permissions": {"read": ["b1"]}}""".getBytes))
+    val v1 = (created \ "value").extract[String]
+    val rotated = jsonOf(req("POST", "/tokens/spin/rotate"))
+    val v2 = (rotated \ "value").extract[String]
+    assert(v2.startsWith("spin-") && v2 != v1, "fresh secret")
+    assert(req("GET", "/me", token = v1).statusCode() == 401, "old secret dead")
+    val me = jsonOf(req("GET", "/me", token = v2))
+    assert((me \ "name").extract[String] == "spin", "new secret works")
+    assert((me \ "permissions" \ "read").extract[Seq[String]] == Seq("b1"),
+      "grants survive rotation")
+    assert(req("POST", "/tokens/nosuch/rotate").statusCode() == 404)
   }
 
   test("io API v2: batch write, multi-entry query/read, remove, update") {
