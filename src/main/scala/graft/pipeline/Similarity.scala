@@ -211,7 +211,7 @@ object Similarity {
   def embeddingDupPairs(corpus: DataFrame, threshold: Double = 0.95,
       planes: Int = 8, dim: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      maxBucketSize: Int = 10000): DataFrame = {
+      maxBucketSize: Int = 1000): DataFrame = {
     val bucketed = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
       norm(col(vecCol)).as("nrm"),
       lshSignature(col(vecCol), planes, dim).as("bucket"))
