@@ -467,6 +467,44 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     } finally fs.delete(staged, false)
   }
 
+  /** Write a multi-record batch whose concatenated payloads were spooled
+    * to one staging file (the io-v2 wire path for large batches). Each
+    * record's bytes are sliced out executor-side with positioned reads —
+    * one payload in memory per task at a time, nothing buffered by the
+    * serving layer. Slices are keyed by entry so the read parallelism
+    * follows the write partitioning. */
+  def writeStagedSlices(bucket: String, staged: org.apache.hadoop.fs.Path,
+      slices: Seq[BucketStore.StagedSlice],
+      onConflict: Conflict = Conflict.Error): Unit = {
+    val fs = staged.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val total = slices.map(_.len).sum
+      val pathStr = staged.toString
+      val b = bucket
+      import spark.implicits._
+      val df = spark.createDataset(slices)
+        .repartition(col("entry"))
+        .mapPartitions { it =>
+          if (!it.hasNext) Iterator.empty[Records.Record]
+          else {
+            val p = new org.apache.hadoop.fs.Path(pathStr)
+            val pfs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            val in = pfs.open(p)
+            Option(org.apache.spark.TaskContext.get())
+              .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
+            it.map { s =>
+              val buf = new Array[Byte](s.len.toInt)
+              in.readFully(s.offset, buf) // positioned read — thread-safe
+              Records.Record(b, s.entry, s.ts, s.labels,
+                Map.empty[String, String], s.contentType,
+                Records.State.Finished, buf)
+            }
+          }
+        }.toDF()
+      writeWithSettings(bucket, df, onConflict, incomingBytes = total)
+    } finally fs.delete(staged, false)
+  }
+
   /** HARD quota (quotas.rs:53-66): reject writes that would exceed it. */
   def writeWithHardQuota(records: DataFrame, bucket: String, maxBytes: Long): Unit = {
     if (bucketSizeBytes(bucket) >= maxBytes)
@@ -551,6 +589,12 @@ object BucketStore {
 
   /** Staging directory for streamed uploads (underscore-hidden). */
   val StagingDir = "_upload"
+
+  /** One record of a spooled batch body: its payload is
+    * `staged[offset, offset + len)`. */
+  final case class StagedSlice(entry: String, ts: Long,
+      labels: Map[String, String], contentType: String,
+      offset: Long, len: Long)
 
   /** Per-bucket settings (reduct_base/src/msg/bucket_api.rs:57-67).
     * All fields optional; a PUT merges present fields over the stored

@@ -419,16 +419,7 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
       if (head.length < spoolThresholdBytes)
         store.writeBatch(bucket, entry, Seq((ts, labelHeaders(ex), head)), ct)
       else {
-        val staged = store.stageUploadPath()
-        val fs = staged.getFileSystem(
-          store.spark.sparkContext.hadoopConfiguration)
-        val out = fs.create(staged, true)
-        try {
-          out.write(head)
-          val buf = new Array[Byte](64 * 1024)
-          var n = in.read(buf)
-          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-        } finally out.close()
+        val staged = spoolToStaging(head, in)
         spooledWrites.incrementAndGet()
         store.writeStaged(bucket, entry, ts, labelHeaders(ex), ct, staged)
       }
@@ -437,6 +428,22 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
       throw conflict(s"A record with timestamp $ts already exists") }
     createdBuckets.add(bucket)
     json(ex, 200, JObject())
+  }
+
+  /** Copy `head` + the rest of the request stream to a staging file on
+    * the store's filesystem in 64 KiB chunks; returns the staged path. */
+  private def spoolToStaging(head: Array[Byte],
+      in: java.io.InputStream): org.apache.hadoop.fs.Path = {
+    val staged = store.stageUploadPath()
+    val fs = staged.getFileSystem(store.spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(staged, true)
+    try {
+      out.write(head)
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    } finally out.close()
+    staged
   }
 
   private def recordAt(bucket: String, entry: String,
@@ -589,7 +596,15 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     }
     h.set("Content-Type", "application/octet-stream")
     h.set("x-reduct-last", last.toString)
-    respond(ex, 200, payloads.toArray.flatten)
+    // write payloads sequentially — no concatenated copy of the batch
+    val totalLen = payloads.iterator.map(_.length.toLong).sum
+    if (totalLen == 0 || ex.getRequestMethod.equalsIgnoreCase("HEAD"))
+      respond(ex, 200, Array.empty)
+    else {
+      ex.sendResponseHeaders(200, totalLen)
+      val os = ex.getResponseBody
+      try payloads.foreach(p => os.write(p)) finally os.close()
+    }
   }
 
   // ------------------------------------- replication + lifecycle CRUD
@@ -828,32 +843,64 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
       h.set(name, value)
     h.set("Content-Type", "application/octet-stream")
     h.set("x-reduct-last", last.toString)
-    respond(ex, 200, recs.map(_._2).toArray.flatten)
+    // write payloads sequentially — no concatenated copy of the batch
+    val totalLen = recs.iterator.map(_._2.length.toLong).sum
+    if (totalLen == 0) respond(ex, 200, Array.empty)
+    else {
+      ex.sendResponseHeaders(200, totalLen)
+      val os = ex.getResponseBody
+      try recs.foreach(r => os.write(r._2)) finally os.close()
+    }
   }
 
-  /** POST /io/:bucket/write — batch-protocol-v2 multi-entry write. */
+  /** POST /io/:bucket/write — batch-protocol-v2 multi-entry write. Record
+    * metadata travels in headers, the body is the concatenated payloads —
+    * so large batches spool to staging like single records do, and the
+    * payload slicing happens executor-side ([[BucketStore.writeStagedSlices]]). */
   private def ioWrite(ex: HttpExchange, bucket: String): Unit = {
     val decoded = BatchWire.decodeBatchV2(requestHeaders(ex))
-    val body = readBody(ex)
-    var offset = 0
-    val rows = decoded.map { rec =>
-      val len = rec.header.contentLength.toInt
-      if (offset + len > body.length)
-        throw unprocessable("Content length mismatch with record headers")
-      val payload = java.util.Arrays.copyOfRange(body, offset, offset + len)
-      offset += len
-      (rec.entry, rec.timestamp, rec.header, payload)
-    }
-    if (offset != body.length)
-      throw unprocessable("Content length mismatch with record headers")
-    import scala.jdk.CollectionConverters._
-    val df = store.spark.createDataFrame(
-      rows.map { case (entry, ts, hdr, payload) =>
-        Row(bucket, entry, ts, hdr.labels, Map.empty[String, String],
-          hdr.contentType, graft.core.Records.State.Finished, payload)
-      }.asJava, graft.core.Records.schema)
-    try store.writeWithSettings(bucket, df, incomingBytes = body.length.toLong)
-    catch { case e: IllegalArgumentException if
+    val expected = decoded.map(_.header.contentLength).sum
+    val in = ex.getRequestBody
+    val head = in.readNBytes(spoolThresholdBytes)
+    try {
+      if (head.length < spoolThresholdBytes) {
+        val body = head
+        var offset = 0
+        val rows = decoded.map { rec =>
+          val len = rec.header.contentLength.toInt
+          if (offset + len > body.length)
+            throw unprocessable("Content length mismatch with record headers")
+          val payload = java.util.Arrays.copyOfRange(body, offset, offset + len)
+          offset += len
+          (rec.entry, rec.timestamp, rec.header, payload)
+        }
+        if (offset != body.length)
+          throw unprocessable("Content length mismatch with record headers")
+        import scala.jdk.CollectionConverters._
+        val df = store.spark.createDataFrame(
+          rows.map { case (entry, ts, hdr, payload) =>
+            Row(bucket, entry, ts, hdr.labels, Map.empty[String, String],
+              hdr.contentType, graft.core.Records.State.Finished, payload)
+          }.asJava, graft.core.Records.schema)
+        store.writeWithSettings(bucket, df, incomingBytes = body.length.toLong)
+      } else {
+        val staged = spoolToStaging(head, in)
+        val fs = staged.getFileSystem(store.spark.sparkContext.hadoopConfiguration)
+        if (fs.getFileStatus(staged).getLen != expected) {
+          fs.delete(staged, false)
+          throw unprocessable("Content length mismatch with record headers")
+        }
+        val slices = decoded.foldLeft((0L, Vector.empty[BucketStore.StagedSlice])) {
+          case ((off, acc), rec) =>
+            (off + rec.header.contentLength,
+              acc :+ BucketStore.StagedSlice(rec.entry, rec.timestamp,
+                rec.header.labels, rec.header.contentType,
+                off, rec.header.contentLength))
+        }._2
+        spooledWrites.incrementAndGet()
+        store.writeStagedSlices(bucket, staged, slices)
+      }
+    } catch { case e: IllegalArgumentException if
         Option(e.getMessage).exists(_.contains("already exists")) =>
       throw conflict(e.getMessage) }
     createdBuckets.add(bucket)

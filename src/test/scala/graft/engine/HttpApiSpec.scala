@@ -404,6 +404,49 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
     assert(api.spooledWrites.get() == before + 1)
   }
 
+  test("large io-v2 batch spools and slices executor-side") {
+    assert(req("POST", "/b/bigb").statusCode() == 200)
+    // 3 records totalling ~6 MB across two entries — over the 1 MiB
+    // threshold, so the concatenated body must take the staged path
+    val payloads = Seq.tabulate(3)(i =>
+      Array.tabulate[Byte](2 * 1024 * 1024)(j => (j * 13 + i).toByte))
+    val recs = Seq(
+      ("e1", 1000L, BatchWire.RecordHeader(payloads(0).length.toLong,
+        "application/octet-stream", Map("i" -> "0"))),
+      ("e1", 2000L, BatchWire.RecordHeader(payloads(1).length.toLong,
+        "application/octet-stream", Map("i" -> "1"))),
+      ("e2", 1000L, BatchWire.RecordHeader(payloads(2).length.toLong,
+        "application/octet-stream", Map("i" -> "2"))))
+    val before = api.spooledWrites.get()
+    val resp = req("POST", "/io/bigb/write",
+      payloads.toArray.flatten,
+      headers = BatchWire.encodeBatchV2(recs))
+    assert(resp.statusCode() == 200)
+    assert(api.spooledWrites.get() == before + 1,
+      "large batch body must take the spooled path")
+    for (((entry, ts, hdr), p) <- recs.zip(payloads)) {
+      val back = req("GET", s"/b/bigb/$entry?ts=$ts")
+      assert(back.statusCode() == 200)
+      assert(java.util.Arrays.equals(back.body(), p),
+        s"payload $entry@$ts round-trips")
+      assert(back.headers().firstValue("x-reduct-label-i").get() ==
+        hdr.labels("i"))
+    }
+    // staging cleaned up
+    val staging = new org.apache.hadoop.fs.Path(
+      s"${store.root}/${BucketStore.StagingDir}")
+    val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(staging) || fs.listStatus(staging).isEmpty)
+    // body shorter than the headers claim → 422, staging not leaked
+    val bad = req("POST", "/io/bigb/write",
+      Array.tabulate[Byte](3 * 1024 * 1024)(_.toByte),
+      headers = BatchWire.encodeBatchV2(Seq(
+        ("e3", 1L, BatchWire.RecordHeader(4 * 1024 * 1024L,
+          "application/octet-stream", Map.empty)))))
+    assert(bad.statusCode() == 422)
+    assert(!fs.exists(staging) || fs.listStatus(staging).isEmpty)
+  }
+
   test("TLS: write/read round trip over HTTPS") {
     // self-signed PKCS12 keystore via the JDK's keytool (offline) — the
     // packaging of the reference's cert_path/cert_key_path PEM pair
