@@ -50,7 +50,8 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     *        offered (records are immutable, only labels update).
     */
   def write(records: DataFrame, onConflict: Conflict = Conflict.Error,
-      maxRecordsPerFile: Long = 1000000L): Unit = {
+      maxRecordsPerFile: Long = 1000000L,
+      codec: Option[String] = None): Unit = {
     val batch0 = records.select(Records.schema.fieldNames.map(col): _*)
     // batch-internal duplicate ts: reject (Error) or keep-first (Skip —
     // idempotent replay, e.g. re-delivered streaming micro-batches)
@@ -84,14 +85,16 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     // dir it touches and the store degrades into thousands of tiny files
     // (the classic small-files problem; measured 10x on the write path).
     // `maxRecordsPerFile` still splits a genuinely hot (entry, day).
-    deduped
+    val writer = deduped
       .withColumn("dt", dtCol)
       .repartition(col("bucket"), col("entry"), col("dt"))
       .write
       .partitionBy("bucket", "entry", "dt")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .mode(SaveMode.Append)
-      .parquet(root)
+    // per-write codec override (replication transfer compression); None
+    // keeps the session default (zstd, set above)
+    codec.fold(writer)(c => writer.option("compression", c)).parquet(root)
   }
 
   private def antiExisting(batch: DataFrame): DataFrame = {

@@ -624,7 +624,11 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
       srcBucket = (j \ "src_bucket").extractOpt[String],
       dstBucket = (j \ "dst_bucket").extractOpt[String].getOrElse("default"),
       dstPrefix = (j \ "dst_prefix").extractOpt[String].getOrElse(""),
-      mode = parseMode((j \ "mode").extractOpt[String].getOrElse("enabled")))
+      mode = parseMode((j \ "mode").extractOpt[String].getOrElse("enabled")),
+      compression = (j \ "compression").extractOpt[String].getOrElse("none") match {
+        case c @ ("none" | "zstd" | "gzip") => c
+        case other => throw unprocessable(s"Invalid compression '$other'")
+      })
   }
 
   private def parseMode(s: String): Streaming.ReplicationMode = s.toLowerCase match {
@@ -647,6 +651,7 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     "dst_bucket" -> JString(s.dstBucket),
     "dst_prefix" -> JString(s.dstPrefix),
     "mode" -> JString(modeName(s.mode)),
+    "compression" -> JString(s.compression),
     "entries" -> s.entries.map(es => JArray(es.map(JString(_)).toList))
       .getOrElse(JNull),
     "when" -> s.when.map(JsonMethods.parse(_)).getOrElse(JNull))

@@ -138,9 +138,9 @@ object QueryEngine {
     spec.stop.map(s => r1.filter(col("ts") < s)).getOrElse(r1)
   }
 
-  /** Entry glob resolution. The distinct entry list is the (small) series
-    * catalog, so resolve driver-side and filter with isin — on an
-    * entry-partitioned table this becomes partition pruning.
+  /** Entry glob resolution as a static predicate on the partition column
+    * — the filter participates in partition pruning, and no driver-side
+    * distinct scan of the entry catalog is needed.
     */
   private def applyEntries(records: DataFrame, patterns: Option[Seq[String]]): DataFrame =
     entriesPredicate(records, patterns) match {
@@ -156,11 +156,13 @@ object QueryEngine {
       // partition-pruning filter stays a plain conjunct.
       case None => Some(nonSystemEntry)
       case Some(pats) if pats.isEmpty || pats == Seq("*") => Some(nonSystemEntry)
-      case Some(_) =>
-        val all = records.select("entry").distinct()
-          .collect().map(_.getString(0)).toSeq
-        val keep = EntryPattern.resolve(all, patterns)
-        Some(col("entry").isin(keep: _*))
+      // general globs compile to a static Column predicate
+      // (equality/startsWith/rlike — all deterministic on the partition
+      // column, so they reach PartitionFilters) instead of resolving
+      // against a distinct().collect() entry list: same semantics
+      // (EntryPatternSpec pins predicateCol == resolve), one driver job
+      // less per query.
+      case Some(pats) => Some(EntryPattern.predicateCol(col("entry"), Some(pats)))
     }
 
   private def nonSystemEntry: Column =

@@ -74,14 +74,23 @@ object Streaming {
 
   /** Replication settings (reduct_base/src/msg/replication_api.rs:38-66).
     * `srcBucket` scopes the stream to one source bucket (the reference's
-    * replications are per-bucket); None replicates the whole store. */
+    * replications are per-bucket); None replicates the whole store.
+    *
+    * `compression` (replication_api.rs:28-36: none|zstd|gzip, default
+    * none): the reference compresses batch payloads *in transfer*; here
+    * the transfer IS the destination write, so zstd/gzip select the
+    * parquet codec of the replicated files, and `none` — like the
+    * reference, where transfer compression never dictates destination
+    * storage — means no override (files land with the store's default
+    * codec). */
   final case class ReplicationSettings(
       entries: Option[Seq[String]] = None, // glob patterns incl. '!'
       when: Option[String] = None,         // strict condition
       srcBucket: Option[String] = None,
       dstBucket: String = "default",
       dstPrefix: String = "",
-      mode: ReplicationMode = ReplicationMode.Enabled)
+      mode: ReplicationMode = ReplicationMode.Enabled,
+      compression: String = "none")        // none|zstd|gzip
 
   /** Start a replication stream src → dst. Disabled → no-op (returns
     * None); Paused → the stream runs but batches are skipped (transaction
@@ -142,7 +151,14 @@ object Streaming {
           val renamed = matched
             .withColumn("bucket", lit(settings.dstBucket))
             .withColumn("entry", concat(lit(settings.dstPrefix), col("entry")))
-          dst.write(renamed, BucketStore.Conflict.Skip)
+          val codec = settings.compression.toLowerCase match {
+            case "none" | "" => None          // no override: store default
+            case "zstd"      => Some("zstd")
+            case "gzip"      => Some("gzip")
+            case other => throw new IllegalArgumentException(
+              s"Invalid replication compression '$other'")
+          }
+          dst.write(renamed, BucketStore.Conflict.Skip, codec = codec)
         }
       }
       .start()

@@ -193,8 +193,19 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
     // replication CRUD + run: copy only errors into bucket 'dst1'
     assert(req("POST", "/replications/errs",
       """{"src_bucket": "src1", "dst_bucket": "dst1", "dst_prefix": "rep/",
+          "compression": "zstd",
           "when": {"$eq": ["&sev", "error"]}}""".getBytes).statusCode() == 200)
     assert(req("POST", "/replications/errs", "{}".getBytes).statusCode() == 409)
+    // transfer compression (replication_api.rs:28-36): echoed, validated,
+    // defaulted to none
+    assert((jsonOf(req("GET", "/replications/errs")) \ "compression")
+      .extract[String] == "zstd")
+    assert(req("POST", "/replications/lz4",
+      """{"compression": "lz4"}""".getBytes).statusCode() == 422)
+    assert(req("POST", "/replications/plain", "{}".getBytes).statusCode() == 200)
+    assert((jsonOf(req("GET", "/replications/plain")) \ "compression")
+      .extract[String] == "none")
+    assert(req("DELETE", "/replications/plain").statusCode() == 200)
     val listed = jsonOf(req("GET", "/replications")) \ "replications"
     assert(listed.children.map(r => (r \ "name").extract[String]) == List("errs"))
     assert(req("POST", "/replications/errs/run").statusCode() == 200)
