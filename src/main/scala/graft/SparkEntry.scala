@@ -2,7 +2,7 @@ package graft
 
 import graft.core.Records
 import graft.engine.{QueryEngine, QuerySpec}
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -189,6 +189,23 @@ object SparkEntry {
       Dedup.groupedJaccardPairs(docs(s, dir), "source", threshold = 0.1)
         .orderBy("id_a", "id_b")),
 
+    "q_dup_clusters" -> ((s, dir) => { // components over the minhash pairs
+      val d = docs(s, dir)
+      Dedup.dupClusters(d, Dedup.minhashPairs(d, threshold = 0.3))
+        .orderBy("doc_id")
+    }),
+
+    // ----------------------------------------------- pipeline: sampling
+    "q_sample_rate" -> ((s, dir) =>
+      Sampling.sampleByRate(docs(s, dir), rate = 0.2)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")),
+
+    "q_sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedExactK(docs(s, dir), "lang", k = 5)
+        .select(col("doc_id"), col("lang"), col("rank"))
+        .orderBy("lang", "rank")),
+
     // ----------------------------------------------- pipeline: text
     "q_text_quality" -> ((s, dir) =>
       TextAnalysis.withQuality(docs(s, dir))
@@ -218,6 +235,10 @@ object SparkEntry {
         .select(col("doc_id"),
           TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens"))
         .orderBy("doc_id")),
+
+    "q_tfidf" -> ((s, dir) => // rank is engine-stable; see tfidfTopTerms
+      TextAnalysis.tfidfTopTerms(docs(s, dir), k = 3)
+        .orderBy("doc_id", "rank")),
 
     // --------------------------------------------- #ext pipeline (§2.7)
     "q_ext_pipeline" -> ((s, dir) => {
@@ -323,8 +344,53 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }))
 
+  /** DuckDB twin of [[Dedup.minhashPairs]] (threshold 0.3) as a CTE chain
+    * ending in `mh_pairs(a, b, jaccard)` — shared by q_minhash_pairs and
+    * q_dup_clusters. Plain (non-interpolated) string: the regexes keep
+    * their backslashes. */
+  private val minhashCtes =
+    """consts AS (
+             SELECT
+               list_transform(range(64), j ->
+                 ('0x' || substring(md5('graft:minhash:a:' || j), 1, 15))::BIGINT
+                   % 2147483646 + 1) AS pa,
+               list_transform(range(64), j ->
+                 ('0x' || substring(md5('graft:minhash:b:' || j), 1, 15))::BIGINT
+                   % 2147483647) AS pb),
+           hs AS (
+             SELECT doc_id AS id,
+               CASE WHEN trim(text) = '' THEN []::BIGINT[]
+                 WHEN len(regexp_split_to_array(trim(text), '\s+')) < 3 THEN
+                   [('0x' || substring(md5(array_to_string(
+                      regexp_split_to_array(trim(text), '\s+'), ' ')), 1, 15))::BIGINT]
+                 ELSE list_sort(list_distinct(list_transform(
+                   range(len(regexp_split_to_array(trim(text), '\s+')) - 2), i ->
+                     ('0x' || substring(md5(array_to_string(
+                        regexp_split_to_array(trim(text), '\s+')[i+1:i+3], ' ')),
+                        1, 15))::BIGINT)))
+               END AS h
+             FROM documents),
+           sigs AS (
+             SELECT id, h,
+               list_transform(range(64), j ->
+                 list_min(list_transform(h, x ->
+                   (pa[j+1] * (x % 2147483647) + pb[j+1]) % 2147483647))) AS sig
+             FROM hs, consts WHERE len(h) > 0),
+           mh_pairs AS (
+             SELECT a.id AS a, b.id AS b,
+               round(CAST(len(list_intersect(a.h, b.h)) AS DOUBLE) /
+                 (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))), 6) AS jaccard
+             FROM sigs a JOIN sigs b ON a.id < b.id
+             WHERE len(list_filter(range(16), bb ->
+                 a.sig[bb*4+1:bb*4+4] = b.sig[bb*4+1:bb*4+4])) > 0
+               AND CAST(len(list_intersect(a.h, b.h)) AS DOUBLE) /
+                 (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))) >= 0.3)"""
+
   def oracleSql: Map[String, String] = {
     val evCols = "event_id, 'events/' || event_type AS entry, epoch_us(ts) AS ts"
+    // the exact Long threshold the Scala side computes — interpolated so
+    // both engines compare against the identical integer
+    val rateThreshold = (0.2 * (1L << 60).toDouble).toLong
     Map(
       "q_time_range" ->
         s"""SELECT $evCols FROM events
@@ -529,42 +595,23 @@ object SparkEntry {
       // of a 4-long signature slice in any of 16 bands, then exact
       // hashed-shingle Jaccard >= 0.3
       "q_minhash_pairs" ->
-        """WITH consts AS (
-             SELECT
-               list_transform(range(64), j ->
-                 ('0x' || substring(md5('graft:minhash:a:' || j), 1, 15))::BIGINT
-                   % 2147483646 + 1) AS pa,
-               list_transform(range(64), j ->
-                 ('0x' || substring(md5('graft:minhash:b:' || j), 1, 15))::BIGINT
-                   % 2147483647) AS pb),
-           hs AS (
-             SELECT doc_id AS id,
-               CASE WHEN trim(text) = '' THEN []::BIGINT[]
-                 WHEN len(regexp_split_to_array(trim(text), '\s+')) < 3 THEN
-                   [('0x' || substring(md5(array_to_string(
-                      regexp_split_to_array(trim(text), '\s+'), ' ')), 1, 15))::BIGINT]
-                 ELSE list_sort(list_distinct(list_transform(
-                   range(len(regexp_split_to_array(trim(text), '\s+')) - 2), i ->
-                     ('0x' || substring(md5(array_to_string(
-                        regexp_split_to_array(trim(text), '\s+')[i+1:i+3], ' ')),
-                        1, 15))::BIGINT)))
-               END AS h
-             FROM documents),
-           sigs AS (
-             SELECT id, h,
-               list_transform(range(64), j ->
-                 list_min(list_transform(h, x ->
-                   (pa[j+1] * (x % 2147483647) + pb[j+1]) % 2147483647))) AS sig
-             FROM hs, consts WHERE len(h) > 0)
-           SELECT a.id AS a, b.id AS b,
-             round(CAST(len(list_intersect(a.h, b.h)) AS DOUBLE) /
-               (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))), 6) AS jaccard
-           FROM sigs a JOIN sigs b ON a.id < b.id
-           WHERE len(list_filter(range(16), bb ->
-               a.sig[bb*4+1:bb*4+4] = b.sig[bb*4+1:bb*4+4])) > 0
-             AND CAST(len(list_intersect(a.h, b.h)) AS DOUBLE) /
-               (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))) >= 0.3
-           ORDER BY a, b""",
+        ("WITH " + minhashCtes + " SELECT * FROM mh_pairs ORDER BY a, b"),
+
+      // connected components over the minhash pair graph: min reachable
+      // doc id per node via a recursive walk (UNION dedups visited
+      // states, so it terminates on cycles)
+      "q_dup_clusters" ->
+        ("WITH RECURSIVE " + minhashCtes + """,
+           edges AS (
+             SELECT a, b FROM mh_pairs
+             UNION ALL SELECT b AS a, a AS b FROM mh_pairs),
+           walk(id, lbl) AS (
+             SELECT doc_id, doc_id FROM documents
+             UNION
+             SELECT w.id, e.b FROM walk w JOIN edges e ON e.a = w.lbl)
+           SELECT id AS doc_id, min(lbl) AS cluster_id,
+             (id = min(lbl)) AS canonical
+           FROM walk GROUP BY id ORDER BY doc_id"""),
 
       // SimHash near-dup: 60-bit md5 token-hash bit votes; candidacy =
       // sharing any of the four 16-bit fingerprint chunks; hamming <= 8
@@ -645,6 +692,49 @@ object SparkEntry {
                '''(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')), 0)
                AS BIGINT) AS bpe_tokens
            FROM documents ORDER BY doc_id""",
+
+      // rank by tf-idf score, emit only engine-portable columns (the ln
+      // double differs by 1 ulp across engines; the ORDER doesn't — see
+      // TextAnalysis.tfidfTopTerms)
+      "q_tfidf" ->
+        """WITH toks AS (
+             SELECT doc_id, lower(t.term) AS term
+             FROM documents, unnest(list_filter(
+               regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
+               x -> x <> '')) AS t(term)),
+           tft AS (
+             SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             FROM toks GROUP BY doc_id, term),
+           dft AS (
+             SELECT term, CAST(count(*) AS BIGINT) AS df
+             FROM tft GROUP BY term),
+           n AS (SELECT count(*) AS n FROM documents),
+           scored AS (
+             SELECT doc_id, tft.term, tf, df,
+               CAST(tf AS DOUBLE) *
+                 ln(CAST(n + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) AS score
+             FROM tft JOIN dft USING (term), n)
+           SELECT doc_id, term, tf, df, rank FROM (
+             SELECT *, CAST(row_number() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rank
+             FROM scored)
+           WHERE rank <= 3 ORDER BY doc_id, rank""",
+
+      "q_sample_rate" ->
+        s"""SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substring(md5('graft:sample:' ||
+                CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT < $rateThreshold
+            ORDER BY doc_id""",
+
+      "q_sample_stratified" ->
+        """SELECT doc_id, lang, rank FROM (
+             SELECT doc_id, lang,
+               CAST(row_number() OVER (PARTITION BY lang ORDER BY
+                 ('0x' || substring(md5('graft:sample:' ||
+                    CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                 doc_id) AS BIGINT) AS rank
+             FROM documents)
+           WHERE rank <= 5 ORDER BY lang, rank""",
 
       "q_embed_dup" ->
         """WITH e AS (

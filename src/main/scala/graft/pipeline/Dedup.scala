@@ -181,4 +181,59 @@ object Dedup {
       .filter(col("j") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
   }
+
+  // ------------------------------------- duplicate clusters (components)
+
+  /** Connected components over a near-dup pair list → duplicate clusters:
+    * every document gets `cluster_id` = the smallest doc id reachable
+    * through the pair graph (singletons map to themselves) plus
+    * `canonical` = whether this doc is its cluster's keep-representative —
+    * the form a dedup pipeline consumes (keep canonical, drop the rest),
+    * one step past the raw pair lists.
+    *
+    * Iterative min-label propagation with a pointer-halving step: each
+    * round a vertex takes the min of its label, its neighbors' labels, and
+    * its label's label. LSH near-dup graphs are unions of near-cliques
+    * (diameter 2-3), so 3-4 rounds close them; the halving step bounds
+    * adversarial chains at O(log n) rounds (the public two-phase CC-in-
+    * MapReduce family, Kiveris et al. SoCC'14). Each round shuffles only
+    * the EDGE list and the (id,label) table — document text never enters
+    * the loop — and lineage is truncated per round with an eager local
+    * checkpoint so the plan stays flat at any round count. The fixpoint
+    * (min reachable id) is unique, so the result is deterministic however
+    * rounds interleave — which is what lets an external engine (the DuckDB
+    * recursive-CTE oracle) re-derive it. */
+  def dupClusters(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", maxRounds: Int = 25): DataFrame = {
+    val edges = pairs.select(col("a").cast("long").as("a"),
+        col("b").cast("long").as("b"))
+      .union(pairs.select(col("b").cast("long").as("a"),
+        col("a").cast("long").as("b")))
+      .persist()
+    var labels = docs.select(col(idCol).cast("long").as("id"))
+      .withColumn("lbl", col("id")).localCheckpoint(true)
+    var round = 0
+    var converged = edges.isEmpty
+    while (!converged && round < maxRounds) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("b"), col("lbl").as("nlbl")), "b")
+        .groupBy(col("a").as("id")).agg(min("nlbl").as("nmin"))
+      val hop = labels.select(col("id").as("lbl"), col("lbl").as("plbl"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .join(hop, Seq("lbl"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl")),
+            coalesce(col("plbl"), col("lbl"))).as("lbl"),
+          (coalesce(col("nmin"), col("lbl")) < col("lbl") ||
+            coalesce(col("plbl"), col("lbl")) < col("lbl")).as("chg"))
+        .localCheckpoint(true)
+      converged = next.filter(col("chg")).isEmpty
+      labels = next.drop("chg")
+      round += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as(idCol), col("lbl").as("cluster_id"),
+      (col("id") === col("lbl")).as("canonical"))
+  }
 }

@@ -1,0 +1,58 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * Both samplers key on an md5-derived 60-bit hash of the row id — not on
+  * `rand()` — so a sample is (a) reproducible run-over-run, (b) stable
+  * under repartitioning/AQE (no per-partition seed dependence), and (c)
+  * re-derivable by an external engine (the DuckDB oracle computes the
+  * identical hash: `('0x'||substring(md5(s),1,15))::BIGINT`). Hash-keyed
+  * samples also compose: the rate-0.1 sample is a superset of the
+  * rate-0.01 sample, which is how corpus ablations stay nested.
+  */
+object Sampling {
+
+  /** 60-bit md5 hash of `salt:id` as a codegen'd Column (conv/substring/
+    * md5 are all built-ins). 15 hex digits = 60 bits, so the value is
+    * always a non-negative Long. */
+  def hash60(id: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt + ":"), id.cast("string"))), 1, 15),
+      16, 10).cast("long")
+
+  /** Bernoulli(rate) sample by hash threshold. Map-only: no count pass, no
+    * shuffle, and the keep/drop decision for a row never depends on any
+    * other row — the only sampling shape that stays O(0) coordination at
+    * 100 TB. The realized fraction is binomial around `rate`; use
+    * [[stratifiedExactK]] when an exact count matters more than
+    * single-pass scaling. */
+  def sampleByRate(df: DataFrame, rate: Double, idCol: String = "doc_id",
+      salt: String = "graft:sample"): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    val threshold = (rate * (1L << 60).toDouble).toLong
+    df.filter(hash60(col(idCol), salt) < lit(threshold))
+  }
+
+  /** Exactly the k hash-smallest rows per stratum — a deterministic
+    * reservoir sample (uniform without replacement, conditioned on the
+    * stratum). One shuffle on the stratum key + a per-stratum top-k
+    * window. A mega-stratum serializes through one task's sort; at scale,
+    * pre-thin with [[sampleByRate]] at a rate conservatively above
+    * k / min-expected-stratum-size — hash-threshold pre-filtering
+    * preserves the k smallest hashes whenever the k-th smallest is under
+    * the threshold, so the composed result is identical. `rank` (1-based,
+    * by hash then id) is included so callers can tighten k downstream
+    * without resampling. */
+  def stratifiedExactK(df: DataFrame, strataCol: String, k: Int,
+      idCol: String = "doc_id", salt: String = "graft:sample"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = Window.partitionBy(col(strataCol)).orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", hash60(col(idCol), salt))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .drop("__h")
+  }
+}

@@ -175,4 +175,77 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
       .orderBy("doc_id").collect().map(_.getString(1)).toSeq
     assert(langs(2) == "en" && langs(3) == "de")
   }
+
+  test("dupClusters: chains close transitively, singletons self-label") {
+    import spark.implicits._
+    // docs 0..11; component A = chain 0-1-2-3 (diameter 3, exercises
+    // multi-round propagation), component B = triangle 5-6-7,
+    // component C = long path 8-9-10-11; 4 is a singleton
+    val docs = (0L to 11L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (5L, 6L), (6L, 7L),
+      (5L, 7L), (8L, 9L), (9L, 10L), (10L, 11L)).toDF("a", "b")
+    val got = Dedup.dupClusters(docs, pairs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val expect = Seq(
+      (0L, 0L, true), (1L, 0L, false), (2L, 0L, false), (3L, 0L, false),
+      (4L, 4L, true),
+      (5L, 5L, true), (6L, 5L, false), (7L, 5L, false),
+      (8L, 8L, true), (9L, 8L, false), (10L, 8L, false), (11L, 8L, false))
+    assert(got.toSeq == expect)
+    // empty pair list → everything is its own canonical cluster
+    val solo = Dedup.dupClusters(docs, pairs.limit(0))
+    assert(solo.filter(col("doc_id") =!= col("cluster_id")).isEmpty)
+  }
+
+  test("sampling: nested rates, exact-k per stratum, deterministic") {
+    import spark.implicits._
+    val df = (0L until 400L).map(i => (i, if (i % 3 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val r01 = Sampling.sampleByRate(df, 0.1).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val r03 = Sampling.sampleByRate(df, 0.3).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(r01.subsetOf(r03), "hash-threshold samples must nest")
+    assert(r03.size > r01.size && r01.nonEmpty)
+    // realized fraction is binomial around the rate
+    assert(math.abs(r03.size / 400.0 - 0.3) < 0.12)
+    val strat = Sampling.stratifiedExactK(df, "lang", k = 7)
+    val byLang = strat.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang == Map("en" -> 7L, "de" -> 7L))
+    // rank is 1..k by hash order and stable across runs
+    val ranks = strat.filter(col("lang") === "en")
+      .orderBy("rank").select("rank").collect().map(_.getLong(0)).toSeq
+    assert(ranks == (1L to 7L))
+    assert(strat.orderBy("lang", "rank").collect().toSeq ==
+      Sampling.stratifiedExactK(df, "lang", k = 7)
+        .orderBy("lang", "rank").collect().toSeq)
+    // k larger than the stratum returns the whole stratum
+    val tiny = Seq((1L, "fr"), (2L, "fr")).toDF("doc_id", "lang")
+    assert(Sampling.stratifiedExactK(tiny, "lang", k = 10).count() == 2)
+  }
+
+  test("tfidf: tf/df exact, rank favors rare terms, term-asc tiebreak") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "apple banana apple cherry"),
+      (2L, "banana cherry banana"),
+      (3L, "cherry dates!  Dates")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(df, k = 2)
+      .orderBy("doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // doc 1: apple tf=2 df=1 beats banana tf=1 df=2 and cherry tf=1 df=3
+    assert(out.filter(_._1 == 1L).toSeq ==
+      Seq((1L, "apple", 2L, 1L, 1L), (1L, "banana", 1L, 2L, 2L)))
+    // doc 3: punctuation/case fold into the same term
+    assert(out.filter(_._1 == 3L).head ==
+      ((3L, "dates", 2L, 1L, 1L)))
+    // equal (tf, df) scores tie exactly → term ascending breaks it
+    val tie = TextAnalysis.tfidfTopTerms(
+      Seq((1L, "zeta alpha"), (2L, "unrelated")).toDF("doc_id", "text"), k = 2)
+      .filter(col("doc_id") === 1L).orderBy("rank").collect()
+      .map(_.getString(1)).toSeq
+    assert(tie == Seq("alpha", "zeta"))
+  }
 }
