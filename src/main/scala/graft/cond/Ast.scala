@@ -40,6 +40,34 @@ object Node {
     case Op(_, ops)        => ops.flatMap(computedRefNames).toSet
     case _                 => Set.empty
   }
+
+  /** Render a tree back to condition-language JSON (array operator form —
+    * always legal, unlike the object sugar). Round-trips through
+    * [[Parser.parse]] up to the language's own string-literal limits: a
+    * leading `$` re-escapes as `$$`, but strings that start with `&`/`@`
+    * or look like duration literals are indistinguishable from refs /
+    * durations in source form (the reference language has no escape for
+    * those). Used for logging and the differential fuzzers. */
+  def render(n: Node): String = n match {
+    case Const(Value.BoolV(v))  => v.toString
+    case Const(Value.IntV(v))   => v.toString
+    case Const(Value.FloatV(v)) => v.toString
+    case Const(Value.StrV(v)) =>
+      quote(if (v.startsWith("$")) "$" + v else v)
+    case Const(Value.DurV(us))  => quote(s"${us}us")
+    case LabelRef(name)         => quote("&" + name)
+    case ComputedRef(name)      => quote("@" + name)
+    case Op(name, operands) =>
+      s"""{${quote(name)}: [${operands.map(render).mkString(", ")}]}"""
+  }
+
+  private def quote(s: String): String =
+    "\"" + s.flatMap {
+      case '"'            => "\\\""
+      case '\\'           => "\\\\"
+      case c if c < ' '   => f"\\u${c.toInt}%04x"
+      case c              => c.toString
+    } + "\""
 }
 
 /** Parsed `#directives` (condition/parser.rs:29-41,62-140). */

@@ -205,15 +205,17 @@ object Dedup {
     * recursive-CTE oracle) re-derive it. */
   def dupClusters(docs: DataFrame, pairs: DataFrame,
       idCol: String = "doc_id", maxRounds: Int = 25): DataFrame = {
-    val edges = pairs.select(col("a").cast("long").as("a"),
-        col("b").cast("long").as("b"))
-      .union(pairs.select(col("b").cast("long").as("a"),
-        col("a").cast("long").as("b")))
-      .persist()
+    // materialize the (possibly expensive) pair pipeline ONCE before the
+    // symmetric union references it twice — union's two branches would
+    // otherwise each evaluate it
+    val p0 = pairs.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b")).persist()
+    p0.count()
+    val edges = p0.union(p0.select(col("b").as("a"), col("a").as("b")))
     var labels = docs.select(col(idCol).cast("long").as("id"))
       .withColumn("lbl", col("id")).localCheckpoint(true)
     var round = 0
-    var converged = edges.isEmpty
+    var converged = p0.isEmpty
     while (!converged && round < maxRounds) {
       val nbrMin = edges
         .join(labels.select(col("id").as("b"), col("lbl").as("nlbl")), "b")
@@ -232,7 +234,7 @@ object Dedup {
       labels = next.drop("chg")
       round += 1
     }
-    edges.unpersist()
+    p0.unpersist()
     labels.select(col("id").as(idCol), col("lbl").as("cluster_id"),
       (col("id") === col("lbl")).as("canonical"))
   }

@@ -116,7 +116,15 @@ object TextAnalysis {
       textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(terms(col(textCol))).as("term"))
+    // tf feeds BOTH the score join and the df aggregation; without staging
+    // it the corpus is scanned and tokenized twice (column pruning gives
+    // the two consumers different exchanges, so ReusedExchange can't fire).
+    // Persisting the compact (doc, term, tf) table costs far less than a
+    // second pass over the raw text. df-via-window-over-term would avoid
+    // the join but materializes one partition per term — a skew bomb on
+    // stopwords — so it stays groupBy (map-side combined) + join.
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("doc_id")
