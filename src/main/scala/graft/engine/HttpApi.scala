@@ -166,7 +166,7 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
           auth(ex, FullAccessPolicy)
           json(ex, 200, JObject("replications" -> JArray(
             replications.asScala.toList.sortBy(_._1).map { case (n, s) =>
-              replicationJson(n, s) })))
+              replicationInfoJson(n, s) }))) // list carries info items only
         case ("GET", List("replications", name)) =>
           auth(ex, FullAccessPolicy)
           json(ex, 200, replicationJson(name, Option(replications.get(name))
@@ -187,6 +187,7 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
           auth(ex, FullAccessPolicy)
           if (replications.remove(name) == null)
             throw notFound(s"Replication '$name' doesn't exist")
+          replStats.remove(name)
           json(ex, 200, JObject())
         case ("POST", List("replications", name, "run")) =>
           auth(ex, FullAccessPolicy); runReplication(ex, name)
@@ -644,17 +645,63 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     case Streaming.ReplicationMode.Disabled => "disabled"
   }
 
-  private def replicationJson(name: String,
+  /** Hourly ok/errored tallies per replication (msg/diagnostics.rs:13-22);
+    * the window resets when the hour rolls, like the reference's hourly
+    * diagnostics item. */
+  private final class ReplStats {
+    var windowStartMs: Long = System.currentTimeMillis()
+    var ok: Long = 0L
+    var errored: Long = 0L
+    def roll(): Unit = {
+      val now = System.currentTimeMillis()
+      if (now - windowStartMs >= 3600000L) {
+        windowStartMs = now; ok = 0L; errored = 0L
+      }
+    }
+  }
+  private val replStats =
+    new java.util.concurrent.ConcurrentHashMap[String, ReplStats]()
+  private def statsFor(name: String): ReplStats =
+    replStats.computeIfAbsent(name, _ => new ReplStats)
+
+  /** ReplicationInfo (replication_api.rs:69-81). `is_active` = mode is
+    * enabled (the "remote" is this store, always reachable);
+    * `pending_records` is 0 outside a catch-up pass — `run` drains the
+    * whole backlog synchronously, there is no background sender to lag. */
+  private def replicationInfoJson(name: String,
       s: Streaming.ReplicationSettings): JObject = JObject(
     "name" -> JString(name),
+    "mode" -> JString(modeName(s.mode)),
+    "is_active" -> JBool(s.mode == Streaming.ReplicationMode.Enabled),
+    "is_provisioned" -> JBool(false),
+    "pending_records" -> JLong(0L))
+
+  private def replicationSettingsJson(
+      s: Streaming.ReplicationSettings): JObject = JObject(
     "src_bucket" -> s.srcBucket.map(JString(_)).getOrElse(JNull),
     "dst_bucket" -> JString(s.dstBucket),
+    "dst_host" -> JString(""), // this store IS the destination
+    "dst_token" -> JNull,
     "dst_prefix" -> JString(s.dstPrefix),
     "mode" -> JString(modeName(s.mode)),
     "compression" -> JString(s.compression),
     "entries" -> s.entries.map(es => JArray(es.map(JString(_)).toList))
-      .getOrElse(JNull),
+      .getOrElse(JArray(Nil)),
     "when" -> s.when.map(JsonMethods.parse(_)).getOrElse(JNull))
+
+  /** FullReplicationInfo (replication_api.rs:98-105): the nested
+    * {info, settings, diagnostics} shape client SDKs parse. */
+  private def replicationJson(name: String,
+      s: Streaming.ReplicationSettings): JObject = {
+    val st = statsFor(name); st.roll()
+    JObject(
+      "info" -> replicationInfoJson(name, s),
+      "settings" -> replicationSettingsJson(s),
+      "diagnostics" -> JObject("hourly" -> JObject(
+        "ok" -> JLong(st.ok),
+        "errored" -> JLong(st.errored),
+        "errors" -> JObject())))
+  }
 
   private def setReplicationMode(ex: HttpExchange, name: String): Unit = {
     implicit val fmts: Formats = DefaultFormats
@@ -677,9 +724,15 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     // by parquet file listing, unique per store (a /tmp-shared path would
     // leak a stale file index into the next deployment's stream)
     val checkpoint = s"${store.root}/_replication/$name"
-    Streaming.replicate(store, store, s, checkpoint) match {
+    val st = statsFor(name); st.roll()
+    val onBatch: Long => Unit = n => st.synchronized { st.ok += n }
+    try Streaming.replicate(store, store, s, checkpoint,
+      onReplicated = onBatch) match {
       case Some(q) => q.awaitTermination(); json(ex, 200, JObject())
       case None => json(ex, 200, JObject("skipped" -> JString("disabled")))
+    } catch { case scala.util.control.NonFatal(e) =>
+      st.synchronized { st.errored += 1 } // whole-pass failure, one tick
+      throw e
     }
   }
 

@@ -115,7 +115,8 @@ object Streaming {
     * predicate inside foreachBatch (same compiler as queries). */
   def replicate(src: BucketStore, dst: BucketStore,
       settings: ReplicationSettings, checkpoint: String,
-      trigger: Trigger = Trigger.AvailableNow()): Option[StreamingQuery] = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      onReplicated: Long => Unit = _ => ()): Option[StreamingQuery] = {
     if (settings.mode == ReplicationMode.Disabled) return None
     val parsed = settings.when.map(w => graft.cond.Parser.parse(w))
     val statefulWhen = parsed.exists(p => graft.cond.Node.isStateful(p.root))
@@ -144,10 +145,12 @@ object Streaming {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (enabled) {
-          val matched =
+          val matched = (
             if (statefulWhen) batch // already filtered on the stream
             else QueryEngine.matching(batch,
               QuerySpec(when = settings.when, strict = true))
+          ).persist() // one compute feeds both the count and the write
+          val n = matched.count()
           val renamed = matched
             .withColumn("bucket", lit(settings.dstBucket))
             .withColumn("entry", concat(lit(settings.dstPrefix), col("entry")))
@@ -158,7 +161,9 @@ object Streaming {
             case other => throw new IllegalArgumentException(
               s"Invalid replication compression '$other'")
           }
-          dst.write(renamed, BucketStore.Conflict.Skip, codec = codec)
+          try dst.write(renamed, BucketStore.Conflict.Skip, codec = codec)
+          finally matched.unpersist()
+          onReplicated(n) // diagnostics hook (msg/diagnostics.rs hourly ok)
         }
       }
       .start()

@@ -196,25 +196,34 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
           "compression": "zstd",
           "when": {"$eq": ["&sev", "error"]}}""".getBytes).statusCode() == 200)
     assert(req("POST", "/replications/errs", "{}".getBytes).statusCode() == 409)
+    // GET returns the reference's nested FullReplicationInfo shape
+    // (replication_api.rs:98-105): info + settings + diagnostics
+    val full = jsonOf(req("GET", "/replications/errs"))
+    assert((full \ "info" \ "name").extract[String] == "errs")
+    assert((full \ "info" \ "is_active").extract[Boolean])
+    assert((full \ "info" \ "pending_records").extract[Long] == 0)
     // transfer compression (replication_api.rs:28-36): echoed, validated,
     // defaulted to none
-    assert((jsonOf(req("GET", "/replications/errs")) \ "compression")
-      .extract[String] == "zstd")
+    assert((full \ "settings" \ "compression").extract[String] == "zstd")
     assert(req("POST", "/replications/lz4",
       """{"compression": "lz4"}""".getBytes).statusCode() == 422)
     assert(req("POST", "/replications/plain", "{}".getBytes).statusCode() == 200)
-    assert((jsonOf(req("GET", "/replications/plain")) \ "compression")
-      .extract[String] == "none")
+    assert((jsonOf(req("GET", "/replications/plain")) \ "settings" \
+      "compression").extract[String] == "none")
     assert(req("DELETE", "/replications/plain").statusCode() == 200)
     val listed = jsonOf(req("GET", "/replications")) \ "replications"
     assert(listed.children.map(r => (r \ "name").extract[String]) == List("errs"))
+    assert((listed.children.head \ "mode").extract[String] == "enabled")
     assert(req("POST", "/replications/errs/run").statusCode() == 200)
     val rep = req("GET", "/b/dst1/rep%2Flogs?ts=1000")
     assert(rep.statusCode() == 200 && new String(rep.body()) == "r1")
+    // the run tallied the replicated records into hourly diagnostics
+    assert((jsonOf(req("GET", "/replications/errs")) \ "diagnostics" \
+      "hourly" \ "ok").extract[Long] == 3)
     // paused mode: run is a no-op for new data
     assert(req("PATCH", "/replications/errs/mode",
       """{"mode": "paused"}""".getBytes).statusCode() == 200)
-    assert((jsonOf(req("GET", "/replications/errs")) \ "mode")
+    assert((jsonOf(req("GET", "/replications/errs")) \ "info" \ "mode")
       .extract[String] == "paused")
     // lifecycle CRUD + dry-run + run (delete everything older than now)
     assert(req("POST", "/lifecycle/purge",
