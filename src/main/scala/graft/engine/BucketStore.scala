@@ -398,6 +398,23 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     else fs.getContentSummary(path).getLength
   }
 
+  /** Bytes + parquet-file count per entry of a bucket (decoded names) —
+    * the EntryInfo size/block_count analog (entry_api.rs:9-23: blocks are
+    * the reference's storage unit, parquet files are ours). One
+    * filesystem listing, no Spark job. */
+  def entryStats(bucket: String): Map[String, (Long, Long)] = {
+    val bpath = new org.apache.hadoop.fs.Path(s"$root/bucket=$bucket")
+    val fs = bpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(bpath)) return Map.empty
+    fs.listStatus(bpath).iterator
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("entry="))
+      .map { st =>
+        val name = unescapePartition(st.getPath.getName.stripPrefix("entry="))
+        val sum = fs.getContentSummary(st.getPath)
+        name -> (sum.getLength, sum.getFileCount)
+      }.toMap
+  }
+
   /** FIFO quota (bucket/quotas.rs:44-95): evict oldest day-partitions
     * until under `maxBytes`; `$meta` entries are never eviction candidates.
     * Returns evicted partition count. */

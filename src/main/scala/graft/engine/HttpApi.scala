@@ -194,9 +194,10 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
         // --------- lifecycle CRUD (api/http/lifecycle.rs:86-93)
         case ("GET", List("lifecycle")) =>
           auth(ex, FullAccessPolicy)
-          json(ex, 200, JObject("policies" -> JArray(
+          // LifecycleList (lifecycle_api.rs:109-113): info items only
+          json(ex, 200, JObject("lifecycles" -> JArray(
             lifecyclePolicies.asScala.toList.sortBy(_._1).map { case (n, p) =>
-              lifecycleJson(n, p) })))
+              lifecycleInfoJson(n, p) })))
         case ("GET", List("lifecycle", name)) =>
           auth(ex, FullAccessPolicy)
           json(ex, 200, lifecycleJson(name, Option(lifecyclePolicies.get(name))
@@ -250,6 +251,8 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
 
   // ------------------------------------------------------------- server
 
+  private val startedAtMs = System.currentTimeMillis()
+
   private def info(ex: HttpExchange): Unit = {
     val t = store.tableOrEmpty().groupBy()
       .agg(count(lit(1)), min("ts"), max("ts"), countDistinct("bucket"))
@@ -258,8 +261,14 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
       "version" -> JString(s"${HttpApi.ServerVersion}-spark"),
       "bucket_count" -> JInt(if (t.isNullAt(3)) 0 else t.getLong(3)),
       "usage" -> JInt(BigInt(storeBytes)),
+      "uptime" -> JLong((System.currentTimeMillis() - startedAtMs) / 1000L),
       "oldest_record" -> JInt(if (t.isNullAt(1)) 0 else BigInt(t.getLong(1))),
-      "latest_record" -> JInt(if (t.isNullAt(2)) 0 else BigInt(t.getLong(2)))))
+      "latest_record" -> JInt(if (t.isNullAt(2)) 0 else BigInt(t.getLong(2))),
+      // server_api.rs:55-58: instance-default bucket settings; license
+      // null = OSS terms
+      "defaults" -> JObject("bucket" ->
+        settingsJson(BucketStore.BucketSettings.defaults)),
+      "license" -> JNull))
   }
 
   private def storeBytes: Long = {
@@ -279,7 +288,8 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
         "size" -> JInt(BigInt(store.bucketSizeBytes(r.getString(0)))),
         "entry_count" -> JInt(BigInt(r.getLong(1))),
         "oldest_record" -> JInt(BigInt(r.getLong(2))),
-        "latest_record" -> JInt(BigInt(r.getLong(3))))
+        "latest_record" -> JInt(BigInt(r.getLong(3))),
+        "is_provisioned" -> JBool(false))
     }.toList)))
   }
 
@@ -364,6 +374,7 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
       .groupBy("entry").agg(count(lit(1)).as("n"),
         min("ts").as("oldest"), max("ts").as("latest"))
       .orderBy("entry").collect()
+    val stats = store.entryStats(bucket)
     json(ex, 200, JObject(
       "info" -> JObject(
         "name" -> JString(bucket),
@@ -378,8 +389,11 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
       "settings" -> settingsJson(store.bucketSettings(bucket)
         .getOrElse(BucketStore.BucketSettings.defaults)),
       "entries" -> JArray(entries.map { r =>
+        val (bytes, files) = stats.getOrElse(r.getString(0), (0L, 0L))
         JObject("name" -> JString(r.getString(0)),
+          "size" -> JInt(BigInt(bytes)),
           "record_count" -> JInt(BigInt(r.getLong(1))),
+          "block_count" -> JInt(BigInt(files)), // parquet files ≙ blocks
           "oldest_record" -> JInt(BigInt(r.getLong(2))),
           "latest_record" -> JInt(BigInt(r.getLong(3))))
       }.toList)))
@@ -736,24 +750,37 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     }
   }
 
+  /** Accepts the reference schema (lifecycle_api.rs:41-63: `type`,
+    * `older_than`/`interval` duration strings, `bucket`) and, for
+    * compatibility with earlier façade clients, the legacy spellings
+    * (`action`, integer `older_than_s`). */
   private def parseLifecycle(ex: HttpExchange): Lifecycle.Policy = {
     implicit val fmts: Formats = DefaultFormats
     val j = JsonMethods.parseOpt(new String(readBody(ex), UTF_8)).getOrElse(JObject())
-    val action = (j \ "action").extractOpt[String].getOrElse("delete") match {
+    def durationField(name: String): Option[Long] =
+      (j \ name).extractOpt[String].map(s =>
+        graft.cond.Value.parseDurationMicros(s).getOrElse(
+          throw unprocessable(s"Invalid duration '$s' for '$name'")))
+    val typ = (j \ "type").extractOpt[String]
+      .orElse((j \ "action").extractOpt[String]).getOrElse("delete")
+    val action = typ match {
       case "delete" => Lifecycle.Action.Delete
       case "compress" => Lifecycle.Action.Compress(
         (j \ "codec").extractOpt[String].getOrElse("zstd"),
         (j \ "level").extractOpt[Int].getOrElse(9))
-      case other => throw unprocessable(s"Invalid lifecycle action '$other'")
+      case other => throw unprocessable(s"Invalid lifecycle type '$other'")
     }
     val base = Lifecycle.Policy(
-      olderThanUs = (j \ "older_than_s").extractOpt[Long]
-        .getOrElse(throw unprocessable("'older_than_s' is required")) * 1000000L,
+      olderThanUs = durationField("older_than")
+        .orElse((j \ "older_than_s").extractOpt[Long].map(_ * 1000000L))
+        .getOrElse(throw unprocessable("'older_than' is required")),
       action = action,
       entries = (j \ "entries").extractOpt[Seq[String]],
       when = (j \ "when").toOption.filter(_ != JNothing)
         .map(w => JsonMethods.compact(JsonMethods.render(w))),
-      dryRun = (j \ "dry_run").extractOpt[Boolean].getOrElse(false))
+      dryRun = (j \ "dry_run").extractOpt[Boolean].getOrElse(false),
+      bucket = (j \ "bucket").extractOpt[String].filter(_.nonEmpty),
+      intervalUs = durationField("interval").getOrElse(3600L * 1000000L))
     (j \ "mode").extractOpt[String].fold(base)(m => withLifecycleMode(base, m))
   }
 
@@ -781,19 +808,44 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     json(ex, 200, JObject())
   }
 
+  private val lifecycleLastRun =
+    new java.util.concurrent.ConcurrentHashMap[String, java.time.Instant]()
+
+  private def lifecycleTypeName(p: Lifecycle.Policy): String = p.action match {
+    case Lifecycle.Action.Delete         => "delete"
+    case Lifecycle.Action.Compress(_, _) => "compress"
+  }
+
+  /** LifecycleInfo (lifecycle_api.rs:85-101). `is_running` is false
+    * between runs — the façade's passes are synchronous. */
+  private def lifecycleInfoJson(name: String, p: Lifecycle.Policy): JObject =
+    JObject(
+      "name" -> JString(name),
+      "is_provisioned" -> JBool(false),
+      "is_running" -> JBool(false),
+      "type" -> JString(lifecycleTypeName(p)),
+      "mode" -> JString(lifecycleModeName(p)),
+      "last_run" -> Option(lifecycleLastRun.get(name))
+        .map(i => JString(i.toString)).getOrElse(JNull))
+
+  /** FullLifecycleInfo (lifecycle_api.rs:117-123): nested
+    * {info, settings}; durations echo canonicalized in seconds. codec /
+    * level extend the reference schema (compress target knobs). */
   private def lifecycleJson(name: String, p: Lifecycle.Policy): JObject = JObject(
-    "name" -> JString(name),
-    "older_than_s" -> JInt(BigInt(p.olderThanUs / 1000000L)),
-    "action" -> (p.action match {
-      case Lifecycle.Action.Delete => JString("delete")
-      case Lifecycle.Action.Compress(codec, level) => JObject(
-        "compress" -> JObject("codec" -> JString(codec), "level" -> JInt(level)))
-    }),
-    "entries" -> p.entries.map(es => JArray(es.map(JString(_)).toList))
-      .getOrElse(JNull),
-    "when" -> p.when.map(JsonMethods.parse(_)).getOrElse(JNull),
-    "mode" -> JString(lifecycleModeName(p)),
-    "dry_run" -> JBool(p.dryRun))
+    "info" -> lifecycleInfoJson(name, p),
+    "settings" -> JObject(List(
+      "type" -> JString(lifecycleTypeName(p)),
+      "bucket" -> JString(p.bucket.getOrElse("")),
+      "entries" -> p.entries.map(es => JArray(es.map(JString(_)).toList))
+        .getOrElse(JArray(Nil)),
+      "older_than" -> JString(s"${p.olderThanUs / 1000000L}s"),
+      "interval" -> JString(s"${p.intervalUs / 1000000L}s"),
+      "when" -> p.when.map(JsonMethods.parse(_)).getOrElse(JNull),
+      "mode" -> JString(lifecycleModeName(p))) ++ (p.action match {
+        case Lifecycle.Action.Compress(codec, level) =>
+          List("codec" -> JString(codec), "level" -> JInt(BigInt(level)))
+        case _ => Nil
+      })))
 
   private def runLifecycle(ex: HttpExchange, name: String,
       q: Map[String, String]): Unit = {
@@ -802,6 +854,7 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     val nowUs = q.get("now_us").map(_.toLong)
       .getOrElse(System.currentTimeMillis() * 1000L)
     val res = Lifecycle.apply(store, p, nowUs)
+    lifecycleLastRun.put(name, java.time.Instant.now())
     json(ex, 200, JObject(
       "matched" -> JInt(BigInt(res.matched)),
       "applied" -> JBool(res.applied)))

@@ -28,7 +28,13 @@ object Lifecycle {
       entries: Option[Seq[String]] = None,
       when: Option[String] = None,
       dryRun: Boolean = false,
-      enabled: Boolean = true)
+      enabled: Boolean = true,
+      /** Scope to one bucket (lifecycle_api.rs:45-46); None = whole store. */
+      bucket: Option[String] = None,
+      /** Advisory run interval (lifecycle_api.rs:54-56) — runs here are
+        * triggered by the `run` route / an external scheduler, so this is
+        * carried for API parity and scheduling hints only. */
+      intervalUs: Long = 3600L * 1000000L)
 
   final case class Result(matched: Long, applied: Boolean)
 
@@ -38,7 +44,7 @@ object Lifecycle {
     if (!policy.enabled) return Result(0, applied = false)
     val cutoff = nowUs - policy.olderThanUs
     val spec = QuerySpec(stop = Some(cutoff), entries = policy.entries,
-      when = policy.when)
+      when = policy.when, bucket = policy.bucket)
     policy.action match {
       case Action.Delete =>
         if (policy.dryRun)

@@ -80,13 +80,22 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
     assert(patched.headers().firstValue("x-reduct-label-new").get() == "x")
     assert(patched.headers().firstValue("x-reduct-label-k").isEmpty)
     assert(new String(patched.body()) == "hello", "payload untouched by PATCH")
-    // bucket info reflects the entry
+    // bucket info reflects the entry, with EntryInfo size/block_count
+    // (entry_api.rs:9-23; parquet files stand in for blocks)
     val info = jsonOf(req("GET", "/b/b1"))
     assert((info \ "info" \ "record_count").extract[Long] == 2)
     assert((info \ "entries")(0) \ "name" == org.json4s.JString("sensor/a"))
+    assert(((info \ "entries")(0) \ "size").extract[Long] > 0)
+    assert(((info \ "entries")(0) \ "block_count").extract[Long] > 0)
     // server list sees the bucket
     val buckets = jsonOf(req("GET", "/list")) \ "buckets"
     assert(buckets.children.exists(b => (b \ "name").extract[String] == "b1"))
+    // server info carries uptime + instance-default bucket settings
+    // (server_api.rs:42-65)
+    val sinfo = jsonOf(req("GET", "/info"))
+    assert((sinfo \ "uptime").extract[Long] >= 0)
+    assert((sinfo \ "defaults" \ "bucket" \ "quota_type").extract[String]
+      .nonEmpty)
   }
 
   test("query cursor: open, batched read with v1 headers, delete query") {
@@ -244,8 +253,26 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
     assert(req("POST", "/lifecycle/lc2",
       """{"older_than_s": 0, "action": "delete", "mode": "disabled"}""".getBytes)
       .statusCode() == 200)
-    assert((jsonOf(req("GET", "/lifecycle/lc2")) \ "mode")
+    assert((jsonOf(req("GET", "/lifecycle/lc2")) \ "info" \ "mode")
       .extract[String] == "disabled")
+    // reference-schema create: type + older_than/interval duration strings
+    // + bucket scope (lifecycle_api.rs:41-63), FullLifecycleInfo echo
+    assert(req("POST", "/lifecycle/ref1",
+      """{"type": "delete", "older_than": "30d", "interval": "1h",
+          "bucket": "src1"}""".getBytes).statusCode() == 200)
+    val refFull = jsonOf(req("GET", "/lifecycle/ref1"))
+    assert((refFull \ "settings" \ "older_than").extract[String] == "2592000s")
+    assert((refFull \ "settings" \ "interval").extract[String] == "3600s")
+    assert((refFull \ "settings" \ "bucket").extract[String] == "src1")
+    assert((refFull \ "info" \ "type").extract[String] == "delete")
+    assert((refFull \ "info" \ "last_run") == org.json4s.JNull)
+    assert(req("POST", "/lifecycle/ref2",
+      """{"type": "delete", "older_than": "nonsense"}""".getBytes)
+      .statusCode() == 422)
+    val lcList = jsonOf(req("GET", "/lifecycle")) \ "lifecycles"
+    assert(lcList.children.map(r => (r \ "name").extract[String])
+      .contains("ref1"))
+    assert(req("DELETE", "/lifecycle/ref1").statusCode() == 200)
     val off = jsonOf(req("POST", "/lifecycle/lc2/run?now_us=100000000"))
     assert((off \ "matched").extract[Long] == 0 &&
       !(off \ "applied").extract[Boolean], "disabled policy is a no-op")
