@@ -240,6 +240,10 @@ object SparkEntry {
       TextAnalysis.tfidfTopTerms(docs(s, dir), k = 3)
         .orderBy("doc_id", "rank")),
 
+    "q_chunks" -> ((s, dir) =>
+      TextAnalysis.chunkByTokens(docs(s, dir), chunkSize = 32, stride = 16)
+        .orderBy("doc_id", "chunk_id")),
+
     // --------------------------------------------- #ext pipeline (§2.7)
     "q_ext_pipeline" -> ((s, dir) => {
       // json_extract produces @k from the payload; the next step's strict
@@ -719,6 +723,27 @@ object SparkEntry {
                PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rank
              FROM scored)
            WHERE rank <= 3 ORDER BY doc_id, rank""",
+
+      // overlapping token windows: chunk i = tokens[i*16+1 .. i*16+32],
+      // last window starts at the first stride multiple reaching the tail
+      "q_chunks" ->
+        """WITH d AS (
+             SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                 ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+             FROM documents),
+           k AS (
+             SELECT doc_id, toks, len(toks) AS n,
+               CAST(ceil(CAST(greatest(len(toks) - 32, 0) AS DOUBLE) / 16)
+                 AS BIGINT) + 1 AS nch
+             FROM d WHERE len(toks) > 0)
+           SELECT doc_id, CAST(g.chunk_id AS BIGINT) AS chunk_id,
+             CAST(len(toks[chunk_id*16+1 : chunk_id*16+32]) AS BIGINT)
+               AS n_tokens,
+             array_to_string(toks[chunk_id*16+1 : chunk_id*16+32], ' ')
+               AS chunk_text
+           FROM k, unnest(range(nch)) AS g(chunk_id)
+           ORDER BY doc_id, chunk_id""",
 
       "q_sample_rate" ->
         s"""SELECT doc_id, lang FROM documents

@@ -84,6 +84,40 @@ object TextAnalysis {
     * shingling in [[Dedup]]; md5 is the cross-engine canonical form.) */
   def fingerprint(text: Column): Column = substring(md5(text), 1, 16)
 
+  // ----------------------------------------------------------- chunking
+
+  /** Split each document into overlapping token-window chunks — the
+    * context-window preparation step of a training pipeline. Chunk `i`
+    * covers tokens `[i·stride, i·stride + size)`; the last window starts
+    * at the first stride multiple reaching the tail, so every token is in
+    * ≥ 1 chunk and interior tokens appear in `size/stride` of them.
+    * Empty documents yield no chunks.
+    *
+    * One Generate per document (chunk ids from `sequence`), then a slice
+    * per chunk — map-only, no shuffle; output order is (doc, chunk). The
+    * token array is a staged column BELOW the Generate, so the split runs
+    * once per document and each chunk row only slices the shared array
+    * (PipelineOpsSpec pins the plan: exactly one split in the tree —
+    * guarding the Generate-re-evaluation trap). */
+  def chunkByTokens(docs: DataFrame, chunkSize: Int = 32, stride: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got size=$chunkSize stride=$stride")
+    val nChunks = (ceil(greatest(size(col("__toks")) - chunkSize, lit(0))
+      .cast("double") / stride)).cast("int") + 1
+    docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col("doc_id"), col("__toks"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        slice(col("__toks"), col("chunk_id") * stride + 1, lit(chunkSize))
+          .as("__c"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("__c")).cast("long").as("n_tokens"),
+        array_join(col("__c"), " ").as("chunk_text"))
+  }
+
   // ------------------------------------------------------------- tf-idf
 
   /** Alphanumeric terms, lowercased. Split FIRST, lowercase per token:

@@ -225,6 +225,31 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(Sampling.stratifiedExactK(tiny, "lang", k = 10).count() == 2)
   }
 
+  test("chunking: coverage, overlap, tail window, single-split plan") {
+    import spark.implicits._
+    val doc = (1 to 50).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, doc), (2L, "one two"), (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkByTokens(df, chunkSize = 32, stride = 16)
+    val rows = out.orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // doc 1: 50 tokens -> ceil(18/16)+1 = 3 chunks at offsets 0/16/32
+    val d1 = rows.filter(_._1 == 1L)
+    assert(d1.map(_._2).toSeq == Seq(0L, 1L, 2L))
+    assert(d1.map(_._3).toSeq == Seq(32L, 32L, 18L), "tail window clips")
+    assert(d1(0)._4.startsWith("t1 t2 ") && d1(1)._4.startsWith("t17 ") &&
+      d1(2)._4.startsWith("t33 "))
+    // every token is covered; overlap tokens appear in both windows
+    assert(d1.flatMap(_._4.split(" ")).toSet == (1 to 50).map(i => s"t$i").toSet)
+    // short doc -> one chunk; empty doc -> none
+    assert(rows.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 2L, "one two")))
+    assert(!rows.exists(_._1 == 3L))
+    // the Generate-re-evaluation guard: the document is tokenized at most
+    // once (a LocalRelation folds it to zero) — never once per chunk
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert("split\\(".r.findAllIn(plan).size <= 1,
+      s"split leaked above the Generate (re-tokenize per chunk):\n$plan")
+  }
+
   test("tfidf: tf/df exact, rank favors rare terms, term-asc tiebreak") {
     import spark.implicits._
     val df = Seq(
