@@ -44,6 +44,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(c) => ParseValueExpr(c)
         case _ => throw CondError("graft_parse_value(str) takes one argument")
       }))
+    for ((name, builder) <- sketchFunctions)
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), builder))
   }
 }
 
@@ -56,7 +59,43 @@ object GraftExtensions {
       (children: Seq[Expression]) => buildWhen(children), "scala_udf")
     reg.createOrReplaceTempFunction("graft_parse_value",
       (children: Seq[Expression]) => ParseValueExpr(children.head), "scala_udf")
+    for ((name, builder) <- sketchFunctions)
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
   }
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw CondError(s"$what must be an integer literal, got $other")
+  }
+
+  /** The native sketch kernels as SQL functions — the same codegen'd
+    * expressions the pipeline operators use (graft.pipeline.DedupExprs),
+    * so `spark.sql` users can build dedup/similarity pipelines without
+    * the Scala API. */
+  private val sketchFunctions: Seq[(String, Seq[Expression] => Expression)] =
+    Seq(
+      "graft_simhash64" -> {
+        case Seq(text) => graft.pipeline.Simhash60Expr(text)
+        case _ => throw CondError("graft_simhash64(text) takes one argument")
+      },
+      "graft_shingle_hashes" -> {
+        case Seq(text, k) =>
+          graft.pipeline.ShingleHash60Expr(text, litInt(k, "k"))
+        case _ => throw CondError("graft_shingle_hashes(text, k) takes two arguments")
+      },
+      "graft_minhash_sig" -> {
+        case Seq(hashes, n) =>
+          graft.pipeline.MinhashSigExpr(hashes, litInt(n, "numHashes"))
+        case _ => throw CondError("graft_minhash_sig(hashes, n) takes two arguments")
+      },
+      "graft_dot" -> {
+        case Seq(a, b) => graft.pipeline.DotProductExpr(a, b)
+        case _ => throw CondError("graft_dot(a, b) takes two arguments")
+      },
+      "graft_intersect_count" -> {
+        case Seq(a, b) => graft.pipeline.SortedIntersectCountExpr(a, b)
+        case _ => throw CondError("graft_intersect_count(a, b) takes two arguments")
+      })
 
   private[graft] def buildWhen(children: Seq[Expression]): Expression = {
     children match {

@@ -29,4 +29,31 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(e.getMessage.contains("stateful") || e.getCause != null)
   }
+
+  test("sketch kernels are callable from spark.sql") {
+    GraftExtensions.register(spark)
+    // simhash of identical texts is identical; of different texts differs
+    val fp = spark.sql(
+      """SELECT graft_simhash64('alpha beta gamma') AS a,
+                graft_simhash64('alpha beta gamma') AS b,
+                graft_simhash64('delta epsilon zeta') AS c""").collect()(0)
+    assert(fp.getLong(0) == fp.getLong(1) && fp.getLong(0) != fp.getLong(2))
+    // the SQL minhash signature matches the Scala-API pipeline's
+    val viaSql = spark.sql(
+      """SELECT graft_minhash_sig(graft_shingle_hashes('a b c d e', 3), 8)
+           AS sig""").collect()(0).getSeq[Long](0)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val viaApi = Seq("a b c d e").toDF("text")
+      .select(graft.pipeline.DedupExprs.minhashSig(
+        graft.pipeline.DedupExprs.shingleHash60(col("text"), 3), 8).as("sig"))
+      .collect()(0).getSeq[Long](0)
+    assert(viaSql == viaApi)
+    // dot product + sorted intersect
+    val r = spark.sql(
+      """SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+                graft_intersect_count(array(1L, 3L, 5L), array(3L, 4L, 5L))
+                  AS i""").collect()(0)
+    assert(r.getDouble(0) == 11.0 && r.getInt(1) == 2)
+  }
 }
