@@ -171,8 +171,10 @@ final class BucketStore(val spark: SparkSession, val root: String) {
       val affected = collectAffected(matched)
       val survivors = prunedPartitionScan(affected)
         .join(matched, Seq("bucket", "entry", "ts"), "left_anti")
-        .localCheckpoint(true) // cut lineage: the write overwrites its input
-      overwritePartitions(survivors, checkpointed = true)
+        // materialize: `survivors` is reused after the swap, when the
+        // file tree it was planned against has changed
+        .localCheckpoint(true)
+      overwritePartitions(survivors)
       // dynamic overwrite only rewrites partitions PRESENT in the output —
       // a partition whose every record matched is left untouched, so drop
       // fully-emptied partition directories explicitly
@@ -258,8 +260,8 @@ final class BucketStore(val spark: SparkSession, val root: String) {
         val affected = collectAffected(existing)
         val survivors = prunedPartitionScan(affected)
           .join(broadcast(existing), Seq("bucket", "entry", "ts"), "left_anti")
-          .localCheckpoint(true)
-        overwritePartitions(survivors, checkpointed = true)
+          .localCheckpoint(true) // reused after the swap (see overwritePartitions)
+        overwritePartitions(survivors)
         val surviving = survivors.withColumn("dt", dtCol)
           .select("bucket", "entry", "dt").distinct().collect()
           .map(r => (r.getString(0), r.getString(1), r.getDate(2).toString)).toSet
@@ -324,19 +326,51 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     fs.delete(path, true)
   }
 
-  /** Dynamic-overwrite only the partitions present in `records`. The input
-    * reads from the same path being overwritten, so lineage is cut first
-    * (`localCheckpoint`) unless the caller already did; a petabyte-scale
-    * deployment would stage to a sibling directory + atomic partition swap
-    * instead. */
-  private def overwritePartitions(records: DataFrame,
-      checkpointed: Boolean = false): Unit = {
-    val cut = if (checkpointed) records else records.localCheckpoint(true)
-    cut.withColumn("dt", dtCol)
+  /** Rewrite the partitions present in `records` via sibling-dir staging
+    * + per-partition rename swap. The job reads the live tree and writes
+    * `_rewrite/<uuid>` — input and output paths never overlap, so the
+    * rewrite set needs no lineage cut and is never materialized into
+    * executor storage (the PB-scale risk of in-place dynamic overwrite:
+    * a localCheckpoint of the whole rewritten data). Each staged
+    * partition dir then swaps in with two renames: the old dir parks
+    * INSIDE the staging dir (underscore-prefixed → invisible to parquet
+    * partition discovery, never parsed as a partition value) and is
+    * deleted with it. Renames are atomic per partition on posix/HDFS;
+    * object stores without atomic rename would keep the in-place path.
+    *
+    * Callers that reuse `records` AFTER the swap must pass an
+    * already-materialized frame (localCheckpoint) — recomputing it
+    * post-swap would resolve against a changed file tree. */
+  private def overwritePartitions(records: DataFrame): Unit = {
+    val stage = new org.apache.hadoop.fs.Path(
+      s"$root/$RewriteDir/${java.util.UUID.randomUUID}")
+    records.withColumn("dt", dtCol)
       .repartition(col("bucket"), col("entry"), col("dt")) // one task per dir
       .write.partitionBy("bucket", "entry", "dt")
-      .mode(SaveMode.Overwrite) // dynamic: only touched partitions
-      .parquet(root)
+      .mode(SaveMode.Overwrite)
+      .parquet(stage.toString)
+    val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      var parked = 0
+      for {
+        b <- fs.listStatus(stage) if b.isDirectory &&
+          b.getPath.getName.startsWith("bucket=")
+        e <- fs.listStatus(b.getPath) if e.isDirectory &&
+          e.getPath.getName.startsWith("entry=")
+        d <- fs.listStatus(e.getPath) if d.isDirectory &&
+          d.getPath.getName.startsWith("dt=")
+      } {
+        val live = new org.apache.hadoop.fs.Path(rootPath,
+          s"${b.getPath.getName}/${e.getPath.getName}/${d.getPath.getName}")
+        fs.mkdirs(live.getParent)
+        if (fs.exists(live)) {
+          parked += 1
+          fs.rename(live, new org.apache.hadoop.fs.Path(stage, s"old-$parked"))
+        }
+        fs.rename(d.getPath, live)
+      }
+    } finally fs.delete(stage, true) // parked old dirs go with it
   }
 
   /** Entry catalog (names only; from partition listing, no data scan). */
@@ -609,6 +643,7 @@ object BucketStore {
 
   /** Staging directory for streamed uploads (underscore-hidden). */
   val StagingDir = "_upload"
+  val RewriteDir = "_rewrite"
 
   /** One record of a spooled batch body: its payload is
     * `staged[offset, offset + len)`. */

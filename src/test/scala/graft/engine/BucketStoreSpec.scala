@@ -86,6 +86,14 @@ class BucketStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(store.table().count() == 12, "row count unchanged by label update")
     assert(store.table()
       .filter(map_contains_key(col("labels"), "u")).count() == 6)
+    // the staged-rewrite swap leaves no _rewrite residue behind
+    val fs = new org.apache.hadoop.fs.Path(store.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"${store.root}/${BucketStore.RewriteDir}")) ||
+      fs.listStatus(new org.apache.hadoop.fs.Path(
+        s"${store.root}/${BucketStore.RewriteDir}")).isEmpty,
+      "rewrite staging dir must be cleaned up")
   }
 
   test("removeQuery deletes matching records only (benchmark $each_n shape)") {
