@@ -195,6 +195,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // benchmark decontamination: src0 is the held-out eval corpus, every
+    // other doc is scored by shingle overlap against it
+    "q_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.decontaminate(d.filter(col("source") =!= "src0"),
+          d.filter(col("source") === "src0"), threshold = 0.1)
+        .orderBy("doc_id")
+    }),
+
     // ----------------------------------------------- pipeline: sampling
     "q_sample_rate" -> ((s, dir) =>
       Sampling.sampleByRate(docs(s, dir), rate = 0.2)
@@ -616,6 +625,36 @@ object SparkEntry {
            SELECT id AS doc_id, min(lbl) AS cluster_id,
              (id = min(lbl)) AS canonical
            FROM walk GROUP BY id ORDER BY doc_id"""),
+
+      // benchmark decontamination: shingle-overlap of every non-src0 doc
+      // against the distinct src0 shingle set (same md5-60 shingles as
+      // minhash; list_intersect of distinct lists == matched count)
+      "q_decontaminate" ->
+        """WITH hs AS (
+             SELECT doc_id AS id, source,
+               CASE WHEN trim(text) = '' THEN []::BIGINT[]
+                 WHEN len(regexp_split_to_array(trim(text), '\s+')) < 3 THEN
+                   [('0x' || substring(md5(array_to_string(
+                      regexp_split_to_array(trim(text), '\s+'), ' ')), 1, 15))::BIGINT]
+                 ELSE list_sort(list_distinct(list_transform(
+                   range(len(regexp_split_to_array(trim(text), '\s+')) - 2), i ->
+                     ('0x' || substring(md5(array_to_string(
+                        regexp_split_to_array(trim(text), '\s+')[i+1:i+3], ' ')),
+                        1, 15))::BIGINT)))
+               END AS h
+             FROM documents),
+           bench AS (
+             SELECT list(DISTINCT x) AS bl
+             FROM (SELECT unnest(h) AS x FROM hs WHERE source = 'src0') t)
+           SELECT id AS doc_id,
+             CAST(len(h) AS BIGINT) AS ngrams,
+             CAST(len(list_intersect(h, bl)) AS BIGINT) AS matched,
+             round(CAST(len(list_intersect(h, bl)) AS DOUBLE) / len(h), 6)
+               AS overlap,
+             (CAST(len(list_intersect(h, bl)) AS DOUBLE) / len(h)) >= 0.1
+               AS contaminated
+           FROM hs, bench WHERE source <> 'src0' AND len(h) > 0
+           ORDER BY doc_id""",
 
       // SimHash near-dup: 60-bit md5 token-hash bit votes; candidacy =
       // sharing any of the four 16-bit fingerprint chunks; hamming <= 8

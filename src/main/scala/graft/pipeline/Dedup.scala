@@ -182,6 +182,46 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
   }
 
+  // ----------------------------------------------- decontamination
+
+  /** Benchmark decontamination: score every training document by the
+    * fraction of its k-shingles that appear anywhere in an evaluation/
+    * benchmark corpus, and flag those at or above `threshold` (the
+    * standard n-gram-overlap test-set leak check a training pipeline
+    * runs before a model ever sees the data).
+    *
+    * Scale shape: the benchmark corpus is tiny next to a 100 TB training
+    * corpus, so its distinct shingle-hash set is reduced once and
+    * broadcast — the per-document check is then a single map-side pass
+    * (explode → broadcast left join → partial-agg count), one corpus
+    * scan, no corpus-sized shuffle (the groupBy ships one combined row
+    * per doc per partition). Set `broadcastBenchmark = false` for a
+    * benchmark too large to broadcast; the join degrades to a shuffled
+    * hash join on the shingle hash.
+    *
+    * Shingle hashes are md5-derived 60-bit values ([[shingleHashes]]),
+    * so an external engine reproduces the exact overlap counts. */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", k: Int = 3,
+      threshold: Double = 0.1, broadcastBenchmark: Boolean = true): DataFrame = {
+    val bench0 = benchmark
+      .select(explode(shingleHashes(col(textCol), k)).as("h"))
+      .distinct().withColumn("__hit", lit(1))
+    val bench = if (broadcastBenchmark) broadcast(bench0) else bench0
+    docs.select(col(idCol).as("id"),
+        shingleHashes(col(textCol), k).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("id"), size(col("hs")).cast("long").as("ngrams"),
+        explode(col("hs")).as("h"))
+      .join(bench, Seq("h"), "left")
+      .groupBy("id")
+      .agg(first("ngrams").as("ngrams"), count("__hit").as("matched"))
+      .select(col("id").as(idCol), col("ngrams"), col("matched"),
+        round(col("matched").cast("double") / col("ngrams"), 6).as("overlap"),
+        (col("matched").cast("double") / col("ngrams") >= threshold)
+          .as("contaminated"))
+  }
+
   // ------------------------------------- duplicate clusters (components)
 
   /** Connected components over a near-dup pair list → duplicate clusters:

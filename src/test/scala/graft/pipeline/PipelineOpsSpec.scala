@@ -176,6 +176,31 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(langs(2) == "en" && langs(3) == "de")
   }
 
+  test("decontaminate: copied doc flagged, clean doc scored, joins agree") {
+    import spark.implicits._
+    val evalDoc = synthText(500, 40)
+    val bench = Seq((1000L, evalDoc)).toDF("doc_id", "text")
+    val train = docsDf(Seq(
+      evalDoc,                    // verbatim leak → overlap 1.0
+      corrupt(evalDoc, 0.1, 42),  // near-copy → high overlap
+      synthText(777, 40),         // unrelated
+      ""))                        // empty → dropped (no shingles)
+    val out = Dedup.decontaminate(train, bench, threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out.size == 3, s"empty doc must drop: $out")
+    assert(out(0L)._3 == 1.0 && out(0L)._4, s"verbatim copy: ${out(0L)}")
+    assert(out(1L)._3 > 0.5 && out(1L)._4, s"near-copy: ${out(1L)}")
+    assert(out(2L)._3 < 0.3 && !out(2L)._4, s"unrelated: ${out(2L)}")
+    assert(out.values.forall(v => v._2 <= v._1), "matched <= ngrams")
+    // the shuffle-join fallback computes the identical result
+    val noBc = Dedup.decontaminate(train, bench, threshold = 0.5,
+        broadcastBenchmark = false)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(noBc == out)
+  }
+
   test("dupClusters: chains close transitively, singletons self-label") {
     import spark.implicits._
     // docs 0..11; component A = chain 0-1-2-3 (diameter 3, exercises
