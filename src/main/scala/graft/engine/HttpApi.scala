@@ -115,12 +115,16 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
           auth(ex, FullAccessPolicy); removeBucket(ex, bucket)
         case ("POST", "b" :: bucket :: rest)
             if rest.length > 1 && rest.last == "q" =>
+          // auth policy depends on query_type — resolved inside the router
+          queryEntryRouter(ex, bucket, rest.dropRight(1).mkString("/"))
+        case ("GET", "b" :: bucket :: rest)
+            if rest.length > 1 && rest.last == "q" =>
           auth(ex, ReadAccessPolicy(bucket))
-          openQuery(ex, bucket, rest.dropRight(1).mkString("/"))
+          openQueryLegacy(ex, bucket, rest.dropRight(1).mkString("/"), q)
         case ("DELETE", "b" :: bucket :: rest)
             if rest.length > 1 && rest.last == "q" =>
           auth(ex, WriteAccessPolicy(bucket))
-          removeQuery(ex, bucket, rest.dropRight(1).mkString("/"))
+          removeQuery(ex, bucket, rest.dropRight(1).mkString("/"), q)
         case ("GET", "b" :: bucket :: rest)
             if rest.length > 1 && rest.last == "batch" =>
           auth(ex, ReadAccessPolicy(bucket))
@@ -224,7 +228,7 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
         // ------------------------- io API v2 (api/http/io.rs:19-29)
         case ("POST", List("io", bucket, "q")) =>
           auth(ex, ReadAccessPolicy(bucket)); ioQuery(ex, bucket)
-        case ("GET", List("io", bucket, "read")) =>
+        case ("GET" | "HEAD", List("io", bucket, "read")) =>
           auth(ex, ReadAccessPolicy(bucket)); ioRead(ex, bucket)
         case ("POST", List("io", bucket, "write")) =>
           auth(ex, WriteAccessPolicy(bucket)); ioWrite(ex, bucket)
@@ -534,8 +538,30 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     (spec, ttlMs, continuous)
   }
 
-  private def openQuery(ex: HttpExchange, bucket: String, entry: String): Unit = {
-    val (spec0, ttlMs, continuous) = parseQueryEntry(new String(readBody(ex), UTF_8))
+  /** POST /b/:bucket/:entry/q — dispatch on `query_type`
+    * (entry.rs:131-137): QUERY (default) opens a cursor under read
+    * access; REMOVE deletes matching records under write access
+    * (remove_query_post.rs:40-49 rejects an empty query with 422). */
+  private def queryEntryRouter(ex: HttpExchange, bucket: String, entry: String): Unit = {
+    val body = new String(readBody(ex), UTF_8)
+    implicit val fmts: Formats = DefaultFormats
+    val qt = (JsonMethods.parseOpt(body).getOrElse(JObject()) \ "query_type")
+      .extractOpt[String].getOrElse("QUERY")
+    qt match {
+      case "REMOVE" =>
+        auth(ex, WriteAccessPolicy(bucket))
+        removeQueryJson(ex, bucket, entry, body)
+      case "QUERY" =>
+        auth(ex, ReadAccessPolicy(bucket))
+        openQuery(ex, bucket, entry, body)
+      case other =>
+        throw unprocessable(s"Unknown query type '$other'")
+    }
+  }
+
+  private def openQuery(ex: HttpExchange, bucket: String, entry: String,
+      body: String): Unit = {
+    val (spec0, ttlMs, continuous) = parseQueryEntry(body)
     val spec = spec0.copy(bucket = Some(bucket),
       entries = Some(spec0.entries.getOrElse(Seq(entry))))
     val id = registry.open(() => store.table(), spec,
@@ -543,6 +569,31 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     rememberBatchLimits(id, spec)
     json(ex, 200, JObject("id" -> JInt(BigInt(id))))
   }
+
+  /** GET /b/:bucket/:entry/q — the legacy param-based query open
+    * (read_query.rs:16-42; params parsed as common.rs:54-125:
+    * start/stop in µs, ttl in seconds, continuous bool). */
+  private def openQueryLegacy(ex: HttpExchange, bucket: String, entry: String,
+      params: Map[String, String]): Unit = {
+    val spec = QuerySpec(
+      start = params.get("start").map(tsParam("start", _)),
+      stop = params.get("stop").map(tsParam("stop", _)),
+      entries = Some(Seq(entry)), bucket = Some(bucket))
+    val ttlMs = params.get("ttl").map(v => 1000 * longParam("ttl", v,
+      "'ttl' must be in seconds as an unsigned integer")).getOrElse(queryTtlMs)
+    val continuous = params.get("continuous").exists(v =>
+      v.toBooleanOption.getOrElse(
+        throw unprocessable("'continue' must be a bool value")))
+    val id = registry.open(() => store.table(), spec,
+      continuous = continuous, ttlMs = ttlMs)
+    json(ex, 200, JObject("id" -> JInt(BigInt(id))))
+  }
+
+  private def tsParam(name: String, v: String): Long =
+    longParam(name, v, s"'$name' must be an unix timestamp in microseconds")
+
+  private def longParam(name: String, v: String, err: String): Long =
+    v.toLongOption.filter(_ >= 0).getOrElse(throw unprocessable(err))
 
   /** `#batch_records` / `#batch_size` directives — per-query overrides of
     * the batched-read page limits (filters/when/io_cfg.rs; defaults
@@ -956,7 +1007,8 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     h.set("x-reduct-last", last.toString)
     // write payloads sequentially — no concatenated copy of the batch
     val totalLen = recs.iterator.map(_._2.length.toLong).sum
-    if (totalLen == 0) respond(ex, 200, Array.empty)
+    if (totalLen == 0 || ex.getRequestMethod.equalsIgnoreCase("HEAD"))
+      respond(ex, 200, Array.empty)
     else {
       ex.sendResponseHeaders(200, totalLen)
       val os = ex.getResponseBody
@@ -1091,8 +1143,33 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
       "removed_records" -> JInt(result.values.count(identity))))
   }
 
-  private def removeQuery(ex: HttpExchange, bucket: String, entry: String): Unit = {
-    val (spec0, _, _) = parseQueryEntry(new String(readBody(ex), UTF_8))
+  /** DELETE /b/:bucket/:entry/q — legacy remove-by-params
+    * (remove_query.rs:20-58: start/stop params, 422 when no parameter
+    * is given). A JSON body with `when`/`start`/`stop` is also accepted
+    * so conditional removes work over this verb too. */
+  private def removeQuery(ex: HttpExchange, bucket: String, entry: String,
+      params: Map[String, String]): Unit = {
+    val body = new String(readBody(ex), UTF_8).trim
+    if (body.isEmpty || body == "{}") {
+      if (params.isEmpty)
+        throw unprocessable("Define at least one query parameter to delete records")
+      val spec = QuerySpec(
+        start = params.get("start").map(tsParam("start", _)),
+        stop = params.get("stop").map(tsParam("stop", _)),
+        entries = Some(Seq(entry).filter(e => !EntryPattern.isSystemMetaEntry(e))),
+        bucket = Some(bucket))
+      val n = store.removeQuery(spec)
+      json(ex, 200, JObject("removed_records" -> JInt(BigInt(n))))
+    } else removeQueryJson(ex, bucket, entry, body)
+  }
+
+  /** Shared by legacy DELETE-with-body and POST `query_type: REMOVE`. */
+  private def removeQueryJson(ex: HttpExchange, bucket: String, entry: String,
+      body: String): Unit = {
+    val (spec0, _, _) = parseQueryEntry(body)
+    if (spec0.start.isEmpty && spec0.stop.isEmpty && spec0.when.isEmpty &&
+        spec0.entries.isEmpty)
+      throw unprocessable("Define at least one query parameter to delete records")
     val spec = spec0.copy(bucket = Some(bucket),
       entries = Some(spec0.entries.getOrElse(Seq(entry))
         .filter(e => !EntryPattern.isSystemMetaEntry(e))))

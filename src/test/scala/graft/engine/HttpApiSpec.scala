@@ -145,6 +145,49 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
     assert(req("DELETE", "/b/b2/e/q", "{}".getBytes, token = roTok).statusCode() == 403)
   }
 
+  test("legacy param queries and POST query_type dispatch") {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    assert(req("POST", "/b/lq").statusCode() == 200)
+    for (i <- 0 until 6)
+      assert(req("POST", s"/b/lq/e?ts=${i * 100}", s"p$i".getBytes)
+        .statusCode() == 200)
+    // GET /b/:bucket/:entry/q?start&stop (read_query.rs:16-42)
+    val open = req("GET", "/b/lq/e/q?start=100&stop=400&ttl=60")
+    assert(open.statusCode() == 200)
+    val qid = (jsonOf(open) \ "id").extract[Long]
+    val batch = req("GET", s"/b/lq/e/batch?q=$qid")
+    assert(new String(batch.body()) == "p1p2p3", "start incl, stop excl")
+    assert(req("GET", "/b/lq/e/q?start=abc").statusCode() == 422)
+    assert(req("GET", "/b/lq/e/q?continuous=nope").statusCode() == 422)
+    // POST query_type REMOVE requires write access + non-empty query
+    // (entry.rs:131-137, remove_query_post.rs:40-49)
+    val ro = req("POST", "/tokens/rolq",
+      """{"permissions": {"read": ["lq"]}}""".getBytes)
+    val roTok = (jsonOf(ro) \ "value").extract[String]
+    assert(req("POST", "/b/lq/e/q",
+      """{"query_type": "REMOVE", "start": 0}""".getBytes,
+      token = roTok).statusCode() == 403, "REMOVE needs write access")
+    assert(req("POST", "/b/lq/e/q",
+      """{"query_type": "REMOVE"}""".getBytes).statusCode() == 422,
+      "empty REMOVE query rejected")
+    assert(req("POST", "/b/lq/e/q",
+      """{"query_type": "BOGUS"}""".getBytes).statusCode() == 422)
+    val rm = req("POST", "/b/lq/e/q",
+      """{"query_type": "REMOVE", "when": {"$lt": ["$timestamp", 200]}}""".getBytes)
+    assert(rm.statusCode() == 200)
+    assert((jsonOf(rm) \ "removed_records").extract[Long] == 2)
+    // DELETE with params only (remove_query.rs:20-58); no params → 422
+    assert(req("DELETE", "/b/lq/e/q").statusCode() == 422)
+    val rm2 = req("DELETE", "/b/lq/e/q?start=200&stop=400")
+    assert(rm2.statusCode() == 200)
+    assert((jsonOf(rm2) \ "removed_records").extract[Long] == 2)
+    // survivors: ts 400, 500
+    val count = req("GET", "/b/lq/e/q?start=0")
+    val qid2 = (jsonOf(count) \ "id").extract[Long]
+    val left = req("GET", s"/b/lq/e/batch?q=$qid2")
+    assert(new String(left.body()) == "p4p5")
+  }
+
   test("renames and signed query links") {
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
     assert(req("POST", "/b/ren1/e1?ts=100", "x".getBytes,
@@ -328,6 +371,14 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
     assert(decoded.find(_.timestamp == 1500L).get.header.labels == Map("j" -> "x"))
     // records arrive ts-ordered within the concatenated body
     assert(new String(read.body()) == "r1r3r2")
+    // HEAD drains a page too: same delta headers, empty body (io.rs:24)
+    val open2 = req("POST", "/io/b3/q", """{"entries": ["*"]}""".getBytes)
+    val qid2 = (jsonOf(open2) \ "id").extract[Long]
+    val headRead = req("HEAD", "/io/b3/read",
+      headers = Seq(BatchWire.QueryIdHeader -> qid2.toString))
+    assert(headRead.statusCode() == 200)
+    assert(headRead.headers().firstValue(BatchWire.EntriesHeader).isPresent)
+    assert(headRead.body().isEmpty, "HEAD must not carry a body")
     // update labels per record (k= removes, new=v adds)
     val updHeaders = Seq(
       BatchWire.EntriesHeader -> BatchWire.makeEntriesHeader(Seq("ea")),
