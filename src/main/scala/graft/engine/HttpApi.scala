@@ -528,7 +528,10 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     val spec = QuerySpec(
       start = (j \ "start").extractOpt[Long],
       stop = (j \ "stop").extractOpt[Long],
-      entries = (j \ "entries").extractOpt[Seq[String]],
+      // json4s extracts a MISSING key as Some(Nil) for Seq types; route
+      // through toOption so "no entries field" stays None (otherwise the
+      // empty-REMOVE 422 guard and the URL-entry default never fire)
+      entries = (j \ "entries").toOption.flatMap(_.extractOpt[Seq[String]]),
       when = (j \ "when").toOption.filter(_ != JNothing)
         .map(w => JsonMethods.compact(JsonMethods.render(w))),
       strict = (j \ "strict").extractOpt[Boolean].getOrElse(false),
@@ -684,7 +687,8 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     implicit val fmts: Formats = DefaultFormats
     val j = JsonMethods.parseOpt(new String(readBody(ex), UTF_8)).getOrElse(JObject())
     Streaming.ReplicationSettings(
-      entries = (j \ "entries").extractOpt[Seq[String]],
+      // toOption: a missing key must stay None (= all entries), not Some(Nil)
+      entries = (j \ "entries").toOption.flatMap(_.extractOpt[Seq[String]]),
       when = (j \ "when").toOption.filter(_ != JNothing)
         .map(w => JsonMethods.compact(JsonMethods.render(w))),
       srcBucket = (j \ "src_bucket").extractOpt[String],
@@ -826,7 +830,8 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
         .orElse((j \ "older_than_s").extractOpt[Long].map(_ * 1000000L))
         .getOrElse(throw unprocessable("'older_than' is required")),
       action = action,
-      entries = (j \ "entries").extractOpt[Seq[String]],
+      // toOption: a missing key must stay None (= all entries), not Some(Nil)
+      entries = (j \ "entries").toOption.flatMap(_.extractOpt[Seq[String]]),
       when = (j \ "when").toOption.filter(_ != JNothing)
         .map(w => JsonMethods.compact(JsonMethods.render(w))),
       dryRun = (j \ "dry_run").extractOpt[Boolean].getOrElse(false),

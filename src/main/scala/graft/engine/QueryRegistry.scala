@@ -140,7 +140,9 @@ object QueryLinks {
         else Some(QuerySpec(
           start = (json \ "start").extractOpt[Long],
           stop = (json \ "stop").extractOpt[Long],
-          entries = (json \ "entries").extractOpt[Seq[String]],
+          // toOption: json4s extracts a missing key as Some(Nil) for Seqs
+          entries = (json \ "entries").toOption
+            .flatMap(_.extractOpt[Seq[String]]),
           when = (json \ "when").toOption
             .map(w => org.json4s.jackson.JsonMethods.compact(w)),
           strict = (json \ "strict").extractOpt[Boolean].getOrElse(false),

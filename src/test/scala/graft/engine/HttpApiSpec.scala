@@ -170,6 +170,15 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
     assert(req("POST", "/b/lq/e/q",
       """{"query_type": "REMOVE"}""".getBytes).statusCode() == 422,
       "empty REMOVE query rejected")
+    // a POST-body query with no "entries" field scopes to the URL entry
+    // (json4s yields Some(Nil) for a missing Seq key — regression guard)
+    assert(req("POST", "/b/lq/other?ts=50", "zz".getBytes).statusCode() == 200)
+    val scoped = req("POST", "/b/lq/e/q", """{"start": 0}""".getBytes)
+    assert(scoped.statusCode() == 200)
+    val scopedBatch = req("GET",
+      s"/b/lq/e/batch?q=${(jsonOf(scoped) \ "id").extract[Long]}")
+    assert(new String(scopedBatch.body()) == "p0p1p2p3p4p5",
+      "POST query must not leak records from sibling entries")
     assert(req("POST", "/b/lq/e/q",
       """{"query_type": "BOGUS"}""".getBytes).statusCode() == 422)
     val rm = req("POST", "/b/lq/e/q",
