@@ -33,12 +33,16 @@ object Bench {
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
-    // untimed warm-up: absorbs session init, codegen/JIT, and the one-time
-    // events->records staging so the first measured query isn't charged
-    // for process start-up (the reference bench also measures against a
-    // warmed server process)
-    try SparkEntry.queries("q_time_range")(spark, sfDir).count()
-    catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
+    // untimed warm-up pass over every query (JMH-style): absorbs session
+    // init, the one-time events->records staging, and per-operator-shape
+    // codegen/JIT (~1-3 s each for the first explode/join/window/broadcast
+    // in a JVM — measured; the first query otherwise pays for all of them).
+    // The timed pass below then measures steady-state latency, which is
+    // what amortizes at scale and what the reference bench measures (a
+    // warmed server process).
+    for ((name, fn) <- SparkEntry.queries)
+      try fn(spark, sfDir).count()
+      catch { case e: Throwable => System.err.println(s"[bench] warmup $name: $e") }
 
     // declared queries (count() forces full evaluation)
     for ((name, fn) <- SparkEntry.queries)
