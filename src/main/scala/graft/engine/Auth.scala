@@ -173,6 +173,17 @@ object Auth {
       TokenCreateResponse(value, createdAt)
     }
 
+    /** cfg/provision/token.rs provision_tokens: create-or-update with the
+      * env-supplied fixed secret and permissions, then mark provisioned —
+      * an existing token of the same name is overwritten, and the
+      * provisioned flag shields it from remove/rotate. */
+    def provisionToken(name: String, value: String, permissions: Permissions,
+        expiresAtMs: Option[Long] = None): Unit = {
+      val createdAt = repo.get(name).map(_.createdAtMs).getOrElse(nowMs())
+      repo(name) = Token(name, hashTokenSecret(value), createdAt,
+        Some(permissions), isProvisioned = true, expiresAtMs = expiresAtMs)
+    }
+
     def getToken(name: String): Token =
       repo.getOrElse(name, throw notFound(s"Token '$name' doesn't exist"))
 

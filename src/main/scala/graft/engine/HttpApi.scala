@@ -35,7 +35,10 @@ import java.nio.charset.StandardCharsets.UTF_8
 final class HttpApi(store: BucketStore, apiToken: String = "",
     port: Int = 0, queryTtlMs: Long = 60000L,
     spoolThresholdBytes: Int = 1 << 20,
-    ssl: Option[javax.net.ssl.SSLContext] = None) {
+    ssl: Option[javax.net.ssl.SSLContext] = None,
+    /** `RS_*` provisioning variables (cfg/provision); injectable so specs
+      * don't touch the process env — a server main passes `sys.env.toMap`. */
+    env: Map[String, String] = Map.empty) {
   import Auth._
   import HttpApi._
 
@@ -152,6 +155,8 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
         // ----------------- renames (bucket.rs:73, entry.rs:295)
         case ("PUT", List("b", bucket, "rename")) =>
           auth(ex, FullAccessPolicy)
+          if (provisionedBuckets.contains(bucket)) // engine.rs:455-460
+            throw conflict(s"Can't rename provisioned bucket '$bucket'")
           val to = renameTarget(ex)
           store.renameBucket(bucket, to)
           if (createdBuckets.remove(bucket)) createdBuckets.add(to)
@@ -184,11 +189,15 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
           auth(ex, FullAccessPolicy)
           if (!replications.containsKey(name))
             throw notFound(s"Replication '$name' doesn't exist")
+          if (provisionedReplications.contains(name)) // repo.rs:286-296
+            throw conflict(s"Can't update provisioned replication '$name'")
           replications.put(name, parseReplication(ex)); json(ex, 200, JObject())
         case ("PATCH", List("replications", name, "mode")) =>
           auth(ex, FullAccessPolicy); setReplicationMode(ex, name)
         case ("DELETE", List("replications", name)) =>
           auth(ex, FullAccessPolicy)
+          if (provisionedReplications.contains(name)) // repo.rs:370-376
+            throw conflict(s"Can't remove provisioned replication '$name'")
           if (replications.remove(name) == null)
             throw notFound(s"Replication '$name' doesn't exist")
           replStats.remove(name)
@@ -215,9 +224,13 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
           auth(ex, FullAccessPolicy)
           if (!lifecyclePolicies.containsKey(name))
             throw notFound(s"Lifecycle policy '$name' doesn't exist")
+          if (provisionedLifecycles.contains(name)) // lifecycle repo.rs:87-91
+            throw conflict(s"Can't update provisioned lifecycle '$name'")
           lifecyclePolicies.put(name, parseLifecycle(ex)); json(ex, 200, JObject())
         case ("DELETE", List("lifecycle", name)) =>
           auth(ex, FullAccessPolicy)
+          if (provisionedLifecycles.contains(name)) // lifecycle repo.rs:158-160
+            throw conflict(s"Can't remove provisioned lifecycle '$name'")
           if (lifecyclePolicies.remove(name) == null)
             throw notFound(s"Lifecycle policy '$name' doesn't exist")
           json(ex, 200, JObject())
@@ -271,7 +284,7 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
       // server_api.rs:55-58: instance-default bucket settings; license
       // null = OSS terms
       "defaults" -> JObject("bucket" ->
-        settingsJson(BucketStore.BucketSettings.defaults)),
+        settingsJson(defaultBucketSettings)),
       "license" -> JNull))
   }
 
@@ -293,7 +306,8 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
         "entry_count" -> JInt(BigInt(r.getLong(1))),
         "oldest_record" -> JInt(BigInt(r.getLong(2))),
         "latest_record" -> JInt(BigInt(r.getLong(3))),
-        "is_provisioned" -> JBool(false))
+        "is_provisioned" -> JBool(provisionedBuckets.contains(r.getString(0))),
+        "status" -> JString("READY")) // msg/status.rs: sync deletes → READY
     }.toList)))
   }
 
@@ -350,7 +364,7 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
   private def createBucket(ex: HttpExchange, bucket: String): Unit = {
     if (bucketExists(bucket)) throw conflict(s"Bucket '$bucket' already exists")
     store.putBucketSettings(bucket,
-      parseSettings(ex).over(BucketStore.BucketSettings.defaults))
+      parseSettings(ex).over(defaultBucketSettings))
     createdBuckets.add(bucket)
     json(ex, 200, JObject())
   }
@@ -359,8 +373,10 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     * (update.rs → set_settings → fill_settings over current). */
   private def updateBucket(ex: HttpExchange, bucket: String): Unit = {
     if (!bucketExists(bucket)) throw notFound(s"Bucket '$bucket' is not found")
+    if (provisionedBuckets.contains(bucket)) // bucket.rs set_settings guard
+      throw conflict(s"Can't change settings of provisioned bucket '$bucket'")
     val current = store.bucketSettings(bucket)
-      .getOrElse(BucketStore.BucketSettings.defaults)
+      .getOrElse(defaultBucketSettings)
     store.putBucketSettings(bucket, parseSettings(ex).over(current))
     json(ex, 200, JObject())
   }
@@ -389,9 +405,13 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
           if (entries.isEmpty) 0L else entries.map(_.getLong(2)).min)),
         "latest_record" -> JInt(BigInt(
           if (entries.isEmpty) 0L else entries.map(_.getLong(3)).max)),
-        "is_provisioned" -> JBool(false)),
+        "is_provisioned" -> JBool(provisionedBuckets.contains(bucket)),
+        // deletes here are synchronous, so READY is the only observable
+        // state (msg/status.rs:8-16; DELETING is the reference's async
+        // folder-keeper window)
+        "status" -> JString("READY")),
       "settings" -> settingsJson(store.bucketSettings(bucket)
-        .getOrElse(BucketStore.BucketSettings.defaults)),
+        .getOrElse(defaultBucketSettings)),
       "entries" -> JArray(entries.map { r =>
         val (bytes, files) = stats.getOrElse(r.getString(0), (0L, 0L))
         JObject("name" -> JString(r.getString(0)),
@@ -399,12 +419,15 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
           "record_count" -> JInt(BigInt(r.getLong(1))),
           "block_count" -> JInt(BigInt(files)), // parquet files ≙ blocks
           "oldest_record" -> JInt(BigInt(r.getLong(2))),
-          "latest_record" -> JInt(BigInt(r.getLong(3))))
+          "latest_record" -> JInt(BigInt(r.getLong(3))),
+          "status" -> JString("READY")) // entry_api.rs:22-24
       }.toList)))
   }
 
   private def removeBucket(ex: HttpExchange, bucket: String): Unit = {
     if (!bucketExists(bucket)) throw notFound(s"Bucket '$bucket' is not found")
+    if (provisionedBuckets.contains(bucket)) // storage/engine.rs:409-414
+      throw conflict(s"Can't remove provisioned bucket '$bucket'")
     store.removeBucket(bucket)
     createdBuckets.remove(bucket)
     json(ex, 200, JObject())
@@ -742,7 +765,7 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     "name" -> JString(name),
     "mode" -> JString(modeName(s.mode)),
     "is_active" -> JBool(s.mode == Streaming.ReplicationMode.Enabled),
-    "is_provisioned" -> JBool(false),
+    "is_provisioned" -> JBool(provisionedReplications.contains(name)),
     "pending_records" -> JLong(0L))
 
   private def replicationSettingsJson(
@@ -877,7 +900,7 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
   private def lifecycleInfoJson(name: String, p: Lifecycle.Policy): JObject =
     JObject(
       "name" -> JString(name),
-      "is_provisioned" -> JBool(false),
+      "is_provisioned" -> JBool(provisionedLifecycles.contains(name)),
       "is_running" -> JBool(false),
       "type" -> JString(lifecycleTypeName(p)),
       "mode" -> JString(lifecycleModeName(p)),
@@ -1180,6 +1203,40 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
         .filter(e => !EntryPattern.isSystemMetaEntry(e))))
     val n = store.removeQuery(spec)
     json(ex, 200, JObject("removed_records" -> JInt(BigInt(n))))
+  }
+
+  // ----------------- provisioning (cfg/provision/*.rs; see Provisioning)
+  // Applied last in construction order so every repository above exists.
+  // Create-or-update then flag: an already-existing resource gets its
+  // definition replaced by the env's (provision_buckets conflict branch).
+
+  private val provisionedBuckets =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val provisionedReplications =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val provisionedLifecycles =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private val provisionedResources = Provisioning.parse(env)
+  private val defaultBucketSettings = provisionedResources.bucketDefaults
+  provisionedResources.warnings.foreach(w => System.err.println(s"[provision] $w"))
+  locally {
+    for ((name, settings) <- provisionedResources.buckets) {
+      store.putBucketSettings(name, settings.over(defaultBucketSettings))
+      createdBuckets.add(name)
+      provisionedBuckets.add(name)
+    }
+    for ((name, t) <- provisionedResources.tokens) {
+      tokens.provisionToken(name, t.value, t.permissions, t.expiresAtMs)
+    }
+    for ((name, s) <- provisionedResources.replications) {
+      replications.put(name, s)
+      provisionedReplications.add(name)
+    }
+    for ((name, p) <- provisionedResources.lifecycles) {
+      lifecyclePolicies.put(name, p)
+      provisionedLifecycles.add(name)
+    }
   }
 }
 

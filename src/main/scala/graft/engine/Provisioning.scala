@@ -1,0 +1,273 @@
+package graft.engine
+
+import graft.lifecycle.Lifecycle
+import graft.stream.Streaming
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Environment-driven resource provisioning — the analog of the
+  * reference's `cfg/provision/{bucket,token,replication,lifecycle}.rs`:
+  * at server start, `RS_*` environment variables declare buckets,
+  * tokens, replications and lifecycle policies that are created (or
+  * updated, if they already exist) and marked *provisioned*.
+  * Provisioned resources reject mutation through the API with 409
+  * (storage/engine.rs:409-414, auth/token_repository/repo.rs:433-458,
+  * replication_repository/repo.rs:286-376, lifecycle_repository/
+  * repo.rs:87-160); mode PATCHes stay allowed (repo.rs set_mode does not
+  * check the flag).
+  *
+  * Parsing is pure over an injected `Map[String, String]` so specs can
+  * drive it without touching the process environment. Invalid or
+  * incomplete declarations are dropped with a warning, never fatal —
+  * matching the reference's error!-and-continue provisioning loops.
+  */
+object Provisioning {
+
+  final case class TokenSpec(
+      name: String,
+      value: String,
+      permissions: Auth.Permissions,
+      expiresAtMs: Option[Long] = None)
+
+  /** Everything `RS_*` declares; applied by [[HttpApi]] at construction. */
+  final case class Resources(
+      bucketDefaults: BucketStore.BucketSettings,
+      buckets: Map[String, BucketStore.BucketSettings],
+      tokens: Map[String, TokenSpec],
+      replications: Map[String, Streaming.ReplicationSettings],
+      lifecycles: Map[String, Lifecycle.Policy],
+      warnings: Seq[String]) {
+    def isEmpty: Boolean =
+      buckets.isEmpty && tokens.isEmpty && replications.isEmpty &&
+        lifecycles.isEmpty
+  }
+
+  /** Byte sizes in the reference come through the `bytesize` crate:
+    * `"1000"`, `"1kB"`, `"1.5GB"`, `"512MiB"` (binary `i` infix =
+    * 1024-based). Returns None on anything unparsable. */
+  def parseByteSize(s: String): Option[Long] = {
+    val m = "^\\s*([0-9]+(?:\\.[0-9]+)?)\\s*(?:([kKmMgGtTpP])(i|I)?)?[bB]?\\s*$".r
+    s match {
+      case m(num, prefix, binary) =>
+        val exp = Option(prefix).map(_.toLowerCase.head match {
+          case 'k' => 1; case 'm' => 2; case 'g' => 3; case 't' => 4; case 'p' => 5
+        }).getOrElse(0)
+        val base = if (binary != null) 1024.0 else 1000.0
+        val v = num.toDouble * math.pow(base, exp.toDouble)
+        if (v.isFinite && v >= 0 && v <= Long.MaxValue.toDouble) Some(v.toLong)
+        else None
+      case _ => None
+    }
+  }
+
+  /** env.matches("RS_X_(.*)_NAME"): (id, value) pairs in stable order. */
+  private def matches(env: Map[String, String], prefix: String,
+      suffix: String): Seq[(String, String)] = {
+    val re = ("^" + java.util.regex.Pattern.quote(prefix) + "(.+)" +
+      java.util.regex.Pattern.quote(suffix) + "$").r
+    env.keys.toSeq.sorted.flatMap {
+      case k @ re(id) => Some(id -> env(k))
+      case _ => None
+    }
+  }
+
+  def parse(env: Map[String, String]): Resources = {
+    val warnings = Seq.newBuilder[String]
+    def warn(msg: String): Unit = warnings += msg
+
+    // ------------------------------------------- buckets (bucket.rs)
+    val bucketDefaults = BucketStore.BucketSettings(
+      quotaType = env.get("RS_DEFAULTS_BUCKET_QUOTA_TYPE")
+        .map(_.toUpperCase).filter(BucketStore.BucketSettings.QuotaTypes),
+      quotaSize = env.get("RS_DEFAULTS_BUCKET_QUOTA_SIZE").flatMap(parseByteSize),
+      maxBlockSize = env.get("RS_DEFAULTS_BUCKET_MAX_BLOCK_SIZE").flatMap(parseByteSize),
+      maxBlockRecords = env.get("RS_DEFAULTS_BUCKET_MAX_BLOCK_RECORDS")
+        .flatMap(_.toLongOption)
+    ).over(BucketStore.BucketSettings.defaults)
+
+    val buckets = matches(env, "RS_BUCKET_", "_NAME").map { case (id, name) =>
+      name -> BucketStore.BucketSettings(
+        quotaType = env.get(s"RS_BUCKET_${id}_QUOTA_TYPE").map(_.toUpperCase)
+          .filter(BucketStore.BucketSettings.QuotaTypes),
+        quotaSize = env.get(s"RS_BUCKET_${id}_QUOTA_SIZE").flatMap(parseByteSize),
+        maxBlockSize = env.get(s"RS_BUCKET_${id}_MAX_BLOCK_SIZE").flatMap(parseByteSize),
+        maxBlockRecords = env.get(s"RS_BUCKET_${id}_MAX_BLOCK_RECORDS")
+          .flatMap(_.toLongOption))
+    }.toMap
+
+    // --------------------------------------------- tokens (token.rs)
+    def csv(key: String): Seq[String] =
+      env.get(key).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
+    val tokens = matches(env, "RS_TOKEN_", "_NAME").flatMap { case (id, name) =>
+      val value = env.getOrElse(s"RS_TOKEN_${id}_VALUE", "")
+      if (value.isEmpty) {
+        warn(s"Token '$name' has no value. Drop it."); None
+      } else {
+        val expiresAt = env.get(s"RS_TOKEN_${id}_EXPIRES_AT").flatMap { s =>
+          try Some(java.time.OffsetDateTime.parse(s).toInstant.toEpochMilli)
+          catch { case _: java.time.format.DateTimeParseException =>
+            warn(s"Token '$name' has invalid expiry date '$s'. Ignore it."); None }
+        }
+        Some(name -> TokenSpec(name, value,
+          Auth.Permissions(
+            fullAccess = env.get(s"RS_TOKEN_${id}_FULL_ACCESS")
+              .exists(_.equalsIgnoreCase("true")),
+            read = csv(s"RS_TOKEN_${id}_READ"),
+            write = csv(s"RS_TOKEN_${id}_WRITE")),
+          expiresAt))
+      }
+    }.toMap
+
+    // ----------------------------------- replications (replication.rs)
+    val replications = matches(env, "RS_REPLICATION_", "_NAME")
+      .flatMap { case (id, name) =>
+        parseReplication(env, id, name, warn).map(name -> _)
+      }.toMap
+
+    // ------------------------------------------ lifecycle (lifecycle.rs)
+    val lifecycles = matches(env, "RS_LIFECYCLE_", "_NAME")
+      .flatMap { case (id, name) =>
+        parseLifecycle(env, id, name, warn).map(name -> _)
+      }.toMap
+
+    Resources(bucketDefaults, buckets, tokens, replications, lifecycles,
+      warnings.result())
+  }
+
+  private def parseReplication(env: Map[String, String], id: String,
+      name: String, warn: String => Unit): Option[Streaming.ReplicationSettings] = {
+    val src = env.get(s"RS_REPLICATION_${id}_SRC_BUCKET")
+    if (src.isEmpty) {
+      warn(s"Replication '$name' has no source bucket. Drop it."); return None
+    }
+    val dst = env.get(s"RS_REPLICATION_${id}_DST_BUCKET")
+    if (dst.isEmpty) {
+      warn(s"Replication '$name' has no destination bucket. Drop it."); return None
+    }
+    // DST_HOST/DST_TOKEN are accepted but unused: this store is both ends
+    // (the façade replicates locally; a remote sink is the deployment's
+    // foreachBatch writer's concern)
+
+    val entries = env.get(s"RS_REPLICATION_${id}_ENTRIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+
+    // base when, then the deprecated each_s/each_n knobs merge INTO it
+    // (replication.rs:139-177: injected as extra keys of the object)
+    var when: Option[JValue] =
+      env.get(s"RS_REPLICATION_${id}_WHEN").flatMap { s =>
+        JsonMethods.parseOpt(s) match {
+          case some @ Some(_) => some
+          case None =>
+            warn(s"Replication '$name' has invalid when condition. Drop it.")
+            return None
+        }
+      }
+    def injectKey(key: String, v: JValue): Unit = when = when match {
+      case Some(JObject(fields)) => Some(JObject(fields :+ (key -> v)))
+      case _ => Some(JObject(key -> v))
+    }
+    env.get(s"RS_REPLICATION_${id}_EACH_S").flatMap(_.toDoubleOption)
+      .foreach(s => injectKey("$each_t", JDouble(s)))
+    env.get(s"RS_REPLICATION_${id}_EACH_N").flatMap(_.toLongOption)
+      .foreach(n => injectKey("$each_n", JLong(n)))
+
+    // deprecated include/exclude label filters → guarded label conditions
+    // prepended under $and (replication.rs:183-222 + prepend_when_conditions)
+    val includes = matches(env, s"RS_REPLICATION_${id}_INCLUDE_", "")
+      .map { case (key, value) => JObject("$and" -> JArray(List(
+        JObject("$has" -> JString(key)),
+        JObject("$eq" -> JArray(List(JString(s"&$key"), JString(value)))))))
+      }
+    val excludes = matches(env, s"RS_REPLICATION_${id}_EXCLUDE_", "")
+      .map { case (key, value) => JObject("$or" -> JArray(List(
+        JObject("$not" -> JArray(List(JObject("$has" -> JString(key))))),
+        JObject("$ne" -> JArray(List(JString(s"&$key"), JString(value)))))))
+      }
+    val legacy: List[JValue] = includes.toList ++ (excludes.toList match {
+      case Nil => Nil
+      case one :: Nil => List(one)
+      case many => List(JObject("$or" -> JArray(many)))
+    })
+    if (legacy.nonEmpty) {
+      val condition: JValue =
+        if (legacy.length == 1) legacy.head else JObject("$and" -> JArray(legacy))
+      when = when match {
+        case Some(w: JObject) => Some(JObject("$and" -> JArray(List(condition, w))))
+        case _ => Some(condition)
+      }
+    }
+
+    val compression = env.get(s"RS_REPLICATION_${id}_COMPRESSION")
+      .map(_.toLowerCase).getOrElse("none")
+    if (!Set("none", "zstd", "gzip")(compression)) {
+      warn(s"Replication '$name' has invalid compression '$compression'. Drop it.")
+      return None
+    }
+    val mode = env.get(s"RS_REPLICATION_${id}_MODE").map(_.toLowerCase)
+      .getOrElse("enabled") match {
+      case "enabled"  => Streaming.ReplicationMode.Enabled
+      case "paused"   => Streaming.ReplicationMode.Paused
+      case "disabled" => Streaming.ReplicationMode.Disabled
+      case other =>
+        warn(s"Replication '$name' has invalid mode '$other'. Drop it.")
+        return None
+    }
+    Some(Streaming.ReplicationSettings(
+      entries = entries,
+      when = when.map(w => JsonMethods.compact(JsonMethods.render(w))),
+      srcBucket = src,
+      dstBucket = dst.get,
+      dstPrefix = env.getOrElse(s"RS_REPLICATION_${id}_DST_PREFIX", ""),
+      mode = mode,
+      compression = compression))
+  }
+
+  private def parseLifecycle(env: Map[String, String], id: String,
+      name: String, warn: String => Unit): Option[Lifecycle.Policy] = {
+    val action = env.get(s"RS_LIFECYCLE_${id}_TYPE").map(_.toLowerCase) match {
+      case Some("delete") => Lifecycle.Action.Delete
+      case Some("compress") => Lifecycle.Action.Compress("zstd", 9)
+      case Some(other) =>
+        warn(s"Lifecycle '$name' has invalid type '$other'. Drop it."); return None
+      case None =>
+        warn(s"Lifecycle '$name' has no type. Drop it."); return None
+    }
+    val bucket = env.get(s"RS_LIFECYCLE_${id}_BUCKET") match {
+      case some @ Some(_) => some
+      case None => warn(s"Lifecycle '$name' has no bucket. Drop it."); return None
+    }
+    val olderThan = env.get(s"RS_LIFECYCLE_${id}_OLDER_THAN")
+      .flatMap(graft.cond.Value.parseDurationMicros) match {
+      case Some(us) => us
+      case None =>
+        warn(s"Lifecycle '$name' has no older_than value. Drop it."); return None
+    }
+    val when = env.get(s"RS_LIFECYCLE_${id}_WHEN").map { s =>
+      if (JsonMethods.parseOpt(s).isEmpty) {
+        warn(s"Lifecycle '$name' has invalid when condition. Drop it.")
+        return None
+      }
+      s
+    }
+    val base = Lifecycle.Policy(
+      olderThanUs = olderThan,
+      action = action,
+      entries = env.get(s"RS_LIFECYCLE_${id}_ENTRIES")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).filter(_.nonEmpty),
+      when = when,
+      bucket = bucket,
+      intervalUs = env.get(s"RS_LIFECYCLE_${id}_INTERVAL")
+        .flatMap(graft.cond.Value.parseDurationMicros)
+        .getOrElse(3600L * 1000000L))
+    env.get(s"RS_LIFECYCLE_${id}_MODE").map(_.toLowerCase) match {
+      case Some("enabled")  => Some(base.copy(enabled = true, dryRun = false))
+      case Some("disabled") => Some(base.copy(enabled = false))
+      case Some("dry_run")  => Some(base.copy(enabled = true, dryRun = true))
+      case Some(other) =>
+        warn(s"Lifecycle '$name' has invalid mode '$other'. Drop it."); None
+      case None => Some(base)
+    }
+  }
+}

@@ -1,0 +1,170 @@
+package graft.engine
+
+import graft.SparkTestBase
+import graft.stream.Streaming
+import org.scalatest.funsuite.AnyFunSuite
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+/** Env-driven provisioning (cfg/provision): RS_* variables declare
+  * buckets/tokens/replications/lifecycles at construction; provisioned
+  * resources reject API mutation with 409 but still allow mode PATCHes. */
+class ProvisioningSpec extends AnyFunSuite with SparkTestBase {
+
+  // ------------------------------------------------------ pure parsing
+
+  test("byte sizes parse with decimal and binary suffixes") {
+    assert(Provisioning.parseByteSize("1000").contains(1000L))
+    assert(Provisioning.parseByteSize("1kB").contains(1000L))
+    assert(Provisioning.parseByteSize("1KiB").contains(1024L))
+    assert(Provisioning.parseByteSize("1.5GB").contains(1500000000L))
+    assert(Provisioning.parseByteSize("2MiB").contains(2L * 1024 * 1024))
+    assert(Provisioning.parseByteSize("50TB").contains(50000000000000L))
+    assert(Provisioning.parseByteSize("nope").isEmpty)
+  }
+
+  test("incomplete declarations drop with a warning, never fail") {
+    val r = Provisioning.parse(Map(
+      "RS_TOKEN_1_NAME" -> "no-value", // token.rs: empty VALUE → drop
+      "RS_REPLICATION_1_NAME" -> "no-src", // replication.rs: no SRC → drop
+      "RS_REPLICATION_1_DST_BUCKET" -> "d",
+      "RS_LIFECYCLE_1_NAME" -> "no-type", // lifecycle.rs: no TYPE → drop
+      "RS_LIFECYCLE_1_BUCKET" -> "b",
+      "RS_LIFECYCLE_1_OLDER_THAN" -> "1d"))
+    assert(r.tokens.isEmpty && r.replications.isEmpty && r.lifecycles.isEmpty)
+    assert(r.warnings.length == 3)
+  }
+
+  test("deprecated EACH_N/EACH_S and INCLUDE merge into the when tree") {
+    val r = Provisioning.parse(Map(
+      "RS_REPLICATION_7_NAME" -> "legacy",
+      "RS_REPLICATION_7_SRC_BUCKET" -> "src",
+      "RS_REPLICATION_7_DST_BUCKET" -> "dst",
+      "RS_REPLICATION_7_WHEN" -> """{"&score":{"$gt":5}}""",
+      "RS_REPLICATION_7_EACH_N" -> "10",
+      "RS_REPLICATION_7_INCLUDE_KIND" -> "good"))
+    val when = org.json4s.jackson.JsonMethods.parse(r.replications("legacy").when.get)
+    // replication.rs:163-177: $each_n injected as a key of the when object;
+    // prepend_when_conditions: include guard prepended under $and
+    val rendered = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(when))
+    assert(rendered.contains("\"$each_n\":10"))
+    assert(rendered.contains("\"$has\":\"KIND\""))
+    assert(rendered.startsWith("""{"$and""""))
+  }
+
+  // ------------------------------------------------- end-to-end façade
+
+  private lazy val store =
+    new BucketStore(spark, Files.createTempDirectory("graft-prov").toString)
+  private lazy val api = new HttpApi(store, apiToken = "root-token",
+    env = Map(
+      "RS_DEFAULTS_BUCKET_MAX_BLOCK_RECORDS" -> "2048",
+      "RS_BUCKET_1_NAME" -> "prov-bucket",
+      "RS_BUCKET_1_QUOTA_TYPE" -> "FIFO",
+      "RS_BUCKET_1_QUOTA_SIZE" -> "1GB",
+      "RS_TOKEN_1_NAME" -> "prov-token",
+      "RS_TOKEN_1_VALUE" -> "prov-token-secret",
+      "RS_TOKEN_1_READ" -> "prov-bucket,other",
+      "RS_TOKEN_1_WRITE" -> "prov-bucket",
+      "RS_REPLICATION_1_NAME" -> "prov-repl",
+      "RS_REPLICATION_1_SRC_BUCKET" -> "prov-bucket",
+      "RS_REPLICATION_1_DST_BUCKET" -> "mirror",
+      "RS_REPLICATION_1_MODE" -> "paused",
+      "RS_LIFECYCLE_1_NAME" -> "prov-lc",
+      "RS_LIFECYCLE_1_TYPE" -> "delete",
+      "RS_LIFECYCLE_1_BUCKET" -> "prov-bucket",
+      "RS_LIFECYCLE_1_OLDER_THAN" -> "30d",
+      "RS_LIFECYCLE_1_MODE" -> "dry_run"))
+  private lazy val port = { api.start(); api.boundPort }
+  private lazy val client = HttpClient.newHttpClient()
+
+  private def req(method: String, path: String, body: Array[Byte] = Array.empty,
+      token: String = "root-token"): HttpResponse[Array[Byte]] = {
+    var b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/v1$path"))
+      .method(method, HttpRequest.BodyPublishers.ofByteArray(body))
+    if (token.nonEmpty) b = b.header("Authorization", s"Bearer $token")
+    client.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
+  }
+
+  private def jsonOf(r: HttpResponse[Array[Byte]]): org.json4s.JValue =
+    org.json4s.jackson.JsonMethods.parse(new String(r.body(), "UTF-8"))
+
+  test("provisioned bucket: settings applied over env defaults, mutations 409") {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val info = jsonOf(req("GET", "/b/prov-bucket"))
+    assert((info \ "info" \ "is_provisioned").extract[Boolean])
+    assert((info \ "settings" \ "quota_type").extract[String] == "FIFO")
+    assert((info \ "settings" \ "quota_size").extract[Long] == 1000000000L)
+    // instance default flowed in where the bucket didn't override
+    assert((info \ "settings" \ "max_block_records").extract[Long] == 2048L)
+    assert(req("PUT", "/b/prov-bucket", """{"quota_type":"NONE"}""".getBytes)
+      .statusCode() == 409)
+    assert(req("DELETE", "/b/prov-bucket").statusCode() == 409)
+    assert(req("PUT", "/b/prov-bucket/rename",
+      """{"new_name":"x"}""".getBytes).statusCode() == 409)
+    // a normal bucket picks up the env instance defaults too
+    assert(req("POST", "/b/plain").statusCode() == 200)
+    val plain = jsonOf(req("GET", "/b/plain"))
+    assert((plain \ "settings" \ "max_block_records").extract[Long] == 2048L)
+    assert(!(plain \ "info" \ "is_provisioned").extract[Boolean])
+    assert(req("DELETE", "/b/plain").statusCode() == 200)
+  }
+
+  test("provisioned token: fixed secret authenticates, remove/rotate 409") {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val me = jsonOf(req("GET", "/me", token = "prov-token-secret"))
+    assert((me \ "name").extract[String] == "prov-token")
+    assert((me \ "is_provisioned").extract[Boolean])
+    assert((me \ "permissions" \ "read").extract[Seq[String]] ==
+      Seq("prov-bucket", "other"))
+    assert(req("DELETE", "/tokens/prov-token").statusCode() == 409)
+    assert(req("POST", "/tokens/prov-token/rotate").statusCode() == 409)
+  }
+
+  test("provisioned replication: update/remove 409, mode PATCH allowed") {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val r = jsonOf(req("GET", "/replications/prov-repl"))
+    assert((r \ "info" \ "is_provisioned").extract[Boolean])
+    assert((r \ "info" \ "mode").extract[String] == "paused")
+    assert((r \ "settings" \ "dst_bucket").extract[String] == "mirror")
+    assert(req("PUT", "/replications/prov-repl",
+      """{"src_bucket":"prov-bucket","dst_bucket":"m2"}""".getBytes)
+      .statusCode() == 409)
+    assert(req("DELETE", "/replications/prov-repl").statusCode() == 409)
+    // set_mode (repo.rs:385-394) does NOT check the provisioned flag
+    assert(req("PATCH", "/replications/prov-repl/mode",
+      """{"mode":"enabled"}""".getBytes).statusCode() == 200)
+    assert((jsonOf(req("GET", "/replications/prov-repl"))
+      \ "info" \ "mode").extract[String] == "enabled")
+  }
+
+  test("provisioned lifecycle: update/remove 409, mode PATCH allowed") {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val l = jsonOf(req("GET", "/lifecycle/prov-lc"))
+    assert((l \ "info" \ "is_provisioned").extract[Boolean])
+    assert((l \ "info" \ "mode").extract[String] == "dry_run")
+    assert(req("PUT", "/lifecycle/prov-lc",
+      """{"type":"delete","older_than":"1d","bucket":"prov-bucket"}""".getBytes)
+      .statusCode() == 409)
+    assert(req("DELETE", "/lifecycle/prov-lc").statusCode() == 409)
+    assert(req("PATCH", "/lifecycle/prov-lc/mode",
+      """{"mode":"enabled"}""".getBytes).statusCode() == 200)
+  }
+
+  test("replication settings survive with correct shape") {
+    val r = Provisioning.parse(Map(
+      "RS_REPLICATION_A_NAME" -> "full",
+      "RS_REPLICATION_A_SRC_BUCKET" -> "s",
+      "RS_REPLICATION_A_DST_BUCKET" -> "d",
+      "RS_REPLICATION_A_DST_PREFIX" -> "copy-",
+      "RS_REPLICATION_A_ENTRIES" -> "a/*, b",
+      "RS_REPLICATION_A_COMPRESSION" -> "zstd"))
+    val s = r.replications("full")
+    assert(s.srcBucket.contains("s") && s.dstBucket == "d")
+    assert(s.dstPrefix == "copy-" && s.compression == "zstd")
+    assert(s.entries.contains(Seq("a/*", "b")))
+    assert(s.mode == Streaming.ReplicationMode.Enabled)
+  }
+}
