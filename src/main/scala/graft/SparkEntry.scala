@@ -227,6 +227,33 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.langGuess(col("text")).as("lang_guess"))
         .orderBy("doc_id")),
 
+    "q_repetition" -> ((s, dir) =>
+      TextAnalysis.withRepetition(docs(s, dir))
+        .select(col("doc_id"), col("n_tokens"), col("top_word_ratio"),
+          col("dup_2gram_ratio"), col("dup_3gram_ratio"),
+          col("frac_distinct_words"))
+        .orderBy("doc_id")),
+
+    // PII occurrences are planted deterministically from doc_id (the
+    // synthetic corpus contains none) — the same derivation runs in the
+    // oracle, so scrub counts and the scrubbed text are fully checked
+    "q_pii_scrub" -> ((s, dir) => {
+      val planted = docs(s, dir).withColumn("pii_text", concat(
+        col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" mail user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit(" host 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+            lit(".7 tel 555-010-"),
+            (pmod(col("doc_id"), lit(9000)) + 1000).cast("string")))
+          .otherwise(lit(""))))
+      TextAnalysis.scrubPii(planted, "pii_text")
+        .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+          md5(col("scrubbed")).as("scrub_md5"))
+        .orderBy("doc_id")
+    }),
+
     "q_token_stats" -> ((s, dir) =>
       docs(s, dir).groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
@@ -716,6 +743,66 @@ object SparkEntry {
                   WHEN de >= fr THEN 'de'
                   ELSE 'fr' END AS lang_guess
            FROM s ORDER BY doc_id""",
+
+      "q_repetition" ->
+        """WITH toks AS (
+             SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                 ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+             FROM documents),
+           g AS (
+             SELECT doc_id, w, len(w) AS n,
+               CASE WHEN len(w) < 2 THEN []::VARCHAR[]
+                 ELSE list_transform(range(len(w) - 1), i ->
+                   w[i+1] || ' ' || w[i+2]) END AS g2,
+               CASE WHEN len(w) < 3 THEN []::VARCHAR[]
+                 ELSE list_transform(range(len(w) - 2), i ->
+                   w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) END AS g3
+             FROM toks)
+           SELECT doc_id,
+             CAST(n AS BIGINT) AS n_tokens,
+             round(CASE WHEN n = 0 THEN 0.0 ELSE
+               CAST(list_max(list_transform(list_distinct(w), x ->
+                 len(list_filter(w, y -> y = x)))) AS DOUBLE) / n END, 6)
+               AS top_word_ratio,
+             round(CASE WHEN len(g2) = 0 THEN 0.0 ELSE
+               CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2)
+               END, 6) AS dup_2gram_ratio,
+             round(CASE WHEN len(g3) = 0 THEN 0.0 ELSE
+               CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
+               END, 6) AS dup_3gram_ratio,
+             round(CASE WHEN n = 0 THEN 0.0 ELSE
+               CAST(len(list_distinct(w)) AS DOUBLE) / n END, 6)
+               AS frac_distinct_words
+           FROM g ORDER BY doc_id""",
+
+      "q_pii_scrub" ->
+        """WITH p AS (
+             SELECT doc_id, text ||
+               CASE WHEN doc_id % 3 = 0 THEN
+                 ' mail user' || doc_id::VARCHAR || '@example.com'
+                 ELSE '' END ||
+               CASE WHEN doc_id % 5 = 0 THEN
+                 ' host 10.0.' || (doc_id % 256)::VARCHAR || '.7 tel 555-010-'
+                   || (doc_id % 9000 + 1000)::VARCHAR
+                 ELSE '' END AS t
+             FROM documents)
+           SELECT doc_id,
+             CAST(len(regexp_split_to_array(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) - 1 AS BIGINT)
+               AS n_emails,
+             CAST(len(regexp_split_to_array(t,
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) - 1
+               AS BIGINT) AS n_ips,
+             CAST(len(regexp_split_to_array(t,
+               '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) - 1 AS BIGINT)
+               AS n_phones,
+             md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'),
+               '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '[PHONE]', 'g'))
+               AS scrub_md5
+           FROM p ORDER BY doc_id""",
 
       "q_token_stats" ->
         """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

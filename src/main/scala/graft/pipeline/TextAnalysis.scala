@@ -118,6 +118,78 @@ object TextAnalysis {
         array_join(col("__c"), " ").as("chunk_text"))
   }
 
+  // ------------------------------------- repetition signals (Gopher-style)
+
+  /** Repetition quality signals in the style of the Gopher data-quality
+    * filters (Rae et al. 2021, appendix A1.1): heavily repetitive
+    * documents (boilerplate, SEO spam, generation loops) are flagged by
+    * the fraction of the text made of repeated words/n-grams. All four
+    * signals are higher-order-function expressions over the token array —
+    * one narrow map pass, no explode, no shuffle, so a 100 TB corpus is a
+    * single scan stage. Per-row cost is O(tokens × distinct tokens) for
+    * the top-word signal; web-scale pipelines cap document length
+    * upstream (see chunkByTokens), which bounds it.
+    */
+  def withRepetition(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    // occurrence count of the most frequent token (mode frequency)
+    val topCount = array_max(transform(array_distinct(toks),
+      w => size(filter(toks, x => x === w))))
+    // word k-grams as joined strings; fewer than k tokens → no k-grams
+    def ngrams(k: Int): Column =
+      when(n < k, array().cast("array<string>")).otherwise(
+        transform(sequence(lit(0), n - k), i =>
+          array_join(slice(toks, i + 1, lit(k)), " ")))
+    // fraction of k-gram occurrences that repeat an earlier occurrence
+    def dupRatio(g: Column): Column =
+      when(size(g) === 0, lit(0.0)).otherwise(
+        (size(g) - size(array_distinct(g))).cast("double") / size(g))
+    docs
+      .withColumn("n_tokens", n.cast("long"))
+      .withColumn("top_word_ratio", round(when(n === 0, lit(0.0))
+        .otherwise(topCount.cast("double") / n), 6))
+      .withColumn("dup_2gram_ratio", round(dupRatio(ngrams(2)), 6))
+      .withColumn("dup_3gram_ratio", round(dupRatio(ngrams(3)), 6))
+      .withColumn("frac_distinct_words", round(when(n === 0, lit(0.0))
+        .otherwise(size(array_distinct(toks)).cast("double") / n), 6))
+  }
+
+  // ------------------------------------------------------- PII scrubbing
+
+  /** Redaction patterns shared by both dialects: Java regex (Spark
+    * codegen) and RE2 (DuckDB oracle) agree on this subset — character
+    * classes, bounded repetition, word boundaries, no backreferences. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+
+  /** Occurrences of `re` in `text`: split keeps trailing empties in both
+    * Spark (limit −1 default) and DuckDB regexp_split_to_array, so
+    * `len(split) − 1` counts matches identically. */
+  private def matchCount(text: Column, re: String): Column =
+    (size(split(text, re)) - 1).cast("long")
+
+  /** PII scrubbing for training corpora: replace emails / IPv4 addresses /
+    * phone numbers with typed placeholder tags and count the redactions
+    * per category. Email runs first so its digit runs can't be claimed by
+    * the looser phone/IP patterns. Pure regexp_replace chain — codegen'd,
+    * map-only, zero shuffle at any scale.
+    */
+  def scrubPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("n_emails", matchCount(t, EmailRe))
+      .withColumn("n_ips", matchCount(t, Ipv4Re))
+      .withColumn("n_phones", matchCount(t, PhoneRe))
+      .withColumn("scrubbed",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, EmailRe, "[EMAIL]"),
+            Ipv4Re, "[IP]"),
+          PhoneRe, "[PHONE]"))
+  }
+
   // ------------------------------------------------------------- tf-idf
 
   /** Alphanumeric terms, lowercased. Split FIRST, lowercase per token:

@@ -176,6 +176,42 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(langs(2) == "en" && langs(3) == "de")
   }
 
+  test("repetition signals: loops score high, varied text low, empties zero") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "buy now buy now buy now buy now"), // pure 2-token loop
+      (2L, "one two three four five six seven eight"), // all distinct
+      (3L, ""), (4L, "solo")).toDF("doc_id", "text")
+    val r = TextAnalysis.withRepetition(df).orderBy("doc_id").collect()
+    def d(i: Int, f: String) = r(i).getDouble(r(i).fieldIndex(f))
+    // loop doc: "buy" appears 4/8; 2-grams 7 total, 2 distinct
+    assert(d(0, "top_word_ratio") == 0.5)
+    assert(d(0, "dup_2gram_ratio") > 0.7 && d(0, "frac_distinct_words") == 0.25)
+    // varied doc: zero repetition anywhere
+    assert(d(1, "top_word_ratio") == 0.125 && d(1, "dup_2gram_ratio") == 0.0)
+    assert(d(1, "frac_distinct_words") == 1.0)
+    // empty / single-token docs: no n-grams, ratios well-defined
+    assert(d(2, "top_word_ratio") == 0.0 && d(2, "dup_3gram_ratio") == 0.0)
+    assert(d(3, "dup_2gram_ratio") == 0.0 && d(3, "frac_distinct_words") == 1.0)
+  }
+
+  test("pii scrub: emails/ips/phones replaced and counted, clean text kept") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail a.b+c@test.org and d@e.io, host 10.0.255.7, tel 555-010-1234"),
+      (2L, "version 1.2 costs 3.50 at 12:30"), // decimals must NOT match
+      (3L, "")).toDF("doc_id", "text")
+    val r = TextAnalysis.scrubPii(df).orderBy("doc_id").collect()
+    def row(i: Int) = (r(i).getLong(r(i).fieldIndex("n_emails")),
+      r(i).getLong(r(i).fieldIndex("n_ips")),
+      r(i).getLong(r(i).fieldIndex("n_phones")),
+      r(i).getString(r(i).fieldIndex("scrubbed")))
+    assert(row(0) == ((2L, 1L, 1L,
+      "mail [EMAIL] and [EMAIL], host [IP], tel [PHONE]")))
+    assert(row(1) == ((0L, 0L, 0L, "version 1.2 costs 3.50 at 12:30")))
+    assert(row(2) == ((0L, 0L, 0L, "")))
+  }
+
   test("decontaminate: copied doc flagged, clean doc scored, joins agree") {
     import spark.implicits._
     val evalDoc = synthText(500, 40)
