@@ -236,8 +236,11 @@ object SparkEntry {
 
     // PII occurrences are planted deterministically from doc_id (the
     // synthetic corpus contains none) — the same derivation runs in the
-    // oracle, so scrub counts and the scrubbed text are fully checked
+    // oracle, so scrub counts and the scrubbed text are fully checked.
+    // mod-7 plants parenthesized + international phone shapes; mod-11
+    // plants an SSN plus octet-invalid IPs that must NOT be redacted.
     "q_pii_scrub" -> ((s, dir) => {
+      val serial = (pmod(col("doc_id"), lit(9000)) + 1000).cast("string")
       val planted = docs(s, dir).withColumn("pii_text", concat(
         col("text"),
         when(pmod(col("doc_id"), lit(3)) === 0,
@@ -245,12 +248,18 @@ object SparkEntry {
             lit("@example.com"))).otherwise(lit("")),
         when(pmod(col("doc_id"), lit(5)) === 0,
           concat(lit(" host 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
-            lit(".7 tel 555-010-"),
-            (pmod(col("doc_id"), lit(9000)) + 1000).cast("string")))
+            lit(".7 tel 555-010-"), serial))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit(" call (555) 010-"), serial,
+            lit(" or +1 555 010 "), serial))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          concat(lit(" ssn 123-45-"), serial, lit(" from 999.300.1.2")))
           .otherwise(lit(""))))
       TextAnalysis.scrubPii(planted, "pii_text")
-        .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
-          md5(col("scrubbed")).as("scrub_md5"))
+        .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_ssns"),
+          col("n_phones"), md5(col("scrubbed")).as("scrub_md5"))
         .orderBy("doc_id")
     }),
 
@@ -349,7 +358,7 @@ object SparkEntry {
         .orderBy("id_a", "id_b")),
 
     // ----------------------------------------------- pipeline: multimodal
-    "q_multimodal" -> ((s, dir) => { // rows-only (decode is stubbed)
+    "q_multimodal" -> ((s, dir) => { // opaque payloads: hash-fallback path
       val ev = events(s, dir)
       Multimodal.extractFeatures(ev)
         .select(
@@ -357,6 +366,31 @@ object SparkEntry {
           col("features.width"), col("features.height"),
           col("features.byte_size"))
         .orderBy("event_id")
+    }),
+
+    // Real ImageIO decode: payloads synthesized per doc (PNG / BMP /
+    // opaque text by doc_id mod 3) run through the real decoder; the
+    // oracle predicts the decoded dimensions from doc_id arithmetic
+    // alone, so a wrong decode (or a fallback firing where a codec
+    // should have claimed the bytes) hash-mismatches. The synth UDF is
+    // test-harness payload generation, not the operator under test.
+    "q_multimodal_decode" -> ((s, dir) => {
+      val payload = udf((id: Long, text: String) => (id % 3) match {
+        case 0 => Multimodal.synthImage("png",
+          (8 + id % 24).toInt, (8 + (id / 5) % 24).toInt)
+        case 1 => Multimodal.synthImage("bmp",
+          (8 + id % 24).toInt, (8 + (id / 5) % 24).toInt)
+        case _ => text.getBytes("UTF-8")
+      })
+      val d = docs(s, dir)
+        .select(col("doc_id"), payload(col("doc_id"), col("text")).as("payload"))
+      Multimodal.extractFeatures(d)
+        .select(col("doc_id"),
+          col("features.decode_ok").as("decode_ok"),
+          when(col("features.decode_ok"), col("features.width")).as("width"),
+          when(col("features.decode_ok"), col("features.height")).as("height"),
+          when(col("features.decode_ok"), col("features.channels")).as("channels"))
+        .orderBy("doc_id")
     }),
 
     // ----------------------------------------------- analytics (bench)
@@ -776,6 +810,8 @@ object SparkEntry {
                AS frac_distinct_words
            FROM g ORDER BY doc_id""",
 
+      // progressive scrub (email → ip → ssn → phone), each count = the
+      // placeholder delta its own pass introduced — mirrors scrubPii
       "q_pii_scrub" ->
         """WITH p AS (
              SELECT doc_id, text ||
@@ -785,24 +821,42 @@ object SparkEntry {
                CASE WHEN doc_id % 5 = 0 THEN
                  ' host 10.0.' || (doc_id % 256)::VARCHAR || '.7 tel 555-010-'
                    || (doc_id % 9000 + 1000)::VARCHAR
-                 ELSE '' END AS t
-             FROM documents)
+                 ELSE '' END ||
+               CASE WHEN doc_id % 7 = 0 THEN
+                 ' call (555) 010-' || (doc_id % 9000 + 1000)::VARCHAR
+                   || ' or +1 555 010 ' || (doc_id % 9000 + 1000)::VARCHAR
+                 ELSE '' END ||
+               CASE WHEN doc_id % 11 = 0 THEN
+                 ' ssn 123-45-' || (doc_id % 9000 + 1000)::VARCHAR
+                   || ' from 999.300.1.2'
+                 ELSE '' END AS t0
+             FROM documents),
+           s1 AS (SELECT *, regexp_replace(t0,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '[EMAIL]', 'g') AS t1 FROM p),
+           s2 AS (SELECT *, regexp_replace(t1,
+             '\b(?:25[0-5]|2[0-4][0-9]|1?[0-9]{1,2})(?:\.(?:25[0-5]|2[0-4][0-9]|1?[0-9]{1,2})){3}\b',
+             '[IP]', 'g') AS t2 FROM s1),
+           s3 AS (SELECT *, regexp_replace(t2,
+             '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[SSN]', 'g') AS t3 FROM s2),
+           s4 AS (SELECT *, regexp_replace(t3,
+             '(?:\+[0-9]{1,2}[-. ])?(?:\([0-9]{3}\) ?|\b[0-9]{3}[-. ])[0-9]{3}[-. ][0-9]{4}\b',
+             '[PHONE]', 'g') AS t4 FROM s3)
            SELECT doc_id,
-             CAST(len(regexp_split_to_array(t,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) - 1 AS BIGINT)
+             CAST((len(t1) - len(replace(t1, '[EMAIL]', ''))) // 7
+                - (len(t0) - len(replace(t0, '[EMAIL]', ''))) // 7 AS BIGINT)
                AS n_emails,
-             CAST(len(regexp_split_to_array(t,
-               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) - 1
-               AS BIGINT) AS n_ips,
-             CAST(len(regexp_split_to_array(t,
-               '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) - 1 AS BIGINT)
+             CAST((len(t2) - len(replace(t2, '[IP]', ''))) // 4
+                - (len(t1) - len(replace(t1, '[IP]', ''))) // 4 AS BIGINT)
+               AS n_ips,
+             CAST((len(t3) - len(replace(t3, '[SSN]', ''))) // 5
+                - (len(t2) - len(replace(t2, '[SSN]', ''))) // 5 AS BIGINT)
+               AS n_ssns,
+             CAST((len(t4) - len(replace(t4, '[PHONE]', ''))) // 7
+                - (len(t3) - len(replace(t3, '[PHONE]', ''))) // 7 AS BIGINT)
                AS n_phones,
-             md5(regexp_replace(regexp_replace(regexp_replace(t,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'),
-               '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '[PHONE]', 'g'))
-               AS scrub_md5
-           FROM p ORDER BY doc_id""",
+             md5(t4) AS scrub_md5
+           FROM s4 ORDER BY doc_id""",
 
       "q_token_stats" ->
         """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
@@ -1145,6 +1199,18 @@ object SparkEntry {
              CAST(64 + (u // 1024) % 1024 AS INT) AS height,
              byte_size
            FROM h ORDER BY event_id""",
+
+      // real ImageIO decode: the payloads are synthesized with dimensions
+      // that are pure doc_id arithmetic, so the oracle predicts the
+      // decoder's output without seeing the bytes; opaque rows (mod 3 = 2)
+      // must come back decode_ok = false with nulled dimensions
+      "q_multimodal_decode" ->
+        """SELECT doc_id,
+             doc_id % 3 < 2 AS decode_ok,
+             CASE WHEN doc_id % 3 < 2 THEN CAST(8 + doc_id % 24 AS INT) END AS width,
+             CASE WHEN doc_id % 3 < 2 THEN CAST(8 + (doc_id // 5) % 24 AS INT) END AS height,
+             CASE WHEN doc_id % 3 < 2 THEN 3 END AS channels
+           FROM documents ORDER BY doc_id""",
 
       "q_lineitem_agg" ->
         """SELECT l_returnflag, l_linestatus,

@@ -2,7 +2,8 @@ package graft.pipeline
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -150,6 +151,56 @@ object DedupRuntime {
     acc
   }
 
+  /** One-pass repetition statistics over whitespace tokens (same
+    * trim-spaces + `\s+` tokenization as TextAnalysis.tokens, including
+    * the empty-leading-token behavior on tab/newline-led text): token
+    * count, mode frequency, distinct-token count, and k-gram
+    * total/distinct counts for k = 2, 3. Replaces an interpreted HOF
+    * pipeline that was O(tokens × distinct) with per-element boxing —
+    * this is O(tokens) hash counting in one primitive pass, so a 50k-token
+    * document costs 50k map operations instead of tens of millions of
+    * boxed comparisons. Returns
+    * (n_tokens, top_count, n_distinct, n_2grams, d_2grams, n_3grams,
+    * d_3grams), all long; ratio arithmetic stays in the Column layer so
+    * rounding matches the oracle exactly. */
+  def repetitionStats(text: UTF8String): InternalRow = {
+    val raw = text.toString
+    // Spark's trim() strips 0x20 only — match it exactly, not String.trim
+    var b = 0; var e = raw.length
+    while (b < e && raw.charAt(b) == ' ') b += 1
+    while (e > b && raw.charAt(e - 1) == ' ') e -= 1
+    if (b == e)
+      return new GenericInternalRow(Array[Any](0L, 0L, 0L, 0L, 0L, 0L, 0L))
+    val toks = raw.substring(b, e).split("\\s+")
+    val n = toks.length
+    val counts = new java.util.HashMap[String, Integer](n * 2)
+    var top = 0
+    var i = 0
+    while (i < n) {
+      val c = counts.merge(toks(i), 1, (a: Integer, d: Integer) => a + d)
+      if (c > top) top = c
+      i += 1
+    }
+    def kgramDistinct(k: Int): Long =
+      if (n < k) 0L
+      else {
+        val set = new java.util.HashSet[String]((n - k + 1) * 2)
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i <= n - k) {
+          sb.setLength(0)
+          var j = 0
+          while (j < k) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+          set.add(sb.toString)
+          i += 1
+        }
+        set.size.toLong
+      }
+    new GenericInternalRow(Array[Any](n.toLong, top.toLong, counts.size.toLong,
+      math.max(n - 1, 0).toLong, kgramDistinct(2),
+      math.max(n - 2, 0).toLong, kgramDistinct(3)))
+  }
+
   /** Intersection size of two SORTED long arrays (single merge pass, no
     * hash set, no boxing). The pairwise-similarity hot loop: set-Jaccard
     * over hashed token/shingle sets runs per candidate PAIR, so this is
@@ -244,6 +295,29 @@ final case class DotProductExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** string text → struct of one-pass repetition statistics (all bigint). */
+final case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = RepetitionStatsExpr.schema
+  override def prettyName: String = "graft_repetition_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    DedupRuntime.repetitionStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.pipeline.DedupRuntime.repetitionStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStatsExpr =
+    copy(child = newChild)
+}
+
+object RepetitionStatsExpr {
+  val schema: StructType = StructType(
+    Seq("n_tokens", "top_count", "n_distinct",
+      "n_2grams", "d_2grams", "n_3grams", "d_3grams")
+      .map(StructField(_, LongType, nullable = false)))
+}
+
 /** (sorted array<bigint>, sorted array<bigint>) → int intersection size. */
 final case class SortedIntersectCountExpr(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
@@ -272,6 +346,9 @@ object DedupExprs {
   def shingleHash60(text: Column, k: Int): Column =
     GraftColumnBridge.column(
       ShingleHash60Expr(GraftColumnBridge.expression(text), k))
+  def repetitionStats(text: Column): Column =
+    GraftColumnBridge.column(
+      RepetitionStatsExpr(GraftColumnBridge.expression(text)))
   def sortedIntersectCount(a: Column, b: Column): Column =
     GraftColumnBridge.column(SortedIntersectCountExpr(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))

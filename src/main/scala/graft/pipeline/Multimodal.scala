@@ -1,18 +1,27 @@
 package graft.pipeline
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+
+import scala.util.control.NonFatal
 
 /** Multimodal column handling: image/audio/video payloads as opaque
   * `binary` columns with typed metadata, processed in partition-sized
   * batches (the Scala analog of a `mapInPandas` batch pipeline).
   *
-  * The Spark-side plumbing — schema, batching, partition sizing — is real;
-  * the actual media decode is STUBBED (this container has no image/audio
-  * libraries): `decodeStub` derives deterministic fake dimensions/features
-  * from the bytes so the pipeline is testable end-to-end. Swap
-  * `decodeStub` for a real decoder (JavaCV etc.) at the marked point.
+  * The decode step is REAL: [[decode]] runs the payload through the JDK's
+  * own ImageIO codecs (PNG / JPEG / BMP / GIF — all present in a
+  * zero-egress build), emitting the decoded raster's width / height /
+  * channel count with `decode_ok = true`. Payloads no installed codec
+  * claims (audio containers, custom formats, corrupt files) fall back to
+  * deterministic hash-derived pseudo-dimensions with `decode_ok = false`,
+  * so every modality batches through one pipeline and downstream grouping
+  * stays total.
   *
   * Scale notes: payloads never shuffle — feature extraction is map-only;
   * `repartitionByBytes` right-sizes partitions first so one partition's
@@ -21,23 +30,64 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO's default decode path spools through a temp file on the
+  // executor's local disk; in-memory streams are faster and avoid temp-dir
+  // contention across 32 concurrent tasks.
+  ImageIO.setUseCache(false)
+
   val featureSchema: StructType = StructType(Seq(
     StructField("width", IntegerType),
     StructField("height", IntegerType),
     StructField("channels", IntegerType),
     StructField("feature_hash", LongType),
-    StructField("byte_size", IntegerType)))
+    StructField("byte_size", IntegerType),
+    StructField("decode_ok", BooleanType)))
 
-  /** ==== STUB ==== deterministic fake decode: real implementation would
-    * decode the container format here. Dimensions derive from a stable
-    * byte hash so tests are reproducible. */
-  def decodeStub(payload: Array[Byte]): Row = {
+  /** Stable 64-bit polynomial byte hash — the grouping feature for
+    * payloads, and the seed for fallback pseudo-dimensions. */
+  def byteHash(payload: Array[Byte]): Long = {
     var h = 1125899906842597L
     var i = 0
     while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
-    val w = 64 + math.floorMod(h, 1024).toInt
-    val ht = 64 + math.floorMod(h >> 10, 1024).toInt
-    Row(w, ht, 3, h, payload.length)
+    h
+  }
+
+  /** Decode one payload: real ImageIO decode when a codec claims the
+    * bytes, hash-derived fallback (decode_ok = false) otherwise. The
+    * fallback dimensions are a deterministic function of the bytes so
+    * opaque-payload pipelines stay reproducible end-to-end. */
+  def decode(payload: Array[Byte]): Row = {
+    val h = byteHash(payload)
+    val img =
+      if (payload.length == 0) null
+      else
+        try ImageIO.read(new ByteArrayInputStream(payload))
+        catch { case NonFatal(_) => null } // corrupt container: treat as opaque
+    if (img == null) {
+      val w = 64 + math.floorMod(h, 1024).toInt
+      val ht = 64 + math.floorMod(h >> 10, 1024).toInt
+      Row(w, ht, 3, h, payload.length, false)
+    } else {
+      Row(img.getWidth, img.getHeight, img.getRaster.getNumBands,
+        h, payload.length, true)
+    }
+  }
+
+  /** Deterministic synthetic image: a w×h gradient raster encoded by the
+    * JDK's `format` writer (png/bmp/jpg). The JDK encoders are
+    * bit-deterministic for a fixed raster (spec-pinned), so tests and
+    * oracles can predict [[decode]]'s output from (format, w, h) alone. */
+  def synthImage(format: String, w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff); x += 1 }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, format, bos)
+    bos.toByteArray
   }
 
   /** Right-size partitions so each holds ~`targetBytes` of payload. */
@@ -61,14 +111,13 @@ object Multimodal {
         val payload =
           if (row.isNullAt(idx)) Array.empty[Byte]
           else row.getAs[Array[Byte]](idx)
-        // ==== STUB ==== real decoder call-site
-        Row.fromSeq(row.toSeq :+ decodeStub(payload))
+        Row.fromSeq(row.toSeq :+ decode(payload))
       }
     }(Encoders.row(schema))
   }
 
   /** Deterministic frame sampling plumbing for "video" payloads: emits one
-    * row per sampled frame index (decode stubbed). */
+    * row per sampled frame index. */
   def sampleFrames(df: DataFrame, payloadCol: String = "payload",
       everyNth: Int = 10, maxFrames: Int = 8): DataFrame = {
     val nFrames = least(

@@ -124,70 +124,88 @@ object TextAnalysis {
     * filters (Rae et al. 2021, appendix A1.1): heavily repetitive
     * documents (boilerplate, SEO spam, generation loops) are flagged by
     * the fraction of the text made of repeated words/n-grams. All four
-    * signals are higher-order-function expressions over the token array —
-    * one narrow map pass, no explode, no shuffle, so a 100 TB corpus is a
-    * single scan stage. Per-row cost is O(tokens × distinct tokens) for
-    * the top-word signal; web-scale pipelines cap document length
-    * upstream (see chunkByTokens), which bounds it.
-    */
+    * signals come from ONE native counting pass over the token array
+    * ([[DedupRuntime.repetitionStats]], O(tokens) hash counting) — no
+    * explode, no shuffle, so a 100 TB corpus is a single scan stage. The
+    * kernel is staged as its own projection so CollapseProject can't
+    * inline (and so re-evaluate) it once per derived column; only cheap
+    * struct-field arithmetic sits above it. */
   def withRepetition(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = tokens(col(textCol))
-    val n = size(toks)
-    // occurrence count of the most frequent token (mode frequency)
-    val topCount = array_max(transform(array_distinct(toks),
-      w => size(filter(toks, x => x === w))))
-    // word k-grams as joined strings; fewer than k tokens → no k-grams
-    def ngrams(k: Int): Column =
-      when(n < k, array().cast("array<string>")).otherwise(
-        transform(sequence(lit(0), n - k), i =>
-          array_join(slice(toks, i + 1, lit(k)), " ")))
-    // fraction of k-gram occurrences that repeat an earlier occurrence
-    def dupRatio(g: Column): Column =
-      when(size(g) === 0, lit(0.0)).otherwise(
-        (size(g) - size(array_distinct(g))).cast("double") / size(g))
-    docs
-      .withColumn("n_tokens", n.cast("long"))
-      .withColumn("top_word_ratio", round(when(n === 0, lit(0.0))
-        .otherwise(topCount.cast("double") / n), 6))
-      .withColumn("dup_2gram_ratio", round(dupRatio(ngrams(2)), 6))
-      .withColumn("dup_3gram_ratio", round(dupRatio(ngrams(3)), 6))
-      .withColumn("frac_distinct_words", round(when(n === 0, lit(0.0))
-        .otherwise(size(array_distinct(toks)).cast("double") / n), 6))
+    val staged = docs.withColumn("__rep",
+      DedupExprs.repetitionStats(col(textCol)))
+    val n = col("__rep.n_tokens")
+    def ratio(num: Column, den: Column): Column =
+      round(when(den === 0, lit(0.0))
+        .otherwise(num.cast("double") / den), 6)
+    staged
+      .withColumn("n_tokens", n)
+      .withColumn("top_word_ratio", ratio(col("__rep.top_count"), n))
+      .withColumn("dup_2gram_ratio",
+        ratio(col("__rep.n_2grams") - col("__rep.d_2grams"), col("__rep.n_2grams")))
+      .withColumn("dup_3gram_ratio",
+        ratio(col("__rep.n_3grams") - col("__rep.d_3grams"), col("__rep.n_3grams")))
+      .withColumn("frac_distinct_words", ratio(col("__rep.n_distinct"), n))
+      .drop("__rep")
   }
 
   // ------------------------------------------------------- PII scrubbing
 
   /** Redaction patterns shared by both dialects: Java regex (Spark
     * codegen) and RE2 (DuckDB oracle) agree on this subset — character
-    * classes, bounded repetition, word boundaries, no backreferences. */
+    * classes, bounded repetition, word boundaries, non-capturing groups,
+    * no backreferences, no lookaround. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
-  val PhoneRe = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+  /** Octet-checked IPv4 (rejects components > 255, so `999.300.1.2` is
+    * NOT redacted; leading-zero forms like `010` are accepted, matching
+    * inet_aton). */
+  private val Oct = "(?:25[0-5]|2[0-4][0-9]|1?[0-9]{1,2})"
+  val Ipv4Re = s"\\b$Oct(?:\\.$Oct){3}\\b"
+  val SsnRe = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+  /** NANP-ish phone shapes: optional +1/+NN country code, then either a
+    * parenthesized or bare 3-digit area code, with `-`, `.`, or space
+    * group separators — covers 555-010-1234, 555.010.1234,
+    * (555) 010-1234, +1 555 010 1234. */
+  val PhoneRe = "(?:\\+[0-9]{1,2}[-. ])?" +
+    "(?:\\([0-9]{3}\\) ?|\\b[0-9]{3}[-. ])[0-9]{3}[-. ][0-9]{4}\\b"
 
-  /** Occurrences of `re` in `text`: split keeps trailing empties in both
-    * Spark (limit −1 default) and DuckDB regexp_split_to_array, so
-    * `len(split) − 1` counts matches identically. */
-  private def matchCount(text: Column, re: String): Column =
-    (size(split(text, re)) - 1).cast("long")
+  /** (category, pattern, placeholder) in scrub order. Email runs first so
+    * its digit runs can't be claimed by the looser patterns; SSN before
+    * phone so `123-45-6789` isn't half-eaten by a phone prefix. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", EmailRe, "[EMAIL]"),
+    ("ip", Ipv4Re, "[IP]"),
+    ("ssn", SsnRe, "[SSN]"),
+    ("phone", PhoneRe, "[PHONE]"))
 
-  /** PII scrubbing for training corpora: replace emails / IPv4 addresses /
-    * phone numbers with typed placeholder tags and count the redactions
-    * per category. Email runs first so its digit runs can't be claimed by
-    * the looser phone/IP patterns. Pure regexp_replace chain — codegen'd,
-    * map-only, zero shuffle at any scale.
+  /** Placeholder occurrences in `c`: literal (non-regex) erase + length
+    * delta, identical in both dialects. */
+  private def tagCount(c: Column, tag: String): Column =
+    ((length(c) - length(replace(c, lit(tag), lit("")))) / tag.length)
+      .cast("long")
+
+  /** PII scrubbing for training corpora: progressively replace emails /
+    * IPv4 addresses / SSNs / phone numbers with typed placeholder tags.
+    * Each category is counted as the number of placeholders ITS OWN pass
+    * introduced (placeholder-count delta between consecutive stages), so
+    * `n_<cat>` equals redactions actually performed — an IP or digit run
+    * consumed by an earlier pass is not double-counted — and each regex
+    * runs exactly once per row. Stages are staged projections (not one
+    * nested expression) so no scrub pass is re-evaluated per derived
+    * count column. Pure regexp_replace chain — codegen'd, map-only, zero
+    * shuffle at any scale.
     */
   def scrubPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val t = col(textCol)
-    docs
-      .withColumn("n_emails", matchCount(t, EmailRe))
-      .withColumn("n_ips", matchCount(t, Ipv4Re))
-      .withColumn("n_phones", matchCount(t, PhoneRe))
-      .withColumn("scrubbed",
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(t, EmailRe, "[EMAIL]"),
-            Ipv4Re, "[IP]"),
-          PhoneRe, "[PHONE]"))
+    var df = docs.withColumn("__pii_0", col(textCol))
+    PiiPatterns.zipWithIndex.foreach { case ((_, re, tag), i) =>
+      df = df.withColumn(s"__pii_${i + 1}",
+        regexp_replace(col(s"__pii_$i"), re, tag))
+    }
+    PiiPatterns.zipWithIndex.foreach { case ((cat, _, tag), i) =>
+      df = df.withColumn(s"n_${cat}s",
+        tagCount(col(s"__pii_${i + 1}"), tag) - tagCount(col(s"__pii_$i"), tag))
+    }
+    df.withColumn("scrubbed", col(s"__pii_${PiiPatterns.length}"))
+      .drop((0 to PiiPatterns.length).map(i => s"__pii_$i"): _*)
   }
 
   // ------------------------------------------------------------- tf-idf

@@ -155,12 +155,37 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
       rs.map(_.getStruct(2).toString).toSeq
     val again = Multimodal.extractFeatures(df).orderBy("id").collect()
     assert(feats(rows) == feats(again))
-    // null payload flows through the stubbed decoder
+    // null payload flows through the fallback (no codec claims 0 bytes)
     val f3 = rows(2).getStruct(rows(2).fieldIndex("features"))
     assert(f3.getInt(f3.fieldIndex("byte_size")) == 0)
+    assert(!f3.getBoolean(f3.fieldIndex("decode_ok")))
     // frame sampling emits bounded per-record rows
     val frames = Multimodal.sampleFrames(df.filter(col("id") === 1L), everyNth = 1, maxFrames = 2)
     assert(frames.count() == 2)
+  }
+
+  test("multimodal real ImageIO decode: dimensions, channels, fallback") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Multimodal.synthImage("png", 17, 9)),
+      (2L, Multimodal.synthImage("bmp", 33, 21)),
+      (3L, Multimodal.synthImage("jpg", 5, 7)),
+      (4L, "definitely not an image payload".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val out = Multimodal.extractFeatures(df).orderBy("id").collect()
+    def f(i: Int) = out(i).getStruct(out(i).fieldIndex("features"))
+    for ((i, w, h) <- Seq((0, 17, 9), (1, 33, 21), (2, 5, 7))) {
+      assert(f(i).getBoolean(f(i).fieldIndex("decode_ok")), s"row $i must decode")
+      assert(f(i).getInt(f(i).fieldIndex("width")) == w)
+      assert(f(i).getInt(f(i).fieldIndex("height")) == h)
+      assert(f(i).getInt(f(i).fieldIndex("channels")) == 3)
+    }
+    assert(!f(3).getBoolean(f(3).fieldIndex("decode_ok")))
+    // fallback keeps the deterministic hash-derived pseudo-dimensions
+    assert(f(3).getInt(f(3).fieldIndex("width")) >= 64)
+    // corrupt container (valid PNG magic, truncated body) → opaque, no throw
+    val corrupt = Multimodal.synthImage("png", 17, 9).take(20)
+    assert(!Multimodal.decode(corrupt).getBoolean(5))
   }
 
   test("text analysis metrics on edge cases") {
@@ -193,6 +218,16 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     // empty / single-token docs: no n-grams, ratios well-defined
     assert(d(2, "top_word_ratio") == 0.0 && d(2, "dup_3gram_ratio") == 0.0)
     assert(d(3, "dup_2gram_ratio") == 0.0 && d(3, "frac_distinct_words") == 1.0)
+    // plan pin: the native kernel runs ONCE per row (staged projection —
+    // CollapseProject must not inline it into each of the 5 derived
+    // columns), and the old interpreted HOF pipeline is gone
+    val plan = TextAnalysis.withRepetition(
+        spark.range(4).withColumn("text",
+          concat(lit("a b "), col("id").cast("string"))))
+      .queryExecution.executedPlan.toString
+    assert("graft_repetition_stats".r.findAllIn(plan).size == 1,
+      s"kernel must appear exactly once in the plan:\n$plan")
+    assert(!plan.contains("array_distinct"), "HOF pipeline must be gone")
   }
 
   test("pii scrub: emails/ips/phones replaced and counted, clean text kept") {
@@ -200,16 +235,23 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     val df = Seq(
       (1L, "mail a.b+c@test.org and d@e.io, host 10.0.255.7, tel 555-010-1234"),
       (2L, "version 1.2 costs 3.50 at 12:30"), // decimals must NOT match
-      (3L, "")).toDF("doc_id", "text")
+      (3L, ""),
+      (4L, "call (555) 010-1234 or +1 555.010.1234, ssn 123-45-6789"),
+      (5L, "bad ips 999.300.1.2 and 256.1.1.1 stay")).toDF("doc_id", "text")
     val r = TextAnalysis.scrubPii(df).orderBy("doc_id").collect()
     def row(i: Int) = (r(i).getLong(r(i).fieldIndex("n_emails")),
       r(i).getLong(r(i).fieldIndex("n_ips")),
+      r(i).getLong(r(i).fieldIndex("n_ssns")),
       r(i).getLong(r(i).fieldIndex("n_phones")),
       r(i).getString(r(i).fieldIndex("scrubbed")))
-    assert(row(0) == ((2L, 1L, 1L,
+    assert(row(0) == ((2L, 1L, 0L, 1L,
       "mail [EMAIL] and [EMAIL], host [IP], tel [PHONE]")))
-    assert(row(1) == ((0L, 0L, 0L, "version 1.2 costs 3.50 at 12:30")))
-    assert(row(2) == ((0L, 0L, 0L, "")))
+    assert(row(1) == ((0L, 0L, 0L, 0L, "version 1.2 costs 3.50 at 12:30")))
+    assert(row(2) == ((0L, 0L, 0L, 0L, "")))
+    // parenthesized + international phones; SSN is its own category
+    assert(row(3) == ((0L, 0L, 1L, 2L, "call [PHONE] or [PHONE], ssn [SSN]")))
+    // octet-invalid addresses are NOT redacted
+    assert(row(4) == ((0L, 0L, 0L, 0L, "bad ips 999.300.1.2 and 256.1.1.1 stay")))
   }
 
   test("decontaminate: copied doc flagged, clean doc scored, joins agree") {
