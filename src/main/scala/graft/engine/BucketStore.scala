@@ -622,14 +622,44 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     if (s.quotaType.contains("HARD") && quota > 0 &&
         bucketSizeBytes(bucket) + incomingBytes > quota)
       throw new IllegalArgumentException(s"Quota of '$bucket' exceeded")
+    checkFreeDiskSpace(incomingBytes)
     write(records, onConflict,
       maxRecordsPerFile = s.maxBlockRecords.filter(_ > 0).getOrElse(1000000L))
     if (s.quotaType.contains("FIFO") && quota > 0)
       enforceFifoQuota(bucket, quota)
   }
+
+  /** Injectable free-space provider (the reference's FreeSpaceFn,
+    * bucket.rs:50-58): bytes available on the filesystem holding the store
+    * root. Hadoop FsStatus covers local disks and DFS alike; swappable in
+    * tests so write admission is deterministic. */
+  @volatile var freeSpaceFn: () => Long = () => {
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getStatus(p).getRemaining
+  }
+
+  /** Reject a write whose payload can't fit on the data volume
+    * (quotas.rs:19-42): complements quotas — even a bucket within quota is
+    * refused, BEFORE any bytes land, when the filesystem can't hold the
+    * record, so the operator sees a clean 507 instead of a mid-write
+    * IOException from a full disk. Runs after the quota check, matching
+    * the reference's admission order (bucket.rs:236). */
+  def checkFreeDiskSpace(contentSize: Long): Unit = {
+    val available = freeSpaceFn()
+    if (contentSize > available)
+      throw new BucketStore.InsufficientStorageException(
+        s"Not enough free disk space in the data folder to write a record " +
+          s"of $contentSize bytes: only $available bytes available")
+  }
 }
 
 object BucketStore {
+  /** Write admission failure: the data volume can't hold the record
+    * (reference ErrorCode::InsufficientStorage → HTTP 507). */
+  final class InsufficientStorageException(msg: String)
+      extends RuntimeException(msg)
+
   sealed trait Conflict
   object Conflict {
     case object Error extends Conflict

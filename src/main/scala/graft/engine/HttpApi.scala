@@ -2,7 +2,7 @@ package graft.engine
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import graft.core.EntryPattern
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
@@ -254,6 +254,8 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     } catch {
       case e: ApiError =>
         errorResponse(ex, e.status, e.message)
+      case e: BucketStore.InsufficientStorageException =>
+        errorResponse(ex, 507, e.getMessage)
       case e: IllegalArgumentException =>
         errorResponse(ex, 422, Option(e.getMessage).getOrElse("unprocessable"))
       case e: NoSuchElementException =>
@@ -264,7 +266,12 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
 
   private def auth(ex: HttpExchange, policy: Policy): Unit =
     tokens.check(Option(ex.getRequestHeaders.getFirst("Authorization")),
-      Option(ex.getRemoteAddress).map(_.getAddress.getHostAddress), policy)
+      // behind a trusted (local/private) proxy, the allowlist sees the
+      // real client from Forwarded / X-Forwarded-For, not the proxy
+      ClientIp.resolve(
+        Option(ex.getRemoteAddress).map(_.getAddress),
+        name => Option(ex.getRequestHeaders.getFirst(name))),
+      policy)
 
   // ------------------------------------------------------------- server
 
@@ -744,6 +751,9 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     var windowStartMs: Long = System.currentTimeMillis()
     var ok: Long = 0L
     var errored: Long = 0L
+    /** Source high-water mark of the last COMPLETED catch-up pass; −1
+      * until the first run, so everything in scope counts as pending. */
+    @volatile var lastTs: Long = -1L
     def roll(): Unit = {
       val now = System.currentTimeMillis()
       if (now - windowStartMs >= 3600000L) {
@@ -756,17 +766,37 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
   private def statsFor(name: String): ReplStats =
     replStats.computeIfAbsent(name, _ => new ReplStats)
 
+  /** The replication's source scope: its bucket (partition-pruned),
+    * entry globs as static predicates, finished records only — the same
+    * scoping the replication stream applies. */
+  private def scopedSource(s: Streaming.ReplicationSettings): DataFrame = {
+    val t = store.tableOrEmpty()
+    val b = s.srcBucket.fold(t)(n => t.filter(col("bucket") === n))
+    s.entries.fold(b)(pats =>
+        b.filter(EntryPattern.predicateCol(col("entry"), Some(pats))))
+      .filter(col("state") === graft.core.Records.State.Finished)
+  }
+
+  /** Records in scope written after the last completed catch-up pass —
+    * the backlog the next run will examine (replication_api.rs
+    * pending_records). Bucket partition pruning + parquet ts row-group
+    * stats keep this a metadata-bounded count, not a table scan. */
+  private def pendingRecords(name: String,
+      s: Streaming.ReplicationSettings): Long =
+    scopedSource(s).filter(col("ts") > statsFor(name).lastTs).count()
+
   /** ReplicationInfo (replication_api.rs:69-81). `is_active` = mode is
     * enabled (the "remote" is this store, always reachable);
-    * `pending_records` is 0 outside a catch-up pass — `run` drains the
-    * whole backlog synchronously, there is no background sender to lag. */
+    * `pending_records` = source backlog since the last completed run —
+    * non-zero between a write and the next catch-up pass, 0 after a
+    * drain. */
   private def replicationInfoJson(name: String,
       s: Streaming.ReplicationSettings): JObject = JObject(
     "name" -> JString(name),
     "mode" -> JString(modeName(s.mode)),
     "is_active" -> JBool(s.mode == Streaming.ReplicationMode.Enabled),
     "is_provisioned" -> JBool(provisionedReplications.contains(name)),
-    "pending_records" -> JLong(0L))
+    "pending_records" -> JLong(pendingRecords(name, s)))
 
   private def replicationSettingsJson(
       s: Streaming.ReplicationSettings): JObject = JObject(
@@ -820,7 +850,15 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     val onBatch: Long => Unit = n => st.synchronized { st.ok += n }
     try Streaming.replicate(store, store, s, checkpoint,
       onReplicated = onBatch) match {
-      case Some(q) => q.awaitTermination(); json(ex, 200, JObject())
+      case Some(q) =>
+        q.awaitTermination()
+        // the drain examined everything in scope up to now — advance the
+        // pending_records high-water mark (a write racing the drain's
+        // tail is re-examined by the next run via the checkpoint, so the
+        // mark is advisory, never a correctness input)
+        val maxTs = scopedSource(s).agg(max("ts")).collect()(0)
+        if (!maxTs.isNullAt(0)) st.lastTs = maxTs.getLong(0)
+        json(ex, 200, JObject())
       case None => json(ex, 200, JObject("skipped" -> JString("disabled")))
     } catch { case scala.util.control.NonFatal(e) =>
       st.synchronized { st.errored += 1 } // whole-pass failure, one tick
@@ -1219,8 +1257,33 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
 
   private val provisionedResources = Provisioning.parse(env)
   private val defaultBucketSettings = provisionedResources.bucketDefaults
-  provisionedResources.warnings.foreach(w => System.err.println(s"[provision] $w"))
+
+  /** Engine log capture into `$system/logs/<instance>/messages`
+    * (syslog/capture/logs.rs, PR-1481), gated by
+    * RS_SYSTEM_EVENTS_LOG_LEVEL and RS_SYSTEM_EVENTS_ENABLED. */
+  private[engine] val systemLog = new SystemLog(store,
+    provisionedResources.systemEvents.instance,
+    if (provisionedResources.systemEvents.enabled)
+      provisionedResources.systemEvents.logLevel
+    else None)
+
+  provisionedResources.warnings.foreach { w =>
+    System.err.println(s"[provision] $w")
+    systemLog.log("WARN", "graft::engine::provisioning", w)
+  }
   locally {
+    // `$system` is provisioned (PR-1557): un-removable and
+    // settings-protected through the API, with the env-configured FIFO
+    // quota reapplied at every startup so a changed
+    // RS_SYSTEM_EVENTS_QUOTA_SIZE takes effect on restart.
+    if (provisionedResources.systemEvents.enabled) {
+      store.putBucketSettings("$system", BucketStore.BucketSettings(
+        quotaType = Some("FIFO"),
+        quotaSize = Some(provisionedResources.systemEvents.quotaSize))
+        .over(BucketStore.BucketSettings.defaults))
+      createdBuckets.add("$system")
+      provisionedBuckets.add("$system")
+    }
     for ((name, settings) <- provisionedResources.buckets) {
       store.putBucketSettings(name, settings.over(defaultBucketSettings))
       createdBuckets.add(name)

@@ -29,6 +29,16 @@ object Provisioning {
       permissions: Auth.Permissions,
       expiresAtMs: Option[Long] = None)
 
+  /** `$system` bucket telemetry config (cfg/system_events.rs):
+    * `logLevel = None` means log capture is OFF (explicit `OFF` or an
+    * unparsable `RS_SYSTEM_EVENTS_LOG_LEVEL`, matching parse_log_level's
+    * None branch). */
+  final case class SystemEventsSpec(
+      enabled: Boolean,
+      logLevel: Option[String],
+      quotaSize: Long,
+      instance: String)
+
   /** Everything `RS_*` declares; applied by [[HttpApi]] at construction. */
   final case class Resources(
       bucketDefaults: BucketStore.BucketSettings,
@@ -36,10 +46,19 @@ object Provisioning {
       tokens: Map[String, TokenSpec],
       replications: Map[String, Streaming.ReplicationSettings],
       lifecycles: Map[String, Lifecycle.Policy],
+      systemEvents: SystemEventsSpec,
       warnings: Seq[String]) {
     def isEmpty: Boolean =
       buckets.isEmpty && tokens.isEmpty && replications.isEmpty &&
         lifecycles.isEmpty
+  }
+
+  /** reduct_base logger.rs parse_log_level: the five known levels,
+    * case-insensitive; anything else (incl. `OFF`) → None. */
+  val LogLevels: Seq[String] = Seq("ERROR", "WARN", "INFO", "DEBUG", "TRACE")
+  def parseLogLevel(s: String): Option[String] = {
+    val u = s.trim.toUpperCase
+    if (LogLevels.contains(u)) Some(u) else None
   }
 
   /** Byte sizes in the reference come through the `bytesize` crate:
@@ -131,8 +150,23 @@ object Provisioning {
         parseLifecycle(env, id, name, warn).map(name -> _)
       }.toMap
 
+    // --------------------------------- $system events (system_events.rs)
+    val systemEvents = SystemEventsSpec(
+      enabled = env.get("RS_SYSTEM_EVENTS_ENABLED")
+        .map(v => v.equalsIgnoreCase("true") || v == "1").getOrElse(true),
+      logLevel = env.get("RS_SYSTEM_EVENTS_LOG_LEVEL") match {
+        case None => Some("WARN") // DEFAULT_SYSTEM_EVENTS_LOG_LEVEL
+        case Some(s) => parseLogLevel(s) // OFF/invalid → capture disabled
+      },
+      quotaSize = env.get("RS_SYSTEM_EVENTS_QUOTA_SIZE").flatMap(parseByteSize)
+        .getOrElse(10000000000L), // DEFAULT_SYSTEM_EVENTS_QUOTA_SIZE (10 GB SI)
+      instance = env.get("RS_INSTANCE_NAME").map(_.trim).filter(_.nonEmpty)
+        .orElse(try Some(java.net.InetAddress.getLocalHost.getHostName)
+          .filter(_.nonEmpty) catch { case _: Exception => None })
+        .getOrElse("unknown")) // cfg.rs resolve_instance_name
+
     Resources(bucketDefaults, buckets, tokens, replications, lifecycles,
-      warnings.result())
+      systemEvents, warnings.result())
   }
 
   private def parseReplication(env: Map[String, String], id: String,

@@ -1,0 +1,66 @@
+package graft.engine
+
+import org.apache.spark.sql.Row
+
+/** Captures the engine's own log messages as records in
+  * `$system/logs/<instance>/messages` (syslog/capture/logs.rs, payload/
+  * log.rs): each persisted message becomes a record carrying the
+  * reference's label set — `status` always, `level` as a queryable label
+  * (syslog/path.rs record_labels) — and a JSON payload with the
+  * level/target/message fields of LogSystemEventPayload.
+  *
+  * The persist-level gate runs BEFORE any write (capture/logs.rs
+  * enqueue): messages less severe than `persistLevel` — or all messages
+  * when `persistLevel` is None (RS_SYSTEM_EVENTS_LOG_LEVEL=OFF or
+  * invalid) — are dropped. An empty instance name falls back to
+  * `unknown` (path.rs entry_path). Writes use Conflict.Skip so a
+  * same-microsecond duplicate never turns logging into a failure —
+  * logging must not take the server down.
+  */
+final class SystemLog(store: BucketStore, instance: String,
+    persistLevel: Option[String]) {
+  import SystemLog._
+
+  private val inst = if (instance.isEmpty) "unknown" else instance
+
+  /** Persist one log message; returns true when it was written (at or
+    * above the persist level), false when dropped by the gate. */
+  def log(level: String, target: String, message: String,
+      nowUs: Long = System.currentTimeMillis() * 1000L): Boolean = {
+    val lvl = level.trim.toUpperCase
+    val persist = persistLevel.exists(p =>
+      Rank.getOrElse(lvl, Int.MaxValue) <= Rank.getOrElse(p, 0))
+    if (persist) {
+      import scala.jdk.CollectionConverters._
+      val payload =
+        s"""{"event_type":"log_message","level":${jstr(lvl)},""" +
+          s""""target":${jstr(target)},"message":${jstr(message)}}"""
+      val row = Row("$system", s"logs/$inst/messages", nowUs,
+        Map("status" -> "200", "level" -> lvl),
+        Map.empty[String, String], "application/json",
+        graft.core.Records.State.Finished, payload.getBytes("UTF-8"))
+      // writeWithSettings so $system's provisioned FIFO quota and the
+      // free-disk preflight apply to log records like any other write
+      store.writeWithSettings("$system", store.spark.createDataFrame(
+        Seq(row).asJava, graft.core.Records.schema),
+        BucketStore.Conflict.Skip, incomingBytes = payload.length.toLong)
+    }
+    persist
+  }
+}
+
+object SystemLog {
+  /** Severity rank, ERROR most severe (log::Level's ordering). */
+  val Rank: Map[String, Int] =
+    Map("ERROR" -> 1, "WARN" -> 2, "INFO" -> 3, "DEBUG" -> 4, "TRACE" -> 5)
+
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+}

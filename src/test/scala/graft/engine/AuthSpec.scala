@@ -90,4 +90,45 @@ class AuthSpec extends AnyFunSuite {
     intercept[ApiError](r.validateToken(Some(s"Bearer ${ip.value}"), Some("10.0.0.2")))
     intercept[ApiError](r.validateToken(Some(s"Bearer ${ip.value}"), None))
   }
+
+  test("client IP resolution: RFC 7239 golden table + trusted-proxy gate") {
+    import ClientIp._
+    def ip(s: String) = java.net.InetAddress.getByName(s)
+    // parse_x_forwarded_for cases (middleware.rs rstest table)
+    assert(parseXForwardedFor("203.0.113.1").contains("203.0.113.1"))
+    assert(parseXForwardedFor("203.0.113.1, 70.41.3.18").contains("203.0.113.1"))
+    assert(parseXForwardedFor("unknown").isEmpty)
+    // parse_forwarded_for cases
+    assert(parseForwardedFor("for=203.0.113.43").contains("203.0.113.43"))
+    assert(parseForwardedFor("for=203.0.113.43:1234").contains("203.0.113.43"))
+    assert(parseForwardedFor("for=\"[2001:db8:cafe::17]\"")
+      .contains("2001:db8:cafe:0:0:0:0:17")) // Java's uncompressed canonical
+    assert(parseForwardedFor("by=203.0.113.60;proto=http").isEmpty)
+    assert(parseForwardedFor("for=_hidden").isEmpty)
+    assert(parseForwardedFor("for=192.0.2.43, for=198.51.100.17")
+      .contains("192.0.2.43"))
+    assert(parseForwardedFor("for=192.0.2.43, for=198.51.100.17;proto=http")
+      .contains("192.0.2.43"))
+    assert(parseForwardedFor("for=_hidden, for=198.51.100.17;proto=http")
+      .contains("198.51.100.17"))
+    // trusted-proxy gate (is_trusted_proxy_v4/v6)
+    assert(isTrustedProxy(ip("127.0.0.1")) && isTrustedProxy(ip("10.1.2.3")) &&
+      isTrustedProxy(ip("192.168.0.9")) && isTrustedProxy(ip("172.16.3.4")) &&
+      isTrustedProxy(ip("::1")) && isTrustedProxy(ip("fc00::7")))
+    assert(!isTrustedProxy(ip("198.51.100.4")) && !isTrustedProxy(ip("8.8.8.8")))
+    // resolve: an untrusted peer's headers are IGNORED (spoof-proof)
+    assert(ClientIp.resolve(Some(ip("198.51.100.4")),
+      _ => Some("for=203.0.113.43")).contains("198.51.100.4"))
+    // a trusted proxy's Forwarded / X-Forwarded-For is honored
+    assert(ClientIp.resolve(Some(ip("127.0.0.1")),
+      { case "Forwarded" => Some("for=203.0.113.43"); case _ => None })
+      .contains("203.0.113.43"))
+    assert(ClientIp.resolve(Some(ip("127.0.0.1")),
+      { case "X-Forwarded-For" => Some("203.0.113.77, 198.51.100.1")
+        case _ => None })
+      .contains("203.0.113.77"))
+    assert(ClientIp.resolve(Some(ip("127.0.0.1")), _ => None)
+      .contains("127.0.0.1"))
+    assert(ClientIp.resolve(None, _ => None).isEmpty)
+  }
 }

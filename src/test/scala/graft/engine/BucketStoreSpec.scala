@@ -145,6 +145,28 @@ class BucketStoreSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("free-disk preflight rejects writes the volume can't hold (507 path)") {
+    val store = newStore()
+    store.freeSpaceFn = () => 10L // injected: volume "has" 10 bytes
+    val err = intercept[BucketStore.InsufficientStorageException] {
+      store.writeWithSettings("b",
+        recordsDf(Seq(("e", 100L, Map()))), incomingBytes = 11L)
+    }
+    assert(err.getMessage.contains("11 bytes") &&
+      err.getMessage.contains("10 bytes available"))
+    assert(store.tableOrEmpty().count() == 0, "nothing written on rejection")
+    // exactly-fits is admitted; and the real provider reports a sane value
+    store.writeWithSettings("b",
+      recordsDf(Seq(("e", 100L, Map()))), incomingBytes = 10L)
+    assert(store.tableOrEmpty().count() == 1)
+    store.freeSpaceFn = () => {
+      val p = new org.apache.hadoop.fs.Path(store.root)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getStatus(p).getRemaining
+    }
+    assert(store.freeSpaceFn() > 0L)
+  }
+
   test("FIFO quota never evicts system $meta entries (ADVICE r1)") {
     val store = newStore()
     // $meta data on the OLDEST day — the first eviction candidate if

@@ -262,7 +262,8 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
     val full = jsonOf(req("GET", "/replications/errs"))
     assert((full \ "info" \ "name").extract[String] == "errs")
     assert((full \ "info" \ "is_active").extract[Boolean])
-    assert((full \ "info" \ "pending_records").extract[Long] == 0)
+    // nothing replicated yet → the whole source scope is pending
+    assert((full \ "info" \ "pending_records").extract[Long] == 6)
     // transfer compression (replication_api.rs:28-36): echoed, validated,
     // defaulted to none
     assert((full \ "settings" \ "compression").extract[String] == "zstd")
@@ -281,6 +282,18 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
     // the run tallied the replicated records into hourly diagnostics
     assert((jsonOf(req("GET", "/replications/errs")) \ "diagnostics" \
       "hourly" \ "ok").extract[Long] == 3)
+    // the drain advanced the backlog high-water mark → pending drops to 0
+    assert((jsonOf(req("GET", "/replications/errs")) \ "info" \
+      "pending_records").extract[Long] == 0)
+    // a new source write reappears as backlog, and the next run drains it
+    assert(req("POST", "/b/src1/logs?ts=9000", "r9".getBytes,
+      headers = Seq("x-reduct-label-sev" -> "error")).statusCode() == 200)
+    assert((jsonOf(req("GET", "/replications/errs")) \ "info" \
+      "pending_records").extract[Long] == 1)
+    assert(req("POST", "/replications/errs/run").statusCode() == 200)
+    assert((jsonOf(req("GET", "/replications/errs")) \ "info" \
+      "pending_records").extract[Long] == 0)
+    assert(new String(req("GET", "/b/dst1/rep%2Flogs?ts=9000").body()) == "r9")
     // paused mode: run is a no-op for new data
     assert(req("PATCH", "/replications/errs/mode",
       """{"mode": "paused"}""".getBytes).statusCode() == 200)
@@ -412,6 +425,42 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
       .startsWith("404"))
     assert(req("GET", "/b/b3/ea?ts=1000").statusCode() == 404)
     assert(req("GET", "/b/b3/ea?ts=2000").statusCode() == 200)
+  }
+
+  test("write preflight: full data volume answers 507, not a raw IOException") {
+    assert(req("POST", "/b/b507").statusCode() == 200)
+    val saved = store.freeSpaceFn
+    try {
+      store.freeSpaceFn = () => 3L
+      val r = req("POST", "/b/b507/e?ts=1000", "too big for the disk".getBytes)
+      assert(r.statusCode() == 507, new String(r.body(), "UTF-8"))
+      assert(new String(r.body(), "UTF-8").contains("free disk space"))
+    } finally store.freeSpaceFn = saved
+    // space restored → the same write is admitted
+    assert(req("POST", "/b/b507/e?ts=1000",
+      "too big for the disk".getBytes).statusCode() == 200)
+  }
+
+  test("IP allowlist sees the forwarded client, not the local proxy") {
+    val tok = api.tokens.createToken("proxy-client",
+      Auth.Permissions(fullAccess = true),
+      ipAllowlist = Seq("203.0.113.77")).value
+    // peer is 127.0.0.1 (a trusted proxy) but carries no forward header →
+    // the allowlist sees the loopback peer and rejects
+    assert(req("GET", "/info", token = tok).statusCode() == 401)
+    // RFC 7239 Forwarded names the allowed client → admitted
+    assert(req("GET", "/info", token = tok,
+      headers = Seq("Forwarded" -> "for=203.0.113.77;proto=https"))
+      .statusCode() == 200)
+    // legacy X-Forwarded-For works too; first hop is the client
+    assert(req("GET", "/info", token = tok,
+      headers = Seq("X-Forwarded-For" -> "203.0.113.77, 198.51.100.1"))
+      .statusCode() == 200)
+    // a different forwarded client stays rejected
+    assert(req("GET", "/info", token = tok,
+      headers = Seq("Forwarded" -> "for=198.51.100.99"))
+      .statusCode() == 401)
+    assert(req("DELETE", "/tokens/proxy-client").statusCode() == 200)
   }
 
   test("health probes: alive + ready on both verbs, unauthenticated") {

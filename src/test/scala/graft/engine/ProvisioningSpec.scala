@@ -76,7 +76,10 @@ class ProvisioningSpec extends AnyFunSuite with SparkTestBase {
       "RS_LIFECYCLE_1_TYPE" -> "delete",
       "RS_LIFECYCLE_1_BUCKET" -> "prov-bucket",
       "RS_LIFECYCLE_1_OLDER_THAN" -> "30d",
-      "RS_LIFECYCLE_1_MODE" -> "dry_run"))
+      "RS_LIFECYCLE_1_MODE" -> "dry_run",
+      "RS_INSTANCE_NAME" -> "node1",
+      "RS_SYSTEM_EVENTS_LOG_LEVEL" -> "INFO",
+      "RS_SYSTEM_EVENTS_QUOTA_SIZE" -> "50MB"))
   private lazy val port = { api.start(); api.boundPort }
   private lazy val client = HttpClient.newHttpClient()
 
@@ -151,6 +154,57 @@ class ProvisioningSpec extends AnyFunSuite with SparkTestBase {
     assert(req("DELETE", "/lifecycle/prov-lc").statusCode() == 409)
     assert(req("PATCH", "/lifecycle/prov-lc/mode",
       """{"mode":"enabled"}""".getBytes).statusCode() == 200)
+  }
+
+  test("system events config parses: level gate, OFF, enabled flag") {
+    val d = Provisioning.parse(Map.empty).systemEvents
+    assert(d.enabled && d.logLevel.contains("WARN") &&
+      d.quotaSize == 10000000000L)
+    assert(Provisioning.parse(Map("RS_SYSTEM_EVENTS_LOG_LEVEL" -> "OFF"))
+      .systemEvents.logLevel.isEmpty)
+    assert(Provisioning.parse(Map("RS_SYSTEM_EVENTS_LOG_LEVEL" -> "bogus"))
+      .systemEvents.logLevel.isEmpty)
+    assert(Provisioning.parse(Map("RS_SYSTEM_EVENTS_LOG_LEVEL" -> "debug"))
+      .systemEvents.logLevel.contains("DEBUG"))
+    assert(!Provisioning.parse(Map("RS_SYSTEM_EVENTS_ENABLED" -> "false"))
+      .systemEvents.enabled)
+    assert(Provisioning.parse(Map("RS_INSTANCE_NAME" -> " n7 "))
+      .systemEvents.instance == "n7")
+  }
+
+  test("$system is provisioned: un-removable, settings-protected, env quota") {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    port // force server construction (provisioning applies $system settings)
+    assert(req("DELETE", "/b/$system").statusCode() == 409)
+    assert(req("PUT", "/b/$system", """{"quota_type":"NONE"}""".getBytes)
+      .statusCode() == 409)
+    val info = jsonOf(req("GET", "/b/$system"))
+    assert((info \ "info" \ "is_provisioned").extract[Boolean])
+    assert((info \ "settings" \ "quota_type").extract[String] == "FIFO")
+    assert((info \ "settings" \ "quota_size").extract[Long] == 50000000L)
+  }
+
+  test("engine log capture lands in $system/logs/<instance>, level-gated") {
+    port // server up → capture configured at INFO from the env
+    assert(api.systemLog.log("ERROR", "graft::test", "boom", nowUs = 1000L))
+    assert(api.systemLog.log("INFO", "graft::test", "fyi", nowUs = 2000L))
+    assert(!api.systemLog.log("DEBUG", "graft::test", "chatty", nowUs = 3000L),
+      "below the INFO persist level → dropped before any write")
+    // planted events are queryable by the &level label (path.rs
+    // record_labels exposes severity as a queryable label)
+    val errors = QueryEngine.query(store.table(), QuerySpec(
+      bucket = Some("$system"), entries = Some(Seq("logs/**")),
+      when = Some("""{"&level": {"$eq": "ERROR"}}"""))).collect()
+    assert(errors.length == 1)
+    assert(errors(0).getAs[String]("entry") == "logs/node1/messages")
+    assert(new String(errors(0).getAs[Array[Byte]]("payload"), "UTF-8")
+      .contains("\"message\":\"boom\""))
+    val all = QueryEngine.query(store.table(), QuerySpec(
+      bucket = Some("$system"), entries = Some(Seq("logs/**")))).count()
+    assert(all == 2, "DEBUG record must not exist")
+    // OFF disables capture entirely
+    val off = new SystemLog(store, "node1", persistLevel = None)
+    assert(!off.log("ERROR", "graft::test", "never"))
   }
 
   test("replication settings survive with correct shape") {
