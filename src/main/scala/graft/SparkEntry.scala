@@ -649,11 +649,16 @@ object SparkEntry {
                   CAST(count(*) AS BIGINT) AS dup_count
            FROM documents GROUP BY md5(text) ORDER BY keep_id""",
 
+      // groups beyond the 1000-doc bound are dropped whole (the enforced
+      // bounded-group contract — pair count is quadratic in group size)
       "q_jaccard_pairs" ->
-        """WITH d AS (
+        """WITH d0 AS (
              SELECT source, doc_id,
                list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
-             FROM documents)
+             FROM documents),
+           sz AS (SELECT source FROM d0 GROUP BY source
+                  HAVING count(*) <= 1000),
+           d AS (SELECT d0.* FROM d0 JOIN sz ON d0.source = sz.source)
            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
                (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6)

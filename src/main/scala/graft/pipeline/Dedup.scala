@@ -166,10 +166,20 @@ object Dedup {
     * O(docs), so per-pair cost is the thing to minimize. */
   def groupedJaccardPairs(docs: DataFrame, groupCol: String,
       idCol: String = "doc_id", textCol: String = "text",
-      threshold: Double = 0.2): DataFrame = {
-    val d = docs.select(col(groupCol).as("g"), col(idCol).as("id"),
+      threshold: Double = 0.2, maxGroupSize: Int = 1000): DataFrame = {
+    val d0 = docs.select(col(groupCol).as("g"), col(idCol).as("id"),
       sort_array(array_distinct(transform(
         TextAnalysis.tokens(col(textCol)), t => xxhash64(t)))).as("toks"))
+    // ENFORCED bounded-group contract (same shape as the minhash/simhash
+    // hot-bucket caps): pair count is quadratic in group size, so a group
+    // beyond `maxGroupSize` is dropped whole rather than allowed to
+    // explode — a 10× corpus growth under a fixed group key otherwise
+    // costs 100× (measured: SCALE.md sf1 probe). Raw-attribute groupings
+    // at corpus scale should first block candidates (minhashPairs); this
+    // operator's group key is meant to be a bounded candidate bucket.
+    val sizes = d0.groupBy("g").agg(count(lit(1)).as("__n"))
+    val d = d0.join(broadcast(sizes.filter(col("__n") <= maxGroupSize)
+      .select("g")), "g")
     val a = d.as("a"); val b = d.as("b")
     // |A∪B| = |A|+|B|-|A∩B| (inputs are distinct) — avoids building the
     // union array per pair

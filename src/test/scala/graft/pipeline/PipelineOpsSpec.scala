@@ -138,6 +138,20 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
       s"expected all 46 pairs under a loose bound, got ${unbounded.size}")
   }
 
+  test("jaccard pairs: oversized groups are dropped whole (bounded contract)") {
+    import spark.implicits._
+    val df = (0 until 8).map(i =>
+        (i.toLong, if (i < 6) "big" else "ok", "same words here every time"))
+      .toDF("doc_id", "g", "text")
+    val capped = Dedup.groupedJaccardPairs(df, "g",
+        threshold = 0.1, maxGroupSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((6L, 7L)),
+      s"6-doc group must drop under a 3-doc bound, got $capped")
+    // under the default bound both groups pair freely: C(6,2) + C(2,2)
+    assert(Dedup.groupedJaccardPairs(df, "g", threshold = 0.1).count() == 16)
+  }
+
   test("multimodal feature extraction plumbing: schema, determinism, batching") {
     import spark.implicits._
     val df = Seq(
