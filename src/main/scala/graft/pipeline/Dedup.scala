@@ -32,6 +32,45 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("digest"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Paragraph-level boilerplate removal (the repeated-paragraph filter
+    * of Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better", and the C4-style line-dedup pass): a paragraph
+    * appearing `maxOccurrences`-or-more times corpus-wide (nav text,
+    * cookie banners, license headers) is removed from EVERY document.
+    * Returns one row per document with a paragraph: (doc_id,
+    * n_paragraphs, n_removed, kept_md5 = digest of the surviving
+    * paragraphs rejoined in order). Documents whose text has no nonempty
+    * paragraph produce no row.
+    *
+    * Scale shape: two shuffles — the corpus-wide count groups by a
+    * 16-byte digest (map-side combined, one row per distinct paragraph),
+    * and the per-doc regroup carries (idx, paragraph) once. Occurrence
+    * counts join back on the digest; AQE broadcasts the count table when
+    * the realized distinct-paragraph set is small. No window over a
+    * global order, no driver-side state. */
+  def paragraphDedup(docs: DataFrame, maxOccurrences: Long = 10,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val paras = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "\\n{2,}")).as(Seq("idx", "para")))
+      .filter(length(col("para")) > 0)
+      .withColumn("h", md5(col("para")))
+    val counts = paras.groupBy("h").agg(count(lit(1)).as("occ"))
+    paras.join(counts, "h")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_paragraphs"),
+        sum(when(col("occ") >= maxOccurrences, 1L).otherwise(0L))
+          .as("n_removed"),
+        // collect_list drops the nulls of removed paragraphs; array_sort
+        // on (idx, para) structs restores document order deterministically
+        array_sort(collect_list(when(col("occ") < maxOccurrences,
+          struct(col("idx"), col("para"))))).as("__kept"))
+      .select(col("doc_id"), col("n_paragraphs"), col("n_removed"),
+        md5(array_join(transform(col("__kept"), _.getField("para")), "\n\n"))
+          .as("kept_md5"))
+  }
+
   /** Exact-dedup: keep the smallest id per distinct text. */
   def exactDedup(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {

@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Sequence packing — the "concatenate and chop" context-window
+  * preparation of GPT-style pretraining: documents are laid end-to-end in
+  * a deterministic order and the token stream is cut into fixed-size
+  * packs. Each document's placement is a pure function of the exclusive
+  * prefix sum of token counts, so the operator reduces to a distributed
+  * scan.
+  *
+  * The prefix sum is NOT a global-order window (`sum().over(orderBy)`
+  * collapses to a single partition — the classic scale killer). It is the
+  * textbook two-phase distributed scan: range-partition by the order key,
+  * per-partition totals (one small row per partition) to the driver,
+  * exclusive partition offsets broadcast back, then a map-only running
+  * sum within each partition. Shuffle cost = one range exchange; driver
+  * state = one long per partition.
+  */
+object Packing {
+
+  /** Append `start` = exclusive prefix sum of `valueCol` in `orderCol`
+    * order. `orderCol` must be unique (it's the tie-less sort key). */
+  def withRunningOffset(df: DataFrame, orderCol: String,
+      valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val ranged = df
+      .withColumn(valueCol, col(valueCol).cast(LongType))
+      .repartitionByRange(col(orderCol))
+      .sortWithinPartitions(orderCol)
+    val schema = ranged.schema.add("start", LongType, nullable = false)
+    val vIdx = ranged.schema.fieldIndex(valueCol)
+    // both phases read the ranged data — persist so the range exchange
+    // and sort run once, not once per phase (caller may unpersist the
+    // result's lineage after materializing)
+    val rdd = ranged.rdd.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // phase 1: per-partition totals (partition index i holds keys < i+1's)
+    val totals = rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var s = 0L
+        it.foreach(r => s += r.getLong(vIdx))
+        Iterator((i, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = totals.scanLeft(0L)(_ + _) // exclusive partition offsets
+    val bcast = spark.sparkContext.broadcast(offsets)
+    // phase 2: map-only running sum seeded by the partition's offset
+    val packed = rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = bcast.value(i)
+      it.map { r =>
+        val out = Row.fromSeq(r.toSeq :+ s)
+        s += r.getLong(vIdx)
+        out
+      }
+    }
+    spark.createDataFrame(packed, schema)
+  }
+
+  /** Pack documents into fixed `budget`-token windows: (…, n_tokens,
+    * start, pack_id, offset) where `pack_id` is the window holding the
+    * document's FIRST token and `offset` its position there — a document
+    * straddling a boundary continues into the next pack, exactly like
+    * concatenate-and-chop pretraining batches. */
+  def packSequences(docs: DataFrame, budget: Long,
+      idCol: String = "doc_id", tokensCol: String = "n_tokens"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    withRunningOffset(docs, idCol, tokensCol)
+      // integer DIV, not float /: doubles lose exactness past 2^53 —
+      // reachable token offsets for a 100 TB corpus
+      .withColumn("pack_id", expr(s"start DIV ${budget}L"))
+      .withColumn("offset", expr(s"start % ${budget}L"))
+  }
+}

@@ -36,6 +36,19 @@ class ProvisioningSpec extends AnyFunSuite with SparkTestBase {
     assert(r.warnings.length == 3)
   }
 
+  test("INCLUDE/EXCLUDE sub-keys don't fabricate phantom replications") {
+    val r = Provisioning.parse(Map(
+      "RS_REPLICATION_1_NAME" -> "real",
+      "RS_REPLICATION_1_SRC_BUCKET" -> "s",
+      "RS_REPLICATION_1_DST_BUCKET" -> "d",
+      // include-filter on a label literally called "NAME" — the greedy id
+      // capture would otherwise read this as replication "1_INCLUDE"
+      "RS_REPLICATION_1_INCLUDE_NAME" -> "x",
+      "RS_REPLICATION_1_EXCLUDE_NAME" -> "y"))
+    assert(r.replications.keySet == Set("real"))
+    assert(r.warnings.isEmpty, s"no phantom warnings: ${r.warnings}")
+  }
+
   test("deprecated EACH_N/EACH_S and INCLUDE merge into the when tree") {
     val r = Provisioning.parse(Map(
       "RS_REPLICATION_7_NAME" -> "legacy",

@@ -138,6 +138,49 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
       s"expected all 46 pairs under a loose bound, got ${unbounded.size}")
   }
 
+  test("paragraph dedup: boilerplate removed everywhere, rare paragraphs kept") {
+    import spark.implicits._
+    val boiler = "subscribe now"
+    val df = (0 until 5).map { i =>
+      (i.toLong, s"unique body $i\n\n$boiler" +
+        (if (i == 0) "\n\nrare footer" else ""))
+    }.toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(df, maxOccurrences = 5)
+      .orderBy("doc_id").collect()
+    // boilerplate appears 5x (>= 5) → removed from every doc
+    assert(out.forall(r => r.getLong(r.fieldIndex("n_removed")) == 1L))
+    assert(out(0).getLong(out(0).fieldIndex("n_paragraphs")) == 3L)
+    // kept text of doc 0 = unique body + rare footer, in order
+    val expected0 = java.security.MessageDigest.getInstance("MD5")
+      .digest("unique body 0\n\nrare footer".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out(0).getString(out(0).fieldIndex("kept_md5")) == expected0)
+    // empty-text docs yield no row
+    assert(Dedup.paragraphDedup(Seq((9L, "")).toDF("doc_id", "text")).count() == 0)
+  }
+
+  test("sequence packing: exact prefix sums across partitions, straddling packs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(3)
+    val docs = (0 until 500).map(i => (i.toLong, rng.nextInt(40) + 1L))
+      .toDF("doc_id", "n_tokens")
+      .repartition(13) // scramble: the scan must re-establish global order
+    val out = Packing.packSequences(docs, budget = 64)
+      .orderBy("doc_id").collect()
+    var expect = 0L
+    for (r <- out) {
+      assert(r.getLong(r.fieldIndex("start")) == expect,
+        s"prefix sum broke at doc ${r.getLong(0)}")
+      assert(r.getLong(r.fieldIndex("pack_id")) == expect / 64)
+      assert(r.getLong(r.fieldIndex("offset")) == expect % 64)
+      expect += r.getLong(r.fieldIndex("n_tokens"))
+    }
+    // no global-order window in the plan (the single-partition trap)
+    val plan = Packing.packSequences(docs, budget = 64)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"must not use a window scan:\n$plan")
+  }
+
   test("jaccard pairs: oversized groups are dropped whole (bounded contract)") {
     import spark.implicits._
     val df = (0 until 8).map(i =>
@@ -242,6 +285,51 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert("graft_repetition_stats".r.findAllIn(plan).size == 1,
       s"kernel must appear exactly once in the plan:\n$plan")
     assert(!plan.contains("array_distinct"), "HOF pipeline must be gone")
+  }
+
+  test("repetition kernel differential fuzz vs the HOF twin (200 docs)") {
+    import spark.implicits._
+    // the interpreted HOF pipeline the native kernel replaced — kept here
+    // as the semantic reference (mode frequency; k-gram dup ratios)
+    def hofTwin(df: org.apache.spark.sql.DataFrame) = {
+      val toks = TextAnalysis.tokens(col("text"))
+      val n = size(toks)
+      val topCount = array_max(transform(array_distinct(toks),
+        w => size(filter(toks, x => x === w))))
+      def ngrams(k: Int) =
+        when(n < k, array().cast("array<string>")).otherwise(
+          transform(sequence(lit(0), n - k), i =>
+            array_join(slice(toks, i + 1, lit(k)), " ")))
+      def dupRatio(g: org.apache.spark.sql.Column) =
+        when(size(g) === 0, lit(0.0)).otherwise(
+          (size(g) - size(array_distinct(g))).cast("double") / size(g))
+      df.select(col("doc_id"), n.cast("long").as("n_tokens"),
+        round(when(n === 0, lit(0.0)).otherwise(topCount.cast("double") / n), 6)
+          .as("top_word_ratio"),
+        round(dupRatio(ngrams(2)), 6).as("dup_2gram_ratio"),
+        round(dupRatio(ngrams(3)), 6).as("dup_3gram_ratio"),
+        round(when(n === 0, lit(0.0))
+          .otherwise(size(array_distinct(toks)).cast("double") / n), 6)
+          .as("frac_distinct_words"))
+    }
+    val rng = new scala.util.Random(7)
+    val vocab = Vector("a", "bb", "ccc", "loop", "x1")
+    val docs = (0 until 200).map { i =>
+      val n = rng.nextInt(40)
+      val seps = Vector(" ", "  ", "\t", "\n")
+      val body = Seq.fill(n)(vocab(rng.nextInt(vocab.size)))
+        .mkString(seps(rng.nextInt(seps.size)))
+      // leading/trailing space sometimes — the trim-spaces-only edge
+      val pad = if (rng.nextBoolean()) "  " else ""
+      (i.toLong, pad + body + (if (rng.nextBoolean()) " " else ""))
+    }.toDF("doc_id", "text")
+    val cols = Seq("doc_id", "n_tokens", "top_word_ratio", "dup_2gram_ratio",
+      "dup_3gram_ratio", "frac_distinct_words")
+    val kernel = TextAnalysis.withRepetition(docs)
+      .select(cols.map(col): _*).orderBy("doc_id").collect().toSeq
+    val twin = hofTwin(docs).orderBy("doc_id").collect().toSeq
+    for ((k, t) <- kernel.zip(twin))
+      assert(k == t, s"kernel/HOF divergence: $k vs $t")
   }
 
   test("pii scrub: emails/ips/phones replaced and counted, clean text kept") {
