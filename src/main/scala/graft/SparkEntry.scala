@@ -210,6 +210,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // retrieval-index build: posting lists digested per term; the tight
+    // 31-word corpus vocabulary makes nearly every term a hot key, so the
+    // 100-posting truncation path is exercised corpus-wide
+    "q_inverted_index" -> ((s, dir) =>
+      TextAnalysis.invertedIndex(docs(s, dir), maxPostings = 100)
+        .orderBy("term")),
+
     // concatenate-and-chop sequence packing over the document token
     // stream (budget 512): placement is the exclusive token prefix sum,
     // computed by a distributed two-phase scan, never a global window
@@ -383,6 +390,17 @@ object SparkEntry {
     "q_embed_lsh_dup" -> ((s, dir) => // oracle: md5-derived hyperplanes
       Similarity.embeddingDupPairs(embeddings(s, dir), threshold = 0.2)
         .orderBy("id_a", "id_b")),
+
+    // connected components over the cosine near-dup graph: the embedding
+    // analog of q_dup_clusters — semantic-duplicate groups for keep-one
+    // selection (pair set already proven engine-identical by q_embed_dup)
+    "q_embed_clusters" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val pairs = Similarity.cosineDupPairsByGroup(emb, "label",
+          threshold = 0.3)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+      Dedup.dupClusters(emb, pairs, idCol = "vec_id").orderBy("vec_id")
+    }),
 
     // ----------------------------------------------- pipeline: multimodal
     "q_multimodal" -> ((s, dir) => { // opaque payloads: hash-fallback path
@@ -748,6 +766,34 @@ object SparkEntry {
                chr(10) || chr(10) ORDER BY idx), '')) AS kept_md5
            FROM j GROUP BY doc_id ORDER BY doc_id""",
 
+      // inverted index: per-term df/total_tf over distinct (term, doc)
+      // pairs; postings digest = md5 of the FIRST 100 doc ids ascending
+      "q_inverted_index" ->
+        """WITH toks AS (
+             SELECT doc_id, lower(u) AS term
+             FROM (SELECT doc_id,
+                     unnest(list_filter(
+                       regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
+                       x -> x <> '')) AS u
+                   FROM documents)),
+           td AS (SELECT term, doc_id, count(*) AS tf
+                  FROM toks GROUP BY 1, 2),
+           fa AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+                    CAST(sum(tf) AS BIGINT) AS total_tf
+                  FROM td GROUP BY term),
+           ranked AS (SELECT term, doc_id,
+                        row_number() OVER (PARTITION BY term
+                          ORDER BY doc_id) AS rn
+                      FROM td),
+           digest AS (SELECT term,
+                        md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                          ORDER BY doc_id)) AS postings_md5
+                      FROM ranked WHERE rn <= 100 GROUP BY term)
+           SELECT fa.term, fa.df, fa.total_tf, fa.df > 100 AS truncated,
+             digest.postings_md5
+           FROM fa JOIN digest ON fa.term = digest.term
+           ORDER BY fa.term""",
+
       // concatenate-and-chop packing: exclusive token prefix sum in
       // doc_id order; pack = integer division by the 512-token budget
       "q_seq_pack" ->
@@ -1035,6 +1081,31 @@ object SparkEntry {
              AND list_dot_product(a.v, b.v) /
                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
            ORDER BY id_a, id_b""",
+
+      // components over the cosine near-dup graph (same recursive walk as
+      // q_dup_clusters; same bit-identical cosine as q_embed_dup)
+      "q_embed_clusters" ->
+        """WITH RECURSIVE e AS (
+             SELECT label, vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+           prs AS (
+             SELECT a.vec_id AS a, b.vec_id AS b
+             FROM e a, e b
+             WHERE a.label = b.label AND a.vec_id < b.vec_id
+               AND list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) *
+                  sqrt(list_dot_product(b.v, b.v))) >= 0.3),
+           edges AS (
+             SELECT a, b FROM prs
+             UNION ALL SELECT b AS a, a AS b FROM prs),
+           walk(id, lbl) AS (
+             SELECT vec_id, vec_id FROM embeddings
+             UNION
+             SELECT w.id, e2.b FROM walk w JOIN edges e2 ON e2.a = w.lbl)
+           SELECT id AS vec_id, min(lbl) AS cluster_id,
+             (id = min(lbl)) AS canonical
+           FROM walk GROUP BY id ORDER BY vec_id""",
 
       // #ext pipeline: json_extract → computed-ref when → payload stats.
       // payload bytes == strlen(props): the payload IS the props JSON.

@@ -208,6 +208,35 @@ object TextAnalysis {
       .drop((0 to PiiPatterns.length).map(i => s"__pii_$i"): _*)
   }
 
+  // ----------------------------------------------------- inverted index
+
+  /** Retrieval-index build: one row per distinct term with its document
+    * frequency and an order-preserving digest of the posting list
+    * (ascending doc ids). The digest stands in for the list itself so the
+    * output stays one small row per term — the materialized index would
+    * be written per-term-bucket in a real deployment.
+    *
+    * Scale shape: explode → groupBy(term, doc) (map-side combined — the
+    * shuffle carries one row per distinct (term, doc), not per token) →
+    * groupBy(term) with a sorted-collect of ids. Stopword-like terms make
+    * hot keys: posting lists beyond `maxPostings` are truncated to the
+    * FIRST `maxPostings` doc ids (deterministic — lowest ids), with
+    * `truncated` flagged, so one mega-term can't blow an executor. */
+  def invertedIndex(docs: DataFrame, maxPostings: Int = 100000,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), explode(terms(col(textCol))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        sum(col("tf")).as("total_tf"),
+        slice(array_sort(collect_list(col("doc_id"))), 1, maxPostings)
+          .as("__postings"))
+      .select(col("term"), col("df"), col("total_tf"),
+        (col("df") > maxPostings).as("truncated"),
+        md5(array_join(transform(col("__postings"), _.cast("string")), ","))
+          .as("postings_md5"))
+
   // ------------------------------------------------------------- tf-idf
 
   /** Alphanumeric terms, lowercased. Split FIRST, lowercase per token:

@@ -92,6 +92,39 @@ object StatefulStream {
     }.toDF()
   }
 
+  /** Streaming exact dedup for ingest: the FIRST record carrying a given
+    * content digest passes; every later duplicate — across micro-batches
+    * and across restarts of the same checkpoint — drops. Same state-store
+    * shape as the built-in streaming `dropDuplicates` (one boolean per
+    * distinct digest), but with a DETERMINISTIC first-occurrence rule:
+    * within a micro-batch the smallest ts wins, where dropDuplicates
+    * keeps an arbitrary row. Unbounded corpora should bound the state
+    * with an event-time horizon (derive a timestamp column,
+    * `dropDuplicatesWithinWatermark`) so expired digests age out;
+    * digest-equal records are content-equal, so which survives only
+    * matters for its ts/labels metadata. */
+  def dedupExact(records: DataFrame,
+      digest: org.apache.spark.sql.Column = md5(col("payload"))): DataFrame = {
+    val schema = records.schema
+    val withDigest = records.withColumn("__digest", digest)
+    val tsIdx = schema.fieldIndex("ts")
+    implicit val rowEnc = Encoders.row(withDigest.schema)
+    implicit val keyEnc = Encoders.STRING
+    implicit val stateEnc = Encoders.scalaBoolean
+    val dIdx = withDigest.schema.fieldIndex("__digest")
+    withDigest.groupByKey { r: Row => r.getString(dIdx) }
+      .flatMapGroupsWithState[Boolean, Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[Row], gs: GroupState[Boolean]) =>
+          if (gs.getOption.contains(true)) Iterator.empty
+          else {
+            gs.update(true)
+            // deterministic first-occurrence: min ts within the batch
+            Iterator.single(rows.minBy(_.getLong(tsIdx)))
+          }
+      }.toDF().drop("__digest")
+  }
+
   private def statefulFilter[S: scala.reflect.ClassTag](records: DataFrame, init: S)(
       step: (S, Long) => (S, Boolean)): DataFrame =
     statefulFilterFlag[S](records.withColumn("__in", lit(true)), init) {

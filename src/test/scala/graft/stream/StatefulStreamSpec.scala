@@ -74,4 +74,38 @@ class StatefulStreamSpec extends AnyFunSuite with SparkTestBase {
       .map(_.getLong(0)).toSeq.sorted
     assert(got == Seq(0L, 1000L, 4000L))
   }
+
+  test("streaming exact dedup drops cross-batch duplicates, min-ts wins") {
+    import scala.jdk.CollectionConverters._
+    val src = Files.createTempDirectory("sdd-src").toString
+    val ck = Files.createTempDirectory("sdd-ck").toString
+    val out = Files.createTempDirectory("sdd-out").toString
+    def writePayloads(rows: Seq[(Long, String)]): Unit = {
+      val data = rows.map { case (ts, body) =>
+        Row("b", "e", ts, Map.empty[String, String],
+          Map.empty[String, String], "", Records.State.Finished,
+          body.getBytes("UTF-8"))
+      }.asJava
+      spark.createDataFrame(data, Records.schema)
+        .write.mode("append").parquet(src)
+    }
+    def run(): Unit = {
+      val stream = spark.readStream.schema(Records.schema).parquet(src)
+      StatefulStream.dedupExact(stream)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    // batch 1: two distinct payloads + an in-batch dup (min ts must win)
+    writePayloads(Seq((2000L, "alpha"), (1000L, "alpha"), (3000L, "beta")))
+    run()
+    def got(): Seq[Long] = spark.read.parquet(out)
+      .select("ts").collect().map(_.getLong(0)).toSeq.sorted
+    assert(got() == Seq(1000L, 3000L), "in-batch dup keeps the min ts")
+    // batch 2: a cross-batch dup of "alpha" drops, a new payload passes —
+    // the seen-digest state survived the micro-batch boundary
+    writePayloads(Seq((4000L, "alpha"), (5000L, "gamma")))
+    run()
+    assert(got() == Seq(1000L, 3000L, 5000L))
+  }
 }
