@@ -261,7 +261,14 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
       case e: NoSuchElementException =>
         errorResponse(ex, 404, Option(e.getMessage).getOrElse("not found"))
       case e: Throwable =>
-        errorResponse(ex, 500, Option(e.getMessage).getOrElse(e.getClass.getName))
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        // server errors persist to $system/logs (middleware.rs
+        // log_level_for_response: 5xx → Error); capture must never take
+        // the response down with it
+        try systemLog.log("ERROR", "graft::engine::http",
+          s"${ex.getRequestMethod} ${ex.getRequestURI.getPath}: $msg")
+        catch { case scala.util.control.NonFatal(_) => () }
+        errorResponse(ex, 500, msg)
     } finally ex.close()
 
   private def auth(ex: HttpExchange, policy: Policy): Unit =

@@ -603,6 +603,31 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
     assert(!fs.exists(staging) || fs.listStatus(staging).isEmpty)
   }
 
+  test("server errors are captured to $system logs with an ERROR level") {
+    import org.apache.spark.sql.functions.{col, element_at}
+    // one-shot failing disk probe: the request's preflight throws an
+    // unexpected RuntimeException (the 500 path); the capture write that
+    // follows sees the restored probe and succeeds
+    val saved = store.freeSpaceFn
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    store.freeSpaceFn = () =>
+      if (fired.compareAndSet(false, true))
+        throw new RuntimeException("disk probe exploded")
+      else saved()
+    try assert(req("POST", "/b/b1/e?ts=777000", "x".getBytes)
+      .statusCode() == 500)
+    finally store.freeSpaceFn = saved
+    val logs = store.table()
+      .filter(col("bucket") === "$system" &&
+        col("entry").startsWith("logs/") &&
+        element_at(col("labels"), "level") === "ERROR")
+      .collect()
+    assert(logs.nonEmpty, "500 must leave an ERROR record in $system/logs")
+    val payload = new String(logs.head.getAs[Array[Byte]]("payload"), "UTF-8")
+    assert(payload.contains("/api/v1/b/b1/e") &&
+      payload.contains("disk probe exploded"))
+  }
+
   test("TLS: write/read round trip over HTTPS") {
     // self-signed PKCS12 keystore via the JDK's keytool (offline) — the
     // packaging of the reference's cert_path/cert_key_path PEM pair
