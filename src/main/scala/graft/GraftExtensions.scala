@@ -95,6 +95,10 @@ object GraftExtensions {
       "graft_intersect_count" -> {
         case Seq(a, b) => graft.pipeline.SortedIntersectCountExpr(a, b)
         case _ => throw CondError("graft_intersect_count(a, b) takes two arguments")
+      },
+      "graft_repetition_stats" -> {
+        case Seq(text) => graft.pipeline.RepetitionStatsExpr(text)
+        case _ => throw CondError("graft_repetition_stats(text) takes one argument")
       })
 
   private[graft] def buildWhen(children: Seq[Expression]): Expression = {

@@ -438,6 +438,43 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Real resize: synthesized PNGs (dims ≥ 20) are downscaled to
+    // maxDim 16 with Graphics2D, re-encoded, and re-decoded — the oracle
+    // predicts the decoded output dims with the same integer arithmetic
+    "q_multimodal_resize" -> ((s, dir) => {
+      val payload = udf((id: Long) => Multimodal.resizeImage(
+        Multimodal.synthImage("png",
+          (20 + id % 40).toInt, (20 + (id / 7) % 40).toInt),
+        maxDim = 16))
+      val d = docs(s, dir)
+        .select(col("doc_id"), payload(col("doc_id")).as("payload"))
+      Multimodal.extractFeatures(d)
+        .select(col("doc_id"),
+          col("features.decode_ok").as("decode_ok"),
+          col("features.width"), col("features.height"),
+          col("features.channels"))
+        .orderBy("doc_id")
+    }),
+
+    // Real audio decode: WAV payloads synthesized per doc (mod-5 docs get
+    // opaque text) run through javax.sound.sampled; the oracle predicts
+    // rate/channels/frames from doc_id arithmetic
+    "q_multimodal_audio" -> ((s, dir) => {
+      val rates = Array(8000, 16000, 44100)
+      val payload = udf((id: Long, text: String) =>
+        if (id % 5 == 4) text.getBytes("UTF-8")
+        else Multimodal.synthWav(rates((id % 3).toInt),
+          1 + (id % 2).toInt, 100 + (id % 500).toInt))
+      val d = docs(s, dir)
+        .select(col("doc_id"), payload(col("doc_id"), col("text")).as("payload"))
+      Multimodal.extractAudio(d)
+        .select(col("doc_id"),
+          col("audio.decode_ok").as("decode_ok"),
+          col("audio.sample_rate"), col("audio.channels"),
+          col("audio.bits"), col("audio.n_frames"))
+        .orderBy("doc_id")
+    }),
+
     // ----------------------------------------------- analytics (bench)
     "q_lineitem_agg" -> ((s, dir) =>
       table(s, dir, "lineitem")
@@ -1362,6 +1399,39 @@ object SparkEntry {
              CASE WHEN doc_id % 3 < 2 THEN CAST(8 + doc_id % 24 AS INT) END AS width,
              CASE WHEN doc_id % 3 < 2 THEN CAST(8 + (doc_id // 5) % 24 AS INT) END AS height,
              CASE WHEN doc_id % 3 < 2 THEN 3 END AS channels
+           FROM documents ORDER BY doc_id""",
+
+      // resized dims: nw = max(1, w*16 // max(w,h)), same integer math as
+      // Multimodal.resizeImage; source dims are >= 20, so every payload
+      // is downscaled and re-decoded
+      "q_multimodal_resize" ->
+        """WITH d AS (
+             SELECT doc_id,
+               20 + doc_id % 40 AS w,
+               20 + (doc_id // 7) % 40 AS h
+             FROM documents),
+           m AS (SELECT doc_id, w, h,
+                   CASE WHEN w > h THEN w ELSE h END AS mx FROM d)
+           SELECT doc_id, TRUE AS decode_ok,
+             CAST(CASE WHEN w * 16 // mx < 1 THEN 1 ELSE w * 16 // mx END
+               AS INT) AS width,
+             CAST(CASE WHEN h * 16 // mx < 1 THEN 1 ELSE h * 16 // mx END
+               AS INT) AS height,
+             3 AS channels
+           FROM m ORDER BY doc_id""",
+
+      // WAV metadata from doc_id arithmetic; mod-5 docs are opaque
+      "q_multimodal_audio" ->
+        """SELECT doc_id,
+             doc_id % 5 <> 4 AS decode_ok,
+             CASE WHEN doc_id % 5 <> 4 THEN CAST(CASE doc_id % 3
+               WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS INT)
+               END AS sample_rate,
+             CASE WHEN doc_id % 5 <> 4 THEN CAST(1 + doc_id % 2 AS INT)
+               END AS channels,
+             CASE WHEN doc_id % 5 <> 4 THEN CAST(16 AS INT) END AS bits,
+             CASE WHEN doc_id % 5 <> 4 THEN CAST(100 + doc_id % 500 AS BIGINT)
+               END AS n_frames
            FROM documents ORDER BY doc_id""",
 
       "q_lineitem_agg" ->

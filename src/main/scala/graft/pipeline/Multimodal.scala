@@ -90,6 +90,86 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Real aspect-preserving downscale via Graphics2D, re-encoded with the
+    * JDK's `format` writer. The target dimensions use INTEGER arithmetic
+    * — nw = max(1, w·maxDim / max(w,h)) — so an oracle can predict the
+    * decoded output dims exactly. Opaque payloads and images already
+    * within `maxDim` pass through unchanged. */
+  def resizeImage(payload: Array[Byte], maxDim: Int,
+      format: String = "png"): Array[Byte] = {
+    val img =
+      if (payload.length == 0) null
+      else
+        try ImageIO.read(new ByteArrayInputStream(payload))
+        catch { case NonFatal(_) => null }
+    if (img == null) return payload
+    val w = img.getWidth; val h = img.getHeight
+    val m = math.max(w, h)
+    if (m <= maxDim) return payload
+    val nw = math.max(1, w * maxDim / m)
+    val nh = math.max(1, h * maxDim / m)
+    val dst = new BufferedImage(nw, nh, BufferedImage.TYPE_3BYTE_BGR)
+    val g = dst.createGraphics()
+    try g.drawImage(img, 0, 0, nw, nh, null) finally g.dispose()
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(dst, format, bos)
+    bos.toByteArray
+  }
+
+  // ------------------------------------------------------------- audio
+
+  val audioSchema: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("bits", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("decode_ok", BooleanType)))
+
+  /** Real audio-container decode via the JDK's javax.sound.sampled
+    * (WAV/AIFF/AU header parsing, zero deps): sample rate / channels /
+    * bit depth / frame count with `decode_ok = true`; unrecognized
+    * payloads → all-null metadata, decode_ok = false. Header-only — the
+    * PCM body is never buffered. */
+  def decodeAudio(payload: Array[Byte]): Row =
+    try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new ByteArrayInputStream(payload))
+      val f = aff.getFormat
+      Row(f.getSampleRate.toInt, f.getChannels, f.getSampleSizeInBits,
+        aff.getFrameLength.toLong, true)
+    } catch { case NonFatal(_) => Row(null, null, null, null, false) }
+
+  /** Deterministic synthetic 16-bit little-endian PCM WAV (specs and
+    * oracles predict [[decodeAudio]]'s output from the parameters). */
+  def synthWav(rateHz: Int, channels: Int, nFrames: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      rateHz.toFloat, 16, channels, true, false)
+    val pcm = new Array[Byte](2 * channels * nFrames)
+    var i = 0
+    while (i < pcm.length) { pcm(i) = (i * 31).toByte; i += 1 }
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new ByteArrayInputStream(pcm), fmt, nFrames.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Batch audio metadata extraction; appends an `audio` struct.
+    * Map-only, mirrors [[extractFeatures]]. */
+  def extractAudio(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val schema = df.schema.add("audio", audioSchema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val payload =
+          if (row.isNullAt(idx)) Array.empty[Byte]
+          else row.getAs[Array[Byte]](idx)
+        Row.fromSeq(row.toSeq :+ decodeAudio(payload))
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Right-size partitions so each holds ~`targetBytes` of payload. */
   def repartitionByBytes(df: DataFrame, payloadCol: String,
       targetBytes: Long = 128L << 20): DataFrame = {

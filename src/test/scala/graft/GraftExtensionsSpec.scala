@@ -55,5 +55,12 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
                 graft_intersect_count(array(1L, 3L, 5L), array(3L, 4L, 5L))
                   AS i""").collect()(0)
     assert(r.getDouble(0) == 11.0 && r.getInt(1) == 2)
+    // the one-pass repetition kernel returns its stats struct
+    val rep = spark.sql(
+      """SELECT graft_repetition_stats('buy now buy now').n_tokens AS n,
+                graft_repetition_stats('buy now buy now').top_count AS t,
+                graft_repetition_stats('buy now buy now').d_2grams AS g"""
+      ).collect()(0)
+    assert(rep.getLong(0) == 4L && rep.getLong(1) == 2L && rep.getLong(2) == 2L)
   }
 }

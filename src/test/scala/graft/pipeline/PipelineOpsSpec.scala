@@ -245,6 +245,38 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(!Multimodal.decode(corrupt).getBoolean(5))
   }
 
+  test("multimodal resize: integer-exact downscale; pass-through cases") {
+    // 40x20 → maxDim 16 → 16x8 (integer math), re-decoded for real
+    val resized = Multimodal.resizeImage(Multimodal.synthImage("png", 40, 20), 16)
+    val d = Multimodal.decode(resized)
+    assert(d.getInt(0) == 16 && d.getInt(1) == 8 && d.getBoolean(5))
+    // extreme aspect ratio clamps to 1, never 0
+    val thin = Multimodal.decode(
+      Multimodal.resizeImage(Multimodal.synthImage("png", 100, 2), 16))
+    assert(thin.getInt(0) == 16 && thin.getInt(1) == 1)
+    // already small and opaque payloads pass through untouched
+    val small = Multimodal.synthImage("png", 8, 8)
+    assert(Multimodal.resizeImage(small, 16).sameElements(small))
+    val opaque = "not an image".getBytes("UTF-8")
+    assert(Multimodal.resizeImage(opaque, 16).sameElements(opaque))
+  }
+
+  test("multimodal audio: WAV metadata decode, opaque fallback") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Multimodal.synthWav(16000, 2, 300)),
+      (2L, Multimodal.synthWav(8000, 1, 101)),
+      (3L, "definitely not audio".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val out = Multimodal.extractAudio(df).orderBy("id").collect()
+    def a(i: Int) = out(i).getStruct(out(i).fieldIndex("audio"))
+    assert(a(0).getInt(0) == 16000 && a(0).getInt(1) == 2 &&
+      a(0).getInt(2) == 16 && a(0).getLong(3) == 300L && a(0).getBoolean(4))
+    assert(a(1).getInt(0) == 8000 && a(1).getInt(1) == 1 &&
+      a(1).getLong(3) == 101L)
+    assert(!a(2).getBoolean(4) && a(2).isNullAt(0))
+  }
+
   test("text analysis metrics on edge cases") {
     import spark.implicits._
     val df = Seq((1L, ""), (2L, "   "), (3L, "the cat. and dog!"),
