@@ -268,6 +268,14 @@ object SparkEntry {
           col("frac_distinct_words"))
         .orderBy("doc_id")),
 
+    // Gopher-rule corpus admission: keep/drop + comma-joined failed-rule
+    // reasons, all decided on the oracle-pinned rounded signal columns
+    "q_quality_filter" -> ((s, dir) =>
+      TextAnalysis.qualityFilter(docs(s, dir))
+        .select(col("doc_id"), col("keep"), col("reasons"),
+          col("n_tokens"), col("top_word_ratio"))
+        .orderBy("doc_id")),
+
     // PII occurrences are planted deterministically from doc_id (the
     // synthetic corpus contains none) — the same derivation runs in the
     // oracle, so scrub counts and the scrubbed text are fully checked.
@@ -973,6 +981,61 @@ object SparkEntry {
                CAST(len(list_distinct(w)) AS DOUBLE) / n END, 6)
                AS frac_distinct_words
            FROM g ORDER BY doc_id""",
+
+      // Gopher admission rules over the same signal definitions as
+      // q_text_quality / q_repetition; concat_ws skips NULL reasons in
+      // both dialects, so the reason list is order-stable
+      "q_quality_filter" ->
+        """WITH toks AS (
+             SELECT doc_id, text,
+               CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                 ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+             FROM documents),
+           sig AS (
+             SELECT doc_id, w, len(w) AS n,
+               round(CASE WHEN len(w) = 0 THEN 0.0
+                 ELSE CAST(length(regexp_replace(trim(text), '\s+', '', 'g'))
+                   AS DOUBLE) / len(w) END, 6) AS mwl,
+               len(list_filter(w, t -> t IN
+                 ('the','a','of','and','to','in','is','it'))) AS n_stop,
+               round(CASE WHEN len(w) = 0 THEN 0.0 ELSE
+                 CAST(list_max(list_transform(list_distinct(w), x ->
+                   len(list_filter(w, y -> y = x)))) AS DOUBLE) / len(w)
+                 END, 6) AS twr,
+               CASE WHEN len(w) < 2 THEN []::VARCHAR[]
+                 ELSE list_transform(range(len(w) - 1), i ->
+                   w[i+1] || ' ' || w[i+2]) END AS g2,
+               CASE WHEN len(w) < 3 THEN []::VARCHAR[]
+                 ELSE list_transform(range(len(w) - 2), i ->
+                   w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) END AS g3
+             FROM toks),
+           r AS (
+             SELECT doc_id, n, mwl, n_stop, twr,
+               round(CASE WHEN len(g2) = 0 THEN 0.0 ELSE
+                 CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2)
+                 END, 6) AS d2,
+               round(CASE WHEN len(g3) = 0 THEN 0.0 ELSE
+                 CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
+                 END, 6) AS d3
+             FROM sig)
+           SELECT doc_id,
+             concat_ws(',',
+               CASE WHEN n < 50 OR n > 100000 THEN 'n_tokens' END,
+               CASE WHEN mwl < 3.0 OR mwl > 10.0 THEN 'mean_word_len' END,
+               CASE WHEN n_stop < 2 THEN 'stopwords' END,
+               CASE WHEN twr > 0.2 THEN 'top_word_ratio' END,
+               CASE WHEN d2 > 0.2 THEN 'dup_2gram' END,
+               CASE WHEN d3 > 0.18 THEN 'dup_3gram' END) AS reasons,
+             concat_ws(',',
+               CASE WHEN n < 50 OR n > 100000 THEN 'n_tokens' END,
+               CASE WHEN mwl < 3.0 OR mwl > 10.0 THEN 'mean_word_len' END,
+               CASE WHEN n_stop < 2 THEN 'stopwords' END,
+               CASE WHEN twr > 0.2 THEN 'top_word_ratio' END,
+               CASE WHEN d2 > 0.2 THEN 'dup_2gram' END,
+               CASE WHEN d3 > 0.18 THEN 'dup_3gram' END) = '' AS keep,
+             CAST(n AS BIGINT) AS n_tokens,
+             twr AS top_word_ratio
+           FROM r ORDER BY doc_id""",
 
       // progressive scrub (email → ip → ssn → phone), each count = the
       // placeholder delta its own pass introduced — mirrors scrubPii

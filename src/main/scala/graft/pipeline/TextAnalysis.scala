@@ -148,6 +148,40 @@ object TextAnalysis {
       .drop("__rep")
   }
 
+  /** Gopher-style corpus admission filter (Rae et al. 2021, A1.1):
+    * composes the quality + repetition signals into a keep/drop decision
+    * with machine-readable reasons — the apply step a training pipeline
+    * actually runs over the corpus. `reasons` is the comma-joined list of
+    * failed rules in a fixed order (empty → keep). All comparisons run on
+    * the ROUNDED signal columns, so the decision is bit-identical in any
+    * engine that reproduces those signals (they are oracle-pinned).
+    * Map-only on top of two map-only passes — zero shuffle. */
+  def qualityFilter(docs: DataFrame, textCol: String = "text",
+      minTokens: Long = 50, maxTokens: Long = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      minStopwords: Long = 2, maxTopWordRatio: Double = 0.2,
+      maxDup2: Double = 0.2, maxDup3: Double = 0.18): DataFrame = {
+    val signals = withRepetition(withQuality(docs, textCol), textCol)
+    val rules: Seq[(String, Column)] = Seq(
+      "n_tokens" ->
+        (col("n_tokens") < minTokens || col("n_tokens") > maxTokens),
+      "mean_word_len" ->
+        (col("mean_word_len") < minMeanWordLen ||
+          col("mean_word_len") > maxMeanWordLen),
+      "stopwords" -> (stopwordCount(col(textCol)) < minStopwords),
+      "top_word_ratio" -> (col("top_word_ratio") > maxTopWordRatio),
+      "dup_2gram" -> (col("dup_2gram_ratio") > maxDup2),
+      "dup_3gram" -> (col("dup_3gram_ratio") > maxDup3))
+    // concat_ws skips nulls in both dialects → stable reason order
+    val reasons = concat_ws(",",
+      rules.map { case (name, failed) =>
+        when(failed, lit(name)).otherwise(lit(null).cast("string"))
+      }: _*)
+    signals
+      .withColumn("reasons", reasons)
+      .withColumn("keep", col("reasons") === "")
+  }
+
   // ------------------------------------------------------- PII scrubbing
 
   /** Redaction patterns shared by both dialects: Java regex (Spark

@@ -364,6 +364,28 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
       assert(k == t, s"kernel/HOF divergence: $k vs $t")
   }
 
+  test("quality filter: clean doc keeps, each rule fires with its reason") {
+    import spark.implicits._
+    // 60 tokens, all 2-grams distinct, stopwords interleaved: passes all
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+    val clean = (0 until 30)
+      .flatMap(i => Seq(stops(i % 8), s"word$i")).mkString(" ")
+    val df = Seq(
+      (1L, clean),                              // passes every rule
+      (2L, "short text"),                       // n_tokens
+      (3L, ("buy now " * 40).trim))             // repetition rules fire
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.qualityFilter(df).orderBy("doc_id").collect()
+    def row(i: Int) = (r(i).getBoolean(r(i).fieldIndex("keep")),
+      r(i).getString(r(i).fieldIndex("reasons")))
+    assert(row(0) == ((true, "")), s"clean doc: ${row(0)}")
+    assert(!row(1)._1 && row(1)._2.contains("n_tokens"))
+    assert(!row(2)._1 && row(2)._2.contains("top_word_ratio") &&
+      row(2)._2.contains("dup_2gram") && row(2)._2.contains("dup_3gram"))
+    // reason order is fixed regardless of which rules fire
+    assert(row(2)._2.indexOf("top_word_ratio") < row(2)._2.indexOf("dup_2gram"))
+  }
+
   test("pii scrub: emails/ips/phones replaced and counted, clean text kept") {
     import spark.implicits._
     val df = Seq(
