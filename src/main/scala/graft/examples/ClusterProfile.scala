@@ -23,7 +23,10 @@ object ClusterProfile {
     val pairs = Similarity.cosineDupPairsByGroup(emb, "label", threshold = 0.3)
       .select(col("id_a").as("a"), col("id_b").as("b"))
     t("pairs")(pairs.count())
-    t("clusters")(Dedup.dupClusters(emb, pairs, idCol = "vec_id").count())
+    for (k <- Seq(1, 2, 3, 4, 5, 6, 8, 25))
+      t(s"clusters maxRounds=$k")(
+        Dedup.dupClusters(emb, pairs, idCol = "vec_id", maxRounds = k)
+          .agg(sum(col("cluster_id"))).collect()(0).getLong(0))
     spark.stop()
   }
 }
