@@ -1,6 +1,6 @@
 package graft.examples
 
-import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Packing, Similarity, TextAnalysis}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -34,19 +34,29 @@ object TrainingPipelineDemo {
     val dropNear = nearPairs.select(col("b").as("doc_id")).distinct()
     val deduped = exact.join(dropNear, Seq("doc_id"), "left_anti")
 
-    // 3. quality gate: token count, stopword ratio, mean word length
-    val scored = TextAnalysis.withQuality(deduped)
+    // 3. quality gate: the Gopher admission rules with per-rule reasons
+    // (thresholds relaxed to this tiny synthetic corpus)
+    val scored = TextAnalysis.qualityFilter(deduped,
+        minTokens = 5, minStopwords = 0,
+        maxTopWordRatio = 1.0, maxDup2 = 1.0, maxDup3 = 1.0)
       .withColumn("lang_guess", TextAnalysis.langGuess(col("text")))
       .withColumn("bpe_tokens", TextAnalysis.bpeTokenCount(col("text")))
-    val kept = scored.filter(
-      col("n_tokens") >= 5 && col("mean_word_len").between(2.0, 12.0))
+    val kept = scored.filter(col("keep"))
 
     // 4. per-language token budget report (the "what did we keep" view)
     val report = kept.groupBy("lang_guess")
       .agg(count(lit(1)).as("docs"), sum("bpe_tokens").as("bpe_tokens"))
       .orderBy(col("bpe_tokens").desc)
 
-    // 5. embedding near-dup pass on the embeddings table
+    // 5. context-window packing: lay the kept docs end-to-end into
+    // 512-token windows (distributed prefix-sum scan, no global window)
+    val packed = Packing.packSequences(
+      kept.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("bigint").as("n_tokens")),
+      budget = 512)
+    val nPacks = packed.agg(max("pack_id")).collect()(0).getLong(0) + 1
+
+    // 6. embedding near-dup pass on the embeddings table
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val embDups = Similarity.embeddingDupPairs(emb, threshold = 0.98)
 
@@ -56,6 +66,7 @@ object TrainingPipelineDemo {
     println(s"after quality:     ${kept.count()}")
     println("per-language token budget:")
     report.collect().foreach(r => println(f"  ${r.getString(0)}%-4s ${r.getLong(1)}%6d docs ${r.getLong(2)}%10d bpe tokens"))
+    println(s"packed into:       $nPacks windows of 512 tokens")
     println(s"embedding near-dup pairs (cos >= 0.98): ${embDups.count()}")
     spark.stop()
   }
