@@ -32,6 +32,17 @@ final class BucketStore(val spark: SparkSession, val root: String) {
   spark.conf.set("spark.sql.parquet.compression.codec", "zstd")
   spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
+  /** Store-wide mutation lock. Spark's file committer stages every job
+    * writing one output path under the same `_temporary/0` directory, so
+    * two CONCURRENT append jobs into the store root can delete each
+    * other's in-flight task files; the duplicate-ts admission check is
+    * also check-then-act. One mutator at a time per store — matching the
+    * reference's single-owner storage engine (storage/engine.rs) — while
+    * reads never block. At cluster scale the unit of write parallelism is
+    * the store root, and a single writer's job is itself parallel across
+    * executors, so the lock serializes API calls, not cluster work. */
+  private[graft] val writeLock = new Object
+
   private def dtCol = to_date(timestamp_micros(col("ts")))
 
   /** The whole store as one logical table (records schema + dt). */
@@ -51,7 +62,7 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     */
   def write(records: DataFrame, onConflict: Conflict = Conflict.Error,
       maxRecordsPerFile: Long = 1000000L,
-      codec: Option[String] = None): Unit = {
+      codec: Option[String] = None): Unit = writeLock.synchronized {
     val batch0 = records.select(Records.schema.fieldNames.map(col): _*)
     // batch-internal duplicate ts: reject (Error) or keep-first (Skip —
     // idempotent replay, e.g. re-delivered streaming micro-batches)
@@ -129,7 +140,7 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     * only the partitions containing matched records (dynamic overwrite).
     */
   def updateLabels(spec: QuerySpec, set: Map[String, String],
-      remove: Set[String] = Set.empty): Long = {
+      remove: Set[String] = Set.empty): Long = writeLock.synchronized {
     val all = table()
     val matched = QueryEngine.matching(all, spec)
       .select("bucket", "entry", "ts")
@@ -160,7 +171,7 @@ final class BucketStore(val spark: SparkSession, val root: String) {
 
   /** Query-as-delete (remove_records.rs:62-160): rewrite only affected
     * partitions without the matching rows; returns removed count. */
-  def removeQuery(spec: QuerySpec): Long = {
+  def removeQuery(spec: QuerySpec): Long = writeLock.synchronized {
     val all = table()
     val matched = QueryEngine.matching(all, spec).select("bucket", "entry", "ts")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -192,7 +203,7 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     * applies them all (a per-record loop would rewrite partitions k
     * times). Returns the number of records found and patched. */
   def updateLabelsBatch(bucket: String,
-      updates: Seq[(String, Long, Map[String, String], Set[String])]): Long = {
+      updates: Seq[(String, Long, Map[String, String], Set[String])]): Long = writeLock.synchronized {
     if (updates.isEmpty) return 0
     import scala.jdk.CollectionConverters._
     val patchSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -239,7 +250,7 @@ final class BucketStore(val spark: SparkSession, val root: String) {
   /** Remove records by explicit (entry, ts) keys (remove_records.rs:34-60,
     * the ts-list form); returns per-key found/not-found. */
   def removeRecords(bucket: String,
-      keys: Seq[(String, Long)]): Map[(String, Long), Boolean] = {
+      keys: Seq[(String, Long)]): Map[(String, Long), Boolean] = writeLock.synchronized {
     if (keys.isEmpty) return Map.empty
     import scala.jdk.CollectionConverters._
     val keyDf = spark.createDataFrame(
@@ -379,7 +390,7 @@ final class BucketStore(val spark: SparkSession, val root: String) {
       .select("entry").distinct().collect().map(_.getString(0)).toSeq.sorted
 
   /** Rename an entry (storage/bucket/rename_entry.rs): partition rewrite. */
-  def renameEntry(bucket: String, from: String, to: String): Unit = {
+  def renameEntry(bucket: String, from: String, to: String): Unit = writeLock.synchronized {
     if (entries(bucket).contains(to))
       throw new IllegalArgumentException(s"entry '$to' already exists")
     val moved = table()
@@ -391,7 +402,7 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     removeEntryFiles(bucket, from)
   }
 
-  def removeEntry(bucket: String, entry: String): Unit = {
+  def removeEntry(bucket: String, entry: String): Unit = writeLock.synchronized {
     if (EntryPattern.isSystemMetaEntry(entry))
       throw new IllegalArgumentException("cannot remove system $meta entry")
     removeEntryFiles(bucket, entry)
@@ -406,7 +417,7 @@ final class BucketStore(val spark: SparkSession, val root: String) {
 
   /** Rename a bucket (storage/bucket rename): a directory move — no data
     * rewrite, the partition values live in the path. */
-  def renameBucket(from: String, to: String): Unit = {
+  def renameBucket(from: String, to: String): Unit = writeLock.synchronized {
     val src = new org.apache.hadoop.fs.Path(s"$root/bucket=$from")
     val dst = new org.apache.hadoop.fs.Path(s"$root/bucket=$to")
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -418,7 +429,7 @@ final class BucketStore(val spark: SparkSession, val root: String) {
       throw new IllegalStateException(s"rename failed: $src -> $dst")
   }
 
-  def removeBucket(bucket: String): Unit = {
+  def removeBucket(bucket: String): Unit = writeLock.synchronized {
     val path = new org.apache.hadoop.fs.Path(s"$root/bucket=$bucket")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(path, true)
@@ -452,7 +463,7 @@ final class BucketStore(val spark: SparkSession, val root: String) {
   /** FIFO quota (bucket/quotas.rs:44-95): evict oldest day-partitions
     * until under `maxBytes`; `$meta` entries are never eviction candidates.
     * Returns evicted partition count. */
-  def enforceFifoQuota(bucket: String, maxBytes: Long): Int = {
+  def enforceFifoQuota(bucket: String, maxBytes: Long): Int = writeLock.synchronized {
     var evicted = 0
     while (bucketSizeBytes(bucket) > maxBytes) {
       val oldest = table().filter(col("bucket") === bucket)
@@ -616,7 +627,7 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     *        it (the HTTP body length) — counted against a HARD quota
     *        without a pre-write scan. */
   def writeWithSettings(bucket: String, records: DataFrame,
-      onConflict: Conflict = Conflict.Error, incomingBytes: Long = 0L): Unit = {
+      onConflict: Conflict = Conflict.Error, incomingBytes: Long = 0L): Unit = writeLock.synchronized {
     val s = bucketSettings(bucket).getOrElse(BucketSettings.defaults)
     val quota = s.quotaSize.getOrElse(0L)
     if (s.quotaType.contains("HARD") && quota > 0 &&

@@ -145,6 +145,33 @@ class BucketStoreSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("concurrent writers serialize on the store lock; no lost records") {
+    // Without the writeLock this races: Spark jobs appending one root
+    // share _temporary/0, so a finishing job can delete a concurrent
+    // job's in-flight task files (lost records / committer errors)
+    val store = newStore()
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val futs = (0 until 4).map { w =>
+      Future {
+        store.write(recordsDf((0 until 25).map(i =>
+          (s"e$w", (w * 100 + i) * day, Map("w" -> w.toString)))))
+      }
+    }
+    Await.result(Future.sequence(futs), 180.seconds)
+    assert(store.table().count() == 100, "all four writers' records landed")
+    // concurrent duplicate admission also serialized: exactly one wins
+    val dupFuts = (0 until 3).map { _ =>
+      Future(
+        try { store.write(recordsDf(Seq(("dup", 7L, Map())))); 1 }
+        catch { case _: IllegalArgumentException => 0 })
+    }
+    val oks = Await.result(Future.sequence(dupFuts), 180.seconds).sum
+    assert(oks == 1, s"exactly one duplicate writer must win, got $oks")
+    assert(store.table().filter(col("entry") === "dup").count() == 1)
+  }
+
   test("free-disk preflight rejects writes the volume can't hold (507 path)") {
     val store = newStore()
     store.freeSpaceFn = () => 10L // injected: volume "has" 10 bytes
