@@ -138,6 +138,26 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
       s"expected all 46 pairs under a loose bound, got ${unbounded.size}")
   }
 
+  test("pipeline plan shapes: shuffle budgets hold") {
+    // exchange-count ceilings over a non-foldable source: a refactor that
+    // sneaks in an extra corpus-wide shuffle fails here before it costs
+    // anything at scale
+    val docs = spark.range(100).select(col("id").as("doc_id"),
+      concat_ws(" ", lit("alpha"), concat(lit("w"), pmod(col("id"), lit(7))),
+        lit("beta")).as("text"))
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).size
+    assert(exchanges(TextAnalysis.invertedIndex(docs)) <= 2,
+      "inverted index: tf agg + term agg only")
+    assert(exchanges(Dedup.paragraphDedup(docs)) <= 3,
+      "paragraph dedup: digest count + count join + doc regroup only")
+    assert(exchanges(TextAnalysis.qualityFilter(docs)) == 0,
+      "quality filter must stay map-only")
+    assert(exchanges(TextAnalysis.withRepetition(docs)) == 0 &&
+      exchanges(TextAnalysis.withQuality(docs)) == 0,
+      "signal passes must stay map-only")
+  }
+
   test("paragraph dedup: boilerplate removed everywhere, rare paragraphs kept") {
     import spark.implicits._
     val boiler = "subscribe now"
