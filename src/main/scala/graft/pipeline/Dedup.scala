@@ -293,18 +293,31 @@ object Dedup {
     * rounds interleave — which is what lets an external engine (the DuckDB
     * recursive-CTE oracle) re-derive it. */
   def dupClusters(docs: DataFrame, pairs: DataFrame,
-      idCol: String = "doc_id", maxRounds: Int = 25): DataFrame = {
+      idCol: String = "doc_id", maxRounds: Int = 25,
+      /** Edge count at or below which the components run as a driver-side
+        * union-find instead of distributed rounds. A chain-diameter graph
+        * costs O(log d) whole-cluster rounds (~0.5 s of scheduling each),
+        * so a million-edge graph is CHEAPER to collect (16 MB) and solve
+        * in microseconds than to iterate on; beyond the bound the
+        * distributed path takes over untouched. Same unique fixpoint
+        * (min reachable id) either way — the specs run both paths and
+        * compare. Set 0 to force the distributed path. */
+      maxDriverEdges: Long = 1000000L): DataFrame = {
     // materialize the (possibly expensive) pair pipeline ONCE before the
     // symmetric union references it twice — union's two branches would
     // otherwise each evaluate it
     val p0 = pairs.select(col("a").cast("long").as("a"),
       col("b").cast("long").as("b")).persist()
-    p0.count()
+    val nEdges = p0.count()
+    if (nEdges <= maxDriverEdges) {
+      try return driverClusters(docs, p0, idCol)
+      finally p0.unpersist()
+    }
     val edges = p0.union(p0.select(col("b").as("a"), col("a").as("b")))
     var labels = docs.select(col(idCol).cast("long").as("id"))
       .withColumn("lbl", col("id")).localCheckpoint(true)
     var round = 0
-    var converged = p0.isEmpty
+    var converged = nEdges == 0L
     while (!converged && round < maxRounds) {
       val nbrMin = edges
         .join(labels.select(col("id").as("b"), col("lbl").as("nlbl")), "b")
@@ -326,5 +339,42 @@ object Dedup {
     p0.unpersist()
     labels.select(col("id").as(idCol), col("lbl").as("cluster_id"),
       (col("id") === col("lbl")).as("canonical"))
+  }
+
+  /** Small-graph path: collected union-find with path compression; the
+    * component label is the min member id, matching the distributed
+    * fixpoint exactly. Nodes outside the edge list label themselves via
+    * the left join's coalesce. */
+  private def driverClusters(docs: DataFrame, p0: DataFrame,
+      idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrDefault(x, x) != x) {
+        val p = parent.get(x)
+        parent.put(x, parent.getOrDefault(p, p)) // halving
+        x = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    p0.collect().foreach { r =>
+      val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    // larger roots always link to smaller, so every component's final
+    // root IS its min member; nodes never linked (incl. each component's
+    // min) label themselves through the join's coalesce
+    val labels = {
+      import scala.jdk.CollectionConverters._
+      parent.keySet().asScala.toSeq.map(n => (n, find(n)))
+    }
+    import spark.implicits._
+    val lblDf = labels.toDF("id", "__lbl")
+    docs.select(col(idCol).cast("long").as("id"))
+      .join(broadcast(lblDf), Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("__lbl"), col("id")).as("cluster_id"),
+        (col("id") === coalesce(col("__lbl"), col("id"))).as("canonical"))
   }
 }

@@ -471,6 +471,12 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
       (5L, 5L, true), (6L, 5L, false), (7L, 5L, false),
       (8L, 8L, true), (9L, 8L, false), (10L, 8L, false), (11L, 8L, false))
     assert(got.toSeq == expect)
+    // the distributed-rounds path (forced via maxDriverEdges = 0) reaches
+    // the identical fixpoint as the driver union-find
+    val distributed = Dedup.dupClusters(docs, pairs, maxDriverEdges = 0L)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(distributed.toSeq == expect)
     // empty pair list → everything is its own canonical cluster
     val solo = Dedup.dupClusters(docs, pairs.limit(0))
     assert(solo.filter(col("doc_id") =!= col("cluster_id")).isEmpty)
