@@ -337,11 +337,17 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     "name" -> JString(t.name),
     "created_at" -> JInt(BigInt(t.createdAtMs)),
     "is_provisioned" -> JBool(t.isProvisioned),
+    "expires_at" -> t.expiresAtMs.map(e => JInt(BigInt(e))).getOrElse(JNull),
+    "ttl" -> t.ttlSec.map(s => JInt(BigInt(s))).getOrElse(JNull),
+    "ip_allowlist" -> JArray(t.ipAllowlist.map(JString(_)).toList),
     "permissions" -> t.permissions.map(p => JObject(
       "full_access" -> JBool(p.fullAccess),
       "read" -> JArray(p.read.map(JString(_)).toList),
       "write" -> JArray(p.write.map(JString(_)).toList))).getOrElse(JNull))
 
+  /** TokenCreateRequest (token_api.rs:50-59): permissions plus the
+    * optional expires_at (RFC 3339), inactivity ttl (seconds), and
+    * ip_allowlist fields. */
   private def createToken(ex: HttpExchange, name: String): Unit = {
     val body = JsonMethods.parseOpt(new String(readBody(ex), UTF_8)).getOrElse(JObject())
     implicit val fmts: Formats = DefaultFormats
@@ -350,7 +356,16 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
       fullAccess = (perms \ "full_access").extractOpt[Boolean].getOrElse(false),
       read = (perms \ "read").extractOpt[Seq[String]].getOrElse(Seq.empty),
       write = (perms \ "write").extractOpt[Seq[String]].getOrElse(Seq.empty))
-    val resp = tokens.createToken(name, p)
+    val expiresAt = (body \ "expires_at").extractOpt[String].map { s =>
+      try java.time.OffsetDateTime.parse(s).toInstant.toEpochMilli
+      catch { case _: java.time.format.DateTimeParseException =>
+        throw unprocessable(s"Invalid expires_at '$s'") }
+    }
+    val resp = tokens.createToken(name, p,
+      expiresAtMs = expiresAt,
+      ttlSec = (body \ "ttl").extractOpt[Long],
+      ipAllowlist = (body \ "ip_allowlist").extractOpt[Seq[String]]
+        .getOrElse(Seq.empty))
     json(ex, 200, JObject("value" -> JString(resp.value),
       "created_at" -> JInt(BigInt(resp.createdAtMs))))
   }

@@ -23,6 +23,11 @@ final class SystemLog(store: BucketStore, instance: String,
 
   private val inst = if (instance.isEmpty) "unknown" else instance
 
+  /** Strictly increasing event timestamps: ts is the record id, so two
+    * messages inside one millisecond (a startup warning burst) would
+    * otherwise collide and the second would be silently skipped. */
+  private val lastUs = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Persist one log message; returns true when it was written (at or
     * above the persist level), false when dropped by the gate. */
   def log(level: String, target: String, message: String,
@@ -31,11 +36,12 @@ final class SystemLog(store: BucketStore, instance: String,
     val persist = persistLevel.exists(p =>
       Rank.getOrElse(lvl, Int.MaxValue) <= Rank.getOrElse(p, 0))
     if (persist) {
+      val ts = lastUs.updateAndGet(prev => math.max(prev + 1, nowUs))
       import scala.jdk.CollectionConverters._
       val payload =
         s"""{"event_type":"log_message","level":${jstr(lvl)},""" +
           s""""target":${jstr(target)},"message":${jstr(message)}}"""
-      val row = Row("$system", s"logs/$inst/messages", nowUs,
+      val row = Row("$system", s"logs/$inst/messages", ts,
         Map("status" -> "200", "level" -> lvl),
         Map.empty[String, String], "application/json",
         graft.core.Records.State.Finished, payload.getBytes("UTF-8"))

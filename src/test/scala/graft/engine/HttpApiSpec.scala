@@ -442,9 +442,14 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("IP allowlist sees the forwarded client, not the local proxy") {
-    val tok = api.tokens.createToken("proxy-client",
-      Auth.Permissions(fullAccess = true),
-      ipAllowlist = Seq("203.0.113.77")).value
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    // TokenCreateRequest carries ip_allowlist (token_api.rs:50-59)
+    val created = jsonOf(req("POST", "/tokens/proxy-client",
+      """{"permissions": {"full_access": true},
+          "ip_allowlist": ["203.0.113.77"]}""".getBytes))
+    val tok = (created \ "value").extract[String]
+    assert((jsonOf(req("GET", "/tokens/proxy-client")) \ "ip_allowlist")
+      .extract[Seq[String]] == Seq("203.0.113.77"))
     // peer is 127.0.0.1 (a trusted proxy) but carries no forward header →
     // the allowlist sees the loopback peer and rejects
     assert(req("GET", "/info", token = tok).statusCode() == 401)

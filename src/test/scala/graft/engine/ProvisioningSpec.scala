@@ -215,6 +215,14 @@ class ProvisioningSpec extends AnyFunSuite with SparkTestBase {
     val all = QueryEngine.query(store.table(), QuerySpec(
       bucket = Some("$system"), entries = Some(Seq("logs/**")))).count()
     assert(all == 2, "DEBUG record must not exist")
+    // a same-millisecond burst persists BOTH records (ts is the record
+    // id; the writer bumps to strictly increasing timestamps)
+    assert(api.systemLog.log("ERROR", "graft::test", "burst1", nowUs = 5000L))
+    assert(api.systemLog.log("ERROR", "graft::test", "burst2", nowUs = 5000L))
+    val bursts = QueryEngine.query(store.table(), QuerySpec(
+      bucket = Some("$system"), entries = Some(Seq("logs/**")),
+      when = Some("""{"&level": {"$eq": "ERROR"}}"""))).count()
+    assert(bursts == 3, s"boom + both burst records, got $bursts")
     // OFF disables capture entirely
     val off = new SystemLog(store, "node1", persistLevel = None)
     assert(!off.log("ERROR", "graft::test", "never"))
