@@ -340,6 +340,13 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     "expires_at" -> t.expiresAtMs.map(e => JInt(BigInt(e))).getOrElse(JNull),
     "ttl" -> t.ttlSec.map(s => JInt(BigInt(s))).getOrElse(JNull),
     "ip_allowlist" -> JArray(t.ipAllowlist.map(JString(_)).toList),
+    // computed unusable-token marker (token_api.rs:45-47)
+    "is_expired" -> JBool {
+      val now = System.currentTimeMillis()
+      t.expiresAtMs.exists(now >= _) ||
+        t.ttlSec.zip(t.lastAccessMs).exists { case (ttl, last) =>
+          (now - last) / 1000 > ttl }
+    },
     "permissions" -> t.permissions.map(p => JObject(
       "full_access" -> JBool(p.fullAccess),
       "read" -> JArray(p.read.map(JString(_)).toList),
