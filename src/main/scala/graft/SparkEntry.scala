@@ -268,6 +268,25 @@ object SparkEntry {
           col("frac_distinct_words"))
         .orderBy("doc_id")),
 
+    // HTML extraction: each doc is wrapped in a deterministic page
+    // skeleton (script/style noise, comments, entities planted from
+    // doc_id) and must come back as exactly the original text
+    "q_html_extract" -> ((s, dir) => {
+      val page = concat(
+        lit("<html><head><script>var x = 1 < 2;</script>"),
+        lit("<style>body { color: red; }</style></head><body><p>"),
+        col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit("</p><p>tail &amp; entities &lt;kept&gt;")).otherwise(lit("")),
+        lit("</p><!-- trailing comment --></body></html>"))
+      docs(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.htmlToText(page).as("extracted"))
+        .select(col("doc_id"), md5(col("extracted")).as("text_md5"),
+          length(col("extracted")).cast("bigint").as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // Gopher-rule corpus admission: keep/drop + comma-joined failed-rule
     // reasons, all decided on the oracle-pinned rounded signal columns
     "q_quality_filter" -> ((s, dir) =>
@@ -981,6 +1000,35 @@ object SparkEntry {
                CAST(len(list_distinct(w)) AS DOUBLE) / n END, 6)
                AS frac_distinct_words
            FROM g ORDER BY doc_id""",
+
+      // same strip chain as htmlToText: blocks → tags → entities (&amp;
+      // last) → whitespace collapse; RE2's (?s)/non-greedy match Java's
+      "q_html_extract" ->
+        """WITH p AS (
+             SELECT doc_id,
+               '<html><head><script>var x = 1 < 2;</script>' ||
+               '<style>body { color: red; }</style></head><body><p>' ||
+               text ||
+               CASE WHEN doc_id % 3 = 0 THEN
+                 '</p><p>tail &amp; entities &lt;kept&gt;' ELSE '' END ||
+               '</p><!-- trailing comment --></body></html>' AS page
+             FROM documents),
+           e AS (
+             SELECT doc_id, trim(regexp_replace(
+               replace(replace(replace(replace(replace(
+                 regexp_replace(
+                   regexp_replace(regexp_replace(regexp_replace(page,
+                     '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+                     '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+                     '(?s)<!--.*?-->', ' ', 'g'),
+                   '<[^>]*>', ' ', 'g'),
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&#39;', ''''), '&amp;', '&'),
+               '\s+', ' ', 'g')) AS x
+             FROM p)
+           SELECT doc_id, md5(x) AS text_md5,
+             CAST(length(x) AS BIGINT) AS n_chars
+           FROM e ORDER BY doc_id""",
 
       // Gopher admission rules over the same signal definitions as
       // q_text_quality / q_repetition; concat_ws skips NULL reasons in

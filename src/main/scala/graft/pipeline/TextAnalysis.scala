@@ -242,6 +242,27 @@ object TextAnalysis {
       .drop((0 to PiiPatterns.length).map(i => s"__pii_$i"): _*)
   }
 
+  // ------------------------------------------------- HTML text extraction
+
+  /** HTML → text, the first transform of a crawl pipeline: drop
+    * script/style/comment blocks, strip tags, decode the five basic
+    * entities, collapse whitespace. A pure regexp_replace chain in the
+    * Java/RE2 shared dialect ((?s)-dotall + non-greedy, no lookaround) —
+    * codegen'd, map-only, zero shuffle; a real deployment would swap in a
+    * full parser via mapPartitions only if entity/encoding coverage
+    * demands it. */
+  def htmlToText(html: Column): Column = {
+    val noBlocks = regexp_replace(regexp_replace(regexp_replace(html,
+      "(?s)<script[^>]*>.*?</script>", " "),
+      "(?s)<style[^>]*>.*?</style>", " "),
+      "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&") // &amp; last so it can't re-trigger
+      .foldLeft(noTags) { case (c, (e, ch)) => replace(c, lit(e), lit(ch)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   // ----------------------------------------------------- inverted index
 
   /** Retrieval-index build: one row per distinct term with its document

@@ -384,6 +384,21 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
       assert(k == t, s"kernel/HOF divergence: $k vs $t")
   }
 
+  test("html extraction: blocks dropped, tags stripped, entities decoded") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "<html><head><script>if (a < b) alert('x');</script></head>" +
+        "<body><h1>Title</h1><p>Hello   <b>world</b></p>" +
+        "<!-- hidden --><style>p{}</style>&amp; more &lt;ok&gt;</body></html>"),
+      (2L, "plain text, no markup"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = df.select(TextAnalysis.htmlToText(col("text")).as("t"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "Title Hello world & more <ok>", s"got '${out(0)}'")
+    assert(out(1) == "plain text, no markup")
+    assert(out(2) == "")
+  }
+
   test("quality filter: clean doc keeps, each rule fires with its reason") {
     import spark.implicits._
     // 60 tokens, all 2-grams distinct, stopwords interleaved: passes all
