@@ -249,6 +249,20 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("rank"))
         .orderBy("lang", "rank")),
 
+    // domain-cap sampling: planted URLs (7 hosts) → host extraction →
+    // exact-k per host, the C4-style anti-domination cap; the oracle
+    // re-derives host and the md5-order ranks
+    "q_domain_cap" -> ((s, dir) => {
+      val withHost = docs(s, dir)
+        .withColumn("url", concat(lit("https://H"),
+          pmod(col("doc_id"), lit(7)).cast("string"),
+          lit(".Example.com/p/"), col("doc_id").cast("string")))
+        .withColumn("host", TextAnalysis.urlHost(col("url")))
+      Sampling.stratifiedExactK(withHost, "host", k = 40)
+        .select(col("doc_id"), col("host"), col("rank"))
+        .orderBy("host", "rank")
+    }),
+
     // ----------------------------------------------- pipeline: text
     "q_text_quality" -> ((s, dir) =>
       TextAnalysis.withQuality(docs(s, dir))
@@ -1215,6 +1229,23 @@ object SparkEntry {
                  doc_id) AS BIGINT) AS rank
              FROM documents)
            WHERE rank <= 5 ORDER BY lang, rank""",
+
+      // host extraction mirrored (lower-cased authority), then the same
+      // md5-order exact-k window as q_sample_stratified
+      "q_domain_cap" ->
+        """SELECT doc_id, host, rank FROM (
+             SELECT doc_id, host,
+               CAST(row_number() OVER (PARTITION BY host ORDER BY
+                 ('0x' || substring(md5('graft:sample:' ||
+                    CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                 doc_id) AS BIGINT) AS rank
+             FROM (SELECT doc_id,
+                     lower(regexp_extract(
+                       'https://H' || (doc_id % 7)::VARCHAR ||
+                         '.Example.com/p/' || doc_id::VARCHAR,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host
+                   FROM documents))
+           WHERE rank <= 40 ORDER BY host, rank""",
 
       "q_embed_dup" ->
         """WITH e AS (

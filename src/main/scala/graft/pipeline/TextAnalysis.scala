@@ -263,6 +263,14 @@ object TextAnalysis {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** URL host (lower-cased authority up to the first `/?#`) — the key
+    * for domain-cap sampling (C4/RefinedWeb-style per-host page caps via
+    * [[Sampling.stratifiedExactK]]). Shared-dialect regexp_extract, so
+    * oracles reproduce it; ports/userinfo are kept verbatim (these are
+    * cap keys, not canonical hosts). Non-URLs → empty string. */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+
   // ----------------------------------------------------- inverted index
 
   /** Retrieval-index build: one row per distinct term with its document

@@ -399,6 +399,15 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(2) == "")
   }
 
+  test("url host: scheme-flexible, lower-cased, stops at /?#; junk empty") {
+    import spark.implicits._
+    val got = Seq("https://WWW.Example.COM/path?q=1",
+      "http://a.b:8080/x", "ftp://Host/", "not a url", "")
+      .toDF("u").select(TextAnalysis.urlHost(col("u")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("www.example.com", "a.b:8080", "host", "", ""))
+  }
+
   test("quality filter: clean doc keeps, each rule fires with its reason") {
     import spark.implicits._
     // 60 tokens, all 2-grams distinct, stopwords interleaved: passes all
