@@ -72,7 +72,8 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
 
   // ------------------------------------------------------------- routing
 
-  private def handle(ex: HttpExchange): Unit =
+  private def handle(ex: HttpExchange): Unit = {
+    val start = System.nanoTime()
     try {
       // every response advertises the served API generation — client SDKs
       // gate compatibility on x-reduct-api (api/http/middleware.rs:29-45)
@@ -269,7 +270,36 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
           s"${ex.getRequestMethod} ${ex.getRequestURI.getPath}: $msg")
         catch { case scala.util.control.NonFatal(_) => () }
         errorResponse(ex, 500, msg)
-    } finally ex.close()
+    } finally {
+      recordAudit(ex, (System.nanoTime() - start) / 1e9)
+      ex.close()
+    }
+  }
+
+  /** audit_requests (middleware/audit.rs): every completed request —
+    * health probes excluded — is tallied for the `$system` audit trail.
+    * Token resolution mirrors resolve_audit_token_name (revalidation,
+    * like the reference's middleware; 401 → `unauthorized`, open
+    * instance → `anonymous`). Never fails the request path. */
+  private def recordAudit(ex: HttpExchange, durationSec: Double): Unit =
+    try {
+      val status = ex.getResponseCode
+      if (status > 0) {
+        val clientIp = ClientIp.resolve(
+          Option(ex.getRemoteAddress).map(_.getAddress),
+          n => Option(ex.getRequestHeaders.getFirst(n)))
+        val tokenName =
+          if (status == 401) None // AuditLog substitutes "unauthorized"
+          else if (!tokens.authRequired) Some("anonymous")
+          else
+            try Some(tokens.validateToken(
+              Option(ex.getRequestHeaders.getFirst("Authorization")),
+              clientIp).name)
+            catch { case scala.util.control.NonFatal(_) => None }
+        auditLog.record(tokenName, ex.getRequestMethod,
+          ex.getRequestURI.getPath, status, clientIp, durationSec)
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   private def auth(ex: HttpExchange, policy: Policy): Unit =
     tokens.check(Option(ex.getRequestHeaders.getFirst("Authorization")),
@@ -1295,6 +1325,12 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     if (provisionedResources.systemEvents.enabled)
       provisionedResources.systemEvents.logLevel
     else None)
+
+  /** `$system` API audit trail (middleware/audit.rs, aggregated per
+    * (token, method, path, status) like syslog/aggregate/audit.rs). */
+  private[engine] val auditLog = new AuditLog(store,
+    provisionedResources.systemEvents.instance,
+    enabled = provisionedResources.systemEvents.enabled)
 
   provisionedResources.warnings.foreach { w =>
     System.err.println(s"[provision] $w")

@@ -228,6 +228,30 @@ class ProvisioningSpec extends AnyFunSuite with SparkTestBase {
     assert(!off.log("ERROR", "graft::test", "never"))
   }
 
+  test("api audit trail: calls aggregate per token/path, 401s tracked") {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    port // server up
+    // two identical calls + one unauthorized; health probes never audit
+    assert(req("GET", "/info").statusCode() == 200)
+    assert(req("GET", "/info").statusCode() == 200)
+    assert(req("GET", "/info", token = "wrong").statusCode() == 401)
+    assert(req("GET", "/alive", token = "").statusCode() == 200)
+    api.auditLog.flush(nowUs = 77000L)
+    val audits = QueryEngine.query(store.table(), QuerySpec(
+      bucket = Some("$system"), entries = Some(Seq("audit/**")))).collect()
+      .map { r =>
+        val p = new String(r.getAs[Array[Byte]]("payload"), "UTF-8")
+        (r.getAs[String]("entry"), p)
+      }
+    val root = audits.filter(_._1 == "audit/node1/init-token")
+    assert(root.nonEmpty, s"audited entries: ${audits.map(_._1).toSeq}")
+    assert(root.exists(a => a._2.contains("\"path\":\"/api/v1/info\"") &&
+      a._2.contains("\"call_count\":2")), s"aggregated count: $root")
+    assert(audits.exists(_._1 == "audit/node1/unauthorized"),
+      "401s audit under the unauthorized pseudo-token")
+    assert(!audits.exists(_._2.contains("/alive")), "probes never audit")
+  }
+
   test("replication settings survive with correct shape") {
     val r = Provisioning.parse(Map(
       "RS_REPLICATION_A_NAME" -> "full",
