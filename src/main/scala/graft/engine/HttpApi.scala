@@ -906,7 +906,17 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     // leak a stale file index into the next deployment's stream)
     val checkpoint = s"${store.root}/_replication/$name"
     val st = statsFor(name); st.roll()
-    val onBatch: Long => Unit = n => st.synchronized { st.ok += n }
+    val t0 = System.nanoTime()
+    var written = 0L
+    var bytes = 0L
+    val onBatch: (Long, Long) => Unit = (n, b) =>
+      st.synchronized { st.ok += n; written += n; bytes += b }
+    def replEvent(status: Int, failed: Long): Unit =
+      systemLog.event("replications", name, status,
+        s"""{"event_type":"replication","status":$status,""" +
+          s""""pending_records":0,"written_records":$written,""" +
+          s""""failed_records":$failed,"replicated_data_size":$bytes,""" +
+          s""""duration":${(System.nanoTime() - t0) / 1e9}}""")
     try Streaming.replicate(store, store, s, checkpoint,
       onReplicated = onBatch) match {
       case Some(q) =>
@@ -917,10 +927,15 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
         // mark is advisory, never a correctness input)
         val maxTs = scopedSource(s).agg(max("ts")).collect()(0)
         if (!maxTs.isNullAt(0)) st.lastTs = maxTs.getLong(0)
+        replEvent(200, failed = 0) // payload/replication.rs success shape
         json(ex, 200, JObject())
       case None => json(ex, 200, JObject("skipped" -> JString("disabled")))
     } catch { case scala.util.control.NonFatal(e) =>
       st.synchronized { st.errored += 1 } // whole-pass failure, one tick
+      // failure event: one failed pass (our error granularity — the
+      // reference counts failed records; we fail whole passes)
+      try replEvent(500, failed = 1)
+      catch { case scala.util.control.NonFatal(_) => () }
       throw e
     }
   }
@@ -1029,8 +1044,20 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
       .getOrElse(throw notFound(s"Lifecycle policy '$name' doesn't exist"))
     val nowUs = q.get("now_us").map(_.toLong)
       .getOrElse(System.currentTimeMillis() * 1000L)
+    val t0 = System.nanoTime()
     val res = Lifecycle.apply(store, p, nowUs)
     lifecycleLastRun.put(name, java.time.Instant.now())
+    // payload/lifecycle.rs success shape (processed_blocks: parquet files
+    // rotate inside day partitions, so the block notion maps to records)
+    systemLog.event("lifecycle", name, 200,
+      s"""{"event_type":"lifecycle",""" +
+        s""""policy_name":"${name.replace("\"", "\\\"")}",""" +
+        s""""action_type":"${p.action match {
+          case Lifecycle.Action.Delete => "delete"
+          case _: Lifecycle.Action.Compress => "compress"
+        }}","bucket":"${p.bucket.getOrElse("")}",""" +
+        s""""duration":${(System.nanoTime() - t0) / 1e9},""" +
+        s""""processed_records":${res.matched},"caught_up":true}""")
     json(ex, 200, JObject(
       "matched" -> JInt(BigInt(res.matched)),
       "applied" -> JBool(res.applied)))
@@ -1324,7 +1351,8 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     provisionedResources.systemEvents.instance,
     if (provisionedResources.systemEvents.enabled)
       provisionedResources.systemEvents.logLevel
-    else None)
+    else None,
+    eventsEnabled = provisionedResources.systemEvents.enabled)
 
   /** `$system` API audit trail (middleware/audit.rs, aggregated per
     * (token, method, path, status) like syslog/aggregate/audit.rs). */

@@ -18,7 +18,11 @@ import org.apache.spark.sql.Row
   * logging must not take the server down.
   */
 final class SystemLog(store: BucketStore, instance: String,
-    persistLevel: Option[String]) {
+    persistLevel: Option[String],
+    /** Gates the non-log event families (replication/lifecycle
+      * diagnostics) — RS_SYSTEM_EVENTS_ENABLED; log capture is gated by
+      * `persistLevel` alone, matching cfg/system_events.rs. */
+    eventsEnabled: Boolean = true) {
   import SystemLog._
 
   private val inst = if (instance.isEmpty) "unknown" else instance
@@ -52,6 +56,27 @@ final class SystemLog(store: BucketStore, instance: String,
         BucketStore.Conflict.Skip, incomingBytes = payload.length.toLong)
     }
     persist
+  }
+
+  /** Generic `$system` diagnostics event at
+    * `<entryPrefix>/<instance>/<name>` — the replication / lifecycle
+    * families (syslog/payload/{replication,lifecycle}.rs): a `status`
+    * label plus a flat JSON payload. Timestamps share the log writer's
+    * strictly-increasing clock. */
+  def event(entryPrefix: String, name: String, status: Int,
+      payloadJson: String,
+      nowUs: Long = System.currentTimeMillis() * 1000L): Boolean = {
+    if (!eventsEnabled) return false
+    import scala.jdk.CollectionConverters._
+    val ts = lastUs.updateAndGet(prev => math.max(prev + 1, nowUs))
+    val row = Row("$system", s"$entryPrefix/$inst/$name", ts,
+      Map("status" -> status.toString),
+      Map.empty[String, String], "application/json",
+      graft.core.Records.State.Finished, payloadJson.getBytes("UTF-8"))
+    store.writeWithSettings("$system", store.spark.createDataFrame(
+      Seq(row).asJava, graft.core.Records.schema),
+      BucketStore.Conflict.Skip, incomingBytes = payloadJson.length.toLong)
+    true
   }
 }
 

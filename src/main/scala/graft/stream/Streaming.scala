@@ -116,7 +116,9 @@ object Streaming {
   def replicate(src: BucketStore, dst: BucketStore,
       settings: ReplicationSettings, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      onReplicated: Long => Unit = _ => ()): Option[StreamingQuery] = {
+      /** (records, payload bytes) per replicated micro-batch — feeds the
+        * hourly diagnostics and the `$system` replication events. */
+      onReplicated: (Long, Long) => Unit = (_, _) => ()): Option[StreamingQuery] = {
     if (settings.mode == ReplicationMode.Disabled) return None
     val parsed = settings.when.map(w => graft.cond.Parser.parse(w))
     val statefulWhen = parsed.exists(p => graft.cond.Node.isStateful(p.root))
@@ -161,9 +163,12 @@ object Streaming {
             case other => throw new IllegalArgumentException(
               s"Invalid replication compression '$other'")
           }
+          val bytes = matched
+            .agg(coalesce(sum(length(col("payload"))), lit(0L)))
+            .collect()(0).getLong(0)
           try dst.write(renamed, BucketStore.Conflict.Skip, codec = codec)
           finally matched.unpersist()
-          onReplicated(n) // diagnostics hook (msg/diagnostics.rs hourly ok)
+          onReplicated(n, bytes) // diagnostics hook (msg/diagnostics.rs)
         }
       }
       .start()

@@ -348,6 +348,25 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
       !(preview \ "applied").extract[Boolean], "dry_run counts, applies nothing")
     assert(req("PATCH", "/lifecycle/lc2/mode",
       """{"mode": "bogus"}""".getBytes).statusCode() == 422)
+    // runs left $system diagnostics events (payload/{replication,
+    // lifecycle}.rs): success replication event with the written tally,
+    // lifecycle event with the policy name and processed count
+    import org.apache.spark.sql.functions.{col => c}
+    val sysEvents = store.table()
+      .filter(c("bucket") === "$system" &&
+        (c("entry").startsWith("replications/") ||
+          c("entry").startsWith("lifecycle/")))
+      .collect()
+      .map(r => (r.getAs[String]("entry"),
+        new String(r.getAs[Array[Byte]]("payload"), "UTF-8")))
+    assert(sysEvents.exists { case (e, p) =>
+      e.endsWith("/errs") && p.contains("\"written_records\":3") &&
+        p.contains("\"status\":200")
+    }, s"replication event: ${sysEvents.toSeq}")
+    assert(sysEvents.exists { case (e, p) =>
+      e.endsWith("/purge") && p.contains("\"event_type\":\"lifecycle\"") &&
+        p.contains("\"action_type\":\"delete\"")
+    }, s"lifecycle event: ${sysEvents.toSeq}")
   }
 
   test("token rotate re-issues the secret and keeps the grants") {
