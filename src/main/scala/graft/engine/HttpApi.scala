@@ -917,8 +917,13 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
           s""""pending_records":0,"written_records":$written,""" +
           s""""failed_records":$failed,"replicated_data_size":$bytes,""" +
           s""""duration":${(System.nanoTime() - t0) / 1e9}}""")
+    // $system-source feedback guard (PR-1567): this replication's own
+    // diagnostics events never replicate through itself
+    val exclude =
+      if (s.srcBucket.contains("$system")) Seq(s"replications/*/$name")
+      else Nil
     try Streaming.replicate(store, store, s, checkpoint,
-      onReplicated = onBatch) match {
+      onReplicated = onBatch, excludeEntries = exclude) match {
       case Some(q) =>
         q.awaitTermination()
         // the drain examined everything in scope up to now — advance the

@@ -118,7 +118,13 @@ object Streaming {
       trigger: Trigger = Trigger.AvailableNow(),
       /** (records, payload bytes) per replicated micro-batch — feeds the
         * hourly diagnostics and the `$system` replication events. */
-      onReplicated: (Long, Long) => Unit = (_, _) => ()): Option[StreamingQuery] = {
+      onReplicated: (Long, Long) => Unit = (_, _) => (),
+      /** Entry globs to EXCLUDE — the `$system` feedback-loop guard
+        * (syslog PR-1567): a `$system`-source replication must not
+        * replicate its own diagnostics events, or every run would feed
+        * the next one a new record forever. The façade passes
+        * `replications/STAR/<name>` for `$system` sources. */
+      excludeEntries: Seq[String] = Nil): Option[StreamingQuery] = {
     if (settings.mode == ReplicationMode.Disabled) return None
     val parsed = settings.when.map(w => graft.cond.Parser.parse(w))
     val statefulWhen = parsed.exists(p => graft.cond.Node.isStateful(p.root))
@@ -129,12 +135,16 @@ object Streaming {
       .drop("dt")
     val bucketScoped = settings.srcBucket
       .fold(stream0)(b => stream0.filter(col("bucket") === b))
-    val entryScoped = settings.entries
+    val entryScoped0 = settings.entries
       .fold(bucketScoped)(pats =>
         bucketScoped.filter(EntryPattern.predicateCol(col("entry"), Some(pats))))
       // only finished records replicate (and tick stateful counters) —
       // the batch path gets this from QueryEngine.matching's state flag
       .filter(col("state") === graft.core.Records.State.Finished)
+    val entryScoped =
+      if (excludeEntries.isEmpty) entryScoped0
+      else entryScoped0.filter(
+        !EntryPattern.predicateCol(col("entry"), Some(excludeEntries)))
     // paused replications skip batches in the sink but must not tick
     // stateful counters either — mode is checked before the state filter
     val enabled = settings.mode == ReplicationMode.Enabled

@@ -252,6 +252,23 @@ class ProvisioningSpec extends AnyFunSuite with SparkTestBase {
     assert(!audits.exists(_._2.contains("/alive")), "probes never audit")
   }
 
+  test("$system-source replication excludes its own diagnostics (no loop)") {
+    import org.apache.spark.sql.functions.col
+    assert(req("POST", "/replications/sysrep",
+      """{"src_bucket": "$system", "dst_bucket": "sysmirror"}""".getBytes)
+      .statusCode() == 200)
+    // run 1 drains the current $system family and writes its own event;
+    // run 2 sees run 1's event and must skip it (the feedback guard)
+    assert(req("POST", "/replications/sysrep/run").statusCode() == 200)
+    assert(req("POST", "/replications/sysrep/run").statusCode() == 200)
+    val mirrored = store.table().filter(col("bucket") === "sysmirror")
+      .select("entry").collect().map(_.getString(0))
+    assert(mirrored.exists(_.startsWith("logs/")),
+      s"the $$system log family replicated: ${mirrored.toSeq.distinct}")
+    assert(!mirrored.exists(_.startsWith("replications/node1/sysrep")),
+      s"own diagnostics must not replicate: ${mirrored.toSeq.distinct}")
+  }
+
   test("replication settings survive with correct shape") {
     val r = Provisioning.parse(Map(
       "RS_REPLICATION_A_NAME" -> "full",
