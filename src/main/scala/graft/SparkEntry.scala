@@ -249,6 +249,17 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("rank"))
         .orderBy("lang", "rank")),
 
+    // mixture building: per-lang token budgets filled in hash order;
+    // the oracle re-derives the exclusive running sums
+    "q_token_budget" -> ((s, dir) => {
+      val counted = docs(s, dir).withColumn("n_tokens",
+        TextAnalysis.tokenCount(col("text")).cast("bigint"))
+      Sampling.byTokenBudget(counted, "lang", "n_tokens", budget = 2000)
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("cum_tokens"))
+        .orderBy("lang", "cum_tokens")
+    }),
+
     // domain-cap sampling: planted URLs (7 hosts) → host extraction →
     // exact-k per host, the C4-style anti-domination cap; the oracle
     // re-derives host and the md5-order ranks
@@ -1229,6 +1240,28 @@ object SparkEntry {
                  doc_id) AS BIGINT) AS rank
              FROM documents)
            WHERE rank <= 5 ORDER BY lang, rank""",
+
+      // per-lang budget fill: exclusive running token sum in md5-hash
+      // order (same ordering key as q_sample_stratified)
+      "q_token_budget" ->
+        """WITH d AS (
+             SELECT doc_id, lang,
+               CAST(CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                 AS BIGINT) AS n_tokens,
+               ('0x' || substring(md5('graft:sample:' ||
+                  CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+             FROM documents),
+           s AS (
+             SELECT doc_id, lang, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang
+                 ORDER BY h, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cum_tokens
+             FROM d)
+           SELECT doc_id, lang, n_tokens, cum_tokens
+           FROM s WHERE cum_tokens < 2000
+           ORDER BY lang, cum_tokens""",
 
       // host extraction mirrored (lower-cased authority), then the same
       // md5-order exact-k window as q_sample_stratified

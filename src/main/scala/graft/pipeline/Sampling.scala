@@ -55,4 +55,28 @@ object Sampling {
       .filter(col("rank") <= k)
       .drop("__h")
   }
+
+  /** Data-mixture building: per stratum (language, source, domain…),
+    * take documents in the deterministic hash order until `budget`
+    * tokens accumulate — the step that turns per-source token quotas
+    * into a concrete training mix. A document is kept while the tokens
+    * BEFORE it (exclusive running sum) are under the budget, so the
+    * budget-crossing document is included and every stratum reaches ≥
+    * its quota when it has the tokens. Same hash ordering as
+    * [[stratifiedExactK]] ⇒ shrinking a budget yields a subset. One
+    * shuffle on the stratum key; the window is per-stratum, never
+    * global. `cum_tokens` (exclusive) is emitted for downstream packing.
+    */
+  def byTokenBudget(df: DataFrame, strataCol: String, tokensCol: String,
+      budget: Long, idCol: String = "doc_id",
+      salt: String = "graft:sample"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = Window.partitionBy(col(strataCol)).orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__h", hash60(col(idCol), salt))
+      .withColumn("cum_tokens",
+        coalesce(sum(col(tokensCol)).over(w), lit(0L)).cast("long"))
+      .filter(col("cum_tokens") < budget)
+      .drop("__h")
+  }
 }

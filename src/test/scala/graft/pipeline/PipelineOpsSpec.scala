@@ -506,6 +506,24 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(solo.filter(col("doc_id") =!= col("cluster_id")).isEmpty)
   }
 
+  test("token budget fill: quota reached, crossing doc kept, budgets nest") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, if (i % 2 == 0) "en" else "de", 10L))
+      .toDF("doc_id", "lang", "n_tokens")
+    val got = Sampling.byTokenBudget(df, "lang", "n_tokens", budget = 95)
+      .collect()
+    // 10-token docs, budget 95: 9 docs have cum < 95 (0..80), the 10th
+    // starts at 90 < 95 → kept (crossing doc included) = 10 per stratum
+    assert(got.count(_.getString(1) == "en") == 10)
+    assert(got.count(_.getString(1) == "de") == 10)
+    assert(got.forall(r => r.getLong(r.fieldIndex("cum_tokens")) < 95))
+    // smaller budget selects a subset (same hash order)
+    val small = Sampling.byTokenBudget(df, "lang", "n_tokens", budget = 45)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val big = got.map(_.getLong(0)).toSet
+    assert(small.subsetOf(big) && small.size == 10)
+  }
+
   test("sampling: nested rates, exact-k per stratum, deterministic") {
     import spark.implicits._
     val df = (0L until 400L).map(i => (i, if (i % 3 == 0) "en" else "de"))
