@@ -42,7 +42,10 @@ final class AuditLog(store: BucketStore, instance: String,
     }
   }
 
-  /** Drain the buffer into one `$system` write (no-op when empty). */
+  /** Drain the buffer into one `$system` write (no-op when empty).
+    * `client_ip` on a flushed row is the flushing request's — an
+    * aggregated row can merge calls from several clients, and the
+    * per-key tally (not per-client attribution) is the audit signal. */
   def flush(clientIp: Option[String] = None,
       nowUs: Long = System.currentTimeMillis() * 1000L): Unit = {
     if (!enabled || buf.isEmpty) return
