@@ -528,15 +528,22 @@ object SparkEntry {
     }),
 
     // ----------------------------------------------- analytics (bench)
+    // decimal sums ROUND to scale 2 before the double cast: a wide-scale
+    // decimal's unscaled value can exceed 2^53, where DuckDB's two-step
+    // int→double→divide conversion double-rounds while Java's BigDecimal
+    // is correctly rounded (one real sf0.1 group differed by 1e-6);
+    // at scale 2 the unscaled value fits a double exactly on both sides
     "q_lineitem_agg" -> ((s, dir) =>
       table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("decimal(20,4)")).cast("double").as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(20,4)")).cast("double").as("sum_base_price"),
-          sum((col("l_extendedprice").cast("decimal(20,4)") *
+          round(sum(col("l_quantity").cast("decimal(20,4)")), 2)
+            .cast("double").as("sum_qty"),
+          round(sum(col("l_extendedprice").cast("decimal(20,4)")), 2)
+            .cast("double").as("sum_base_price"),
+          round(sum(col("l_extendedprice").cast("decimal(20,4)") *
             (lit(java.math.BigDecimal.ONE).cast("decimal(20,4)") -
-              col("l_discount").cast("decimal(20,4)"))))
+              col("l_discount").cast("decimal(20,4)"))), 2)
             .cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
@@ -548,7 +555,8 @@ object SparkEntry {
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast("decimal(20,4)")).cast("double").as("total_price"))
+          round(sum(col("o_totalprice").cast("decimal(20,4)")), 2)
+            .cast("double").as("total_price"))
         .orderBy("c_mktsegment")
     }))
 
@@ -1609,20 +1617,24 @@ object SparkEntry {
                END AS n_frames
            FROM documents ORDER BY doc_id""",
 
+      // round(…, 2) before the double cast — see the Spark-side comment
       "q_lineitem_agg" ->
         """SELECT l_returnflag, l_linestatus,
-             CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_base_price,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4)) *
-               (CAST(1 AS DECIMAL(20,4)) - CAST(l_discount AS DECIMAL(20,4)))) AS DOUBLE)
-               AS sum_disc_price,
+             CAST(round(sum(CAST(l_quantity AS DECIMAL(20,4))), 2) AS DOUBLE)
+               AS sum_qty,
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(20,4))), 2)
+               AS DOUBLE) AS sum_base_price,
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(20,4)) *
+               (CAST(1 AS DECIMAL(20,4)) - CAST(l_discount AS DECIMAL(20,4)))),
+               2) AS DOUBLE) AS sum_disc_price,
              CAST(count(*) AS BIGINT) AS count_order
            FROM lineitem GROUP BY l_returnflag, l_linestatus
            ORDER BY l_returnflag, l_linestatus""",
 
       "q_orders_join" ->
         """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
-             CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS total_price
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(20,4))), 2)
+               AS DOUBLE) AS total_price
            FROM orders JOIN customer ON o_custkey = c_custkey
            GROUP BY c_mktsegment ORDER BY c_mktsegment""")
   }
