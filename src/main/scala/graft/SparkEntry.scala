@@ -189,6 +189,13 @@ object SparkEntry {
       Dedup.groupedJaccardPairs(docs(s, dir), "source", threshold = 0.1)
         .orderBy("id_a", "id_b")),
 
+    // oversized-group fallback: one corpus-wide group far over the bound
+    // → minhash-blocked candidates instead of a silent whole-group drop
+    "q_jaccard_capped" -> ((s, dir) =>
+      Dedup.groupedJaccardPairs(docs(s, dir).withColumn("all", lit(0)),
+          "all", threshold = 0.3, maxGroupSize = 100)
+        .orderBy("id_a", "id_b")),
+
     "q_dup_clusters" -> ((s, dir) => { // components over the minhash pairs
       val d = docs(s, dir)
       Dedup.dupClusters(d, Dedup.minhashPairs(d, threshold = 0.3))
@@ -791,8 +798,10 @@ object SparkEntry {
                   CAST(count(*) AS BIGINT) AS dup_count
            FROM documents GROUP BY md5(text) ORDER BY keep_id""",
 
-      // groups beyond the 1000-doc bound are dropped whole (the enforced
-      // bounded-group contract — pair count is quadratic in group size)
+      // groups within the 1000-doc bound take the exact all-pairs path
+      // (capped = false); no source group exceeds it at any test SF, so
+      // the oracle needs only that branch here (q_jaccard_capped pins the
+      // oversized branch)
       "q_jaccard_pairs" ->
         """WITH d0 AS (
              SELECT source, doc_id,
@@ -804,11 +813,48 @@ object SparkEntry {
            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
                (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6)
-               AS jaccard
+               AS jaccard,
+             false AS capped
            FROM d a, d b
            WHERE a.source = b.source AND a.doc_id < b.doc_id
              AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
                (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.1
+           ORDER BY id_a, id_b""",
+
+      // oversized-group fallback: the single corpus-wide group (> 100
+      // docs) is minhash-blocked over md5-60 per-token hashes — candidacy
+      // = equality of a 4-long signature slice in any of 16 bands — then
+      // verified with the exact token-set Jaccard >= 0.3; capped = true
+      "q_jaccard_capped" ->
+        """WITH consts AS (
+             SELECT
+               list_transform(range(64), j ->
+                 ('0x' || substring(md5('graft:minhash:a:' || j), 1, 15))::BIGINT
+                   % 2147483646 + 1) AS pa,
+               list_transform(range(64), j ->
+                 ('0x' || substring(md5('graft:minhash:b:' || j), 1, 15))::BIGINT
+                   % 2147483647) AS pb),
+           tok AS (
+             SELECT doc_id AS id,
+               list_sort(list_distinct(list_transform(
+                 regexp_split_to_array(trim(text), '\s+'),
+                 t -> ('0x' || substring(md5(t), 1, 15))::BIGINT))) AS h
+             FROM documents WHERE trim(text) <> ''),
+           sigs AS (
+             SELECT id, h,
+               list_transform(range(64), j ->
+                 list_min(list_transform(h, x ->
+                   (pa[j+1] * (x % 2147483647) + pb[j+1]) % 2147483647))) AS sig
+             FROM tok, consts)
+           SELECT a.id AS id_a, b.id AS id_b,
+             round(CAST(len(list_intersect(a.h, b.h)) AS DOUBLE) /
+               (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))), 6) AS jaccard,
+             true AS capped
+           FROM sigs a JOIN sigs b ON a.id < b.id
+           WHERE len(list_filter(range(16), bb ->
+               a.sig[bb*4+1:bb*4+4] = b.sig[bb*4+1:bb*4+4])) > 0
+             AND CAST(len(list_intersect(a.h, b.h)) AS DOUBLE) /
+               (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))) >= 0.3
            ORDER BY id_a, id_b""",
 
       // MinHash near-dup: every stage is md5-reproducible — 60-bit shingle

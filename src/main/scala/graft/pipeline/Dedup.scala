@@ -198,37 +198,85 @@ object Dedup {
     * cross join inside groups; the group key is the shuffle key).
     *
     * The token sets are hashed to sorted long arrays BEFORE the pairwise
-    * stage: the per-pair kernel is then a primitive merge
+    * stage ([[DedupRuntime.shingleHash60]] with k = 1 — md5-60 per
+    * distinct token, so an external engine reproduces every value): the
+    * per-pair kernel is then a primitive merge
     * ([[DedupRuntime.sortedIntersectCount]]) instead of a boxed-string
     * hash-set intersect — the set cardinalities (and hence Jaccard) are
-    * unchanged absent a 64-bit token-hash collision. O(pairs) dominates
-    * O(docs), so per-pair cost is the thing to minimize. */
+    * unchanged absent a 60-bit token-hash collision. O(pairs) dominates
+    * O(docs), so per-pair cost is the thing to minimize.
+    *
+    * BOUNDED-GROUP contract (same shape as the minhash/simhash hot-bucket
+    * caps): pair count is quadratic in group size — a 10× corpus growth
+    * under a fixed group key otherwise costs 100× (measured: SCALE.md sf1
+    * probe). A group beyond `maxGroupSize` does NOT silently vanish: it is
+    * routed through MinHash band-bucket blocking over the same token-hash
+    * sets ([[minhashPairs]] machinery, group-scoped buckets) and verified
+    * with the same exact sorted-merge Jaccard, so high-similarity pairs
+    * inside oversized groups still surface — only sub-S-curve pairs
+    * (roughly Jaccard below ~0.5 with 16×4 bands, probabilistically per
+    * the LSH curve — but deterministically reproducible from the
+    * md5-derived constants) are traded away for the quadratic bound. Rows
+    * carry `capped = true` when they came from the blocked path, so a
+    * consumer can see which groups were bounded.
+    *
+    * Output: (id_a, id_b, jaccard, capped). */
   def groupedJaccardPairs(docs: DataFrame, groupCol: String,
       idCol: String = "doc_id", textCol: String = "text",
-      threshold: Double = 0.2, maxGroupSize: Int = 1000): DataFrame = {
+      threshold: Double = 0.2, maxGroupSize: Int = 1000,
+      numHashes: Int = 64, bands: Int = 16,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
     val d0 = docs.select(col(groupCol).as("g"), col(idCol).as("id"),
-      sort_array(array_distinct(transform(
-        TextAnalysis.tokens(col(textCol)), t => xxhash64(t)))).as("toks"))
-    // ENFORCED bounded-group contract (same shape as the minhash/simhash
-    // hot-bucket caps): pair count is quadratic in group size, so a group
-    // beyond `maxGroupSize` is dropped whole rather than allowed to
-    // explode — a 10× corpus growth under a fixed group key otherwise
-    // costs 100× (measured: SCALE.md sf1 probe). Raw-attribute groupings
-    // at corpus scale should first block candidates (minhashPairs); this
-    // operator's group key is meant to be a bounded candidate bucket.
+      DedupExprs.shingleHash60(col(textCol), 1).as("toks"))
     val sizes = d0.groupBy("g").agg(count(lit(1)).as("__n"))
-    val d = d0.join(broadcast(sizes.filter(col("__n") <= maxGroupSize)
+    val small = d0.join(broadcast(sizes.filter(col("__n") <= maxGroupSize)
       .select("g")), "g")
-    val a = d.as("a"); val b = d.as("b")
+    val a = small.as("a"); val b = small.as("b")
     // |A∪B| = |A|+|B|-|A∩B| (inputs are distinct) — avoids building the
     // union array per pair
-    a.join(b, col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+    val exact = a.join(b, col("a.g") === col("b.g") && col("a.id") < col("b.id"))
       .withColumn("ni", DedupExprs.sortedIntersectCount(col("a.toks"), col("b.toks")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         (col("ni").cast("double") /
           (size(col("a.toks")) + size(col("b.toks")) - col("ni"))).as("j"))
       .filter(col("j") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
+      .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"),
+        lit(false).as("capped"))
+
+    // ---- oversized groups: minhash-blocked candidates, same exact verify
+    val r = numHashes / bands
+    val big = d0.join(broadcast(sizes.filter(col("__n") > maxGroupSize)
+        .select("g")), "g")
+      .filter(size(col("toks")) > 0)
+    val banded = big
+      .withColumn("sig", DedupExprs.minhashSig(col("toks"), numHashes))
+      .select(col("g"), col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          bb => slice(col("sig"), bb * r + 1, lit(r)))).as(Seq("band", "bucket")))
+    val cand = banded.groupBy("g", "band", "bucket")
+      .agg(collect_list(col("id")).as("grp"))
+      .filter(size(col("grp")).between(2, maxBucketSize))
+      .select(explode(expr(
+        """filter(
+             flatten(transform(grp, (x, i) ->
+               transform(slice(grp, i + 2, size(grp)), y ->
+                 struct(least(x, y) as a, greatest(x, y) as b)))),
+             p -> p.a < p.b)""")).as("p"))
+      .select(col("p.a"), col("p.b"))
+      .dropDuplicates("a", "b")
+    val blocked = cand
+      .join(big.select(col("id").as("a"), col("toks").as("ta")), "a")
+      .join(big.select(col("id").as("b"), col("toks").as("tb")), "b")
+      .withColumn("ni", DedupExprs.sortedIntersectCount(col("ta"), col("tb")))
+      .select(col("a").as("id_a"), col("b").as("id_b"),
+        (col("ni").cast("double") /
+          (size(col("ta")) + size(col("tb")) - col("ni"))).as("j"))
+      .filter(col("j") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"),
+        lit(true).as("capped"))
+
+    exact.unionByName(blocked)
   }
 
   // ----------------------------------------------- decontamination

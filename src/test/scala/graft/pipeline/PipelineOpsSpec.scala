@@ -201,18 +201,42 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Window"), s"must not use a window scan:\n$plan")
   }
 
-  test("jaccard pairs: oversized groups are dropped whole (bounded contract)") {
+  test("jaccard pairs: oversized groups fall back to minhash blocking (capped)") {
     import spark.implicits._
     val df = (0 until 8).map(i =>
         (i.toLong, if (i < 6) "big" else "ok", "same words here every time"))
       .toDF("doc_id", "g", "text")
-    val capped = Dedup.groupedJaccardPairs(df, "g",
-        threshold = 0.1, maxGroupSize = 3)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(capped == Set((6L, 7L)),
-      s"6-doc group must drop under a 3-doc bound, got $capped")
+    val out = Dedup.groupedJaccardPairs(df, "g",
+      threshold = 0.1, maxGroupSize = 3).collect()
+    val capped = out.filter(_.getBoolean(3))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = out.filter(!_.getBoolean(3))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the 6-doc group exceeds the bound → the blocked path still yields
+    // all 15 identical-text pairs (identical sigs share every bucket),
+    // marked capped = true; the 2-doc group pairs exactly, uncapped
+    assert(capped == (for { a <- 0 until 6; b <- a + 1 until 6 }
+      yield (a.toLong, b.toLong)).toSet, s"got $capped")
+    assert(exact == Set((6L, 7L)), s"got $exact")
     // under the default bound both groups pair freely: C(6,2) + C(2,2)
-    assert(Dedup.groupedJaccardPairs(df, "g", threshold = 0.1).count() == 16)
+    val free = Dedup.groupedJaccardPairs(df, "g", threshold = 0.1).collect()
+    assert(free.length == 16 && free.forall(!_.getBoolean(3)))
+  }
+
+  test("jaccard pairs: a 1001-doc group still yields its planted dup pair") {
+    import spark.implicits._
+    val docs = (0 until 1001).map { i =>
+      val text =
+        if (i == 1000) "alpha beta gamma delta epsilon zeta eta theta"
+        else if (i == 999) "alpha beta gamma delta epsilon zeta eta iota"
+        else s"unique token stream number $i with filler ${i * 7} ${i * 13}"
+      (i.toLong, "all", text)
+    }.toDF("doc_id", "g", "text")
+    // 1001 > default maxGroupSize=1000 → whole group takes the blocked
+    // path; the planted near-dup pair (jaccard 7/9) must survive it
+    val out = Dedup.groupedJaccardPairs(docs, "g", threshold = 0.5).collect()
+    assert(out.exists(r => r.getLong(0) == 999L && r.getLong(1) == 1000L
+      && r.getBoolean(3)), s"planted pair lost: ${out.mkString(", ")}")
   }
 
   test("multimodal feature extraction plumbing: schema, determinism, batching") {
