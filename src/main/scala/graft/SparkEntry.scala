@@ -498,16 +498,16 @@ object SparkEntry {
     }),
 
     // Real resize: synthesized PNGs (dims ≥ 20) are downscaled to
-    // maxDim 16 with Graphics2D, re-encoded, and re-decoded — the oracle
-    // predicts the decoded output dims with the same integer arithmetic
+    // maxDim 16 via the decode-ONCE staged kernel (one ImageIO decode
+    // feeds both the Graphics2D downscale and the features struct) —
+    // the oracle predicts the output dims with the same integer
+    // arithmetic
     "q_multimodal_resize" -> ((s, dir) => {
-      val payload = udf((id: Long) => Multimodal.resizeImage(
-        Multimodal.synthImage("png",
-          (20 + id % 40).toInt, (20 + (id / 7) % 40).toInt),
-        maxDim = 16))
+      val payload = udf((id: Long) => Multimodal.synthImage("png",
+        (20 + id % 40).toInt, (20 + (id / 7) % 40).toInt))
       val d = docs(s, dir)
         .select(col("doc_id"), payload(col("doc_id")).as("payload"))
-      Multimodal.extractFeatures(d)
+      Multimodal.resizeFeatures(d, maxDim = 16)
         .select(col("doc_id"),
           col("features.decode_ok").as("decode_ok"),
           col("features.width"), col("features.height"),

@@ -116,6 +116,62 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Decode-once resize + features: one ImageIO decode per row feeds BOTH
+    * the Graphics2D downscale and the features struct. Composing
+    * [[resizeImage]] then [[extractFeatures]] decodes every payload twice
+    * (once to resize, once to describe the re-encoded result); this
+    * staged kernel reads the output dimensions off the destination raster
+    * before encoding, so the result is bit-identical to the naive
+    * composition (the JDK encoders are deterministic for a fixed raster)
+    * at one decode less per row. Appends `resized` (binary) and
+    * `features` (describing the RESIZED payload). Map-only, no shuffle. */
+  def resizeFeatures(df: DataFrame, maxDim: Int, format: String = "png",
+      payloadCol: String = "payload"): DataFrame = {
+    val schema = df.schema
+      .add("resized", BinaryType).add("features", featureSchema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val payload =
+          if (row.isNullAt(idx)) Array.empty[Byte]
+          else row.getAs[Array[Byte]](idx)
+        val (resized, feat) = resizeAndDescribe(payload, maxDim, format)
+        Row.fromSeq(row.toSeq :+ resized :+ feat)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Single-decode kernel behind [[resizeFeatures]]. */
+  def resizeAndDescribe(payload: Array[Byte], maxDim: Int,
+      format: String): (Array[Byte], Row) = {
+    val img =
+      if (payload.length == 0) null
+      else
+        try ImageIO.read(new ByteArrayInputStream(payload))
+        catch { case NonFatal(_) => null }
+    if (img == null) { // opaque: pass through, hash-derived pseudo-dims
+      val h = byteHash(payload)
+      val w = 64 + math.floorMod(h, 1024).toInt
+      val ht = 64 + math.floorMod(h >> 10, 1024).toInt
+      return (payload, Row(w, ht, 3, h, payload.length, false))
+    }
+    val w = img.getWidth; val h = img.getHeight
+    val m = math.max(w, h)
+    if (m <= maxDim)
+      return (payload, Row(w, h, img.getRaster.getNumBands,
+        byteHash(payload), payload.length, true))
+    val nw = math.max(1, w * maxDim / m)
+    val nh = math.max(1, h * maxDim / m)
+    val dst = new BufferedImage(nw, nh, BufferedImage.TYPE_3BYTE_BGR)
+    val g = dst.createGraphics()
+    try g.drawImage(img, 0, 0, nw, nh, null) finally g.dispose()
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(dst, format, bos)
+    val bytes = bos.toByteArray
+    (bytes, Row(nw, nh, dst.getRaster.getNumBands,
+      byteHash(bytes), bytes.length, true))
+  }
+
   // ------------------------------------------------------------- audio
 
   val audioSchema: StructType = StructType(Seq(

@@ -305,6 +305,32 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(Multimodal.resizeImage(opaque, 16).sameElements(opaque))
   }
 
+  test("multimodal resizeFeatures: decode-once ≡ resize-then-extract") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Multimodal.synthImage("png", 40, 20)),   // needs downscale
+      (2L, Multimodal.synthImage("png", 8, 8)),     // within bounds
+      (3L, Multimodal.synthImage("bmp", 100, 2)),   // extreme aspect ratio
+      (4L, "not an image at all".getBytes("UTF-8")), // opaque
+      (5L, Array.empty[Byte]))                      // empty
+      .toDF("id", "payload")
+    val staged = Multimodal.resizeFeatures(df, maxDim = 16)
+      .orderBy("id").collect()
+    // the naive two-decode composition the kernel replaces
+    val naive = Multimodal.extractFeatures(
+        df.select(col("id"), udf((p: Array[Byte]) =>
+          Multimodal.resizeImage(p, 16)).apply(col("payload")).as("payload")))
+      .orderBy("id").collect()
+    for (i <- staged.indices) {
+      val sf = staged(i).getStruct(staged(i).fieldIndex("features"))
+      val nf = naive(i).getStruct(naive(i).fieldIndex("features"))
+      assert(sf == nf, s"row $i: staged $sf != naive $nf")
+      assert(staged(i).getAs[Array[Byte]]("resized")
+        .sameElements(naive(i).getAs[Array[Byte]]("payload")),
+        s"row $i: resized bytes differ")
+    }
+  }
+
   test("multimodal audio: WAV metadata decode, opaque fallback") {
     import spark.implicits._
     val df = Seq(
