@@ -19,6 +19,14 @@ object EntryPattern {
   def isSystemMetaEntry(name: String): Boolean =
     name == MetaSegment || name.endsWith("/" + MetaSegment)
 
+  /** Parent entry of `<entry>/$meta`; None for the bare "$meta"
+    * (storage/entry/system.rs:34-38). */
+  def metaEntryParent(name: String): Option[String] =
+    if (name.endsWith("/" + MetaSegment)) {
+      val base = name.dropRight(MetaSegment.length + 1)
+      if (base.nonEmpty) Some(base) else None
+    } else None
+
   /** pattern.rs:4-70. */
   def matches(entry: String, pattern0: String): Boolean = {
     val pattern = pattern0.dropWhile(_ == '/')

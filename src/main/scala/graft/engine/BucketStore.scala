@@ -43,6 +43,13 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     * executors, so the lock serializes API calls, not cluster work. */
   private[graft] val writeLock = new Object
 
+  /** Interval usage-traffic counters incremented at the serving-layer
+    * choke points (wire writes/reads); drained by
+    * [[graft.lifecycle.Lifecycle.flushUsage]] (PR-1474). Internal
+    * engine writes (replication sink, `$system` telemetry) are not
+    * counted — no telemetry on telemetry. */
+  val usage = new UsageCounters
+
   private def dtCol = to_date(timestamp_micros(col("ts")))
 
   /** The whole store as one logical table (records schema + dt). */
@@ -131,8 +138,10 @@ final class BucketStore(val spark: SparkSession, val root: String) {
       org.apache.spark.sql.Row(bucket, entry, ts, labels,
         Map.empty[String, String], contentType, Records.State.Finished, payload)
     }.asJava
+    val bytes = records.map(_._3.length.toLong).sum
     writeWithSettings(bucket, spark.createDataFrame(rows, Records.schema),
-      onConflict, incomingBytes = records.map(_._3.length.toLong).sum)
+      onConflict, incomingBytes = bytes)
+    usage.countWrite(bucket, entry, records.size.toLong, bytes)
   }
 
   /** PATCH labels (storage/entry/update_labels.rs:14-36): merge `set` keys
@@ -529,6 +538,7 @@ final class BucketStore(val spark: SparkSession, val root: String) {
           lit(Records.State.Finished).as("state"),
           col("content").as("payload"))
       writeWithSettings(bucket, df, onConflict, incomingBytes = len)
+      usage.countWrite(bucket, entry, 1L, len)
     } finally fs.delete(staged, false)
   }
 
@@ -567,6 +577,8 @@ final class BucketStore(val spark: SparkSession, val root: String) {
           }
         }.toDF()
       writeWithSettings(bucket, df, onConflict, incomingBytes = total)
+      for ((entry, es) <- slices.groupBy(_.entry))
+        usage.countWrite(bucket, entry, es.size.toLong, es.map(_.len).sum)
     } finally fs.delete(staged, false)
   }
 

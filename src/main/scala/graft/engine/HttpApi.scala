@@ -66,8 +66,39 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
   server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
   server.createContext("/api/v1/", (ex: HttpExchange) => handle(ex))
 
-  def start(): Int = { server.start(); server.getAddress.getPort }
-  def stop(): Unit = server.stop(0)
+  /** Periodic usage flush (syslog/aggregate/usage.rs, 60 s
+    * USAGE_FLUSH_INTERVAL; the `duration` payload field carries measured
+    * elapsed time, so timer drift does not skew the statistics). A final
+    * drain runs on stop, like the reference worker's shutdown flush. */
+  private val usageFlusher =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-usage-flush"); t.setDaemon(true); t
+    })
+  private val lastUsageFlushMs =
+    new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis())
+
+  /** Telemetry must never break serving: all flush errors are swallowed
+    * (usage.rs:111-112). Package-visible so specs can force a flush
+    * instead of waiting out the interval. */
+  private[engine] def flushUsageNow(): Unit = try {
+    if (provisionedResources.systemEvents.enabled) {
+      val now = System.currentTimeMillis()
+      val dur = (now - lastUsageFlushMs.getAndSet(now)) / 1000.0
+      graft.lifecycle.Lifecycle.flushUsage(store, systemLog, dur)
+    }
+  } catch { case scala.util.control.NonFatal(_) => () }
+
+  def start(): Int = {
+    server.start()
+    usageFlusher.scheduleAtFixedRate(() => flushUsageNow(), 60L, 60L,
+      java.util.concurrent.TimeUnit.SECONDS)
+    server.getAddress.getPort
+  }
+  def stop(): Unit = {
+    usageFlusher.shutdownNow()
+    flushUsageNow()
+    server.stop(0)
+  }
   def boundPort: Int = server.getAddress.getPort
 
   // ------------------------------------------------------------- routing
@@ -314,13 +345,28 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
 
   private val startedAtMs = System.currentTimeMillis()
 
+  /** Row predicate for entries visible in bucket/server history —
+    * `$meta` system entries are invisible (storage/entry/system.rs:
+    * 163-165), so a store whose records are all metadata reports a
+    * normalized 0/0 history (PR-1534). */
+  private val visibleEntry =
+    col("entry") =!= EntryPattern.MetaSegment &&
+      !col("entry").endsWith("/" + EntryPattern.MetaSegment)
+
   private def info(ex: HttpExchange): Unit = {
     val t = store.tableOrEmpty().groupBy()
-      .agg(count(lit(1)), min("ts"), max("ts"), countDistinct("bucket"))
+      .agg(count(lit(1)),
+        min(when(visibleEntry, col("ts"))),
+        max(when(visibleEntry, col("ts"))),
+        collect_set(col("bucket")))
       .collect()(0)
+    // created-but-empty buckets exist too (engine.rs keeps the bucket
+    // map, not the record table)
+    val bucketCount =
+      (t.getSeq[String](3).toSet ++ createdBuckets.asScala).size
     json(ex, 200, JObject(
       "version" -> JString(s"${HttpApi.ServerVersion}-spark"),
-      "bucket_count" -> JInt(if (t.isNullAt(3)) 0 else t.getLong(3)),
+      "bucket_count" -> JInt(bucketCount),
       "usage" -> JInt(BigInt(storeBytes)),
       "uptime" -> JLong((System.currentTimeMillis() - startedAtMs) / 1000L),
       "oldest_record" -> JInt(if (t.isNullAt(1)) 0 else BigInt(t.getLong(1))),
@@ -339,18 +385,36 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
   }
 
   private def list(ex: HttpExchange): Unit = {
+    // entry_count counts visible entries plus the (possibly empty)
+    // parents of `$meta` entries — the reference's parent_prefixes walk
+    // creates the parent entry alongside `<entry>/$meta`; history spans
+    // visible records only and normalizes to 0/0 for meta-only and
+    // empty buckets (PR-1534)
     val rows = store.tableOrEmpty().groupBy("bucket")
-      .agg(count(lit(1)).as("n"), countDistinct("entry").as("entries"),
-        min("ts").as("oldest"), max("ts").as("latest"))
-      .orderBy("bucket").collect()
-    json(ex, 200, JObject("buckets" -> JArray(rows.map { r =>
+      .agg(collect_set(when(visibleEntry, col("entry"))).as("vis"),
+        collect_set(when(!visibleEntry, col("entry"))).as("meta"),
+        min(when(visibleEntry, col("ts"))).as("oldest"),
+        max(when(visibleEntry, col("ts"))).as("latest"))
+      .collect()
+    val byName = rows.map(r => r.getString(0) -> r).toMap
+    val names = (byName.keySet ++ createdBuckets.asScala).toSeq.sorted
+    json(ex, 200, JObject("buckets" -> JArray(names.map { name =>
+      val r = byName.get(name)
+      val vis = r.map(_.getSeq[String](1).toSet).getOrElse(Set.empty)
+      val parents = r.map(_.getSeq[String](2)
+          .flatMap(EntryPattern.metaEntryParent).toSet -- vis)
+        .getOrElse(Set.empty)
       JObject(
-        "name" -> JString(r.getString(0)),
-        "size" -> JInt(BigInt(store.bucketSizeBytes(r.getString(0)))),
-        "entry_count" -> JInt(BigInt(r.getLong(1))),
-        "oldest_record" -> JInt(BigInt(r.getLong(2))),
-        "latest_record" -> JInt(BigInt(r.getLong(3))),
-        "is_provisioned" -> JBool(provisionedBuckets.contains(r.getString(0))),
+        "name" -> JString(name),
+        "size" -> JInt(BigInt(store.bucketSizeBytes(name))),
+        "entry_count" -> JInt(vis.size + parents.size),
+        "oldest_record" -> JInt(
+          r.filter(!_.isNullAt(3)).map(x => BigInt(x.getLong(3)))
+            .getOrElse(BigInt(0))),
+        "latest_record" -> JInt(
+          r.filter(!_.isNullAt(4)).map(x => BigInt(x.getLong(4)))
+            .getOrElse(BigInt(0))),
+        "is_provisioned" -> JBool(provisionedBuckets.contains(name)),
         "status" -> JString("READY")) // msg/status.rs: sync deletes → READY
     }.toList)))
   }
@@ -456,16 +520,28 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
 
   private def bucketInfo(ex: HttpExchange, bucket: String): Unit = {
     if (!bucketExists(bucket)) throw notFound(s"Bucket '$bucket' is not found")
-    val entries = store.tableOrEmpty().filter(col("bucket") === bucket)
+    val all = store.tableOrEmpty().filter(col("bucket") === bucket)
       .groupBy("entry").agg(count(lit(1)).as("n"),
         min("ts").as("oldest"), max("ts").as("latest"))
       .orderBy("entry").collect()
+    // $meta system entries are invisible here (storage/entry/system.rs:
+    // 163-165); their parents — auto-created by the reference's
+    // parent_prefixes walk — surface as EMPTY entries, and when no
+    // visible entry holds records the bucket history normalizes to 0/0
+    // (PR-1534, bucket.rs test_bucket_info_normalizes_history_when_only_
+    // meta_entries_have_records)
+    val (meta, entries) = all.partition(r =>
+      EntryPattern.isSystemMetaEntry(r.getString(0)))
+    val visibleNames = entries.map(_.getString(0)).toSet
+    val emptyParents = meta
+      .flatMap(r => EntryPattern.metaEntryParent(r.getString(0)))
+      .distinct.filterNot(visibleNames).sorted
     val stats = store.entryStats(bucket)
     json(ex, 200, JObject(
       "info" -> JObject(
         "name" -> JString(bucket),
         "size" -> JInt(BigInt(store.bucketSizeBytes(bucket))),
-        "entry_count" -> JInt(entries.length),
+        "entry_count" -> JInt(entries.length + emptyParents.length),
         "record_count" -> JInt(BigInt(entries.map(_.getLong(1)).sum)),
         "oldest_record" -> JInt(BigInt(
           if (entries.isEmpty) 0L else entries.map(_.getLong(2)).min)),
@@ -478,7 +554,7 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
         "status" -> JString("READY")),
       "settings" -> settingsJson(store.bucketSettings(bucket)
         .getOrElse(defaultBucketSettings)),
-      "entries" -> JArray(entries.map { r =>
+      "entries" -> JArray((entries.map { r =>
         val (bytes, files) = stats.getOrElse(r.getString(0), (0L, 0L))
         JObject("name" -> JString(r.getString(0)),
           "size" -> JInt(BigInt(bytes)),
@@ -487,7 +563,16 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
           "oldest_record" -> JInt(BigInt(r.getLong(2))),
           "latest_record" -> JInt(BigInt(r.getLong(3))),
           "status" -> JString("READY")) // entry_api.rs:22-24
-      }.toList)))
+      } ++ emptyParents.map { name =>
+        val (bytes, files) = stats.getOrElse(name, (0L, 0L))
+        JObject("name" -> JString(name),
+          "size" -> JInt(BigInt(bytes)),
+          "record_count" -> JInt(0),
+          "block_count" -> JInt(BigInt(files)),
+          "oldest_record" -> JInt(0),
+          "latest_record" -> JInt(0),
+          "status" -> JString("READY"))
+      }).toList)))
   }
 
   private def removeBucket(ex: HttpExchange, bucket: String): Unit = {
@@ -584,6 +669,8 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
 
   private def serveRecord(ex: HttpExchange, r: Row): Unit = {
     val payload = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.empty[Byte])
+    store.usage.countRead(r.getAs[String]("bucket"),
+      r.getAs[String]("entry"), 1L, payload.length.toLong)
     val h = ex.getResponseHeaders
     h.set("Content-Type", Option(r.getAs[String]("content_type"))
       .filter(_.nonEmpty).getOrElse("application/octet-stream"))
@@ -743,6 +830,8 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     val h = ex.getResponseHeaders
     val payloads = rows.map { r =>
       val payload = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.empty[Byte])
+      store.usage.countRead(r.getAs[String]("bucket"),
+        r.getAs[String]("entry"), 1L, payload.length.toLong)
       val labels = Option(r.getAs[collection.Map[String, String]]("labels"))
         .getOrElse(Map.empty[String, String])
       val ct = Option(r.getAs[String]("content_type"))
@@ -1150,6 +1239,8 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     }
     val recs = rows.map { r =>
       val payload = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.empty[Byte])
+      store.usage.countRead(r.getAs[String]("bucket"),
+        r.getAs[String]("entry"), 1L, payload.length.toLong)
       val labels = Option(r.getAs[collection.Map[String, String]]("labels"))
         .getOrElse(Map.empty[String, String])
       val ct = Option(r.getAs[String]("content_type"))
@@ -1203,6 +1294,9 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
               hdr.contentType, graft.core.Records.State.Finished, payload)
           }.asJava, graft.core.Records.schema)
         store.writeWithSettings(bucket, df, incomingBytes = body.length.toLong)
+        for ((entry, rs) <- rows.groupBy(_._1))
+          store.usage.countWrite(bucket, entry, rs.size.toLong,
+            rs.map(_._4.length.toLong).sum)
       } else {
         val staged = spoolToStaging(head, in)
         val fs = staged.getFileSystem(store.spark.sparkContext.hadoopConfiguration)

@@ -65,12 +65,15 @@ final class SystemLog(store: BucketStore, instance: String,
     * strictly-increasing clock. */
   def event(entryPrefix: String, name: String, status: Int,
       payloadJson: String,
-      nowUs: Long = System.currentTimeMillis() * 1000L): Boolean = {
+      nowUs: Long = System.currentTimeMillis() * 1000L,
+      /** Additional queryable labels (the usage family pins
+        * written_entries / read_entries / record_count here, PR-1474). */
+      extraLabels: Map[String, String] = Map.empty): Boolean = {
     if (!eventsEnabled) return false
     import scala.jdk.CollectionConverters._
     val ts = lastUs.updateAndGet(prev => math.max(prev + 1, nowUs))
     val row = Row("$system", s"$entryPrefix/$inst/$name", ts,
-      Map("status" -> status.toString),
+      Map("status" -> status.toString) ++ extraLabels,
       Map.empty[String, String], "application/json",
       graft.core.Records.State.Finished, payloadJson.getBytes("UTF-8"))
     store.writeWithSettings("$system", store.spark.createDataFrame(

@@ -76,6 +76,70 @@ object Lifecycle {
     }
   }
 
+  /** Drain the store's interval usage counters and emit one `$system`
+    * usage event per bucket with traffic or storage this interval, plus
+    * the instance total at `usage/<instance>/total` — the periodic flush
+    * of syslog/aggregate/usage.rs (PR-1474). `$`-prefixed system buckets
+    * are skipped ("no telemetry on telemetry", usage.rs:174-177).
+    *
+    * The traffic fields (write/read bytes, records written/read, DISTINCT
+    * entries written/read) come from the drained
+    * [[graft.engine.UsageCounters]]; the storage fields (record_count,
+    * entry_count, block_count, storage_bytes) are a point-in-time
+    * snapshot — one aggregation job over the store plus a per-bucket
+    * file-listing, at flush cadence (default 60 s), never per record.
+    * `written_entries`, `read_entries` and `record_count` are also
+    * pinned as queryable record labels. */
+  def flushUsage(store: BucketStore, syslog: graft.engine.SystemLog,
+      durationSec: Double,
+      nowUs: Long = System.currentTimeMillis() * 1000L): Unit = {
+    val drained = store.usage.drain()
+    val snapshot = store.tableOrEmpty().groupBy("bucket")
+      .agg(count(lit(1)).as("records"),
+        countDistinct("entry").as("entries"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def payloadJson(t: graft.engine.UsageCounters.Drained,
+        storageBytes: Long, bucketCount: Long, entryCount: Long,
+        blockCount: Long, recordCount: Long): String =
+      s"""{"event_type":"usage_stats","duration":$durationSec,""" +
+        s""""write_bytes":${t.writeBytes},"read_bytes":${t.readBytes},""" +
+        s""""records_written":${t.recordsWritten},""" +
+        s""""records_read":${t.recordsRead},""" +
+        s""""written_entries":${t.writtenEntries},""" +
+        s""""read_entries":${t.readEntries},""" +
+        s""""storage_bytes":$storageBytes,"bucket_count":$bucketCount,""" +
+        s""""entry_count":$entryCount,"block_count":$blockCount,""" +
+        s""""record_count":$recordCount}"""
+    def labels(t: graft.engine.UsageCounters.Drained,
+        recordCount: Long): Map[String, String] = Map(
+      "written_entries" -> t.writtenEntries.toString,
+      "read_entries" -> t.readEntries.toString,
+      "record_count" -> recordCount.toString)
+
+    val names = (drained.buckets.keySet ++ snapshot.keySet)
+      .filterNot(_.startsWith("$")).toSeq.sorted
+    var totalStorage = 0L; var totalEntries = 0L
+    var totalBlocks = 0L; var totalRecords = 0L
+    for (name <- names) {
+      val t = drained.buckets.getOrElse(name,
+        graft.engine.UsageCounters.Drained(0, 0, 0, 0, 0, 0))
+      val (records, entries) = snapshot.getOrElse(name, (0L, 0L))
+      val stats = store.entryStats(name)
+      val blocks = stats.valuesIterator.map(_._2).sum
+      val storageBytes = store.bucketSizeBytes(name)
+      totalStorage += storageBytes; totalEntries += entries
+      totalBlocks += blocks; totalRecords += records
+      syslog.event("usage", name, 200,
+        payloadJson(t, storageBytes, 1L, entries, blocks, records),
+        nowUs, extraLabels = labels(t, records))
+    }
+    syslog.event("usage", "total", 200,
+      payloadJson(drained.total, totalStorage, names.length.toLong,
+        totalEntries, totalBlocks, totalRecords),
+      nowUs, extraLabels = labels(drained.total, totalRecords))
+  }
+
   /** `$system` usage events (syslog.rs:52-155): the engine's own telemetry
     * written through the same record model into a `$system` bucket. */
   def recordUsageEvent(store: BucketStore, instance: String, bucket: String,

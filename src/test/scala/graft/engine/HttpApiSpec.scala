@@ -487,6 +487,87 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
     assert(req("DELETE", "/tokens/proxy-client").statusCode() == 200)
   }
 
+  test("meta-only buckets normalize history to 0/0 (PR-1534); list fields") {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    assert(req("POST", "/b/mnorm").statusCode() == 200)
+    // only the system $meta entry holds a record → invisible in bucket
+    // info; its parent surfaces as an EMPTY entry and history is 0/0
+    // (bucket.rs test_bucket_info_normalizes_history_when_only_meta_
+    // entries_have_records)
+    assert(req("POST", "/b/mnorm/entry%2F%24meta?ts=777", "m".getBytes)
+      .statusCode() == 200)
+    val info = jsonOf(req("GET", "/b/mnorm"))
+    assert((info \ "info" \ "oldest_record").extract[Long] == 0)
+    assert((info \ "info" \ "latest_record").extract[Long] == 0)
+    assert((info \ "info" \ "entry_count").extract[Long] == 1)
+    assert((info \ "info" \ "record_count").extract[Long] == 0)
+    val ents = (info \ "entries").children
+    assert(ents.length == 1)
+    assert((ents.head \ "name").extract[String] == "entry")
+    assert((ents.head \ "record_count").extract[Long] == 0)
+    // a real record on the parent un-normalizes the history
+    assert(req("POST", "/b/mnorm/entry?ts=555", "x".getBytes)
+      .statusCode() == 200)
+    val info2 = jsonOf(req("GET", "/b/mnorm"))
+    assert((info2 \ "info" \ "oldest_record").extract[Long] == 555)
+    assert((info2 \ "info" \ "latest_record").extract[Long] == 555)
+    assert((info2 \ "info" \ "entry_count").extract[Long] == 1)
+    assert((info2 \ "info" \ "record_count").extract[Long] == 1)
+    // /list wires the fields correctly (entry_count = entries, NOT the
+    // record count), excludes meta rows from history, and includes
+    // created-but-empty buckets with zeroed history
+    assert(req("POST", "/b/mempty").statusCode() == 200)
+    val buckets = (jsonOf(req("GET", "/list")) \ "buckets").children
+    def b(name: String) =
+      buckets.find(x => (x \ "name").extract[String] == name).get
+    assert((b("mnorm") \ "entry_count").extract[Long] == 1)
+    assert((b("mnorm") \ "oldest_record").extract[Long] == 555)
+    assert((b("mnorm") \ "latest_record").extract[Long] == 555)
+    assert((b("mempty") \ "entry_count").extract[Long] == 0)
+    assert((b("mempty") \ "oldest_record").extract[Long] == 0)
+    assert((b("mempty") \ "latest_record").extract[Long] == 0)
+  }
+
+  test("usage flush: $system events carry entry/record parity labels") {
+    import org.apache.spark.sql.functions.col
+    // traffic: 3 records into 2 entries written, 2 entries read back
+    assert(req("POST", "/b/ub").statusCode() == 200)
+    assert(req("POST", "/b/ub/e1?ts=100", "aaaa".getBytes).statusCode() == 200)
+    assert(req("POST", "/b/ub/e1?ts=200", "bbbb".getBytes).statusCode() == 200)
+    assert(req("POST", "/b/ub/e2?ts=300", "cc".getBytes).statusCode() == 200)
+    assert(req("GET", "/b/ub/e1?ts=100").statusCode() == 200)
+    assert(req("GET", "/b/ub/e2?ts=300").statusCode() == 200)
+    api.flushUsageNow()
+    val ev = store.table()
+      .filter(col("bucket") === "$system" &&
+        col("entry").startsWith("usage/") && col("entry").endsWith("/ub"))
+      .orderBy(col("ts").desc).collect()
+    assert(ev.nonEmpty, "per-bucket usage event must exist")
+    // PR-1474 parity: distinct entries written/read + stored record
+    // count, pinned as queryable labels
+    val labels = ev.head.getAs[collection.Map[String, String]]("labels")
+    assert(labels("written_entries") == "2", s"labels: $labels")
+    assert(labels("read_entries") == "2", s"labels: $labels")
+    assert(labels("record_count") == "3", s"labels: $labels")
+    val payload = new String(ev.head.getAs[Array[Byte]]("payload"), "UTF-8")
+    assert(payload.contains("\"event_type\":\"usage_stats\""))
+    assert(payload.contains("\"records_written\":3"))
+    assert(payload.contains("\"records_read\":2"))
+    assert(payload.contains("\"write_bytes\":10"))  // 4 + 4 + 2
+    // instance total exists; a second flush drains to zero traffic
+    assert(store.table()
+      .filter(col("entry").startsWith("usage/") &&
+        col("entry").endsWith("/total")).count() >= 1)
+    api.flushUsageNow()
+    val again = store.table()
+      .filter(col("entry").startsWith("usage/") && col("entry").endsWith("/ub"))
+      .orderBy(col("ts").desc).collect().head
+    val l2 = again.getAs[collection.Map[String, String]]("labels")
+    assert(l2("written_entries") == "0" && l2("read_entries") == "0",
+      s"counters must drain: $l2")
+    assert(l2("record_count") == "3", "storage snapshot persists")
+  }
+
   test("health probes: alive + ready on both verbs, unauthenticated") {
     for (verb <- Seq("HEAD", "GET"); route <- Seq("/alive", "/ready"))
       assert(req(verb, route, token = "").statusCode() == 200,
