@@ -124,7 +124,25 @@ object Streaming {
         * replicate its own diagnostics events, or every run would feed
         * the next one a new record forever. The façade passes
         * `replications/STAR/<name>` for `$system` sources. */
-      excludeEntries: Seq[String] = Nil): Option[StreamingQuery] = {
+      excludeEntries: Seq[String] = Nil,
+      /** Injectable batch sender — the RemoteBucket seam
+        * (replication_sender.rs:31): tests inject transfer latency or
+        * failures here; None sends by writing to `dst` with the
+        * settings' codec. Receives already-renamed (dst bucket/prefix)
+        * record batches. */
+      sendBatch: Option[DataFrame => Unit] = None,
+      /** Depth-1 pipelined sending (PR-1527,
+        * replication_sender.rs:120-155), applied when a custom
+        * `sendBatch` (remote wire) is set and the micro-batch spans
+        * multiple entries: prepare entry group k+1 — materialize its
+        * slice of the micro-batch — while group k's send is in flight on
+        * a background thread. Sends stay strictly ordered (single sender
+        * thread), and the LAST send joins before foreachBatch returns,
+        * so the exactly-once checkpoint contract is untouched: a failed
+        * send fails the batch before it commits, and the replay dedups
+        * via Conflict.Skip. false sends the per-entry slices serially
+        * (the A/B baseline the spec measures). */
+      pipelined: Boolean = true): Option[StreamingQuery] = {
     if (settings.mode == ReplicationMode.Disabled) return None
     val parsed = settings.when.map(w => graft.cond.Parser.parse(w))
     val statefulWhen = parsed.exists(p => graft.cond.Node.isStateful(p.root))
@@ -176,8 +194,53 @@ object Streaming {
           val bytes = matched
             .agg(coalesce(sum(length(col("payload"))), lit(0L)))
             .collect()(0).getLong(0)
-          try dst.write(renamed, BucketStore.Conflict.Skip, codec = codec)
-          finally matched.unpersist()
+          val doSend: DataFrame => Unit = sendBatch.getOrElse(
+            df => dst.write(df, BucketStore.Conflict.Skip, codec = codec))
+          // The default sink is one partitioned Spark write into the local
+          // dst store — splitting it per entry would only multiply fixed
+          // job costs. A custom sender is the remote-wire seam, where the
+          // reference's per-entry batches apply: slice the micro-batch by
+          // entry (its transaction logs are per-entry too) and send the
+          // slices in order.
+          val entryNames =
+            if (sendBatch.isDefined) matched.select("entry").distinct()
+              .collect().map(_.getString(0)).sorted
+            else Array.empty[String]
+          try {
+            if (entryNames.length <= 1) doSend(renamed)
+            else {
+              // depth-1 pipelining across entry groups: slice k+1
+              // materializes (localCheckpoint job) while slice k's send
+              // runs on the sender thread; a single-thread executor keeps
+              // sends strictly ordered, and joining the previous future
+              // BEFORE submitting the next bounds the queue at one
+              // in-flight batch. Send failures surface on join → the
+              // micro-batch fails before its checkpoint commit.
+              val sender = java.util.concurrent.Executors
+                .newSingleThreadExecutor(r => {
+                  val t = new Thread(r, "graft-repl-send")
+                  t.setDaemon(true); t
+                })
+              try {
+                var inFlight: Option[java.util.concurrent.Future[_]] = None
+                for (e <- entryNames) {
+                  val slice = renamed
+                    .filter(col("entry") === lit(settings.dstPrefix + e))
+                    .localCheckpoint(true) // the "prepare": eager materialize
+                  inFlight.foreach(_.get())
+                  if (pipelined)
+                    inFlight = Some(sender.submit(new Runnable {
+                      def run(): Unit = doSend(slice)
+                    }))
+                  else { doSend(slice); inFlight = None } // serial baseline
+                }
+                inFlight.foreach(_.get()) // drain the final send
+              } catch {
+                case e: java.util.concurrent.ExecutionException =>
+                  throw e.getCause // fail the batch with the real error
+              } finally sender.shutdownNow()
+            }
+          } finally matched.unpersist()
           onReplicated(n, bytes) // diagnostics hook (msg/diagnostics.rs)
         }
       }

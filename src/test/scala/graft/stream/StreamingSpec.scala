@@ -138,6 +138,47 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       "belated record lands exactly once")
   }
 
+  test("pipelined replication overlaps prepare with send (PR-1527)") {
+    val src = new BucketStore(spark, tmp("replpipe-src"))
+    val entries = (0 until 6).map(i => s"e$i")
+    src.write(recordsDf(entries.zipWithIndex.map { case (e, i) =>
+      (e, 100L + i, Map("v" -> i.toString)) }))
+    val settings = Streaming.ReplicationSettings(dstBucket = "replica")
+    val sendLatencyMs = 300L
+    // injected remote wire: every per-entry send costs sendLatencyMs
+    def run(pipelined: Boolean): (Long, Seq[String], BucketStore) = {
+      val dst = new BucketStore(spark, tmp(s"replpipe-dst-$pipelined"))
+      val order = collection.mutable.Buffer.empty[String]
+      val send: org.apache.spark.sql.DataFrame => Unit = df => {
+        order ++= df.select("entry").distinct()
+          .collect().map(_.getString(0)).sorted
+        Thread.sleep(sendLatencyMs)
+        dst.write(df, BucketStore.Conflict.Skip)
+      }
+      val t0 = System.nanoTime()
+      Streaming.replicate(src, dst, settings, tmp(s"replpipe-ck-$pipelined"),
+        sendBatch = Some(send), pipelined = pipelined).get.awaitTermination()
+      ((System.nanoTime() - t0) / 1000000L, order.toSeq, dst)
+    }
+    val (serialMs, serialOrder, dstS) = run(pipelined = false)
+    val (pipedMs, pipedOrder, dstP) = run(pipelined = true)
+    // ordering preserved: per-entry slices sent in sorted entry order
+    assert(pipedOrder == entries, s"send order: $pipedOrder")
+    assert(serialOrder == entries)
+    // nothing lost or duplicated in either mode
+    for (dst <- Seq(dstS, dstP)) {
+      val got = dst.table().select("entry", "ts").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+      assert(got == entries.zipWithIndex
+        .map { case (e, i) => (e, 100L + i) }.sorted, s"dst content: $got")
+    }
+    // overlap: with 6 sends of 300 ms each, the pipelined pass hides the
+    // per-slice prepare (localCheckpoint) under the in-flight send; the
+    // serial baseline pays prepare + send for every slice
+    assert(pipedMs < serialMs,
+      s"pipelined $pipedMs ms must beat serial $serialMs ms")
+  }
+
   test("windowed per-entry stats with watermark over a record stream") {
     val store = new BucketStore(spark, tmp("ws-store"))
     val h = 3600000000L
