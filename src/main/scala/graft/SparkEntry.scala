@@ -190,10 +190,13 @@ object SparkEntry {
         .orderBy("id_a", "id_b")),
 
     // oversized-group fallback: one corpus-wide group far over the bound
-    // → minhash-blocked candidates instead of a silent whole-group drop
+    // → minhash-blocked candidates instead of a silent whole-group drop.
+    // threshold 0.95 ≈ near-identical token sets: the tiny generator
+    // vocabulary makes token-set similarity dense, and the gate compare
+    // should stay tens of thousands of rows, not millions
     "q_jaccard_capped" -> ((s, dir) =>
       Dedup.groupedJaccardPairs(docs(s, dir).withColumn("all", lit(0)),
-          "all", threshold = 0.3, maxGroupSize = 100)
+          "all", threshold = 0.95, maxGroupSize = 100)
         .orderBy("id_a", "id_b")),
 
     "q_dup_clusters" -> ((s, dir) => { // components over the minhash pairs
@@ -823,8 +826,11 @@ object SparkEntry {
 
       // oversized-group fallback: the single corpus-wide group (> 100
       // docs) is minhash-blocked over md5-60 per-token hashes — candidacy
-      // = equality of a 4-long signature slice in any of 16 bands — then
-      // verified with the exact token-set Jaccard >= 0.3; capped = true
+      // = sharing a (band, 4-slice) bucket whose size is within the
+      // enforced [2, 1000] hot-bucket cap (mirrored exactly: at sf0.1 the
+      // degenerate vocabulary makes 16 buckets overflow the cap, and the
+      // engine drops them) — then verified with the exact token-set
+      // Jaccard >= 0.95; capped = true
       "q_jaccard_capped" ->
         """WITH consts AS (
              SELECT
@@ -845,16 +851,27 @@ object SparkEntry {
                list_transform(range(64), j ->
                  list_min(list_transform(h, x ->
                    (pa[j+1] * (x % 2147483647) + pb[j+1]) % 2147483647))) AS sig
-             FROM tok, consts)
-           SELECT a.id AS id_a, b.id AS id_b,
-             round(CAST(len(list_intersect(a.h, b.h)) AS DOUBLE) /
-               (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))), 6) AS jaccard,
+             FROM tok, consts),
+           banded AS (
+             SELECT id, b AS band, sig[b*4+1:b*4+4] AS bucket
+             FROM sigs, unnest(range(16)) AS t(b)),
+           ok_buckets AS (
+             SELECT band, bucket FROM banded
+             GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 1000),
+           cand AS (
+             SELECT DISTINCT a.id AS ia, b.id AS ib
+             FROM ok_buckets ob
+             JOIN banded a ON a.band = ob.band AND a.bucket = ob.bucket
+             JOIN banded b ON b.band = ob.band AND b.bucket = ob.bucket
+             WHERE a.id < b.id)
+           SELECT ia AS id_a, ib AS id_b,
+             round(CAST(len(list_intersect(ta.h, tb.h)) AS DOUBLE) /
+               (len(ta.h) + len(tb.h) - len(list_intersect(ta.h, tb.h))), 6)
+               AS jaccard,
              true AS capped
-           FROM sigs a JOIN sigs b ON a.id < b.id
-           WHERE len(list_filter(range(16), bb ->
-               a.sig[bb*4+1:bb*4+4] = b.sig[bb*4+1:bb*4+4])) > 0
-             AND CAST(len(list_intersect(a.h, b.h)) AS DOUBLE) /
-               (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))) >= 0.3
+           FROM cand JOIN tok ta ON ta.id = ia JOIN tok tb ON tb.id = ib
+           WHERE CAST(len(list_intersect(ta.h, tb.h)) AS DOUBLE) /
+               (len(ta.h) + len(tb.h) - len(list_intersect(ta.h, tb.h))) >= 0.95
            ORDER BY id_a, id_b""",
 
       // MinHash near-dup: every stage is md5-reproducible — 60-bit shingle
