@@ -23,6 +23,46 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  // ------------------------------------- dropped-work observability
+
+  /** Named-observation prefix for every hot-bucket cap. The caps bound
+    * quadratic candidate generation (a necessity at corpus scale), but
+    * bounded work must not be SILENT work: each capped stage carries a
+    * `CollectMetrics` observation counting the buckets it dropped and
+    * the ids inside them, computed on the rows already flowing through
+    * the stage — zero extra jobs, zero plan change beyond the metrics
+    * node. Read them after an action with [[capDiagnostics]]. */
+  val CapObservationPrefix = "graft_cap_"
+
+  private[pipeline] def observeBucketCap(grouped: DataFrame, op: String,
+      maxBucketSize: Int): DataFrame =
+    grouped.observe(s"$CapObservationPrefix$op",
+      coalesce(sum(when(size(col("grp")) > maxBucketSize, 1L)
+        .otherwise(0L)), lit(0L)).as("dropped_buckets"),
+      coalesce(sum(when(size(col("grp")) > maxBucketSize,
+        size(col("grp")).cast("long")).otherwise(0L)), lit(0L))
+        .as("dropped_ids"),
+      coalesce(max(size(col("grp"))).cast("long"), lit(0L))
+        .as("max_bucket_size"))
+
+  /** Cap metrics of the LAST action on `df` (or a derived frame), keyed
+    * by operator name: (dropped_buckets, dropped_ids, max_bucket_size).
+    * Empty until an action (count/collect/write) has executed the plan.
+    *
+    * A populated entry with 0 drops is an explicit "nothing was capped".
+    * An ABSENT entry after an action means the observation stage never
+    * ran: AQE's empty-relation propagation prunes the whole candidate
+    * subtree when the final result is empty (the metrics stage is
+    * replaced before executing), so "no entry" must be read as UNKNOWN,
+    * not zero — re-run with `spark.sql.adaptive.enabled=false` for a
+    * guaranteed audit of an empty result. */
+  def capDiagnostics(df: DataFrame): Map[String, (Long, Long, Long)] =
+    df.queryExecution.observedMetrics.collect {
+      case (name, row) if name.startsWith(CapObservationPrefix) =>
+        name.stripPrefix(CapObservationPrefix) ->
+          (row.getLong(0), row.getLong(1), row.getLong(2))
+    }
+
   // ------------------------------------------------------------- exact
 
   /** Exact duplicate groups by content digest. Returns one row per distinct
@@ -123,8 +163,10 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => slice(col("sig"), b * r + 1, lit(r)))).as(Seq("band", "bucket")))
     // candidate pairs inside each (band,bucket); bounded against hot buckets
-    val byBucket = banded.groupBy("band", "bucket")
-      .agg(collect_list(col("id")).as("grp"))
+    val byBucket = Dedup.observeBucketCap(
+        banded.groupBy("band", "bucket")
+          .agg(collect_list(col("id")).as("grp")),
+        "minhash", maxBucketSize)
       .filter(size(col("grp")).between(2, maxBucketSize))
     // normalize each unordered pair to (min, max) — collect_list order is
     // arbitrary, so filtering on x < y would drop half the pairs
@@ -170,8 +212,10 @@ object Dedup {
         b => call_function("shiftright", col("fp"), b * 16)
           .bitwiseAND(lit(0xFFFFL))))
         .as(Seq("block", "key")))
-    val grouped = blocked.groupBy("block", "key")
-      .agg(collect_list(struct(col("id"), col("fp"))).as("grp"))
+    val grouped = Dedup.observeBucketCap(
+        blocked.groupBy("block", "key")
+          .agg(collect_list(struct(col("id"), col("fp"))).as("grp")),
+        "simhash", maxBucketSize)
       .filter(size(col("grp")).between(2, maxBucketSize))
     // a pair sharing k chunks would surface in k buckets — emit it only
     // from the FIRST shared block (no earlier chunk of fpa^fpb is zero),
@@ -254,8 +298,10 @@ object Dedup {
       .select(col("g"), col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           bb => slice(col("sig"), bb * r + 1, lit(r)))).as(Seq("band", "bucket")))
-    val cand = banded.groupBy("g", "band", "bucket")
-      .agg(collect_list(col("id")).as("grp"))
+    val cand = Dedup.observeBucketCap(
+        banded.groupBy("g", "band", "bucket")
+          .agg(collect_list(col("id")).as("grp")),
+        "jaccard", maxBucketSize)
       .filter(size(col("grp")).between(2, maxBucketSize))
       .select(explode(expr(
         """filter(

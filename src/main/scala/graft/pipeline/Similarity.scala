@@ -215,9 +215,11 @@ object Similarity {
     val bucketed = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
       norm(col(vecCol)).as("nrm"),
       lshSignature(col(vecCol), planes, dim).as("bucket"))
-    val byBucket = bucketed.select(col("id"), col("bucket"))
-      .groupBy("bucket")
-      .agg(collect_list(col("id")).as("grp"))
+    val byBucket = Dedup.observeBucketCap(
+        bucketed.select(col("id"), col("bucket"))
+          .groupBy("bucket")
+          .agg(collect_list(col("id")).as("grp")),
+        "embed_lsh", maxBucketSize)
       .filter(size(col("grp")).between(2, maxBucketSize))
     // normalize each unordered pair to (min, max) — collect_list order is
     // arbitrary (see Dedup.minhashPairs)

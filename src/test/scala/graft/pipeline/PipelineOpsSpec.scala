@@ -239,6 +239,46 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
       && r.getBoolean(3)), s"planted pair lost: ${out.mkString(", ")}")
   }
 
+  test("hot-bucket caps are observable: dropped counts on planted input") {
+    import spark.implicits._
+    // 150 identical docs share every band bucket → 16 oversized buckets
+    // of 150 under a cap of 100; the near-dup pair stays in tiny buckets
+    val docs = ((0 until 150).map(i =>
+        (i.toLong, "all the same words in every single one of these")) ++
+      Seq((150L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (151L, "alpha beta gamma delta epsilon zeta eta theta iota lambda")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs, threshold = 0.3, maxBucketSize = 100)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((150L, 151L)),
+      s"identical-doc pairs capped away, near-dup pair survives: $got")
+    val diag = Dedup.capDiagnostics(pairs)
+    assert(diag.get("minhash").contains((16L, 16L * 150L, 150L)),
+      s"cap diagnostics: $diag")
+    // uncapped run reports zero drops (and the observation costs no jobs)
+    val free = Dedup.minhashPairs(docs, threshold = 0.3)
+    free.collect()
+    val freeDiag = Dedup.capDiagnostics(free)
+    assert(freeDiag("minhash")._1 == 0L && freeDiag("minhash")._3 == 150L)
+    // simhash + embedding-LSH carry the same observation
+    val sp = Dedup.simhashPairs(docs, maxBucketSize = 100)
+    sp.collect()
+    assert(Dedup.capDiagnostics(sp)("simhash")._1 >= 1L)
+    // 120 identical vectors drop (one hot bucket over the cap of 50);
+    // the opposite-sign dup pair survives, keeping the result non-empty
+    // (a fully-empty result lets AQE prune the unexecuted metrics stage
+    // — see the capDiagnostics scaladoc)
+    val emb = ((0 until 120).map(i => (i.toLong, Array.fill(8)(0.5f))) ++
+      Seq((200L, Array.fill(8)(-0.5f)), (201L, Array.fill(8)(-0.5f))))
+      .toDF("vec_id", "embedding")
+    val ep = Similarity.embeddingDupPairs(emb, planes = 4, dim = 8,
+      maxBucketSize = 50)
+    assert(ep.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((200L, 201L)))
+    assert(Dedup.capDiagnostics(ep)("embed_lsh") == ((1L, 120L, 120L)),
+      s"got ${Dedup.capDiagnostics(ep)}")
+  }
+
   test("multimodal feature extraction plumbing: schema, determinism, batching") {
     import spark.implicits._
     val df = Seq(
