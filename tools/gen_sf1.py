@@ -53,12 +53,15 @@ def write(name, table):
 
 
 def gen_events(n=100_000 * SCALE):
-    t0 = np.datetime64("2024-01-01T00:00:00", "us").astype("int64")
-    t1 = np.datetime64("2024-01-31T00:00:00", "us").astype("int64")
+    # timestamp[ns] like the driver tables: Spark reads it as a nanos
+    # LONG under spark.sql.legacy.parquet.nanosAsLong (tz-naive us would
+    # surface as TIMESTAMP_NTZ, which unix_micros() rejects)
+    t0 = np.datetime64("2024-01-01T00:00:00", "ns").astype("int64")
+    t1 = np.datetime64("2024-01-31T00:00:00", "ns").astype("int64")
     ts = np.sort(rng.integers(t0, t1, n))
     write("events", pa.table({
         "event_id": pa.array(np.arange(n), pa.int64()),
-        "ts": pa.array(ts, pa.timestamp("us")),
+        "ts": pa.array(ts, pa.timestamp("ns")),
         "user_id": pa.array(rng.integers(0, n // 67 + 1, n), pa.int64()),
         "event_type": pa.array(
             np.array(["click", "view", "purchase", "signup", "error"])[
@@ -103,8 +106,8 @@ def gen_embeddings(n=2_000 * SCALE, dim=64, labels=10):
 
 
 def gen_orders_lineitem(n_orders=150_000 * SCALE):
-    d0 = np.datetime64("1995-01-01", "us").astype("int64")
-    d1 = np.datetime64("2001-08-01", "us").astype("int64")
+    d0 = np.datetime64("1995-01-01", "ns").astype("int64")
+    d1 = np.datetime64("2001-08-01", "ns").astype("int64")
     write("orders", pa.table({
         "o_orderkey": pa.array(np.arange(n_orders), pa.int64()),
         "o_custkey": pa.array(
@@ -114,7 +117,7 @@ def gen_orders_lineitem(n_orders=150_000 * SCALE):
         "o_totalprice": pa.array(
             np.round(rng.uniform(1000, 500000, n_orders), 2)),
         "o_orderdate": pa.array(
-            rng.integers(d0, d1, n_orders), pa.timestamp("us")),
+            rng.integers(d0, d1, n_orders), pa.timestamp("ns")),
         "o_orderpriority": pa.array(np.array(
             ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
         )[rng.integers(0, 5, n_orders)]),
@@ -138,7 +141,7 @@ def gen_orders_lineitem(n_orders=150_000 * SCALE):
             np.array(["A", "N", "R"])[rng.integers(0, 3, n)]),
         "l_linestatus": pa.array(
             np.array(["O", "F"])[rng.integers(0, 2, n)]),
-        "l_shipdate": pa.array(rng.integers(d0, d1, n), pa.timestamp("us")),
+        "l_shipdate": pa.array(rng.integers(d0, d1, n), pa.timestamp("ns")),
     }))
 
 
