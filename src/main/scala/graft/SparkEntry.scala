@@ -826,11 +826,12 @@ object SparkEntry {
 
       // oversized-group fallback: the single corpus-wide group (> 100
       // docs) is minhash-blocked over md5-60 per-token hashes — candidacy
-      // = sharing a (band, 4-slice) bucket whose size is within the
-      // enforced [2, 1000] hot-bucket cap (mirrored exactly: at sf0.1 the
-      // degenerate vocabulary makes 16 buckets overflow the cap, and the
-      // engine drops them) — then verified with the exact token-set
-      // Jaccard >= 0.95; capped = true
+      // = sharing one of the fallback's 8 (band, 8-slice) buckets whose
+      // size is within the enforced [2, 1000] hot-bucket cap (mirrored
+      // exactly: the degenerate vocabulary overflows the cap with the
+      // identical-token-set crowd, and the engine drops those buckets) —
+      // then verified with the exact token-set Jaccard >= 0.95;
+      // capped = true
       "q_jaccard_capped" ->
         """WITH consts AS (
              SELECT
@@ -853,8 +854,8 @@ object SparkEntry {
                    (pa[j+1] * (x % 2147483647) + pb[j+1]) % 2147483647))) AS sig
              FROM tok, consts),
            banded AS (
-             SELECT id, b AS band, sig[b*4+1:b*4+4] AS bucket
-             FROM sigs, unnest(range(16)) AS t(b)),
+             SELECT id, b AS band, sig[b*8+1:b*8+8] AS bucket
+             FROM sigs, unnest(range(8)) AS t(b)),
            ok_buckets AS (
              SELECT band, bucket FROM banded
              GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 1000),
@@ -1358,7 +1359,8 @@ object SparkEntry {
            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              round(list_dot_product(a.v, b.v) /
                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
-               AS sim
+               AS sim,
+             false AS capped
            FROM e a, e b
            WHERE a.label = b.label AND a.vec_id < b.vec_id
              AND list_dot_product(a.v, b.v) /

@@ -258,17 +258,22 @@ object Dedup {
     * sets ([[minhashPairs]] machinery, group-scoped buckets) and verified
     * with the same exact sorted-merge Jaccard, so high-similarity pairs
     * inside oversized groups still surface — only sub-S-curve pairs
-    * (roughly Jaccard below ~0.5 with 16×4 bands, probabilistically per
-    * the LSH curve — but deterministically reproducible from the
-    * md5-derived constants) are traded away for the quadratic bound. Rows
-    * carry `capped = true` when they came from the blocked path, so a
-    * consumer can see which groups were bounded.
+    * (probabilistically per the LSH curve, but deterministically
+    * reproducible from the md5-derived constants) are traded away for
+    * the quadratic bound. The fallback bands 8×8 rather than
+    * [[minhashPairs]]'s 16×4: the 8-long slices put the S-curve at
+    * ~0.8 similarity — the dedup operating range an oversized-group
+    * RESCUE is for — and collide an order of magnitude less on dense
+    * near-dup mass (measured on the 10× probe: 16×4 made the whole
+    * candidate tail of a 2,500-doc degenerate group a pair; see
+    * SCALE.md). Rows carry `capped = true` when they came from the
+    * blocked path, so a consumer can see which groups were bounded.
     *
     * Output: (id_a, id_b, jaccard, capped). */
   def groupedJaccardPairs(docs: DataFrame, groupCol: String,
       idCol: String = "doc_id", textCol: String = "text",
       threshold: Double = 0.2, maxGroupSize: Int = 1000,
-      numHashes: Int = 64, bands: Int = 16,
+      numHashes: Int = 64, bands: Int = 8,
       maxBucketSize: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val d0 = docs.select(col(groupCol).as("g"), col(idCol).as("id"),

@@ -185,16 +185,55 @@ object Similarity {
     * (bounded cross join per group; deterministic, oracle-checkable). */
   def cosineDupPairsByGroup(corpus: DataFrame, groupCol: String,
       threshold: Double, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding", maxGroupSize: Int = 1000,
+      planes: Int = 8, dim: Int = 64, maxBucketSize: Int = 1000): DataFrame = {
     val d = corpus.select(col(groupCol).as("g"), col(idCol).as("id"),
       col(vecCol).as("vec"), norm(col(vecCol)).as("nrm"))
-    val a = d.as("a"); val b = d.as("b")
-    a.join(b, col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+    // BOUNDED-GROUP contract, same shape as Dedup.groupedJaccardPairs:
+    // the all-pairs join is quadratic in group size (a fixed group key
+    // over a 10× corpus costs 100× — measured, SCALE.md sf1 probe), so
+    // groups beyond `maxGroupSize` route through group-scoped LSH
+    // sign-bucket blocking ([[embeddingDupPairs]] machinery) with the
+    // same exact cosine verification, marked `capped = true`: pairs the
+    // hyperplane curve catches still surface, low-similarity pairs are
+    // traded for the quadratic bound. Output: (id_a, id_b, sim, capped).
+    val sizes = d.groupBy("g").agg(count(lit(1)).as("__n"))
+    val small = d.join(broadcast(sizes.filter(col("__n") <= maxGroupSize)
+      .select("g")), "g")
+    val a = small.as("a"); val b = small.as("b")
+    val exact = a.join(b, col("a.g") === col("b.g") && col("a.id") < col("b.id"))
       .withColumn("sim",
         dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")))
       .filter(col("sim") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(col("sim"), 6).as("sim"))
+        round(col("sim"), 6).as("sim"), lit(false).as("capped"))
+    val big = d.join(broadcast(sizes.filter(col("__n") > maxGroupSize)
+        .select("g")), "g")
+      .withColumn("bucket", lshSignature(col("vec"), planes, dim))
+    val cand = Dedup.observeBucketCap(
+        big.select(col("g"), col("bucket"), col("id"))
+          .groupBy("g", "bucket")
+          .agg(collect_list(col("id")).as("grp")),
+        "embed_group", maxBucketSize)
+      .filter(size(col("grp")).between(2, maxBucketSize))
+      .select(explode(expr(
+        """filter(
+             flatten(transform(grp, (x, i) ->
+               transform(slice(grp, i + 2, size(grp)), y ->
+                 struct(least(x, y) as a, greatest(x, y) as b)))),
+             p -> p.a < p.b)""")).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+    val vecs = d.select(col("id"), col("vec"), col("nrm"))
+    val blocked = cand
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("va"),
+        col("nrm").as("na")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vb"),
+        col("nrm").as("nb")), "id_b")
+      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("sim"), 6).as("sim"), lit(true).as("capped"))
+    exact.unionByName(blocked)
   }
 
   /** Embedding-cosine near-duplicate pairs via LSH buckets (all pairs in a

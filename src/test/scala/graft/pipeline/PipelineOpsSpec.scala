@@ -225,18 +225,44 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
 
   test("jaccard pairs: a 1001-doc group still yields its planted dup pair") {
     import spark.implicits._
+    val base = (1 to 20).map(i => s"tok$i").mkString(" ")
     val docs = (0 until 1001).map { i =>
       val text =
-        if (i == 1000) "alpha beta gamma delta epsilon zeta eta theta"
-        else if (i == 999) "alpha beta gamma delta epsilon zeta eta iota"
+        if (i == 1000) base + " theta"
+        else if (i == 999) base + " iota"
         else s"unique token stream number $i with filler ${i * 7} ${i * 13}"
       (i.toLong, "all", text)
     }.toDF("doc_id", "g", "text")
     // 1001 > default maxGroupSize=1000 → whole group takes the blocked
-    // path; the planted near-dup pair (jaccard 7/9) must survive it
+    // path; the planted near-dup pair (jaccard 20/22 ≈ 0.91, inside the
+    // fallback's 8×8 S-curve) must survive it
     val out = Dedup.groupedJaccardPairs(docs, "g", threshold = 0.5).collect()
     assert(out.exists(r => r.getLong(0) == 999L && r.getLong(1) == 1000L
       && r.getBoolean(3)), s"planted pair lost: ${out.mkString(", ")}")
+  }
+
+  test("embed pairs: oversized groups fall back to LSH blocking (capped)") {
+    import spark.implicits._
+    def v(seed: Int) = {
+      val r = new scala.util.Random(seed)
+      Array.fill(8)(r.nextGaussian().toFloat)
+    }
+    // 30-vector group over a cap of 10: the planted identical-vector dup
+    // shares its sign bucket by construction and must survive the
+    // blocked path; the small group pairs exactly, uncapped
+    val df = ((0 until 28).map(i => (i.toLong, "big", v(i))) ++
+      Seq((100L, "big", v(999)), (101L, "big", v(999)),
+        (200L, "ok", v(5)), (201L, "ok", v(5))))
+      .toDF("vec_id", "g", "embedding")
+    val out = Similarity.cosineDupPairsByGroup(df, "g", threshold = 0.99,
+      maxGroupSize = 10, planes = 4, dim = 8).collect()
+    val capped = out.filter(_.getBoolean(3))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = out.filter(!_.getBoolean(3))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((100L, 101L)),
+      s"planted dup must survive blocking: $capped")
+    assert(exact == Set((200L, 201L)), s"got $exact")
   }
 
   test("hot-bucket caps are observable: dropped counts on planted input") {
