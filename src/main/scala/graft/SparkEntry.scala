@@ -827,7 +827,7 @@ object SparkEntry {
       // oversized-group fallback: the single corpus-wide group (> 100
       // docs) is minhash-blocked over md5-60 per-token hashes — candidacy
       // = sharing one of the fallback's 8 (band, 8-slice) buckets whose
-      // size is within the enforced [2, 1000] hot-bucket cap (mirrored
+      // size is within the enforced [2, 200] hot-bucket cap (mirrored
       // exactly: the degenerate vocabulary overflows the cap with the
       // identical-token-set crowd, and the engine drops those buckets) —
       // then verified with the exact token-set Jaccard >= 0.95;
@@ -858,7 +858,7 @@ object SparkEntry {
              FROM sigs, unnest(range(8)) AS t(b)),
            ok_buckets AS (
              SELECT band, bucket FROM banded
-             GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 1000),
+             GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 200),
            cand AS (
              SELECT DISTINCT a.id AS ia, b.id AS ib
              FROM ok_buckets ob

@@ -269,12 +269,20 @@ object Dedup {
     * SCALE.md). Rows carry `capped = true` when they came from the
     * blocked path, so a consumer can see which groups were bounded.
     *
+    * `maxBucketSize` (the fallback's hot-bucket cap) defaults TIGHTER
+    * than [[minhashPairs]]'s: the fallback only runs on groups already
+    * past the quadratic bound, where candidate mass concentrates in
+    * mid-size buckets — on the sf1 probe's 2,500-doc degenerate group,
+    * cap 200 carries 150k candidates vs 1.04M at cap 1000 (7×) while
+    * the planted high-sim pairs keep colliding in small buckets.
+    * Dropped buckets are counted ([[capDiagnostics]], key "jaccard").
+    *
     * Output: (id_a, id_b, jaccard, capped). */
   def groupedJaccardPairs(docs: DataFrame, groupCol: String,
       idCol: String = "doc_id", textCol: String = "text",
       threshold: Double = 0.2, maxGroupSize: Int = 1000,
       numHashes: Int = 64, bands: Int = 8,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 200): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val d0 = docs.select(col(groupCol).as("g"), col(idCol).as("id"),
       DedupExprs.shingleHash60(col(textCol), 1).as("toks"))
