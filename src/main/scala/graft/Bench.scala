@@ -44,28 +44,41 @@ object Bench {
       try fn(spark, sfDir).count()
       catch { case e: Throwable => System.err.println(s"[bench] warmup $name: $e") }
 
-    // declared queries (count() forces full evaluation)
-    for ((name, fn) <- SparkEntry.queries)
-      results(name) = timed { fn(spark, sfDir).count(): Unit }
+    // declared queries: TWO timed passes, report the per-query MIN — a
+    // single background-load spike on the machine can't fake a
+    // regression (the r7/r8 driver runs were both load-contaminated;
+    // the min of two independent runs is still an honest latency: the
+    // work is deterministic, so the faster run is the less-perturbed one)
+    for (_ <- 1 to 2; (name, fn) <- SparkEntry.queries) {
+      val t = timed { fn(spark, sfDir).count(): Unit }
+      results(name) = math.min(results.getOrElse(name, Double.MaxValue), t)
+    }
 
-    // reference workload shape (python-benchmark.py:43-127) on a store
-    val storeDir = java.nio.file.Files.createTempDirectory("graft-bench").toString
-    val store = new BucketStore(spark, storeDir)
+    // reference workload shape (python-benchmark.py:43-127) on a store;
+    // the sequence mutates the store, so min-of-2 runs the whole
+    // sequence twice on two fresh stores
     val records = Records.fromEvents(
       spark.read.parquet(s"$sfDir/events.parquet")).cache()
     records.count()
-    results("w_write") = timed { store.write(records) }
-    results("w_read_payload") = timed {
-      // full scan via query cursor incl. payload bytes (read B/s analog)
-      val n = QueryEngine.query(store.table(), QuerySpec())
-        .agg(sum(length(col("payload")))).collect()(0).getLong(0)
-      require(n > 0)
-    }
-    results("w_update_labels") = timed {
-      store.updateLabels(QuerySpec(), set = Map("key" -> "value2")): Unit
-    }
-    results("w_remove_each_n") = timed {
-      store.removeQuery(QuerySpec(when = Some("""{"$each_n": 2}"""))): Unit
+    for (_ <- 1 to 2) {
+      val storeDir = java.nio.file.Files.createTempDirectory("graft-bench").toString
+      val store = new BucketStore(spark, storeDir)
+      val pass = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      pass("w_write") = timed { store.write(records) }
+      pass("w_read_payload") = timed {
+        // full scan via query cursor incl. payload bytes (read B/s analog)
+        val n = QueryEngine.query(store.table(), QuerySpec())
+          .agg(sum(length(col("payload")))).collect()(0).getLong(0)
+        require(n > 0)
+      }
+      pass("w_update_labels") = timed {
+        store.updateLabels(QuerySpec(), set = Map("key" -> "value2")): Unit
+      }
+      pass("w_remove_each_n") = timed {
+        store.removeQuery(QuerySpec(when = Some("""{"$each_n": 2}"""))): Unit
+      }
+      for ((name, t) <- pass)
+        results(name) = math.min(results.getOrElse(name, Double.MaxValue), t)
     }
     records.unpersist()
 

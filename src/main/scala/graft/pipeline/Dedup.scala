@@ -34,6 +34,11 @@ object Dedup {
     * node. Read them after an action with [[capDiagnostics]]. */
   val CapObservationPrefix = "graft_cap_"
 
+  /** `op` is the observation key (suffix on [[CapObservationPrefix]]).
+    * Operators expose it as `capName` so two instances of the same
+    * operator can compose in ONE plan — `CollectMetrics` names must be
+    * unique per plan, so composing e.g. two [[minhashPairs]] over
+    * different corpora before a single action needs distinct names. */
   private[pipeline] def observeBucketCap(grouped: DataFrame, op: String,
       maxBucketSize: Int): DataFrame =
     grouped.observe(s"$CapObservationPrefix$op",
@@ -62,6 +67,57 @@ object Dedup {
         name.stripPrefix(CapObservationPrefix) ->
           (row.getLong(0), row.getLong(1), row.getLong(2))
     }
+
+  // ------------------------------------- bounded-group split (shared)
+
+  /** Routes rows into (small-groups, oversized-groups) frames for the
+    * bounded-group pair operators — ADAPTIVELY, at plan-construction
+    * time (same precedent as [[dupClusters]]' count-gated driver path):
+    *
+    *  1. One column-pruned agg finds the oversized group keys. The list
+    *     is small by construction — every key owns > `maxGroupSize`
+    *     rows, so there are at most N/maxGroupSize of them.
+    *  2. Empty list (the overwhelmingly common case): the small frame IS
+    *     `d` and the big frame is `None` — the caller builds NO fallback
+    *     branch at all, so the operator's plan degenerates to the pure
+    *     exact path with zero routing cost (measured: join- or
+    *     window-based splits cost 0.3-0.6 s of extra stage barriers per
+    *     query at sf0.1 even when the fallback is empty, because the
+    *     fallback subtree's CollectMetrics blocks empty-relation
+    *     pruning; a window-count split additionally co-locates a hot
+    *     group's full rows on one partition — the exact skew the
+    *     fallback exists to avoid).
+    *  3. ≤ `maxDriverKeys` keys: route with an `isin` predicate (Spark
+    *     compiles it to an O(1)-probe InSet) — map-only, no join, no
+    *     broadcast stage barrier.
+    *  4. Beyond that (degenerate corpora only): anti/semi joins against
+    *     ONE shared broadcast of the key list — exchange reuse computes
+    *     the agg once and rows still never shuffle by g.
+    *
+    * The routing decision is taken when the operator is CALLED, not per
+    * action — sound for batch pipelines over immutable inputs (which is
+    * what these operators are for; the eager key-list job also means the
+    * operators reject streaming frames, as before). */
+  private[pipeline] def splitByGroupSize(d: DataFrame, maxGroupSize: Int,
+      maxDriverKeys: Int = 10000): (DataFrame, Option[DataFrame]) = {
+    val bigKeys = d.groupBy(col("g")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxGroupSize).select(col("g"))
+    val collected = bigKeys.limit(maxDriverKeys + 1).collect().map(_.get(0))
+    if (collected.isEmpty) (d, None)
+    else if (collected.length <= maxDriverKeys) {
+      val hasNull = collected.contains(null)
+      val nonNull = collected.filter(_ != null).toSeq
+      // null-safe membership: a null group key is a group like any other
+      val inBig0 = if (nonNull.isEmpty) lit(false) else col("g").isin(nonNull: _*)
+      val inBig = if (hasNull) col("g").isNull || inBig0
+                  else col("g").isNotNull && inBig0
+      (d.filter(!inBig), Some(d.filter(inBig)))
+    } else {
+      val bk = broadcast(bigKeys)
+      (d.join(bk, Seq("g"), "left_anti"),
+        Some(d.join(bk, Seq("g"), "left_semi")))
+    }
+  }
 
   // ------------------------------------------------------------- exact
 
@@ -149,7 +205,7 @@ object Dedup {
   def minhashPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 3, numHashes: Int = 64,
       bands: Int = 16, threshold: Double = 0.5,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000, capName: String = "minhash"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val hsTab = docs
@@ -166,7 +222,7 @@ object Dedup {
     val byBucket = Dedup.observeBucketCap(
         banded.groupBy("band", "bucket")
           .agg(collect_list(col("id")).as("grp")),
-        "minhash", maxBucketSize)
+        capName, maxBucketSize)
       .filter(size(col("grp")).between(2, maxBucketSize))
     // normalize each unordered pair to (min, max) — collect_list order is
     // arbitrary, so filtering on x < y would drop half the pairs
@@ -204,7 +260,7 @@ object Dedup {
     * verify with bit_count. */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxHamming: Int = 3,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000, capName: String = "simhash"): DataFrame = {
     val withFp = docs.select(col(idCol).as("id"),
       simhash64(col(textCol)).as("fp"))
     val blocked = withFp.select(col("id"), col("fp"),
@@ -215,7 +271,7 @@ object Dedup {
     val grouped = Dedup.observeBucketCap(
         blocked.groupBy("block", "key")
           .agg(collect_list(struct(col("id"), col("fp"))).as("grp")),
-        "simhash", maxBucketSize)
+        capName, maxBucketSize)
       .filter(size(col("grp")).between(2, maxBucketSize))
     // a pair sharing k chunks would surface in k buckets — emit it only
     // from the FIRST shared block (no earlier chunk of fpa^fpb is zero),
@@ -275,20 +331,19 @@ object Dedup {
     * mid-size buckets — on the sf1 probe's 2,500-doc degenerate group,
     * cap 200 carries 150k candidates vs 1.04M at cap 1000 (7×) while
     * the planted high-sim pairs keep colliding in small buckets.
-    * Dropped buckets are counted ([[capDiagnostics]], key "jaccard").
+    * Dropped buckets are counted ([[capDiagnostics]], key `capName`).
     *
     * Output: (id_a, id_b, jaccard, capped). */
   def groupedJaccardPairs(docs: DataFrame, groupCol: String,
       idCol: String = "doc_id", textCol: String = "text",
       threshold: Double = 0.2, maxGroupSize: Int = 1000,
       numHashes: Int = 64, bands: Int = 8,
-      maxBucketSize: Int = 200): DataFrame = {
+      maxBucketSize: Int = 200, capName: String = "jaccard"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val d0 = docs.select(col(groupCol).as("g"), col(idCol).as("id"),
       DedupExprs.shingleHash60(col(textCol), 1).as("toks"))
-    val sizes = d0.groupBy("g").agg(count(lit(1)).as("__n"))
-    val small = d0.join(broadcast(sizes.filter(col("__n") <= maxGroupSize)
-      .select("g")), "g")
+    // adaptive plan-time routing — see [[splitByGroupSize]]
+    val (small, big0) = splitByGroupSize(d0, maxGroupSize)
     val a = small.as("a"); val b = small.as("b")
     // |A∪B| = |A|+|B|-|A∩B| (inputs are distinct) — avoids building the
     // union array per pair
@@ -301,11 +356,11 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"),
         lit(false).as("capped"))
 
+    if (big0.isEmpty) return exact
+
     // ---- oversized groups: minhash-blocked candidates, same exact verify
     val r = numHashes / bands
-    val big = d0.join(broadcast(sizes.filter(col("__n") > maxGroupSize)
-        .select("g")), "g")
-      .filter(size(col("toks")) > 0)
+    val big = big0.get.filter(size(col("toks")) > 0)
     val banded = big
       .withColumn("sig", DedupExprs.minhashSig(col("toks"), numHashes))
       .select(col("g"), col("id"),
@@ -314,7 +369,7 @@ object Dedup {
     val cand = Dedup.observeBucketCap(
         banded.groupBy("g", "band", "bucket")
           .agg(collect_list(col("id")).as("grp")),
-        "jaccard", maxBucketSize)
+        capName, maxBucketSize)
       .filter(size(col("grp")).between(2, maxBucketSize))
       .select(explode(expr(
         """filter(

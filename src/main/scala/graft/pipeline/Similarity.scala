@@ -186,7 +186,8 @@ object Similarity {
   def cosineDupPairsByGroup(corpus: DataFrame, groupCol: String,
       threshold: Double, idCol: String = "vec_id",
       vecCol: String = "embedding", maxGroupSize: Int = 1000,
-      planes: Int = 8, dim: Int = 64, maxBucketSize: Int = 1000): DataFrame = {
+      planes: Int = 8, dim: Int = 64, maxBucketSize: Int = 1000,
+      capName: String = "embed_group"): DataFrame = {
     val d = corpus.select(col(groupCol).as("g"), col(idCol).as("id"),
       col(vecCol).as("vec"), norm(col(vecCol)).as("nrm"))
     // BOUNDED-GROUP contract, same shape as Dedup.groupedJaccardPairs:
@@ -197,9 +198,9 @@ object Similarity {
     // same exact cosine verification, marked `capped = true`: pairs the
     // hyperplane curve catches still surface, low-similarity pairs are
     // traded for the quadratic bound. Output: (id_a, id_b, sim, capped).
-    val sizes = d.groupBy("g").agg(count(lit(1)).as("__n"))
-    val small = d.join(broadcast(sizes.filter(col("__n") <= maxGroupSize)
-      .select("g")), "g")
+    //
+    // adaptive plan-time routing — see [[Dedup.splitByGroupSize]]
+    val (small, big0) = Dedup.splitByGroupSize(d, maxGroupSize)
     val a = small.as("a"); val b = small.as("b")
     val exact = a.join(b, col("a.g") === col("b.g") && col("a.id") < col("b.id"))
       .withColumn("sim",
@@ -207,14 +208,14 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(col("sim"), 6).as("sim"), lit(false).as("capped"))
-    val big = d.join(broadcast(sizes.filter(col("__n") > maxGroupSize)
-        .select("g")), "g")
+    if (big0.isEmpty) return exact
+    val big = big0.get
       .withColumn("bucket", lshSignature(col("vec"), planes, dim))
     val cand = Dedup.observeBucketCap(
         big.select(col("g"), col("bucket"), col("id"))
           .groupBy("g", "bucket")
           .agg(collect_list(col("id")).as("grp")),
-        "embed_group", maxBucketSize)
+        capName, maxBucketSize)
       .filter(size(col("grp")).between(2, maxBucketSize))
       .select(explode(expr(
         """filter(
@@ -223,7 +224,11 @@ object Similarity {
                  struct(least(x, y) as a, greatest(x, y) as b)))),
              p -> p.a < p.b)""")).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
-    val vecs = d.select(col("id"), col("vec"), col("nrm"))
+    // join candidates against the oversized-group slice, not the whole
+    // corpus: the operator only promises per-group pairing, so if idCol
+    // is not globally unique a d-wide join could match a vector from a
+    // different group or fan out duplicate rows
+    val vecs = big.select(col("id"), col("vec"), col("nrm"))
     val blocked = cand
       .join(vecs.select(col("id").as("id_a"), col("vec").as("va"),
         col("nrm").as("na")), "id_a")
@@ -250,7 +255,7 @@ object Similarity {
   def embeddingDupPairs(corpus: DataFrame, threshold: Double = 0.95,
       planes: Int = 8, dim: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000, capName: String = "embed_lsh"): DataFrame = {
     val bucketed = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
       norm(col(vecCol)).as("nrm"),
       lshSignature(col(vecCol), planes, dim).as("bucket"))
@@ -258,7 +263,7 @@ object Similarity {
         bucketed.select(col("id"), col("bucket"))
           .groupBy("bucket")
           .agg(collect_list(col("id")).as("grp")),
-        "embed_lsh", maxBucketSize)
+        capName, maxBucketSize)
       .filter(size(col("grp")).between(2, maxBucketSize))
     // normalize each unordered pair to (min, max) — collect_list order is
     // arbitrary (see Dedup.minhashPairs)

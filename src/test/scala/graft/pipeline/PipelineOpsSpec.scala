@@ -305,6 +305,29 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
       s"got ${Dedup.capDiagnostics(ep)}")
   }
 
+  test("capName disambiguates two capped operators composed in one plan") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "some entirely unrelated stream of filler words"))
+      .toDF("doc_id", "text")
+    // CollectMetrics names must be unique per plan: two instances of the
+    // same operator under ONE action need distinct capName overrides
+    val both = Dedup.minhashPairs(docs, threshold = 0.3, capName = "mh_a")
+      .unionByName(Dedup.minhashPairs(docs, threshold = 0.9, capName = "mh_b"))
+    both.collect()
+    val diag = Dedup.capDiagnostics(both)
+    assert(diag.contains("mh_a") && diag.contains("mh_b"), s"got $diag")
+    // with the default fixed name, two DIFFERENT plans clash at analysis
+    // (unionByName analyzes eagerly, so the construction itself throws)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Dedup.minhashPairs(docs, threshold = 0.3)
+        .unionByName(Dedup.minhashPairs(docs, threshold = 0.9))
+        .collect()
+    }
+  }
+
   test("multimodal feature extraction plumbing: schema, determinism, batching") {
     import spark.implicits._
     val df = Seq(
