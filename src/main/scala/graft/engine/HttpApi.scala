@@ -232,7 +232,17 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
             throw conflict(s"Can't remove provisioned replication '$name'")
           if (replications.remove(name) == null)
             throw notFound(s"Replication '$name' doesn't exist")
-          replStats.remove(name)
+          // PR-1572: the task's closing diagnostics are emitted during
+          // deletion (the reference fixed a lock inversion doing this in
+          // `replication/`; here the stats object is detached from the
+          // maps FIRST, so the event write — itself a store write —
+          // happens with no map entry or monitor held on the stop path)
+          val st = replStats.remove(name)
+          val (fOk, fErr) = if (st == null) (0L, 0L)
+            else st.synchronized { (st.ok, st.errored) }
+          systemLog.event("replications", name, 200,
+            s"""{"event_type":"replication_final","status":200,""" +
+              s""""hourly":{"ok":$fOk,"errored":$fErr,"errors":{}}}""")
           json(ex, 200, JObject())
         case ("POST", List("replications", name, "run")) =>
           auth(ex, FullAccessPolicy); runReplication(ex, name)
@@ -701,6 +711,10 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
   private def parseQueryEntry(body: String): (QuerySpec, Long, Boolean) = {
     val j = JsonMethods.parseOpt(body).getOrElse(JObject())
     implicit val fmts: Formats = DefaultFormats
+    // PR-1548: `limit` is REMOVED from QueryEntry upstream
+    // (entry_api.rs current field set) — reject instead of ignoring
+    if ((j \ "limit") != JNothing)
+      throw unprocessable("""Removed field 'limit': use {"$limit": n} in 'when'""")
     val spec = QuerySpec(
       start = (j \ "start").extractOpt[Long],
       stop = (j \ "stop").extractOpt[Long],
@@ -864,6 +878,16 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
   private def parseReplication(ex: HttpExchange): Streaming.ReplicationSettings = {
     implicit val fmts: Formats = DefaultFormats
     val j = JsonMethods.parseOpt(new String(readBody(ex), UTF_8)).getOrElse(JObject())
+    // PR-1555/1497/1414: `each_n`/`each_s`/`include`/`exclude` are
+    // REMOVED from ReplicationSettings upstream (replication_api.rs
+    // current field set) — a stale client's request fails loudly with
+    // 422 instead of its filter being silently ignored
+    // NB error text must stay ASCII: it is reflected into the
+    // x-reduct-error response header (Latin-1 on the wire)
+    for (f <- Seq("each_n", "each_s", "include", "exclude")
+         if (j \ f) != JNothing)
+      throw unprocessable(
+        s"Removed field '$f': express it as a 'when' condition")
     Streaming.ReplicationSettings(
       // toOption: a missing key must stay None (= all entries), not Some(Nil)
       entries = (j \ "entries").toOption.flatMap(_.extractOpt[Seq[String]]),
@@ -1557,7 +1581,12 @@ object HttpApi {
   }
 
   private[engine] def errorResponse(ex: HttpExchange, status: Int, msg: String): Unit = {
-    ex.getResponseHeaders.set("x-reduct-error", msg)
+    // header values are Latin-1 on the wire; a non-ASCII char in an
+    // exception message (which can echo user data) would otherwise kill
+    // the response mid-write and the client sees a dropped connection.
+    // The JSON body keeps the exact message.
+    ex.getResponseHeaders.set("x-reduct-error",
+      msg.map(c => if (c >= ' ' && c < 0x7f) c else '?'))
     json(ex, status, JObject("detail" -> JString(msg)))
   }
 }

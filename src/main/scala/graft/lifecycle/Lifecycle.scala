@@ -117,27 +117,33 @@ object Lifecycle {
       "read_entries" -> t.readEntries.toString,
       "record_count" -> recordCount.toString)
 
-    val names = (drained.buckets.keySet ++ snapshot.keySet)
-      .filterNot(_.startsWith("$")).toSeq.sorted
-    var totalStorage = 0L; var totalEntries = 0L
-    var totalBlocks = 0L; var totalRecords = 0L
-    for (name <- names) {
+    // the reference's usage_snapshot (engine.rs:238) walks ALL buckets —
+    // including $-prefixed system buckets — when accumulating the
+    // instance total, filtering $ names only from the per-bucket
+    // emission; that keeps the total internally consistent (its traffic
+    // fields come from drained.total, which already includes $-bucket
+    // API traffic). It also emits the total event BEFORE the per-bucket
+    // events, so the $system log's ts ordering matches.
+    val allNames = (drained.buckets.keySet ++ snapshot.keySet).toSeq.sorted
+    val perBucket = allNames.map { name =>
       val t = drained.buckets.getOrElse(name,
         graft.engine.UsageCounters.Drained(0, 0, 0, 0, 0, 0))
       val (records, entries) = snapshot.getOrElse(name, (0L, 0L))
-      val stats = store.entryStats(name)
-      val blocks = stats.valuesIterator.map(_._2).sum
+      val blocks = store.entryStats(name).valuesIterator.map(_._2).sum
       val storageBytes = store.bucketSizeBytes(name)
-      totalStorage += storageBytes; totalEntries += entries
-      totalBlocks += blocks; totalRecords += records
+      (name, t, records, entries, blocks, storageBytes)
+    }
+    val totalRecords = perBucket.map(_._3).sum
+    syslog.event("usage", "total", 200,
+      payloadJson(drained.total, perBucket.map(_._6).sum,
+        allNames.length.toLong, perBucket.map(_._4).sum,
+        perBucket.map(_._5).sum, totalRecords),
+      nowUs, extraLabels = labels(drained.total, totalRecords))
+    for ((name, t, records, entries, blocks, storageBytes) <- perBucket
+         if !name.startsWith("$"))
       syslog.event("usage", name, 200,
         payloadJson(t, storageBytes, 1L, entries, blocks, records),
         nowUs, extraLabels = labels(t, records))
-    }
-    syslog.event("usage", "total", 200,
-      payloadJson(drained.total, totalStorage, names.length.toLong,
-        totalEntries, totalBlocks, totalRecords),
-      nowUs, extraLabels = labels(drained.total, totalRecords))
   }
 
   /** `$system` usage events (syslog.rs:52-155): the engine's own telemetry

@@ -286,7 +286,8 @@ object TextAnalysis {
     * FIRST `maxPostings` doc ids (deterministic — lowest ids), with
     * `truncated` flagged, so one mega-term can't blow an executor. */
   def invertedIndex(docs: DataFrame, maxPostings: Int = 100000,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+      idCol: String = "doc_id", textCol: String = "text",
+      capName: String = "inverted_index"): DataFrame =
     docs
       .select(col(idCol).as("doc_id"), explode(terms(col(textCol))).as("term"))
       .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
@@ -295,6 +296,16 @@ object TextAnalysis {
         sum(col("tf")).as("total_tf"),
         slice(array_sort(collect_list(col("doc_id"))), 1, maxPostings)
           .as("__postings"))
+      // the truncation is observable like the dedup hot-bucket caps
+      // (read via [[Dedup.capDiagnostics]]): here dropped_buckets =
+      // truncated TERMS, dropped_ids = postings cut from them (the rows
+      // themselves stay, flagged `truncated`), max_bucket_size = max df
+      .observe(s"${Dedup.CapObservationPrefix}$capName",
+        coalesce(sum(when(col("df") > maxPostings, 1L).otherwise(0L)),
+          lit(0L)).as("dropped_buckets"),
+        coalesce(sum(when(col("df") > maxPostings,
+          col("df") - maxPostings).otherwise(0L)), lit(0L)).as("dropped_ids"),
+        coalesce(max(col("df")), lit(0L)).as("max_bucket_size"))
       .select(col("term"), col("df"), col("total_tf"),
         (col("df") > maxPostings).as("truncated"),
         md5(array_join(transform(col("__postings"), _.cast("string")), ","))

@@ -142,7 +142,12 @@ object Streaming {
         * send fails the batch before it commits, and the replay dedups
         * via Conflict.Skip. false sends the per-entry slices serially
         * (the A/B baseline the spec measures). */
-      pipelined: Boolean = true): Option[StreamingQuery] = {
+      pipelined: Boolean = true,
+      /** Test seam: invoked (with the entry name) the moment a slice's
+        * prepare — its eager localCheckpoint — completes. Lets the spec
+        * assert overlap STRUCTURALLY (a prepare finished while a send
+        * was in flight) instead of racing wall clocks. */
+      onPrepared: String => Unit = _ => ()): Option[StreamingQuery] = {
     if (settings.mode == ReplicationMode.Disabled) return None
     val parsed = settings.when.map(w => graft.cond.Parser.parse(w))
     val statefulWhen = parsed.exists(p => graft.cond.Node.isStateful(p.root))
@@ -179,8 +184,26 @@ object Streaming {
             if (statefulWhen) batch // already filtered on the stream
             else QueryEngine.matching(batch,
               QuerySpec(when = settings.when, strict = true))
-          ).persist() // one compute feeds both the count and the write
-          val n = matched.count()
+          ).persist() // one compute feeds both the stats and the write
+          // ONE agg job yields the record/byte totals, the per-entry
+          // slice list for the pipelined sender, AND the usage traffic
+          // rows (was three separate jobs). Bounded: one row per entry
+          // in the micro-batch.
+          val perEntry = matched.groupBy("entry")
+            .agg(count(lit(1)).as("n"),
+              coalesce(sum(length(col("payload"))), lit(0L)).as("b"))
+            .collect()
+            .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+            .sortBy(_._1)
+          val n = perEntry.map(_._2).sum
+          val bytes = perEntry.map(_._3).sum
+          // count destination writes at the storage choke point, like the
+          // reference (storage/usage.rs header: "external, replication
+          // and Zenoh traffic count uniformly") — a replication dst
+          // bucket reports its write traffic in the usage events
+          for ((e, en, eb) <- perEntry)
+            dst.usage.countWrite(settings.dstBucket,
+              settings.dstPrefix + e, en, eb)
           val renamed = matched
             .withColumn("bucket", lit(settings.dstBucket))
             .withColumn("entry", concat(lit(settings.dstPrefix), col("entry")))
@@ -191,9 +214,6 @@ object Streaming {
             case other => throw new IllegalArgumentException(
               s"Invalid replication compression '$other'")
           }
-          val bytes = matched
-            .agg(coalesce(sum(length(col("payload"))), lit(0L)))
-            .collect()(0).getLong(0)
           val doSend: DataFrame => Unit = sendBatch.getOrElse(
             df => dst.write(df, BucketStore.Conflict.Skip, codec = codec))
           // The default sink is one partitioned Spark write into the local
@@ -203,8 +223,7 @@ object Streaming {
           // entry (its transaction logs are per-entry too) and send the
           // slices in order.
           val entryNames =
-            if (sendBatch.isDefined) matched.select("entry").distinct()
-              .collect().map(_.getString(0)).sorted
+            if (sendBatch.isDefined) perEntry.map(_._1)
             else Array.empty[String]
           try {
             if (entryNames.length <= 1) doSend(renamed)
@@ -227,6 +246,7 @@ object Streaming {
                   val slice = renamed
                     .filter(col("entry") === lit(settings.dstPrefix + e))
                     .localCheckpoint(true) // the "prepare": eager materialize
+                  onPrepared(e)
                   inFlight.foreach(_.get())
                   if (pipelined)
                     inFlight = Some(sender.submit(new Runnable {

@@ -528,6 +528,41 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
     assert((b("mempty") \ "latest_record").extract[Long] == 0)
   }
 
+  test("replication delete emits final diagnostics; removed fields 422") {
+    import org.apache.spark.sql.functions.col
+    // removed deprecated fields are rejected loudly (PR-1555/1497/1414):
+    // upstream deleted them from ReplicationSettings, so a stale client
+    // must get 422, not a silently-ignored filter
+    for (f <- Seq("each_n", "each_s", "include", "exclude"))
+      assert(req("POST", "/replications/stale",
+        s"""{"src_bucket": "src1", "$f": 2}""".getBytes).statusCode() == 422,
+        s"removed field '$f' must be rejected")
+    assert(req("GET", "/replications/stale").statusCode() == 404,
+      "rejected create must not register the replication")
+    // `limit` removed from QueryEntry (PR-1548): query opens reject it
+    assert(req("POST", "/b/delsrc").statusCode() == 200)
+    assert(req("POST", "/b/delsrc/e?ts=1", "x".getBytes).statusCode() == 200)
+    assert(req("POST", "/b/delsrc/e/q",
+      """{"query_type": "QUERY", "limit": 5}""".getBytes).statusCode() == 422)
+    // deleting a replication emits the task's closing $system diagnostics
+    // (PR-1572), carrying the hourly tallies at stop time
+    assert(req("POST", "/replications/fin",
+      """{"src_bucket": "delsrc", "dst_bucket": "dfin"}""".getBytes)
+      .statusCode() == 200)
+    assert(req("POST", "/replications/fin/run").statusCode() == 200)
+    assert(req("DELETE", "/replications/fin").statusCode() == 200)
+    val fin = store.table()
+      .filter(col("bucket") === "$system" &&
+        col("entry").startsWith("replications/") &&
+        col("entry").endsWith("/fin"))
+      .orderBy(col("ts").desc).collect()
+    assert(fin.nonEmpty, "final diagnostics event must exist after deletion")
+    val p = new String(fin.head.getAs[Array[Byte]]("payload"), "UTF-8")
+    assert(p.contains("\"event_type\":\"replication_final\""), p)
+    assert(p.contains("\"ok\":1"), p) // the single run replicated 1 record
+    assert(req("GET", "/replications/fin").statusCode() == 404)
+  }
+
   test("usage flush: $system events carry entry/record parity labels") {
     import org.apache.spark.sql.functions.col
     // traffic: 3 records into 2 entries written, 2 entries read back
@@ -554,11 +589,35 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
     assert(payload.contains("\"records_written\":3"))
     assert(payload.contains("\"records_read\":2"))
     assert(payload.contains("\"write_bytes\":10"))  // 4 + 4 + 2
-    // instance total exists; a second flush drains to zero traffic
-    assert(store.table()
-      .filter(col("entry").startsWith("usage/") &&
-        col("entry").endsWith("/total")).count() >= 1)
+    // instance total exists, is emitted BEFORE the per-bucket events
+    // (reference ordering: usage_snapshot emits the total first, so its
+    // monotone $system ts is strictly smaller), and its storage side
+    // includes $-prefixed system buckets (engine.rs:238 walks ALL
+    // buckets for the total, filtering $ names only per-bucket) — the
+    // $system bucket itself holds records by now, so the total's
+    // record_count must exceed the sum over user buckets alone
+    def latestTotal() = store.table()
+      .filter(col("bucket") === "$system" &&
+        col("entry").startsWith("usage/") && col("entry").endsWith("/total"))
+      .orderBy(col("ts").desc).collect()
+    val totalEv = latestTotal()
+    assert(totalEv.nonEmpty, "instance-total usage event must exist")
+    assert(totalEv.head.getAs[Long]("ts") < ev.head.getAs[Long]("ts"),
+      "total event must precede per-bucket events")
     api.flushUsageNow()
+    // the total's storage side includes $-prefixed system buckets
+    // (engine.rs:238 walks ALL buckets for the total, filtering $ names
+    // only per-bucket): by the second flush, $system itself holds the
+    // first flush's event records, so the total record_count must
+    // exceed the user-bucket records alone (ub has 3)
+    val totalPayload = new String(
+      latestTotal().head.getAs[Array[Byte]]("payload"), "UTF-8")
+    val sysRecords = store.table()
+      .filter(col("bucket") === "$system").count()
+    val totalCount = """"record_count":(\d+)""".r
+      .findFirstMatchIn(totalPayload).get.group(1).toLong
+    assert(sysRecords > 0L && totalCount > 3L,
+      s"total must include $$system storage, got record_count=$totalCount")
     val again = store.table()
       .filter(col("entry").startsWith("usage/") && col("entry").endsWith("/ub"))
       .orderBy(col("ts").desc).collect().head
@@ -566,6 +625,44 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
     assert(l2("written_entries") == "0" && l2("read_entries") == "0",
       s"counters must drain: $l2")
     assert(l2("record_count") == "3", "storage snapshot persists")
+  }
+
+  test("usage read counters: batched, continuous re-arm and io-v2 drains count") {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    import org.apache.spark.sql.functions.col
+    api.flushUsageNow() // clean interval: earlier tests' traffic drains now
+    assert(req("POST", "/b/urc").statusCode() == 200)
+    assert(req("POST", "/b/urc/e1?ts=100", "aaaa".getBytes).statusCode() == 200)
+    assert(req("POST", "/b/urc/e1?ts=200", "bb".getBytes).statusCode() == 200)
+    // continuous cursor: batched drain of 2, then a late write, then the
+    // re-armed drain picks it up — every drained record must hit
+    // UsageCounters.countRead at drain time
+    val qid = (jsonOf(req("POST", "/b/urc/e1/q",
+      """{"query_type": "QUERY", "continuous": true}""".getBytes))
+      \ "id").extract[Long]
+    assert(req("GET", s"/b/urc/e1/batch?q=$qid").statusCode() == 200)
+    assert(req("POST", "/b/urc/e1?ts=300", "cccccc".getBytes).statusCode() == 200)
+    assert(req("GET", s"/b/urc/e1/batch?q=$qid").statusCode() == 200,
+      "continuous cursor must re-arm and serve the late write")
+    // io-v2 batched read drains through the same choke point
+    val qid2 = (jsonOf(req("POST", "/io/urc/q",
+      """{"entries": ["*"]}""".getBytes)) \ "id").extract[Long]
+    assert(req("GET", "/io/urc/read",
+      headers = Seq(BatchWire.QueryIdHeader -> qid2.toString))
+      .statusCode() == 200)
+    api.flushUsageNow()
+    val ev = store.table()
+      .filter(col("bucket") === "$system" &&
+        col("entry").startsWith("usage/") && col("entry").endsWith("/urc"))
+      .orderBy(col("ts").desc).collect()
+    assert(ev.nonEmpty)
+    val labels = ev.head.getAs[collection.Map[String, String]]("labels")
+    assert(labels("read_entries") == "1", s"labels: $labels")
+    val payload = new String(ev.head.getAs[Array[Byte]]("payload"), "UTF-8")
+    // 2 (first drain) + 1 (re-armed drain) + 3 (io-v2 drain) records;
+    // bytes 6 + 6 + 12
+    assert(payload.contains("\"records_read\":6"), payload)
+    assert(payload.contains("\"read_bytes\":24"), payload)
   }
 
   test("health probes: alive + ready on both verbs, unauthenticated") {

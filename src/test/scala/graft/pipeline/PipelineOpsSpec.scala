@@ -305,6 +305,23 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
       s"got ${Dedup.capDiagnostics(ep)}")
   }
 
+  test("inverted index: hot-term posting truncation is observable") {
+    import spark.implicits._
+    // "hot" appears in all 5 docs; cap postings at 3 → 2 cut from it.
+    // "rare" stays under the cap → zero drops reported, row unflagged.
+    val docs = (0 until 5).map(i =>
+        (i.toLong, if (i < 2) s"hot rare$i" else "hot"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.invertedIndex(docs, maxPostings = 3)
+    val rows = out.collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(rows("hot") == ((5L, true)), s"got $rows")
+    assert(!rows("rare0")._2)
+    val diag = Dedup.capDiagnostics(out)
+    // 1 truncated term, 5-3=2 postings cut, max df 5
+    assert(diag.get("inverted_index").contains((1L, 2L, 5L)), s"got $diag")
+  }
+
   test("capName disambiguates two capped operators composed in one plan") {
     import spark.implicits._
     val docs = Seq(

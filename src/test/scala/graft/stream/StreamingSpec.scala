@@ -121,6 +121,12 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     def replicated(): Seq[Long] = dst.table()
       .select("ts").collect().map(_.getLong(0)).toSeq.sorted
     assert(replicated() == Seq(1000L, 2000L, 3000L))
+    // replication dst writes count toward the destination's usage
+    // traffic, like the reference's storage choke point (usage.rs:
+    // "external, replication and Zenoh traffic count uniformly")
+    val wrote = dst.usage.drain().buckets("replica")
+    assert(wrote.recordsWritten == 3L && wrote.writtenEntries == 1L,
+      s"dst usage must count replicated writes: $wrote")
     // a belated write: ts between already-replicated records, landing in
     // a NEW file of an old partition. The file-source tracking must pick
     // it up on the next trigger (the reference skips only TooEarly blocks,
@@ -144,24 +150,36 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     src.write(recordsDf(entries.zipWithIndex.map { case (e, i) =>
       (e, 100L + i, Map("v" -> i.toString)) }))
     val settings = Streaming.ReplicationSettings(dstBucket = "replica")
-    val sendLatencyMs = 300L
-    // injected remote wire: every per-entry send costs sendLatencyMs
-    def run(pipelined: Boolean): (Long, Seq[String], BucketStore) = {
+    val sendLatencyMs = 500L
+    // injected remote wire: every per-entry send costs sendLatencyMs.
+    // Overlap is asserted STRUCTURALLY — a prepare (localCheckpoint)
+    // completing while a send is in flight — not by racing wall clocks
+    // (a pipedMs < serialMs assertion both flakes on loaded CI and can
+    // mask a real regression behind a warm-JVM second run).
+    def run(pipelined: Boolean)
+        : (Seq[String], Seq[(Long, Long)], Seq[Long], BucketStore) = {
       val dst = new BucketStore(spark, tmp(s"replpipe-dst-$pipelined"))
-      val order = collection.mutable.Buffer.empty[String]
+      val order = new java.util.concurrent.ConcurrentLinkedQueue[String]
+      val sends = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]
+      val prepares = new java.util.concurrent.ConcurrentLinkedQueue[Long]
       val send: org.apache.spark.sql.DataFrame => Unit = df => {
-        order ++= df.select("entry").distinct()
-          .collect().map(_.getString(0)).sorted
+        val t0 = System.nanoTime()
+        df.select("entry").distinct()
+          .collect().map(_.getString(0)).sorted.foreach(order.add)
         Thread.sleep(sendLatencyMs)
         dst.write(df, BucketStore.Conflict.Skip)
+        sends.add((t0, System.nanoTime()))
       }
-      val t0 = System.nanoTime()
       Streaming.replicate(src, dst, settings, tmp(s"replpipe-ck-$pipelined"),
-        sendBatch = Some(send), pipelined = pipelined).get.awaitTermination()
-      ((System.nanoTime() - t0) / 1000000L, order.toSeq, dst)
+        sendBatch = Some(send), pipelined = pipelined,
+        onPrepared = _ => prepares.add(System.nanoTime())).get.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      (order.asScala.toSeq, sends.asScala.toSeq, prepares.asScala.toSeq, dst)
     }
-    val (serialMs, serialOrder, dstS) = run(pipelined = false)
-    val (pipedMs, pipedOrder, dstP) = run(pipelined = true)
+    def overlaps(sends: Seq[(Long, Long)], prepares: Seq[Long]): Boolean =
+      prepares.exists(p => sends.exists { case (s, e) => p > s && p < e })
+    val (serialOrder, serialSends, serialPrep, dstS) = run(pipelined = false)
+    val (pipedOrder, pipedSends, pipedPrep, dstP) = run(pipelined = true)
     // ordering preserved: per-entry slices sent in sorted entry order
     assert(pipedOrder == entries, s"send order: $pipedOrder")
     assert(serialOrder == entries)
@@ -172,11 +190,16 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       assert(got == entries.zipWithIndex
         .map { case (e, i) => (e, 100L + i) }.sorted, s"dst content: $got")
     }
-    // overlap: with 6 sends of 300 ms each, the pipelined pass hides the
-    // per-slice prepare (localCheckpoint) under the in-flight send; the
-    // serial baseline pays prepare + send for every slice
-    assert(pipedMs < serialMs,
-      s"pipelined $pipedMs ms must beat serial $serialMs ms")
+    // serial mode runs prepare and send on one thread: a prepare can
+    // NEVER complete inside a send interval — this leg is deterministic
+    assert(!overlaps(serialSends, serialPrep),
+      "serial baseline must not overlap prepare with send")
+    // pipelined: with 6 slices and 500 ms sends, at least one of the 5
+    // pipelined prepares (each a tiny single-partition checkpoint, far
+    // under 500 ms) must finish while the previous send is in flight
+    assert(overlaps(pipedSends, pipedPrep),
+      s"a prepare must complete while a send is in flight; " +
+        s"sends=$pipedSends prepares=$pipedPrep")
   }
 
   test("windowed per-entry stats with watermark over a record stream") {

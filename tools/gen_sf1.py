@@ -23,6 +23,7 @@ Deterministic: seed 42. Usage:
     python3 tools/gen_sf1.py /tmp/sf1full [/root/testdata/sf0.1]
 
 The output is regenerable probe data — not committed; this script is.
+Results: SCALE.md "Round 9: full-corpus sf1 probe".
 """
 import shutil
 import sys
