@@ -248,7 +248,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // cross-snapshot dedup: the mod-5 doc slice stands in for the
+    // previous dump, everything else is the incoming crawl; the
+    // generator's planted copy-an-earlier-doc dups exercise the exact
+    // path, the dense synthetic vocabulary the overlap path
+    "q_incremental_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.incrementalDedup(d.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+          d.filter(pmod(col("doc_id"), lit(5)) === 0), threshold = 0.5)
+        .orderBy("doc_id")
+    }),
+
+    // corpus-self duplicated-ngram-fraction quality signal
+    "q_dup_ngram_frac" -> ((s, dir) =>
+      Dedup.duplicatedNgramFraction(docs(s, dir)).orderBy("doc_id")),
+
     // ----------------------------------------------- pipeline: sampling
+    // mixture blend: srcN at weight (N % 4) + 1 → weight-4 sources pass
+    // whole, weight-1 sources keep ~25%, integer-exact keep boundary
+    "q_weighted_mix" -> ((s, dir) =>
+      Sampling.weightedMix(docs(s, dir),
+          (0 until 20).map(n => s"src$n" -> ((n % 4) + 1).toLong).toMap)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")),
+
     "q_sample_rate" -> ((s, dir) =>
       Sampling.sampleByRate(docs(s, dir), rate = 0.2)
         .select(col("doc_id"), col("lang"))
@@ -574,6 +597,23 @@ object SparkEntry {
     * ending in `mh_pairs(a, b, jaccard)` — shared by q_minhash_pairs and
     * q_dup_clusters. Plain (non-interpolated) string: the regexes keep
     * their backslashes. */
+  /** 3-shingle md5-60 hash lists per document (the [[graft.pipeline.Dedup.shingleHashes]]
+    * twin) — shared by the cross-snapshot and duplicated-ngram oracles. */
+  private val shingle3Cte =
+    """hs3 AS (
+             SELECT doc_id AS id,
+               CASE WHEN trim(text) = '' THEN []::BIGINT[]
+                 WHEN len(regexp_split_to_array(trim(text), '\s+')) < 3 THEN
+                   [('0x' || substring(md5(array_to_string(
+                      regexp_split_to_array(trim(text), '\s+'), ' ')), 1, 15))::BIGINT]
+                 ELSE list_sort(list_distinct(list_transform(
+                   range(len(regexp_split_to_array(trim(text), '\s+')) - 2), i ->
+                     ('0x' || substring(md5(array_to_string(
+                        regexp_split_to_array(trim(text), '\s+')[i+1:i+3], ' ')),
+                        1, 15))::BIGINT)))
+               END AS h
+             FROM documents)"""
+
   private val minhashCtes =
     """consts AS (
              SELECT
@@ -1003,6 +1043,54 @@ object SparkEntry {
              (CAST(len(list_intersect(h, bl)) AS DOUBLE) / len(h)) >= 0.1
                AS contaminated
            FROM hs, bench WHERE source <> 'src0' AND len(h) > 0
+           ORDER BY doc_id""",
+
+      // cross-snapshot dedup: digest membership + shingle overlap of the
+      // incoming slice (doc_id % 5 <> 0) against the previous-dump slice
+      "q_incremental_dedup" ->
+        ("""WITH """ + shingle3Cte + """,
+           prevsh AS (
+             SELECT list(DISTINCT x) AS bl
+             FROM (SELECT unnest(h) AS x FROM hs3 WHERE id % 5 = 0) t),
+           prevdg AS (
+             SELECT DISTINCT md5(text) AS dg FROM documents
+             WHERE doc_id % 5 = 0)
+           SELECT hs3.id AS doc_id,
+             (md5(d.text) IN (SELECT dg FROM prevdg)) AS exact_dup,
+             CAST(len(hs3.h) AS BIGINT) AS ngrams,
+             CAST(len(list_intersect(hs3.h, prevsh.bl)) AS BIGINT) AS matched,
+             round(CASE WHEN len(hs3.h) > 0 THEN
+               CAST(len(list_intersect(hs3.h, prevsh.bl)) AS DOUBLE)
+                 / len(hs3.h) ELSE 0 END, 6) AS overlap,
+             (NOT (md5(d.text) IN (SELECT dg FROM prevdg)) AND
+              CASE WHEN len(hs3.h) > 0 THEN
+                CAST(len(list_intersect(hs3.h, prevsh.bl)) AS DOUBLE)
+                  / len(hs3.h) ELSE 0 END < 0.5) AS keep
+           FROM hs3 JOIN documents d ON d.doc_id = hs3.id, prevsh
+           WHERE hs3.id % 5 <> 0
+           ORDER BY doc_id"""),
+
+      // duplicated-ngram fraction: corpus-wide containing-doc count per
+      // distinct shingle (lists are distinct per doc, so count(*) = docs)
+      "q_dup_ngram_frac" ->
+        ("""WITH """ + shingle3Cte + """,
+           e AS (SELECT id, unnest(h) AS x FROM hs3),
+           c AS (SELECT x, count(*) AS nd FROM e GROUP BY x)
+           SELECT e.id AS doc_id, CAST(count(*) AS BIGINT) AS ngrams,
+             CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS shared,
+             round(CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END)
+               AS DOUBLE) / count(*), 6) AS dup_fraction
+           FROM e JOIN c ON e.x = c.x
+           GROUP BY e.id ORDER BY doc_id"""),
+
+      // weighted mix: integer-exact keep boundary — 30-bit hash slice
+      // times max-weight vs weight << 30, no doubles anywhere
+      "q_weighted_mix" ->
+        """SELECT doc_id, source FROM documents
+           WHERE ((('0x' || substring(md5('graft:mix:' ||
+               CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT >> 30) * 4)
+             < ((CAST(substring(source, 4) AS BIGINT) % 4 + 1) << 30)
            ORDER BY doc_id""",
 
       // SimHash near-dup: 60-bit md5 token-hash bit votes; candidacy =

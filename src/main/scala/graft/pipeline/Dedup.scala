@@ -433,6 +433,88 @@ object Dedup {
           .as("contaminated"))
   }
 
+  /** Cross-snapshot (incremental) dedup: score every NEW document
+    * against a PREVIOUS corpus snapshot — the stage a recurring crawl
+    * pipeline runs before merging a fresh dump into the corpus. Two
+    * signals per new doc, one row each:
+    *
+    *  - `exact_dup`: its content digest already exists in the previous
+    *    snapshot (16-byte md5 equality);
+    *  - `overlap`: the fraction of its distinct k-shingles present
+    *    anywhere in the previous snapshot (the [[decontaminate]] kernel
+    *    pointed at the previous dump instead of a benchmark).
+    *
+    * `keep` = not exact and overlap < `threshold` — the merge filter.
+    * Docs with no shingles (empty text) score overlap 0 and keep on the
+    * digest alone.
+    *
+    * Scale shape: the digest check joins on a 16-byte hash and the
+    * shingle check on a distinct 60-bit hash set — both reduced once
+    * from the previous snapshot and broadcast
+    * (`broadcastPrevious = false` degrades both to shuffled hash joins
+    * for a previous snapshot too large to broadcast, which at 100 TB is
+    * the realistic path: new-dump ≪ corpus, so broadcast the NEW side's
+    * digests instead by swapping roles, or shuffle). Text never
+    * shuffles; per-doc work is one shingle pass. */
+  def incrementalDedup(newDocs: DataFrame, previous: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", k: Int = 3,
+      threshold: Double = 0.5, broadcastPrevious: Boolean = true): DataFrame = {
+    val prevSh0 = previous
+      .select(explode(shingleHashes(col(textCol), k)).as("h"))
+      .distinct().withColumn("__hit", lit(1))
+    val prevSh = if (broadcastPrevious) broadcast(prevSh0) else prevSh0
+    val prevDg0 = previous.select(md5(col(textCol)).as("__digest"))
+      .distinct().withColumn("__seen", lit(1))
+    val prevDg = if (broadcastPrevious) broadcast(prevDg0) else prevDg0
+    val base = newDocs.select(col(idCol).as("id"),
+      md5(col(textCol)).as("__digest"), shingleHashes(col(textCol), k).as("hs"))
+    // explode_outer keeps shingle-less docs: their null h never joins a
+    // hit, so they score (ngrams 0, matched 0)
+    val scored = base
+      .select(col("id"), size(col("hs")).cast("long").as("ngrams"),
+        explode_outer(col("hs")).as("h"))
+      .join(prevSh, Seq("h"), "left")
+      .groupBy("id")
+      .agg(first("ngrams").as("ngrams"), count("__hit").as("matched"))
+    val frac = when(col("ngrams") > 0,
+      col("matched").cast("double") / col("ngrams")).otherwise(lit(0.0))
+    base.select(col("id"), col("__digest"))
+      .join(prevDg, Seq("__digest"), "left")
+      .join(scored, "id")
+      .select(col("id").as(idCol),
+        col("__seen").isNotNull.as("exact_dup"),
+        col("ngrams"), col("matched"),
+        round(frac, 6).as("overlap"),
+        (col("__seen").isNull && frac < threshold).as("keep"))
+  }
+
+  /** Corpus-self duplication signal (the "duplicated n-gram fraction"
+    * quality feature of the RefinedWeb/Dolma filtering recipes): per
+    * document, the fraction of its DISTINCT k-shingles that occur in at
+    * least one OTHER document. High values mark boilerplate-heavy or
+    * templated documents even when no single pair crosses a near-dup
+    * threshold. Docs without a shingle produce no row (the
+    * [[paragraphDedup]] convention).
+    *
+    * Scale shape: explode → groupBy on the 60-bit shingle hash
+    * (map-side combined; shingle lists are distinct per doc, so
+    * `count(*)` per hash IS the containing-doc count) → join back on
+    * the hash → regroup per doc. The widest shuffle carries 8-byte
+    * hashes; text never shuffles. */
+  def duplicatedNgramFraction(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 3): DataFrame = {
+    val hs = docs.select(col(idCol).as("id"),
+      explode(shingleHashes(col(textCol), k)).as("h"))
+    val counts = hs.groupBy("h").agg(count(lit(1)).as("__nd"))
+    hs.join(counts, "h")
+      .groupBy("id")
+      .agg(count(lit(1)).as("ngrams"),
+        sum(when(col("__nd") >= 2, 1L).otherwise(0L)).as("shared"))
+      .select(col("id").as(idCol), col("ngrams"), col("shared"),
+        round(col("shared").cast("double") / col("ngrams"), 6)
+          .as("dup_fraction"))
+  }
+
   // ------------------------------------- duplicate clusters (components)
 
   /** Connected components over a near-dup pair list → duplicate clusters:

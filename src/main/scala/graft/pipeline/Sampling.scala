@@ -56,6 +56,36 @@ object Sampling {
       .drop("__h")
   }
 
+  /** Deterministic source-weighted mixing: keep each stratum at rate
+    * `weight / max(weight)` — the per-source down-sampling step that
+    * turns relative mixture weights into a concrete training blend
+    * (sources at the max weight pass whole; a weight-1 source under
+    * max 4 keeps ~25%). Strata absent from `weights` drop entirely.
+    *
+    * The keep decision compares a 30-bit slice of the row hash against
+    * `weight << 30` in INTEGER arithmetic — no double rounding at the
+    * boundary, so an external engine reproduces the exact sample (the
+    * float-threshold alternative is 1-ulp sensitive where
+    * `rate * 2^60` lands between representable doubles). Map-only, no
+    * count pass, no shuffle; same hash key as [[sampleByRate]], so
+    * mixes nest with rate samples. */
+  def weightedMix(df: DataFrame, weights: Map[String, Long],
+      keyCol: String = "source", idCol: String = "doc_id",
+      salt: String = "graft:mix"): DataFrame = {
+    require(weights.nonEmpty, "weights must not be empty")
+    require(weights.values.forall(w => w >= 0 && w <= (1L << 30)),
+      s"weights must be in [0, 2^30], got $weights")
+    val wMax = weights.values.max
+    require(wMax > 0, "at least one weight must be positive")
+    val wCol = element_at(
+      map(weights.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
+      col(keyCol))
+    // keep iff (h >> 30) * wMax < w << 30 — both sides stay under 2^60
+    df.filter(wCol.isNotNull &&
+      shiftright(hash60(col(idCol), salt), 30) * lit(wMax) <
+        wCol * lit(1L << 30))
+  }
+
   /** Data-mixture building: per stratum (language, source, domain…),
     * take documents in the deterministic hash order until `budget`
     * tokens accumulate — the step that turns per-source token quotas

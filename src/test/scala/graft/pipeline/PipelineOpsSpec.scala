@@ -305,6 +305,63 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
       s"got ${Dedup.capDiagnostics(ep)}")
   }
 
+  test("incremental dedup: exact digest, overlap scoring, keep filter") {
+    import spark.implicits._
+    val prev = Seq((0L, "alpha beta gamma delta epsilon"),
+      (1L, "one two three four five six")).toDF("doc_id", "text")
+    val nw = Seq(
+      (10L, "alpha beta gamma delta epsilon"), // exact copy of prev 0
+      (11L, "alpha beta gamma delta zeta"),    // shares 2 of 3 shingles
+      (12L, "totally different words in here") // no overlap
+      ).toDF("doc_id", "text")
+      .union(Seq((13L, "")).toDF("doc_id", "text")) // shingle-less
+    val out = Dedup.incrementalDedup(nw, prev, threshold = 0.5).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(out(10L)._1 && !out(10L)._5, s"exact dup dropped: ${out(10L)}")
+    assert(!out(11L)._1 && out(11L)._2 == 3L && out(11L)._3 == 2L
+      && !out(11L)._5, s"near dup dropped on overlap: ${out(11L)}")
+    assert(!out(12L)._1 && out(12L)._3 == 0L && out(12L)._5)
+    assert(out(13L) == ((false, 0L, 0L, 0.0, true)),
+      s"empty doc kept on digest alone: ${out(13L)}")
+  }
+
+  test("duplicated ngram fraction: cross-doc shared shingles only") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "a b c d"), // shingles: (a b c), (b c d)
+      (1L, "a b c e"), // shares (a b c) with doc 0
+      (2L, "x y z w"), // all unique
+      (3L, ""))        // no shingle → no row
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicatedNgramFraction(df).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(0L) == ((2L, 1L, 0.5)), s"got ${out(0L)}")
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    assert(out(2L) == ((2L, 0L, 0.0)))
+    assert(!out.contains(3L))
+  }
+
+  test("weighted mix: per-source rates, unknown drops, samples nest") {
+    import spark.implicits._
+    val df = (0 until 4000).map(i => (i.toLong, s"s${i % 4}"))
+      .toDF("doc_id", "source")
+    val by = Sampling.weightedMix(df,
+        Map("s0" -> 4L, "s1" -> 2L, "s2" -> 1L), keyCol = "source")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(by("s0") == 1000L, "max-weight source passes whole")
+    assert(by("s1") > 380L && by("s1") < 620L, s"~50%: ${by("s1")}")
+    assert(by("s2") > 150L && by("s2") < 350L, s"~25%: ${by("s2")}")
+    assert(!by.contains("s3"), "unweighted source drops")
+    // hash-keyed thresholds nest: weight 1-of-4 ⊂ weight 2-of-4
+    def ids(w: Long) = Sampling.weightedMix(df,
+        Map("s1" -> w, "pad" -> 4L), keyCol = "source")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(1L).subsetOf(ids(2L)))
+  }
+
   test("inverted index: hot-term posting truncation is observable") {
     import spark.implicits._
     // "hot" appears in all 5 docs; cap postings at 3 → 2 cut from it.
