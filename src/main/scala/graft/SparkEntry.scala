@@ -487,6 +487,17 @@ object SparkEntry {
       Dedup.dupClusters(emb, pairs, idCol = "vec_id").orderBy("vec_id")
     }),
 
+    // SemDeDup semantic dedup: md5-seeded nearest-centroid clustering,
+    // within-cluster cosine pairs at 0.9, min-id retention → keep flag
+    "q_semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(embeddings(s, dir), threshold = 0.9)
+        .orderBy("vec_id")),
+
+    // OOV rate vs the corpus' own top-20 vocabulary (31-word generator
+    // vocab → a real in/out split at the deterministic tie-broken cut)
+    "q_oov_rate" -> ((s, dir) =>
+      TextAnalysis.oovRate(docs(s, dir), topK = 20).orderBy("doc_id")),
+
     // ----------------------------------------------- pipeline: multimodal
     "q_multimodal" -> ((s, dir) => { // opaque payloads: hash-fallback path
       val ev = events(s, dir)
@@ -1631,6 +1642,66 @@ object SparkEntry {
              FROM cand)
            SELECT qid, nid, rank, round(sim, 6) AS sim FROM r
            WHERE rank <= 10 ORDER BY qid, rank""",
+
+      // SemDeDup: seed-centroid assignment (same CTEs as q_ivf_ann), all
+      // within-cluster pairs at cosine >= 0.9, keep = never the larger
+      // id of a pair. No cap mirror needed: cluster sizes stay far under
+      // the operator's maxGroupSize at both checked SFs (verified), so
+      // only the exact path runs.
+      "q_semantic_dedup" ->
+        """WITH e AS (
+             SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+               sqrt(list_reduce(list_prepend(0.0, list_transform(
+                 list_transform(embedding, x -> x::DOUBLE), x -> x*x)),
+                 (a,b)->a+b)) AS nrm
+             FROM embeddings),
+           cents AS (
+             SELECT row_number() OVER (ORDER BY
+                 ('0x'||substring(md5(vec_id::VARCHAR),1,15))::BIGINT, vec_id) - 1 AS ci,
+               v AS cv,
+               sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x*x)),
+                 (a,b)->a+b)) AS cnrm
+             FROM e
+             ORDER BY ('0x'||substring(md5(vec_id::VARCHAR),1,15))::BIGINT, vec_id
+             LIMIT 16),
+           scores AS (
+             SELECT e.vec_id, e.v, e.nrm, c.ci,
+               list_reduce(list_prepend(0.0, list_transform(range(64), dd ->
+                 e.v[dd+1]*c.cv[dd+1])), (a,b)->a+b) / c.cnrm AS s
+             FROM e, cents c),
+           assigned AS (
+             SELECT vec_id, v, nrm, ci AS bucket FROM (
+               SELECT *, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY s DESC, ci DESC) AS rn
+               FROM scores) WHERE rn = 1),
+           pairs AS (
+             SELECT a.vec_id AS ia, b.vec_id AS ib
+             FROM assigned a JOIN assigned b
+               ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+             WHERE list_reduce(list_prepend(0.0, list_transform(range(64),
+                 dd -> a.v[dd+1]*b.v[dd+1])), (x,y)->x+y)
+               / (a.nrm * b.nrm) >= 0.9)
+           SELECT a.vec_id, CAST(a.bucket AS BIGINT) AS cluster,
+             a.vec_id NOT IN (SELECT ib FROM pairs) AS keep
+           FROM assigned a ORDER BY vec_id""",
+
+      // OOV rate: top-20 vocabulary by (count DESC, term ASC) — the same
+      // deterministic cut the Spark side takes
+      "q_oov_rate" ->
+        """WITH toks AS (
+             SELECT doc_id, lower(u) AS t
+             FROM (SELECT doc_id, unnest(list_filter(
+                 regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> x <> '')) AS u
+               FROM documents)),
+           vocab AS (
+             SELECT t FROM (SELECT t, count(*) AS n FROM toks GROUP BY t)
+             ORDER BY n DESC, t LIMIT 20)
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS tokens,
+             CAST(sum(CASE WHEN t IN (SELECT t FROM vocab) THEN 0 ELSE 1 END)
+               AS BIGINT) AS oov,
+             round(CAST(sum(CASE WHEN t IN (SELECT t FROM vocab) THEN 0
+               ELSE 1 END) AS DOUBLE) / count(*), 6) AS oov_rate
+           FROM toks GROUP BY doc_id ORDER BY doc_id""",
 
       // IVF with one Lloyd refinement step: assignment over the md5-seeded
       // centroids, then per-(centroid,dim) means as LEFT FOLDS OVER THE

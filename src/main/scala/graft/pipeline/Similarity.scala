@@ -131,18 +131,22 @@ object Similarity {
     *        (centroid,dim) group; a 100 TB deployment would train on a
     *        deterministic corpus sample instead (as IVF trainers do), not
     *        fold billions of contributions per cell. */
+  /** Deterministic seed sample: the first `nCentroids` corpus vectors in
+    * md5-of-id order (a formula any engine reproduces, unlike an
+    * engine-native hash). Driver-bounded: nCentroids rows. */
+  private def seedCentroids(corpus: DataFrame, nCentroids: Int,
+      idCol: String, vecCol: String): Array[Array[Double]] = corpus
+    .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    .orderBy(conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long"), col("cid"))
+    .limit(nCentroids).collect()
+    .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 16, nprobe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
       refine: Boolean = true): DataFrame = {
-    // deterministic seed sample: first nCentroids in md5-of-id order (a
-    // formula any engine reproduces, unlike an engine-native hash)
-    val seeds = corpus
-      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
-      .orderBy(conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
-        .cast("long"), col("cid"))
-      .limit(nCentroids).collect()
-      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val seeds = seedCentroids(corpus, nCentroids, idCol, vecCol)
     // one distributed Lloyd step: per-(centroid, dim) mean via posexplode.
     // The repartition is a deliberate pipeline boundary: without it the
     // Generate (explode) re-evaluates the centroid-assignment expression
@@ -239,6 +243,42 @@ object Similarity {
       .select(col("id_a"), col("id_b"),
         round(col("sim"), 6).as("sim"), lit(true).as("capped"))
     exact.unionByName(blocked)
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    * the corpus by nearest md5-seeded centroid (the [[ivfTopK]] seed
+    * assignment — no training pass), find within-cluster cosine
+    * near-dup pairs, and keep one representative per near-dup relation
+    * by MIN-ID retention: a vector is dropped iff it pairs at
+    * `threshold`-or-above with a smaller id in its cluster. (The paper
+    * keeps the member closest to the centroid; min-id keeps the
+    * retention decision local to a pair — no per-cluster argmin pass —
+    * and deterministic under any execution order. Divergence
+    * documented here.) Output: one row per vector — (vec_id, cluster,
+    * keep).
+    *
+    * Scale shape: the clustering is one broadcast-literal map pass;
+    * pair generation reuses [[cosineDupPairsByGroup]]'s bounded-group
+    * contract (oversized clusters route through LSH blocking, capped
+    * and observable), so a degenerate mega-cluster can't go quadratic;
+    * the keep decision is one anti-join against the dropped-id set. */
+  def semanticDedup(corpus: DataFrame, threshold: Double = 0.95,
+      nCentroids: Int = 16, idCol: String = "vec_id",
+      vecCol: String = "embedding", maxGroupSize: Int = 1000,
+      planes: Int = 8, dim: Int = 64,
+      capName: String = "semdedup"): DataFrame = {
+    val seeds = seedCentroids(corpus, nCentroids, idCol, vecCol)
+    val assigned = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("cluster", assignCentroid(col("vec"), seeds))
+    val pairs = cosineDupPairsByGroup(assigned, "cluster", threshold,
+      idCol = "id", vecCol = "vec", maxGroupSize = maxGroupSize,
+      planes = planes, dim = dim, capName = capName)
+    val drops = pairs.select(col("id_b").as("id")).distinct()
+      .withColumn("__drop", lit(1))
+    assigned.select(col("id"), col("cluster"))
+      .join(drops, Seq("id"), "left")
+      .select(col("id").as(idCol), col("cluster").cast("long").as("cluster"),
+        col("__drop").isNull.as("keep"))
   }
 
   /** Embedding-cosine near-duplicate pairs via LSH buckets (all pairs in a

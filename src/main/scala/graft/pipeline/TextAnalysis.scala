@@ -311,6 +311,32 @@ object TextAnalysis {
         md5(array_join(transform(col("__postings"), _.cast("string")), ","))
           .as("postings_md5"))
 
+  /** Out-of-vocabulary rate against the corpus' own top-K vocabulary —
+    * the Dolma/C4-family "fraction of tokens not in the common
+    * vocabulary" quality signal (high OOV ⇒ garbled text, code, or
+    * wrong-language content). Vocabulary = the `topK` most frequent
+    * [[terms]] corpus-wide, tie-broken (count DESC, term ASC) so the
+    * boundary is deterministic. Docs with no terms produce no row.
+    *
+    * Scale shape: term counts are a map-side-combined shuffle with one
+    * row per distinct term; the top-K cut sorts THAT (distinct terms,
+    * not tokens) and the K-row vocabulary broadcasts back — the
+    * per-doc score is then map-side. */
+  def oovRate(docs: DataFrame, topK: Int = 1000,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(terms(col(textCol))).as("t"))
+    val vocab = broadcast(toks.groupBy("t").agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("t")).limit(topK)
+      .select("t").withColumn("__in", lit(1)))
+    toks.join(vocab, Seq("t"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("oov"))
+      .select(col("id").as(idCol), col("tokens"), col("oov"),
+        round(col("oov").cast("double") / col("tokens"), 6).as("oov_rate"))
+  }
+
   // ------------------------------------------------------------- tf-idf
 
   /** Alphanumeric terms, lowercased. Split FIRST, lowercase per token:

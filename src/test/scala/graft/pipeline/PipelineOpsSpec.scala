@@ -362,6 +362,42 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(ids(1L).subsetOf(ids(2L)))
   }
 
+  test("semantic dedup: min-id retention inside clusters, singletons keep") {
+    import spark.implicits._
+    def v(seed: Int) = {
+      val r = new scala.util.Random(seed)
+      Array.fill(8)(r.nextGaussian().toFloat)
+    }
+    // ids 100/101 duplicate id 7's vector: all three share a cluster and
+    // pair at cosine 1.0 → min-id retention keeps 7, drops 100 and 101
+    val df = ((0 until 30).map(i => (i.toLong, v(i))) ++
+      Seq((100L, v(7)), (101L, v(7))))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(df, threshold = 0.999,
+        nCentroids = 4, dim = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out.size == 32)
+    assert(out(7L)._2 && !out(100L)._2 && !out(101L)._2,
+      s"min-id keeps 7, drops its dups: $out")
+    assert(out(7L)._1 == out(100L)._1 && out(7L)._1 == out(101L)._1,
+      "identical vectors share a cluster")
+    assert(out.count(!_._2._2) == 2, s"only the planted dups drop: $out")
+  }
+
+  test("oov rate: topK cut with count-desc term-asc tie-break") {
+    import spark.implicits._
+    // counts: aa 4, bb 2, zz 2, cc 1 → top-2 = {aa, bb} (bb beats zz on
+    // the term-asc tie-break)
+    val df = Seq((0L, "aa aa aa bb"), (1L, "aa bb cc"), (2L, "zz zz"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.oovRate(df, topK = 2).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(0L) == ((4L, 0L, 0.0)), s"got ${out(0L)}")
+    assert(out(1L) == ((3L, 1L, 0.333333)))
+    assert(out(2L) == ((2L, 2L, 1.0)))
+  }
+
   test("inverted index: hot-term posting truncation is observable") {
     import spark.implicits._
     // "hot" appears in all 5 docs; cap postings at 3 → 2 cut from it.
