@@ -125,6 +125,71 @@ object StatefulStream {
       }.toDF().drop("__digest")
   }
 
+  /** Streaming NEAR-dup suppression per (bucket, entry): a record whose
+    * minhash signature agrees with any recent survivor of its entry on
+    * ≥ `simThreshold` of the hash slots (the standard minhash Jaccard
+    * estimator) drops; survivors join the entry's history. The batch
+    * near-dup operators answer "which pairs exist in this corpus" —
+    * this answers the ingest-time question "is this record a near-copy
+    * of what this stream already carried", across micro-batches and
+    * restarts of the same checkpoint.
+    *
+    * State is BOUNDED: per entry, a FIFO of the last `maxHistory`
+    * survivor signatures (64 longs each — ~0.5 MB/entry at the 1000
+    * default). A near-dup of an evicted survivor re-enters; that is
+    * the documented trade for bounded state on an unbounded stream —
+    * the same reasoning as the batch hot-bucket caps. Signatures are
+    * computed codegen-side ([[graft.pipeline.DedupExprs.minhashSig]])
+    * before the state function; the stateful step is a primitive
+    * slot-compare loop. Shingle-less records (empty text) pass through
+    * and never enter history — an all-empty signature would otherwise
+    * match every other empty doc at 100%.
+    *
+    * Deterministic: rows sort by ts per (key, micro-batch), so the
+    * survivor set is a pure function of the record stream. */
+  def dedupNearMinhash(records: DataFrame,
+      text: org.apache.spark.sql.Column,
+      simThreshold: Double = 0.8, maxHistory: Int = 1000,
+      k: Int = 3, numHashes: Int = 64): DataFrame = {
+    import graft.pipeline.DedupExprs
+    val shingles = DedupExprs.shingleHash60(text, k)
+    val withSig = records.withColumn("__sig",
+      when(size(shingles) > 0, DedupExprs.minhashSig(shingles, numHashes)))
+    val schema = withSig.schema
+    val tsIdx = schema.fieldIndex("ts")
+    val sigIdx = schema.fieldIndex("__sig")
+    implicit val rowEnc = Encoders.row(schema)
+    implicit val keyEnc = Encoders.tuple(Encoders.STRING, Encoders.STRING)
+    implicit val stateEnc = Encoders.kryo[Vector[Array[Long]]]
+    withSig.groupByKey { r: Row =>
+      (r.getString(schema.fieldIndex("bucket")),
+        r.getString(schema.fieldIndex("entry")))
+    }.flatMapGroupsWithState[Vector[Array[Long]], Row](
+      OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      (_: (String, String), rows: Iterator[Row], gs: GroupState[Vector[Array[Long]]]) =>
+        var hist = gs.getOption.getOrElse(Vector.empty)
+        val sorted = rows.toArray.sortBy(_.getLong(tsIdx))
+        val out = sorted.flatMap { row =>
+          if (row.isNullAt(sigIdx)) Some(row)
+          else {
+            val sig = row.getSeq[Long](sigIdx).toArray
+            val isDup = hist.exists { h =>
+              var m = 0; var i = 0
+              while (i < sig.length) { if (h(i) == sig(i)) m += 1; i += 1 }
+              m.toDouble / sig.length >= simThreshold
+            }
+            if (isDup) None
+            else {
+              hist = (hist :+ sig).takeRight(maxHistory)
+              Some(row)
+            }
+          }
+        }
+        gs.update(hist)
+        out.iterator
+    }.toDF().drop("__sig")
+  }
+
   private def statefulFilter[S: scala.reflect.ClassTag](records: DataFrame, init: S)(
       step: (S, Long) => (S, Boolean)): DataFrame =
     statefulFilterFlag[S](records.withColumn("__in", lit(true)), init) {

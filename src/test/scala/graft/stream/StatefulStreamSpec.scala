@@ -75,6 +75,59 @@ class StatefulStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Seq(0L, 1000L, 4000L))
   }
 
+  test("streaming near-dup: corrupted copies drop per entry, cross-batch") {
+    import scala.jdk.CollectionConverters._
+    val src = Files.createTempDirectory("snd-src").toString
+    val ck = Files.createTempDirectory("snd-ck").toString
+    val out = Files.createTempDirectory("snd-out").toString
+    val words = Vector("spark", "query", "row", "data", "filter", "merge",
+      "sort", "batch", "join", "scan", "table", "window", "hash", "key")
+    def synth(seed: Int): String = {
+      val rnd = new scala.util.Random(seed)
+      Seq.fill(80)(words(rnd.nextInt(words.size))).mkString(" ")
+    }
+    def corrupt(text: String, seed: Int): String = {
+      val rnd = new scala.util.Random(seed)
+      text.split(" ").map(w =>
+        if (rnd.nextDouble() < 0.03) words(rnd.nextInt(words.size)) else w)
+        .mkString(" ")
+    }
+    def writeTexts(rows: Seq[(String, Long, String)]): Unit = {
+      val data = rows.map { case (entry, ts, body) =>
+        Row("b", entry, ts, Map.empty[String, String],
+          Map.empty[String, String], "", Records.State.Finished,
+          body.getBytes("UTF-8"))
+      }.asJava
+      spark.createDataFrame(data, Records.schema)
+        .write.mode("append").parquet(src)
+    }
+    def run(): Unit = {
+      val stream = spark.readStream.schema(Records.schema).parquet(src)
+      StatefulStream.dedupNearMinhash(stream,
+          decode(col("payload"), "UTF-8"), simThreshold = 0.6)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    val base = synth(1); val other = synth(99)
+    // batch 1: base survives; its 3%-corrupted copy drops; a distinct
+    // doc survives; empty text passes (never a near-dup)
+    writeTexts(Seq(("e", 1000L, base), ("e", 2000L, corrupt(base, 7)),
+      ("e", 3000L, other), ("e", 3500L, "")))
+    run()
+    def got(): Seq[Long] = spark.read.parquet(out)
+      .select("ts").collect().map(_.getLong(0)).toSeq.sorted
+    assert(got() == Seq(1000L, 3000L, 3500L),
+      "near-copy dropped, distinct + empty kept")
+    // batch 2: the history survived the micro-batch boundary — another
+    // corrupted copy still drops; same text in ANOTHER entry survives
+    // (state is per entry)
+    writeTexts(Seq(("e", 4000L, corrupt(base, 11)), ("f", 5000L, base)))
+    run()
+    assert(got() == Seq(1000L, 3000L, 3500L, 5000L),
+      "cross-batch near-dup dropped; other entry independent")
+  }
+
   test("streaming exact dedup drops cross-batch duplicates, min-ts wins") {
     import scala.jdk.CollectionConverters._
     val src = Files.createTempDirectory("sdd-src").toString
