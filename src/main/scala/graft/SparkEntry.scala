@@ -272,6 +272,13 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")),
 
+    // deterministic 8/1/1 train/val/test assignment, integer-exact cuts
+    "q_split_assign" -> ((s, dir) =>
+      Sampling.assignSplits(docs(s, dir),
+          Seq("train" -> 8L, "val" -> 1L, "test" -> 1L))
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")),
+
     "q_sample_rate" -> ((s, dir) =>
       Sampling.sampleByRate(docs(s, dir), rate = 0.2)
         .select(col("doc_id"), col("lang"))
@@ -1684,6 +1691,19 @@ object SparkEntry {
            SELECT a.vec_id, CAST(a.bucket AS BIGINT) AS cluster,
              a.vec_id NOT IN (SELECT ib FROM pairs) AS keep
            FROM assigned a ORDER BY vec_id""",
+
+      // split assignment: 30-bit hash slice times total weight against
+      // cumulative-weight << 30 — integers end to end
+      "q_split_assign" ->
+        """SELECT doc_id,
+             CASE WHEN h * 10 < (8::BIGINT << 30) THEN 'train'
+                  WHEN h * 10 < (9::BIGINT << 30) THEN 'val'
+                  ELSE 'test' END AS split
+           FROM (SELECT doc_id,
+                   (('0x' || substring(md5('graft:split:' ||
+                     CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT >> 30) AS h
+                 FROM documents)
+           ORDER BY doc_id""",
 
       // OOV rate: top-20 vocabulary by (count DESC, term ASC) — the same
       // deterministic cut the Spark side takes

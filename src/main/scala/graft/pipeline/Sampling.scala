@@ -86,6 +86,31 @@ object Sampling {
         wCol * lit(1L << 30))
   }
 
+  /** Deterministic train/val/test assignment: each row gets the split
+    * whose cumulative weight interval contains its hash — e.g.
+    * `Seq("train" -> 98, "val" -> 1, "test" -> 1)` puts ~98% in train.
+    * Same integer-exact boundary arithmetic as [[weightedMix]] (30-bit
+    * hash slice × total weight vs cumulative-weight << 30), so the
+    * assignment is bit-reproducible by any engine, stable under
+    * repartitioning, and disjoint-and-exhaustive by construction.
+    * Map-only. A distinct `salt` decorrelates the split from any
+    * sampling done with the default salt. */
+  def assignSplits(df: DataFrame, splits: Seq[(String, Long)],
+      idCol: String = "doc_id", salt: String = "graft:split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      s"splits need positive weights: $splits")
+    val total = splits.map(_._2).sum
+    require(total <= (1L << 30), s"total weight must fit 2^30, got $total")
+    val scaled = shiftright(hash60(col(idCol), salt), 30) * lit(total)
+    val cums = splits.map(_._2).scanLeft(0L)(_ + _).tail
+    val assigned = splits.zip(cums).init.reverse
+      .foldLeft(lit(splits.last._1): Column) {
+        case (els, ((name, _), cum)) =>
+          when(scaled < lit(cum * (1L << 30)), lit(name)).otherwise(els)
+      }
+    df.withColumn("split", assigned)
+  }
+
   /** Data-mixture building: per stratum (language, source, domain…),
     * take documents in the deterministic hash order until `budget`
     * tokens accumulate — the step that turns per-source token quotas

@@ -398,6 +398,45 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(2L) == ((2L, 2L, 1.0)))
   }
 
+  test("split assignment: disjoint, exhaustive, deterministic, ~weights") {
+    import spark.implicits._
+    val df = (0 until 5000).map(i => Tuple1(i.toLong)).toDF("doc_id")
+    val splits = Seq("train" -> 8L, "val" -> 1L, "test" -> 1L)
+    val out = Sampling.assignSplits(df, splits)
+    val by = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(by.values.sum == 5000L, "every row gets exactly one split")
+    assert(by("train") > 3800L && by("train") < 4200L, s"~80%: $by")
+    assert(by("val") > 350L && by("val") < 650L, s"~10%: $by")
+    // deterministic: re-evaluation yields the identical assignment
+    val a = out.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = Sampling.assignSplits(df, splits).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a == b)
+  }
+
+  test("new operator plans: map-only mixing/splitting, broadcast scoring") {
+    import spark.implicits._
+    val df = (0 until 100).map(i =>
+        (i.toLong, s"s${i % 4}", s"some text tokens number $i here"))
+      .toDF("doc_id", "source", "text")
+    // weightedMix and assignSplits must stay shuffle-free (map-only)
+    val mix = Sampling.weightedMix(df.select("doc_id", "source"),
+      Map("s0" -> 2L, "s1" -> 1L), keyCol = "source")
+    assert(!mix.queryExecution.executedPlan.toString.contains("Exchange"),
+      "weightedMix must not shuffle")
+    val split = Sampling.assignSplits(df, Seq("a" -> 1L, "b" -> 1L))
+    assert(!split.queryExecution.executedPlan.toString.contains("Exchange"),
+      "assignSplits must not shuffle")
+    // the vocabulary / previous-snapshot sides must come back broadcast
+    assert(TextAnalysis.oovRate(df).queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"), "oovRate vocab join must broadcast")
+    val inc = Dedup.incrementalDedup(
+      df.filter(col("doc_id") % 2 === 0), df.filter(col("doc_id") % 2 === 1))
+    assert(inc.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"), "incrementalDedup joins must broadcast")
+  }
+
   test("inverted index: hot-term posting truncation is observable") {
     import spark.implicits._
     // "hot" appears in all 5 docs; cap postings at 3 → 2 cut from it.
