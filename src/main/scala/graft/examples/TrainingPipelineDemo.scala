@@ -1,6 +1,6 @@
 package graft.examples
 
-import graft.pipeline.{Dedup, Packing, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Packing, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -56,9 +56,21 @@ object TrainingPipelineDemo {
       budget = 512)
     val nPacks = packed.agg(max("pack_id")).collect()(0).getLong(0) + 1
 
-    // 6. embedding near-dup pass on the embeddings table
+    // 6. source-weighted mixing + deterministic split assignment: the
+    // kept docs blend by per-source weight, then land in train/val/test
+    // by integer-exact hash intervals (both map-only)
+    val mixed = Sampling.weightedMix(kept,
+      (0 until 20).map(n => s"src$n" -> ((n % 4) + 1).toLong).toMap)
+    val splits = Sampling.assignSplits(mixed,
+        Seq("train" -> 8L, "val" -> 1L, "test" -> 1L))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // 7. embedding near-dup pass + SemDeDup keep-one selection
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val embDups = Similarity.embeddingDupPairs(emb, threshold = 0.98)
+    val semKept = Similarity.semanticDedup(emb, threshold = 0.95)
+      .filter(col("keep")).count()
 
     println(s"corpus:            $total docs")
     println(s"after exact dedup: ${exact.count()}")
@@ -67,7 +79,10 @@ object TrainingPipelineDemo {
     println("per-language token budget:")
     report.collect().foreach(r => println(f"  ${r.getString(0)}%-4s ${r.getLong(1)}%6d docs ${r.getLong(2)}%10d bpe tokens"))
     println(s"packed into:       $nPacks windows of 512 tokens")
+    println(s"after weighted mix: ${mixed.count()}")
+    println(s"splits:            $splits")
     println(s"embedding near-dup pairs (cos >= 0.98): ${embDups.count()}")
+    println(s"semantic dedup keeps: $semKept of ${emb.count()} vectors")
     spark.stop()
   }
 }
