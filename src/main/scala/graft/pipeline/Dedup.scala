@@ -450,12 +450,16 @@ object Dedup {
     *
     * Scale shape: the digest check joins on a 16-byte hash and the
     * shingle check on a distinct 60-bit hash set — both reduced once
-    * from the previous snapshot and broadcast
-    * (`broadcastPrevious = false` degrades both to shuffled hash joins
-    * for a previous snapshot too large to broadcast, which at 100 TB is
-    * the realistic path: new-dump ≪ corpus, so broadcast the NEW side's
-    * digests instead by swapping roles, or shuffle). Text never
-    * shuffles; per-doc work is one shingle pass. */
+    * from the previous snapshot and broadcast.
+    * `broadcastPrevious = false` is the 100 TB path for a previous
+    * snapshot too large to broadcast: both checks become shuffled hash
+    * joins, and Spark's runtime Bloom-filter optimization
+    * (`spark.sql.optimizer.runtime.bloomFilter.enabled`, default true
+    * on this build — verified) injects a creation-side Bloom filter
+    * that prunes non-matching new-dump rows map-side before the
+    * shuffle, which is exactly the hand-rolled Bloom pre-filter a
+    * native pipeline would write. Text never shuffles; per-doc work is
+    * one shingle pass. */
   def incrementalDedup(newDocs: DataFrame, previous: DataFrame,
       idCol: String = "doc_id", textCol: String = "text", k: Int = 3,
       threshold: Double = 0.5, broadcastPrevious: Boolean = true): DataFrame = {
