@@ -279,6 +279,12 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
     assert(req("POST", "/replications/errs/run").statusCode() == 200)
     val rep = req("GET", "/b/dst1/rep%2Flogs?ts=1000")
     assert(rep.statusCode() == 200 && new String(rep.body()) == "r1")
+    // PR-1539: the never-POSTed destination bucket exists after the run —
+    // info responds and /list includes it
+    assert(req("GET", "/b/dst1").statusCode() == 200,
+      "replication auto-creates its destination bucket")
+    assert((jsonOf(req("GET", "/list")) \ "buckets").children
+      .exists(b => (b \ "name").extract[String] == "dst1"))
     // the run tallied the replicated records into hourly diagnostics
     assert((jsonOf(req("GET", "/replications/errs")) \ "diagnostics" \
       "hourly" \ "ok").extract[Long] == 3)
