@@ -263,6 +263,11 @@ object SparkEntry {
     "q_dup_ngram_frac" -> ((s, dir) =>
       Dedup.duplicatedNgramFraction(docs(s, dir)).orderBy("doc_id")),
 
+    // Lee et al. exact-substring span removal: strip tokens covered by
+    // any 4-gram occurring >= 2 times corpus-wide, emit cleaned text
+    "q_span_removal" -> ((s, dir) =>
+      Dedup.removeDuplicatedSpans(docs(s, dir), k = 4).orderBy("doc_id")),
+
     // ----------------------------------------------- pipeline: sampling
     // mixture blend: srcN at weight (N % 4) + 1 → weight-4 sources pass
     // whole, weight-1 sources keep ~25%, integer-exact keep boundary
@@ -1101,6 +1106,30 @@ object SparkEntry {
                AS DOUBLE) / count(*), 6) AS dup_fraction
            FROM e JOIN c ON e.x = c.x
            GROUP BY e.id ORDER BY doc_id"""),
+
+      // span removal: POSITIONAL 4-gram hashes (every occurrence counts,
+      // unlike the distinct shingle sets above); tokens covered by a
+      // gram seen >= 2x anywhere are stripped; DuckDB list lambda
+      // indexes are 1-based hence the i-1
+      "q_span_removal" ->
+        """WITH t AS (SELECT doc_id AS id,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+               ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+             FROM documents),
+           g AS (SELECT id, i AS pos,
+               ('0x' || substring(md5(array_to_string(
+                  toks[i+1:i+4], ' ')), 1, 15))::BIGINT AS h
+             FROM t, unnest(range(greatest(len(toks) - 3, 0))) AS u(i)),
+           c AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+           cov AS (SELECT g.id, list_sort(list_distinct(flatten(
+               list(range(pos, pos + 4))))) AS cv
+             FROM g JOIN c USING (h) GROUP BY g.id)
+           SELECT t.id AS doc_id, CAST(len(toks) AS BIGINT) AS tokens,
+             CAST(coalesce(len(cv), 0) AS BIGINT) AS removed,
+             coalesce(array_to_string(list_filter(toks, (x, i) ->
+               cv IS NULL OR NOT list_contains(cv, i - 1)), ' '), '')
+               AS kept_text
+           FROM t LEFT JOIN cov ON t.id = cov.id ORDER BY doc_id""",
 
       // weighted mix: integer-exact keep boundary — 30-bit hash slice
       // times max-weight vs weight << 30, no doubles anywhere

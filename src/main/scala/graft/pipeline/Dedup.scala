@@ -519,6 +519,66 @@ object Dedup {
           .as("dup_fraction"))
   }
 
+  /** Exact-substring duplicated-span REMOVAL (the transform half of the
+    * Lee et al. 2022 "Deduplicating Training Data" recipe, whose
+    * detection half is [[duplicatedNgramFraction]]): strip every token
+    * covered by a k-token span that occurs at least twice corpus-wide
+    * (including twice inside one document — self-repetition is
+    * boilerplate too), and emit the cleaned text plus removal counts.
+    * Spans are POSITIONAL k-grams — unlike the distinct shingle sets of
+    * the pair operators, every occurrence counts and every occurrence's
+    * token range is stripped. Tokens are the dedup-family convention
+    * (whitespace split of the trimmed text, case-sensitive); the kept
+    * text is the surviving tokens re-joined with single spaces.
+    *
+    * Scale shape (the 100 TB plan): (1) explode positional gram hashes →
+    * one shuffle keyed by the 60-bit md5 hash for the global occurrence
+    * count (map-side combined), (2) join the duplicated hashes back to
+    * the (id, pos, hash) rows — both sides already hash-partitioned by
+    * the same key, (3) regroup covered positions per doc (integer lists
+    * only), (4) ONE left join of that small frame (only docs that have a
+    * duplicated span) back to the full corpus — AQE broadcasts it when
+    * it fits. Document text never shuffles; everything after the join is
+    * map-side array surgery. Per-token coverage lookup is
+    * O(|covered positions|) via array_contains — fine for web-document
+    * token counts; a sorted-merge kernel would replace it for
+    * million-token records.
+    *
+    * Oracle-checkable end to end: md5-derived gram hashes, integer
+    * positions, string reassembly — no floats anywhere. */
+  def removeDuplicatedSpans(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 4): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val toks = filter(split(trim(col(textCol)), "\\s+"), t => t =!= "")
+    val d = docs.select(col(idCol).as("id"), toks.as("toks"))
+    // positional k-gram hashes; sequence(0, n-k) would run DESCENDING for
+    // n < k (Spark generates reversed ranges), hence the guard
+    val grams = d
+      .select(col("id"), posexplode(
+        when(size(col("toks")) >= k,
+          transform(sequence(lit(0), size(col("toks")) - k), i =>
+            conv(substring(md5(concat_ws(" ",
+              slice(col("toks"), i + 1, lit(k)))), 1, 15), 16, 10)
+              .cast("long")))
+          .otherwise(array().cast("array<long>"))).as(Seq("pos", "h")))
+    val dupHashes = grams.groupBy("h").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2).select("h")
+    val covered = grams.join(dupHashes, "h")
+      .groupBy("id")
+      .agg(sort_array(array_distinct(flatten(collect_list(
+        sequence(col("pos"), col("pos") + (k - 1)))))).as("cov"))
+    d.join(covered, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        size(col("toks")).cast("long").as("tokens"),
+        // size(NULL) is -1 under legacy sizeOfNull (ANSI off), so gate on
+        // the null explicitly rather than coalescing the size
+        when(col("cov").isNull, lit(0L))
+          .otherwise(size(col("cov")).cast("long")).as("removed"),
+        array_join(filter(col("toks"), (_, i) =>
+          col("cov").isNull || !array_contains(col("cov"), i)), " ")
+          .as("kept_text"))
+  }
+
   // ------------------------------------- duplicate clusters (components)
 
   /** Connected components over a near-dup pair list → duplicate clusters:

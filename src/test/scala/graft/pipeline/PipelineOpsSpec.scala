@@ -888,4 +888,33 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
       .map(_.getString(1)).toSeq
     assert(tie == Seq("alpha", "zeta"))
   }
+
+  test("span removal: shared + self-repeated spans stripped, clean kept") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon" // 5 tokens, in docs 0+1
+    val df = Seq(
+      (0L, s"one two $shared three four"),
+      (1L, s"$shared five six seven eight nine"),
+      // self-repetition: the same 4-gram twice inside ONE doc
+      (2L, "p q r s HELLO WORLD BIG DEAL mid HELLO WORLD BIG DEAL tail"),
+      (3L, "totally distinct tokens nothing here repeats at all"),
+      (4L, "")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(df, k = 4).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    // docs 0/1: exactly the 5 shared tokens go (both 4-grams of the
+    // shared span are duplicated; the surrounding grams are unique)
+    assert(out(0) == ((0L, 9L, 5L, "one two three four")))
+    assert(out(1) == ((1L, 10L, 5L, "five six seven eight nine")))
+    // doc 2: both occurrences of the self-repeated 4-gram are stripped
+    assert(out(2) == ((2L, 14L, 8L, "p q r s mid tail")))
+    // doc 3 untouched, doc 4 empty in/out
+    assert(out(3) == ((3L, 8L, 0L, "totally distinct tokens nothing here repeats at all")))
+    assert(out(4) == ((4L, 0L, 0L, "")))
+    // a doc shorter than k produces no grams and survives whole
+    val short = Dedup.removeDuplicatedSpans(
+      Seq((0L, "a b c"), (1L, "a b c")).toDF("doc_id", "text"), k = 4)
+      .orderBy("doc_id").collect()
+    assert(short.map(_.getString(3)).toSeq == Seq("a b c", "a b c"))
+  }
 }
