@@ -510,6 +510,10 @@ object SparkEntry {
     "q_oov_rate" -> ((s, dir) =>
       TextAnalysis.oovRate(docs(s, dir), topK = 20).orderBy("doc_id")),
 
+    // CCNet-style quality: corpus-self-trained bigram LM perplexity
+    "q_lm_perplexity" -> ((s, dir) =>
+      TextAnalysis.lmPerplexity(docs(s, dir)).orderBy("doc_id")),
+
     // ----------------------------------------------- pipeline: multimodal
     "q_multimodal" -> ((s, dir) => { // opaque payloads: hash-fallback path
       val ev = events(s, dir)
@@ -1751,6 +1755,33 @@ object SparkEntry {
              round(CAST(sum(CASE WHEN t IN (SELECT t FROM vocab) THEN 0
                ELSE 1 END) AS DOUBLE) / count(*), 6) AS oov_rate
            FROM toks GROUP BY doc_id ORDER BY doc_id""",
+
+      // bigram LM perplexity: add-one smoothing over the bigram-participant
+      // vocabulary (single-token docs contribute no vocab mass — mirrors
+      // the Spark side deriving V from the compact bigram-count table);
+      // prefix counts are w1-as-prefix occurrence counts
+      "q_lm_perplexity" ->
+        """WITH t AS (SELECT doc_id AS id,
+             list_transform(list_filter(
+               regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> x <> ''),
+               x -> lower(x)) AS toks
+             FROM documents),
+           bi AS (SELECT id, toks[i+1] AS w1, toks[i+2] AS w2
+             FROM t, unnest(range(greatest(len(toks) - 1, 0))) AS u(i)),
+           cb AS (SELECT w1, w2, count(*) AS cnt FROM bi GROUP BY 1, 2),
+           cp AS (SELECT w1, sum(cnt) AS pn FROM cb GROUP BY 1),
+           v AS (SELECT count(*) AS vs FROM
+             (SELECT w1 AS w FROM cb UNION SELECT w2 FROM cb)),
+           sc AS (SELECT id, count(*) AS nb,
+               sum(-ln((cnt + 1)::DOUBLE / (pn + vs))) AS nll
+             FROM bi JOIN cb USING (w1, w2) JOIN cp USING (w1)
+               CROSS JOIN v
+             GROUP BY id)
+           SELECT t.id AS doc_id,
+             CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
+             round(nll / nb, 4) AS avg_nll,
+             round(exp(nll / nb), 2) AS ppl
+           FROM t LEFT JOIN sc USING (id) ORDER BY doc_id""",
 
       // IVF with one Lloyd refinement step: assignment over the md5-seeded
       // centroids, then per-(centroid,dim) means as LEFT FOLDS OVER THE

@@ -390,4 +390,61 @@ object TextAnalysis {
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rank"))
   }
+
+  // ------------------------------- LM perplexity (CCNet-style quality)
+
+  /** Corpus-self-trained bigram language-model perplexity — the CCNet
+    * quality signal (Wenzek et al. 2019) with the corpus itself standing
+    * in for the external LM: typical text scores low, boilerplate scores
+    * lower, token salad scores high. Add-one smoothing over the bigram
+    * vocabulary: P(w2|w1) = (c(w1,w2)+1) / (c(w1,·)+V), where c(w1,·)
+    * counts w1 as a bigram PREFIX and V is the number of distinct tokens
+    * participating in at least one bigram (derived from the compact
+    * bigram-count table, so single-token documents contribute no
+    * vocabulary mass — documented, oracle-mirrored). Output per doc:
+    * n_bigrams, avg negative log-likelihood (round 4), perplexity
+    * (round 2); docs with fewer than two tokens get NULL scores.
+    *
+    * Scale shape: the bigram-count table `cb` (one row per DISTINCT
+    * bigram, map-side combined) is the only thing persisted — the
+    * prefix counts, the vocab scalar, and the scoring join all derive
+    * from it, and the raw text is scanned exactly twice (column-pruned)
+    * rather than materializing a corpus-sized token cache (same
+    * trade as [[tfidfTopTerms]]). The scoring joins are keyed by
+    * (w1,w2) then w1 — both sides hash-partitioned by the join key, no
+    * broadcast of the (potentially huge at 100 TB) bigram table needed;
+    * AQE will still broadcast it when the realized vocabulary is small.
+    *
+    * Float determinism: each -ln term carries ≤1-ulp engine skew and the
+    * per-doc sum is order-sensitive, but both effects are ~1e-13
+    * relative against a 1e-4/1e-2 rounding grid — unlike the ranking
+    * ties that forced [[tfidfTopTerms]] to drop its score column, a
+    * rounded continuous output is stable. */
+  def lmPerplexity(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val d = docs.select(col(idCol).as("id"), terms(col(textCol)).as("toks"))
+    val bi = d.select(col("id"), explode(
+        when(size(col("toks")) >= 2,
+          transform(sequence(lit(0), size(col("toks")) - 2), i =>
+            struct(element_at(col("toks"), i + 1).as("w1"),
+              element_at(col("toks"), i + 2).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+        .as("g"))
+      .select(col("id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+    val cb = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cp = cb.groupBy("w1").agg(sum("cnt").as("pn"))
+    val v = cb.select(col("w1").as("w")).union(cb.select(col("w2")))
+      .agg(countDistinct("w")).head.getLong(0)
+    val scored = bi.join(cb, Seq("w1", "w2")).join(cp, Seq("w1"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(-log((col("cnt") + 1).cast("double") / (col("pn") + v)))
+          .as("nll"))
+    d.select(col("id")).join(scored, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("nll") / col("n_bigrams"), 4).as("avg_nll"),
+        round(exp(col("nll") / col("n_bigrams")), 2).as("ppl"))
+  }
 }

@@ -917,4 +917,24 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
       .orderBy("doc_id").collect()
     assert(short.map(_.getString(3)).toSeq == Seq("a b c", "a b c"))
   }
+
+  test("lm perplexity: add-one bigram LM, hand-computed") {
+    import spark.implicits._
+    // bigrams: doc0 (a,b)(b,a)(a,b), doc1 (a,b) → c(a,b)=3, c(b,a)=1;
+    // prefix counts a=3, b=1; vocab = bigram participants {a,b}, V=2
+    // ("c" appears only in a single-token doc → no vocab mass)
+    val df = Seq((0L, "a b a b"), (1L, "a b"), (2L, "c"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lmPerplexity(df).orderBy("doc_id").collect()
+    // P(b|a) = (3+1)/(3+2) = 0.8; P(a|b) = (1+1)/(1+2) = 2/3
+    // doc0: nll = 2(-ln .8) + (-ln 2/3) = 0.851746, avg .2839, ppl 1.33
+    // doc1: avg = -ln .8 = 0.2231, ppl = 1/0.8 = 1.25 exactly
+    assert(out(0).getLong(1) == 3 && out(0).getDouble(2) == 0.2839 &&
+      out(0).getDouble(3) == 1.33)
+    assert(out(1).getLong(1) == 1 && out(1).getDouble(2) == 0.2231 &&
+      out(1).getDouble(3) == 1.25)
+    // <2 tokens: zero bigrams, NULL scores
+    for (i <- 2 to 3)
+      assert(out(i).getLong(1) == 0 && out(i).isNullAt(2) && out(i).isNullAt(3))
+  }
 }
