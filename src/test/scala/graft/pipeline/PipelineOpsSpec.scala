@@ -937,4 +937,28 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     for (i <- 2 to 3)
       assert(out(i).getLong(1) == 0 && out(i).isNullAt(2) && out(i).isNullAt(3))
   }
+
+  test("span removal + lm perplexity plans: no cartesian, cache reused") {
+    import spark.implicits._
+    val df = (0 until 200).map(i =>
+        (i.toLong, s"tok${i % 7} tok${i % 5} tok${i % 3} tok${i % 11} x$i"))
+      .toDF("doc_id", "text")
+    val span = Dedup.removeDuplicatedSpans(df, k = 4)
+    val spanPlan = span.queryExecution.executedPlan.toString
+    assert(!spanPlan.contains("CartesianProduct"),
+      "span removal must never go all-pairs")
+    // the duplicated-hash set and the covered-positions frame are the
+    // small sides by construction — both joins must build on them
+    assert("BroadcastHashJoin".r.findAllIn(spanPlan).size >= 2,
+      "span removal joins must broadcast the small sides")
+    val lm = TextAnalysis.lmPerplexity(df)
+    val lmPlan = lm.queryExecution.executedPlan.toString
+    assert(!lmPlan.contains("CartesianProduct"),
+      "lm scoring must never go all-pairs")
+    // the persisted distinct-bigram table feeds both the count join and
+    // the prefix-count derivation — the cache must be hit twice, not the
+    // text re-tokenized a third time
+    assert("InMemoryTableScan".r.findAllIn(lmPlan).size >= 2,
+      "bigram-count cache must back both scoring inputs")
+  }
 }
