@@ -450,6 +450,19 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // contrastive hard negatives: top-k nearest with a DIFFERENT label
+    "q_hard_negatives" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val anchors = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("label").as("qlabel"))
+      Similarity.hardNegatives(emb, anchors, 10)
+        .select(col("qid"), col("nid"),
+          col("neg_label").cast("bigint").as("neg_label"),
+          col("rank").cast("bigint").as("rank"), col("sim"))
+        .orderBy("qid", "rank")
+    }),
+
     "q_lsh_ann" -> ((s, dir) => { // oracle: md5-derived hyperplanes
       val emb = embeddings(s, dir)
       val queriesDf = emb.filter(col("vec_id") < 5)
@@ -1592,6 +1605,30 @@ object SparkEntry {
                row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
              FROM s)
            SELECT qid, nid, rank, round(sim, 6) AS sim FROM r
+           WHERE rank <= 10 ORDER BY qid, rank""",
+
+      // hard negatives: ann_brute with a label-mismatch filter; the
+      // anchor's own label rides along from the embeddings table
+      "q_hard_negatives" ->
+        """WITH q AS (
+             SELECT vec_id AS qid, label AS qlabel,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+             FROM embeddings WHERE vec_id < 5),
+           c AS (
+             SELECT vec_id AS nid, label AS nlabel,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS nv
+             FROM embeddings),
+           s AS (
+             SELECT qid, nid, nlabel,
+               list_dot_product(qv, nv) /
+                 (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))) AS sim
+             FROM q, c WHERE nid <> qid AND nlabel <> qlabel),
+           r AS (
+             SELECT qid, nid, nlabel, sim,
+               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+             FROM s)
+           SELECT qid, nid, CAST(nlabel AS BIGINT) AS neg_label, rank,
+             round(sim, 6) AS sim FROM r
            WHERE rank <= 10 ORDER BY qid, rank""",
 
       // LSH ANN: md5-derived hyperplanes; sign-bucket + Hamming-1 probes;

@@ -51,6 +51,32 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Hard-negative mining for contrastive training: per anchor vector,
+    * the top-k most-similar corpus vectors carrying a DIFFERENT label —
+    * the near-miss negatives a contrastive objective learns most from
+    * (easy negatives are uninformative; same-label hits are positives,
+    * not negatives). Same scale contract as [[bruteForceTopK]]: the
+    * anchor set is broadcast (small by construction), the corpus streams
+    * map-only with one fold-dot per pair, and the only shuffle is the
+    * per-anchor top-k window — the shape the scale audit already signed
+    * off for the brute baseline. Ties break on candidate id. */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val joined = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
+        col(labelCol).as("neg_label"), norm(col(vecCol)).as("nnorm"))
+      .crossJoin(broadcast(anchors.select(col("qid"), col("qvec"),
+        col("qlabel"), norm(col("qvec")).as("qnorm"))))
+      .filter(col("nid") =!= col("qid") && col("neg_label") =!= col("qlabel"))
+      .withColumn("sim",
+        dot(col("nvec"), col("qvec")) / (col("nnorm") * col("qnorm")))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("neg_label"), col("rank"),
+        round(col("sim"), 6).as("sim"))
+  }
+
   /** Deterministic hyperplane matrix, md5-derived per (plane, dim) cell
     * via [[DedupRuntime.h60]] — regenerable by any engine from the same
     * formula (the DuckDB oracle recomputes it inline), unlike a wrapping

@@ -961,4 +961,23 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert("InMemoryTableScan".r.findAllIn(lmPlan).size >= 2,
       "bigram-count cache must back both scoring inputs")
   }
+
+  test("hard negatives: nearest different-label only, same-label excluded") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.01f), 0), // nearest overall — but same label
+      (2L, Array(0.9f, 0.1f), 1),
+      (3L, Array(0.0f, 1.0f), 1),
+      (4L, Array(0.8f, 0.2f), 2)).toDF("vec_id", "embedding", "label")
+    val anchors = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("label").as("qlabel"))
+    val out = Similarity.hardNegatives(emb, anchors, 3).orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getInt(3)))
+    // ranked by cosine among labels != 0: 2 (.9939), 4 (.9701), 3 (0.0);
+    // vec 1 (same label) must not appear despite being the nearest
+    assert(out.toSeq == Seq((2L, 1, 1), (4L, 2, 2), (3L, 1, 3)))
+    assert(!out.map(_._1).contains(1L))
+  }
 }
