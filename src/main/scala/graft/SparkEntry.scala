@@ -268,6 +268,14 @@ object SparkEntry {
     "q_span_removal" -> ((s, dir) =>
       Dedup.removeDuplicatedSpans(docs(s, dir), k = 4).orderBy("doc_id")),
 
+    // Dolma-style within-document line dedup (map-only)
+    "q_line_dedup" -> ((s, dir) =>
+      Dedup.lineDedupWithinDoc(docs(s, dir)).orderBy("doc_id")),
+
+    // source-level gating: per-source corpus-wide exact-dup fraction
+    "q_source_dup_rate" -> ((s, dir) =>
+      Dedup.sourceDupRate(docs(s, dir), maxDupRate = 0.01).orderBy("source")),
+
     // ----------------------------------------------- pipeline: sampling
     // mixture blend: srcN at weight (N % 4) + 1 → weight-4 sources pass
     // whole, weight-1 sources keep ~25%, integer-exact keep boundary
@@ -1147,6 +1155,34 @@ object SparkEntry {
                cv IS NULL OR NOT list_contains(cv, i - 1)), ' '), '')
                AS kept_text
            FROM t LEFT JOIN cov ON t.id = cov.id ORDER BY doc_id""",
+
+      // within-doc line dedup: first occurrence of each distinct nonempty
+      // line survives, in order; DuckDB list lambdas are 1-based
+      "q_line_dedup" ->
+        """WITH t AS (SELECT doc_id,
+             list_filter(split(text, chr(10)), x -> x <> '') AS ls
+             FROM documents),
+           k AS (SELECT doc_id, ls,
+             list_filter(ls, (x, i) -> list_position(ls, x) = i) AS kept
+             FROM t)
+           SELECT doc_id, CAST(len(ls) AS BIGINT) AS lines,
+             CAST(len(ls) - len(kept) AS BIGINT) AS removed,
+             coalesce(array_to_string(kept, chr(10)), '') AS kept_text
+           FROM k ORDER BY doc_id""",
+
+      // per-source duplication rate: digest occurs >1 corpus-wide →
+      // every carrying doc counts as duplicated for its source
+      "q_source_dup_rate" ->
+        """WITH d AS (SELECT source, md5(text) AS digest FROM documents),
+           c AS (SELECT digest, count(*) AS occ FROM d GROUP BY digest)
+           SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_docs,
+             round(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END)::DOUBLE
+               / count(*), 6) AS dup_rate,
+             (sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END)::DOUBLE
+               / count(*)) <= 0.01 AS keep
+           FROM d JOIN c USING (digest) GROUP BY source ORDER BY source""",
 
       // weighted mix: integer-exact keep boundary — 30-bit hash slice
       // times max-weight vs weight << 30, no doubles anywhere

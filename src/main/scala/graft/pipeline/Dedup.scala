@@ -519,6 +519,59 @@ object Dedup {
           .as("dup_fraction"))
   }
 
+  /** Within-document line dedup (the Dolma in-document pass, distinct
+    * from [[paragraphDedup]]'s corpus-wide filter): each document keeps
+    * only the FIRST occurrence of every distinct nonempty line, in
+    * order — repeated nav rows, list boilerplate, scraper stutter.
+    * Returns (doc_id, lines, removed, kept_text).
+    *
+    * Scale shape: pure map-only array surgery inside whole-stage codegen
+    * — no shuffle, no join, no state; the first-occurrence test is
+    * `array_position(ls, x) == i + 1` (O(lines²) per doc, fine for
+    * web-document line counts and deliberately explicit rather than
+    * leaning on `array_distinct`'s unspecified ordering contract). */
+  def lineDedupWithinDoc(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val ls = filter(split(col(textCol), "\n"), l => l =!= "")
+    docs.select(col(idCol),
+        ls.as("__ls"))
+      .withColumn("__kept", filter(col("__ls"),
+        (x, i) => array_position(col("__ls"), x) === i + 1))
+      .select(col(idCol),
+        size(col("__ls")).cast("long").as("lines"),
+        (size(col("__ls")) - size(col("__kept"))).cast("long").as("removed"),
+        array_join(col("__kept"), "\n").as("kept_text"))
+  }
+
+  /** Per-source duplication-rate gating — the source-level filter of a
+    * curation stack (drop mirrors, scraped dumps, and spam domains whose
+    * content is mostly copies): for every source, the fraction of its
+    * documents whose exact text digest occurs more than once CORPUS-wide
+    * (cross-source copies count against both sources), plus a keep flag
+    * at `maxDupRate`. Returns (source, n_docs, n_dup_docs, dup_rate,
+    * keep).
+    *
+    * Scale shape: one 16-byte-digest shuffle for the corpus-wide counts
+    * (map-side combined), the count table joins back on the digest (AQE
+    * broadcasts the realized-distinct side when small), then a
+    * source-keyed agg whose output is one row per source — text itself
+    * never shuffles. */
+  def sourceDupRate(docs: DataFrame, maxDupRate: Double = 0.05,
+      sourceCol: String = "source", textCol: String = "text"): DataFrame = {
+    val d = docs.select(col(sourceCol).as("source"),
+      md5(col(textCol)).as("digest"))
+    val counts = d.groupBy("digest").agg(count(lit(1)).as("occ"))
+    d.join(counts, "digest")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+      .select(col("source"), col("n_docs"), col("n_dup_docs"),
+        round(col("n_dup_docs").cast("double") / col("n_docs"), 6)
+          .as("dup_rate"),
+        (col("n_dup_docs").cast("double") / col("n_docs") <= maxDupRate)
+          .as("keep"))
+  }
+
   /** Exact-substring duplicated-span REMOVAL (the transform half of the
     * Lee et al. 2022 "Deduplicating Training Data" recipe, whose
     * detection half is [[duplicatedNgramFraction]]): strip every token

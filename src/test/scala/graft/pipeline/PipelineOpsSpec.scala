@@ -962,6 +962,41 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
       "bigram-count cache must back both scoring inputs")
   }
 
+  test("line dedup within doc: first occurrence kept in order, map-only") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "nav\nbody one\nnav\nbody two\nnav"),
+      (1L, "a\n\na\nb"), // empty lines dropped before dedup
+      (2L, "unique only"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = Dedup.lineDedupWithinDoc(df).orderBy("doc_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) == ((5L, 2L, "nav\nbody one\nbody two")))
+    assert(out(1) == ((3L, 1L, "a\nb")))
+    assert(out(2) == ((1L, 0L, "unique only")))
+    assert(out(3) == ((0L, 0L, "")))
+    // map-only contract: no exchange anywhere in the plan
+    assert(!Dedup.lineDedupWithinDoc(df).queryExecution.executedPlan
+      .toString.contains("Exchange"), "line dedup must not shuffle")
+  }
+
+  test("source dup rate: cross-source copies count against both sources") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "sA", "copied text"), (1L, "sB", "copied text"), // cross-source pair
+      (2L, "sA", "own text a"), (3L, "sA", "own text b"),
+      (4L, "sB", "own text c"),
+      (5L, "sC", "clean one"), (6L, "sC", "clean two"))
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.sourceDupRate(df, maxDupRate = 0.4).orderBy("source")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(out(0) == (("sA", 3L, 1L, 0.333333, true)))
+    assert(out(1) == (("sB", 2L, 1L, 0.5, false)))
+    assert(out(2) == (("sC", 2L, 0L, 0.0, true)))
+  }
+
   test("hard negatives: nearest different-label only, same-label excluded") {
     import spark.implicits._
     val emb = Seq(
