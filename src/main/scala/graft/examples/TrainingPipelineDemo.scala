@@ -26,8 +26,20 @@ object TrainingPipelineDemo {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val total = docs.count()
 
+    // 0. source-level gate + in-document cleanup, BEFORE the corpus
+    // passes: drop sources that are mostly copies, dedup repeated lines
+    // inside each doc, then strip corpus-duplicated token spans
+    val goodSources = Dedup.sourceDupRate(docs, maxDupRate = 0.01)
+      .filter(col("keep")).select(col("source"))
+    val gated = docs.join(broadcast(goodSources), Seq("source"))
+    val lineClean = Dedup.lineDedupWithinDoc(gated)
+      .select(col("doc_id"), col("kept_text"))
+    val spanClean = Dedup.removeDuplicatedSpans(
+        gated.select(col("doc_id"), col("source"), col("text")), k = 8)
+      .select(col("doc_id"), col("removed"))
+
     // 1. exact dedup: keep the smallest doc_id per distinct text
-    val exact = Dedup.exactDedup(docs)
+    val exact = Dedup.exactDedup(gated)
 
     // 2. near-dedup: drop the higher id of every MinHash pair >= 0.5
     val nearPairs = Dedup.minhashPairs(exact, threshold = 0.5)
@@ -42,6 +54,11 @@ object TrainingPipelineDemo {
       .withColumn("lang_guess", TextAnalysis.langGuess(col("text")))
       .withColumn("bpe_tokens", TextAnalysis.bpeTokenCount(col("text")))
     val kept = scored.filter(col("keep"))
+
+    // 3b. LM-perplexity outlier cut: corpus-self-trained bigram LM,
+    // drop the far tail (token salad / degenerate docs)
+    val ppl = TextAnalysis.lmPerplexity(kept)
+    val pplStats = ppl.agg(avg("ppl"), max("ppl")).collect()(0)
 
     // 4. per-language token budget report (the "what did we keep" view)
     val report = kept.groupBy("lang_guess")
@@ -72,7 +89,17 @@ object TrainingPipelineDemo {
     val semKept = Similarity.semanticDedup(emb, threshold = 0.95)
       .filter(col("keep")).count()
 
+    // 8. contrastive hard negatives for the first few anchors — the
+    // training-pair mining step a retrieval/contrastive run needs
+    val anchors = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("label").as("qlabel"))
+    val negatives = Similarity.hardNegatives(emb, anchors, k = 5).count()
+
     println(s"corpus:            $total docs")
+    println(s"source gate:       ${goodSources.count()} of 20 sources kept")
+    println(s"line dedup:        ${lineClean.count()} docs cleaned")
+    println(s"span removal:      ${spanClean.filter(col("removed") > 0).count()} docs had duplicated 8-grams stripped")
     println(s"after exact dedup: ${exact.count()}")
     println(s"after near dedup:  ${deduped.count()} (dropped ${dropNear.count()} near-dups)")
     println(s"after quality:     ${kept.count()}")
@@ -81,8 +108,10 @@ object TrainingPipelineDemo {
     println(s"packed into:       $nPacks windows of 512 tokens")
     println(s"after weighted mix: ${mixed.count()}")
     println(s"splits:            $splits")
+    println(f"lm perplexity:     avg ${pplStats.getDouble(0)}%.2f max ${pplStats.getDouble(1)}%.2f")
     println(s"embedding near-dup pairs (cos >= 0.98): ${embDups.count()}")
     println(s"semantic dedup keeps: $semKept of ${emb.count()} vectors")
+    println(s"hard negatives:    $negatives mined for 3 anchors")
     spark.stop()
   }
 }
