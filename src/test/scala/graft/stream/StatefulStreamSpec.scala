@@ -161,4 +161,71 @@ class StatefulStreamSpec extends AnyFunSuite with SparkTestBase {
     run()
     assert(got() == Seq(1000L, 3000L, 5000L))
   }
+
+  test("streaming curation: quality gate + exact + near-dup compose multi-hop") {
+    // the batch curation stack as a two-hop streaming pipeline (Spark
+    // allows one flatMapGroupsWithState per query, so stateful stages
+    // chain through an intermediate sink — the medallion shape):
+    //   hop 1: stateless quality gate (token floor) → streaming exact dedup
+    //   hop 2: streaming near-dup suppression over hop 1's output
+    import scala.jdk.CollectionConverters._
+    import graft.pipeline.TextAnalysis
+    val src = Files.createTempDirectory("cur-src").toString
+    val mid = Files.createTempDirectory("cur-mid").toString
+    val out = Files.createTempDirectory("cur-out").toString
+    val ck1 = Files.createTempDirectory("cur-ck1").toString
+    val ck2 = Files.createTempDirectory("cur-ck2").toString
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi")
+    def synth(seed: Int): String = {
+      val rnd = new scala.util.Random(seed)
+      Seq.fill(60)(words(rnd.nextInt(words.size))).mkString(" ")
+    }
+    def corrupt(text: String, seed: Int): String = {
+      val rnd = new scala.util.Random(seed)
+      text.split(" ").map(w =>
+        if (rnd.nextDouble() < 0.03) words(rnd.nextInt(words.size)) else w)
+        .mkString(" ")
+    }
+    def writeTexts(rows: Seq[(Long, String)]): Unit = {
+      val data = rows.map { case (ts, body) =>
+        Row("b", "docs", ts, Map.empty[String, String],
+          Map.empty[String, String], "", Records.State.Finished,
+          body.getBytes("UTF-8"))
+      }.asJava
+      spark.createDataFrame(data, Records.schema)
+        .write.mode("append").parquet(src)
+    }
+    def run(): Unit = {
+      val text = decode(col("payload"), "UTF-8")
+      val hop1 = spark.readStream.schema(Records.schema).parquet(src)
+        .filter(TextAnalysis.tokenCount(text) >= 5) // stateless gate
+      StatefulStream.dedupExact(hop1)
+        .writeStream.format("parquet")
+        .option("path", mid).option("checkpointLocation", ck1)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      val hop2 = spark.readStream.schema(Records.schema).parquet(mid)
+      StatefulStream.dedupNearMinhash(hop2,
+          decode(col("payload"), "UTF-8"), simThreshold = 0.6)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck2)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    val a = synth(1); val b = synth(99); val c = synth(50)
+    // batch 1: junk gated, exact copy of A dropped at hop 1, near-copy
+    // of A dropped at hop 2, A + B survive
+    writeTexts(Seq((1000L, a), (1500L, "too short"), (2000L, a),
+      (2500L, corrupt(a, 7)), (3000L, b)))
+    run()
+    def got(): Seq[Long] = spark.read.parquet(out)
+      .select("ts").collect().map(_.getLong(0)).toSeq.sorted
+    assert(got() == Seq(1000L, 3000L),
+      "gate + exact + near dedup in one pass")
+    // batch 2: both state stores survived the boundary — a cross-batch
+    // exact copy and a cross-batch near-copy drop; fresh C survives
+    writeTexts(Seq((4000L, a), (5000L, corrupt(b, 11)), (6000L, c)))
+    run()
+    assert(got() == Seq(1000L, 3000L, 6000L),
+      "cross-batch state held in both hops")
+  }
 }
