@@ -535,6 +535,10 @@ object SparkEntry {
     "q_lm_perplexity" -> ((s, dir) =>
       TextAnalysis.lmPerplexity(docs(s, dir)).orderBy("doc_id")),
 
+    // Gopher-style trim at corpus-derived [p5, p95] token-count quantiles
+    "q_length_trim" -> ((s, dir) =>
+      TextAnalysis.lengthTrim(docs(s, dir)).orderBy("doc_id")),
+
     // ----------------------------------------------- pipeline: multimodal
     "q_multimodal" -> ((s, dir) => { // opaque payloads: hash-fallback path
       val ev = events(s, dir)
@@ -1828,6 +1832,18 @@ object SparkEntry {
              round(CAST(sum(CASE WHEN t IN (SELECT t FROM vocab) THEN 0
                ELSE 1 END) AS DOUBLE) / count(*), 6) AS oov_rate
            FROM toks GROUP BY doc_id ORDER BY doc_id""",
+
+      // length trim: linear-interpolation quantiles (quantile_cont ==
+      // Spark percentile on integer inputs, bit-exact, no rounding)
+      "q_length_trim" ->
+        """WITH t AS (SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+               x -> x <> '')) AS BIGINT) AS tokens
+             FROM documents),
+           b AS (SELECT quantile_cont(tokens, 0.05) AS lo,
+                        quantile_cont(tokens, 0.95) AS hi FROM t)
+           SELECT doc_id, tokens FROM t, b
+           WHERE tokens >= lo AND tokens <= hi ORDER BY doc_id""",
 
       // bigram LM perplexity: add-one smoothing over the bigram-participant
       // vocabulary (single-token docs contribute no vocab mass — mirrors

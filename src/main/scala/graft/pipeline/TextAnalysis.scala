@@ -391,6 +391,33 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rank"))
   }
 
+  // --------------------------------- corpus-quantile length trimming
+
+  /** Gopher-style length trim with CORPUS-DERIVED bounds: drop documents
+    * whose whitespace token count falls outside the [pLow, pHigh]
+    * quantile band of the corpus itself — outliers by construction, not
+    * by a hand-tuned absolute threshold that rots as the corpus mix
+    * shifts. Returns the surviving (idCol, tokens) rows.
+    *
+    * Scale shape: the bounds come from Spark's EXACT `percentile`
+    * aggregate, which shuffles one counts-map entry per DISTINCT token
+    * count (bounded small-int cardinality — thousands of entries at any
+    * corpus size), not per row; the trim itself is a map-only filter on
+    * the recomputed count. Linear-interpolation quantiles match DuckDB's
+    * `quantile_cont` bit-for-bit on integer inputs, so the bounds are
+    * oracle-exact without rounding. */
+  def lengthTrim(docs: DataFrame, pLow: Double = 0.05, pHigh: Double = 0.95,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(pLow >= 0 && pHigh <= 1 && pLow <= pHigh, "bad quantile band")
+    val d = docs.select(col(idCol),
+      tokenCount(col(textCol)).cast("long").as("tokens"))
+    val bounds = d.agg(
+      expr(s"percentile(tokens, $pLow)").as("lo"),
+      expr(s"percentile(tokens, $pHigh)").as("hi")).head
+    d.filter(col("tokens") >= bounds.getDouble(0) &&
+      col("tokens") <= bounds.getDouble(1))
+  }
+
   // ------------------------------- LM perplexity (CCNet-style quality)
 
   /** Corpus-self-trained bigram language-model perplexity — the CCNet

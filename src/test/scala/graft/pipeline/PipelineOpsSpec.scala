@@ -997,6 +997,17 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(2) == (("sC", 2L, 0L, 0.0, true)))
   }
 
+  test("length trim: corpus-quantile band cuts both outlier tails") {
+    import spark.implicits._
+    val df = ((1 to 10) :+ 100).zipWithIndex.map { case (n, i) =>
+      (i.toLong, Seq.fill(n)("w").mkString(" ")) }.toDF("doc_id", "text")
+    val out = TextAnalysis.lengthTrim(df).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // n=11: p5 at rank 0.5 → 1.5, p95 at rank 9.5 → (10+100)/2 = 55;
+    // the 1-token and 100-token docs fall outside the band
+    assert(out.map(_._2).toSeq == (2L to 10L))
+  }
+
   test("hard negatives: nearest different-label only, same-label excluded") {
     import spark.implicits._
     val emb = Seq(
