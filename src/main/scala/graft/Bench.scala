@@ -8,7 +8,10 @@ import org.apache.spark.sql.functions._
 /** Headline benchmark: every SparkEntry query at the target SF, plus the
   * reference benchmark's workload shape (python-benchmark.py: write /
   * read-with-payload / update-labels / conditional-remove over a bucket
-  * store). Prints ONE JSON line.
+  * store). Prints ONE JSON line — ALWAYS, even when individual queries or
+  * the workload staging fail: failures land in an `errors` map instead of
+  * contributing bogus near-zero timings to `queries` (a round-9 lesson:
+  * one staging exception must not erase the whole round's numbers).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -24,14 +27,22 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def timed(f: => Unit): Double = {
-      val t0 = System.nanoTime()
-      try f catch { case e: Throwable =>
-        System.err.println(s"[bench] failed: ${e.getMessage}") }
-      (System.nanoTime() - t0) / 1e9
-    }
-
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+
+    // A failed query records its error and NO timing — a near-zero
+    // failure duration must never masquerade as a fast min-of-2 latency.
+    def timed(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      try {
+        f
+        val t = (System.nanoTime() - t0) / 1e9
+        results(name) = math.min(results.getOrElse(name, Double.MaxValue), t)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+      }
+    }
 
     // untimed warm-up pass over every query (JMH-style): absorbs session
     // init, the one-time events->records staging, and per-operator-shape
@@ -49,43 +60,52 @@ object Bench {
     // regression (the r7/r8 driver runs were both load-contaminated;
     // the min of two independent runs is still an honest latency: the
     // work is deterministic, so the faster run is the less-perturbed one)
-    for (_ <- 1 to 2; (name, fn) <- SparkEntry.queries) {
-      val t = timed { fn(spark, sfDir).count(): Unit }
-      results(name) = math.min(results.getOrElse(name, Double.MaxValue), t)
-    }
+    for (_ <- 1 to 2; (name, fn) <- SparkEntry.queries)
+      timed(name) { fn(spark, sfDir).count(): Unit }
 
     // reference workload shape (python-benchmark.py:43-127) on a store;
     // the sequence mutates the store, so min-of-2 runs the whole
-    // sequence twice on two fresh stores
-    val records = Records.fromEvents(
-      spark.read.parquet(s"$sfDir/events.parquet")).cache()
-    records.count()
-    for (_ <- 1 to 2) {
-      val storeDir = java.nio.file.Files.createTempDirectory("graft-bench").toString
-      val store = new BucketStore(spark, storeDir)
-      val pass = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-      pass("w_write") = timed { store.write(records) }
-      pass("w_read_payload") = timed {
-        // full scan via query cursor incl. payload bytes (read B/s analog)
-        val n = QueryEngine.query(store.table(), QuerySpec())
-          .agg(sum(length(col("payload")))).collect()(0).getLong(0)
-        require(n > 0)
+    // sequence twice on two fresh stores. Staging is inside the guard:
+    // a bad events schema degrades the w_* family, not the whole bench.
+    try {
+      val records = Records.fromEvents(
+        spark.read.parquet(s"$sfDir/events.parquet")).cache()
+      records.count()
+      for (_ <- 1 to 2) {
+        val storeDir = java.nio.file.Files.createTempDirectory("graft-bench").toString
+        val store = new BucketStore(spark, storeDir)
+        timed("w_write") { store.write(records) }
+        timed("w_read_payload") {
+          // full scan via query cursor incl. payload bytes (read B/s analog)
+          val n = QueryEngine.query(store.table(), QuerySpec())
+            .agg(sum(length(col("payload")))).collect()(0).getLong(0)
+          require(n > 0)
+        }
+        timed("w_update_labels") {
+          store.updateLabels(QuerySpec(), set = Map("key" -> "value2")): Unit
+        }
+        timed("w_remove_each_n") {
+          store.removeQuery(QuerySpec(when = Some("""{"$each_n": 2}"""))): Unit
+        }
       }
-      pass("w_update_labels") = timed {
-        store.updateLabels(QuerySpec(), set = Map("key" -> "value2")): Unit
-      }
-      pass("w_remove_each_n") = timed {
-        store.removeQuery(QuerySpec(when = Some("""{"$each_n": 2}"""))): Unit
-      }
-      for ((name, t) <- pass)
-        results(name) = math.min(results.getOrElse(name, Double.MaxValue), t)
+      records.unpersist()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] workload staging failed: ${e.getMessage}")
+      errors("w_staging") = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
     }
-    records.unpersist()
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
+      .mkString("{", ",", "}")
+    val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = results.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -43,8 +43,29 @@ object Records {
     * ts is not re-resolved (none exist in the generated data); write-time
     * conflict checks (BucketStore Conflict.Error) remain the backstop.
     */
+  /** Columns `fromEvents` requires of the driver's events table. Checked
+    * up-front so a driver-side data refresh that renames or drops a column
+    * fails with a message naming the gap, not an opaque resolution error
+    * deep in the plan.
+    */
+  private val eventsRequired = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  def requireEventsSchema(events: DataFrame): Unit = {
+    val present = events.schema.fieldNames.toSet
+    val missing = eventsRequired.filterNot(present)
+    require(
+      missing.isEmpty,
+      s"events table is missing required column(s) ${missing.mkString(", ")}; " +
+        s"expected [${eventsRequired.mkString(", ")}], found [${events.schema.fieldNames.mkString(", ")}]")
+    val tsType = events.schema("ts").dataType
+    require(
+      tsType == LongType || tsType == TimestampNTZType || tsType.isInstanceOf[TimestampType.type],
+      s"events.ts must be a long (ns) or timestamp column, found $tsType")
+  }
+
   def fromEvents(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    requireEventsSchema(events)
     val tsUs = eventTsUs(events)
     val entryCol = concat(lit("events/"), col("event_type"))
     val w = Window.partitionBy(entryCol, tsUs).orderBy(col("event_id"))
@@ -79,14 +100,18 @@ object Records {
     df.as[Record]
   }
 
-  /** µs timestamp column from the raw events table. The driver's parquet
-    * carries TIMESTAMP(NANOS), which Spark only reads as a nanosecond LONG
-    * (`spark.sql.legacy.parquet.nanosAsLong=true` — set in every session
-    * this library creates); a plain TimestampType column also works.
+  /** µs timestamp column from the raw events table, tolerant of every
+    * physical encoding the driver has shipped: TIMESTAMP(NANOS) read as a
+    * nanosecond LONG (`spark.sql.legacy.parquet.nanosAsLong=true` — set in
+    * every session this library creates), timestamp-with-timezone
+    * (TimestampType), and timestamp-without-timezone (TIMESTAMP_NTZ, the
+    * current `timestamp[us]` encoding). The NTZ→LTZ cast is exact because
+    * the session timezone is pinned UTC in SparkEntry.session.
     */
   def eventTsUs(events: DataFrame): Column =
     events.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("ts DIV 1000")
+      case LongType => expr("ts DIV 1000")
+      case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
       case _ => unix_micros(col("ts"))
     }
 }

@@ -50,4 +50,37 @@ class RecordsSpec extends AnyFunSuite with SparkTestBase {
     assert(df.select("ts").collect().map(_.getLong(0)).sorted.toSeq ==
       Seq(5000L, 7000L))
   }
+
+  test("eventTsUs reads all three driver ts encodings identically") {
+    import org.apache.spark.sql.functions.expr
+    val base = eventsDf(Seq((1L, "click", 5000999L)))
+    // ns-as-long (legacy nanosAsLong), LTZ, and NTZ (the current driver
+    // encoding) must all yield the same µs record id: 5000999 ns → 5000 µs
+    val asLtz = base.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val asNtz = asLtz.withColumn("ts", expr("cast(ts as timestamp_ntz)"))
+    for (df <- Seq(base, asLtz, asNtz)) {
+      val us = df.select(Records.eventTsUs(df).as("us")).collect()(0).getLong(0)
+      assert(us == 5000L, s"got $us for ${df.schema("ts").dataType}")
+    }
+    // and fromEvents works end-to-end over the NTZ encoding
+    assert(Records.fromEvents(asNtz).count() == 1)
+  }
+
+  test("a perturbed events schema fails loudly with the missing columns named") {
+    val bad = eventsDf(Seq((1L, "click", 1L)))
+      .withColumnRenamed("user_id", "uid")
+      .drop("props")
+    val e = intercept[IllegalArgumentException](Records.fromEvents(bad))
+    assert(e.getMessage.contains("user_id"))
+    assert(e.getMessage.contains("props"))
+    assert(e.getMessage.contains("expected"))
+  }
+
+  test("a non-timestamp ts type fails loudly") {
+    import org.apache.spark.sql.functions.col
+    val bad = eventsDf(Seq((1L, "click", 1L)))
+      .withColumn("ts", col("ts").cast(StringType))
+    val e = intercept[IllegalArgumentException](Records.fromEvents(bad))
+    assert(e.getMessage.contains("events.ts"))
+  }
 }
