@@ -125,4 +125,21 @@ object Processors {
     JsonExtract.name -> JsonExtract,
     PayloadStats.name -> PayloadStats,
     SplitLines.name -> SplitLines)
+
+  /** Classpath-discovered processors — the analog of the reference's
+    * dynamically loaded `.so` IoExtensions (ext/ext_repository.rs:33-36,
+    * ext/ext_repository/load.rs): a third-party jar on the classpath
+    * registers a [[RecordProcessor]] implementation under
+    * `META-INF/services/graft.engine.RecordProcessor` and `#ext` can name
+    * it without rebuilding graft. Loaded once; a discovered processor
+    * never shadows a builtin of the same name (builtins win, like the
+    * reference rejecting duplicate extension names at load). */
+  lazy val discovered: Map[String, RecordProcessor] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[RecordProcessor]).asScala
+      .map(p => p.name -> p).toMap
+  }
+
+  /** The full `#ext` registry: builtins + classpath-discovered. */
+  lazy val registry: Map[String, RecordProcessor] = discovered ++ builtins
 }

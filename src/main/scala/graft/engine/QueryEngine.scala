@@ -43,7 +43,7 @@ object QueryEngine {
     * (storage/bucket/query.rs:156-318, ties broken by entry name).
     */
   def query(records: DataFrame, spec: QuerySpec,
-      processors: Map[String, RecordProcessor] = Processors.builtins): DataFrame = {
+      processors: Map[String, RecordProcessor] = Processors.registry): DataFrame = {
     val filtered = matching(records, spec)
     val projected = spec.when match {
       case Some(w) =>
