@@ -550,6 +550,20 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Same hash-fallback feature path over the documents table — keeps
+    // multimodal oracle coverage even if the events schema shifts again
+    // (the q_multimodal events variant was collateral damage of the r9
+    // events-ts refresh; this one has no events dependency)
+    "q_multimodal_docs" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      Multimodal.extractFeatures(d)
+        .select(col("doc_id"),
+          col("features.width"), col("features.height"),
+          col("features.byte_size"))
+        .orderBy("doc_id")
+    }),
+
     // Real ImageIO decode: payloads synthesized per doc (PNG / BMP /
     // opaque text by doc_id mod 3) run through the real decoder; the
     // oracle predicts the decoded dimensions from doc_id arithmetic
@@ -1964,6 +1978,24 @@ object SparkEntry {
              CAST(64 + (u // 1024) % 1024 AS INT) AS height,
              byte_size
            FROM h ORDER BY event_id""",
+
+      // same fallback-hash arithmetic over the documents text (pure
+      // ASCII, so ascii() per char == the byte the Scala kernel folds)
+      "q_multimodal_docs" ->
+        """WITH h AS (
+             SELECT doc_id,
+               CAST(length(text) AS INT) AS byte_size,
+               list_reduce(
+                 list_prepend(1125899906842597::HUGEINT,
+                   list_transform(range(length(text)), i ->
+                     ascii(text[i+1:i+1])::HUGEINT)),
+                 (a, b) -> (31*a + b) % 18446744073709551616::HUGEINT) AS u
+             FROM documents)
+           SELECT doc_id,
+             CAST(64 + u % 1024 AS INT) AS width,
+             CAST(64 + (u // 1024) % 1024 AS INT) AS height,
+             byte_size
+           FROM h ORDER BY doc_id""",
 
       // real ImageIO decode: the payloads are synthesized with dimensions
       // that are pure doc_id arithmetic, so the oracle predicts the
