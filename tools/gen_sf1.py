@@ -54,15 +54,16 @@ def write(name, table):
 
 
 def gen_events(n=100_000 * SCALE):
-    # timestamp[ns] like the driver tables: Spark reads it as a nanos
-    # LONG under spark.sql.legacy.parquet.nanosAsLong (tz-naive us would
-    # surface as TIMESTAMP_NTZ, which unix_micros() rejects)
-    t0 = np.datetime64("2024-01-01T00:00:00", "ns").astype("int64")
-    t1 = np.datetime64("2024-01-31T00:00:00", "ns").astype("int64")
+    # timestamp[us] WITHOUT timezone, like the current driver tables:
+    # Spark reads it as TIMESTAMP_NTZ (Records.eventTsUs has a dedicated
+    # arm for it since round 10; the driver switched from timestamp[ns]
+    # at the round-9 refresh)
+    t0 = np.datetime64("2024-01-01T00:00:00", "us").astype("int64")
+    t1 = np.datetime64("2024-01-31T00:00:00", "us").astype("int64")
     ts = np.sort(rng.integers(t0, t1, n))
     write("events", pa.table({
         "event_id": pa.array(np.arange(n), pa.int64()),
-        "ts": pa.array(ts, pa.timestamp("ns")),
+        "ts": pa.array(ts, pa.timestamp("us")),
         "user_id": pa.array(rng.integers(0, n // 67 + 1, n), pa.int64()),
         "event_type": pa.array(
             np.array(["click", "view", "purchase", "signup", "error"])[
