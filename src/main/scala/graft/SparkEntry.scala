@@ -2,7 +2,7 @@ package graft
 
 import graft.core.Records
 import graft.engine.{QueryEngine, QuerySpec}
-import graft.pipeline.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Analytics, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis, TimeSeries}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -538,6 +538,52 @@ object SparkEntry {
     // Gopher-style trim at corpus-derived [p5, p95] token-count quantiles
     "q_length_trim" -> ((s, dir) =>
       TextAnalysis.lengthTrim(docs(s, dir)).orderBy("doc_id")),
+
+    // ----------------------------------------------- time-series analytics
+    // 30-min-gap sessionization; one shuffle on user_id
+    "q_sessionize" -> ((s, dir) =>
+      TimeSeries.sessionize(table(s, dir, "events"), 1800000000L)
+        .orderBy("user_id", "session_idx")),
+
+    // as-of join: each purchase picks up the latest strictly-earlier
+    // click value of the same user — single interleaved window scan
+    "q_asof_join" -> ((s, dir) =>
+      TimeSeries.asofJoin(table(s, dir, "events"), "click", "purchase")
+        .orderBy("event_id")),
+
+    // tumbling 1-hour rollup per event type (partial-agg downsample)
+    "q_rollup_hour" -> ((s, dir) =>
+      TimeSeries.tumblingRollup(table(s, dir, "events"), 3600000000L)
+        .orderBy("event_type", "bucket_ts")),
+
+    // 15-min regular-grid downsample with forward fill
+    "q_gap_fill" -> ((s, dir) =>
+      TimeSeries.gapFill(table(s, dir, "events"), 900000000L)
+        .orderBy("event_type", "tick")),
+
+    // 3-sigma deviation flags per event type (decimal-moment formula)
+    "q_anomaly" -> ((s, dir) =>
+      TimeSeries.anomalies(table(s, dir, "events"), 3.0)
+        .orderBy("event_id")),
+
+    // ----------------------------------------------- analytics: general
+    // top-3 longest docs per source (window row_number)
+    "q_topk_source" -> ((s, dir) =>
+      Analytics.topKPerGroup(docs(s, dir), "source", "n_chars", "doc_id", 3)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("rank"))
+        .orderBy("source", "rank")),
+
+    // hierarchical rollup (grouping sets) on lineitem
+    "q_rollup_lineitem" -> ((s, dir) =>
+      Analytics.rollupSum(table(s, dir, "lineitem"),
+          "l_returnflag", "l_linestatus", "l_quantity")
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // exact interpolated p50/p90/p99 of doc length per source
+    "q_quantiles" -> ((s, dir) =>
+      Analytics.quantilesPerGroup(docs(s, dir), "source", "n_chars",
+          Seq(0.5, 0.9, 0.99))
+        .orderBy("source")),
 
     // ----------------------------------------------- pipeline: multimodal
     "q_multimodal" -> ((s, dir) => { // opaque payloads: hash-fallback path
@@ -2061,6 +2107,107 @@ object SparkEntry {
              CAST(round(sum(CAST(o_totalprice AS DECIMAL(20,4))), 2)
                AS DOUBLE) AS total_price
            FROM orders JOIN customer ON o_custkey = c_custkey
-           GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+           GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+      "q_sessionize" ->
+        """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
+                      FROM events),
+           s AS (SELECT *, CASE WHEN prev IS NULL
+                   OR ts_us - prev > 1800000000 THEN 1 ELSE 0 END AS isnew
+                 FROM (SELECT *, lag(ts_us) OVER
+                   (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+                   FROM e)),
+           t AS (SELECT *, CAST(sum(isnew) OVER
+                   (PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+                 FROM s)
+           SELECT user_id, session_idx,
+             min(ts_us) AS session_start, max(ts_us) AS session_end,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+           FROM t GROUP BY user_id, session_idx""",
+
+      "q_asof_join" ->
+        """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                        event_type, value
+                      FROM events WHERE event_type IN ('click', 'purchase')),
+           w AS (SELECT *,
+             last_value(CASE WHEN event_type = 'click' THEN value END
+               IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS asof_value,
+             last_value(CASE WHEN event_type = 'click' THEN ts_us END
+               IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS asof_ts
+             FROM e)
+           SELECT event_id, user_id, ts_us AS ts, value, asof_value, asof_ts
+           FROM w WHERE event_type = 'purchase'""",
+
+      "q_rollup_hour" ->
+        """SELECT event_type,
+             epoch_us(ts) - epoch_us(ts) % 3600000000 AS bucket_ts,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+             min(value) AS min_value, max(value) AS max_value
+           FROM events GROUP BY 1, 2""",
+
+      "q_gap_fill" ->
+        """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+                        value FROM events),
+           t AS (SELECT event_type, tick, value AS tick_value FROM (
+                   SELECT *, row_number() OVER
+                     (PARTITION BY event_type, tick
+                      ORDER BY ts_us DESC, event_id DESC) AS rn
+                   FROM (SELECT event_type,
+                           ts_us - ts_us % 900000000 AS tick,
+                           ts_us, event_id, value FROM e))
+                 WHERE rn = 1),
+           r AS (SELECT event_type, min(tick) AS t0, max(tick) AS t1
+                 FROM t GROUP BY 1),
+           g AS (SELECT event_type,
+                   unnest(range(t0, t1 + 1, 900000000)) AS tick FROM r),
+           j AS (SELECT g.event_type, g.tick, t.tick_value
+                 FROM g LEFT JOIN t USING (event_type, tick))
+           SELECT event_type, tick,
+             last_value(tick_value IGNORE NULLS) OVER
+               (PARTITION BY event_type ORDER BY tick
+                ROWS UNBOUNDED PRECEDING) AS value,
+             tick_value IS NULL AS filled
+           FROM j""",
+
+      "q_anomaly" ->
+        """WITH m AS (SELECT event_type, count(*) AS n,
+                        CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+                        CAST(sum(CAST(value * value AS DECIMAL(38,6)))
+                          AS DOUBLE) AS s2
+                      FROM events GROUP BY 1 HAVING count(*) > 1),
+           mm AS (SELECT event_type, s1 / n AS mean,
+                    sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sigma FROM m)
+           SELECT event_id, e.event_type, epoch_us(ts) AS ts, value,
+             round((value - mean) / sigma, 6) AS z
+           FROM events e JOIN mm USING (event_type)
+           WHERE abs(value - mean) > 3 * sigma""",
+
+      "q_topk_source" ->
+        """SELECT doc_id, source, n_chars, rank FROM (
+             SELECT doc_id, source, n_chars, CAST(row_number() OVER
+               (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC)
+               AS INT) AS rank
+             FROM documents) WHERE rank <= 3""",
+
+      "q_rollup_lineitem" ->
+        """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+             coalesce(l_linestatus, 'ALL') AS l_linestatus,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total
+           FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+      "q_quantiles" ->
+        """SELECT source, CAST(count(*) AS BIGINT) AS n,
+             round(quantile_cont(n_chars, 0.5), 6) AS p50,
+             round(quantile_cont(n_chars, 0.9), 6) AS p90,
+             round(quantile_cont(n_chars, 0.99), 6) AS p99
+           FROM documents GROUP BY source""")
   }
 }

@@ -1,0 +1,153 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics + plan shapes for the time-series and general analytics
+  * operators. Events use the legacy LONG-ns `ts` encoding here; the
+  * oracle queries exercise the TIMESTAMP_NTZ path on the driver tables,
+  * so both ingest arms stay covered.
+  */
+class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  /** (event_id, ts µs, user, type, value) → events-shaped frame (ns ts). */
+  private def ev(rows: (Long, Long, Long, String, Double)*): DataFrame =
+    rows.toSeq.toDF("event_id", "ts_in", "user_id", "event_type", "value")
+      .select(col("event_id"), (col("ts_in") * 1000).as("ts"),
+        col("user_id"), col("event_type"), col("value"),
+        lit("{}").as("props"))
+
+  test("sessionize: gap starts a new session; sums/bounds per session") {
+    val df = ev(
+      (1L, 0L, 7L, "click", 1.0), (2L, 10L, 7L, "click", 2.0),
+      (3L, 200L, 7L, "view", 4.0), // gap 190 > 100 → new session
+      (4L, 0L, 8L, "click", 8.0)) // other user: own numbering
+    val out = TimeSeries.sessionize(df, gapUs = 100L)
+      .orderBy("user_id", "session_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      (7L, 1L, 0L, 10L, 2L, 3.0),
+      (7L, 2L, 200L, 200L, 1L, 4.0),
+      (8L, 1L, 0L, 0L, 1L, 8.0)))
+  }
+
+  test("asof join: latest strictly-earlier left value; null before first") {
+    val df = ev(
+      (1L, 10L, 7L, "click", 1.0),
+      (2L, 5L, 7L, "purchase", 50.0), // before any click → null
+      (3L, 20L, 7L, "purchase", 51.0), // after click@10
+      (4L, 30L, 7L, "click", 3.0),
+      (5L, 40L, 7L, "purchase", 52.0), // after click@30
+      (6L, 40L, 7L, "click", 9.9), // same ts, larger id → NOT visible to 5
+      (7L, 15L, 8L, "purchase", 53.0)) // other user: isolated
+    val out = TimeSeries.asofJoin(df, "click", "purchase")
+      .orderBy("event_id")
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(4)).map(_.asInstanceOf[Double]),
+        Option(r.get(5)).map(_.asInstanceOf[Long])))
+    assert(out.toSeq == Seq(
+      (2L, None, None),
+      (3L, Some(1.0), Some(10L)),
+      (5L, Some(3.0), Some(30L)),
+      (7L, None, None)))
+  }
+
+  test("asof join plan: one window scan, no join node") {
+    val df = ev((1L, 10L, 7L, "click", 1.0), (2L, 20L, 7L, "purchase", 2.0))
+    val plan = TimeSeries.asofJoin(df, "click", "purchase")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+    assert("ShuffleExchange".r.findAllIn(plan).size <= 1,
+      "as-of is a single keyed shuffle")
+  }
+
+  test("tumbling rollup: bucket floor + aggregates") {
+    val df = ev(
+      (1L, 0L, 7L, "a", 1.0), (2L, 99L, 7L, "a", 2.0), // bucket 0
+      (3L, 100L, 7L, "a", 5.0), // bucket 100
+      (4L, 250L, 7L, "b", 7.0)) // bucket 200
+    val out = TimeSeries.tumblingRollup(df, widthUs = 100L)
+      .orderBy("event_type", "bucket_ts")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      ("a", 0L, 2L, 3.0, 1.0, 2.0),
+      ("a", 100L, 1L, 5.0, 5.0, 5.0),
+      ("b", 200L, 1L, 7.0, 7.0, 7.0)))
+  }
+
+  test("gap fill: grid covers span per type; LOCF into empty ticks") {
+    val df = ev(
+      (1L, 5L, 7L, "a", 1.0), (2L, 35L, 7L, "a", 2.0),
+      (3L, 8L, 7L, "a", 1.5), // later id, same tick 0: 1.5 wins tick 0
+      (4L, 12L, 7L, "b", 9.0))
+    val out = TimeSeries.gapFill(df, stepUs = 10L)
+      .orderBy("event_type", "tick")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      ("a", 0L, 1.5, false), ("a", 10L, 1.5, true),
+      ("a", 20L, 1.5, true), ("a", 30L, 2.0, false),
+      ("b", 10L, 9.0, false)))
+  }
+
+  test("anomalies: 3-sigma flag from decimal moments") {
+    val base = (1 to 10).map(i => (i.toLong, i.toLong * 10, 7L, "a", 0.0))
+    val df = ev(base :+ ((11L, 200L, 7L, "a", 100.0)): _*)
+    val out = TimeSeries.anomalies(df, nSigma = 3.0)
+      .select("event_id").as[Long].collect()
+    assert(out.toSeq == Seq(11L)) // |100-9.09| = 90.9 > 3σ = 90.45
+    val plan = TimeSeries.anomalies(df, nSigma = 3.0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "per-type moments must broadcast back onto the stream")
+  }
+
+  test("topK per group: descending with ascending tie-break") {
+    val docs = Seq(
+      (1L, "s1", 10L), (2L, "s1", 30L), (3L, "s1", 30L), (4L, "s1", 5L),
+      (5L, "s2", 1L)).toDF("doc_id", "source", "n_chars")
+    val out = Analytics.topKPerGroup(docs, "source", "n_chars", "doc_id", 2)
+      .orderBy("source", "rank")
+      .select("doc_id", "rank").as[(Long, Int)].collect()
+    assert(out.toSeq == Seq((2L, 1), (3L, 2), (5L, 1)))
+  }
+
+  test("rollup: leaf, per-key, and grand-total levels in one pass") {
+    val df = Seq(("A", "X", 1.0), ("A", "Y", 2.0), ("B", "X", 4.0))
+      .toDF("f", "s", "v")
+    val out = Analytics.rollupSum(df, "f", "s", "v")
+      .orderBy("f", "s")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("A", "ALL", 2L, 3.0), ("A", "X", 1L, 1.0), ("A", "Y", 1L, 2.0),
+      ("ALL", "ALL", 3L, 7.0), ("B", "ALL", 1L, 4.0), ("B", "X", 1L, 4.0)))
+  }
+
+  test("quantiles per group: exact interpolated percentiles") {
+    val df = (1 to 5).map(i => ("s", i.toLong)).toDF("source", "n_chars")
+    val r = Analytics.quantilesPerGroup(df, "source", "n_chars",
+      Seq(0.5, 0.9, 0.99)).collect().head
+    assert(r.getString(0) == "s" && r.getLong(1) == 5L)
+    assert(r.getDouble(2) == 3.0) // p50 of 1..5
+    assert(r.getDouble(3) == 4.6) // p90: 4 + 0.6
+    assert(r.getDouble(4) == 4.96) // p99
+  }
+
+  test("shuffle budgets: sessionize ≤2, rollup 1 keyed shuffle") {
+    def shuffles(df: DataFrame): Int =
+      "ShuffleExchange".r.findAllIn(df.queryExecution.executedPlan.toString).size
+    val df = ev((1L, 0L, 7L, "a", 1.0), (2L, 10L, 8L, "b", 2.0))
+    assert(shuffles(TimeSeries.sessionize(df, 100L)) <= 2,
+      "sessionize: user window + session agg only")
+    assert(shuffles(TimeSeries.tumblingRollup(df, 100L)) <= 1,
+      "rollup: one keyed agg shuffle")
+    assert(shuffles(TimeSeries.gapFill(df, 10L)) <= 3,
+      "gap fill: tick agg + span agg + fill window")
+  }
+}
