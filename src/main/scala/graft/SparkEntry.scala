@@ -566,6 +566,35 @@ object SparkEntry {
       TimeSeries.anomalies(table(s, dir, "events"), 3.0)
         .orderBy("event_id")),
 
+    // trailing 1-hour moving count/mean per event type (RANGE window)
+    "q_moving_avg" -> ((s, dir) =>
+      TimeSeries.movingAggregate(table(s, dir, "events"), 3600000000L)
+        .orderBy("event_id")),
+
+    // consecutive-event value rate (per second) per event type
+    "q_derivative" -> ((s, dir) =>
+      TimeSeries.derivative(table(s, dir, "events"))
+        .orderBy("event_id")),
+
+    // purchases paired with same-user clicks within ±6 h — the
+    // bucketed equi-join lowering of a range θ-join
+    "q_interval_join" -> ((s, dir) =>
+      TimeSeries.intervalJoin(table(s, dir, "events"),
+          "purchase", "click", 21600000000L, 21600000000L)
+        .orderBy("l_id", "r_id")),
+
+    // daily × event-type count matrix (static pivot column list)
+    "q_pivot_daily" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val tsUs = Records.eventTsUs(ev)
+      Analytics.pivotCounts(
+          ev.select((tsUs - tsUs % 86400000000L).as("day"),
+            col("event_type")),
+          "day", "event_type",
+          Seq("click", "view", "purchase", "signup", "error"))
+        .orderBy("day")
+    }),
+
     // ----------------------------------------------- analytics: general
     // top-3 longest docs per source (window row_number)
     "q_topk_source" -> ((s, dir) =>
@@ -2208,6 +2237,50 @@ object SparkEntry {
              round(quantile_cont(n_chars, 0.5), 6) AS p50,
              round(quantile_cont(n_chars, 0.9), 6) AS p90,
              round(quantile_cont(n_chars, 0.99), 6) AS p99
-           FROM documents GROUP BY source""")
+           FROM documents GROUP BY source""",
+
+      "q_moving_avg" ->
+        """WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+                        value FROM events)
+           SELECT event_id, event_type, ts_us AS ts, value,
+             CAST(count(*) OVER w AS BIGINT) AS win_n,
+             CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+               / (count(*) OVER w) AS win_avg
+           FROM e WINDOW w AS (PARTITION BY event_type ORDER BY ts_us
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+
+      "q_derivative" ->
+        """WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+                        value FROM events),
+           d AS (SELECT *, value - lag(value) OVER w AS dv,
+                   ts_us - lag(ts_us) OVER w AS dt
+                 FROM e WINDOW w AS
+                   (PARTITION BY event_type ORDER BY ts_us, event_id))
+           SELECT event_id, event_type, ts_us AS ts, value,
+             CASE WHEN dt > 0
+               THEN round(dv / (CAST(dt AS DOUBLE) / 1e6), 6) END AS rate
+           FROM d WHERE dt IS NOT NULL""",
+
+      "q_interval_join" ->
+        """SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id,
+             epoch_us(r.ts) - epoch_us(l.ts) AS delta_us
+           FROM events l JOIN events r ON l.user_id = r.user_id
+             AND l.event_type = 'purchase' AND r.event_type = 'click'
+             AND epoch_us(r.ts) >= epoch_us(l.ts) - 21600000000
+             AND epoch_us(r.ts) <= epoch_us(l.ts) + 21600000000""",
+
+      "q_pivot_daily" ->
+        """SELECT epoch_us(ts) - epoch_us(ts) % 86400000000 AS day,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS BIGINT) AS click,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS BIGINT) AS view,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS purchase,
+             CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+               AS BIGINT) AS signup,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               AS BIGINT) AS error
+           FROM events GROUP BY 1""")
   }
 }

@@ -40,6 +40,19 @@ object Analytics {
         coalesce(col(b), lit("ALL")).as(b),
         col("n"), col("total"))
 
+  /** Count pivot: one row per `rowKey`, one column per pivot value of
+    * `colKey` (explicit value list — Catalyst then plans ONE aggregate
+    * pass with no distinct-values pre-job, and the output schema is
+    * static, which a 100-TB pipeline needs for downstream contracts).
+    * Missing cells are 0.
+    */
+  def pivotCounts(df: DataFrame, rowKey: String, colKey: String,
+      values: Seq[String]): DataFrame =
+    df.groupBy(col(rowKey))
+      .pivot(colKey, values)
+      .agg(count(lit(1)))
+      .na.fill(0, values)
+
   /** Exact interpolated quantiles of `valueCol` per group (the
     * distribution signal length-trim and quality gates cut against).
     * Spark's `percentile` is a single-pass typed aggregate — one shuffle

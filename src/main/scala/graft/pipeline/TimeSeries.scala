@@ -119,6 +119,101 @@ object TimeSeries {
       .drop("tick_value")
   }
 
+  /** Sessionization via Spark's native `session_window` — the declarative
+    * twin of [[sessionize]] that runs unchanged over BATCH and STREAMING
+    * frames (Catalyst plans the session merge; with `withWatermark`
+    * upstream, Structured Streaming emits each session once it can no
+    * longer grow). Differences from [[sessionize]], by definition of the
+    * built-in: `session_end` here is last-event + gap (window end), not
+    * the last event's timestamp, and sessions are not numbered.
+    *
+    * `tsCol` must be a timestamp-typed column. One shuffle on the
+    * session-window key; streaming state is the store's session index.
+    */
+  def sessionWindows(events: DataFrame, tsCol: Column, gap: String): DataFrame =
+    events
+      .groupBy(session_window(tsCol, gap), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(Dec)).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start"),
+        unix_micros(col("session_window.end")).as("session_end"),
+        col("n_events"), col("sum_value"))
+
+  /** Trailing moving aggregate per event type: for every event, the
+    * count and mean of `value` over the preceding `windowUs` (inclusive).
+    * A RANGE window over the µs timestamp — one keyed shuffle, one sorted
+    * scan; the windowed sum is decimal so the slide is exact (a double
+    * running sum would drift with slide order and parallelism).
+    */
+  def movingAggregate(events: DataFrame, windowUs: Long): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts_us"))
+      .rangeBetween(-windowUs, 0)
+    withTsUs(events)
+      .withColumn("win_n", count(lit(1)).over(w))
+      .withColumn("win_avg",
+        sum(col("value").cast(Dec)).over(w).cast("double") / col("win_n"))
+      .select(col("event_id"), col("event_type"), col("ts_us").as("ts"),
+        col("value"), col("win_n"), col("win_avg"))
+    // win_avg is NOT rounded: the decimal window sum is exact, so the
+    // double division is bit-identical on any engine — while rounding a
+    // value that lands exactly on a half-way digit (e.g. 64.0153125 at 6
+    // places) diverges between HALF_UP and HALF_EVEN engines
+  }
+
+  /** Discrete derivative per event type: value delta over time delta
+    * (per second) between consecutive events. Pure lag window — one
+    * keyed shuffle. Events sharing a timestamp order by event_id; a
+    * zero gap yields a null rate rather than ±Inf.
+    */
+  def derivative(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(eventOrder: _*)
+    val dv = col("value") - lag(col("value"), 1).over(w)
+    val dt = col("ts_us") - lag(col("ts_us"), 1).over(w)
+    withTsUs(events)
+      .withColumn("__dt", dt)
+      .withColumn("rate",
+        when(col("__dt") > 0, round(dv / (col("__dt").cast("double") / 1e6), 6)))
+      .where(col("__dt").isNotNull)
+      .select(col("event_id"), col("event_type"), col("ts_us").as("ts"),
+        col("value"), col("rate"))
+  }
+
+  /** Interval join at scale: pairs each `leftType` event with every
+    * `rightType` event of the SAME user whose timestamp falls within
+    * `[ts - beforeUs, ts + afterUs]`. A naive θ-join plans a nested-loop
+    * cartesian; this lowers to an EQUI-join by quantizing time into
+    * buckets of width `beforeUs + afterUs`: each left event explodes to
+    * its (at most 3) candidate buckets, the right side maps to one, the
+    * join runs hash-partitioned on (user, bucket), and the exact range
+    * predicate filters the candidates. Shuffle volume is linear in the
+    * event count times a small constant — no quadratic node at any scale.
+    */
+  def intervalJoin(events: DataFrame, leftType: String, rightType: String,
+      beforeUs: Long, afterUs: Long): DataFrame = {
+    val width = beforeUs + afterUs
+    val ev = withTsUs(events)
+    val left = ev.where(col("event_type") === leftType)
+      .select(col("user_id"), col("event_id").as("l_id"),
+        col("ts_us").as("l_ts"),
+        explode(sequence(
+          (col("ts_us") - beforeUs) - pmod(col("ts_us") - beforeUs, lit(width)),
+          (col("ts_us") + afterUs) - pmod(col("ts_us") + afterUs, lit(width)),
+          lit(width))).as("bucket"))
+    val right = ev.where(col("event_type") === rightType)
+      .select(col("user_id"), col("event_id").as("r_id"),
+        col("ts_us").as("r_ts"),
+        (col("ts_us") - pmod(col("ts_us"), lit(width))).as("bucket"))
+    left.join(right, Seq("user_id", "bucket"))
+      .where(col("r_ts") >= col("l_ts") - beforeUs &&
+        col("r_ts") <= col("l_ts") + afterUs)
+      .select(col("user_id"), col("l_id"), col("r_id"),
+        (col("r_ts") - col("l_ts")).as("delta_us"))
+    // no dedup needed: the right side maps to exactly ONE bucket, so each
+    // (left, right) pair joins at most once
+  }
+
   /** Deviation-based anomaly flags: events whose value sits more than
     * `nSigma` sample standard deviations from their type's mean. The
     * moments come from decimal partial sums (sum, sum of squares, count)

@@ -139,6 +139,118 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getDouble(4) == 4.96) // p99
   }
 
+  test("moving aggregate: trailing range window includes edge events") {
+    val df = ev(
+      (1L, 0L, 7L, "a", 2.0), (2L, 50L, 7L, "a", 4.0),
+      (3L, 100L, 7L, "a", 6.0), // window 100: includes ts 0 (inclusive)
+      (4L, 161L, 7L, "a", 8.0), // window [61,161]: only 100 and itself
+      (5L, 0L, 7L, "b", 1.0))
+    val out = TimeSeries.movingAggregate(df, windowUs = 100L)
+      .orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 2.0), (2L, 2L, 3.0), (3L, 3L, 4.0), (4L, 2L, 7.0),
+      (5L, 1L, 1.0)))
+  }
+
+  test("derivative: per-type consecutive rate; zero gap → null rate") {
+    val df = ev(
+      (1L, 0L, 7L, "a", 1.0), (2L, 2000000L, 7L, "a", 5.0), // +4 over 2 s
+      (3L, 2000000L, 7L, "a", 6.0), // same ts as 2 → dt=0 → null
+      (4L, 0L, 7L, "b", 9.0)) // first of its type: no row
+    val out = TimeSeries.derivative(df)
+      .orderBy("event_id")
+      .collect().map(r => (r.getLong(0), Option(r.get(4))))
+    assert(out.toSeq == Seq((2L, Some(2.0)), (3L, None)))
+  }
+
+  test("interval join: bucketed equi-join matches the θ-join exactly") {
+    val df = ev(
+      (1L, 1000L, 7L, "purchase", 1.0),
+      (2L, 400L, 7L, "click", 0.0), // within [-700, +300] of 1000? 400>=300 ✓
+      (3L, 299L, 7L, "click", 0.0), // outside (befor 1000-700=300)
+      (4L, 1300L, 7L, "click", 0.0), // right edge inclusive
+      (5L, 1301L, 7L, "click", 0.0), // outside
+      (6L, 1000L, 8L, "click", 0.0)) // other user
+    val out = TimeSeries.intervalJoin(df, "purchase", "click",
+        beforeUs = 700L, afterUs = 300L)
+      .orderBy("r_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 2L, -600L), (1L, 4L, 300L)))
+    val plan = TimeSeries.intervalJoin(df, "purchase", "click", 700L, 300L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"range join must lower to an equi-join:\n$plan")
+  }
+
+  test("pivot counts: static columns, zero-filled cells") {
+    val df = Seq((1L, "x"), (1L, "x"), (2L, "y")).toDF("day", "t")
+    val out = Analytics.pivotCounts(df, "day", "t", Seq("x", "y", "z"))
+      .orderBy("day")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 2L, 0L, 0L), (2L, 0L, 1L, 0L)))
+  }
+
+  test("sessionWindows (batch): same sessions as the window-scan form") {
+    val df = ev(
+      (1L, 0L, 7L, "click", 1.0), (2L, 10L, 7L, "click", 2.0),
+      (3L, 200L, 7L, "view", 4.0),
+      (4L, 0L, 8L, "click", 8.0))
+    val viaWindows = TimeSeries.sessionWindows(df,
+        timestamp_micros((col("ts") / 1000).cast("long")), "100 microseconds")
+      .orderBy("user_id", "session_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+        r.getDouble(4)))
+    // session_end is start-of-last + gap here, so compare on start/n/sum
+    val viaScan = TimeSeries.sessionize(df, gapUs = 100L)
+      .orderBy("user_id", "session_start")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4),
+        r.getDouble(5)))
+    assert(viaWindows.toSeq == viaScan.toSeq)
+  }
+
+  test("sessionWindows (streaming): sessions close as the watermark passes") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.Trigger
+    val src = Files.createTempDirectory("sw-src").toString
+    val ck = Files.createTempDirectory("sw-ck").toString
+    val out = Files.createTempDirectory("sw-out").toString
+    def writeEvents(rows: Seq[(Long, Long, Double)]): Unit =
+      rows.toDF("user_id", "ts_us", "value")
+        .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"),
+          col("value"))
+        .write.mode("append").parquet(src)
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema("user_id LONG, ts TIMESTAMP, value DOUBLE")
+        .parquet(src)
+        .withWatermark("ts", "10 seconds")
+      TimeSeries.sessionWindows(stream, col("ts"), "30 seconds")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    def sessions(): Seq[(Long, Long, Long)] = spark.read.parquet(out)
+      .select("user_id", "session_start", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted
+    val S = 1000000L // 1 s in µs
+    // watermark after this batch = 100s - 10s = 90s: the 0..10s session
+    // (window end 40s) closes within the run (AvailableNow's trailing
+    // no-data batch applies the advanced watermark); the 100s session
+    // (window end 130s) stays open in the state store
+    writeEvents(Seq((7L, 0L * S, 1.0), (7L, 10 * S, 2.0), (7L, 100 * S, 4.0)))
+    run()
+    assert(sessions() == Seq((7L, 0L, 2L)),
+      "only the session behind the watermark closes")
+    // advancing the stream (watermark → 490s) closes the 100s session,
+    // not the new 500s one
+    writeEvents(Seq((7L, 500 * S, 8.0)))
+    run()
+    assert(sessions() == Seq((7L, 0L, 2L), (7L, 100 * S, 1L)))
+  }
+
   test("shuffle budgets: sessionize ≤2, rollup 1 keyed shuffle") {
     def shuffles(df: DataFrame): Int =
       "ShuffleExchange".r.findAllIn(df.queryExecution.executedPlan.toString).size
