@@ -539,6 +539,28 @@ object SparkEntry {
     "q_length_trim" -> ((s, dir) =>
       TextAnalysis.lengthTrim(docs(s, dir)).orderBy("doc_id")),
 
+    // keep-BEST dedup: one survivor per minhash duplicate cluster, the
+    // highest-quality member (n_chars here), not an arbitrary copy
+    "q_cluster_keep" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.clusterKeep(d, Dedup.minhashPairs(d, threshold = 0.3),
+          col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // URL canonicalization + exact dedup: synthesized crawl URLs (mixed
+    // case, www, default port, utm params, fragment) normalize to one
+    // canonical form per (host, path) — raw-string grouping would keep
+    // every tracking-link variant
+    "q_url_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("url",
+        concat(lit("HTTPS://WWW.Src"), pmod(col("doc_id"), lit(20)),
+          lit(".Example.COM:443/docs/"), pmod(col("doc_id"), lit(500)),
+          lit("?id="), pmod(col("doc_id"), lit(500)),
+          lit("&utm_source=s"), col("doc_id"), lit("#f")))
+      TextAnalysis.urlDedup(d, col("url"), "doc_id").orderBy("doc_id")
+    }),
+
     // ----------------------------------------------- time-series analytics
     // 30-min-gap sessionization; one shuffle on user_id
     "q_sessionize" -> ((s, dir) =>
@@ -1078,6 +1100,61 @@ object SparkEntry {
            SELECT id AS doc_id, min(lbl) AS cluster_id,
              (id = min(lbl)) AS canonical
            FROM walk GROUP BY id ORDER BY doc_id"""),
+
+      // keep-best retention over the same minhash cluster walk: highest
+      // n_chars survives per cluster, doc_id ascending tie-break
+      "q_cluster_keep" ->
+        ("WITH RECURSIVE " + minhashCtes + """,
+           edges AS (
+             SELECT a, b FROM mh_pairs
+             UNION ALL SELECT b AS a, a AS b FROM mh_pairs),
+           walk(id, lbl) AS (
+             SELECT doc_id, doc_id FROM documents
+             UNION
+             SELECT w.id, e.b FROM walk w JOIN edges e ON e.a = w.lbl),
+           cl AS (SELECT id AS doc_id, min(lbl) AS cluster_id
+                  FROM walk GROUP BY id)
+           SELECT d.doc_id, cl.cluster_id,
+             CAST(d.n_chars AS DOUBLE) AS quality,
+             (row_number() OVER (PARTITION BY cl.cluster_id
+                ORDER BY CAST(d.n_chars AS DOUBLE) DESC, d.doc_id ASC) = 1)
+               AS keep
+           FROM documents d JOIN cl USING (doc_id) ORDER BY d.doc_id"""),
+
+      "q_url_dedup" ->
+        """WITH u AS (SELECT doc_id,
+             'HTTPS://WWW.Src' || (doc_id % 20) || '.Example.COM:443/docs/'
+               || (doc_id % 500) || '?id=' || (doc_id % 500)
+               || '&utm_source=s' || doc_id || '#f' AS url
+             FROM documents),
+           parts AS (SELECT doc_id, url,
+             lower(regexp_extract(url,
+               '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             lower(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host0,
+             regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1) AS rest0
+             FROM u),
+           n AS (SELECT doc_id,
+             CASE WHEN scheme = '' OR host0 = '' THEN lower(url)
+               ELSE scheme || '://' ||
+                 (CASE WHEN scheme = 'http' THEN
+                    regexp_replace(regexp_replace(host0, '^www\.', ''),
+                      ':80$', '')
+                  WHEN scheme = 'https' THEN
+                    regexp_replace(regexp_replace(host0, '^www\.', ''),
+                      ':443$', '')
+                  ELSE regexp_replace(host0, '^www\.', '') END) ||
+                 regexp_replace(regexp_replace(
+                   regexp_replace(rest0,
+                     '(?i)utm_[A-Za-z0-9_]*(=[^&#]*)?&?', '', 'g'),
+                   '[?&]$', ''), '\?&', '?')
+             END AS url_norm
+             FROM parts)
+           SELECT doc_id, url_norm,
+             (row_number() OVER (PARTITION BY url_norm ORDER BY doc_id) = 1)
+               AS keep
+           FROM n ORDER BY doc_id""",
 
       // paragraph-level boilerplate removal: corpus-wide paragraph
       // occurrence counts; >= 10 occurrences → removed from every doc;

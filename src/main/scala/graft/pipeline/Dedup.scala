@@ -702,6 +702,28 @@ object Dedup {
       (col("id") === col("lbl")).as("canonical"))
   }
 
+  /** Keep-BEST dedup: exactly one survivor per duplicate cluster — the
+    * member with the highest `quality` (ascending id tie-break) — instead
+    * of [[dupClusters]]'s keep-min-id `canonical`. This is the retention
+    * policy a curation pipeline actually wants: when near-copies differ
+    * (truncation, boilerplate, OCR noise), the best copy survives, not an
+    * arbitrary one. Costs one extra window scan keyed by cluster_id on
+    * top of the component computation; quality is any deterministic
+    * column expression over the doc row.
+    */
+  def clusterKeep(docs: DataFrame, pairs: DataFrame, quality: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    val clusters = dupClusters(docs, pairs, idCol)
+      .select(col(idCol), col("cluster_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col(idCol).asc)
+    docs.select(col(idCol), quality.cast("double").as("quality"))
+      .join(clusters, idCol)
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col(idCol), col("cluster_id"), col("quality"), col("keep"))
+  }
+
   /** Small-graph path: collected union-find with path compression; the
     * component label is the min member id, matching the distributed
     * fixpoint exactly. Nodes outside the edge list label themselves via

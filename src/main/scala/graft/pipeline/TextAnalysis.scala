@@ -271,6 +271,42 @@ object TextAnalysis {
   def urlHost(url: Column): Column =
     lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
 
+  /** Canonical URL form for crawl dedup: lowercase scheme + host, strip a
+    * leading `www.`, strip the scheme's default port (:80 http / :443
+    * https), drop the fragment, drop `utm_*` tracking params, and tidy
+    * dangling `?`/`&`. Pure regexp composition in the shared
+    * Spark/DuckDB-compatible dialect (no lookbehind), codegen'd map-only
+    * — the normalization step ahead of exact URL dedup, where raw-string
+    * grouping would miss ~every duplicate fetched via tracking links.
+    */
+  def normalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host0 = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    val host1 = regexp_replace(host0, "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(host1, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host1, ":443$", ""))
+      .otherwise(host1)
+    // path + query, fragment dropped
+    val rest0 = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)", 1)
+    val rest1 = regexp_replace(rest0, "(?i)utm_[A-Za-z0-9_]*(=[^&#]*)?&?", "")
+    val rest = regexp_replace(regexp_replace(rest1, "[?&]$", ""), "\\?&", "?")
+    when(scheme === "" || host0 === "", lower(url)) // not a hierarchical URL
+      .otherwise(concat(scheme, lit("://"), host, rest))
+  }
+
+  /** Exact URL dedup over the normalized form: `url_norm` plus a `keep`
+    * flag on each group's lowest id. One 8-byte-ish key shuffle (the
+    * normalized string), min-id via window — the id never leaves its
+    * group's partition.
+    */
+  def urlDedup(df: DataFrame, urlCol: Column, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("url_norm")).orderBy(col(idCol).asc)
+    df.withColumn("url_norm", normalizeUrl(urlCol))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col(idCol), col("url_norm"), col("keep"))
+  }
+
   // ----------------------------------------------------- inverted index
 
   /** Retrieval-index build: one row per distinct term with its document

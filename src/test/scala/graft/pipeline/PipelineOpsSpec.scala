@@ -1026,4 +1026,48 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.toSeq == Seq((2L, 1, 1), (4L, 2, 2), (3L, 1, 3)))
     assert(!out.map(_._1).contains(1L))
   }
+
+  test("clusterKeep: highest quality survives per cluster, not min id") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 10L), (2L, 99L), (3L, 50L), // one cluster: 2 wins on quality
+      (4L, 7L), (5L, 7L), // tie → lower id (4) wins
+      (6L, 1L)).toDF("doc_id", "n_chars") // singleton keeps itself
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+    val out = Dedup.clusterKeep(docs, pairs, col("n_chars"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, false), (2L, 1L, true), (3L, 1L, false),
+      (4L, 4L, true), (5L, 4L, false), (6L, 6L, true)))
+  }
+
+  test("normalizeUrl: case/www/port/utm/fragment canonicalization") {
+    import spark.implicits._
+    val cases = Seq(
+      "HTTPS://WWW.Ex.COM:443/a?utm_source=x&id=1#frag" ->
+        "https://ex.com/a?id=1",
+      "http://Ex.com:80/a/" -> "http://ex.com/a/",
+      "https://ex.com:8443/a" -> "https://ex.com:8443/a", // non-default kept
+      "https://ex.com/?utm_a=1&utm_b=2" -> "https://ex.com/",
+      "https://ex.com/p?UTM_SOURCE=x" -> "https://ex.com/p", // case-insens
+      "not a url" -> "not a url")
+    val got = cases.map(_._1).toDF("url")
+      .select(TextAnalysis.normalizeUrl(col("url"))).as[String].collect()
+    assert(got.toSeq == cases.map(_._2),
+      got.zip(cases).filter { case (g, (_, e)) => g != e }.mkString(", "))
+  }
+
+  test("urlDedup: normalized grouping, min-id keep") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "https://WWW.ex.com/a"), (2L, "https://ex.com:443/a"),
+      (3L, "https://ex.com/b")).toDF("doc_id", "url")
+    val out = TextAnalysis.urlDedup(df, col("url"), "doc_id")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq(
+      (1L, "https://ex.com/a", true), (2L, "https://ex.com/a", false),
+      (3L, "https://ex.com/b", true)))
+  }
 }
