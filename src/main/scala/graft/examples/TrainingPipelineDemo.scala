@@ -41,10 +41,23 @@ object TrainingPipelineDemo {
     // 1. exact dedup: keep the smallest doc_id per distinct text
     val exact = Dedup.exactDedup(gated)
 
-    // 2. near-dedup: drop the higher id of every MinHash pair >= 0.5
-    val nearPairs = Dedup.minhashPairs(exact, threshold = 0.5)
-    val dropNear = nearPairs.select(col("b").as("doc_id")).distinct()
-    val deduped = exact.join(dropNear, Seq("doc_id"), "left_anti")
+    // 1b. URL-level dedup ahead of content passes: canonicalize the
+    // (synthesized here) fetch URLs and keep one doc per canonical URL —
+    // in a real crawl this removes tracking-link refetches before any
+    // text ever shuffles
+    val withUrls = exact.withColumn("url",
+      concat(lit("https://www."), col("source"), lit(".example.com/d/"),
+        pmod(col("doc_id"), lit(1000)), lit("?utm_source=crawl")))
+    val urlKeep = TextAnalysis.urlDedup(withUrls, col("url"), "doc_id")
+      .filter(col("keep")).select("doc_id")
+    val urlDeduped = exact.join(urlKeep, Seq("doc_id"), "left_semi")
+
+    // 2. near-dedup: keep the BEST copy of every MinHash duplicate
+    // cluster (longest text wins, not the arbitrary lowest id)
+    val nearPairs = Dedup.minhashPairs(urlDeduped, threshold = 0.5)
+    val keepBest = Dedup.clusterKeep(urlDeduped, nearPairs, col("n_chars"))
+      .filter(col("keep")).select("doc_id")
+    val deduped = urlDeduped.join(keepBest, Seq("doc_id"), "left_semi")
 
     // 3. quality gate: the Gopher admission rules with per-rule reasons
     // (thresholds relaxed to this tiny synthetic corpus)
@@ -101,7 +114,8 @@ object TrainingPipelineDemo {
     println(s"line dedup:        ${lineClean.count()} docs cleaned")
     println(s"span removal:      ${spanClean.filter(col("removed") > 0).count()} docs had duplicated 8-grams stripped")
     println(s"after exact dedup: ${exact.count()}")
-    println(s"after near dedup:  ${deduped.count()} (dropped ${dropNear.count()} near-dups)")
+    println(s"after url dedup:   ${urlDeduped.count()}")
+    println(s"after near dedup:  ${deduped.count()} (best-quality cluster survivors)")
     println(s"after quality:     ${kept.count()}")
     println("per-language token budget:")
     report.collect().foreach(r => println(f"  ${r.getString(0)}%-4s ${r.getLong(1)}%6d docs ${r.getLong(2)}%10d bpe tokens"))
