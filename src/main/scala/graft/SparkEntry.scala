@@ -617,6 +617,17 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    // ordered click → view → purchase funnel per user
+    "q_funnel" -> ((s, dir) =>
+      TimeSeries.funnel(table(s, dir, "events"),
+          Seq("click", "view", "purchase"))
+        .orderBy("user_id")),
+
+    // daily cohort retention matrix (first-seen day × day offset)
+    "q_cohort" -> ((s, dir) =>
+      TimeSeries.cohortRetention(table(s, dir, "events"), 86400000000L)
+        .orderBy("cohort", "offset")),
+
     // ----------------------------------------------- analytics: general
     // top-3 longest docs per source (window row_number)
     "q_topk_source" -> ((s, dir) =>
@@ -2294,6 +2305,33 @@ object SparkEntry {
              round((value - mean) / sigma, 6) AS z
            FROM events e JOIN mm USING (event_type)
            WHERE abs(value - mean) > 3 * sigma""",
+
+      "q_funnel" ->
+        """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+                      FROM events
+                      WHERE event_type IN ('click', 'view', 'purchase')),
+           s0 AS (SELECT user_id, min(CASE WHEN event_type = 'click'
+                    THEN ts_us END) AS t0 FROM e GROUP BY 1),
+           s1 AS (SELECT e.user_id, min(CASE WHEN event_type = 'view'
+                    AND t0 IS NOT NULL AND ts_us > t0 THEN ts_us END) AS t1
+                  FROM e JOIN s0 USING (user_id) GROUP BY 1),
+           s2 AS (SELECT e.user_id, min(CASE WHEN event_type = 'purchase'
+                    AND t1 IS NOT NULL AND ts_us > t1 THEN ts_us END) AS t2
+                  FROM e JOIN s1 USING (user_id) GROUP BY 1)
+           SELECT s0.user_id, t0, t1, t2,
+             CAST((CASE WHEN t0 IS NULL THEN 0 ELSE 1 END)
+               + (CASE WHEN t1 IS NULL THEN 0 ELSE 1 END)
+               + (CASE WHEN t2 IS NULL THEN 0 ELSE 1 END) AS INT) AS depth
+           FROM s0 JOIN s1 USING (user_id) JOIN s2 USING (user_id)""",
+
+      "q_cohort" ->
+        """WITH e AS (SELECT user_id,
+                        CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS period
+                      FROM events),
+           c AS (SELECT user_id, min(period) AS cohort FROM e GROUP BY 1)
+           SELECT cohort, period - cohort AS "offset",
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+           FROM e JOIN c USING (user_id) GROUP BY 1, 2""",
 
       "q_topk_source" ->
         """SELECT doc_id, source, n_chars, rank FROM (

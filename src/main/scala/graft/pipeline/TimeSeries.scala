@@ -214,6 +214,57 @@ object TimeSeries {
     // (left, right) pair joins at most once
   }
 
+  /** Ordered funnel analysis: for each user, the timestamp of the first
+    * `stages(0)` event, the first `stages(1)` event strictly after it,
+    * and so on — the "click then view then purchase, in order" question.
+    * Each stage is a whole-partition conditional-min window conditioned
+    * on the previous stage's column; all k windows plus the final
+    * per-user collapse share ONE user_id exchange. Depth reached =
+    * number of non-null stage times.
+    */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val w = Window.partitionBy(col("user_id")) // whole-partition frame
+    var cur = withTsUs(events)
+      .where(col("event_type").isin(stages.map(x => x: Any): _*))
+      .select(col("user_id"), col("event_type"), col("ts_us"))
+      .withColumn("t0",
+        min(when(col("event_type") === stages.head, col("ts_us"))).over(w))
+    // stage k's min is conditioned on stage k-1's min — a chain of
+    // whole-partition window aggregates over ONE user_id exchange (each
+    // projection step references the previous step's window column)
+    stages.zipWithIndex.drop(1).foreach { case (stage, i) =>
+      cur = cur.withColumn(s"t$i",
+        min(when(col("event_type") === stage &&
+          col(s"t${i - 1}").isNotNull && col("ts_us") > col(s"t${i - 1}"),
+          col("ts_us"))).over(w))
+    }
+    val depth = stages.indices.map(i =>
+      when(col(s"t$i").isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    // stage times are constant within a user partition: collapse on the
+    // SAME key, so the final agg reuses the window's partitioning
+    val aggs = stages.indices.map(i => min(col(s"t$i")).as(s"t$i")) :+
+      min(depth).cast("int").as("depth")
+    cur.groupBy(col("user_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Cohort retention: users cohorted by the period of their FIRST event;
+    * one row per (cohort, period offset) with the distinct users active
+    * in that offset. Two shuffles — first-seen per user, then the
+    * (cohort, offset) distinct-user count; the classic engagement matrix.
+    */
+  def cohortRetention(events: DataFrame, periodUs: Long): DataFrame = {
+    val ev = withTsUs(events)
+      .withColumn("period", (col("ts_us") - col("ts_us") % periodUs) / periodUs)
+      .select(col("user_id"), col("period").cast("long").as("period"))
+    val cohorts = ev.groupBy(col("user_id"))
+      .agg(min(col("period")).as("cohort"))
+    ev.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort"), (col("period") - col("cohort")).as("offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** Deviation-based anomaly flags: events whose value sits more than
     * `nSigma` sample standard deviations from their type's mean. The
     * moments come from decimal partial sums (sum, sum of squares, count)

@@ -251,6 +251,42 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
     assert(sessions() == Seq((7L, 0L, 2L), (7L, 100 * S, 1L)))
   }
 
+  test("funnel: in-order stage times; out-of-order events don't count") {
+    val df = ev(
+      // user 7: view BEFORE first click must not satisfy stage 2
+      (1L, 10L, 7L, "view", 0.0), (2L, 20L, 7L, "click", 0.0),
+      (3L, 30L, 7L, "view", 0.0), (4L, 40L, 7L, "purchase", 0.0),
+      // user 8: click only
+      (5L, 5L, 8L, "click", 0.0),
+      // user 9: full funnel but purchase precedes view → depth 2
+      (6L, 10L, 9L, "click", 0.0), (7L, 15L, 9L, "purchase", 0.0),
+      (8L, 20L, 9L, "view", 0.0))
+    val out = TimeSeries.funnel(df, Seq("click", "view", "purchase"))
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)),
+        Option(r.get(3)), r.getInt(4)))
+    assert(out.toSeq == Seq(
+      (7L, Some(20L), Some(30L), Some(40L), 3),
+      (8L, Some(5L), None, None, 1),
+      (9L, Some(10L), Some(20L), None, 2)))
+    val plan = TimeSeries.funnel(df, Seq("click", "view", "purchase"))
+      .queryExecution.executedPlan.toString
+    assert("ShuffleExchange".r.findAllIn(plan).size <= 1,
+      s"all funnel stages must share one user shuffle:\n$plan")
+  }
+
+  test("cohort retention: first-seen period cohorts, distinct users") {
+    val df = ev(
+      (1L, 0L, 7L, "a", 0.0), (2L, 5L, 7L, "a", 0.0), // p0 twice → 1 user
+      (3L, 25L, 7L, "a", 0.0), // p2: offset 2
+      (4L, 10L, 8L, "a", 0.0), (5L, 25L, 8L, "a", 0.0)) // cohort p1
+    val out = TimeSeries.cohortRetention(df, periodUs = 10L)
+      .orderBy("cohort", "offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (0L, 0L, 1L), (0L, 2L, 1L), (1L, 0L, 1L), (1L, 1L, 1L)))
+  }
+
   test("shuffle budgets: sessionize ≤2, rollup 1 keyed shuffle") {
     def shuffles(df: DataFrame): Int =
       "ShuffleExchange".r.findAllIn(df.queryExecution.executedPlan.toString).size
