@@ -40,6 +40,33 @@ object Analytics {
         coalesce(col(b), lit("ALL")).as(b),
         col("n"), col("total"))
 
+  /** Fixed-memory distinct-count sketch per group (HyperLogLog++ via
+    * `approx_count_distinct`): the 100-TB path where an exact distinct
+    * would shuffle one row per distinct value. `rsd` is the target
+    * relative standard deviation (Spark default 0.05). Exact twin for
+    * verification: `countDistinct`.
+    */
+  def approxDistinctPerGroup(df: DataFrame, groupCol: String,
+      valueCol: String, rsd: Double = 0.05): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(approx_count_distinct(col(valueCol), rsd).as("approx_distinct"))
+
+  /** Fixed-memory quantile sketch per group (`percentile_approx`,
+    * `accuracy` trades memory for error ≤ 1/accuracy): the scale path
+    * behind [[quantilesPerGroup]] — swap in when value cardinality per
+    * group no longer fits the exact aggregate.
+    */
+  def approxQuantilesPerGroup(df: DataFrame, groupCol: String,
+      valueCol: String, qs: Seq[Double], accuracy: Int = 10000): DataFrame = {
+    val arr = array(qs.map(lit): _*)
+    df.groupBy(col(groupCol))
+      .agg(percentile_approx(col(valueCol), arr, lit(accuracy)).as("pcts"))
+      .select(
+        Seq(col(groupCol)) ++ qs.zipWithIndex.map { case (q, i) =>
+          element_at(col("pcts"), i + 1).as("p" + math.round(q * 100))
+        }: _*)
+  }
+
   /** Count pivot: one row per `rowKey`, one column per pivot value of
     * `colKey` (explicit value list — Catalyst then plans ONE aggregate
     * pass with no distinct-values pre-job, and the output schema is

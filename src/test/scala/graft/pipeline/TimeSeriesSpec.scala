@@ -287,6 +287,20 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
       (0L, 0L, 1L), (0L, 2L, 1L), (1L, 0L, 1L), (1L, 1L, 1L)))
   }
 
+  test("approx sketches: HLL distinct within rsd; KLL quantiles bounded") {
+    val df = (1 to 5000).map(i => ("g", i.toLong % 1000, i.toLong))
+      .toDF("g", "v", "x")
+    val approx = Analytics.approxDistinctPerGroup(df, "g", "v")
+      .collect().head.getLong(1)
+    assert(math.abs(approx - 1000) <= 1000 * 0.15,
+      s"HLL estimate $approx too far from 1000")
+    val pcts = Analytics.approxQuantilesPerGroup(df, "g", "x", Seq(0.5, 0.9))
+      .collect().head
+    // accuracy 10000 on 5000 rows → exact rank selection
+    assert(pcts.getLong(1) == 2500L && pcts.getLong(2) == 4500L,
+      s"got ${pcts.getLong(1)}, ${pcts.getLong(2)}")
+  }
+
   test("shuffle budgets: sessionize ≤2, rollup 1 keyed shuffle") {
     def shuffles(df: DataFrame): Int =
       "ShuffleExchange".r.findAllIn(df.queryExecution.executedPlan.toString).size
