@@ -265,6 +265,25 @@ object TimeSeries {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Tumbling rollup via the native `window` function — the declarative
+    * twin of [[tumblingRollup]] that runs unchanged over batch and
+    * streaming frames (with `withWatermark` upstream, each bucket emits
+    * once it can no longer receive data). `tsCol` must be
+    * timestamp-typed; output buckets are epoch-µs starts like the batch
+    * form.
+    */
+  def rollupWindows(events: DataFrame, tsCol: Column, width: String): DataFrame =
+    events
+      .groupBy(window(tsCol, width), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(Dec)).cast("double").as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .select(col("event_type"),
+        unix_micros(col("window.start")).as("bucket_ts"),
+        col("n_events"), col("sum_value"), col("min_value"), col("max_value"))
+
   /** Deviation-based anomaly flags: events whose value sits more than
     * `nSigma` sample standard deviations from their type's mean. The
     * moments come from decimal partial sums (sum, sum of squares, count)

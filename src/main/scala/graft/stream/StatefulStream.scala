@@ -20,6 +20,11 @@ object StatefulStream {
 
   private type KV = ((String, String), Row)
 
+  /** One flagged event from [[anomalies]], with the moments as they
+    * stood when it was judged. */
+  final case class AnomalyFlag(key: String, id: Long, tsUs: Long,
+      value: Double, runMean: Double, runSigma: Double)
+
   /** `$each_t` over a streaming record frame: emits the debounced records
     * (one per >= interval per entry). */
   def eachT(records: DataFrame, intervalSec: Double): DataFrame =
@@ -188,6 +193,60 @@ object StatefulStream {
         gs.update(hist)
         out.iterator
     }.toDF().drop("__sig")
+  }
+
+  /** CAUSAL streaming anomaly detection: each event is judged against
+    * the running moments of its key as they stood BEFORE it arrived —
+    * the ingest-time monitor a store emits alerts from, where the batch
+    * [[graft.pipeline.TimeSeries.anomalies]] judges against the whole
+    * corpus in hindsight. State per key is three doubles (Welford count /
+    * mean / M2), updated by every event, across micro-batches and
+    * restarts. Events inside one micro-batch process in (ts, event_id)
+    * order, so the flag sequence is a pure function of the stream. The
+    * first `minHistory` events of a key are never flagged (no stable σ
+    * yet) but still train the moments.
+    *
+    * Emits only the flagged events, with the mean/σ that convicted them.
+    */
+  def anomalies(events: DataFrame, keyCol: String, tsUsCol: String,
+      valueCol: String, idCol: String, nSigma: Double,
+      minHistory: Int = 30): DataFrame = {
+    val schema = events.schema
+    val tsIdx = schema.fieldIndex(tsUsCol)
+    val idIdx = schema.fieldIndex(idCol)
+    val vIdx = schema.fieldIndex(valueCol)
+    val kIdx = schema.fieldIndex(keyCol)
+    implicit val rowEnc = Encoders.row(schema)
+    implicit val keyEnc = Encoders.STRING
+    implicit val stateEnc = Encoders.kryo[(Long, Double, Double)]
+    implicit val outEnc = Encoders.product[AnomalyFlag]
+    events.groupByKey { r: Row => r.getString(kIdx) }
+      .flatMapGroupsWithState[(Long, Double, Double), AnomalyFlag](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[Row],
+            gs: GroupState[(Long, Double, Double)]) =>
+          var (n, mean, m2) = gs.getOption.getOrElse((0L, 0.0, 0.0))
+          val sorted = rows.toArray.sortBy(r =>
+            (r.getLong(tsIdx), r.getLong(idIdx)))
+          val out = sorted.flatMap { row =>
+            val v = row.getDouble(vIdx)
+            val preMean = mean
+            val sigma = if (n > 1) math.sqrt(m2 / (n - 1)) else 0.0
+            val flagged = n >= minHistory && sigma > 0 &&
+              math.abs(v - preMean) > nSigma * sigma
+            // Welford update AFTER the judgment (strictly causal)
+            n += 1
+            val d = v - mean
+            mean += d / n
+            m2 += d * (v - mean)
+            if (flagged)
+              Some(AnomalyFlag(key, row.getLong(idIdx), row.getLong(tsIdx),
+                v, preMean, sigma))
+            else None
+          }
+          gs.update((n, mean, m2))
+          out.iterator
+      }.toDF(keyCol, idCol, tsUsCol, valueCol, "run_mean", "run_sigma")
   }
 
   private def statefulFilter[S: scala.reflect.ClassTag](records: DataFrame, init: S)(

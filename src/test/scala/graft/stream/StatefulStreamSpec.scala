@@ -228,4 +228,83 @@ class StatefulStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(got() == Seq(1000L, 3000L, 6000L),
       "cross-batch state held in both hops")
   }
+
+  test("streaming anomalies: causal moments persist across micro-batches") {
+    val src = Files.createTempDirectory("an-src").toString
+    val ck = Files.createTempDirectory("an-ck").toString
+    val out = Files.createTempDirectory("an-out").toString
+    def writeEvents(rows: Seq[(Long, Long, String, Double)]): Unit = {
+      import spark.implicits._
+      rows.toDF("event_id", "ts_us", "key", "value")
+        .write.mode("append").parquet(src)
+    }
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema("event_id LONG, ts_us LONG, key STRING, value DOUBLE")
+        .parquet(src)
+      StatefulStream.anomalies(stream, "key", "ts_us", "value", "event_id",
+          nSigma = 3.0, minHistory = 10)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    // batch 1: 10 calm readings (alternating 9.9/10.1) train the moments;
+    // nothing can flag inside the training window
+    writeEvents((0 until 10).map(i =>
+      (i.toLong, i * 1000L, "k", if (i % 2 == 0) 9.9 else 10.1)))
+    run()
+    def flagged(): Seq[Long] = spark.read.parquet(out)
+      .select("event_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(flagged().isEmpty, "training window must not flag")
+    // batch 2: the state store carried n=10 across the restart — a calm
+    // reading passes, a 100.0 spike sits far beyond 3σ (σ ≈ 0.105) and
+    // flags; the spike then joins the moments, so a SECOND spike of the
+    // same size still flags (σ grew but not enough) while calm stays calm
+    writeEvents(Seq((10L, 10000L, "k", 10.0), (11L, 11000L, "k", 100.0)))
+    run()
+    assert(flagged() == Seq(11L), "spike must flag against carried moments")
+    writeEvents(Seq((12L, 12000L, "k", 10.0), (13L, 13000L, "k", 100.0),
+      (14L, 14000L, "k", 10.0)))
+    run()
+    assert(flagged() == Seq(11L, 13L),
+      "second spike flags; calm readings never do")
+    // an unseen key has no moments: silent regardless of value
+    writeEvents(Seq((15L, 15000L, "fresh", 1e9)))
+    run()
+    assert(flagged() == Seq(11L, 13L), "unseen key cannot flag")
+  }
+
+  test("rollupWindows streaming: buckets close as the watermark passes") {
+    import org.apache.spark.sql.DataFrame
+    val src = Files.createTempDirectory("rw-src").toString
+    val ck = Files.createTempDirectory("rw-ck").toString
+    val out = Files.createTempDirectory("rw-out").toString
+    def writeEvents(rows: Seq[(Long, String, Double)]): Unit = {
+      import spark.implicits._
+      rows.toDF("ts_us", "event_type", "value")
+        .select(timestamp_micros(col("ts_us")).as("ts"), col("event_type"),
+          col("value"))
+        .write.mode("append").parquet(src)
+    }
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
+        .parquet(src)
+        .withWatermark("ts", "10 seconds")
+      graft.pipeline.TimeSeries.rollupWindows(stream, col("ts"), "30 seconds")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    val S = 1000000L
+    // bucket [0,30s) gets two events; an event at 100s pushes the
+    // watermark to 90s, closing it within the run
+    writeEvents(Seq((5 * S, "a", 1.0), (10 * S, "a", 2.0), (100 * S, "a", 4.0)))
+    run()
+    val rows = spark.read.parquet(out)
+      .select("bucket_ts", "n_events", "sum_value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq((0L, 2L, 3.0)),
+      s"only the closed bucket emits, got ${rows.toSeq}")
+  }
 }
