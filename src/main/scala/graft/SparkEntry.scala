@@ -617,6 +617,11 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    // hourly OHLC bars per event type (first/high/low/last value)
+    "q_ohlc" -> ((s, dir) =>
+      TimeSeries.ohlcBars(table(s, dir, "events"), 3600000000L)
+        .orderBy("event_type", "bucket_ts")),
+
     // ordered click → view → purchase funnel per user
     "q_funnel" -> ((s, dir) =>
       TimeSeries.funnel(table(s, dir, "events"),
@@ -2305,6 +2310,30 @@ object SparkEntry {
              round((value - mean) / sigma, 6) AS z
            FROM events e JOIN mm USING (event_type)
            WHERE abs(value - mean) > 3 * sigma""",
+
+      "q_ohlc" ->
+        """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+                        value FROM events),
+           b AS (SELECT event_type,
+                   ts_us - ts_us % 3600000000 AS bucket_ts,
+                   ts_us, event_id, value FROM e),
+           o AS (SELECT event_type, bucket_ts, value AS open FROM (
+                   SELECT *, row_number() OVER
+                     (PARTITION BY event_type, bucket_ts
+                      ORDER BY ts_us ASC, event_id ASC) AS rn FROM b)
+                 WHERE rn = 1),
+           c AS (SELECT event_type, bucket_ts, value AS close FROM (
+                   SELECT *, row_number() OVER
+                     (PARTITION BY event_type, bucket_ts
+                      ORDER BY ts_us DESC, event_id DESC) AS rn FROM b)
+                 WHERE rn = 1),
+           hl AS (SELECT event_type, bucket_ts, max(value) AS high,
+                    min(value) AS low, CAST(count(*) AS BIGINT) AS n_events
+                  FROM b GROUP BY 1, 2)
+           SELECT hl.event_type, hl.bucket_ts, o.open, hl.high, hl.low,
+             c.close, hl.n_events
+           FROM hl JOIN o USING (event_type, bucket_ts)
+             JOIN c USING (event_type, bucket_ts)""",
 
       "q_funnel" ->
         """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us

@@ -265,6 +265,54 @@ object TimeSeries {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** OHLC bars: per (event_type, bucket), the opening (first), highest,
+    * lowest, and closing (last) value — the canonical financial/telemetry
+    * downsample. Same one-shuffle partial-agg shape as [[tumblingRollup]];
+    * first/last resolve by (ts, event_id) via `min_by`/`max_by`, so bars
+    * are deterministic under ties and any parallelism.
+    */
+  def ohlcBars(events: DataFrame, widthUs: Long): DataFrame = {
+    val ord = struct(eventOrder: _*)
+    withTsUs(events)
+      .withColumn("bucket_ts", col("ts_us") - col("ts_us") % widthUs)
+      .groupBy(col("event_type"), col("bucket_ts"))
+      .agg(
+        min_by(col("value"), ord).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), ord).as("close"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** General two-table as-of join: each `right` row picks up the latest
+    * `left` row with the same `keyCol` whose `tsCol` is <= (or < with
+    * `strict`) its own. Same single-interleaved-window-scan lowering as
+    * [[asofJoin]] — tag both inputs, one keyed sort, carry the left value
+    * forward; no join node, no per-key index. `valueCol` names the left
+    * column to attach (as `asof_value`, with its timestamp as `asof_ts`).
+    */
+  def asofJoinTables(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, valueCol: String, strict: Boolean = true): DataFrame = {
+    val l = left.select(col(keyCol), col(tsCol).as("__ts"),
+      col(valueCol).cast("double").as("__v"), lit(0).as("__side"))
+    val r = right.select(col(keyCol), col(tsCol).as("__ts"),
+      lit(null).cast("double").as("__v"), lit(1).as("__side"))
+    // left rows order before right rows at an equal timestamp iff the
+    // match is inclusive (non-strict)
+    val sideOrd = if (strict) col("__side").desc else col("__side").asc
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__ts").asc, sideOrd)
+      .rowsBetween(Window.unboundedPreceding, if (strict) -1 else 0)
+    val leftVal = when(col("__side") === 0, col("__v"))
+    val leftTs = when(col("__side") === 0, col("__ts"))
+    l.unionByName(r)
+      .withColumn("asof_value", last(leftVal, ignoreNulls = true).over(w))
+      .withColumn("asof_ts", last(leftTs, ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select(col(keyCol), col("__ts").as(tsCol), col("asof_value"),
+        col("asof_ts"))
+  }
+
   /** Tumbling rollup via the native `window` function — the declarative
     * twin of [[tumblingRollup]] that runs unchanged over batch and
     * streaming frames (with `withWatermark` upstream, each bucket emits

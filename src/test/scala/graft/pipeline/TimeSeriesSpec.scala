@@ -301,6 +301,44 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
       s"got ${pcts.getLong(1)}, ${pcts.getLong(2)}")
   }
 
+  test("ohlc bars: first/high/low/last by (ts, id) within bucket") {
+    val df = ev(
+      (1L, 10L, 7L, "a", 5.0), (2L, 20L, 7L, "a", 9.0),
+      (3L, 30L, 7L, "a", 1.0), (4L, 40L, 7L, "a", 7.0),
+      (5L, 40L, 7L, "a", 6.0), // same ts as 4, higher id → close = 6.0
+      (6L, 150L, 7L, "a", 2.0))
+    val out = TimeSeries.ohlcBars(df, widthUs = 100L)
+      .orderBy("event_type", "bucket_ts")
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6)))
+    assert(out.toSeq == Seq(
+      (0L, 5.0, 9.0, 1.0, 6.0, 5L), (100L, 2.0, 2.0, 2.0, 2.0, 1L)))
+  }
+
+  test("asofJoinTables: strict vs inclusive on equal timestamps") {
+    val quotes = Seq((7L, 10L, 1.0), (7L, 20L, 2.0), (8L, 5L, 9.0))
+      .toDF("user_id", "ts", "price")
+    val trades = Seq((7L, 20L), (7L, 25L), (7L, 5L), (8L, 6L))
+      .toDF("user_id", "ts")
+    def run(strict: Boolean) =
+      TimeSeries.asofJoinTables(quotes, trades, "user_id", "ts", "price",
+          strict)
+        .orderBy("user_id", "ts")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Double])))
+    // strict: the 20-quote is NOT visible to the 20-trade
+    assert(run(strict = true).toSeq == Seq(
+      (7L, 5L, None), (7L, 20L, Some(1.0)), (7L, 25L, Some(2.0)),
+      (8L, 6L, Some(9.0))))
+    // inclusive: it is
+    assert(run(strict = false).toSeq == Seq(
+      (7L, 5L, None), (7L, 20L, Some(2.0)), (7L, 25L, Some(2.0)),
+      (8L, 6L, Some(9.0))))
+    val plan = TimeSeries.asofJoinTables(quotes, trades, "user_id", "ts",
+      "price").queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "two-table as-of must not plan a join")
+  }
+
   test("shuffle budgets: sessionize ≤2, rollup 1 keyed shuffle") {
     def shuffles(df: DataFrame): Int =
       "ShuffleExchange".r.findAllIn(df.queryExecution.executedPlan.toString).size
