@@ -617,6 +617,19 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    // snapshot diff: old drops the mod-7 slice (→ added), new drops the
+    // mod-5 slice (→ removed) and perturbs the mod-11 slice (→ changed)
+    "q_snapshot_diff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val old = d.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      val nw = d.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      Analytics.snapshotDiff(old, nw, "doc_id", Seq("text", "source"))
+        .orderBy("doc_id")
+    }),
+
     // hourly OHLC bars per event type (first/high/low/last value)
     "q_ohlc" -> ((s, dir) =>
       TimeSeries.ohlcBars(table(s, dir, "events"), 3600000000L)
@@ -2310,6 +2323,21 @@ object SparkEntry {
              round((value - mean) / sigma, 6) AS z
            FROM events e JOIN mm USING (event_type)
            WHERE abs(value - mean) > 3 * sigma""",
+
+      "q_snapshot_diff" ->
+        """WITH old AS (SELECT doc_id,
+                 md5(text || ' ' || source) AS old_digest
+               FROM documents WHERE doc_id % 7 <> 0),
+           nw AS (SELECT doc_id,
+                 md5((CASE WHEN doc_id % 11 = 0 THEN text || ' v2'
+                       ELSE text END) || ' ' || source) AS new_digest
+               FROM documents WHERE doc_id % 5 <> 0)
+           SELECT coalesce(old.doc_id, nw.doc_id) AS doc_id,
+             CASE WHEN old_digest IS NULL THEN 'added'
+                  WHEN new_digest IS NULL THEN 'removed'
+                  WHEN old_digest <> new_digest THEN 'changed'
+                  ELSE 'unchanged' END AS change
+           FROM old FULL OUTER JOIN nw USING (doc_id)""",
 
       "q_ohlc" ->
         """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, event_id,

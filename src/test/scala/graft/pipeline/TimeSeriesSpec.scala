@@ -339,6 +339,18 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Join"), "two-table as-of must not plan a join")
   }
 
+  test("snapshotDiff: added/removed/changed/unchanged classification") {
+    val old = Seq((1L, "a", "s"), (2L, "b", "s"), (3L, "c", "s"))
+      .toDF("doc_id", "text", "source")
+    val nw = Seq((2L, "b", "s"), (3L, "C2", "s"), (4L, "d", "s"))
+      .toDF("doc_id", "text", "source")
+    val out = Analytics.snapshotDiff(old, nw, "doc_id", Seq("text", "source"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "removed"), (2L, "unchanged"),
+      (3L, "changed"), (4L, "added")))
+  }
+
   test("shuffle budgets: sessionize ≤2, rollup 1 keyed shuffle") {
     def shuffles(df: DataFrame): Int =
       "ShuffleExchange".r.findAllIn(df.queryExecution.executedPlan.toString).size
