@@ -520,6 +520,23 @@ object SparkEntry {
       Dedup.dupClusters(emb, pairs, idCol = "vec_id").orderBy("vec_id")
     }),
 
+    // L2 normalization summary (unit vectors for dot-only ANN scoring)
+    "q_embed_norm" -> ((s, dir) =>
+      Similarity.normalizeEmbeddings(embeddings(s, dir))
+        .select(col("vec_id"), col("norm"), col("zero_vec"),
+          array_min(col("embedding")).as("nrm_min"),
+          array_max(col("embedding")).as("nrm_max"))
+        .orderBy("vec_id")),
+
+    // symmetric int8 quantization summary (4x smaller candidate scans)
+    "q_embed_quant" -> ((s, dir) =>
+      Similarity.quantizeInt8(embeddings(s, dir))
+        .select(col("vec_id"), col("scale"),
+          array_min(col("qvec")).as("q_min"),
+          array_max(col("qvec")).as("q_max"),
+          aggregate(col("qvec"), lit(0L), (a, x) => a + x).as("q_sum"))
+        .orderBy("vec_id")),
+
     // SemDeDup semantic dedup: md5-seeded nearest-centroid clustering,
     // within-cluster cosine pairs at 0.9, min-id retention → keep flag
     "q_semantic_dedup" -> ((s, dir) =>
@@ -1738,6 +1755,39 @@ object SparkEntry {
                        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host
                    FROM documents))
            WHERE rank <= 40 ORDER BY host, rank""",
+
+      "q_embed_norm" ->
+        """WITH e AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+           n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm
+                 FROM e)
+           SELECT vec_id, norm, norm = 0 AS zero_vec,
+             CASE WHEN norm > 0
+               THEN list_min(list_transform(v, x -> x / norm))
+               ELSE list_min(v) END AS nrm_min,
+             CASE WHEN norm > 0
+               THEN list_max(list_transform(v, x -> x / norm))
+               ELSE list_max(v) END AS nrm_max
+           FROM n""",
+
+      "q_embed_quant" ->
+        """WITH e AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+           a AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS amax FROM e),
+           q AS (SELECT vec_id,
+                 CASE WHEN amax > 0 THEN amax / 127.0 ELSE 0.0 END AS scale,
+                 CASE WHEN amax > 0 THEN
+                   list_transform(v, x ->
+                     CAST(floor(x * 127.0 / amax + 0.5) AS INT))
+                 ELSE list_transform(v, x -> 0) END AS qv
+                 FROM a)
+           SELECT vec_id, scale, list_min(qv) AS q_min,
+             list_max(qv) AS q_max,
+             CAST(list_sum(qv) AS BIGINT) AS q_sum
+           FROM q""",
 
       "q_embed_dup" ->
         """WITH e AS (

@@ -33,6 +33,42 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** L2-normalize the embedding column (unit vectors make cosine a plain
+    * dot product downstream — one multiply saved per candidate pair at
+    * query time, which is where ANN spends its cycles). Map-only; the
+    * norm is the [[dot]] left-fold, so normalized components are
+    * bit-reproducible. Zero vectors pass through unchanged (flagged).
+    */
+  def normalizeEmbeddings(corpus: DataFrame,
+      vecCol: String = "embedding"): DataFrame = {
+    val n = norm(col(vecCol))
+    corpus
+      .withColumn("norm", n)
+      .withColumn(vecCol,
+        when(n > 0, transform(col(vecCol), x => x.cast("double") / n))
+          .otherwise(transform(col(vecCol), x => x.cast("double"))))
+      .withColumn("zero_vec", n === 0)
+  }
+
+  /** Symmetric int8 quantization per vector: `q_i = floor(x_i * 127 /
+    * amax + 0.5)` with `amax = max |x_i|` — 4x smaller candidate scans
+    * for ANN at 100 TB (the refine step re-reads full precision for the
+    * shortlist only). `floor(+0.5)` not `round`: identical on every
+    * engine, no half-even ambiguity. Map-only; `scale` inverts the
+    * quantization. Zero vectors quantize to zeros with scale 0.
+    */
+  def quantizeInt8(corpus: DataFrame,
+      vecCol: String = "embedding"): DataFrame = {
+    val amax = aggregate(col(vecCol), lit(0.0d),
+      (acc, x) => greatest(acc, abs(x.cast("double"))))
+    corpus
+      .withColumn("scale", when(amax > 0, amax / 127.0d).otherwise(0.0d))
+      .withColumn("qvec", when(amax > 0,
+          transform(col(vecCol), x =>
+            floor(x.cast("double") * lit(127.0d) / amax + 0.5d).cast("int")))
+        .otherwise(transform(col(vecCol), x => lit(0))))
+  }
+
   /** Exact cosine top-k per query vector.
     * @param queries (qid, qvec) frame — must be small (broadcast side).
     */

@@ -1027,6 +1027,33 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(!out.map(_._1).contains(1L))
   }
 
+  test("embedding normalize/quantize: unit norms, bounded round-trip") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(3.0f, 4.0f)), // norm 5
+      (2L, Array(0.0f, 0.0f)), // zero vector
+      (3L, Array(-1.27f, 0.635f))).toDF("vec_id", "embedding")
+    val nrm = Similarity.normalizeEmbeddings(emb).orderBy("vec_id")
+      .collect()
+    assert(nrm(0).getDouble(2) == 5.0 && !nrm(0).getBoolean(3))
+    assert(nrm(0).getSeq[Double](1) == Seq(0.6, 0.8))
+    assert(nrm(1).getBoolean(3) && nrm(1).getSeq[Double](1) == Seq(0.0, 0.0))
+    val renorm = Similarity.normalizeEmbeddings(
+      Similarity.normalizeEmbeddings(emb).drop("norm", "zero_vec"))
+      .filter(col("vec_id") === 1).select("norm").as[Double].collect().head
+    assert(math.abs(renorm - 1.0) < 1e-12, "normalized vectors are unit")
+
+    val q = Similarity.quantizeInt8(emb).orderBy("vec_id").collect()
+    val s0 = q(0).getDouble(2)
+    val qv0 = q(0).getSeq[Int](3)
+    assert(qv0 == Seq(95, 127), s"3/4 scaled by 127/4: $qv0")
+    // round-trip error bounded by half a quantization step
+    Seq(3.0, 4.0).zip(qv0).foreach { case (x, qi) =>
+      assert(math.abs(qi * s0 - x) <= s0 / 2 + 1e-12) }
+    assert(q(1).getDouble(2) == 0.0 && q(1).getSeq[Int](3) == Seq(0, 0))
+    assert(q(2).getSeq[Int](3) == Seq(-127, 64), "negative + half-up")
+  }
+
   test("clusterKeep: highest quality survives per cluster, not min id") {
     import spark.implicits._
     val docs = Seq(
