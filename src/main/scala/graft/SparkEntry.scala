@@ -537,6 +537,15 @@ object SparkEntry {
           aggregate(col("qvec"), lit(0L), (a, x) => a + x).as("q_sum"))
         .orderBy("vec_id")),
 
+    // int8-scan + full-precision-refine ANN (refine = 3k)
+    "q_quantized_ann" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.quantizedTopK(emb, queries, k = 5, refine = 15)
+        .orderBy("qid", "rank")
+    }),
+
     // SemDeDup semantic dedup: md5-seeded nearest-centroid clustering,
     // within-cluster cosine pairs at 0.9, min-id retention → keep flag
     "q_semantic_dedup" -> ((s, dir) =>
@@ -1788,6 +1797,40 @@ object SparkEntry {
              list_max(qv) AS q_max,
              CAST(list_sum(qv) AS BIGINT) AS q_sum
            FROM q""",
+
+      // int8 candidate scan (integer dots are exact in doubles: 64 dims
+      // x 127^2 << 2^53) → top-15 shortlist → exact-cosine top-5
+      "q_quantized_ann" ->
+        """WITH e AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+           z AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS amax FROM e),
+           qq AS (SELECT vec_id, v,
+                 CASE WHEN amax > 0 THEN amax / 127.0 ELSE 0.0 END AS scale,
+                 CASE WHEN amax > 0 THEN list_transform(v, x ->
+                     floor(x * 127.0 / amax + 0.5))
+                   ELSE list_transform(v, x -> 0.0) END AS q
+                 FROM z),
+           cand AS (SELECT qr.vec_id AS qid, c.vec_id AS nid,
+                 c.v AS nv, qr.v AS qv,
+                 list_dot_product(c.q, qr.q) * c.scale * qr.scale AS qsim
+               FROM qq c, qq qr
+               WHERE qr.vec_id < 5 AND c.vec_id <> qr.vec_id),
+           short AS (SELECT * FROM (SELECT qid, nid, nv, qv,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY qsim DESC, nid) AS qrank
+               FROM cand) WHERE qrank <= 15),
+           scored AS (SELECT qid, nid,
+                 list_dot_product(nv, qv) /
+                   (sqrt(list_dot_product(nv, nv)) *
+                    sqrt(list_dot_product(qv, qv))) AS sim
+               FROM short)
+           SELECT qid, nid, CAST(rank AS INT) AS rank,
+             round(sim, 6) AS sim FROM (
+               SELECT *, row_number() OVER (PARTITION BY qid
+                 ORDER BY sim DESC, nid) AS rank FROM scored)
+           WHERE rank <= 5""",
 
       "q_embed_dup" ->
         """WITH e AS (

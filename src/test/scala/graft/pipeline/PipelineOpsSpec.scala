@@ -1054,6 +1054,24 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(q(2).getSeq[Int](3) == Seq(-127, 64), "negative + half-up")
   }
 
+  test("quantizedTopK: int8 scan + refine recovers the exact top-k") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def results(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      df.orderBy("qid", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val exact = results(Similarity.bruteForceTopK(emb, queries, k = 5))
+    val quant = results(Similarity.quantizedTopK(emb, queries, k = 5,
+      refine = 15))
+    val recall = exact.keys.toSeq.map { q =>
+      quant(q).toSet.intersect(exact(q).toSet).size.toDouble / 5 }.sum / 5
+    assert(recall == 1.0, s"refine=3k must recover the exact top-5: " +
+      exact.keys.map(q => s"$q: ${exact(q)} vs ${quant(q)}").mkString("; "))
+    assert(exact == quant, "refine re-scores exactly, so order matches too")
+  }
+
   test("clusterKeep: highest quality survives per cluster, not min id") {
     import spark.implicits._
     val docs = Seq(
