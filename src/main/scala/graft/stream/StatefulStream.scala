@@ -25,6 +25,10 @@ object StatefulStream {
   final case class AnomalyFlag(key: String, id: Long, tsUs: Long,
       value: Double, runMean: Double, runSigma: Double)
 
+  /** One silence alert from [[silenceAlerts]]. */
+  final case class SilenceAlert(bucket: String, entry: String,
+      lastTsUs: Long)
+
   /** `$each_t` over a streaming record frame: emits the debounced records
     * (one per >= interval per entry). */
   def eachT(records: DataFrame, intervalSec: Double): DataFrame =
@@ -247,6 +251,49 @@ object StatefulStream {
           gs.update((n, mean, m2))
           out.iterator
       }.toDF(keyCol, idCol, tsUsCol, valueCol, "run_mean", "run_sigma")
+  }
+
+  /** Heartbeat monitoring: one alert per (bucket, entry) that goes
+    * SILENT — no record for `silenceUs` of event time past its last
+    * record. Event-time `GroupStateTimeout` drives it: each batch with
+    * data re-arms the entry's timeout at last-ts + silence; when the
+    * WATERMARK (not the wall clock) passes that point with no new data,
+    * the state-store callback fires with an empty iterator and emits the
+    * alert — deterministic and replayable, because silence is judged
+    * against stream time, exactly like the reference's TTL'd query
+    * cursors are judged against record time. New data after an alert
+    * re-arms (a recovered entry can alert again on its next outage).
+    *
+    * The caller must put `withWatermark` on an event-time column derived
+    * from `ts` BEFORE calling, and the column must remain in the frame
+    * (Spark requires it for event-time timeouts); the watermark delay is
+    * the alert latency bound. State per entry: 8 bytes of last-seen ts.
+    */
+  def silenceAlerts(records: DataFrame, silenceUs: Long): DataFrame = {
+    val schema = records.schema
+    val tsIdx = schema.fieldIndex("ts")
+    implicit val rowEnc = Encoders.row(schema)
+    implicit val keyEnc = Encoders.tuple(Encoders.STRING, Encoders.STRING)
+    implicit val stateEnc = Encoders.scalaLong
+    implicit val outEnc = Encoders.product[SilenceAlert]
+    records.groupByKey { r: Row =>
+      (r.getString(schema.fieldIndex("bucket")),
+        r.getString(schema.fieldIndex("entry")))
+    }.flatMapGroupsWithState[Long, SilenceAlert](
+      OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+      (key: (String, String), rows: Iterator[Row], gs: GroupState[Long]) =>
+        if (gs.hasTimedOut) {
+          val last = gs.get
+          gs.remove() // re-arms on the entry's next record
+          Iterator.single(SilenceAlert(key._1, key._2, last))
+        } else {
+          val maxTs = rows.map(_.getLong(tsIdx)).max
+          val last = math.max(gs.getOption.getOrElse(Long.MinValue), maxTs)
+          gs.update(last)
+          gs.setTimeoutTimestamp(last / 1000L + silenceUs / 1000L)
+          Iterator.empty
+        }
+    }.toDF("bucket", "entry", "last_ts_us")
   }
 
   private def statefulFilter[S: scala.reflect.ClassTag](records: DataFrame, init: S)(

@@ -274,6 +274,41 @@ class StatefulStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(flagged() == Seq(11L, 13L), "unseen key cannot flag")
   }
 
+  test("silence alerts: entry going quiet past watermark fires once, re-arms") {
+    val src = Files.createTempDirectory("sa-src").toString
+    val ck = Files.createTempDirectory("sa-ck").toString
+    val out = Files.createTempDirectory("sa-out").toString
+    def run(): Unit = {
+      val stream = spark.readStream.schema(Records.schema).parquet(src)
+        .withColumn("__event_ts", timestamp_micros(col("ts")))
+        .withWatermark("__event_ts", "5 seconds")
+      StatefulStream.silenceAlerts(stream, silenceUs = 30000000L) // 30 s
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    def alerts(): Seq[(String, Long)] = spark.read.parquet(out)
+      .select("entry", "last_ts_us").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    val S = 1000000L
+    // e last seen 10s; f keeps the stream alive at 100s → watermark 95s
+    // passes e's 40s deadline: e alerts (in the trailing no-data batch);
+    // f's deadline (130s) is still ahead
+    writeBatch(src, Seq(("e", 0L, "a"), ("e", 10 * S, "a"),
+      ("f", 100 * S, "a")))
+    run()
+    assert(alerts() == Seq(("e", 10 * S)), s"got ${alerts()}")
+    // e recovers at 200s (re-armed), f's 130s deadline passes → f alerts
+    writeBatch(src, Seq(("e", 200 * S, "a")))
+    run()
+    assert(alerts() == Seq(("e", 10 * S), ("f", 100 * S)))
+    // stream advances to 300s: e's new 230s deadline passes → e alerts
+    // AGAIN (one alert per outage, not per entry lifetime)
+    writeBatch(src, Seq(("g", 300 * S, "a")))
+    run()
+    assert(alerts() == Seq(("e", 10 * S), ("e", 200 * S), ("f", 100 * S)))
+  }
+
   test("rollupWindows streaming: buckets close as the watermark passes") {
     import org.apache.spark.sql.DataFrame
     val src = Files.createTempDirectory("rw-src").toString
