@@ -18,6 +18,7 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     */
   private val broadcastNlByDesign = Set(
     "q_ann_brute", "q_hard_negatives", "q_decontaminate", "q_ivf_refined",
+    "q_quantized_ann", // broadcast query set over the int8 candidate scan
     "q_tfidf") // tfidf: 1-ROW broadcast (corpus doc count) as a scalar
 
   test("no driver query plans an unbounded cartesian / nested loop") {
