@@ -2,7 +2,7 @@ package graft
 
 import graft.core.Records
 import graft.engine.{QueryEngine, QuerySpec}
-import graft.pipeline.{Analytics, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis, TimeSeries}
+import graft.pipeline.{Analytics, Dedup, Multimodal, Packing, Sampling, Similarity, Sketches, TextAnalysis, TimeSeries}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -690,6 +690,34 @@ object SparkEntry {
       Analytics.quantilesPerGroup(docs(s, dir), "source", "n_chars",
           Seq(0.5, 0.9, 0.99))
         .orderBy("source")),
+
+    // per-source top-5 terms via the bounded-memory SpaceSaving sketch
+    // (capacity 1024 ≥ realized vocab ⇒ counts exact, err = 0 — the
+    // contract the oracle checks; HeavyHittersSpec covers the lossy
+    // regime)
+    "q_heavy_hitters" -> ((s, dir) =>
+      Sketches.heavyHittersPerGroup(
+          docs(s, dir).select(col("source"),
+            explode(TextAnalysis.terms(col("text"))).as("term")),
+          "source", col("term"), capacity = 1024, k = 5)
+        .select(col("source"), col("term"), col("count").as("cnt"),
+          col("rank"))
+        .orderBy("source", "rank")),
+
+    // top-20 PMI collocations (adjacent-token pairs, integer-exact rank key)
+    "q_pmi_bigrams" -> ((s, dir) =>
+      TextAnalysis.pmiBigrams(docs(s, dir), minCount = 5, k = 20)
+        .orderBy("rank")),
+
+    // BM25 top-10 docs for a fixed bag-of-terms query
+    "q_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25TopDocs(docs(s, dir),
+          Seq("spark", "join", "window"), k = 10)
+        .orderBy("rank")),
+
+    // per-source dataset card (volume, language spread, exact-dup mass)
+    "q_dataset_card" -> ((s, dir) =>
+      Analytics.datasetCard(docs(s, dir)).orderBy("source")),
 
     // ----------------------------------------------- pipeline: multimodal
     "q_multimodal" -> ((s, dir) => { // opaque payloads: hash-fallback path
@@ -2546,6 +2574,107 @@ object SparkEntry {
                AS BIGINT) AS signup,
              CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
                AS BIGINT) AS error
-           FROM events GROUP BY 1""")
+           FROM events GROUP BY 1""",
+
+      // exact top-5 per source — valid oracle because the sketch capacity
+      // exceeds the realized vocabulary (counts exact by the SpaceSaving
+      // no-eviction contract)
+      "q_heavy_hitters" ->
+        """WITH toks AS (
+             SELECT source, lower(t.term) AS term
+             FROM documents, unnest(list_filter(
+               regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
+               x -> x <> '')) AS t(term)),
+           c AS (
+             SELECT source, term, CAST(count(*) AS BIGINT) AS cnt
+             FROM toks GROUP BY source, term)
+           SELECT source, term, cnt, rank FROM (
+             SELECT *, CAST(row_number() OVER (
+               PARTITION BY source ORDER BY cnt DESC, term) AS BIGINT)
+               AS rank FROM c)
+           WHERE rank <= 5 ORDER BY source, rank""",
+
+      "q_pmi_bigrams" ->
+        """WITH d AS (
+             SELECT list_transform(list_filter(
+               regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> x <> ''),
+               x -> lower(x)) AS toks
+             FROM documents),
+           bi AS (
+             SELECT t.g AS pair FROM d,
+               unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)]))
+               AS t(g)
+             WHERE len(toks) >= 2),
+           cab AS (
+             SELECT pair[1] AS w1, pair[2] AS w2,
+               CAST(count(*) AS BIGINT) AS c_ab
+             FROM bi GROUP BY 1, 2),
+           ca AS (SELECT w1, CAST(sum(c_ab) AS BIGINT) AS c_a
+                  FROM cab GROUP BY w1),
+           cb2 AS (SELECT w2, CAST(sum(c_ab) AS BIGINT) AS c_b
+                   FROM cab GROUP BY w2),
+           n AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n FROM cab),
+           scored AS (
+             SELECT w1, w2, c_ab, c_a, c_b,
+               CAST(c_ab AS DOUBLE) * CAST(n AS DOUBLE)
+                 / (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE)) AS ratio
+             FROM cab JOIN ca USING (w1) JOIN cb2 USING (w2), n
+             WHERE c_ab >= 5)
+           SELECT w1, w2, c_ab, c_a, c_b, round(ln(ratio), 6) AS pmi,
+             CAST(row_number() OVER (
+               ORDER BY round(ln(ratio), 6) DESC, w1, w2) AS BIGINT) AS rank
+           FROM (SELECT * FROM scored ORDER BY ratio DESC, w1, w2 LIMIT 20)
+           ORDER BY rank""",
+
+      "q_bm25" ->
+        """WITH d AS (
+             SELECT doc_id, list_transform(list_filter(
+               regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> x <> ''),
+               x -> lower(x)) AS toks
+             FROM documents),
+           dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+           tf AS (
+             SELECT doc_id, t.term, CAST(count(*) AS BIGINT) AS tf
+             FROM d, unnest(toks) AS t(term)
+             WHERE t.term IN ('spark', 'join', 'window')
+             GROUP BY doc_id, t.term),
+           dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                     FROM tf GROUP BY term),
+           stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+           scored AS (
+             SELECT tf.doc_id, CAST(count(*) AS BIGINT) AS matched,
+               round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                 * tf * 2.2
+                 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS score
+             FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), stats
+             GROUP BY tf.doc_id)
+           SELECT doc_id, matched, score,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+               AS rank
+           FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 10)
+           ORDER BY rank""",
+
+      "q_dataset_card" ->
+        """WITH dig AS (
+             SELECT source, md5(text) AS digest, count(*) AS c
+             FROM documents GROUP BY source, md5(text)),
+           dups AS (
+             SELECT source, CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END)
+               AS BIGINT) AS dup_docs
+             FROM dig GROUP BY source),
+           base AS (
+             SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+                 AS BIGINT) AS total_tokens
+             FROM documents GROUP BY source)
+           SELECT source, n_docs, n_langs, total_chars, total_tokens,
+             dup_docs,
+             round(CAST(n_docs - dup_docs AS DOUBLE) * 100.0 / n_docs, 6)
+               AS uniq_pct
+           FROM base JOIN dups USING (source) ORDER BY source""")
   }
 }

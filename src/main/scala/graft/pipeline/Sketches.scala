@@ -1,0 +1,135 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Bounded-memory frequency sketches for corpus statistics at 100-TB
+  * scale, where an exact per-term count would shuffle one row per
+  * distinct term and the vocabulary is unbounded (URLs, n-grams, user
+  * ids). The SpaceSaving summary (Metwally et al., "Efficient
+  * computation of frequent and top-k elements in data streams") keeps at
+  * most `capacity` counters per partial aggregate; partials merge
+  * associatively, so Spark plans an ordinary two-phase aggregation whose
+  * shuffle volume is `capacity × partitions` — independent of both row
+  * count and vocabulary size.
+  *
+  * Exactness contract (what the DuckDB oracle leans on): while no
+  * eviction has occurred in any partial — i.e. `capacity ≥` the realized
+  * distinct-key count — every reported count is exact and `err == 0`.
+  * Past that point counts are overestimates bounded by `err`, the
+  * classic SpaceSaving guarantee. Callers pick `capacity` as the memory
+  * budget, not as a correctness knob.
+  */
+object Sketches {
+
+  /** One reported heavy hitter: `count` overestimates the true frequency
+    * by at most `err` (0 ⇒ exact). */
+  case class HeavyHitter(term: String, count: Long, err: Long)
+
+  /** Mutable partial state: term → [count, err], plus the largest count
+    * ever evicted (`floor`) — the overestimate a merge must charge for
+    * terms this partial may have dropped. Kryo-encoded; Spark's object
+    * hash aggregation keeps it deserialized within a partition, so the
+    * per-row cost is one HashMap probe. */
+  final class SpaceSavingBuffer(
+      val counters: java.util.HashMap[String, Array[Long]],
+      var floor: Long) extends Serializable
+
+  /** finish() wrapper so the output encoder is a plain product. */
+  case class HeavyHitters(items: Seq[HeavyHitter])
+
+  /** SpaceSaving aggregator over one string column. `finish` reports the
+    * top-`k` surviving counters ordered (count desc, term asc). */
+  final class SpaceSavingAgg(capacity: Int, k: Int)
+      extends Aggregator[String, SpaceSavingBuffer, HeavyHitters] {
+
+    override def zero: SpaceSavingBuffer =
+      new SpaceSavingBuffer(new java.util.HashMap[String, Array[Long]], 0L)
+
+    /** Evict the (count, term)-minimal counter, raising the floor. */
+    private def evictMin(b: SpaceSavingBuffer): Long = {
+      var minTerm: String = null
+      var minCount = Long.MaxValue
+      val it = b.counters.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getValue()(0)
+        if (c < minCount || (c == minCount && e.getKey < minTerm)) {
+          minTerm = e.getKey; minCount = c
+        }
+      }
+      b.counters.remove(minTerm)
+      b.floor = math.max(b.floor, minCount)
+      minCount
+    }
+
+    override def reduce(b: SpaceSavingBuffer, term: String): SpaceSavingBuffer = {
+      val cur = b.counters.get(term)
+      if (cur != null) cur(0) += 1
+      else if (b.counters.size < capacity)
+        b.counters.put(term, Array(1L + b.floor, b.floor))
+      else {
+        val evicted = evictMin(b)
+        b.counters.put(term, Array(evicted + 1, evicted))
+      }
+      b
+    }
+
+    override def merge(a: SpaceSavingBuffer, b: SpaceSavingBuffer): SpaceSavingBuffer = {
+      // Union the counter sets: a term absent from one side is charged
+      // that side's floor as both count contribution and error (it may
+      // have been seen up to `floor` times there before eviction).
+      val out = new SpaceSavingBuffer(
+        new java.util.HashMap[String, Array[Long]], a.floor + b.floor)
+      def add(src: SpaceSavingBuffer, other: SpaceSavingBuffer): Unit = {
+        val it = src.counters.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (!out.counters.containsKey(e.getKey)) {
+            val ca = e.getValue
+            val cb = other.counters.get(e.getKey)
+            val (oc, oe) =
+              if (cb != null) (cb(0), cb(1)) else (other.floor, other.floor)
+            out.counters.put(e.getKey, Array(ca(0) + oc, ca(1) + oe))
+          }
+        }
+      }
+      add(a, b); add(b, a)
+      while (out.counters.size > capacity) evictMin(out)
+      out
+    }
+
+    override def finish(b: SpaceSavingBuffer): HeavyHitters = {
+      import scala.jdk.CollectionConverters._
+      val all = b.counters.asScala.toSeq
+        .map { case (t, ce) => HeavyHitter(t, ce(0), ce(1)) }
+        .sortBy(h => (-h.count, h.term))
+      HeavyHitters(all.take(k))
+    }
+
+    override def bufferEncoder: Encoder[SpaceSavingBuffer] =
+      Encoders.kryo[SpaceSavingBuffer]
+    override def outputEncoder: Encoder[HeavyHitters] =
+      Encoders.product[HeavyHitters]
+  }
+
+  /** Top-`k` most frequent values of `termCol` per `groupCol`, computed
+    * with a per-group SpaceSaving sketch of at most `capacity` counters:
+    * (group, term, count, err, rank). The input is never shuffled —
+    * partial sketches are built map-side and merged on the group key.
+    */
+  def heavyHittersPerGroup(df: DataFrame, groupCol: String, termCol: Column,
+      capacity: Int, k: Int): DataFrame = {
+    val agg = udaf(new SpaceSavingAgg(capacity, k), Encoders.STRING)
+    df.select(col(groupCol), termCol.as("term"))
+      .groupBy(col(groupCol))
+      .agg(agg(col("term")).as("hh"))
+      .select(col(groupCol), posexplode(col("hh.items")))
+      .select(col(groupCol),
+        col("col.term").as("term"),
+        col("col.count").as("count"),
+        col("col.err").as("err"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+}

@@ -510,4 +510,96 @@ object TextAnalysis {
         round(col("nll") / col("n_bigrams"), 4).as("avg_nll"),
         round(exp(col("nll") / col("n_bigrams")), 2).as("ppl"))
   }
+
+  // --------------------------------------- PMI collocation extraction
+
+  /** Top-`k` PMI-ranked adjacent-token collocations over the corpus:
+    * (w1, w2, c_ab, c_a, c_b, pmi, rank). PMI = ln(N·c_ab / (c_a·c_b))
+    * with N = total bigram occurrences, c_a/c_b the left/right bigram
+    * marginals — so every statistic derives from the ONE compact
+    * (w1, w2, count) pair table; text is tokenized once and never
+    * shuffled (the pair table shuffles on 2-term keys, map-side
+    * combined). Pairs below `minCount` are noise and dropped before
+    * ranking; the global top-k plans as TakeOrderedAndProject — no full
+    * sort shuffle.
+    *
+    * Float determinism: the RANKING key is c_ab·N/(c_a·c_b) computed as
+    * exact-integer products (< 2^53 at bench SFs) then one
+    * correctly-rounded IEEE division — bit-identical across engines, so
+    * ranks never flip the way a ln-based key could. `pmi` itself is
+    * emitted rounded to 6 dp (ln's ≤1-ulp skew is ~1e-13 against that
+    * grid; same argument as [[lmPerplexity]]). */
+  def pmiBigrams(docs: DataFrame, minCount: Long = 5, k: Int = 20,
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(terms(col(textCol)).as("toks"))
+    val bi = toks.select(explode(
+        when(size(col("toks")) >= 2,
+          transform(sequence(lit(0), size(col("toks")) - 2), i =>
+            struct(element_at(col("toks"), i + 1).as("w1"),
+              element_at(col("toks"), i + 2).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+        .as("g"))
+      .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
+    val cab = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ca = cab.groupBy("w1").agg(sum("c_ab").as("c_a"))
+    val cb = cab.groupBy("w2").agg(sum("c_ab").as("c_b"))
+    val n = cab.agg(sum("c_ab").as("n"))
+    val ratio = col("c_ab").cast("double") * col("n").cast("double") /
+      (col("c_a").cast("double") * col("c_b").cast("double"))
+    cab.filter(col("c_ab") >= minCount)
+      .join(ca, "w1").join(cb, "w2").crossJoin(broadcast(n))
+      .withColumn("ratio", ratio)
+      .orderBy(col("ratio").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+        round(log(col("ratio")), 6).as("pmi"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("pmi").desc, col("w1"), col("w2"))).cast("long"))
+  }
+
+  // ------------------------------------------------- BM25 retrieval
+
+  /** Okapi BM25 top-`k` documents for a bag-of-terms query:
+    * (doc_id, matched, score, rank). idf(t) = ln(1 + (N−df+½)/(df+½));
+    * per-term contribution idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)).
+    *
+    * Scale shape: tokens are filtered to the query's terms BEFORE any
+    * aggregation, so the per-doc tf table carries ≤|query| rows per doc;
+    * df and avgdl are scalar/near-scalar aggregates broadcast back.
+    * Corpus text is read once, never shuffled; the only wide exchange
+    * keys on doc_id with map-side combine. Top-k is
+    * TakeOrderedAndProject.
+    *
+    * Float determinism: rank is computed over the 6-dp-ROUNDED score
+    * (ties broken on doc_id), so the ≤1-ulp ln/division skew between
+    * engines (~1e-13 relative) cannot flip an ordering the way a
+    * raw-double rank could — rounding collisions tie and the doc_id
+    * break resolves them identically everywhere. */
+  def bm25TopDocs(docs: DataFrame, queryTerms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val qset = queryTerms.map(lit(_))
+    val d = docs.select(col(idCol).as("doc_id"), terms(col(textCol)).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = d.agg(count(lit(1)).as("n"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val idf = log(lit(1.0) +
+      (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val contrib = idf * col("tf").cast("double") * lit(k1 + 1.0) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+    tf.join(broadcast(dfreq), "term").crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("matched"), round(sum(contrib), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+  }
 }

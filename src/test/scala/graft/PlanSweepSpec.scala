@@ -19,7 +19,9 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
   private val broadcastNlByDesign = Set(
     "q_ann_brute", "q_hard_negatives", "q_decontaminate", "q_ivf_refined",
     "q_quantized_ann", // broadcast query set over the int8 candidate scan
-    "q_tfidf") // tfidf: 1-ROW broadcast (corpus doc count) as a scalar
+    "q_tfidf", // tfidf: 1-ROW broadcast (corpus doc count) as a scalar
+    "q_pmi_bigrams", // 1-ROW broadcast (total bigram count) as a scalar
+    "q_bm25") // 1-ROW broadcast (N, avgdl) as scalars
 
   test("no driver query plans an unbounded cartesian / nested loop") {
     val dir = "/root/testdata/sf0.001"

@@ -1,0 +1,117 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SpaceSaving heavy-hitters: exact regime (capacity ≥ distinct), lossy
+  * regime guarantees (overestimate bounded by err, true heavy hitter
+  * survives), and merge correctness across many partitions; plus the PMI
+  * collocation, BM25, and dataset-card operators built beside it.
+  */
+class SketchesSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  // Zipf-ish stream: term i appears (50 - i) * i-th weight times
+  private def skewed(nTerms: Int, base: Int): Seq[String] =
+    (0 until nTerms).flatMap(i => Seq.fill(base * (nTerms - i))(s"t$i"))
+
+  test("exact regime: capacity >= distinct reproduces exact counts, err 0") {
+    val df = skewed(20, 3).toDF("term").withColumn("g", lit("all"))
+      .repartition(8)
+    val hh = Sketches.heavyHittersPerGroup(df, "g", col("term"),
+      capacity = 64, k = 20).collect()
+    assert(hh.length == 20)
+    assert(hh.forall(_.getAs[Long]("err") == 0L))
+    val exact = skewed(20, 3).groupBy(identity).view.mapValues(_.size).toMap
+    hh.foreach { r =>
+      assert(r.getAs[Long]("count") == exact(r.getAs[String]("term")))
+    }
+    // rank order = count desc, term asc
+    val ranked = hh.sortBy(_.getAs[Long]("rank"))
+    assert(ranked.map(_.getAs[String]("term")).head == "t0")
+  }
+
+  test("lossy regime: counts overestimate by at most err; top term survives") {
+    // 200 distinct, capacity 32: heavy head + long noise tail
+    val head = Seq.fill(500)("hot") ++ Seq.fill(300)("warm")
+    val tail = (0 until 200).flatMap(i => Seq.fill(2)(s"noise$i"))
+    val df = (head ++ tail).toDF("term").withColumn("g", lit("all"))
+      .repartition(6)
+    val hh = Sketches.heavyHittersPerGroup(df, "g", col("term"),
+      capacity = 32, k = 5).collect()
+    val byTerm = hh.map(r => r.getAs[String]("term") ->
+      (r.getAs[Long]("count"), r.getAs[Long]("err"))).toMap
+    assert(byTerm.contains("hot"), s"hot missing from ${byTerm.keys}")
+    val (c, e) = byTerm("hot")
+    assert(c >= 500, "SpaceSaving counts never underestimate")
+    assert(c - e <= 500, "overestimate must be bounded by err")
+    // rank 1 must be the true heavy hitter: its guaranteed lower bound
+    // (500) exceeds every other term's possible count
+    val top = hh.minBy(_.getAs[Long]("rank"))
+    assert(top.getAs[String]("term") == "hot")
+  }
+
+  test("merge: per-group sketches agree with single-partition run") {
+    val data = skewed(30, 2).zipWithIndex
+      .map { case (t, i) => (s"g${i % 3}", t) }
+    val wide = data.toDF("g", "term").repartition(16)
+    val narrow = data.toDF("g", "term").coalesce(1)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sketches.heavyHittersPerGroup(df, "g", col("term"),
+        capacity = 64, k = 10)
+        .select("g", "term", "count", "rank").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    assert(run(wide) == run(narrow))
+  }
+
+  test("pmiBigrams ranks a planted collocation first") {
+    // "foo bar" always adjacent (strong association); other tokens random
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val docs = (0 until 40).map { i =>
+      val noise = Seq.fill(30)(vocab(rnd.nextInt(vocab.size)))
+      (i.toLong, (noise.take(15) ++ Seq("foo", "bar") ++ noise.drop(15))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val top = TextAnalysis.pmiBigrams(docs, minCount = 5, k = 5)
+      .orderBy("rank").collect()
+    assert(top.head.getAs[String]("w1") == "foo")
+    assert(top.head.getAs[String]("w2") == "bar")
+    assert(top.head.getAs[Long]("c_ab") == 40L)
+  }
+
+  test("bm25 ranks docs with more query-term mass higher") {
+    val docs = Seq(
+      (1L, "spark join window spark join window spark"), // dense match
+      (2L, "spark filter filter filter filter filter filter"), // one term
+      (3L, "table scan merge sort batch stream key value"), // no match
+      (4L, "spark join table scan merge sort")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.bm25TopDocs(docs, Seq("spark", "join", "window"),
+      k = 10).orderBy("rank").collect()
+    assert(r.map(_.getAs[Long]("doc_id")).toSeq.head == 1L)
+    assert(!r.map(_.getAs[Long]("doc_id")).contains(3L))
+    assert(r.head.getAs[Long]("matched") == 3L)
+  }
+
+  test("datasetCard reports volume and exact-dup mass per source") {
+    val docs = Seq(
+      (1L, "alpha beta", "en", "s1", 10L),
+      (2L, "alpha beta", "en", "s1", 10L), // dup pair within s1
+      (3L, "gamma delta", "de", "s1", 11L),
+      (4L, "alpha beta", "en", "s2", 10L) // same text, other source: not a dup there
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val card = Analytics.datasetCard(docs).orderBy("source").collect()
+    val s1 = card(0)
+    assert(s1.getAs[String]("source") == "s1")
+    assert(s1.getAs[Long]("n_docs") == 3L)
+    assert(s1.getAs[Long]("n_langs") == 2L)
+    assert(s1.getAs[Long]("dup_docs") == 2L)
+    assert(s1.getAs[Long]("total_tokens") == 6L)
+    val s2 = card(1)
+    assert(s2.getAs[Long]("dup_docs") == 0L)
+    assert(s2.getAs[Double]("uniq_pct") == 100.0)
+  }
+}
