@@ -693,8 +693,7 @@ object SparkEntry {
 
     // per-source top-5 terms via the bounded-memory SpaceSaving sketch
     // (capacity 1024 ≥ realized vocab ⇒ counts exact, err = 0 — the
-    // contract the oracle checks; HeavyHittersSpec covers the lossy
-    // regime)
+    // contract the oracle checks; SketchesSpec covers the lossy regime)
     "q_heavy_hitters" -> ((s, dir) =>
       Sketches.heavyHittersPerGroup(
           docs(s, dir).select(col("source"),

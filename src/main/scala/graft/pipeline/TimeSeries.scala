@@ -214,6 +214,35 @@ object TimeSeries {
     // (left, right) pair joins at most once
   }
 
+  /** Streaming twin of [[intervalJoin]] for the attribution case: a
+    * watermarked STREAM-STREAM inner join pairing each click with the
+    * same user's purchases within `maxLag` after it. Spark's native
+    * stream-stream join machinery does exactly what the batch bucketing
+    * hand-builds: state is hash-partitioned on the equi-key (`user_id`),
+    * the event-time range condition bounds how long each side's rows are
+    * retained, and the two watermarks let the state store evict
+    * out-of-range rows — bounded state on unbounded streams.
+    *
+    * Both inputs need (`user_id`, `event_id`, `ts` TIMESTAMP) and a
+    * `withWatermark("ts", …)` no looser than `maxLag` on the click side
+    * (that delay is what bounds click-state retention). Emits
+    * (user_id, click_id, purchase_id, lag_us) as matches arrive.
+    */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+      maxLag: String): DataFrame = {
+    val c = clicks.select(col("user_id"), col("event_id").as("click_id"),
+      col("ts").as("click_ts"))
+    val p = purchases.select(col("user_id").as("p_user_id"),
+      col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    c.join(p,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr(s"interval $maxLag"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("lag_us"))
+  }
+
   /** Ordered funnel analysis: for each user, the timestamp of the first
     * `stages(0)` event, the first `stages(1)` event strictly after it,
     * and so on — the "click then view then purchase, in order" question.

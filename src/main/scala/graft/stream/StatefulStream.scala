@@ -296,6 +296,59 @@ object StatefulStream {
     }.toDF("bucket", "entry", "last_ts_us")
   }
 
+  /** One ranked term from a closed [[trendingTerms]] window. */
+  final case class TrendingTerm(windowStartUs: Long, term: String,
+      count: Long, err: Long, rank: Long)
+
+  /** Trending terms: top-`k` most frequent `term` values per tumbling
+    * event-time window, each window summarized by a bounded SpaceSaving
+    * sketch ([[graft.pipeline.Sketches]]) held in the streaming state
+    * store — at most `capacity` counters per OPEN window regardless of
+    * stream volume or vocabulary, the property that keeps this viable on
+    * an unbounded token stream where exact per-window counts would grow
+    * state with distinct-term cardinality.
+    *
+    * A window's ranking emits exactly once, when the WATERMARK passes its
+    * end (event-time `GroupStateTimeout`), then its state drops — so the
+    * output is deterministic under replay and late data inside the
+    * watermark still counts. The caller must `withWatermark` an
+    * event-time column derived from `ts` before calling (the watermark
+    * delay bounds both lateness tolerance and emission latency). Input
+    * needs `ts` (µs long) and `term` (string) columns.
+    */
+  def trendingTerms(records: DataFrame, windowUs: Long, capacity: Int,
+      k: Int): DataFrame = {
+    import graft.pipeline.Sketches
+    val agg = new Sketches.SpaceSavingAgg(capacity, k)
+    val schema = records.schema
+    val tsIdx = schema.fieldIndex("ts")
+    val termIdx = schema.fieldIndex("term")
+    implicit val rowEnc = Encoders.row(schema)
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val stateEnc = Encoders.kryo[Sketches.SpaceSavingBuffer]
+    implicit val outEnc = Encoders.product[TrendingTerm]
+    records.groupByKey { r: Row =>
+      val ts = r.getLong(tsIdx); ts - ts % windowUs
+    }.flatMapGroupsWithState[Sketches.SpaceSavingBuffer, TrendingTerm](
+      OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+      (start: Long, rows: Iterator[Row],
+          gs: GroupState[Sketches.SpaceSavingBuffer]) =>
+        if (gs.hasTimedOut) {
+          val ranked = agg.finish(gs.get).items.zipWithIndex.map {
+            case (h, i) => TrendingTerm(start, h.term, h.count, h.err, i + 1L)
+          }
+          gs.remove()
+          ranked.iterator
+        } else {
+          var buf = gs.getOption.getOrElse(agg.zero)
+          rows.foreach(r => buf = agg.reduce(buf, r.getString(termIdx)))
+          gs.update(buf)
+          gs.setTimeoutTimestamp((start + windowUs) / 1000L)
+          Iterator.empty
+        }
+    }.toDF("window_start_us", "term", "count", "err", "rank")
+  }
+
   private def statefulFilter[S: scala.reflect.ClassTag](records: DataFrame, init: S)(
       step: (S, Long) => (S, Boolean)): DataFrame =
     statefulFilterFlag[S](records.withColumn("__in", lit(true)), init) {

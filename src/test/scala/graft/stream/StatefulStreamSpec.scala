@@ -309,6 +309,80 @@ class StatefulStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(alerts() == Seq(("e", 10 * S), ("e", 200 * S), ("f", 100 * S)))
   }
 
+  test("trendingTerms: per-window sketch ranks emit once the window closes") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("tt-src").toString
+    val ck = Files.createTempDirectory("tt-ck").toString
+    val out = Files.createTempDirectory("tt-out").toString
+    def writeTerms(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("ts", "term").write.mode("append").parquet(src)
+    def run(): Unit = {
+      val stream = spark.readStream.schema("ts BIGINT, term STRING")
+        .parquet(src)
+        .withColumn("__event_ts", timestamp_micros(col("ts")))
+        .withWatermark("__event_ts", "5 seconds")
+      StatefulStream.trendingTerms(stream, windowUs = 60000000L,
+          capacity = 64, k = 2)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    def got(): Seq[(Long, String, Long, Long)] = spark.read.parquet(out)
+      .select("window_start_us", "term", "count", "rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+    val S = 1000000L
+    // window [0,60s): hot×3, warm×2, cold×1 — split across TWO batches,
+    // so the ranking must come from merged cross-batch sketch state
+    writeTerms(Seq((1 * S, "hot"), (2 * S, "warm"), (3 * S, "hot")))
+    run()
+    assert(got().isEmpty, "window still open: nothing may emit")
+    writeTerms(Seq((10 * S, "hot"), (11 * S, "warm"), (12 * S, "cold")))
+    run()
+    assert(got().isEmpty)
+    // an event at 120s pushes the watermark past 60s → window 0 closes
+    // with exactly its top-2, exact counts (capacity ≥ vocab)
+    writeTerms(Seq((120 * S, "later")))
+    run()
+    assert(got() == Seq((0L, "hot", 3L, 1L), (0L, "warm", 2L, 2L)),
+      s"got ${got()}")
+  }
+
+  test("attributionJoin: stream-stream join pairs clicks with purchases in lag") {
+    import spark.implicits._
+    val clickSrc = Files.createTempDirectory("aj-c").toString
+    val purchSrc = Files.createTempDirectory("aj-p").toString
+    val ck = Files.createTempDirectory("aj-ck").toString
+    val out = Files.createTempDirectory("aj-out").toString
+    def write(dir: String, rows: Seq[(Long, Long, Long)]): Unit =
+      rows.toDF("user_id", "event_id", "ts_us")
+        .select(col("user_id"), col("event_id"),
+          timestamp_micros(col("ts_us")).as("ts"))
+        .write.mode("append").parquet(dir)
+    def run(): Unit = {
+      def stream(dir: String) = spark.readStream
+        .schema("user_id BIGINT, event_id BIGINT, ts TIMESTAMP").parquet(dir)
+        .withWatermark("ts", "10 seconds")
+      graft.pipeline.TimeSeries
+        .attributionJoin(stream(clickSrc), stream(purchSrc), "30 seconds")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    val S = 1000000L
+    // user 1: click 10s, purchases at 20s (in lag) and 50s (out of lag);
+    // user 2: purchase 15s with no prior click — never joins
+    write(clickSrc, Seq((1L, 100L, 10 * S)))
+    write(purchSrc, Seq((1L, 200L, 20 * S), (1L, 201L, 50 * S),
+      (2L, 202L, 15 * S)))
+    run()
+    val got = spark.read.parquet(out)
+      .select("user_id", "click_id", "purchase_id", "lag_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+    assert(got == Seq((1L, 100L, 200L, 10 * S)), s"got $got")
+  }
+
   test("rollupWindows streaming: buckets close as the watermark passes") {
     import org.apache.spark.sql.DataFrame
     val src = Files.createTempDirectory("rw-src").toString
