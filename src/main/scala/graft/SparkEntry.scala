@@ -718,6 +718,20 @@ object SparkEntry {
     "q_dataset_card" -> ((s, dir) =>
       Analytics.datasetCard(docs(s, dir)).orderBy("source")),
 
+    // Bloom-pruned fact⋈dim join: lineitem pre-filtered map-side by a
+    // Bloom of the top-price orders before the exact equi-join (false
+    // positives die in the join ⇒ result identical to the plain join)
+    "q_bloom_join" -> ((s, dir) =>
+      Analytics.bloomPrunedJoin(
+          table(s, dir, "lineitem"),
+          table(s, dir, "orders").filter(col("o_totalprice") > 480000.0),
+          "l_orderkey", "o_orderkey", expectedItems = 100000L)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice").cast("decimal(20,4)")), 2)
+            .cast("double").as("total_price"))
+        .orderBy("o_orderpriority")),
+
     // ----------------------------------------------- pipeline: multimodal
     "q_multimodal" -> ((s, dir) => { // opaque payloads: hash-fallback path
       val ev = events(s, dir)
@@ -2674,6 +2688,16 @@ object SparkEntry {
              dup_docs,
              round(CAST(n_docs - dup_docs AS DOUBLE) * 100.0 / n_docs, 6)
                AS uniq_pct
-           FROM base JOIN dups USING (source) ORDER BY source""")
+           FROM base JOIN dups USING (source) ORDER BY source""",
+
+      // the Bloom pre-filter is invisible to the result (exact join
+      // eliminates false positives) — the oracle is the plain join
+      "q_bloom_join" ->
+        """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(20,4))), 2)
+               AS DOUBLE) AS total_price
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE o_totalprice > 480000
+           GROUP BY o_orderpriority ORDER BY o_orderpriority""")
   }
 }

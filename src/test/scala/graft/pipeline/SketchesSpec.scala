@@ -96,6 +96,23 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     assert(r.head.getAs[Long]("matched") == 3L)
   }
 
+  test("bloomPrunedJoin equals the plain join even with a high-FP filter") {
+    val big = (0L until 2000L).map(i => (i % 500, s"row$i"))
+      .toDF("k", "payload").repartition(8)
+    val small = Seq((10L, "a"), (20L, "b"), (30L, "c"), (999L, "d"))
+      .toDF("sk", "dim") // 999 matches nothing on the big side's 0..499
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "payload", "dim").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val exact = canon(big.join(small, col("k") === col("sk")))
+    // fpp 0.5: false positives all but guaranteed — the exact join must
+    // still eliminate every one of them
+    val pruned = canon(Analytics.bloomPrunedJoin(big, small, "k", "sk",
+      expectedItems = 10L, fpp = 0.5))
+    assert(pruned == exact)
+    assert(exact.size == 12, "3 matching keys x 4 rows each")
+  }
+
   test("datasetCard reports volume and exact-dup mass per source") {
     val docs = Seq(
       (1L, "alpha beta", "en", "s1", 10L),
