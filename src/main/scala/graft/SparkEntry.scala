@@ -718,6 +718,34 @@ object SparkEntry {
     "q_dataset_card" -> ((s, dir) =>
       Analytics.datasetCard(docs(s, dir)).orderBy("source")),
 
+    // CDC merge: a deterministic changelog (delete mod-7, upsert mod-5
+    // with latest-wins over the deletes, insert new ids for mod-13)
+    // applied to the documents snapshot
+    "q_cdc_apply" -> ((s, dir) => {
+      val base = docs(s, dir)
+      val dels = base.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select(col("doc_id"), lit(1L).as("seq"), lit("delete").as("op"),
+          col("text"), col("lang"), col("source"), col("n_chars"))
+      val ups = base.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select(col("doc_id"), lit(2L).as("seq"), lit("upsert").as("op"),
+          concat(col("text"), lit(" v2")).as("text"), col("lang"),
+          col("source"), (col("n_chars") + 3).as("n_chars"))
+      val ins = base.filter(pmod(col("doc_id"), lit(13)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          lit(1L).as("seq"), lit("upsert").as("op"), col("text"),
+          col("lang"), lit("srcNew").as("source"), col("n_chars"))
+      Analytics.applyChanges(base,
+          dels.unionByName(ups).unionByName(ins), "doc_id", "seq", "op")
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("source"), col("n_chars").cast("bigint").as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // daily active users (exact distinct; HLL++ swap-in documented)
+    "q_active_users" -> ((s, dir) =>
+      TimeSeries.activeUsers(table(s, dir, "events"), 86400000000L)
+        .orderBy("period_ts")),
+
     // Bloom-pruned fact⋈dim join: lineitem pre-filtered map-side by a
     // Bloom of the top-price orders before the exact equi-join (false
     // positives die in the join ⇒ result identical to the plain join)
@@ -2689,6 +2717,47 @@ object SparkEntry {
              round(CAST(n_docs - dup_docs AS DOUBLE) * 100.0 / n_docs, 6)
                AS uniq_pct
            FROM base JOIN dups USING (source) ORDER BY source""",
+
+      "q_cdc_apply" ->
+        """WITH dels AS (
+             SELECT doc_id, 1 AS seq, 'delete' AS op, text, source, n_chars
+             FROM documents WHERE doc_id % 7 = 0),
+           ups AS (
+             SELECT doc_id, 2 AS seq, 'upsert' AS op, text || ' v2' AS text,
+               source, n_chars + 3 AS n_chars
+             FROM documents WHERE doc_id % 5 = 0),
+           ins AS (
+             SELECT doc_id + 1000000 AS doc_id, 1 AS seq, 'upsert' AS op,
+               text, 'srcNew' AS source, n_chars
+             FROM documents WHERE doc_id % 13 = 0),
+           changes AS (
+             SELECT * FROM dels UNION ALL
+             SELECT * FROM ups UNION ALL
+             SELECT * FROM ins),
+           latest AS (
+             SELECT * FROM (
+               SELECT *, row_number() OVER (
+                 PARTITION BY doc_id ORDER BY seq DESC) AS rn
+               FROM changes) WHERE rn = 1),
+           merged AS (
+             SELECT doc_id,
+               CASE WHEN l.op = 'upsert' THEN l.text ELSE b.text END AS text,
+               CASE WHEN l.op = 'upsert' THEN l.source ELSE b.source END
+                 AS source,
+               CASE WHEN l.op = 'upsert' THEN l.n_chars ELSE b.n_chars END
+                 AS n_chars,
+               l.op AS op
+             FROM documents b FULL OUTER JOIN latest l USING (doc_id))
+           SELECT doc_id, md5(text) AS text_md5, source,
+             CAST(n_chars AS BIGINT) AS n_chars
+           FROM merged WHERE op IS NULL OR op <> 'delete'
+           ORDER BY doc_id""",
+
+      "q_active_users" ->
+        """SELECT epoch_us(ts) - epoch_us(ts) % 86400000000 AS period_ts,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS active_users,
+             CAST(count(*) AS BIGINT) AS n_events
+           FROM events GROUP BY 1 ORDER BY 1""",
 
       // the Bloom pre-filter is invisible to the result (exact join
       // eliminates false positives) — the oracle is the plain join

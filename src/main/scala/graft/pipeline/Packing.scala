@@ -59,6 +59,27 @@ object Packing {
     spark.createDataFrame(packed, schema)
   }
 
+  /** Globally-ordered shard assignment for training-data export: range-
+    * partition by `orderCol` into `nShards` shards, sort within each, and
+    * tag every row with its shard id — so shard files written from this
+    * frame are TOTALLY ordered (every key in shard i precedes every key
+    * in shard i+1, rows sorted inside each) without a single-partition
+    * global sort. This is how a 100-TB curriculum export (quality-ordered
+    * shards, deterministic resume points) ships: one range exchange
+    * (sampled range boundaries), parallel sorted writes.
+    *
+    * `df.write.partitionBy("shard")` on the result materializes the
+    * layout; the shard column also serves as the deterministic resume /
+    * bookkeeping key.
+    */
+  def orderedShards(df: DataFrame, orderCol: String,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    df.repartitionByRange(nShards, col(orderCol))
+      .sortWithinPartitions(orderCol)
+      .withColumn("shard", spark_partition_id().cast(LongType))
+  }
+
   /** Pack documents into fixed `budget`-token windows: (…, n_tokens,
     * start, pack_id, offset) where `pack_id` is the window holding the
     * document's FIRST token and `offset` its position there — a document

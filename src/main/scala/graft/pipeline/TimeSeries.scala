@@ -214,6 +214,22 @@ object TimeSeries {
     // (left, right) pair joins at most once
   }
 
+  /** Active users per tumbling period: (period_ts, active_users) with an
+    * EXACT distinct count — one shuffle carrying a row per distinct
+    * (period, user), which is the right exact plan while
+    * period-cardinality × users fits the cluster; at the scale where it
+    * doesn't, swap the aggregate for `approx_count_distinct` (HLL++,
+    * fixed memory — [[Analytics.approxDistinctPerGroup]]) at the call
+    * site. The standard DAU/WAU panel signal.
+    */
+  def activeUsers(events: DataFrame, periodUs: Long): DataFrame = {
+    val ev = withTsUs(events)
+    ev.groupBy((col("ts_us") - pmod(col("ts_us"), lit(periodUs)))
+        .as("period_ts"))
+      .agg(countDistinct(col("user_id")).as("active_users"),
+        count(lit(1)).as("n_events"))
+  }
+
   /** Streaming twin of [[intervalJoin]] for the attribution case: a
     * watermarked STREAM-STREAM inner join pairing each click with the
     * same user's purchases within `maxLag` after it. Spark's native

@@ -1,0 +1,61 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental-pipeline primitives: CDC merge (latest-wins apply of a
+  * changelog onto a snapshot), globally-ordered shard export, and the
+  * active-users panel aggregate.
+  */
+class IncrementalSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("applyChanges: latest change per id wins; delete/upsert/insert/pass-through") {
+    val base = Seq((1L, "one", 10L), (2L, "two", 20L), (3L, "three", 30L))
+      .toDF("id", "text", "n")
+    val changes = Seq(
+      (1L, 1L, "delete", null.asInstanceOf[String], 0L), // delete 1...
+      (1L, 2L, "upsert", "one-v2", 11L), // ...then resurrect (seq 2 wins)
+      (2L, 5L, "delete", null.asInstanceOf[String], 0L), // delete 2 (latest)
+      (2L, 4L, "upsert", "two-v2", 21L), // stale upsert, loses to seq 5
+      (9L, 1L, "upsert", "nine", 90L) // brand-new id
+    ).toDF("id", "seq", "op", "text", "n")
+    val out = Analytics.applyChanges(base, changes, "id", "seq", "op")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, "one-v2", 11L), (3L, "three", 30L),
+      (9L, "nine", 90L)))
+  }
+
+  test("orderedShards: total order across shards, sorted within each") {
+    val df = (0 until 1000).map(i => ((i * 7919) % 1000L, s"p$i"))
+      .toDF("key", "payload").repartition(13)
+    val shards = Packing.orderedShards(df, "key", 4)
+      .select("shard", "key").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(shards.map(_._1).distinct.sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+    // every key in shard i < every key in shard i+1
+    val bounds = shards.groupBy(_._1).view
+      .mapValues(ks => (ks.map(_._2).min, ks.map(_._2).max)).toMap
+    for (i <- 0L until 3L)
+      assert(bounds(i)._2 <= bounds(i + 1)._1,
+        s"shard $i max ${bounds(i)._2} > shard ${i + 1} min ${bounds(i + 1)._1}")
+    assert(shards.length == 1000)
+  }
+
+  test("activeUsers: exact distinct per period") {
+    val S = 1000000L
+    val day = 86400L * S
+    val events = Seq(
+      (1L, 0L), (1L, 10 * S), (2L, 20 * S), // day 0: users {1,2}, 3 events
+      (1L, day + S), (3L, day + 2 * S), (3L, day + 3 * S), (2L, day + 4 * S)
+    ).map { case (u, ts) => (u, ts, 100L, "click", 1.0, "{}") }
+      .toDF("user_id", "ts_us", "event_id", "event_type", "value", "props")
+      .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"),
+        col("event_id"), col("event_type"), col("value"), col("props"))
+    val out = TimeSeries.activeUsers(events, day).orderBy("period_ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((0L, 2L, 3L), (day, 3L, 4L)))
+  }
+}
