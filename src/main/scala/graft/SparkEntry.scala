@@ -695,10 +695,10 @@ object SparkEntry {
     // (capacity 1024 ≥ realized vocab ⇒ counts exact, err = 0 — the
     // contract the oracle checks; SketchesSpec covers the lossy regime)
     "q_heavy_hitters" -> ((s, dir) =>
-      Sketches.heavyHittersPerGroup(
+      Sketches.heavyHittersPerGroupArr(
           docs(s, dir).select(col("source"),
-            explode(TextAnalysis.terms(col("text"))).as("term")),
-          "source", col("term"), capacity = 1024, k = 5)
+            TextAnalysis.terms(col("text")).as("terms")),
+          "source", col("terms"), capacity = 1024, k = 5)
         .select(col("source"), col("term"), col("count").as("cnt"),
           col("rank"))
         .orderBy("source", "rank")),

@@ -114,6 +114,34 @@ object Sketches {
       Encoders.product[HeavyHitters]
   }
 
+  /** [[SpaceSavingAgg]] over token ARRAYS: one aggregator row per
+    * document instead of one per token, so the object-agg per-row
+    * overhead (encoder conversion, group probe) is paid per doc. Same
+    * sketch, same guarantees. */
+  final class SpaceSavingArrAgg(capacity: Int, k: Int)
+      extends Aggregator[Seq[String], SpaceSavingBuffer, HeavyHitters] {
+    private val one = new SpaceSavingAgg(capacity, k)
+    override def zero: SpaceSavingBuffer = one.zero
+    override def reduce(b: SpaceSavingBuffer, terms: Seq[String]): SpaceSavingBuffer = {
+      terms.foreach(one.reduce(b, _)); b
+    }
+    override def merge(a: SpaceSavingBuffer, b: SpaceSavingBuffer): SpaceSavingBuffer =
+      one.merge(a, b)
+    override def finish(b: SpaceSavingBuffer): HeavyHitters = one.finish(b)
+    override def bufferEncoder: Encoder[SpaceSavingBuffer] =
+      Encoders.kryo[SpaceSavingBuffer]
+    override def outputEncoder: Encoder[HeavyHitters] =
+      Encoders.product[HeavyHitters]
+  }
+
+  private def explodeHH(df: DataFrame, groupCol: String): DataFrame =
+    df.select(col(groupCol), posexplode(col("hh.items")))
+      .select(col(groupCol),
+        col("col.term").as("term"),
+        col("col.count").as("count"),
+        col("col.err").as("err"),
+        (col("pos") + 1).cast("long").as("rank"))
+
   /** Top-`k` most frequent values of `termCol` per `groupCol`, computed
     * with a per-group SpaceSaving sketch of at most `capacity` counters:
     * (group, term, count, err, rank). The input is never shuffled —
@@ -122,14 +150,24 @@ object Sketches {
   def heavyHittersPerGroup(df: DataFrame, groupCol: String, termCol: Column,
       capacity: Int, k: Int): DataFrame = {
     val agg = udaf(new SpaceSavingAgg(capacity, k), Encoders.STRING)
-    df.select(col(groupCol), termCol.as("term"))
-      .groupBy(col(groupCol))
-      .agg(agg(col("term")).as("hh"))
-      .select(col(groupCol), posexplode(col("hh.items")))
-      .select(col(groupCol),
-        col("col.term").as("term"),
-        col("col.count").as("count"),
-        col("col.err").as("err"),
-        (col("pos") + 1).cast("long").as("rank"))
+    explodeHH(
+      df.select(col(groupCol), termCol.as("term"))
+        .groupBy(col(groupCol))
+        .agg(agg(col("term")).as("hh")),
+      groupCol)
+  }
+
+  /** [[heavyHittersPerGroup]] fed one token ARRAY per row (e.g. a
+    * document's terms): identical output, ~an order of magnitude less
+    * aggregator-row overhead on long documents. */
+  def heavyHittersPerGroupArr(df: DataFrame, groupCol: String,
+      termsCol: Column, capacity: Int, k: Int): DataFrame = {
+    val agg = udaf(new SpaceSavingArrAgg(capacity, k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]())
+    explodeHH(
+      df.select(col(groupCol), termsCol.as("terms"))
+        .groupBy(col(groupCol))
+        .agg(agg(col("terms")).as("hh")),
+      groupCol)
   }
 }

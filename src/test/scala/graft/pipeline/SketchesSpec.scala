@@ -52,6 +52,24 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     assert(top.getAs[String]("term") == "hot")
   }
 
+  test("array input form matches the per-token form exactly") {
+    val data = skewed(25, 2).zipWithIndex
+      .map { case (t, i) => (s"g${i % 2}", t) }
+    val perToken = Sketches.heavyHittersPerGroup(
+      data.toDF("g", "term").repartition(8), "g", col("term"), 64, 10)
+    // same tokens regrouped into arrays of 5
+    val arrs = data.grouped(5).toSeq.flatMap { chunk =>
+      chunk.groupBy(_._1).map { case (g, ts) => (g, ts.map(_._2)) }
+    }
+    val perArr = Sketches.heavyHittersPerGroupArr(
+      arrs.toDF("g", "terms").repartition(8), "g", col("terms"), 64, 10)
+    def set(df: org.apache.spark.sql.DataFrame) =
+      df.select("g", "term", "count", "rank").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    assert(set(perToken) == set(perArr))
+  }
+
   test("merge: per-group sketches agree with single-partition run") {
     val data = skewed(30, 2).zipWithIndex
       .map { case (t, i) => (s"g${i % 3}", t) }
