@@ -741,6 +741,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // skew-salted self-enrichment: every event joined to its type's
+    // global stats over (type, salt) — the 5-hot-key join spread across
+    // 8 sub-partitions per key; result provably identical to the plain
+    // join
+    "q_salted_join" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val stats = ev.groupBy(col("event_type").as("t"))
+        .agg(count(lit(1)).as("type_n"),
+          round(sum(col("value").cast("decimal(38,6)")).cast("double")
+            / count(lit(1)), 6).as("type_avg"))
+      Analytics.saltedJoin(ev, stats, "event_type", "t", salts = 8)
+        .select(col("event_id"), col("event_type"), col("type_n"),
+          col("type_avg"))
+        .orderBy("event_id")
+    }),
+
     // daily active users (exact distinct; HLL++ swap-in documented)
     "q_active_users" -> ((s, dir) =>
       TimeSeries.activeUsers(table(s, dir, "events"), 86400000000L)
@@ -2752,6 +2768,16 @@ object SparkEntry {
              CAST(n_chars AS BIGINT) AS n_chars
            FROM merged WHERE op IS NULL OR op <> 'delete'
            ORDER BY doc_id""",
+
+      // the salt is invisible to the result — the oracle is the plain join
+      "q_salted_join" ->
+        """WITH st AS (
+             SELECT event_type AS t, CAST(count(*) AS BIGINT) AS type_n,
+               round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                 / count(*), 6) AS type_avg
+             FROM events GROUP BY 1)
+           SELECT event_id, event_type, type_n, type_avg
+           FROM events JOIN st ON event_type = t ORDER BY event_id""",
 
       "q_active_users" ->
         """SELECT epoch_us(ts) - epoch_us(ts) % 86400000000 AS period_ts,

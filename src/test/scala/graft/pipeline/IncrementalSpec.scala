@@ -44,6 +44,28 @@ class IncrementalSpec extends AnyFunSuite with SparkTestBase {
     assert(shards.length == 1000)
   }
 
+  test("saltedJoin: exact parity with the plain join; hot key spread over salts") {
+    // extreme skew: one key holds 90% of the rows
+    val big = ((0 until 900).map(i => ("hot", s"r$i")) ++
+      (0 until 100).map(i => (s"cold$i", s"c$i")))
+      .toDF("k", "payload").repartition(8)
+    val small = (Seq("hot") ++ (0 until 100).map(i => s"cold$i"))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("sk", "dim")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "payload", "dim").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val plain = canon(big.join(small, col("k") === col("sk")))
+    val salted = Analytics.saltedJoin(big, small, "k", "sk", salts = 8)
+    assert(canon(salted) == plain)
+    assert(plain.size == 1000)
+    // the hot key's rows really do carry multiple distinct salts (spread)
+    val spread = big.withColumn("__salt",
+        pmod(hash(big.columns.map(col): _*), lit(8)))
+      .where(col("k") === "hot")
+      .select(countDistinct("__salt")).head().getLong(0)
+    assert(spread >= 6, s"hot key spread over only $spread salts")
+  }
+
   test("activeUsers: exact distinct per period") {
     val S = 1000000L
     val day = 86400L * S
