@@ -741,6 +741,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // unicode normalization over deterministically-dirtied text (NBSP/
+    // ZWSP/control/ideographic-space planting both engines reproduce)
+    "q_normalize_text" -> ((s, dir) => {
+      val dirty = concat(lit("\u00A0\u200B "), col("text"), lit("  \t"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit("\u0007x\u3000y")).otherwise(lit("")))
+      docs(s, dir).select(col("doc_id"),
+          md5(TextAnalysis.normalizeText(dirty)).as("norm_md5"),
+          length(TextAnalysis.normalizeText(dirty)).cast("bigint")
+            .as("norm_len"))
+        .orderBy("doc_id")
+    }),
+
+    // per-source percentile normalization of the length signal
+    "q_percentile_norm" -> ((s, dir) =>
+      TextAnalysis.percentileNormalize(docs(s, dir), "source", "n_chars",
+          "doc_id")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("norm_score"))
+        .orderBy("doc_id")),
+
     // skew-salted self-enrichment: every event joined to its type's
     // global stats over (type, salt) — the 5-hot-key join spread across
     // 8 sub-partitions per key; result provably identical to the plain
@@ -2768,6 +2789,32 @@ object SparkEntry {
              CAST(n_chars AS BIGINT) AS n_chars
            FROM merged WHERE op IS NULL OR op <> 'delete'
            ORDER BY doc_id""",
+
+      "q_normalize_text" ->
+        """WITH dirty AS (
+             SELECT doc_id,
+               chr(160) || chr(8203) || ' ' || text || '  ' || chr(9) ||
+                 CASE WHEN doc_id % 3 = 0
+                   THEN chr(7) || 'x' || chr(12288) || 'y' ELSE '' END
+                 AS d
+             FROM documents),
+           norm AS (
+             SELECT doc_id, trim(regexp_replace(regexp_replace(
+               regexp_replace(d,
+                 '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}]', '', 'g'),
+                 '[\x{00A0}\x{2000}-\x{200B}\x{202F}\x{3000}]', ' ', 'g'),
+                 '\s+', ' ', 'g')) AS n
+             FROM dirty)
+           SELECT doc_id, md5(n) AS norm_md5,
+             CAST(len(n) AS BIGINT) AS norm_len
+           FROM norm ORDER BY doc_id""",
+
+      "q_percentile_norm" ->
+        """SELECT doc_id, source, n_chars,
+             round(percent_rank() OVER (
+               PARTITION BY source ORDER BY n_chars, doc_id), 6)
+               AS norm_score
+           FROM documents ORDER BY doc_id""",
 
       // the salt is invisible to the result — the oracle is the plain join
       "q_salted_join" ->

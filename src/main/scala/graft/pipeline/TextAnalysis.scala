@@ -511,6 +511,40 @@ object TextAnalysis {
         round(exp(col("nll") / col("n_bigrams")), 2).as("ppl"))
   }
 
+  // ------------------------------------------- text normalization
+
+  /** Unicode text cleanup — the normalization pass crawled corpora get
+    * before any hashing or tokenization (otherwise a NBSP makes two
+    * byte-identical sentences distinct forever downstream): strip
+    * non-whitespace control characters, map Unicode space variants
+    * (NBSP, en/em/thin spaces, ideographic space, zero-width space) to
+    * ASCII space, collapse whitespace runs, trim. Pure codegen'd
+    * regexp chain, map-only; `\x{…}` escapes keep the pattern portable
+    * across Java regex and RE2-style engines.
+    */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(regexp_replace(c,
+      "[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}\\x{7F}]", ""),
+      "[\\x{00A0}\\x{2000}-\\x{200B}\\x{202F}\\x{3000}]", " "),
+      "\\s+", " "))
+
+  /** Per-source percentile normalization of a quality signal: replace
+    * the raw score with its percent rank WITHIN the source (`tieBreak`
+    * totalizes the order, so equal scores get adjacent distinct ranks,
+    * deterministically), making scores from heterogeneous sources
+    * comparable before mixing —
+    * a source whose scorer runs hot no longer dominates a global
+    * threshold. percent_rank is the exact rational (rank−1)/(n−1):
+    * engine-portable with no float tolerance. One shuffle on the source
+    * key.
+    */
+  def percentileNormalize(df: DataFrame, sourceCol: String,
+      scoreCol: String, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(col(scoreCol), col(tieBreak))
+    df.withColumn("norm_score", round(percent_rank().over(w), 6))
+  }
+
   // --------------------------------------- PMI collocation extraction
 
   /** Top-`k` PMI-ranked adjacent-token collocations over the corpus:
