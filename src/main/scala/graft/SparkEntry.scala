@@ -741,6 +741,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // 20-bin value histogram per event type over the global range
+    "q_value_histogram" -> ((s, dir) =>
+      Analytics.histogram(table(s, dir, "events"), "event_type", "value",
+          bins = 20)
+        .orderBy("event_type", "bin")),
+
+    // one-pass column profile of the documents dump
+    "q_profile_docs" -> ((s, dir) =>
+      Analytics.profile(docs(s, dir),
+          Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .orderBy("col_name")),
+
     // unicode normalization over deterministically-dirtied text (NBSP/
     // ZWSP/control/ideographic-space planting both engines reproduce)
     "q_normalize_text" -> ((s, dir) => {
@@ -2789,6 +2801,58 @@ object SparkEntry {
              CAST(n_chars AS BIGINT) AS n_chars
            FROM merged WHERE op IS NULL OR op <> 'delete'
            ORDER BY doc_id""",
+
+      "q_value_histogram" ->
+        """WITH mm AS (
+             SELECT min(CAST(value AS DOUBLE)) AS lo,
+               max(CAST(value AS DOUBLE)) AS hi FROM events),
+           b AS (
+             SELECT event_type,
+               CAST(least(19, floor((CAST(value AS DOUBLE) - lo)
+                 / (hi - lo) * 20)) AS BIGINT) AS bin
+             FROM events, mm)
+           SELECT event_type, bin,
+             round(lo + bin * ((hi - lo) / 20), 6) AS bin_lo,
+             round(lo + (bin + 1) * ((hi - lo) / 20), 6) AS bin_hi,
+             CAST(count(*) AS BIGINT) AS n
+           FROM b, mm GROUP BY event_type, bin, lo, hi
+           ORDER BY event_type, bin""",
+
+      "q_profile_docs" ->
+        """SELECT 'doc_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_nulls,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+             CAST(min(doc_id) AS VARCHAR) AS min_val,
+             CAST(max(doc_id) AS VARCHAR) AS max_val
+           FROM documents
+           UNION ALL
+           SELECT 'text', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(count(DISTINCT text) AS BIGINT),
+             CAST(min(text) AS VARCHAR), CAST(max(text) AS VARCHAR)
+           FROM documents
+           UNION ALL
+           SELECT 'lang', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(count(DISTINCT lang) AS BIGINT),
+             CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+           FROM documents
+           UNION ALL
+           SELECT 'source', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT),
+             CAST(count(DISTINCT source) AS BIGINT),
+             CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+           FROM documents
+           UNION ALL
+           SELECT 'n_chars', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT),
+             CAST(count(DISTINCT n_chars) AS BIGINT),
+             CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+           FROM documents
+           ORDER BY col_name""",
 
       "q_normalize_text" ->
         """WITH dirty AS (

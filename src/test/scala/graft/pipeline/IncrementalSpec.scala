@@ -44,6 +44,27 @@ class IncrementalSpec extends AnyFunSuite with SparkTestBase {
     assert(shards.length == 1000)
   }
 
+  test("histogram: shared global bins, extremes clamped into end bins") {
+    val df = Seq(("a", 0.0), ("a", 5.0), ("a", 10.0), ("b", 10.0),
+      ("b", 2.4), ("b", 2.6)).toDF("g", "v")
+    val out = Analytics.histogram(df, "g", "v", bins = 4)
+      .orderBy("g", "bin").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(4))).toSeq
+    // range [0,10], width 2.5: a → bins 0,2(5.0),3(10 clamps); b → 0(2.4),1(2.6),3
+    assert(out == Seq(("a", 0L, 1L), ("a", 2L, 1L), ("a", 3L, 1L),
+      ("b", 0L, 1L), ("b", 1L, 1L), ("b", 3L, 1L)))
+  }
+
+  test("profile: one-pass null/distinct/min/max per column") {
+    val df = Seq((1L, Some("x")), (2L, None), (3L, Some("a")))
+      .toDF("id", "s")
+    val out = Analytics.profile(df, Seq("id", "s")).orderBy("col_name")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getString(5))).toSeq
+    assert(out == Seq(("id", 3L, 0L, 3L, "1", "3"),
+      ("s", 3L, 1L, 2L, "a", "x")))
+  }
+
   test("saltedJoin: exact parity with the plain join; hot key spread over salts") {
     // extreme skew: one key holds 90% of the rows
     val big = ((0 until 900).map(i => ("hot", s"r$i")) ++
