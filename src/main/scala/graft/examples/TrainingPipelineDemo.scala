@@ -38,8 +38,13 @@ object TrainingPipelineDemo {
         gated.select(col("doc_id"), col("source"), col("text")), k = 8)
       .select(col("doc_id"), col("removed"))
 
+    // 0b. unicode normalization BEFORE any hashing: NBSP/control-char
+    // variants of the same sentence must not survive as distinct texts
+    val cleaned = gated.withColumn("text",
+      TextAnalysis.normalizeText(col("text")))
+
     // 1. exact dedup: keep the smallest doc_id per distinct text
-    val exact = Dedup.exactDedup(gated)
+    val exact = Dedup.exactDedup(cleaned)
 
     // 1b. URL-level dedup ahead of content passes: canonicalize the
     // (synthesized here) fetch URLs and keep one doc per canonical URL —
@@ -96,6 +101,25 @@ object TrainingPipelineDemo {
       .groupBy("split").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
 
+    // 6b. publish-side panels: per-source dataset card, percentile-
+    // normalized length signal (cross-source comparable), and the
+    // sketch-bounded top terms per source
+    val card = graft.pipeline.Analytics.datasetCard(kept
+      .select("doc_id", "text", "lang", "source", "n_chars"))
+    val normed = TextAnalysis.percentileNormalize(kept, "source",
+      "n_chars", "doc_id")
+    val topTerms = graft.pipeline.Sketches.heavyHittersPerGroupArr(
+      kept.select(col("source"), TextAnalysis.terms(col("text")).as("t")),
+      "source", col("t"), capacity = 1024, k = 3)
+
+    // 6c. export: train split into globally-ordered shards (range
+    // exchange + per-shard sorts — no single-partition sort)
+    val trainShards = Packing.orderedShards(
+      Sampling.assignSplits(mixed,
+        Seq("train" -> 8L, "val" -> 1L, "test" -> 1L))
+        .filter(col("split") === "train"),
+      "doc_id", nShards = 4)
+
     // 7. embedding near-dup pass + SemDeDup keep-one selection
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val embDups = Similarity.embeddingDupPairs(emb, threshold = 0.98)
@@ -123,6 +147,13 @@ object TrainingPipelineDemo {
     println(s"after weighted mix: ${mixed.count()}")
     println(s"splits:            $splits")
     println(f"lm perplexity:     avg ${pplStats.getDouble(0)}%.2f max ${pplStats.getDouble(1)}%.2f")
+    println("dataset cards (source, docs, langs, chars, tokens, dups, uniq%):")
+    card.orderBy("source").collect().take(3).foreach(r => println(s"  $r"))
+    println(f"mean normalized length: ${normed.agg(avg("norm_score")).head().getDouble(0)}%.3f (0.5 = balanced)")
+    println(s"top terms/source (sketch): ${topTerms.filter(col("rank") === 1).count()} rank-1 rows")
+    val shardStats = trainShards.groupBy("shard").count().orderBy("shard")
+      .collect().map(r => s"${r.getLong(0)}:${r.getLong(1)}").mkString(" ")
+    println(s"train shards:      $shardStats")
     println(s"embedding near-dup pairs (cos >= 0.98): ${embDups.count()}")
     println(s"semantic dedup keeps: $semKept of ${emb.count()} vectors")
     println(s"hard negatives:    $negatives mined for 3 anchors")
