@@ -349,6 +349,53 @@ object StatefulStream {
     }.toDF("window_start_us", "term", "count", "err", "rank")
   }
 
+  /** One closed window from [[activeUsersWindows]]. */
+  final case class WindowUsers(windowStartUs: Long, activeUsers: Long,
+      nEvents: Long)
+
+  /** Streaming twin of [[graft.pipeline.TimeSeries.activeUsers]]: EXACT
+    * distinct users per tumbling event-time window. Streaming append
+    * mode cannot run a distinct aggregate natively, so each open window
+    * keeps its user-id set in the state store (state ∝ distinct users
+    * per window — the same cardinality the batch shuffle carries) and
+    * emits exactly once when the watermark closes the window. For
+    * unbounded per-window cardinality swap the set for an HLL sketch at
+    * the call site; the emit-on-close contract stays identical. Input
+    * needs `ts` (µs long) and `user_id` (long); caller sets the
+    * watermark.
+    */
+  def activeUsersWindows(records: DataFrame, windowUs: Long): DataFrame = {
+    val schema = records.schema
+    val tsIdx = schema.fieldIndex("ts")
+    val uidIdx = schema.fieldIndex("user_id")
+    implicit val rowEnc = Encoders.row(schema)
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val stateEnc =
+      Encoders.kryo[(scala.collection.mutable.HashSet[Long], Long)]
+    implicit val outEnc = Encoders.product[WindowUsers]
+    records.groupByKey { r: Row =>
+      val ts = r.getLong(tsIdx); ts - ts % windowUs
+    }.flatMapGroupsWithState[(scala.collection.mutable.HashSet[Long], Long),
+        WindowUsers](
+      OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+      (start: Long, rows: Iterator[Row],
+          gs: GroupState[(scala.collection.mutable.HashSet[Long], Long)]) =>
+        if (gs.hasTimedOut) {
+          val (users, n) = gs.get
+          gs.remove()
+          Iterator.single(WindowUsers(start, users.size.toLong, n))
+        } else {
+          val (users, n0) = gs.getOption
+            .getOrElse((scala.collection.mutable.HashSet.empty[Long], 0L))
+          var n = n0
+          rows.foreach { r => users += r.getLong(uidIdx); n += 1 }
+          gs.update((users, n))
+          gs.setTimeoutTimestamp((start + windowUs) / 1000L)
+          Iterator.empty
+        }
+    }.toDF("window_start_us", "active_users", "n_events")
+  }
+
   private def statefulFilter[S: scala.reflect.ClassTag](records: DataFrame, init: S)(
       step: (S, Long) => (S, Boolean)): DataFrame =
     statefulFilterFlag[S](records.withColumn("__in", lit(true)), init) {

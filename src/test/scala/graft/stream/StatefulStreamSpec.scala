@@ -348,6 +348,35 @@ class StatefulStreamSpec extends AnyFunSuite with SparkTestBase {
       s"got ${got()}")
   }
 
+  test("activeUsersWindows: exact distinct per window, emits on close") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("au-src").toString
+    val ck = Files.createTempDirectory("au-ck").toString
+    val out = Files.createTempDirectory("au-out").toString
+    def writeUsers(rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("ts", "user_id").write.mode("append").parquet(src)
+    def run(): Unit = {
+      val stream = spark.readStream.schema("ts BIGINT, user_id BIGINT")
+        .parquet(src)
+        .withColumn("__event_ts", timestamp_micros(col("ts")))
+        .withWatermark("__event_ts", "5 seconds")
+      StatefulStream.activeUsersWindows(stream, windowUs = 60000000L)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    val S = 1000000L
+    // window [0,60s): users {7,8} over 2 batches with repeats
+    writeUsers(Seq((1 * S, 7L), (2 * S, 8L), (3 * S, 7L)))
+    run()
+    writeUsers(Seq((10 * S, 8L), (120 * S, 9L))) // 120s closes window 0
+    run()
+    val got = spark.read.parquet(out)
+      .select("window_start_us", "active_users", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(got == Seq((0L, 2L, 4L)), s"got $got")
+  }
+
   test("attributionJoin: stream-stream join pairs clicks with purchases in lag") {
     import spark.implicits._
     val clickSrc = Files.createTempDirectory("aj-c").toString
