@@ -157,6 +157,65 @@ object Sketches {
       groupCol)
   }
 
+  /** Count-Min frequency sketch: a `depth`×`width` counter matrix; each
+    * term increments one counter per row (row-seeded md5 hash), a point
+    * query reads the MINIMUM across rows. Never underestimates; the
+    * overestimate is bounded by collisions (≤ 2N/width with probability
+    * 1−2^−depth, the classic guarantee). Partials merge by matrix
+    * addition, so Spark runs it as an ordinary two-phase aggregation
+    * with `depth·width·8` bytes per partial — the frequency-table
+    * companion to [[SpaceSavingAgg]] when you need counts for ARBITRARY
+    * query terms later, not just the top-k. */
+  final class CountMinBuffer(val m: Array[Long]) extends Serializable
+
+  final class CountMinAgg(depth: Int, width: Int)
+      extends Aggregator[String, CountMinBuffer, Array[Long]] {
+    override def zero: CountMinBuffer =
+      new CountMinBuffer(new Array[Long](depth * width))
+    override def reduce(b: CountMinBuffer, term: String): CountMinBuffer = {
+      var r = 0
+      while (r < depth) {
+        b.m(r * width + CountMin.slot(term, r, width)) += 1
+        r += 1
+      }
+      b
+    }
+    override def merge(a: CountMinBuffer, b: CountMinBuffer): CountMinBuffer = {
+      var i = 0
+      while (i < a.m.length) { a.m(i) += b.m(i); i += 1 }
+      a
+    }
+    override def finish(b: CountMinBuffer): Array[Long] = b.m
+    override def bufferEncoder: Encoder[CountMinBuffer] =
+      Encoders.kryo[CountMinBuffer]
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  object CountMin {
+    /** Row-seeded slot for a term: md5 is stable across engines and
+      * restarts (no JVM hash seeding), so sketches are reproducible. */
+    def slot(term: String, row: Int, width: Int): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$row:$term".getBytes("UTF-8"))
+      val h = java.nio.ByteBuffer.wrap(d).getLong(0) & Long.MaxValue
+      (h % width).toInt
+    }
+
+    /** Point query against a finished sketch matrix. */
+    def estimate(m: Array[Long], term: String, depth: Int,
+        width: Int): Long = {
+      var best = Long.MaxValue
+      var r = 0
+      while (r < depth) {
+        val c = m(r * width + slot(term, r, width))
+        if (c < best) best = c
+        r += 1
+      }
+      best
+    }
+  }
+
   /** [[heavyHittersPerGroup]] fed one token ARRAY per row (e.g. a
     * document's terms): identical output, ~an order of magnitude less
     * aggregator-row overhead on long documents. */

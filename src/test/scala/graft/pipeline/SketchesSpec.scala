@@ -84,6 +84,50 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     assert(run(wide) == run(narrow))
   }
 
+  test("property: SpaceSaving bounds hold on random skewed streams") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      // Zipf-ish random stream over 120 terms, capacity 24 → heavy loss
+      val stream = Seq.fill(3000)(s"t${(math.pow(rnd.nextDouble(), 3) * 120).toInt}")
+      val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val hh = Sketches.heavyHittersPerGroup(
+        stream.toDF("term").withColumn("g", lit("all")).repartition(7),
+        "g", col("term"), capacity = 24, k = 24).collect()
+      hh.foreach { r =>
+        val (t, c, e) = (r.getAs[String]("term"), r.getAs[Long]("count"),
+          r.getAs[Long]("err"))
+        val true_ = truth.getOrElse(t, 0L)
+        assert(c >= true_, s"seed $seed: $t underestimated ($c < ${true_})")
+        assert(c - e <= true_, s"seed $seed: $t overestimate beyond err")
+      }
+    }
+  }
+
+  test("countMin: never underestimates, merges across partitions, reproducible") {
+    val (depth, width) = (4, 64)
+    val agg = udaf(new Sketches.CountMinAgg(depth, width),
+      org.apache.spark.sql.Encoders.STRING)
+    val stream = skewed(50, 4) // 50 distinct, counts 4..200
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def sketch(parts: Int): Array[Long] =
+      stream.toDF("term").repartition(parts)
+        .agg(agg(col("term")).as("cm")).head().getSeq[Long](0).toArray
+    val m = sketch(9)
+    val n = stream.size
+    val overs = truth.toSeq.map { case (t, c) =>
+      val est = Sketches.CountMin.estimate(m, t, depth, width)
+      assert(est >= c, s"$t underestimated")
+      est - c
+    }
+    // the ε = 2N/width bound is per-query probabilistic (1 − 2^−depth);
+    // assert it holds for the vast majority, not every single term
+    val withinBound = overs.count(_ <= 2L * n / width)
+    assert(withinBound >= (truth.size * 9) / 10,
+      s"only $withinBound/${truth.size} within the ε bound")
+    // merge-independence: different partitionings give the same matrix
+    assert(m.toSeq == sketch(1).toSeq)
+  }
+
   test("pmiBigrams ranks a planted collocation first") {
     // "foo bar" always adjacent (strong association); other tokens random
     val rnd = new scala.util.Random(7)
