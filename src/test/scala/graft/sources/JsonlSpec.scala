@@ -1,0 +1,54 @@
+package graft.sources
+
+import graft.SparkTestBase
+import org.apache.spark.sql.types.StructType
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+import java.util.zip.GZIPOutputStream
+
+/** JSONL ingest: permissive parse with a corrupt-record side channel —
+  * bad lines are counted and attributed, never job-fatal, never silent. */
+class JsonlSpec extends AnyFunSuite with SparkTestBase {
+
+  private val schema = StructType.fromDDL(
+    "doc_id BIGINT, text STRING, lang STRING")
+
+  private def writeGz(dir: String, name: String, lines: Seq[String]): Unit = {
+    val out = new GZIPOutputStream(
+      Files.newOutputStream(Paths.get(dir, name)))
+    out.write(lines.mkString("\n").getBytes("UTF-8"))
+    out.close()
+  }
+
+  test("clean lines parse, broken lines land in the damage report") {
+    val dir = Files.createTempDirectory("jsonl").toString
+    writeGz(dir, "a.jsonl.gz", Seq(
+      """{"doc_id": 1, "text": "hello", "lang": "en"}""",
+      """{"doc_id": 2, "text": "welt", "lang": "de"}""",
+      """{"doc_id": 3, "text": "truncat""", // cut mid-string
+      """not json at all"""))
+    writeGz(dir, "b.jsonl.gz", Seq(
+      """{"doc_id": 4, "text": "ok", "lang": "en"}"""))
+    val (clean, report) = Jsonl.readWithReport(spark, dir, schema)
+    val docs = clean.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(docs == Set((1L, "hello"), (2L, "welt"), (4L, "ok")))
+    assert(!clean.columns.contains(Jsonl.CorruptCol))
+    assert(clean.columns.contains("src_file"))
+    val rep = report.collect()
+    assert(rep.length == 1, "only file a has damage")
+    assert(rep(0).getAs[String]("src_file").endsWith("a.jsonl.gz"))
+    assert(rep(0).getAs[Long]("bad_lines") == 2L)
+    assert(rep(0).getAs[String]("sample").nonEmpty)
+  }
+
+  test("type-mismatched fields are damage too, not silent nulls") {
+    val dir = Files.createTempDirectory("jsonl2").toString
+    writeGz(dir, "c.jsonl.gz", Seq(
+      """{"doc_id": "NOT_A_NUMBER", "text": "x", "lang": "en"}""",
+      """{"doc_id": 9, "text": "y", "lang": "en"}"""))
+    val (clean, report) = Jsonl.readWithReport(spark, dir, schema)
+    assert(clean.count() == 1)
+    assert(report.collect().head.getAs[Long]("bad_lines") == 1L)
+  }
+}
