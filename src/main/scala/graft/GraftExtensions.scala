@@ -99,6 +99,36 @@ object GraftExtensions {
       "graft_repetition_stats" -> {
         case Seq(text) => graft.pipeline.RepetitionStatsExpr(text)
         case _ => throw CondError("graft_repetition_stats(text) takes one argument")
+      },
+      // Column-layer ops rebuilt as raw catalyst trees: the Column →
+      // Expression bridge yields an unevaluable ColumnNode wrapper on
+      // the SQL-registry path, so the SQL twins construct the SAME
+      // operator chain directly (parity pinned in GraftExtensionsSpec)
+      "graft_normalize" -> {
+        case Seq(text) =>
+          import org.apache.spark.sql.catalyst.expressions.{RegExpReplace, StringTrim}
+          def s(x: String) = Literal(UTF8String.fromString(x), StringType)
+          StringTrim(RegExpReplace(RegExpReplace(RegExpReplace(text,
+            s("[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}\\x{7F}]"), s("")),
+            s("[\\x{00A0}\\x{2000}-\\x{200B}\\x{202F}\\x{3000}]"), s(" ")),
+            s("\\s+"), s(" ")))
+        case _ => throw CondError("graft_normalize(text) takes one argument")
+      },
+      "graft_zvalue" -> {
+        case Seq(a0, b0, bitsE) =>
+          import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd, BitwiseOr, Cast, ShiftLeft, ShiftRightUnsigned}
+          import org.apache.spark.sql.types.LongType
+          val bits = litInt(bitsE, "bits")
+          val a = Cast(a0, LongType)
+          val b = Cast(b0, LongType)
+          (0 until bits).foldLeft[Expression](Literal(0L)) { (acc, i) =>
+            BitwiseOr(BitwiseOr(acc,
+              ShiftLeft(BitwiseAnd(ShiftRightUnsigned(a, Literal(i)),
+                Literal(1L)), Literal(2 * i))),
+              ShiftLeft(BitwiseAnd(ShiftRightUnsigned(b, Literal(i)),
+                Literal(1L)), Literal(2 * i + 1)))
+          }
+        case _ => throw CondError("graft_zvalue(a, b, bits) takes three arguments")
       })
 
   private[graft] def buildWhen(children: Seq[Expression]): Expression = {

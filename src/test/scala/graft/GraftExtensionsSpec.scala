@@ -63,4 +63,25 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
       ).collect()(0)
     assert(rep.getLong(0) == 4L && rep.getLong(1) == 2L && rep.getLong(2) == 2L)
   }
+
+  test("normalization and z-value are callable from spark.sql") {
+    GraftExtensions.register(spark)
+    val n = spark.sql(
+      "SELECT graft_normalize(concat(chr(160), 'a  b', chr(9))) AS n")
+      .collect()(0).getString(0)
+    assert(n == "a b")
+    // interleave truth table: a=3 (bits 0,2), b=1 (bit 1) → 0111₂ = 7
+    val z = spark.sql("SELECT graft_zvalue(3L, 1L, 2) AS z")
+      .collect()(0).getLong(0)
+    assert(z == 7L)
+    // SQL == Scala API on a non-trivial pair
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val viaApi = Seq((12345L, 54321L)).toDF("a", "b")
+      .select(graft.pipeline.Layout.zValue(col("a"), col("b"), 16).as("z"))
+      .head().getLong(0)
+    val viaSql = spark.sql("SELECT graft_zvalue(12345L, 54321L, 16) AS z")
+      .head().getLong(0)
+    assert(viaApi == viaSql)
+  }
 }
