@@ -28,6 +28,21 @@ object Layout {
     }
   }
 
+  /** Persist `df` as a BUCKETED table: rows are hash-partitioned into
+    * `buckets` files by `key` AT WRITE TIME and sorted within each, and
+    * the catalog records the layout. A later equi-join (or aggregation)
+    * on `key` between two tables bucketed the same way runs with NO
+    * shuffle exchange — at 100 TB, pre-bucketing the fact tables once
+    * converts every subsequent co-located join from a full network
+    * shuffle into a local merge. The write itself costs one hash
+    * exchange; it is amortized over every downstream join.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+
   /** Z-order `df` across two numeric columns into `nFiles` write tasks:
     * min/max-scale each column to `bits`-bit grid coordinates, compute
     * the interleaved Z-value, range-partition + sort by it. Writing the

@@ -24,6 +24,30 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     assert(r2 == 10L) // b bits at positions 1 and 3 → 1010₂
   }
 
+  test("bucketed tables join with no shuffle exchange, same results") {
+    val a = (0 until 2000).map(i => (i.toLong % 400, s"a$i")).toDF("k", "va")
+    val b = (0 until 1000).map(i => (i.toLong % 400, s"b$i")).toDF("k", "vb")
+    Layout.writeBucketed(a, "bkt_a", "k", 8)
+    Layout.writeBucketed(b, "bkt_b", "k", 8)
+    // force the sort-merge path (tiny test tables would broadcast and
+    // mask the bucketing; at fact-table scale SMJ is what actually runs)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"co-located bucketed join must not shuffle:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"bucketed scan expected:\n$plan")
+      // parity with the plain (shuffling) join
+      val expected = a.join(b, "k").count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.sql("DROP TABLE bkt_a"); spark.sql("DROP TABLE bkt_b")
+    }
+  }
+
   test("z-ordered partitions bound BOTH columns; x-sort leaves y unbounded") {
     // deterministic pseudo-uniform grid: x and y decorrelated
     val n = 20000
