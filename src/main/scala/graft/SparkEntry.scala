@@ -741,6 +741,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // robust (median/MAD) anomaly flags — the 50%-breakdown variant of
+    // the 3σ q_anomaly
+    "q_mad_anomaly" -> ((s, dir) =>
+      TimeSeries.madAnomalies(table(s, dir, "events"), k = 5.0)
+        .orderBy("event_id")),
+
+    // pairwise source-vocabulary Jaccard (corpus redundancy matrix)
+    "q_source_overlap" -> ((s, dir) =>
+      TextAnalysis.sourceOverlap(docs(s, dir)).orderBy("src_a", "src_b")),
+
     // 20-bin value histogram per event type over the global range
     "q_value_histogram" -> ((s, dir) =>
       Analytics.histogram(table(s, dir, "events"), "event_type", "value",
@@ -2801,6 +2811,42 @@ object SparkEntry {
              CAST(n_chars AS BIGINT) AS n_chars
            FROM merged WHERE op IS NULL OR op <> 'delete'
            ORDER BY doc_id""",
+
+      "q_mad_anomaly" ->
+        """WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+                        value FROM events),
+           med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                   FROM e GROUP BY 1),
+           mad AS (SELECT e.event_type, med,
+                     quantile_cont(abs(value - med), 0.5) AS mad
+                   FROM e JOIN med USING (event_type)
+                   GROUP BY e.event_type, med)
+           SELECT event_id, e.event_type, ts_us AS ts, value,
+             round(med, 6) AS med, round(mad, 6) AS mad
+           FROM e JOIN mad ON e.event_type = mad.event_type
+           WHERE mad > 0 AND abs(value - med) > 5.0 * mad
+           ORDER BY event_id""",
+
+      "q_source_overlap" ->
+        """WITH ts AS (
+             SELECT DISTINCT source AS src, lower(t.term) AS term
+             FROM documents, unnest(list_filter(
+               regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
+               x -> x <> '')) AS t(term)),
+           sizes AS (SELECT src, CAST(count(*) AS BIGINT) AS n_terms
+                     FROM ts GROUP BY 1),
+           inter AS (
+             SELECT a.src AS src_a, b.src AS src_b,
+               CAST(count(*) AS BIGINT) AS n_common
+             FROM ts a JOIN ts b ON a.term = b.term AND a.src < b.src
+             GROUP BY 1, 2)
+           SELECT src_a, src_b, n_common, sa.n_terms AS n_a,
+             sb.n_terms AS n_b,
+             round(CAST(n_common AS DOUBLE)
+               / (sa.n_terms + sb.n_terms - n_common), 6) AS jaccard
+           FROM inter JOIN sizes sa ON src_a = sa.src
+             JOIN sizes sb ON src_b = sb.src
+           ORDER BY src_a, src_b""",
 
       "q_value_histogram" ->
         """WITH mm AS (

@@ -545,6 +545,40 @@ object TextAnalysis {
     df.withColumn("norm_score", round(percent_rank().over(w), 6))
   }
 
+  /** Pairwise vocabulary overlap between sources: Jaccard of the
+    * DISTINCT-term sets of every source pair (a < b) — the corpus-level
+    * redundancy matrix that tells a mixing strategy which sources are
+    * near-copies of each other before any document-level dedup runs.
+    *
+    * Scale shape: one distinct (term, source) table (map-side combined —
+    * one row per distinct pair, not per token), a self-join ON TERM for
+    * the intersection counts, and per-source distinct counts for the
+    * union denominators. Shuffles carry vocabulary-sized tables only;
+    * text is tokenized once. Quadratic only in the SOURCE count (tiny),
+    * never in documents. */
+  def sourceOverlap(docs: DataFrame, textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    val ts = docs
+      .select(col(sourceCol).as("src"), explode(terms(col(textCol))).as("term"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = ts.groupBy("src").agg(count(lit(1)).as("n_terms"))
+    val inter = ts.as("a")
+      .join(ts.as("b"), col("a.term") === col("b.term") &&
+        col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("src", "src_a")
+        .withColumnRenamed("n_terms", "n_a"), "src_a")
+      .join(sizes.withColumnRenamed("src", "src_b")
+        .withColumnRenamed("n_terms", "n_b"), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_common"), col("n_a"),
+        col("n_b"),
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"))
+  }
+
   // --------------------------------------- PMI collocation extraction
 
   /** Top-`k` PMI-ranked adjacent-token collocations over the corpus:

@@ -214,6 +214,29 @@ object TimeSeries {
     // (left, right) pair joins at most once
   }
 
+  /** Robust anomaly flags via MAD (median absolute deviation): events
+    * whose value sits more than `k`·MAD from their type's MEDIAN. Unlike
+    * the 3σ z-score (whose mean and σ are themselves dragged by the
+    * outliers being hunted), median/MAD have a 50% breakdown point — the
+    * robust variant for heavy-tailed telemetry. Two exact `percentile`
+    * passes (each shuffles one counts-map entry per distinct value per
+    * type, not per row) broadcast back onto the stream; flagging is
+    * map-only.
+    */
+  def madAnomalies(events: DataFrame, k: Double): DataFrame = {
+    val ev = withTsUs(events)
+    val med = ev.groupBy("event_type")
+      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    val mad = ev.join(broadcast(med), "event_type")
+      .groupBy("event_type", "med")
+      .agg(percentile(abs(col("value") - col("med")), lit(0.5)).as("mad"))
+    ev.join(broadcast(mad), "event_type")
+      .where(col("mad") > 0 && abs(col("value") - col("med")) > lit(k) * col("mad"))
+      .select(col("event_id"), col("event_type"), col("ts_us").as("ts"),
+        col("value"), round(col("med"), 6).as("med"),
+        round(col("mad"), 6).as("mad"))
+  }
+
   /** Active users per tumbling period: (period_ts, active_users) with an
     * EXACT distinct count — one shuffle carrying a row per distinct
     * (period, user), which is the right exact plan while

@@ -107,6 +107,35 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
       "per-type moments must broadcast back onto the stream")
   }
 
+  test("madAnomalies: robust to the outliers the z-score misses") {
+    // 12 inliers at 10±1 plus TWO huge outliers: the larger one drags σ
+    // so far that the z-score MASKS the smaller (classic masking);
+    // median/MAD isolates both
+    val base = (1 to 12).map(i =>
+      (i.toLong, i.toLong * 10, 7L, "a", 10.0 + (i % 3) - 1))
+    val df = ev(base ++ Seq((13L, 130L, 7L, "a", 1000.0),
+      (14L, 140L, 7L, "a", 2000.0)): _*)
+    val z = TimeSeries.anomalies(df, nSigma = 3.0)
+      .select("event_id").as[Long].collect().toSet
+    val mad = TimeSeries.madAnomalies(df, k = 5.0)
+      .select("event_id").as[Long].collect().toSet
+    assert(z == Set(14L), s"z-score masks the smaller outlier, got $z")
+    assert(mad == Set(13L, 14L), s"MAD must flag both outliers, got $mad")
+  }
+
+  test("sourceOverlap: exact vocabulary jaccard per source pair") {
+    import graft.pipeline.TextAnalysis
+    val docs = Seq(
+      (1L, "a b c", "s1"), (2L, "b c d", "s2"), (3L, "x y z", "s3")
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.sourceOverlap(docs)
+      .select("src_a", "src_b", "n_common", "jaccard").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    // s1∩s2 = {b,c} of union {a,b,c,d}; s3 shares nothing (pairs absent)
+    assert(out == Set(("s1", "s2", 2L, 0.5)))
+  }
+
   test("topK per group: descending with ascending tie-break") {
     val docs = Seq(
       (1L, "s1", 10L), (2L, "s1", 30L), (3L, "s1", 30L), (4L, "s1", 5L),
