@@ -741,6 +741,12 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // trailing 7-day distinct users per day (sliding WAU, exact)
+    "q_wau_sliding" -> ((s, dir) =>
+      TimeSeries.slidingActiveUsers(table(s, dir, "events"),
+          86400000000L, nPeriods = 7)
+        .orderBy("window_end")),
+
     // robust (median/MAD) anomaly flags — the 50%-breakdown variant of
     // the 3σ q_anomaly
     "q_mad_anomaly" -> ((s, dir) =>
@@ -2811,6 +2817,19 @@ object SparkEntry {
              CAST(n_chars AS BIGINT) AS n_chars
            FROM merged WHERE op IS NULL OR op <> 'delete'
            ORDER BY doc_id""",
+
+      "q_wau_sliding" ->
+        """WITH ud AS (
+             SELECT DISTINCT epoch_us(ts) - epoch_us(ts) % 86400000000
+               AS period, user_id FROM events),
+           mx AS (SELECT max(period) AS mx FROM ud),
+           w AS (
+             SELECT t.we AS window_end, user_id
+             FROM ud, mx, unnest(generate_series(period,
+               least(period + 6 * 86400000000, mx), 86400000000)) AS t(we))
+           SELECT window_end,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+           FROM w GROUP BY 1 ORDER BY 1""",
 
       "q_mad_anomaly" ->
         """WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS ts_us,

@@ -253,6 +253,33 @@ object TimeSeries {
         count(lit(1)).as("n_events"))
   }
 
+  /** Sliding-window active users (the WAU curve): for every period P
+    * (with data at or after it), the distinct users active in the
+    * trailing `nPeriods` periods ending at P. Computed EXACTLY without
+    * any sliding-window state: the compact distinct (user, period) table
+    * (one row per user-period, map-side combined) explodes each row into
+    * the ≤`nPeriods` windows it contributes to, then one distinct count
+    * per window — shuffle volume ∝ user-periods × nPeriods, independent
+    * of raw event count. Windows past the last observed period are
+    * trimmed (they'd be partial).
+    */
+  def slidingActiveUsers(events: DataFrame, periodUs: Long,
+      nPeriods: Int): DataFrame = {
+    val ev = withTsUs(events)
+    val userPeriods = ev.select(
+        (col("ts_us") - pmod(col("ts_us"), lit(periodUs))).as("period"),
+        col("user_id"))
+      .distinct()
+    val mx = userPeriods.agg(max("period").as("mx"))
+    userPeriods.crossJoin(broadcast(mx))
+      .select(explode(sequence(col("period"),
+          least(col("period") + lit((nPeriods - 1) * periodUs), col("mx")),
+          lit(periodUs))).as("window_end"),
+        col("user_id"))
+      .groupBy("window_end")
+      .agg(countDistinct("user_id").as("active_users"))
+  }
+
   /** Streaming twin of [[intervalJoin]] for the attribution case: a
     * watermarked STREAM-STREAM inner join pairing each click with the
     * same user's purchases within `maxLag` after it. Spark's native

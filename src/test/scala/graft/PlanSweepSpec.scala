@@ -21,7 +21,8 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "q_quantized_ann", // broadcast query set over the int8 candidate scan
     "q_tfidf", // tfidf: 1-ROW broadcast (corpus doc count) as a scalar
     "q_pmi_bigrams", // 1-ROW broadcast (total bigram count) as a scalar
-    "q_bm25") // 1-ROW broadcast (N, avgdl) as scalars
+    "q_bm25", // 1-ROW broadcast (N, avgdl) as scalars
+    "q_wau_sliding") // 1-ROW broadcast (max observed period) as a scalar
 
   test("no driver query plans an unbounded cartesian / nested loop") {
     val dir = "/root/testdata/sf0.001"

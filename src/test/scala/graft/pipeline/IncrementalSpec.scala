@@ -87,6 +87,22 @@ class IncrementalSpec extends AnyFunSuite with SparkTestBase {
     assert(spread >= 6, s"hot key spread over only $spread salts")
   }
 
+  test("slidingActiveUsers: trailing windows, trimmed at the data edge") {
+    val S = 1000000L; val day = 86400L * S
+    // user 1 on day 0; user 2 on day 1; user 1 again on day 3 (last day)
+    val events = Seq((1L, 0L), (2L, day + S), (1L, 3 * day + S))
+      .map { case (u, ts) => (u, ts, 100L, "click", 1.0, "{}") }
+      .toDF("user_id", "ts_us", "event_id", "event_type", "value", "props")
+      .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"),
+        col("event_id"), col("event_type"), col("value"), col("props"))
+    val out = TimeSeries.slidingActiveUsers(events, day, nPeriods = 3)
+      .orderBy("window_end").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // windows (trailing 3 days, ending at observed-or-earlier periods):
+    // end d0: {1}; end d1: {1,2}; end d2: {1,2}; end d3: {2 (d1), 1 (d3)}
+    assert(out == Seq((0L, 1L), (day, 2L), (2 * day, 2L), (3 * day, 2L)))
+  }
+
   test("activeUsers: exact distinct per period") {
     val S = 1000000L
     val day = 86400L * S
