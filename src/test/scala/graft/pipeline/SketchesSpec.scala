@@ -173,6 +173,14 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
       expectedItems = 10L, fpp = 0.5))
     assert(pruned == exact)
     assert(exact.size == 12, "3 matching keys x 4 rows each")
+    // string keys probe as strings (a silent cast-to-long would null out
+    // every key and drop all rows)
+    val bigS = (0 until 100).map(i => (s"key${i % 10}", i.toLong))
+      .toDF("k", "v")
+    val smallS = Seq(("key3", "x"), ("key7", "y")).toDF("sk", "dim")
+    val joinedS = Analytics.bloomPrunedJoin(bigS, smallS, "k", "sk",
+      expectedItems = 10L).count()
+    assert(joinedS == 20L, s"got $joinedS")
   }
 
   test("datasetCard reports volume and exact-dup mass per source") {
