@@ -741,6 +741,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Z-order key assignment over (doc_id, n_chars) on an 8-bit grid —
+    // the data-skipping layout key, oracle-checked bit-for-bit
+    "q_zorder_key" -> ((s, dir) =>
+      graft.pipeline.Layout.withZValue(docs(s, dir), "doc_id", "n_chars",
+          bits = 8, "z")
+        .select(col("doc_id"), col("n_chars"), col("z"))
+        .orderBy("doc_id")),
+
     // trailing 7-day distinct users per day (sliding WAU, exact)
     "q_wau_sliding" -> ((s, dir) =>
       TimeSeries.slidingActiveUsers(table(s, dir, "events"),
@@ -1003,6 +1011,32 @@ object SparkEntry {
                  a.sig[bb*4+1:bb*4+4] = b.sig[bb*4+1:bb*4+4])) > 0
                AND CAST(len(list_intersect(a.h, b.h)) AS DOUBLE) /
                  (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))) >= 0.3)"""
+
+  /** Z-order oracle, GENERATED for the same bit count the query uses —
+    * the interleave is 2·bits parenthesized shift/mask terms OR'd
+    * together, mechanical in any SQL dialect. */
+  private val zorderKeyOracle: String = {
+    val bits = 8
+    def scaled(v: String, lo: String, hi: String) =
+      s"least(255, CAST(floor((CAST($v AS DOUBLE) - $lo) / ($hi - $lo) * 256) AS BIGINT))"
+    val terms = (0 until bits).flatMap(i => Seq(
+      s"(((sa >> $i) & 1) << ${2 * i})",
+      s"(((sb >> $i) & 1) << ${2 * i + 1})"))
+    s"""WITH mm AS (
+         SELECT CAST(min(doc_id) AS DOUBLE) AS loA,
+                CAST(max(doc_id) AS DOUBLE) AS hiA,
+                CAST(min(n_chars) AS DOUBLE) AS loB,
+                CAST(max(n_chars) AS DOUBLE) AS hiB
+         FROM documents),
+       s AS (
+         SELECT doc_id, n_chars,
+           ${scaled("doc_id", "loA", "hiA")} AS sa,
+           ${scaled("n_chars", "loB", "hiB")} AS sb
+         FROM documents, mm)
+       SELECT doc_id, n_chars,
+         CAST(${terms.mkString(" | ")} AS BIGINT) AS z
+       FROM s ORDER BY doc_id"""
+  }
 
   def oracleSql: Map[String, String] = {
     val evCols = "event_id, 'events/' || event_type AS entry, epoch_us(ts) AS ts"
@@ -2817,6 +2851,8 @@ object SparkEntry {
              CAST(n_chars AS BIGINT) AS n_chars
            FROM merged WHERE op IS NULL OR op <> 'delete'
            ORDER BY doc_id""",
+
+      "q_zorder_key" -> zorderKeyOracle,
 
       "q_wau_sliding" ->
         """WITH ud AS (

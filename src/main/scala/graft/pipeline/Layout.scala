@@ -56,7 +56,18 @@ object Layout {
     * gracefully: equal Z-values stay adjacent.
     */
   def zOrdered(df: DataFrame, colA: String, colB: String, nFiles: Int,
-      bits: Int = 16): DataFrame = {
+      bits: Int = 16): DataFrame =
+    withZValue(df, colA, colB, bits, "__z")
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+
+  /** Append the Z-value of (`colA`, `colB`) as `outCol`: each column
+    * min/max-scaled onto a `bits`-bit grid (one tiny aggregate), then
+    * bit-interleaved. The scaling chain is subtract/divide/floor on
+    * doubles — correctly-rounded IEEE ops, engine-portable. */
+  def withZValue(df: DataFrame, colA: String, colB: String, bits: Int,
+      outCol: String): DataFrame = {
     val mm = df.agg(
       min(col(colA).cast("double")).as("minA"),
       max(col(colA).cast("double")).as("maxA"),
@@ -70,11 +81,8 @@ object Layout {
       else least(lit(hi), floor(
         (c.cast("double") - lit(lo)) / lit(hiV - lo) * lit(hi + 1.0))
         .cast("long"))
-    df.withColumn("__z",
-        zValue(scaled(col(colA), minA, maxA), scaled(col(colB), minB, maxB),
-          bits))
-      .repartitionByRange(nFiles, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
+    df.withColumn(outCol,
+      zValue(scaled(col(colA), minA, maxA), scaled(col(colB), minB, maxB),
+        bits))
   }
 }
