@@ -741,6 +741,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // full Count-Min matrix (4×64, md5-hex slots) over the corpus's
+    // tokens — every cell oracle-checked, proving the mergeable sketch
+    // is bit-reproducible in any engine
+    "q_countmin" -> ((s, dir) => {
+      val agg = org.apache.spark.sql.functions.udaf(
+        new Sketches.CountMinAgg(4, 64),
+        org.apache.spark.sql.Encoders.STRING)
+      docs(s, dir)
+        .select(explode(TextAnalysis.terms(col("text"))).as("term"))
+        .agg(agg(col("term")).as("m"))
+        .select(posexplode(col("m")))
+        .select(expr("pos DIV 64").cast("bigint").as("r"),
+          pmod(col("pos"), lit(64)).cast("bigint").as("slot"),
+          col("col").as("cnt"))
+        .orderBy("r", "slot")
+    }),
+
     // Z-order key assignment over (doc_id, n_chars) on an 8-bit grid —
     // the data-skipping layout key, oracle-checked bit-for-bit
     "q_zorder_key" -> ((s, dir) =>
@@ -2851,6 +2868,26 @@ object SparkEntry {
              CAST(n_chars AS BIGINT) AS n_chars
            FROM merged WHERE op IS NULL OR op <> 'delete'
            ORDER BY doc_id""",
+
+      "q_countmin" ->
+        """WITH toks AS (
+             SELECT lower(t.term) AS term
+             FROM documents, unnest(list_filter(
+               regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
+               x -> x <> '')) AS t(term)),
+           cells AS (
+             SELECT rr.r AS r,
+               ('0x' || substring(md5(CAST(rr.r AS VARCHAR) || ':' || term),
+                 1, 15))::BIGINT % 64 AS slot,
+               CAST(count(*) AS BIGINT) AS cnt
+             FROM toks CROSS JOIN range(4) rr(r) GROUP BY 1, 2),
+           grid AS (
+             SELECT a.r AS r, b.s AS slot
+             FROM range(4) a(r) CROSS JOIN range(64) b(s))
+           SELECT grid.r, grid.slot, coalesce(cnt, 0) AS cnt
+           FROM grid LEFT JOIN cells
+             ON grid.r = cells.r AND grid.slot = cells.slot
+           ORDER BY grid.r, grid.slot""",
 
       "q_zorder_key" -> zorderKeyOracle,
 

@@ -194,12 +194,16 @@ object Sketches {
 
   object CountMin {
     /** Row-seeded slot for a term: md5 is stable across engines and
-      * restarts (no JVM hash seeding), so sketches are reproducible. */
+      * restarts (no JVM hash seeding), so sketches are reproducible —
+      * and the 60-bit hex-prefix convention matches the repo's other
+      * md5-derived oracles, so any SQL engine regenerates the exact
+      * matrix: `('0x' || substring(md5(r || ':' || term), 1, 15))::BIGINT
+      * % width`. */
     def slot(term: String, row: Int, width: Int): Int = {
       val d = java.security.MessageDigest.getInstance("MD5")
         .digest(s"$row:$term".getBytes("UTF-8"))
-      val h = java.nio.ByteBuffer.wrap(d).getLong(0) & Long.MaxValue
-      (h % width).toInt
+      val hex = d.take(8).map(b => f"$b%02x").mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16) % width).toInt
     }
 
     /** Point query against a finished sketch matrix. */
