@@ -2604,11 +2604,11 @@ object SparkEntry {
 
       "q_snapshot_diff" ->
         """WITH old AS (SELECT doc_id,
-                 md5(text || ' ' || source) AS old_digest
+                 md5(text || chr(31) || source) AS old_digest
                FROM documents WHERE doc_id % 7 <> 0),
            nw AS (SELECT doc_id,
                  md5((CASE WHEN doc_id % 11 = 0 THEN text || ' v2'
-                       ELSE text END) || ' ' || source) AS new_digest
+                       ELSE text END) || chr(31) || source) AS new_digest
                FROM documents WHERE doc_id % 5 <> 0)
            SELECT coalesce(old.doc_id, nw.doc_id) AS doc_id,
              CASE WHEN old_digest IS NULL THEN 'added'

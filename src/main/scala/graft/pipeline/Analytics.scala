@@ -50,8 +50,12 @@ object Analytics {
     */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
       contentCols: Seq[String]): DataFrame = {
+    // 0x1F (unit separator) between content columns: prevents
+    // ("ab","c")/("a","bc")-style digest collisions while staying
+    // representable in every engine's VARCHAR (DuckDB rejects embedded
+    // NUL, so an oracle twin could never match a NUL separator)
     def digested(df: DataFrame, name: String) = df.select(col(idCol),
-      md5(concat_ws("\u0000", contentCols.map(col): _*)).as(name))
+      md5(concat_ws("\u001F", contentCols.map(col): _*)).as(name))
     digested(oldDf, "old_digest")
       .join(digested(newDf, "new_digest"), Seq(idCol), "full_outer")
       .select(col(idCol),
@@ -180,9 +184,11 @@ object Analytics {
       pmod(hash(big.columns.map(col): _*), lit(salts)))
     val saltedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
+    // frame-qualified key refs: unqualified col(...) is ambiguous the
+    // moment both sides name their key identically
     saltedBig
       .join(saltedSmall,
-        col(bigKey) === col(smallKey) &&
+        saltedBig(bigKey) === saltedSmall(smallKey) &&
           saltedBig("__salt") === saltedSmall("__salt"))
       .drop("__salt")
   }
@@ -260,7 +266,8 @@ object Analytics {
       case other => throw new IllegalArgumentException(
         s"bloomPrunedJoin key must be integral or string, got $other")
     }
-    big.filter(probe).join(small, col(bigKey) === col(smallKey))
+    val pruned = big.filter(probe)
+    pruned.join(small, pruned(bigKey) === small(smallKey))
   }
 
   /** Per-source dataset card: the one-pass summary panel a curation run

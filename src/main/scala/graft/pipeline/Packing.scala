@@ -69,8 +69,11 @@ object Packing {
     * (sampled range boundaries), parallel sorted writes.
     *
     * `df.write.partitionBy("shard")` on the result materializes the
-    * layout; the shard column also serves as the deterministic resume /
-    * bookkeeping key.
+    * layout. Shard BOUNDARIES come from range-partitioner sampling, so
+    * they are stable within a run but may shift between runs or after
+    * upstream plan changes — resume bookkeeping must key on the sort
+    * key ranges actually written (shard manifest), not on shard ids
+    * alone.
     */
   def orderedShards(df: DataFrame, orderCol: String,
       nShards: Int): DataFrame = {

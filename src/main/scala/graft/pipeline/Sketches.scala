@@ -43,6 +43,8 @@ object Sketches {
     * top-`k` surviving counters ordered (count desc, term asc). */
   final class SpaceSavingAgg(capacity: Int, k: Int)
       extends Aggregator[String, SpaceSavingBuffer, HeavyHitters] {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    require(k > 0, s"k must be positive, got $k")
 
     override def zero: SpaceSavingBuffer =
       new SpaceSavingBuffer(new java.util.HashMap[String, Array[Long]], 0L)
@@ -65,6 +67,7 @@ object Sketches {
     }
 
     override def reduce(b: SpaceSavingBuffer, term: String): SpaceSavingBuffer = {
+      if (term == null) return b // null is absence, not a countable term
       val cur = b.counters.get(term)
       if (cur != null) cur(0) += 1
       else if (b.counters.size < capacity)
@@ -170,9 +173,12 @@ object Sketches {
 
   final class CountMinAgg(depth: Int, width: Int)
       extends Aggregator[String, CountMinBuffer, Array[Long]] {
+    require(depth > 0 && width > 0,
+      s"depth/width must be positive, got $depth x $width")
     override def zero: CountMinBuffer =
       new CountMinBuffer(new Array[Long](depth * width))
     override def reduce(b: CountMinBuffer, term: String): CountMinBuffer = {
+      if (term == null) return b
       var r = 0
       while (r < depth) {
         b.m(r * width + CountMin.slot(term, r, width)) += 1
@@ -199,11 +205,18 @@ object Sketches {
       * md5-derived oracles, so any SQL engine regenerates the exact
       * matrix: `('0x' || substring(md5(r || ':' || term), 1, 15))::BIGINT
       * % width`. */
+    private val localMd5 =
+      ThreadLocal.withInitial[java.security.MessageDigest](() =>
+        java.security.MessageDigest.getInstance("MD5"))
+
     def slot(term: String, row: Int, width: Int): Int = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$row:$term".getBytes("UTF-8"))
-      val hex = d.take(8).map(b => f"$b%02x").mkString.take(15)
-      (java.lang.Long.parseLong(hex, 16) % width).toInt
+      val md = localMd5.get()
+      md.reset()
+      val d = md.digest(s"$row:$term".getBytes("UTF-8"))
+      // first 15 hex chars = first 60 bits = big-endian first-long >>> 4
+      // (bit-identical to parsing the hex prefix, without string churn)
+      val h = java.nio.ByteBuffer.wrap(d).getLong(0) >>> 4
+      (h % width).toInt
     }
 
     /** Point query against a finished sketch matrix. */

@@ -647,7 +647,6 @@ object TextAnalysis {
   def bm25TopDocs(docs: DataFrame, queryTerms: Seq[String], k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val qset = queryTerms.map(lit(_))
     val d = docs.select(col(idCol).as("doc_id"), terms(col(textCol)).as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -328,7 +328,7 @@ object StatefulStream {
     implicit val stateEnc = Encoders.kryo[Sketches.SpaceSavingBuffer]
     implicit val outEnc = Encoders.product[TrendingTerm]
     records.groupByKey { r: Row =>
-      val ts = r.getLong(tsIdx); ts - ts % windowUs
+      val ts = r.getLong(tsIdx); ts - Math.floorMod(ts, windowUs)
     }.flatMapGroupsWithState[Sketches.SpaceSavingBuffer, TrendingTerm](
       OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
       (start: Long, rows: Iterator[Row],
@@ -374,7 +374,7 @@ object StatefulStream {
       Encoders.kryo[(scala.collection.mutable.HashSet[Long], Long)]
     implicit val outEnc = Encoders.product[WindowUsers]
     records.groupByKey { r: Row =>
-      val ts = r.getLong(tsIdx); ts - ts % windowUs
+      val ts = r.getLong(tsIdx); ts - Math.floorMod(ts, windowUs)
     }.flatMapGroupsWithState[(scala.collection.mutable.HashSet[Long], Long),
         WindowUsers](
       OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {

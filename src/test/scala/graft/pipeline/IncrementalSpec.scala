@@ -85,6 +85,11 @@ class IncrementalSpec extends AnyFunSuite with SparkTestBase {
       .where(col("k") === "hot")
       .select(countDistinct("__salt")).head().getLong(0)
     assert(spread >= 6, s"hot key spread over only $spread salts")
+    // same-named keys on both sides must not be ambiguous
+    val sameName = Analytics.saltedJoin(big,
+      small.withColumnRenamed("sk", "k").withColumnRenamed("dim", "d2"),
+      "k", "k", salts = 4)
+    assert(sameName.count() == 1000)
   }
 
   test("slidingActiveUsers: trailing windows, trimmed at the data edge") {

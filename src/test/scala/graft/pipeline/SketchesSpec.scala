@@ -181,6 +181,11 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     val joinedS = Analytics.bloomPrunedJoin(bigS, smallS, "k", "sk",
       expectedItems = 10L).count()
     assert(joinedS == 20L, s"got $joinedS")
+    // same-named keys on both sides must not be ambiguous
+    val sameName = Analytics.bloomPrunedJoin(bigS,
+      smallS.withColumnRenamed("sk", "k").withColumnRenamed("dim", "d2"),
+      "k", "k", expectedItems = 10L).count()
+    assert(sameName == 20L)
   }
 
   test("datasetCard reports volume and exact-dup mass per source") {
