@@ -177,11 +177,29 @@ object Sketches {
       s"depth/width must be positive, got $depth x $width")
     override def zero: CountMinBuffer =
       new CountMinBuffer(new Array[Long](depth * width))
+    // Per-thread slot memo: real token streams repeat a heavy-tailed
+    // vocabulary, so the depth MD5s per term amortize to ~zero. Bounded
+    // at 64k distinct terms per executor thread — past that, rare terms
+    // just recompute (correctness unaffected).
+    @transient private lazy val slotCache =
+      ThreadLocal.withInitial[java.util.HashMap[String, Array[Int]]](() =>
+        new java.util.HashMap[String, Array[Int]])
+
+    private def slots(term: String): Array[Int] = {
+      val cache = slotCache.get()
+      val hit = cache.get(term)
+      if (hit != null) return hit
+      val s = Array.tabulate(depth)(r => CountMin.slot(term, r, width))
+      if (cache.size < 65536) cache.put(term, s)
+      s
+    }
+
     override def reduce(b: CountMinBuffer, term: String): CountMinBuffer = {
       if (term == null) return b
+      val ss = slots(term)
       var r = 0
       while (r < depth) {
-        b.m(r * width + CountMin.slot(term, r, width)) += 1
+        b.m(r * width + ss(r)) += 1
         r += 1
       }
       b
