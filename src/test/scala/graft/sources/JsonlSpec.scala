@@ -42,6 +42,39 @@ class JsonlSpec extends AnyFunSuite with SparkTestBase {
     assert(rep(0).getAs[String]("sample").nonEmpty)
   }
 
+  test("streaming ingest: same permissive contract over readStream") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("jsonl-s").toString
+    val ck = Files.createTempDirectory("jsonl-s-ck").toString
+    val outClean = Files.createTempDirectory("jsonl-s-out").toString
+    writeGz(dir, "a.jsonl.gz", Seq(
+      """{"doc_id": 1, "text": "hello", "lang": "en"}""",
+      """broken line"""))
+    val withCorrupt = schema.add(Jsonl.CorruptCol, "string")
+    val stream = spark.readStream
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", Jsonl.CorruptCol)
+      .json(dir)
+    // clean rows flow to the sink; damage is counted per micro-batch
+    var badSeen = 0L
+    stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        badSeen += batch.filter(col(Jsonl.CorruptCol).isNotNull).count()
+        batch.filter(col(Jsonl.CorruptCol).isNull)
+          .drop(Jsonl.CorruptCol)
+          .write.mode("append").parquet(outClean)
+        ()
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val clean = spark.read.parquet(outClean)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(clean == Seq(1L))
+    assert(badSeen == 1L)
+  }
+
   test("type-mismatched fields are damage too, not silent nulls") {
     val dir = Files.createTempDirectory("jsonl2").toString
     writeGz(dir, "c.jsonl.gz", Seq(
