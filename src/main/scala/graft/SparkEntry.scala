@@ -772,6 +772,11 @@ object SparkEntry {
           86400000000L, nPeriods = 7)
         .orderBy("window_end")),
 
+    // per-type least-squares value trend (slope per second, intercept)
+    "q_trend_slope" -> ((s, dir) =>
+      TimeSeries.trendSlope(table(s, dir, "events"))
+        .orderBy("event_type")),
+
     // robust (median/MAD) anomaly flags — the 50%-breakdown variant of
     // the 3σ q_anomaly
     "q_mad_anomaly" -> ((s, dir) =>
@@ -2903,6 +2908,30 @@ object SparkEntry {
            SELECT window_end,
              CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
            FROM w GROUP BY 1 ORDER BY 1""",
+
+      "q_trend_slope" ->
+        """WITH e AS (
+             SELECT event_type, epoch_us(ts) AS ts_us, value FROM events),
+           tm AS (SELECT event_type, min(ts_us) AS tmin
+                  FROM e GROUP BY 1),
+           d AS (
+             SELECT e.event_type,
+               CAST(ts_us - tmin AS DECIMAL(38,0)) AS x,
+               CAST(value AS DECIMAL(38,6)) AS y
+             FROM e JOIN tm USING (event_type)),
+           m AS (
+             SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS DOUBLE) AS sx,
+               CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(x * y) AS DOUBLE) AS sxy,
+               CAST(sum(x * x) AS DOUBLE) AS sxx
+             FROM d GROUP BY event_type)
+           SELECT event_type, n,
+             round((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6, 8)
+               AS slope,
+             round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+               / n, 8) AS intercept
+           FROM m ORDER BY event_type""",
 
       "q_mad_anomaly" ->
         """WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS ts_us,

@@ -214,6 +214,39 @@ object TimeSeries {
     // (left, right) pair joins at most once
   }
 
+  /** Per-type linear trend (least-squares slope of value over time) —
+    * the drift-detection signal monitoring fits per metric:
+    * (event_type, n, slope, intercept). x is seconds since the type's
+    * first event; all five moments (n, Σx, Σy, Σxy, Σx²) accumulate as
+    * DECIMAL(38,6) — exact, order-independent, safely inside 38 digits
+    * with x in seconds — and only the final closed-form arithmetic runs
+    * in doubles (each sum cast once, correctly rounded, so both engines
+    * compute bit-identical slopes before the output rounding). One
+    * map-side-combined groupBy; no window, no second pass.
+    */
+  def trendSlope(events: DataFrame): DataFrame = {
+    val ev = withTsUs(events)
+    val tmin = ev.groupBy("event_type").agg(min("ts_us").as("tmin"))
+    // x stays in integer µs (decimal scale 0) — NO decimal division
+    // anywhere, whose scale rules differ across engines; Σx² ≤ ~7e30
+    // fits 38 digits for month-scale spans
+    val d = ev.join(broadcast(tmin), "event_type")
+      .withColumn("x", (col("ts_us") - col("tmin")).cast("decimal(38,0)"))
+      .withColumn("y", col("value").cast("decimal(38,6)"))
+    val m = d.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum("x").cast("double").as("sx"),
+      sum("y").cast("double").as("sy"),
+      sum(col("x") * col("y")).cast("double").as("sxy"),
+      sum(col("x") * col("x")).cast("double").as("sxx"))
+    val nD = col("n").cast("double")
+    val slopeUs = (nD * col("sxy") - col("sx") * col("sy")) /
+      (nD * col("sxx") - col("sx") * col("sx"))
+    m.select(col("event_type"), col("n"),
+      round(slopeUs * lit(1e6), 8).as("slope"), // per second
+      round((col("sy") - slopeUs * col("sx")) / nD, 8).as("intercept"))
+  }
+
   /** Robust anomaly flags via MAD (median absolute deviation): events
     * whose value sits more than `k`·MAD from their type's MEDIAN. Unlike
     * the 3σ z-score (whose mean and σ are themselves dragged by the

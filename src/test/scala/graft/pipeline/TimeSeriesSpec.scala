@@ -107,6 +107,17 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
       "per-type moments must broadcast back onto the stream")
   }
 
+  test("trendSlope: exact least-squares line on planted linear data") {
+    // y = 3·x_seconds + 5 exactly (ts in ms here, ev() scales to µs)
+    val df = ev((1 to 9).map(i =>
+      (i.toLong, i.toLong * 1000000, 1L, "a", 3.0 * i + 5.0)): _*)
+    val r = TimeSeries.trendSlope(df).collect()(0)
+    assert(r.getAs[Long]("n") == 9L)
+    assert(r.getAs[Double]("slope") == 3.0, s"slope ${r.getAs[Double]("slope")}")
+    // intercept is at x=0 = the FIRST event's time (x rebased): y(1s)=8
+    assert(r.getAs[Double]("intercept") == 8.0)
+  }
+
   test("madAnomalies: robust to the outliers the z-score misses") {
     // 12 inliers at 10±1 plus TWO huge outliers: the larger one drags σ
     // so far that the z-score MASKS the smaller (classic masking);
