@@ -177,26 +177,9 @@ object Sketches {
       s"depth/width must be positive, got $depth x $width")
     override def zero: CountMinBuffer =
       new CountMinBuffer(new Array[Long](depth * width))
-    // Per-thread slot memo: real token streams repeat a heavy-tailed
-    // vocabulary, so the depth MD5s per term amortize to ~zero. Bounded
-    // at 64k distinct terms per executor thread — past that, rare terms
-    // just recompute (correctness unaffected).
-    @transient private lazy val slotCache =
-      ThreadLocal.withInitial[java.util.HashMap[String, Array[Int]]](() =>
-        new java.util.HashMap[String, Array[Int]])
-
-    private def slots(term: String): Array[Int] = {
-      val cache = slotCache.get()
-      val hit = cache.get(term)
-      if (hit != null) return hit
-      val s = Array.tabulate(depth)(r => CountMin.slot(term, r, width))
-      if (cache.size < 65536) cache.put(term, s)
-      s
-    }
-
     override def reduce(b: CountMinBuffer, term: String): CountMinBuffer = {
       if (term == null) return b
-      val ss = slots(term)
+      val ss = CountMin.cachedSlots(term, depth, width)
       var r = 0
       while (r < depth) {
         b.m(r * width + ss(r)) += 1
@@ -226,6 +209,28 @@ object Sketches {
     private val localMd5 =
       ThreadLocal.withInitial[java.security.MessageDigest](() =>
         java.security.MessageDigest.getInstance("MD5"))
+
+    // Object-scoped per-thread slot memo (like localMd5): shared by every
+    // task on the executor thread, so real token streams — which repeat a
+    // heavy-tailed vocabulary — amortize the depth MD5s per term to a map
+    // lookup across the WHOLE job, and completed tasks strand nothing
+    // (an instance-scoped cache would reset cold per task and leave its
+    // map on the thread). Bounded at 64k terms per (depth, width); rarer
+    // terms just recompute.
+    private val slotCaches = ThreadLocal.withInitial[
+        java.util.HashMap[(Int, Int), java.util.HashMap[String, Array[Int]]]](
+      () => new java.util.HashMap)
+
+    private[pipeline] def cachedSlots(term: String, depth: Int,
+        width: Int): Array[Int] = {
+      val cache = slotCaches.get().computeIfAbsent((depth, width),
+        _ => new java.util.HashMap[String, Array[Int]])
+      val hit = cache.get(term)
+      if (hit != null) return hit
+      val s = Array.tabulate(depth)(r => slot(term, r, width))
+      if (cache.size < 65536) cache.put(term, s)
+      s
+    }
 
     def slot(term: String, row: Int, width: Int): Int = {
       val md = localMd5.get()

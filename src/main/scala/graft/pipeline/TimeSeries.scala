@@ -216,12 +216,13 @@ object TimeSeries {
 
   /** Per-type linear trend (least-squares slope of value over time) —
     * the drift-detection signal monitoring fits per metric:
-    * (event_type, n, slope, intercept). x is seconds since the type's
-    * first event; all five moments (n, Σx, Σy, Σxy, Σx²) accumulate as
-    * DECIMAL(38,6) — exact, order-independent, safely inside 38 digits
-    * with x in seconds — and only the final closed-form arithmetic runs
-    * in doubles (each sum cast once, correctly rounded, so both engines
-    * compute bit-identical slopes before the output rounding). One
+    * (event_type, n, slope, intercept). x is INTEGER MICROSECONDS since
+    * the type's first event; Σx/Σx² accumulate as DECIMAL(38,0) and
+    * Σy/Σxy as DECIMAL(38,6) — exact, order-independent, inside 38
+    * digits for month-scale spans — and only the final closed-form
+    * arithmetic runs in doubles (each sum cast once, correctly rounded,
+    * so both engines compute bit-identical slopes before the output
+    * rounding; the slope converts to per-second by a final ×1e6). One
     * map-side-combined groupBy; no window, no second pass.
     */
   def trendSlope(events: DataFrame): DataFrame = {

@@ -22,19 +22,32 @@ object Jsonl {
 
   val CorruptCol = "_corrupt_record"
 
+  private def withCorrupt(schema: StructType): StructType =
+    if (schema.fieldNames.contains(CorruptCol)) schema
+    else schema.add(CorruptCol, "string")
+
   /** Read with an explicit schema; malformed lines survive as rows with
     * only `_corrupt_record` + `src_file` set. */
-  def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
-    val withCorrupt =
-      if (schema.fieldNames.contains(CorruptCol)) schema
-      else schema.add(CorruptCol, "string")
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read
-      .schema(withCorrupt)
+      .schema(withCorrupt(schema))
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", CorruptCol)
       .json(path)
       .withColumn("src_file", input_file_name())
-  }
+
+  /** The same permissive contract over a STREAM of arriving dump files:
+    * identical reader wiring, so batch and continuous ingest cannot
+    * drift apart. Split clean rows from damage per micro-batch in
+    * `foreachBatch` (see JsonlSpec's streaming case). */
+  def readStream(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.readStream
+      .schema(withCorrupt(schema))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
+      .withColumn("src_file", input_file_name())
 
   /** Split an ingest into (clean rows, damage report): the report is one
     * row per source file with its bad-line count and a deterministic

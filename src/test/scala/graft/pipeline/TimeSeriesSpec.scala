@@ -108,7 +108,7 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("trendSlope: exact least-squares line on planted linear data") {
-    // y = 3·x_seconds + 5 exactly (ts in ms here, ev() scales to µs)
+    // y = 3·x_seconds + 5 exactly (ev()'s ts_in IS µs; steps of 1 s)
     val df = ev((1 to 9).map(i =>
       (i.toLong, i.toLong * 1000000, 1L, "a", 3.0 * i + 5.0)): _*)
     val r = TimeSeries.trendSlope(df).collect()(0)

@@ -51,12 +51,7 @@ class JsonlSpec extends AnyFunSuite with SparkTestBase {
     writeGz(dir, "a.jsonl.gz", Seq(
       """{"doc_id": 1, "text": "hello", "lang": "en"}""",
       """broken line"""))
-    val withCorrupt = schema.add(Jsonl.CorruptCol, "string")
-    val stream = spark.readStream
-      .schema(withCorrupt)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", Jsonl.CorruptCol)
-      .json(dir)
+    val stream = Jsonl.readStream(spark, dir, schema)
     // clean rows flow to the sink; damage is counted per micro-batch
     var badSeen = 0L
     stream.writeStream
