@@ -100,7 +100,7 @@ class DifferentialSpec extends AnyFunSuite with SparkTestBase {
 
     var tested = 0
     var seed = 0L
-    while (tested < 200) {
+    while (tested < 400) {
       seed += 1
       val tree = sample(genTree(if (seed % 4 == 0) 4 else 3), seed)
       if (!Node.isStateful(tree)) {
