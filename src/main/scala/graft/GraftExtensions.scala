@@ -119,6 +119,10 @@ object GraftExtensions {
           import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd, BitwiseOr, Cast, ShiftLeft, ShiftRightUnsigned}
           import org.apache.spark.sql.types.LongType
           val bits = litInt(bitsE, "bits")
+          // Mirror Layout.zValue's require(1..31): bits<=0 would
+          // silently return 0 and bits>31 wraps shift amounts mod 64.
+          if (bits < 1 || bits > 31)
+            throw CondError(s"graft_zvalue bits must be in [1,31], got $bits")
           val a = Cast(a0, LongType)
           val b = Cast(b0, LongType)
           (0 until bits).foldLeft[Expression](Literal(0L)) { (acc, i) =>

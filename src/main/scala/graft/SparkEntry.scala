@@ -2972,12 +2972,13 @@ object SparkEntry {
       "q_value_histogram" ->
         """WITH mm AS (
              SELECT min(CAST(value AS DOUBLE)) AS lo,
-               max(CAST(value AS DOUBLE)) AS hi FROM events),
+               max(CAST(value AS DOUBLE)) AS hi FROM events
+             WHERE value IS NOT NULL),
            b AS (
              SELECT event_type,
                CAST(least(19, floor((CAST(value AS DOUBLE) - lo)
                  / (hi - lo) * 20)) AS BIGINT) AS bin
-             FROM events, mm)
+             FROM events, mm WHERE value IS NOT NULL)
            SELECT event_type, bin,
              round(lo + bin * ((hi - lo) / 20), 6) AS bin_lo,
              round(lo + (bin + 1) * ((hi - lo) / 20), 6) AS bin_hi,

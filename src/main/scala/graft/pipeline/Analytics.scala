@@ -118,8 +118,18 @@ object Analytics {
   def histogram(df: DataFrame, groupCol: String, valueCol: String,
       bins: Int): DataFrame = {
     require(bins > 0, s"bins must be positive, got $bins")
-    val mm = df.agg(min(col(valueCol).cast("double")),
+    // NULL values carry no bin: floor(NULL) is NULL and least() skips
+    // nulls, which would silently park them in the top bin — drop them
+    // up front (and the min/max head() row is null on an all-null or
+    // empty input, so bail to an empty frame of the right shape).
+    val valued = df.filter(col(valueCol).isNotNull)
+    val mm = valued.agg(min(col(valueCol).cast("double")),
       max(col(valueCol).cast("double"))).head()
+    if (mm.isNullAt(0))
+      return valued.groupBy(col(groupCol), lit(0L).as("bin"))
+        .agg(count(lit(1)).as("n"))
+        .select(col(groupCol), col("bin"), lit(0d).as("bin_lo"),
+          lit(0d).as("bin_hi"), col("n"))
     val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
     val width = (hi - lo) / bins
     val bin =
@@ -127,7 +137,7 @@ object Analytics {
       else least(lit(bins - 1L),
         floor((col(valueCol).cast("double") - lit(lo)) / lit(hi - lo)
           * lit(bins)).cast("long"))
-    df.groupBy(col(groupCol), bin.as("bin"))
+    valued.groupBy(col(groupCol), bin.as("bin"))
       .agg(count(lit(1)).as("n"))
       .select(col(groupCol), col("bin"),
         round(lit(lo) + col("bin") * lit(width), 6).as("bin_lo"),

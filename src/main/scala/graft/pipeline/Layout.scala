@@ -73,14 +73,20 @@ object Layout {
       max(col(colA).cast("double")).as("maxA"),
       min(col(colB).cast("double")).as("minB"),
       max(col(colB).cast("double")).as("maxB")).head()
-    val (minA, maxA) = (mm.getDouble(0), mm.getDouble(1))
-    val (minB, maxB) = (mm.getDouble(2), mm.getDouble(3))
+    // min/max are null on an empty or all-null column — fall back to a
+    // degenerate [0,0] range so the scaling chain stays well-defined.
+    def d(i: Int): Double = if (mm.isNullAt(i)) 0d else mm.getDouble(i)
+    val (minA, maxA) = (d(0), d(1))
+    val (minB, maxB) = (d(2), d(3))
     val hi = (1L << bits) - 1
+    // A null coordinate must yield a NULL Z-value, not the top grid
+    // cell: floor(NULL) is NULL and least() SKIPS nulls, so without the
+    // guard least(hi, NULL) = hi parks every null row at the corner.
     def scaled(c: Column, lo: Double, hiV: Double): Column =
-      if (hiV <= lo) lit(0L)
-      else least(lit(hi), floor(
+      if (hiV <= lo) when(c.isNotNull, lit(0L))
+      else when(c.isNotNull, least(lit(hi), floor(
         (c.cast("double") - lit(lo)) / lit(hiV - lo) * lit(hi + 1.0))
-        .cast("long"))
+        .cast("long")))
     df.withColumn(outCol,
       zValue(scaled(col(colA), minA, maxA), scaled(col(colB), minB, maxB),
         bits))

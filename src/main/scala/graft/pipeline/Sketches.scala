@@ -126,7 +126,10 @@ object Sketches {
     private val one = new SpaceSavingAgg(capacity, k)
     override def zero: SpaceSavingBuffer = one.zero
     override def reduce(b: SpaceSavingBuffer, terms: Seq[String]): SpaceSavingBuffer = {
-      terms.foreach(one.reduce(b, _)); b
+      // Null array = absence, matching the scalar aggregator's
+      // null-term contract (a null text row must not kill the task).
+      if (terms != null) terms.foreach(one.reduce(b, _))
+      b
     }
     override def merge(a: SpaceSavingBuffer, b: SpaceSavingBuffer): SpaceSavingBuffer =
       one.merge(a, b)

@@ -84,4 +84,15 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
       .head().getLong(0)
     assert(viaApi == viaSql)
   }
+
+  test("graft_zvalue rejects bits outside [1,31], matching Layout.zValue") {
+    GraftExtensions.register(spark)
+    for (bad <- Seq(0, -1, 32, 64)) {
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT graft_zvalue(1L, 2L, $bad)").collect()
+      }
+      assert(e.getMessage.contains("[1,31]"),
+        s"bits=$bad must raise the range error, got: ${e.getMessage}")
+    }
+  }
 }

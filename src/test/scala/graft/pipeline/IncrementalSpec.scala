@@ -55,6 +55,19 @@ class IncrementalSpec extends AnyFunSuite with SparkTestBase {
       ("b", 0L, 1L), ("b", 1L, 1L), ("b", 3L, 1L)))
   }
 
+  test("histogram: null values are excluded, all-null input yields empty") {
+    val df = Seq(("a", Some(0.0)), ("a", Some(10.0)), ("a", None),
+      ("b", None)).toDF("g", "v")
+    val out = Analytics.histogram(df, "g", "v", bins = 2)
+      .orderBy("g", "bin").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(4))).toSeq
+    // nulls must NOT land in the top bin; group b (all null) vanishes
+    assert(out == Seq(("a", 0L, 1L), ("a", 1L, 1L)))
+    val empty = Analytics.histogram(
+      Seq.empty[(String, Option[Double])].toDF("g", "v"), "g", "v", 4)
+    assert(empty.count() == 0) // no NPE on the min/max head row
+  }
+
   test("profile: one-pass null/distinct/min/max per column") {
     val df = Seq((1L, Some("x")), (2L, None), (3L, Some("a")))
       .toDF("id", "s")

@@ -24,6 +24,19 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     assert(r2 == 10L) // b bits at positions 1 and 3 → 1010₂
   }
 
+  test("withZValue: null coordinates yield null Z, empty input no NPE") {
+    val df = Seq((Some(1.0), Some(2.0)), (None, Some(5.0)),
+      (Some(9.0), None)).toDF("a", "b")
+    val z = Layout.withZValue(df, "a", "b", 4, "z")
+      .select("z").collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(z(0).isDefined)
+    assert(z(1).isEmpty && z(2).isEmpty,
+      "a null coordinate must not be parked in the top grid cell")
+    val empty = Layout.withZValue(
+      Seq.empty[(Option[Double], Option[Double])].toDF("a", "b"), "a", "b", 4, "z")
+    assert(empty.count() == 0)
+  }
+
   test("bucketed tables join with no shuffle exchange, same results") {
     val a = (0 until 2000).map(i => (i.toLong % 400, s"a$i")).toDF("k", "va")
     val b = (0 until 1000).map(i => (i.toLong % 400, s"b$i")).toDF("k", "vb")

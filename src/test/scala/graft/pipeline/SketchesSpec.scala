@@ -70,6 +70,15 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     assert(set(perToken) == set(perArr))
   }
 
+  test("array form treats a null terms array as absence (no task kill)") {
+    val rows = Seq(("g0", Seq("x", "x", "y")), ("g0", null),
+      ("g1", null)).toDF("g", "terms")
+    val out = Sketches.heavyHittersPerGroupArr(rows, "g", col("terms"), 8, 5)
+      .select("g", "term", "count").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set(("g0", "x", 2L), ("g0", "y", 1L)))
+  }
+
   test("merge: per-group sketches agree with single-partition run") {
     val data = skewed(30, 2).zipWithIndex
       .map { case (t, i) => (s"g${i % 3}", t) }
