@@ -1,0 +1,40 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Session-scoped registry for the compact STAGING caches some operators
+  * keep alive (tf tables, bigram counts, distinct (term, source) pairs —
+  * always vocabulary-sized, never corpus-sized). The cache must outlive
+  * the operator call: the returned DataFrame is lazy and the staged
+  * table is consumed by more than one downstream branch, so the operator
+  * cannot unpersist it itself. Without a registry those persists are
+  * unreachable to the caller and accumulate over a long-lived session
+  * (a bench loop, a notebook): [[unstageAll]] is the explicit eviction
+  * point — call it between queries, or after the results of a staged
+  * operator have been fully materialized.
+  *
+  * Holding the frames strongly until eviction is the point (a weak ref
+  * could be collected while its cache entry lives on in the
+  * CacheManager, stranding the storage); the frames themselves are just
+  * plan objects, a few KB each.
+  */
+object Staging {
+  private val staged = scala.collection.mutable.ListBuffer.empty[DataFrame]
+
+  /** Persist `df` (MEMORY_AND_DISK) and register it for later eviction. */
+  def stage(df: DataFrame): DataFrame = synchronized {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    staged += p
+    p
+  }
+
+  /** Evict every registered staging cache (non-blocking unpersist). */
+  def unstageAll(): Unit = synchronized {
+    staged.foreach(_.unpersist(false))
+    staged.clear()
+  }
+
+  /** Number of currently registered staging caches (spec hook). */
+  def stagedCount: Int = synchronized(staged.size)
+}

@@ -413,7 +413,7 @@ object TextAnalysis {
     // the join but materializes one partition per term — a skew bomb on
     // stopwords — so it stays groupBy (map-side combined) + join.
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Staging.stage)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("doc_id")
@@ -495,7 +495,7 @@ object TextAnalysis {
         .as("g"))
       .select(col("id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
     val cb = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Staging.stage)
     val cp = cb.groupBy("w1").agg(sum("cnt").as("pn"))
     val v = cb.select(col("w1").as("w")).union(cb.select(col("w2")))
       .agg(countDistinct("w")).head.getLong(0)
@@ -561,7 +561,7 @@ object TextAnalysis {
     val ts = docs
       .select(col(sourceCol).as("src"), explode(terms(col(textCol))).as("term"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Staging.stage)
     val sizes = ts.groupBy("src").agg(count(lit(1)).as("n_terms"))
     val inter = ts.as("a")
       .join(ts.as("b"), col("a.term") === col("b.term") &&
@@ -609,7 +609,7 @@ object TextAnalysis {
         .as("g"))
       .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
     val cab = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Staging.stage)
     val ca = cab.groupBy("w1").agg(sum("c_ab").as("c_a"))
     val cb = cab.groupBy("w2").agg(sum("c_ab").as("c_b"))
     val n = cab.agg(sum("c_ab").as("n"))
@@ -649,7 +649,7 @@ object TextAnalysis {
       textCol: String = "text"): DataFrame = {
     val d = docs.select(col(idCol).as("doc_id"), terms(col(textCol)).as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Staging.stage)
     val tf = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
       .filter(col("term").isin(queryTerms: _*))
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))

@@ -52,13 +52,36 @@ object Jsonl {
   /** Split an ingest into (clean rows, damage report): the report is one
     * row per source file with its bad-line count and a deterministic
     * sample of the damage (min by content — stable across retries, no
-    * `first()` nondeterminism). */
+    * `first()` nondeterminism).
+    *
+    * Built on a raw text scan + `from_json` rather than the native json
+    * source, for two reasons. (1) NO CACHE: the json source refuses a
+    * query whose pruned schema is only `_corrupt_record`
+    * (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), so a
+    * native-source report branch would force persisting the whole
+    * corpus — at 100 TB, caching the ingest to count bad lines is the
+    * wrong trade. `from_json` has no such restriction: the clean branch
+    * and the report branch are two independent streams over a cheap
+    * text scan, and Catalyst's json-field pruning (SPARK-32958) reduces
+    * the report branch's parse to the corrupt field alone. (2) Same
+    * parser: `from_json` runs the identical Jackson parse with the
+    * identical PERMISSIVE options, so clean/report classify a line
+    * exactly as [[read]] would — pinned by JsonlSpec's parity case. The
+    * one behavioral seam is blank lines (the json source skips them;
+    * `from_json` would parse them to all-null "clean" rows), handled by
+    * the pre-parse trim filter. */
   def readWithReport(spark: SparkSession, path: String,
       schema: StructType): (DataFrame, DataFrame) = {
-    val all = read(spark, path, schema)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val clean = all.filter(col(CorruptCol).isNull).drop(CorruptCol)
-    val report = all.filter(col(CorruptCol).isNotNull)
+    val full = withCorrupt(schema)
+    val opts = Map("mode" -> "PERMISSIVE",
+      "columnNameOfCorruptRecord" -> CorruptCol)
+    val parsed = spark.read.text(path)
+      .filter(trim(col("value")) =!= "") // json source skips blank lines
+      .select(from_json(col("value"), full, opts).as("__r"),
+        input_file_name().as("src_file"))
+      .select(full.fieldNames.map(f => col(s"__r.`$f`")) :+ col("src_file"): _*)
+    val clean = parsed.filter(col(CorruptCol).isNull).drop(CorruptCol)
+    val report = parsed.filter(col(CorruptCol).isNotNull)
       .groupBy(col("src_file"))
       .agg(count(lit(1)).as("bad_lines"),
         min(col(CorruptCol)).as("sample"))

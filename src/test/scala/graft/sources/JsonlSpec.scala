@@ -70,6 +70,36 @@ class JsonlSpec extends AnyFunSuite with SparkTestBase {
     assert(badSeen == 1L)
   }
 
+  test("readWithReport: no corpus cache, and parity with the native read") {
+    val dir = Files.createTempDirectory("jsonl3").toString
+    writeGz(dir, "d.jsonl.gz", Seq(
+      """{"doc_id": 1, "text": "a", "lang": "en"}""",
+      "", // blank line: native json source skips it — so must we
+      "   ",
+      """garbage}{""",
+      """{"doc_id": 2, "text": "b", "lang": "de"}"""))
+    val (clean, report) = Jsonl.readWithReport(spark, dir, schema)
+    // 100-TB contract: the damage report must not require caching the
+    // corpus — neither branch may contain an InMemoryRelation
+    for (df <- Seq(clean, report)) {
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("InMemoryRelation"),
+        s"readWithReport must not persist the ingest:\n$plan")
+    }
+    // clean branch ≡ native read's clean rows (same parser, same lines)
+    import org.apache.spark.sql.functions.col
+    val native = Jsonl.read(spark, dir, schema)
+      .filter(col(Jsonl.CorruptCol).isNull).drop(Jsonl.CorruptCol)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "text", "lang").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(rows(clean) == rows(native))
+    assert(rows(clean) == Set((1L, "a", "en"), (2L, "b", "de")))
+    val rep = report.collect()
+    assert(rep.length == 1 && rep(0).getAs[Long]("bad_lines") == 1L)
+    assert(rep(0).getAs[String]("sample") == "garbage}{")
+  }
+
   test("type-mismatched fields are damage too, not silent nulls") {
     val dir = Files.createTempDirectory("jsonl2").toString
     writeGz(dir, "c.jsonl.gz", Seq(
