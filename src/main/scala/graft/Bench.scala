@@ -63,6 +63,11 @@ object Bench {
     for (_ <- 1 to 2; (name, fn) <- SparkEntry.queries)
       timed(name) { fn(spark, sfDir).count(): Unit }
 
+    // evict the operator staging caches (tf/bigram/overlap tables) before
+    // the store workload — they've served their passes; the w_* family
+    // should not compete with them for storage memory
+    graft.pipeline.Staging.unstageAll()
+
     // reference workload shape (python-benchmark.py:43-127) on a store;
     // the sequence mutates the store, so min-of-2 runs the whole
     // sequence twice on two fresh stores. Staging is inside the guard:
@@ -105,7 +110,20 @@ object Bench {
     val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = results.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
+    // The driver's artifact keeps only the tail of captured output, which
+    // can truncate a ~5 KB line once the query map spans >100 entries —
+    // persist the full JSON to a file FIRST so every timed entry survives
+    // regardless of any capture window, then print the contract line.
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_results.json"),
+        (line + "\n").getBytes("UTF-8")): Unit
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_results.json write failed: $e")
+    }
+    println(line)
     spark.stop()
   }
 }
