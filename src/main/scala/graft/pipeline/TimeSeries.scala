@@ -24,6 +24,15 @@ object TimeSeries {
   /** Deterministic event ordering within equal timestamps. */
   private def eventOrder: Seq[Column] = Seq(col("ts_us"), col("event_id"))
 
+  /** Exact floor-division chunk index for the two-phase window
+    * lowerings: `(c - pmod(c, width)) / width`. The numerator is an
+    * exact multiple of `width` and epoch-µs magnitudes stay below 2^53,
+    * so the double division is exact — a plain `c / width` cast could
+    * round across an integer boundary and misfile a row into the
+    * neighboring chunk. */
+  private def chunkOf(c: Column, width: Long): Column =
+    ((c - pmod(c, lit(width))) / lit(width)).cast("long")
+
   private def withTsUs(events: DataFrame): DataFrame =
     events.withColumn("ts_us", graft.core.Records.eventTsUs(events))
 
@@ -99,24 +108,59 @@ object TimeSeries {
     * occupied tick (`max_by` keeps the in-tick latest); (2) the tick grid
     * generates from each type's min/max via `sequence` — grid size is
     * (span / step) per type, independent of event count, so the explode
-    * is bounded by time span, not data volume; (3) one window scan
-    * forward-fills. Two shuffles total (tick agg, fill window).
+    * is bounded by time span, not data volume; (3) a TWO-PHASE forward
+    * fill: the tick axis is cut into `chunkTicks`-tick chunks, each
+    * chunk fills locally under a (type, chunk) window, and the value a
+    * chunk must inherit from its past comes from a boundary pass over
+    * the per-chunk last-known values — a table with one row per chunk
+    * (∝ span, thousands of rows at any data volume), never the series
+    * itself. `event_type` has a handful of values, so a plain per-type
+    * fill window would sort EVERY tick of a type through one task; the
+    * chunked lowering keeps the per-task slice bounded by `chunkTicks`
+    * regardless of how long the series runs (same two-phase pattern as
+    * `Packing.withRunningOffset`).
     */
-  def gapFill(events: DataFrame, stepUs: Long): DataFrame = {
+  def gapFill(events: DataFrame, stepUs: Long,
+      chunkTicks: Int = 256): DataFrame = {
+    require(chunkTicks > 0, s"chunkTicks must be positive, got $chunkTicks")
+    val chunkUs = stepUs * chunkTicks
     val ev = withTsUs(events)
       .withColumn("tick", col("ts_us") - col("ts_us") % stepUs)
     val perTick = ev.groupBy(col("event_type"), col("tick"))
       .agg(max_by(col("value"), struct(eventOrder: _*)).as("tick_value"))
-    val grid = ev.groupBy(col("event_type"))
+    val span = ev.groupBy(col("event_type"))
       .agg(min(col("tick")).as("t0"), max(col("tick")).as("t1"))
-      .select(col("event_type"),
+    val grid = span.select(col("event_type"),
         explode(sequence(col("t0"), col("t1"), lit(stepUs))).as("tick"))
-    val fill = Window.partitionBy(col("event_type")).orderBy(col("tick"))
+      .withColumn("__chunk", chunkOf(col("tick"), chunkUs))
+    // phase 1: last OBSERVED (non-null) value per occupied chunk
+    val chunkLast = perTick.filter(col("tick_value").isNotNull)
+      .groupBy(col("event_type"),
+        chunkOf(col("tick"), chunkUs).as("__chunk"))
+      .agg(max_by(col("tick_value"), col("tick")).as("__cl"))
+    // boundary pass: what each chunk inherits from strictly-earlier
+    // chunks — computed over the chunk GRID (so runs of empty chunks
+    // still inherit), one row per chunk per type
+    val chunkGrid = span.select(col("event_type"),
+      explode(sequence(chunkOf(col("t0"), chunkUs),
+        chunkOf(col("t1"), chunkUs))).as("__chunk"))
+    val wCarry = Window.partitionBy(col("event_type")).orderBy(col("__chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = chunkGrid.join(chunkLast, Seq("event_type", "__chunk"), "left")
+      .withColumn("__carry", last(col("__cl"), ignoreNulls = true).over(wCarry))
+      .select(col("event_type"), col("__chunk"), col("__carry"))
+    // phase 2: local fill within each (type, chunk), fall back to the
+    // inherited boundary value before the chunk's first observation
+    val fill = Window.partitionBy(col("event_type"), col("__chunk"))
+      .orderBy(col("tick"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(perTick, Seq("event_type", "tick"), "left")
-      .withColumn("value", last(col("tick_value"), ignoreNulls = true).over(fill))
+      .join(carry, Seq("event_type", "__chunk"), "left")
+      .withColumn("value", coalesce(
+        last(col("tick_value"), ignoreNulls = true).over(fill),
+        col("__carry")))
       .withColumn("filled", col("tick_value").isNull)
-      .drop("tick_value")
+      .drop("tick_value", "__chunk", "__carry")
   }
 
   /** Sessionization via Spark's native `session_window` — the declarative
@@ -143,17 +187,45 @@ object TimeSeries {
 
   /** Trailing moving aggregate per event type: for every event, the
     * count and mean of `value` over the preceding `windowUs` (inclusive).
-    * A RANGE window over the µs timestamp — one keyed shuffle, one sorted
-    * scan; the windowed sum is decimal so the slide is exact (a double
-    * running sum would drift with slide order and parallelism).
+    *
+    * TWO-PHASE CHUNKED lowering: `event_type` has a handful of values,
+    * so a plain per-type RANGE window would sort every event of a type —
+    * the whole 100-TB series — through ONE task. Instead the time axis
+    * is cut into chunks of `chunkFactor × windowUs`; every event is
+    * routed to its own chunk, and events within `windowUs` of a chunk's
+    * end are REPLICATED into the next chunk as context-only rows (frame
+    * members there, never outputs). Because a trailing frame of width W
+    * reaches at most W behind a chunk boundary, each (type, chunk)
+    * partition then holds every frame member its output rows need, and
+    * the same RANGE window runs per chunk — identical results, per-task
+    * work bounded by the chunk span, replication overhead
+    * ≤ 1/chunkFactor. The windowed sum is decimal so the slide is exact
+    * (a double running sum would drift with slide order/parallelism).
     */
-  def movingAggregate(events: DataFrame, windowUs: Long): DataFrame = {
-    val w = Window.partitionBy(col("event_type")).orderBy(col("ts_us"))
-      .rangeBetween(-windowUs, 0)
-    withTsUs(events)
+  def movingAggregate(events: DataFrame, windowUs: Long,
+      chunkFactor: Int = 4): DataFrame = {
+    require(windowUs > 0, s"windowUs must be positive, got $windowUs")
+    require(chunkFactor >= 1, s"chunkFactor must be >= 1, got $chunkFactor")
+    val chunkUs = windowUs * chunkFactor
+    val ev = withTsUs(events).withColumn("__chunk", chunkOf(col("ts_us"), chunkUs))
+    // one scan: each row lands in its own chunk, plus the next chunk as
+    // context when its trailing-W shadow crosses the boundary
+    val routed = ev.select(col("*"), explode(
+        when(pmod(col("ts_us"), lit(chunkUs)) >= chunkUs - windowUs,
+          array(struct(col("__chunk").as("c"), lit(false).as("ctx")),
+            struct((col("__chunk") + 1).as("c"), lit(true).as("ctx"))))
+          .otherwise(array(struct(col("__chunk").as("c"), lit(false).as("ctx"))))
+        ).as("__r"))
+      .withColumn("__chunk", col("__r.c"))
+      .withColumn("__ctx", col("__r.ctx"))
+      .drop("__r")
+    val w = Window.partitionBy(col("event_type"), col("__chunk"))
+      .orderBy(col("ts_us")).rangeBetween(-windowUs, 0)
+    routed
       .withColumn("win_n", count(lit(1)).over(w))
       .withColumn("win_avg",
         sum(col("value").cast(Dec)).over(w).cast("double") / col("win_n"))
+      .filter(!col("__ctx"))
       .select(col("event_id"), col("event_type"), col("ts_us").as("ts"),
         col("value"), col("win_n"), col("win_avg"))
     // win_avg is NOT rounded: the decimal window sum is exact, so the
@@ -163,19 +235,45 @@ object TimeSeries {
   }
 
   /** Discrete derivative per event type: value delta over time delta
-    * (per second) between consecutive events. Pure lag window — one
-    * keyed shuffle. Events sharing a timestamp order by event_id; a
-    * zero gap yields a null rate rather than ±Inf.
+    * (per second) between consecutive events. Events sharing a timestamp
+    * order by event_id; a zero gap yields a null rate rather than ±Inf.
+    *
+    * TWO-PHASE CHUNKED lowering (same motivation as [[movingAggregate]]:
+    * a handful of event types must not serialize a 100-TB series through
+    * one per-type task). The time axis is cut into `chunkUs` chunks;
+    * phase 1 collapses each occupied (type, chunk) to its LAST event — a
+    * boundary table with one row per occupied chunk, ∝ span not data —
+    * and a per-type lag over that tiny table hands every chunk the
+    * newest event strictly before it (runs of empty chunks fall through
+    * naturally, because only occupied chunks exist in the table).
+    * Phase 2 lags within each (type, chunk) partition and falls back to
+    * the inherited boundary event for the chunk's first row. The lag
+    * pair travels as a (ts_us, value) struct so "no previous row" stays
+    * distinguishable from "previous value is NULL".
     */
-  def derivative(events: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("event_type")).orderBy(eventOrder: _*)
-    val dv = col("value") - lag(col("value"), 1).over(w)
-    val dt = col("ts_us") - lag(col("ts_us"), 1).over(w)
-    withTsUs(events)
-      .withColumn("__dt", dt)
+  def derivative(events: DataFrame,
+      chunkUs: Long = 86400000000L): DataFrame = {
+    require(chunkUs > 0, s"chunkUs must be positive, got $chunkUs")
+    val ev = withTsUs(events)
+      .withColumn("__chunk", chunkOf(col("ts_us"), chunkUs))
+    val bounds = ev.groupBy(col("event_type"), col("__chunk"))
+      .agg(max_by(struct(col("ts_us"), col("value")),
+        struct(eventOrder: _*)).as("__last"))
+    val wB = Window.partitionBy(col("event_type")).orderBy(col("__chunk"))
+    val inherited = bounds
+      .withColumn("__prev0", lag(col("__last"), 1).over(wB))
+      .select(col("event_type"), col("__chunk"), col("__prev0"))
+    val wC = Window.partitionBy(col("event_type"), col("__chunk"))
+      .orderBy(eventOrder: _*)
+    val prevRow = coalesce(
+      lag(struct(col("ts_us"), col("value")), 1).over(wC), col("__prev0"))
+    ev.join(inherited, Seq("event_type", "__chunk"), "left")
+      .withColumn("__prev", prevRow)
+      .where(col("__prev").isNotNull)
+      .withColumn("__dt", col("ts_us") - col("__prev.ts_us"))
       .withColumn("rate",
-        when(col("__dt") > 0, round(dv / (col("__dt").cast("double") / 1e6), 6)))
-      .where(col("__dt").isNotNull)
+        when(col("__dt") > 0, round((col("value") - col("__prev.value")) /
+          (col("__dt").cast("double") / 1e6), 6)))
       .select(col("event_id"), col("event_type"), col("ts_us").as("ts"),
         col("value"), col("rate"))
   }

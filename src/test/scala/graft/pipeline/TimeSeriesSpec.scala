@@ -193,6 +193,81 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
       (5L, 1L, 1.0)))
   }
 
+  test("chunked windows: results match the naive whole-series window") {
+    // random-ish series crossing MANY chunk boundaries, with ties at
+    // boundaries and multi-chunk gaps — the differential proof that the
+    // two-phase lowering is exact
+    val rows = (0 until 600).map { i =>
+      val ts = (i.toLong * 37 + (i % 5) * 1000) % 9000 // collisions + gaps
+      (i.toLong, ts, 7L, if (i % 3 == 0) "a" else "b", (i % 11).toDouble)
+    } ++ Seq((600L, 40000L, 7L, "a", 3.0)) // isolated event, empty chunks
+    val df = ev(rows: _*)
+
+    // naive references: single per-type window (the formulation the
+    // chunked lowering replaces)
+    import org.apache.spark.sql.expressions.Window
+    val tsd = df.withColumn("ts_us", graft.core.Records.eventTsUs(df))
+    val wNaive = Window.partitionBy(col("event_type")).orderBy(col("ts_us"))
+      .rangeBetween(-100L, 0)
+    val expMoving = tsd
+      .withColumn("win_n", count(lit(1)).over(wNaive))
+      .withColumn("win_avg", sum(col("value").cast("decimal(38,6)"))
+        .over(wNaive).cast("double") / col("win_n"))
+      .select("event_id", "win_n", "win_avg").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val gotMoving = TimeSeries.movingAggregate(df, windowUs = 100L)
+      .select("event_id", "win_n", "win_avg").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(gotMoving == expMoving, "movingAggregate chunked != naive")
+
+    val wLag = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val expDeriv = tsd
+      .withColumn("__dt", col("ts_us") - lag(col("ts_us"), 1).over(wLag))
+      .withColumn("rate", when(col("__dt") > 0,
+        round((col("value") - lag(col("value"), 1).over(wLag)) /
+          (col("__dt").cast("double") / 1e6), 6)))
+      .where(col("__dt").isNotNull)
+      .select("event_id", "rate").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    val gotDeriv = TimeSeries.derivative(df, chunkUs = 500L)
+      .select("event_id", "rate").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    assert(gotDeriv == expDeriv, "derivative chunked != naive")
+
+    // gapFill: tiny chunks (2 ticks) vs one huge chunk (≡ naive fill)
+    val gotFill = TimeSeries.gapFill(df, stepUs = 50L, chunkTicks = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).toSet
+    val expFill = TimeSeries.gapFill(df, stepUs = 50L,
+        chunkTicks = Int.MaxValue / 100)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).toSet
+    assert(gotFill == expFill, "gapFill chunked != single-chunk")
+  }
+
+  test("chunked windows: no per-type partition carries the whole series") {
+    val df = ev((1L, 0L, 7L, "a", 1.0), (2L, 10L, 7L, "a", 2.0))
+    def windowPartitionSpecs(d: DataFrame): Seq[String] =
+      "Window \\[[^\\]]*\\], \\[([^\\]]*)\\]".r
+        .findAllMatchIn(d.queryExecution.executedPlan.toString)
+        .map(_.group(1)).toSeq
+    // the OUTPUT-producing window of each operator must partition on
+    // (event_type, __chunk), never event_type alone — a handful of event
+    // types over a 100-TB stream must not serialize through one task.
+    // (The boundary-pass windows DO key on event_type alone, by design:
+    // they run over per-chunk tables whose size is ∝ time span.)
+    val m = windowPartitionSpecs(TimeSeries.movingAggregate(df, 100L))
+    assert(m.exists(_.contains("__chunk")),
+      s"movingAggregate window must include __chunk: $m")
+    val dv = windowPartitionSpecs(TimeSeries.derivative(df))
+    assert(dv.exists(_.contains("__chunk")),
+      s"derivative per-event window must include __chunk: $dv")
+    val g = windowPartitionSpecs(TimeSeries.gapFill(df, 10L))
+    assert(g.exists(_.contains("__chunk")),
+      s"gapFill fill window must include __chunk: $g")
+  }
+
   test("derivative: per-type consecutive rate; zero gap → null rate") {
     val df = ev(
       (1L, 0L, 7L, "a", 1.0), (2L, 2000000L, 7L, "a", 5.0), // +4 over 2 s
