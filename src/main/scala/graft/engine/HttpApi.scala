@@ -364,6 +364,12 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
       !col("entry").endsWith("/" + EntryPattern.MetaSegment)
 
   private def info(ex: HttpExchange): Unit = {
+    // collect_set(bucket) is bounded by the BUCKET count — the reference
+    // holds its whole bucket map in server memory (engine.rs), so a
+    // deployment's bucket cardinality is in-memory-sized by contract
+    // (createdBuckets below is the same set, driver-side already).
+    // Entry cardinality is NOT so bounded; list() counts entries
+    // distributively for that reason.
     val t = store.tableOrEmpty().groupBy()
       .agg(count(lit(1)),
         min(when(visibleEntry, col("ts"))),
@@ -399,30 +405,49 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     // parents of `$meta` entries — the reference's parent_prefixes walk
     // creates the parent entry alongside `<entry>/$meta`; history spans
     // visible records only and normalizes to 0/0 for meta-only and
-    // empty buckets (PR-1534)
+    // empty buckets (PR-1534).
+    //
+    // The counting stays DISTRIBUTED: the driver receives one row per
+    // bucket, never entry names — a collect_set(entry) here is bounded
+    // only by the store (a bucket with millions of entries would
+    // materialize them all on the serving thread). The parent
+    // computation mirrors EntryPattern.metaEntryParent column-side:
+    // strip the "/$meta" suffix, drop the bare-"$meta" root, anti-join
+    // away parents that already exist as visible entries.
+    val metaSuffix = "/" + EntryPattern.MetaSegment
+    val entries = store.tableOrEmpty()
+      .select(col("bucket"), col("entry")).distinct()
+    val vis = entries.filter(visibleEntry)
+    val parents = entries
+      .filter(col("entry").endsWith(metaSuffix) &&
+        length(col("entry")) > metaSuffix.length)
+      .select(col("bucket"), expr(
+        s"substring(entry, 1, length(entry) - ${metaSuffix.length})")
+        .as("entry"))
+      .distinct()
+      .join(vis, Seq("bucket", "entry"), "left_anti")
+    val counts = vis.unionByName(parents).groupBy("bucket")
+      .agg(count(lit(1)).as("entry_count"))
     val rows = store.tableOrEmpty().groupBy("bucket")
-      .agg(collect_set(when(visibleEntry, col("entry"))).as("vis"),
-        collect_set(when(!visibleEntry, col("entry"))).as("meta"),
-        min(when(visibleEntry, col("ts"))).as("oldest"),
+      .agg(min(when(visibleEntry, col("ts"))).as("oldest"),
         max(when(visibleEntry, col("ts"))).as("latest"))
+      .join(counts, Seq("bucket"), "left")
       .collect()
     val byName = rows.map(r => r.getString(0) -> r).toMap
     val names = (byName.keySet ++ createdBuckets.asScala).toSeq.sorted
     json(ex, 200, JObject("buckets" -> JArray(names.map { name =>
       val r = byName.get(name)
-      val vis = r.map(_.getSeq[String](1).toSet).getOrElse(Set.empty)
-      val parents = r.map(_.getSeq[String](2)
-          .flatMap(EntryPattern.metaEntryParent).toSet -- vis)
-        .getOrElse(Set.empty)
       JObject(
         "name" -> JString(name),
         "size" -> JInt(BigInt(store.bucketSizeBytes(name))),
-        "entry_count" -> JInt(vis.size + parents.size),
-        "oldest_record" -> JInt(
+        "entry_count" -> JInt(
           r.filter(!_.isNullAt(3)).map(x => BigInt(x.getLong(3)))
             .getOrElse(BigInt(0))),
+        "oldest_record" -> JInt(
+          r.filter(!_.isNullAt(1)).map(x => BigInt(x.getLong(1)))
+            .getOrElse(BigInt(0))),
         "latest_record" -> JInt(
-          r.filter(!_.isNullAt(4)).map(x => BigInt(x.getLong(4)))
+          r.filter(!_.isNullAt(2)).map(x => BigInt(x.getLong(2)))
             .getOrElse(BigInt(0))),
         "is_provisioned" -> JBool(provisionedBuckets.contains(name)),
         "status" -> JString("READY")) // msg/status.rs: sync deletes → READY

@@ -493,6 +493,53 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
     assert(req("DELETE", "/tokens/proxy-client").statusCode() == 200)
   }
 
+  test("list stays bounded at 10k entries: counts computed distributed") {
+    import org.apache.spark.sql.functions._
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val bigStore = new BucketStore(spark,
+      Files.createTempDirectory("graft-http-big").toString)
+    val bigApi = new HttpApi(bigStore, apiToken = "root-token")
+    bigApi.start()
+    try {
+      // 10k visible entries + 50 meta entries (10 of whose parents are
+      // already visible, 40 fresh) — entry_count must be 10k + 40
+      val rows = spark.range(10000).select(
+        lit("big").as("bucket"),
+        concat(lit("e"), col("id")).as("entry"),
+        col("id").as("ts"),
+        map(lit("k"), lit("v")).as("labels"),
+        typedLit(Map.empty[String, String]).as("computed_labels"),
+        lit("text/plain").as("content_type"),
+        lit(graft.core.Records.State.Finished).as("state"),
+        lit("x".getBytes).as("payload"))
+      val meta = spark.range(50).select(
+        lit("big").as("bucket"),
+        concat(lit("e"), col("id") * 1000, lit("/$meta")).as("entry"),
+        (col("id") + 20000).as("ts"),
+        map(lit("k"), lit("v")).as("labels"),
+        typedLit(Map.empty[String, String]).as("computed_labels"),
+        lit("text/plain").as("content_type"),
+        lit(graft.core.Records.State.Finished).as("state"),
+        lit("m".getBytes).as("payload"))
+      // e0*1000 for id<10 → e0..e9000 exist as visible; id>=10 →
+      // e10000.. don't → 40 fresh parents
+      bigStore.write(rows.unionByName(meta))
+      val r = client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${bigApi.boundPort}/api/v1/list"))
+          .header("Authorization", "Bearer root-token").GET().build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(r.statusCode() == 200)
+      // the response must carry COUNTS, not 10k entry names
+      assert(r.body().length < 4096,
+        s"/list response must stay bounded: ${r.body().length} bytes")
+      val buckets = (jsonOf(r) \ "buckets").children
+      val big = buckets.find(x => (x \ "name").extract[String] == "big").get
+      assert((big \ "entry_count").extract[Long] == 10040L)
+      assert((big \ "oldest_record").extract[Long] == 0L)
+      assert((big \ "latest_record").extract[Long] == 9999L)
+    } finally bigApi.stop()
+  }
+
   test("meta-only buckets normalize history to 0/0 (PR-1534); list fields") {
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
     assert(req("POST", "/b/mnorm").statusCode() == 200)
