@@ -10,19 +10,33 @@ import org.apache.spark.sql.functions._
   */
 object Analytics {
 
-  /** Top-k rows per group by `orderCols` (descending on the first,
-    * `tieBreak` ascending for determinism). Window row_number — one
-    * shuffle on the group key; AQE splits skewed groups. At extreme
-    * k≪group-size ratios a per-partition pre-prune would cut shuffle
-    * volume, but the window form keeps whole-stage codegen and is the
-    * idiomatic Spark plan.
+  /** Top-k rows per group by `orderCol` (descending, `tieBreak`
+    * ascending — the pair must totalize the order for determinism).
+    *
+    * TWO-PHASE: a single per-group window serializes each group through
+    * one task — with a low-cardinality group column (sources, event
+    * types) that is the whole corpus. Phase 1 prunes to the local top-k
+    * within (group, hash-chunk) — valid for ANY chunking, since the
+    * global top-k is always a subset of the union of per-chunk top-ks —
+    * leaving ≤ k × nChunks survivors per group; phase 2 ranks the
+    * survivors, a bounded set regardless of data volume. Both windows
+    * are ordinary exchanges: different (group, chunk) cells land on
+    * different tasks, so no task ever sorts more than a chunk.
     */
   def topKPerGroup(df: DataFrame, groupCol: String, orderCol: String,
-      tieBreak: String, k: Int): DataFrame = {
+      tieBreak: String, k: Int, nChunks: Int = 64): DataFrame = {
+    require(nChunks >= 1, s"nChunks must be >= 1, got $nChunks")
+    val chunk = pmod(hash(col(tieBreak)), lit(nChunks))
+    val wLocal = Window.partitionBy(col(groupCol), col("__chunk"))
+      .orderBy(col(orderCol).desc, col(tieBreak).asc)
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col(orderCol).desc, col(tieBreak).asc)
-    df.withColumn("rank", row_number().over(w))
+    df.withColumn("__chunk", chunk)
+      .withColumn("__lr", row_number().over(wLocal))
+      .where(col("__lr") <= k)
+      .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
+      .drop("__chunk", "__lr")
   }
 
   /** Hierarchical rollup: aggregates at (a, b), (a), and grand-total

@@ -38,22 +38,31 @@ object Sampling {
 
   /** Exactly the k hash-smallest rows per stratum — a deterministic
     * reservoir sample (uniform without replacement, conditioned on the
-    * stratum). One shuffle on the stratum key + a per-stratum top-k
-    * window. A mega-stratum serializes through one task's sort; at scale,
-    * pre-thin with [[sampleByRate]] at a rate conservatively above
-    * k / min-expected-stratum-size — hash-threshold pre-filtering
-    * preserves the k smallest hashes whenever the k-th smallest is under
-    * the threshold, so the composed result is identical. `rank` (1-based,
-    * by hash then id) is included so callers can tighten k downstream
-    * without resampling. */
+    * stratum). `rank` (1-based, by hash then id) is included so callers
+    * can tighten k downstream without resampling.
+    *
+    * TWO-PHASE: phase 1 keeps the local k hash-smallest within each
+    * (stratum, hash-chunk) — correct for any chunking, because the
+    * global k smallest are a subset of the union of per-chunk k
+    * smallest — then phase 2 ranks the ≤ k × nChunks survivors. A
+    * mega-stratum no longer serializes through one task's sort: no task
+    * ever orders more than its chunk, and the final window touches a
+    * bounded survivor set. */
   def stratifiedExactK(df: DataFrame, strataCol: String, k: Int,
-      idCol: String = "doc_id", salt: String = "graft:sample"): DataFrame = {
+      idCol: String = "doc_id", salt: String = "graft:sample",
+      nChunks: Int = 64): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    require(nChunks >= 1, s"nChunks must be >= 1, got $nChunks")
+    val wLocal = Window.partitionBy(col(strataCol), col("__chunk"))
+      .orderBy(col("__h"), col(idCol))
     val w = Window.partitionBy(col(strataCol)).orderBy(col("__h"), col(idCol))
     df.withColumn("__h", hash60(col(idCol), salt))
+      .withColumn("__chunk", pmod(hash(col(idCol)), lit(nChunks)))
+      .withColumn("__lr", row_number().over(wLocal))
+      .filter(col("__lr") <= k)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .drop("__h")
+      .drop("__h", "__chunk", "__lr")
   }
 
   /** Deterministic source-weighted mixing: keep each stratum at rate
@@ -118,20 +127,47 @@ object Sampling {
     * BEFORE it (exclusive running sum) are under the budget, so the
     * budget-crossing document is included and every stratum reaches ≥
     * its quota when it has the tokens. Same hash ordering as
-    * [[stratifiedExactK]] ⇒ shrinking a budget yields a subset. One
-    * shuffle on the stratum key; the window is per-stratum, never
-    * global. `cum_tokens` (exclusive) is emitted for downstream packing.
-    */
+    * [[stratifiedExactK]] ⇒ shrinking a budget yields a subset.
+    * `cum_tokens` (exclusive) is emitted for downstream packing.
+    *
+    * TWO-PHASE running sum (the Packing.withRunningOffset pattern on
+    * the hash axis): the 60-bit hash order is cut into `nChunks`
+    * contiguous ranges; phase 1 aggregates each (stratum, chunk)'s token
+    * sum — a table of ≤ strata × nChunks rows — and a per-stratum prefix
+    * over it hands every chunk its exclusive starting offset; phase 2
+    * adds the within-chunk exclusive running sum under a
+    * (stratum, chunk) window. A mega-stratum never serializes: chunks
+    * whose starting offset already exceeds the budget are pruned before
+    * their rows are even sorted, so per-task work tracks the BUDGET,
+    * not the stratum. */
   def byTokenBudget(df: DataFrame, strataCol: String, tokensCol: String,
       budget: Long, idCol: String = "doc_id",
-      salt: String = "graft:sample"): DataFrame = {
+      salt: String = "graft:sample", nChunks: Int = 64): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
-    val w = Window.partitionBy(col(strataCol)).orderBy(col("__h"), col(idCol))
+    require(nChunks >= 1 && (nChunks & (nChunks - 1)) == 0 && nChunks <= 1024,
+      s"nChunks must be a power of two in [1,1024], got $nChunks")
+    val shift = 60 - java.lang.Long.numberOfTrailingZeros(nChunks.toLong)
+    val withH = df
+      .withColumn("__h", hash60(col(idCol), salt))
+      .withColumn("__chunk", shiftright(col("__h"), shift))
+    val offsets = withH.groupBy(col(strataCol), col("__chunk"))
+      .agg(sum(col(tokensCol)).as("__cs"))
+      .withColumn("__prefix", coalesce(
+        sum(col("__cs")).over(Window.partitionBy(col(strataCol))
+          .orderBy(col("__chunk"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(strataCol), col("__chunk"), col("__prefix"))
+    val wLocal = Window.partitionBy(col(strataCol), col("__chunk"))
+      .orderBy(col("__h"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("__h", hash60(col(idCol), salt))
+    withH.join(offsets, Seq(strataCol, "__chunk"))
+      // a chunk whose starting offset is already past the budget cannot
+      // contribute a kept row — prune it before anything sorts
+      .filter(col("__prefix") < budget)
       .withColumn("cum_tokens",
-        coalesce(sum(col(tokensCol)).over(w), lit(0L)).cast("long"))
+        (coalesce(sum(col(tokensCol)).over(wLocal), lit(0L)) +
+          col("__prefix")).cast("long"))
       .filter(col("cum_tokens") < budget)
-      .drop("__h")
+      .select(df.columns.map(col) :+ col("cum_tokens"): _*)
   }
 }

@@ -540,9 +540,41 @@ object TextAnalysis {
     */
   def percentileNormalize(df: DataFrame, sourceCol: String,
       scoreCol: String, tieBreak: String): DataFrame = {
-    val w = Window.partitionBy(col(sourceCol))
+    // TWO-PHASE rank (a plain per-source percent_rank window would sort
+    // a whole source — the whole corpus, for a handful of sources —
+    // through one task): range-exchange on (source, score, tie) so that
+    // within a source, partition order respects key order; rank = the
+    // partition's exclusive row offset (from a per-(source, partition)
+    // count table, ≤ sources × partitions rows) + the local row number.
+    // percent_rank semantics are reproduced exactly: tied full keys
+    // share their MIN position (a narrow window over duplicate keys
+    // only), and the quotient is (rank−1)/(n−1) with n from the same
+    // tiny count table, 0.0 for a single-row source.
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val rp = df
+      .repartitionByRange(parts, col(sourceCol), col(scoreCol), col(tieBreak))
+      .withColumn("__pid", spark_partition_id())
+    val counts = rp.groupBy(col(sourceCol), col("__pid"))
+      .agg(count(lit(1)).as("__c"))
+    val wOff = Window.partitionBy(col(sourceCol)).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wN = Window.partitionBy(col(sourceCol))
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(wN))
+      .select(col(sourceCol), col("__pid"), col("__off"), col("__n"))
+    val wLocal = Window.partitionBy(col(sourceCol), col("__pid"))
       .orderBy(col(scoreCol), col(tieBreak))
-    df.withColumn("norm_score", round(percent_rank().over(w), 6))
+    val wTies = Window.partitionBy(col(sourceCol), col(scoreCol),
+      col(tieBreak))
+    rp.join(offsets, Seq(sourceCol, "__pid"))
+      .withColumn("__pos", col("__off") + row_number().over(wLocal))
+      .withColumn("__rank", min(col("__pos")).over(wTies))
+      .withColumn("norm_score", round(
+        when(col("__n") === 1, lit(0.0)).otherwise(
+          (col("__rank") - 1).cast("double") /
+            (col("__n") - 1).cast("double")), 6))
+      .select(df.columns.map(col) :+ col("norm_score"): _*)
   }
 
   /** Pairwise vocabulary overlap between sources: Jaccard of the

@@ -1,0 +1,120 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential proof that the two-phase lowerings of the per-group
+  * serial shapes (top-k, exact-k sampling, token-budget running sum,
+  * percentile normalization) compute EXACTLY what their naive
+  * whole-group window formulations compute — on data engineered to
+  * cross many chunks, tie on keys, and concentrate in one hot group
+  * (the low-cardinality case the lowerings exist for).
+  */
+class TwoPhaseLoweringSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  // one mega-group ("hot": 600 rows), two small groups; colliding scores
+  private def docs: DataFrame = (0 until 700).map { i =>
+    val g = if (i < 600) "hot" else if (i < 650) "warm" else "cold"
+    (i.toLong, g, (i % 37).toDouble, (i * 13 % 97).toLong)
+  }.toDF("doc_id", "source", "score", "n_tokens")
+
+  test("topKPerGroup: two-phase == naive window, at several chunk counts") {
+    val naive = {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+      docs.withColumn("rank", row_number().over(w)).where(col("rank") <= 7)
+    }
+    val exp = naive.collect().map(r => (r.getLong(0), r.getInt(4))).toSet
+    for (nChunks <- Seq(1, 3, 64)) {
+      val got = Analytics.topKPerGroup(docs, "source", "score", "doc_id",
+          k = 7, nChunks = nChunks)
+        .collect().map(r => (r.getLong(0), r.getInt(4))).toSet
+      assert(got == exp, s"topK mismatch at nChunks=$nChunks")
+    }
+  }
+
+  test("stratifiedExactK: two-phase == naive, ranks identical") {
+    val naive = {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(Sampling.hash60(col("doc_id"), "graft:sample"), col("doc_id"))
+      docs.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 9)
+    }
+    val exp = naive.select("doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (nChunks <- Seq(1, 5, 64)) {
+      val got = Sampling.stratifiedExactK(docs, "source", k = 9,
+          nChunks = nChunks)
+        .select("doc_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == exp, s"exactK mismatch at nChunks=$nChunks")
+    }
+  }
+
+  test("byTokenBudget: chunked running sum == naive, including cum_tokens") {
+    val naive = {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("__h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs.withColumn("__h", Sampling.hash60(col("doc_id"), "graft:sample"))
+        .withColumn("cum_tokens",
+          coalesce(sum(col("n_tokens")).over(w), lit(0L)).cast("long"))
+        .filter(col("cum_tokens") < 2000L)
+        .drop("__h")
+    }
+    val exp = naive.select("doc_id", "cum_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (nChunks <- Seq(1, 4, 64)) {
+      val got = Sampling.byTokenBudget(docs, "source", "n_tokens",
+          budget = 2000L, nChunks = nChunks)
+        .select("doc_id", "cum_tokens").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == exp, s"tokenBudget mismatch at nChunks=$nChunks")
+    }
+  }
+
+  test("percentileNormalize: two-phase == percent_rank, ties included") {
+    // duplicate full (score, tie) keys: percent_rank gives tied rows the
+    // SAME value — the lowering must too
+    val dup = docs.withColumn("tie", col("doc_id") % 50) // forced key ties
+    val naive = {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("score"), col("tie"))
+      dup.withColumn("norm_score", round(percent_rank().over(w), 6))
+    }
+    val exp = naive.select("doc_id", "norm_score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val got = TextAnalysis.percentileNormalize(dup, "source", "score", "tie")
+      .select("doc_id", "norm_score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == exp)
+    // single-row source: percent_rank = 0.0, no NaN from 0/0
+    val one = Seq((1L, "solo", 5.0, 0L)).toDF("doc_id", "source", "score", "n_tokens")
+    val sv = TextAnalysis.percentileNormalize(one, "source", "score", "doc_id")
+      .select("norm_score").head().getDouble(0)
+    assert(sv == 0.0)
+  }
+
+  test("plans: no whole-group window survives in any lowering") {
+    def specs(d: DataFrame): Seq[String] =
+      "Window \\[[^\\]]*\\], \\[([^\\]]*)\\]".r
+        .findAllMatchIn(d.queryExecution.executedPlan.toString)
+        .map(_.group(1)).toSeq
+    // topK/exactK/tokenBudget: the window over the RAW rows must carry
+    // the chunk; only the bounded-survivor / tiny-offset windows may key
+    // on the group alone
+    val tk = specs(Analytics.topKPerGroup(docs, "source", "score", "doc_id", 5))
+    assert(tk.exists(_.contains("__chunk")), s"topK: $tk")
+    val ek = specs(Sampling.stratifiedExactK(docs, "source", 5))
+    assert(ek.exists(_.contains("__chunk")), s"exactK: $ek")
+    val tb = specs(Sampling.byTokenBudget(docs, "source", "n_tokens", 100L))
+    assert(tb.exists(_.contains("__chunk")), s"tokenBudget: $tb")
+    val pn = specs(TextAnalysis.percentileNormalize(docs, "source", "score",
+      "doc_id"))
+    assert(pn.exists(_.contains("__pid")), s"percentileNormalize: $pn")
+  }
+}
