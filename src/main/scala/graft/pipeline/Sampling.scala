@@ -147,20 +147,24 @@ object Sampling {
     require(nChunks >= 1 && (nChunks & (nChunks - 1)) == 0 && nChunks <= 1024,
       s"nChunks must be a power of two in [1,1024], got $nChunks")
     val shift = 60 - java.lang.Long.numberOfTrailingZeros(nChunks.toLong)
+    // the boundary join keys on a STRUCT-wrapped stratum: a window
+    // treats NULL as its own partition, so the lowering must too — a
+    // bare-column equi-join would silently drop null-stratum rows
     val withH = df
       .withColumn("__h", hash60(col(idCol), salt))
       .withColumn("__chunk", shiftright(col("__h"), shift))
-    val offsets = withH.groupBy(col(strataCol), col("__chunk"))
+      .withColumn("__k", struct(col(strataCol)))
+    val offsets = withH.groupBy(col("__k"), col("__chunk"))
       .agg(sum(col(tokensCol)).as("__cs"))
       .withColumn("__prefix", coalesce(
-        sum(col("__cs")).over(Window.partitionBy(col(strataCol))
+        sum(col("__cs")).over(Window.partitionBy(col("__k"))
           .orderBy(col("__chunk"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col(strataCol), col("__chunk"), col("__prefix"))
-    val wLocal = Window.partitionBy(col(strataCol), col("__chunk"))
+      .select(col("__k"), col("__chunk"), col("__prefix"))
+    val wLocal = Window.partitionBy(col("__k"), col("__chunk"))
       .orderBy(col("__h"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    withH.join(offsets, Seq(strataCol, "__chunk"))
+    withH.join(offsets, Seq("__k", "__chunk"))
       // a chunk whose starting offset is already past the budget cannot
       // contribute a kept row — prune it before anything sorts
       .filter(col("__prefix") < budget)

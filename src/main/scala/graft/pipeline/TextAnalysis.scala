@@ -551,23 +551,27 @@ object TextAnalysis {
     // only), and the quotient is (rank−1)/(n−1) with n from the same
     // tiny count table, 0.0 for a single-row source.
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    // the offset join keys on a STRUCT-wrapped source: a window treats
+    // NULL as its own partition, so the lowering must too — a
+    // bare-column equi-join would silently drop null-source rows
     val rp = df
       .repartitionByRange(parts, col(sourceCol), col(scoreCol), col(tieBreak))
       .withColumn("__pid", spark_partition_id())
-    val counts = rp.groupBy(col(sourceCol), col("__pid"))
+      .withColumn("__k", struct(col(sourceCol)))
+    val counts = rp.groupBy(col("__k"), col("__pid"))
       .agg(count(lit(1)).as("__c"))
-    val wOff = Window.partitionBy(col(sourceCol)).orderBy(col("__pid"))
+    val wOff = Window.partitionBy(col("__k")).orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wN = Window.partitionBy(col(sourceCol))
+    val wN = Window.partitionBy(col("__k"))
     val offsets = counts
       .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
       .withColumn("__n", sum(col("__c")).over(wN))
-      .select(col(sourceCol), col("__pid"), col("__off"), col("__n"))
-    val wLocal = Window.partitionBy(col(sourceCol), col("__pid"))
+      .select(col("__k"), col("__pid"), col("__off"), col("__n"))
+    val wLocal = Window.partitionBy(col("__k"), col("__pid"))
       .orderBy(col(scoreCol), col(tieBreak))
-    val wTies = Window.partitionBy(col(sourceCol), col(scoreCol),
+    val wTies = Window.partitionBy(col("__k"), col(scoreCol),
       col(tieBreak))
-    rp.join(offsets, Seq(sourceCol, "__pid"))
+    rp.join(offsets, Seq("__k", "__pid"))
       .withColumn("__pos", col("__off") + row_number().over(wLocal))
       .withColumn("__rank", min(col("__pos")).over(wTies))
       .withColumn("norm_score", round(

@@ -99,6 +99,25 @@ class TwoPhaseLoweringSpec extends AnyFunSuite with SparkTestBase {
     assert(sv == 0.0)
   }
 
+  test("null group keys survive: a window treats NULL as its own partition") {
+    // a bare-column equi-join in a lowering would silently drop the
+    // null-stratum rows a per-group window keeps
+    val d = Seq((1L, Some("a"), 1.0, 10L), (2L, None, 2.0, 20L),
+      (3L, None, 3.0, 30L), (4L, Some("a"), 4.0, 40L))
+      .toDF("doc_id", "source", "score", "n_tokens")
+    val tb = Sampling.byTokenBudget(d, "source", "n_tokens", budget = 100L)
+      .select("doc_id", "cum_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(tb.keySet == Set(1L, 2L, 3L, 4L),
+      s"null-stratum rows must not vanish: $tb")
+    val pn = TextAnalysis.percentileNormalize(d, "source", "score", "doc_id")
+      .select("doc_id", "norm_score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(pn.keySet == Set(1L, 2L, 3L, 4L))
+    assert(pn(2L) == 0.0 && pn(3L) == 1.0,
+      s"null source ranks within its own partition: $pn")
+  }
+
   test("plans: no whole-group window survives in any lowering") {
     def specs(d: DataFrame): Seq[String] =
       "Window \\[[^\\]]*\\], \\[([^\\]]*)\\]".r
