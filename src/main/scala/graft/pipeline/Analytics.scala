@@ -26,17 +26,10 @@ object Analytics {
   def topKPerGroup(df: DataFrame, groupCol: String, orderCol: String,
       tieBreak: String, k: Int, nChunks: Int = 64): DataFrame = {
     require(nChunks >= 1, s"nChunks must be >= 1, got $nChunks")
-    val chunk = pmod(hash(col(tieBreak)), lit(nChunks))
-    val wLocal = Window.partitionBy(col(groupCol), col("__chunk"))
-      .orderBy(col(orderCol).desc, col(tieBreak).asc)
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(col(orderCol).desc, col(tieBreak).asc)
-    df.withColumn("__chunk", chunk)
-      .withColumn("__lr", row_number().over(wLocal))
-      .where(col("__lr") <= k)
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .drop("__chunk", "__lr")
+    TwoPhase.boundedTopK(df, Seq(col(groupCol)),
+      Seq(col(orderCol).desc, col(tieBreak).asc), k,
+      chunk = pmod(hash(col(tieBreak)), lit(nChunks)),
+      rankName = "rank", rankAsLong = false)
   }
 
   /** Hierarchical rollup: aggregates at (a, b), (a), and grand-total
@@ -135,8 +128,10 @@ object Analytics {
     // NULL values carry no bin: floor(NULL) is NULL and least() skips
     // nulls, which would silently park them in the top bin — drop them
     // up front (and the min/max head() row is null on an all-null or
-    // empty input, so bail to an empty frame of the right shape).
-    val valued = df.filter(col(valueCol).isNotNull)
+    // empty input, so bail to an empty frame of the right shape). The
+    // filter tests the CAST value: a non-numeric string is just as null
+    // after cast("double") as a true NULL.
+    val valued = df.filter(col(valueCol).cast("double").isNotNull)
     val mm = valued.agg(min(col(valueCol).cast("double")),
       max(col(valueCol).cast("double"))).head()
     if (mm.isNullAt(0))

@@ -82,11 +82,15 @@ object Layout {
     // A null coordinate must yield a NULL Z-value, not the top grid
     // cell: floor(NULL) is NULL and least() SKIPS nulls, so without the
     // guard least(hi, NULL) = hi parks every null row at the corner.
-    def scaled(c: Column, lo: Double, hiV: Double): Column =
-      if (hiV <= lo) when(c.isNotNull, lit(0L))
-      else when(c.isNotNull, least(lit(hi), floor(
-        (c.cast("double") - lit(lo)) / lit(hiV - lo) * lit(hi + 1.0))
+    // Guard on the CAST value — a non-numeric coordinate is just as
+    // null after cast("double") as a true NULL.
+    def scaled(c: Column, lo: Double, hiV: Double): Column = {
+      val d = c.cast("double")
+      if (hiV <= lo) when(d.isNotNull, lit(0L))
+      else when(d.isNotNull, least(lit(hi), floor(
+        (d - lit(lo)) / lit(hiV - lo) * lit(hi + 1.0))
         .cast("long")))
+    }
     df.withColumn(outCol,
       zValue(scaled(col(colA), minA, maxA), scaled(col(colB), minB, maxB),
         bits))

@@ -51,18 +51,13 @@ object Sampling {
   def stratifiedExactK(df: DataFrame, strataCol: String, k: Int,
       idCol: String = "doc_id", salt: String = "graft:sample",
       nChunks: Int = 64): DataFrame = {
-    require(k > 0, s"k must be positive, got $k")
     require(nChunks >= 1, s"nChunks must be >= 1, got $nChunks")
-    val wLocal = Window.partitionBy(col(strataCol), col("__chunk"))
-      .orderBy(col("__h"), col(idCol))
-    val w = Window.partitionBy(col(strataCol)).orderBy(col("__h"), col(idCol))
-    df.withColumn("__h", hash60(col(idCol), salt))
-      .withColumn("__chunk", pmod(hash(col(idCol)), lit(nChunks)))
-      .withColumn("__lr", row_number().over(wLocal))
-      .filter(col("__lr") <= k)
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .drop("__h", "__chunk", "__lr")
+    TwoPhase.boundedTopK(
+      df.withColumn("__h", hash60(col(idCol), salt)),
+      Seq(col(strataCol)), Seq(col("__h"), col(idCol)), k,
+      chunk = pmod(hash(col(idCol)), lit(nChunks)),
+      rankName = "rank", rankAsLong = true)
+      .drop("__h")
   }
 
   /** Deterministic source-weighted mixing: keep each stratum at rate

@@ -124,43 +124,48 @@ object TimeSeries {
       chunkTicks: Int = 256): DataFrame = {
     require(chunkTicks > 0, s"chunkTicks must be positive, got $chunkTicks")
     val chunkUs = stepUs * chunkTicks
+    // every grid/boundary join keys on a STRUCT-wrapped type ("__k") so
+    // a NULL event_type series — its own partition under a window — is
+    // filled like any other instead of dropping through the equi-joins
     val ev = withTsUs(events)
       .withColumn("tick", col("ts_us") - col("ts_us") % stepUs)
-    val perTick = ev.groupBy(col("event_type"), col("tick"))
+      .withColumn("__k", struct(col("event_type")))
+    val perTick = ev.groupBy(col("__k"), col("tick"))
       .agg(max_by(col("value"), struct(eventOrder: _*)).as("tick_value"))
-    val span = ev.groupBy(col("event_type"))
+    val span = ev.groupBy(col("__k"))
       .agg(min(col("tick")).as("t0"), max(col("tick")).as("t1"))
-    val grid = span.select(col("event_type"),
+    val grid = span.select(col("__k"),
         explode(sequence(col("t0"), col("t1"), lit(stepUs))).as("tick"))
       .withColumn("__chunk", chunkOf(col("tick"), chunkUs))
     // phase 1: last OBSERVED (non-null) value per occupied chunk
     val chunkLast = perTick.filter(col("tick_value").isNotNull)
-      .groupBy(col("event_type"),
+      .groupBy(col("__k"),
         chunkOf(col("tick"), chunkUs).as("__chunk"))
       .agg(max_by(col("tick_value"), col("tick")).as("__cl"))
     // boundary pass: what each chunk inherits from strictly-earlier
     // chunks — computed over the chunk GRID (so runs of empty chunks
     // still inherit), one row per chunk per type
-    val chunkGrid = span.select(col("event_type"),
+    val chunkGrid = span.select(col("__k"),
       explode(sequence(chunkOf(col("t0"), chunkUs),
         chunkOf(col("t1"), chunkUs))).as("__chunk"))
-    val wCarry = Window.partitionBy(col("event_type")).orderBy(col("__chunk"))
+    val wCarry = Window.partitionBy(col("__k")).orderBy(col("__chunk"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = chunkGrid.join(chunkLast, Seq("event_type", "__chunk"), "left")
+    val carry = chunkGrid.join(chunkLast, Seq("__k", "__chunk"), "left")
       .withColumn("__carry", last(col("__cl"), ignoreNulls = true).over(wCarry))
-      .select(col("event_type"), col("__chunk"), col("__carry"))
+      .select(col("__k"), col("__chunk"), col("__carry"))
     // phase 2: local fill within each (type, chunk), fall back to the
     // inherited boundary value before the chunk's first observation
-    val fill = Window.partitionBy(col("event_type"), col("__chunk"))
+    val fill = Window.partitionBy(col("__k"), col("__chunk"))
       .orderBy(col("tick"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(perTick, Seq("event_type", "tick"), "left")
-      .join(carry, Seq("event_type", "__chunk"), "left")
+    grid.join(perTick, Seq("__k", "tick"), "left")
+      .join(carry, Seq("__k", "__chunk"), "left")
       .withColumn("value", coalesce(
         last(col("tick_value"), ignoreNulls = true).over(fill),
         col("__carry")))
       .withColumn("filled", col("tick_value").isNull)
-      .drop("tick_value", "__chunk", "__carry")
+      .select(col("__k.event_type").as("event_type"), col("tick"),
+        col("value"), col("filled"))
   }
 
   /** Sessionization via Spark's native `session_window` — the declarative
@@ -254,20 +259,24 @@ object TimeSeries {
   def derivative(events: DataFrame,
       chunkUs: Long = 86400000000L): DataFrame = {
     require(chunkUs > 0, s"chunkUs must be positive, got $chunkUs")
+    // the boundary join keys on a STRUCT-wrapped type so a NULL
+    // event_type series — its own partition under a window — inherits
+    // across chunks instead of losing each chunk's first row
     val ev = withTsUs(events)
       .withColumn("__chunk", chunkOf(col("ts_us"), chunkUs))
-    val bounds = ev.groupBy(col("event_type"), col("__chunk"))
+      .withColumn("__k", struct(col("event_type")))
+    val bounds = ev.groupBy(col("__k"), col("__chunk"))
       .agg(max_by(struct(col("ts_us"), col("value")),
         struct(eventOrder: _*)).as("__last"))
-    val wB = Window.partitionBy(col("event_type")).orderBy(col("__chunk"))
+    val wB = Window.partitionBy(col("__k")).orderBy(col("__chunk"))
     val inherited = bounds
       .withColumn("__prev0", lag(col("__last"), 1).over(wB))
-      .select(col("event_type"), col("__chunk"), col("__prev0"))
-    val wC = Window.partitionBy(col("event_type"), col("__chunk"))
+      .select(col("__k"), col("__chunk"), col("__prev0"))
+    val wC = Window.partitionBy(col("__k"), col("__chunk"))
       .orderBy(eventOrder: _*)
     val prevRow = coalesce(
       lag(struct(col("ts_us"), col("value")), 1).over(wC), col("__prev0"))
-    ev.join(inherited, Seq("event_type", "__chunk"), "left")
+    ev.join(inherited, Seq("__k", "__chunk"), "left")
       .withColumn("__prev", prevRow)
       .where(col("__prev").isNotNull)
       .withColumn("__dt", col("ts_us") - col("__prev.ts_us"))

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ArrayType, StringType, StructType}
 
 /** JSONL (newline-delimited JSON) document ingest — the de-facto
   * interchange format for web-scale text dumps (one JSON object per
@@ -65,20 +65,36 @@ object Jsonl {
     * text scan, and Catalyst's json-field pruning (SPARK-32958) reduces
     * the report branch's parse to the corrupt field alone. (2) Same
     * parser: `from_json` runs the identical Jackson parse with the
-    * identical PERMISSIVE options, so clean/report classify a line
-    * exactly as [[read]] would — pinned by JsonlSpec's parity case. The
-    * one behavioral seam is blank lines (the json source skips them;
-    * `from_json` would parse them to all-null "clean" rows), handled by
-    * the pre-parse trim filter. */
+    * identical PERMISSIVE options, so clean/report classify an OBJECT
+    * line exactly as [[read]] would — pinned by JsonlSpec's parity
+    * case. Two deliberate seams against the native source: blank lines
+    * (the json source skips them; `from_json` would parse them to
+    * all-null "clean" rows), handled by the pre-parse trim filter; and
+    * root-level ARRAY lines, which both paths explode to one row per
+    * element (a bare struct `from_json` would keep only the FIRST
+    * element — silent row loss), but where damage is attributed PER
+    * ELEMENT here (the broken element's own text lands in the report;
+    * its intact siblings stay clean) while the native source stamps
+    * every row of the line corrupt. One-object-per-line is the JSONL
+    * contract — array lines are already exceptional — and per-element
+    * attribution is the more useful report when they do appear. */
   def readWithReport(spark: SparkSession, path: String,
       schema: StructType): (DataFrame, DataFrame) = {
     val full = withCorrupt(schema)
     val opts = Map("mode" -> "PERMISSIVE",
       "columnNameOfCorruptRecord" -> CorruptCol)
+    // a root-array line yields its elements' raw text (parsing a JSON
+    // object against StringType captures the object's own text); any
+    // other line — object, scalar, damage — passes through whole
+    val units = coalesce(
+      from_json(col("value"), ArrayType(StringType)),
+      array(col("value")))
     val parsed = spark.read.text(path)
       .filter(trim(col("value")) =!= "") // json source skips blank lines
-      .select(from_json(col("value"), full, opts).as("__r"),
+      .select(explode(units).as("__unit"),
         input_file_name().as("src_file"))
+      .select(from_json(col("__unit"), full, opts).as("__r"),
+        col("src_file"))
       .select(full.fieldNames.map(f => col(s"__r.`$f`")) :+ col("src_file"): _*)
     val clean = parsed.filter(col(CorruptCol).isNull).drop(CorruptCol)
     val report = parsed.filter(col(CorruptCol).isNotNull)

@@ -45,17 +45,24 @@ class WorkloadPlanSweepSpec extends AnyFunSuite with SparkTestBase {
       store.updateLabels(QuerySpec(), set = Map("key" -> "value2")): Unit
       store.removeQuery(QuerySpec(when = Some("""{"$each_n": 2}"""))): Unit
       // listener delivery is async on the shared bus: poll until the
-      // captured set stops growing
+      // captured set covers every action above AND stops growing for a
+      // full second — a bare stability check could exit on a stalled bus
+      // with a partial set and false-green the sweep. The workload runs
+      // ≥ 6 distinct SQL executions (2 writes, conflict-check aggregates,
+      // the payload sum, update, remove), so a floor of 6 plans is a
+      // hard prerequisite, bounded by a 60 s bail-out.
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
       var last = -1
       var same = 0
-      while (same < 3) {
+      while ((plans.size() < 6 || same < 5) && System.nanoTime() < deadline) {
         Thread.sleep(200)
         val now = plans.size()
         if (now == last) same += 1 else { same = 0; last = now }
       }
     } finally spark.listenerManager.unregister(listener)
 
-    assert(plans.size() > 0, "listener captured no executed plans")
+    assert(plans.size() >= 6,
+      s"listener captured only ${plans.size()} plans — bus did not drain")
     val failures = plans.toArray(Array.empty[(String, String)]).toSeq
       .flatMap { case (fn, plan) =>
         val cartesian = plan.contains("CartesianProduct")

@@ -66,6 +66,15 @@ class IncrementalSpec extends AnyFunSuite with SparkTestBase {
     val empty = Analytics.histogram(
       Seq.empty[(String, Option[Double])].toDF("g", "v"), "g", "v", 4)
     assert(empty.count() == 0) // no NPE on the min/max head row
+    // values that CAST to null (non-numeric strings) are excluded too —
+    // and an all-uncastable input yields empty, not one bogus row/group
+    val strs = Seq(("a", "1"), ("a", "2"), ("a", "x")).toDF("g", "v")
+    val sOut = Analytics.histogram(strs, "g", "v", bins = 2)
+      .orderBy("bin").collect().map(r => (r.getLong(1), r.getLong(4))).toSeq
+    assert(sOut == Seq((0L, 1L), (1L, 1L)), s"cast-null parked in a bin: $sOut")
+    val allBad = Analytics.histogram(
+      Seq(("a", "x"), ("b", "y")).toDF("g", "v"), "g", "v", 2)
+    assert(allBad.count() == 0)
   }
 
   test("profile: one-pass null/distinct/min/max per column") {

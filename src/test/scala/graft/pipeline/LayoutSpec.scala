@@ -35,6 +35,12 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     val empty = Layout.withZValue(
       Seq.empty[(Option[Double], Option[Double])].toDF("a", "b"), "a", "b", 4, "z")
     assert(empty.count() == 0)
+    // a coordinate that CASTS to null (non-numeric string) must also
+    // yield a null Z, not the top grid corner
+    val strs = Seq(("1", "2"), ("n/a", "5")).toDF("a", "b")
+    val zs = Layout.withZValue(strs, "a", "b", 4, "z").select("z")
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(zs(0).isDefined && zs(1).isEmpty, s"cast-null coordinate: ${zs.toSeq}")
   }
 
   test("bucketed tables join with no shuffle exchange, same results") {

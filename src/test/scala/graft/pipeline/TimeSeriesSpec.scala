@@ -246,6 +246,27 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
     assert(gotFill == expFill, "gapFill chunked != single-chunk")
   }
 
+  test("chunked windows: NULL event_type series survives chunk boundaries") {
+    // a window treats NULL as its own partition; the boundary joins must
+    // too (bare-column equi-joins would drop each chunk's first row)
+    val df = ev(
+      (1L, 100L, 7L, "a", 1.0), (2L, 900L, 7L, "a", 2.0),
+      (3L, 100L, 7L, null, 10.0), (4L, 900L, 7L, null, 30.0))
+    val rates = TimeSeries.derivative(df, chunkUs = 500L)
+      .select("event_id", "rate").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // null-type: (30-10)/(800µs/1e6 s) = 25000/s; crosses chunk 0 → 1
+    assert(rates == Map(2L -> 1250.0, 4L -> 25000.0), s"got $rates")
+    val fills = TimeSeries.gapFill(df, stepUs = 200L, chunkTicks = 2)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1),
+        r.getDouble(2), r.getBoolean(3)))
+    val nullRows = fills.filter(_._1.isEmpty).sortBy(_._2)
+    assert(nullRows.map(x => (x._2, x._3, x._4)).toSeq == Seq(
+      (0L, 10.0, false), (200L, 10.0, true), (400L, 10.0, true),
+      (600L, 10.0, true), (800L, 30.0, false)),
+      s"null-type series must gap-fill: ${nullRows.toSeq}")
+  }
+
   test("chunked windows: no per-type partition carries the whole series") {
     val df = ev((1L, 0L, 7L, "a", 1.0), (2L, 10L, 7L, "a", 2.0))
     def windowPartitionSpecs(d: DataFrame): Seq[String] =

@@ -100,6 +100,24 @@ class JsonlSpec extends AnyFunSuite with SparkTestBase {
     assert(rep(0).getAs[String]("sample") == "garbage}{")
   }
 
+  test("root-array lines explode per element; element damage attributed") {
+    val dir = Files.createTempDirectory("jsonl4").toString
+    writeGz(dir, "e.jsonl.gz", Seq(
+      """{"doc_id": 1, "text": "obj", "lang": "en"}""",
+      """[{"doc_id": 2, "text": "a1", "lang": "de"}, {"doc_id": 3, "text": "a2", "lang": "fr"}]""",
+      """[{"doc_id": "BAD", "text": "x", "lang": "en"}, {"doc_id": 4, "text": "ok", "lang": "en"}]""",
+      """BROKEN[{{"""))
+    val (clean, report) = Jsonl.readWithReport(spark, dir, schema)
+    // no silent row loss: every intact element becomes a clean row (a
+    // bare struct from_json would keep only the FIRST array element)
+    val ids = clean.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 3L, 4L), s"array elements lost: $ids")
+    val rep = report.collect()
+    assert(rep.length == 1)
+    // the broken element's own text + the broken line both counted
+    assert(rep(0).getAs[Long]("bad_lines") == 2L)
+  }
+
   test("type-mismatched fields are damage too, not silent nulls") {
     val dir = Files.createTempDirectory("jsonl2").toString
     writeGz(dir, "c.jsonl.gz", Seq(
