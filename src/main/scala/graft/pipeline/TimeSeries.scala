@@ -10,12 +10,18 @@ import org.apache.spark.sql.functions._
   * sessionization, as-of joins, tumbling rollups, gap fill, and
   * deviation-based anomaly flags.
   *
-  * Scale notes (100 TB): every operator here shuffles AT MOST once, on
-  * its natural key (`user_id` / `event_type`), and every per-key pass is
-  * a single window scan — no self-joins, no per-key driver loops. Double
-  * aggregations route through `DECIMAL(38,6)` partial sums so results are
-  * order-independent (bit-identical across engines and across retries at
-  * any parallelism), then surface as doubles.
+  * Scale notes (100 TB): the user-keyed operators shuffle once on
+  * `user_id` and run a single window scan per key. The event_type-keyed
+  * operators (movingAggregate / derivative / gapFill) CANNOT lean on
+  * key cardinality — a handful of types would serialize whole series
+  * through single tasks — so they lower to a TWO-PHASE chunked form:
+  * per-(type, chunk) windows plus a boundary pass over per-chunk tables
+  * whose size tracks the time span, not the data (a couple of bounded
+  * exchanges instead of one unbounded sort). No self-joins, no per-key
+  * driver loops anywhere. Double aggregations route through
+  * `DECIMAL(38,6)` partial sums so results are order-independent
+  * (bit-identical across engines and across retries at any
+  * parallelism), then surface as doubles.
   */
 object TimeSeries {
 
@@ -123,7 +129,7 @@ object TimeSeries {
   def gapFill(events: DataFrame, stepUs: Long,
       chunkTicks: Int = 256): DataFrame = {
     require(chunkTicks > 0, s"chunkTicks must be positive, got $chunkTicks")
-    val chunkUs = stepUs * chunkTicks
+    val chunkUs = Math.multiplyExact(stepUs, chunkTicks.toLong)
     // every grid/boundary join keys on a STRUCT-wrapped type ("__k") so
     // a NULL event_type series — its own partition under a window — is
     // filled like any other instead of dropping through the equi-joins
@@ -211,7 +217,7 @@ object TimeSeries {
       chunkFactor: Int = 4): DataFrame = {
     require(windowUs > 0, s"windowUs must be positive, got $windowUs")
     require(chunkFactor >= 1, s"chunkFactor must be >= 1, got $chunkFactor")
-    val chunkUs = windowUs * chunkFactor
+    val chunkUs = Math.multiplyExact(windowUs, chunkFactor.toLong)
     val ev = withTsUs(events).withColumn("__chunk", chunkOf(col("ts_us"), chunkUs))
     // one scan: each row lands in its own chunk, plus the next chunk as
     // context when its trailing-W shadow crosses the boundary

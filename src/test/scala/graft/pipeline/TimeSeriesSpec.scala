@@ -246,6 +246,58 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
     assert(gotFill == expFill, "gapFill chunked != single-chunk")
   }
 
+  test("chunked windows: randomized differential across widths and factors") {
+    // seeded random series — clustered timestamps, duplicate ts, sparse
+    // stretches — checked against the naive windows for several
+    // (windowUs, chunkFactor/chunkUs) combinations; the fixed-pattern
+    // differential above plus this sweep pin the lowering from two sides
+    val rnd = new scala.util.Random(20260814L)
+    val rows = (0 until 800).map { i =>
+      val base = rnd.nextInt(4) match {
+        case 0 => rnd.nextInt(500)          // dense head
+        case 1 => 3000 + rnd.nextInt(200)   // tight cluster
+        case 2 => 10000 + rnd.nextInt(5000) // sparse tail
+        case _ => rnd.nextInt(15000)
+      }
+      (i.toLong, base.toLong, 7L, s"t${rnd.nextInt(3)}", rnd.nextInt(9).toDouble)
+    }
+    val df = ev(rows: _*)
+    val tsd = df.withColumn("ts_us", graft.core.Records.eventTsUs(df))
+    import org.apache.spark.sql.expressions.Window
+    for (windowUs <- Seq(50L, 700L, 20000L); factor <- Seq(1, 4)) {
+      val wN = Window.partitionBy(col("event_type")).orderBy(col("ts_us"))
+        .rangeBetween(-windowUs, 0)
+      val exp = tsd.withColumn("win_n", count(lit(1)).over(wN))
+        .select("event_id", "win_n").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = TimeSeries.movingAggregate(df, windowUs, chunkFactor = factor)
+        .select("event_id", "win_n").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == exp, s"movingAggregate W=$windowUs factor=$factor")
+    }
+    val wL = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val expD = tsd.withColumn("__dt", col("ts_us") - lag(col("ts_us"), 1).over(wL))
+      .where(col("__dt").isNotNull)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    for (chunkUs <- Seq(100L, 1000L, 100000L)) {
+      val gotD = TimeSeries.derivative(df, chunkUs = chunkUs)
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      assert(gotD == expD, s"derivative chunkUs=$chunkUs")
+    }
+    val expF = TimeSeries.gapFill(df, stepUs = 100L,
+        chunkTicks = Int.MaxValue / 200).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .toSet
+    for (ticks <- Seq(1, 3, 16)) {
+      val gotF = TimeSeries.gapFill(df, stepUs = 100L, chunkTicks = ticks)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+        .toSet
+      assert(gotF == expF, s"gapFill chunkTicks=$ticks")
+    }
+  }
+
   test("chunked windows: NULL event_type series survives chunk boundaries") {
     // a window treats NULL as its own partition; the boundary joins must
     // too (bare-column equi-joins would drop each chunk's first row)
