@@ -141,6 +141,7 @@ object Sampling {
     require(budget > 0, s"budget must be positive, got $budget")
     require(nChunks >= 1 && (nChunks & (nChunks - 1)) == 0 && nChunks <= 1024,
       s"nChunks must be a power of two in [1,1024], got $nChunks")
+    TwoPhase.requireHelperColumnsFree(df, "__h", "__chunk", "__k", "__prefix")
     val shift = 60 - java.lang.Long.numberOfTrailingZeros(nChunks.toLong)
     // the boundary join keys on a STRUCT-wrapped stratum: a window
     // treats NULL as its own partition, so the lowering must too — a

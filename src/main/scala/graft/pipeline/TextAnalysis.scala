@@ -550,6 +550,8 @@ object TextAnalysis {
     // share their MIN position (a narrow window over duplicate keys
     // only), and the quotient is (rank−1)/(n−1) with n from the same
     // tiny count table, 0.0 for a single-row source.
+    TwoPhase.requireHelperColumnsFree(df,
+      "__pid", "__k", "__off", "__n", "__pos", "__rank")
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     // the offset join keys on a STRUCT-wrapped source: a window treats
     // NULL as its own partition, so the lowering must too — a

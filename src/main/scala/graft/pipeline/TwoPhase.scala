@@ -15,6 +15,15 @@ import org.apache.spark.sql.functions._
   */
 private[pipeline] object TwoPhase {
 
+  /** The lowerings stage intermediate state in `__`-prefixed columns; an
+    * input that already carries one would be silently clobbered — refuse
+    * loudly instead. */
+  def requireHelperColumnsFree(df: DataFrame, names: String*): Unit = {
+    val clash = names.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input already has reserved helper column(s) ${clash.mkString(", ")}")
+  }
+
   /** `orderCols` must totalize the order within a group for the result
     * to be deterministic (the same contract the naive window form had).
     * `chunk` is any deterministic expression; uniform hashes chunk best. */
@@ -22,6 +31,7 @@ private[pipeline] object TwoPhase {
       orderCols: Seq[Column], k: Int, chunk: Column,
       rankName: String, rankAsLong: Boolean): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    requireHelperColumnsFree(df, "__chunk", "__lr")
     val wLocal = Window.partitionBy(groupCols :+ col("__chunk"): _*)
       .orderBy(orderCols: _*)
     val w = Window.partitionBy(groupCols: _*).orderBy(orderCols: _*)

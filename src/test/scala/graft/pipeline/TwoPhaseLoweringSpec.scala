@@ -118,6 +118,22 @@ class TwoPhaseLoweringSpec extends AnyFunSuite with SparkTestBase {
       s"null source ranks within its own partition: $pn")
   }
 
+  test("reserved helper columns in the input are refused, not clobbered") {
+    val bad = docs.withColumn("__chunk", lit(1))
+    val e = intercept[IllegalArgumentException] {
+      Analytics.topKPerGroup(bad, "source", "score", "doc_id", 3)
+    }
+    assert(e.getMessage.contains("__chunk"))
+    val bad2 = docs.withColumn("__k", lit(1))
+    intercept[IllegalArgumentException] {
+      Sampling.byTokenBudget(bad2, "source", "n_tokens", 10L)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.percentileNormalize(
+        docs.withColumn("__pid", lit(1)), "source", "score", "doc_id")
+    }
+  }
+
   test("plans: no whole-group window survives in any lowering") {
     def specs(d: DataFrame): Seq[String] =
       "Window \\[[^\\]]*\\], \\[([^\\]]*)\\]".r
