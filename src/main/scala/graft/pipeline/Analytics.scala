@@ -24,12 +24,13 @@ object Analytics {
     * different tasks, so no task ever sorts more than a chunk.
     */
   def topKPerGroup(df: DataFrame, groupCol: String, orderCol: String,
-      tieBreak: String, k: Int, nChunks: Int = 64): DataFrame = {
+      tieBreak: String, k: Int, nChunks: Int = 64,
+      naiveMaxRows: Long = TwoPhase.NaiveMaxRows): DataFrame = {
     require(nChunks >= 1, s"nChunks must be >= 1, got $nChunks")
     TwoPhase.boundedTopK(df, Seq(col(groupCol)),
       Seq(col(orderCol).desc, col(tieBreak).asc), k,
       chunk = pmod(hash(col(tieBreak)), lit(nChunks)),
-      rankName = "rank", rankAsLong = false)
+      rankName = "rank", rankAsLong = false, naiveMaxRows = naiveMaxRows)
   }
 
   /** Hierarchical rollup: aggregates at (a, b), (a), and grand-total

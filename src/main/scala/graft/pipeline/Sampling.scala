@@ -50,13 +50,15 @@ object Sampling {
     * bounded survivor set. */
   def stratifiedExactK(df: DataFrame, strataCol: String, k: Int,
       idCol: String = "doc_id", salt: String = "graft:sample",
-      nChunks: Int = 64): DataFrame = {
+      nChunks: Int = 64,
+      naiveMaxRows: Long = TwoPhase.NaiveMaxRows): DataFrame = {
     require(nChunks >= 1, s"nChunks must be >= 1, got $nChunks")
+    TwoPhase.requireHelperColumnsFree(df, "__h")
     TwoPhase.boundedTopK(
       df.withColumn("__h", hash60(col(idCol), salt)),
       Seq(col(strataCol)), Seq(col("__h"), col(idCol)), k,
       chunk = pmod(hash(col(idCol)), lit(nChunks)),
-      rankName = "rank", rankAsLong = true)
+      rankName = "rank", rankAsLong = true, naiveMaxRows = naiveMaxRows)
       .drop("__h")
   }
 
@@ -137,11 +139,28 @@ object Sampling {
     * not the stratum. */
   def byTokenBudget(df: DataFrame, strataCol: String, tokensCol: String,
       budget: Long, idCol: String = "doc_id",
-      salt: String = "graft:sample", nChunks: Int = 64): DataFrame = {
+      salt: String = "graft:sample", nChunks: Int = 64,
+      naiveMaxRows: Long = TwoPhase.NaiveMaxRows): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     require(nChunks >= 1 && (nChunks & (nChunks - 1)) == 0 && nChunks <= 1024,
       s"nChunks must be a power of two in [1,1024], got $nChunks")
     TwoPhase.requireHelperColumnsFree(df, "__h", "__chunk", "__k", "__prefix")
+    // ADAPTIVE: when every stratum fits one task (plan-time probe;
+    // naiveMaxRows <= 0 forces the chunked form), run the plain
+    // per-stratum exclusive running sum — same decimal arithmetic, same
+    // floor-to-long boundary rule, so both branches match bit-for-bit
+    val tokDecA = col(tokensCol).cast("decimal(38,6)")
+    if (!TwoPhase.useChunked(df, Seq(col(strataCol)), naiveMaxRows)) {
+      val w = Window.partitionBy(col(strataCol))
+        .orderBy(col("__h"), col(idCol))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      return df.withColumn("__h", hash60(col(idCol), salt))
+        .withColumn("cum_tokens",
+          coalesce(sum(tokDecA).over(w),
+            lit(0).cast("decimal(38,6)")).cast("long"))
+        .filter(col("cum_tokens") < budget)
+        .select(df.columns.map(col) :+ col("cum_tokens"): _*)
+    }
     val shift = 60 - java.lang.Long.numberOfTrailingZeros(nChunks.toLong)
     // the boundary join keys on a STRUCT-wrapped stratum: a window
     // treats NULL as its own partition, so the lowering must too — a
@@ -150,12 +169,19 @@ object Sampling {
       .withColumn("__h", hash60(col(idCol), salt))
       .withColumn("__chunk", shiftright(col("__h"), shift))
       .withColumn("__k", struct(col(strataCol)))
+    // token sums route through DECIMAL(38,6): the chunked form reorders
+    // additions vs the old sequential running sum, and a double sum
+    // would make the budget-boundary decision rounding-dependent for a
+    // floating-point tokens column — decimal partial sums are exact (to
+    // 6 dp) and order-independent, so both branches agree bit-for-bit
+    val tokDec = col(tokensCol).cast("decimal(38,6)")
     val offsets = withH.groupBy(col("__k"), col("__chunk"))
-      .agg(sum(col(tokensCol)).as("__cs"))
+      .agg(sum(tokDec).as("__cs"))
       .withColumn("__prefix", coalesce(
         sum(col("__cs")).over(Window.partitionBy(col("__k"))
           .orderBy(col("__chunk"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0).cast("decimal(38,6)")))
       .select(col("__k"), col("__chunk"), col("__prefix"))
     val wLocal = Window.partitionBy(col("__k"), col("__chunk"))
       .orderBy(col("__h"), col(idCol))
@@ -165,7 +191,7 @@ object Sampling {
       // contribute a kept row — prune it before anything sorts
       .filter(col("__prefix") < budget)
       .withColumn("cum_tokens",
-        (coalesce(sum(col(tokensCol)).over(wLocal), lit(0L)) +
+        (coalesce(sum(tokDec).over(wLocal), lit(0).cast("decimal(38,6)")) +
           col("__prefix")).cast("long"))
       .filter(col("cum_tokens") < budget)
       .select(df.columns.map(col) :+ col("cum_tokens"): _*)

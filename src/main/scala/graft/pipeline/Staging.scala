@@ -18,6 +18,16 @@ import org.apache.spark.storage.StorageLevel
   * could be collected while its cache entry lives on in the
   * CacheManager, stranding the storage); the frames themselves are just
   * plan objects, a few KB each.
+  *
+  * EVICTION IS PROCESS-GLOBAL: the registry is a JVM singleton, so
+  * [[unstageAll]] evicts EVERY registered cache, including staging
+  * tables of operators still mid-execution on other threads of a shared
+  * SparkSession (an HTTP server racing a bench loop). That is safe —
+  * Spark transparently recomputes an evicted cache — but it is a
+  * performance cliff, not a no-op, for the concurrent caller. Call it
+  * only at quiescent points you own (between bench passes, end of a
+  * notebook cell); concurrent multi-tenant use of one session would
+  * need a per-caller handle, which this deliberately does not provide.
   */
 object Staging {
   private val staged = scala.collection.mutable.ListBuffer.empty[DataFrame]

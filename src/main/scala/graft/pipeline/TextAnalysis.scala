@@ -539,7 +539,8 @@ object TextAnalysis {
     * key.
     */
   def percentileNormalize(df: DataFrame, sourceCol: String,
-      scoreCol: String, tieBreak: String): DataFrame = {
+      scoreCol: String, tieBreak: String,
+      naiveMaxRows: Long = TwoPhase.NaiveMaxRows): DataFrame = {
     // TWO-PHASE rank (a plain per-source percent_rank window would sort
     // a whole source — the whole corpus, for a handful of sources —
     // through one task): range-exchange on (source, score, tie) so that
@@ -552,6 +553,15 @@ object TextAnalysis {
     // tiny count table, 0.0 for a single-row source.
     TwoPhase.requireHelperColumnsFree(df,
       "__pid", "__k", "__off", "__n", "__pos", "__rank")
+    // ADAPTIVE: when every source fits one task (plan-time probe;
+    // naiveMaxRows <= 0 forces the two-phase form), the built-in
+    // percent_rank over a per-source window IS the exact semantics the
+    // lowering reproduces — same rational, same tie rule, same rounding
+    if (!TwoPhase.useChunked(df, Seq(col(sourceCol)), naiveMaxRows)) {
+      val w = Window.partitionBy(col(sourceCol))
+        .orderBy(col(scoreCol), col(tieBreak))
+      return df.withColumn("norm_score", round(percent_rank().over(w), 6))
+    }
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     // the offset join keys on a STRUCT-wrapped source: a window treats
     // NULL as its own partition, so the lowering must too — a

@@ -17,8 +17,12 @@ import org.apache.spark.sql.functions._
   * through single tasks — so they lower to a TWO-PHASE chunked form:
   * per-(type, chunk) windows plus a boundary pass over per-chunk tables
   * whose size tracks the time span, not the data (a couple of bounded
-  * exchanges instead of one unbounded sort). No self-joins, no per-key
-  * driver loops anywhere. Double aggregations route through
+  * exchanges instead of one unbounded sort). The lowering is ADAPTIVE
+  * (TwoPhase.useChunked): a plan-time probe keeps the plain single
+  * window while every key's series fits one task, so small/medium runs
+  * don't pay the boundary-pass tax; past the bound the chunked plan
+  * takes over. Differential specs pin the branches identical. No
+  * self-joins, no per-key driver loops anywhere. Double aggregations route through
   * `DECIMAL(38,6)` partial sums so results are order-independent
   * (bit-identical across engines and across retries at any
   * parallelism), then surface as doubles.
@@ -127,7 +131,8 @@ object TimeSeries {
     * `Packing.withRunningOffset`).
     */
   def gapFill(events: DataFrame, stepUs: Long,
-      chunkTicks: Int = 256): DataFrame = {
+      chunkTicks: Int = 256,
+      naiveMaxRows: Long = TwoPhase.NaiveMaxRows): DataFrame = {
     require(chunkTicks > 0, s"chunkTicks must be positive, got $chunkTicks")
     val chunkUs = Math.multiplyExact(stepUs, chunkTicks.toLong)
     // every grid/boundary join keys on a STRUCT-wrapped type ("__k") so
@@ -140,6 +145,27 @@ object TimeSeries {
       .agg(max_by(col("value"), struct(eventOrder: _*)).as("tick_value"))
     val span = ev.groupBy(col("__k"))
       .agg(min(col("tick")).as("t0"), max(col("tick")).as("t1"))
+    // ADAPTIVE: the fill window runs over the tick GRID, so the probe is
+    // the largest per-type tick count (from the already-aggregated span
+    // table — a types-sized collect), not the event count. When every
+    // grid fits one task (naiveMaxRows <= 0 forces the chunked form), a
+    // single per-type fill window needs no boundary pass.
+    val naive = naiveMaxRows > 0 && {
+      val r = span.agg(max((col("t1") - col("t0")) / stepUs + 1)).collect()(0)
+      r.isNullAt(0) || r.getDouble(0) <= naiveMaxRows.toDouble
+    }
+    if (naive) {
+      val fillW = Window.partitionBy(col("__k")).orderBy(col("tick"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      return span.select(col("__k"),
+          explode(sequence(col("t0"), col("t1"), lit(stepUs))).as("tick"))
+        .join(perTick, Seq("__k", "tick"), "left")
+        .withColumn("value",
+          last(col("tick_value"), ignoreNulls = true).over(fillW))
+        .withColumn("filled", col("tick_value").isNull)
+        .select(col("__k.event_type").as("event_type"), col("tick"),
+          col("value"), col("filled"))
+    }
     val grid = span.select(col("__k"),
         explode(sequence(col("t0"), col("t1"), lit(stepUs))).as("tick"))
       .withColumn("__chunk", chunkOf(col("tick"), chunkUs))
@@ -214,11 +240,27 @@ object TimeSeries {
     * (a double running sum would drift with slide order/parallelism).
     */
   def movingAggregate(events: DataFrame, windowUs: Long,
-      chunkFactor: Int = 4): DataFrame = {
+      chunkFactor: Int = 4,
+      naiveMaxRows: Long = TwoPhase.NaiveMaxRows): DataFrame = {
     require(windowUs > 0, s"windowUs must be positive, got $windowUs")
     require(chunkFactor >= 1, s"chunkFactor must be >= 1, got $chunkFactor")
     val chunkUs = Math.multiplyExact(windowUs, chunkFactor.toLong)
-    val ev = withTsUs(events).withColumn("__chunk", chunkOf(col("ts_us"), chunkUs))
+    // ADAPTIVE: when every type's series fits one task (plan-time
+    // probe; naiveMaxRows <= 0 forces the chunked form), the plain
+    // per-type RANGE window computes the identical frame with no
+    // routing/replication pass — same decimal slide, same division
+    val ev0 = withTsUs(events)
+    if (!TwoPhase.useChunked(ev0, Seq(col("event_type")), naiveMaxRows)) {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts_us")).rangeBetween(-windowUs, 0)
+      return ev0
+        .withColumn("win_n", count(lit(1)).over(w))
+        .withColumn("win_avg",
+          sum(col("value").cast(Dec)).over(w).cast("double") / col("win_n"))
+        .select(col("event_id"), col("event_type"), col("ts_us").as("ts"),
+          col("value"), col("win_n"), col("win_avg"))
+    }
+    val ev = ev0.withColumn("__chunk", chunkOf(col("ts_us"), chunkUs))
     // one scan: each row lands in its own chunk, plus the next chunk as
     // context when its trailing-W shadow crosses the boundary
     val routed = ev.select(col("*"), explode(
@@ -263,12 +305,32 @@ object TimeSeries {
     * distinguishable from "previous value is NULL".
     */
   def derivative(events: DataFrame,
-      chunkUs: Long = 86400000000L): DataFrame = {
+      chunkUs: Long = 86400000000L,
+      naiveMaxRows: Long = TwoPhase.NaiveMaxRows): DataFrame = {
     require(chunkUs > 0, s"chunkUs must be positive, got $chunkUs")
+    val ev0 = withTsUs(events)
+    // shared tail: rate from the (ts_us, value) struct of the previous row
+    def rates(withPrev: DataFrame): DataFrame = withPrev
+      .where(col("__prev").isNotNull)
+      .withColumn("__dt", col("ts_us") - col("__prev.ts_us"))
+      .withColumn("rate",
+        when(col("__dt") > 0, round((col("value") - col("__prev.value")) /
+          (col("__dt").cast("double") / 1e6), 6)))
+      .select(col("event_id"), col("event_type"), col("ts_us").as("ts"),
+        col("value"), col("rate"))
+    // ADAPTIVE: when every type's series fits one task (plan-time
+    // probe; naiveMaxRows <= 0 forces the chunked form), a plain
+    // per-type lag computes the identical previous row with no
+    // boundary pass
+    if (!TwoPhase.useChunked(ev0, Seq(col("event_type")), naiveMaxRows)) {
+      val w = Window.partitionBy(col("event_type")).orderBy(eventOrder: _*)
+      return rates(ev0.withColumn("__prev",
+        lag(struct(col("ts_us"), col("value")), 1).over(w)))
+    }
     // the boundary join keys on a STRUCT-wrapped type so a NULL
     // event_type series — its own partition under a window — inherits
     // across chunks instead of losing each chunk's first row
-    val ev = withTsUs(events)
+    val ev = ev0
       .withColumn("__chunk", chunkOf(col("ts_us"), chunkUs))
       .withColumn("__k", struct(col("event_type")))
     val bounds = ev.groupBy(col("__k"), col("__chunk"))
@@ -282,15 +344,8 @@ object TimeSeries {
       .orderBy(eventOrder: _*)
     val prevRow = coalesce(
       lag(struct(col("ts_us"), col("value")), 1).over(wC), col("__prev0"))
-    ev.join(inherited, Seq("__k", "__chunk"), "left")
-      .withColumn("__prev", prevRow)
-      .where(col("__prev").isNotNull)
-      .withColumn("__dt", col("ts_us") - col("__prev.ts_us"))
-      .withColumn("rate",
-        when(col("__dt") > 0, round((col("value") - col("__prev.value")) /
-          (col("__dt").cast("double") / 1e6), 6)))
-      .select(col("event_id"), col("event_type"), col("ts_us").as("ts"),
-        col("value"), col("rate"))
+    rates(ev.join(inherited, Seq("__k", "__chunk"), "left")
+      .withColumn("__prev", prevRow))
   }
 
   /** Interval join at scale: pairs each `leftType` event with every

@@ -24,24 +24,61 @@ private[pipeline] object TwoPhase {
       s"input already has reserved helper column(s) ${clash.mkString(", ")}")
   }
 
+  /** Default per-group row bound for the adaptive naive/chunked switch:
+    * a window sort of ~1M rows sits comfortably in one task (tens of MB
+    * — far under an executor slot's memory at any sane config), while
+    * the chunked lowerings' boundary-pass + routing tax costs real time
+    * at small scale (driver bench r11: 2-5× on the lowered ops vs their
+    * plain-window r10 forms). Above the bound, one task per group is the
+    * 100-TB serialization hazard the chunked forms exist to remove. */
+  val NaiveMaxRows: Long = 1L << 20
+
+  /** Plan-time probe for the adaptive switch: the largest per-group row
+    * count (0 for an empty frame). EAGER — runs a cheap count-aggregate
+    * job when the operator is CALLED (column-pruned to the group keys,
+    * map-side combined, `groups`-sized result). Sound for batch
+    * pipelines over immutable inputs — the same contract
+    * `Dedup.splitByGroupSize` already pins — and it makes the adaptive
+    * operators reject streaming frames, as the dedup family does. */
+  def maxGroupRows(df: DataFrame, keys: Seq[Column]): Long = {
+    val r = df.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n"))).collect()(0)
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  /** The switch itself: chunked when forced (`naiveMaxRows <= 0`) or
+    * when any group exceeds the bound. */
+  def useChunked(df: DataFrame, keys: Seq[Column], naiveMaxRows: Long): Boolean =
+    naiveMaxRows <= 0 || maxGroupRows(df, keys) > naiveMaxRows
+
   /** `orderCols` must totalize the order within a group for the result
     * to be deterministic (the same contract the naive window form had).
-    * `chunk` is any deterministic expression; uniform hashes chunk best. */
+    * `chunk` is any deterministic expression; uniform hashes chunk best.
+    *
+    * ADAPTIVE: a plan-time [[maxGroupRows]] probe picks the plain
+    * whole-group window when every group fits one task (`naiveMaxRows`
+    * bound; `<= 0` forces the chunked form — differential specs pin the
+    * branches equal). Both branches produce identical rows AND ranks. */
   def boundedTopK(df: DataFrame, groupCols: Seq[Column],
       orderCols: Seq[Column], k: Int, chunk: Column,
-      rankName: String, rankAsLong: Boolean): DataFrame = {
+      rankName: String, rankAsLong: Boolean,
+      naiveMaxRows: Long = NaiveMaxRows): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     requireHelperColumnsFree(df, "__chunk", "__lr")
-    val wLocal = Window.partitionBy(groupCols :+ col("__chunk"): _*)
-      .orderBy(orderCols: _*)
     val w = Window.partitionBy(groupCols: _*).orderBy(orderCols: _*)
     val rank0 = row_number().over(w)
     val rank = if (rankAsLong) rank0.cast("long") else rank0
-    df.withColumn("__chunk", chunk)
-      .withColumn("__lr", row_number().over(wLocal))
-      .where(col("__lr") <= k)
-      .withColumn(rankName, rank)
-      .where(col(rankName) <= k)
-      .drop("__chunk", "__lr")
+    if (!useChunked(df, groupCols, naiveMaxRows)) {
+      df.withColumn(rankName, rank).where(col(rankName) <= k)
+    } else {
+      val wLocal = Window.partitionBy(groupCols :+ col("__chunk"): _*)
+        .orderBy(orderCols: _*)
+      df.withColumn("__chunk", chunk)
+        .withColumn("__lr", row_number().over(wLocal))
+        .where(col("__lr") <= k)
+        .withColumn(rankName, rank)
+        .where(col(rankName) <= k)
+        .drop("__chunk", "__lr")
+    }
   }
 }

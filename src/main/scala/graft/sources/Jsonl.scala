@@ -91,11 +91,19 @@ object Jsonl {
       array(col("value")))
     val parsed = spark.read.text(path)
       .filter(trim(col("value")) =!= "") // json source skips blank lines
-      .select(explode(units).as("__unit"),
+      .select(explode(units).as("__unit"), col("value"),
         input_file_name().as("src_file"))
       .select(from_json(col("__unit"), full, opts).as("__r"),
-        col("src_file"))
-      .select(full.fieldNames.map(f => col(s"__r.`$f`")) :+ col("src_file"): _*)
+        col("__unit"), col("value"), col("src_file"))
+      // a null ELEMENT of a root-array line ("[null, {...}]") explodes to
+      // a null unit; from_json(NULL) is a null struct whose corrupt field
+      // is also null — without this stamp the element would surface as an
+      // all-null "clean" row instead of damage. The report sample carries
+      // the enclosing line's own text (the element has none).
+      .select(full.fieldNames.map(f =>
+        (if (f == CorruptCol)
+          when(col("__unit").isNull, col("value")).otherwise(col(s"__r.`$f`"))
+        else col(s"__r.`$f`")).as(f)) :+ col("src_file"): _*)
     val clean = parsed.filter(col(CorruptCol).isNull).drop(CorruptCol)
     val report = parsed.filter(col(CorruptCol).isNotNull)
       .groupBy(col("src_file"))

@@ -215,7 +215,8 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
         .over(wNaive).cast("double") / col("win_n"))
       .select("event_id", "win_n", "win_avg").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val gotMoving = TimeSeries.movingAggregate(df, windowUs = 100L)
+    val gotMoving = TimeSeries.movingAggregate(df, windowUs = 100L,
+        naiveMaxRows = 0)
       .select("event_id", "win_n", "win_avg").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(gotMoving == expMoving, "movingAggregate chunked != naive")
@@ -230,17 +231,24 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
       .where(col("__dt").isNotNull)
       .select("event_id", "rate").collect()
       .map(r => (r.getLong(0), Option(r.get(1)))).toSet
-    val gotDeriv = TimeSeries.derivative(df, chunkUs = 500L)
+    val gotDeriv = TimeSeries.derivative(df, chunkUs = 500L,
+        naiveMaxRows = 0)
       .select("event_id", "rate").collect()
       .map(r => (r.getLong(0), Option(r.get(1)))).toSet
     assert(gotDeriv == expDeriv, "derivative chunked != naive")
+    // the ADAPTIVE defaults (naive branch at this scale) agree too
+    val adaptDeriv = TimeSeries.derivative(df, chunkUs = 500L)
+      .select("event_id", "rate").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    assert(adaptDeriv == expDeriv, "derivative adaptive != naive")
 
     // gapFill: tiny chunks (2 ticks) vs one huge chunk (≡ naive fill)
-    val gotFill = TimeSeries.gapFill(df, stepUs = 50L, chunkTicks = 2)
+    val gotFill = TimeSeries.gapFill(df, stepUs = 50L, chunkTicks = 2,
+        naiveMaxRows = 0)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
         r.getBoolean(3))).toSet
     val expFill = TimeSeries.gapFill(df, stepUs = 50L,
-        chunkTicks = Int.MaxValue / 100)
+        chunkTicks = Int.MaxValue / 100, naiveMaxRows = 0)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
         r.getBoolean(3))).toSet
     assert(gotFill == expFill, "gapFill chunked != single-chunk")
@@ -270,7 +278,8 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
       val exp = tsd.withColumn("win_n", count(lit(1)).over(wN))
         .select("event_id", "win_n").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-      val got = TimeSeries.movingAggregate(df, windowUs, chunkFactor = factor)
+      val got = TimeSeries.movingAggregate(df, windowUs,
+          chunkFactor = factor, naiveMaxRows = 0)
         .select("event_id", "win_n").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got == exp, s"movingAggregate W=$windowUs factor=$factor")
@@ -281,16 +290,18 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
       .where(col("__dt").isNotNull)
       .select("event_id").collect().map(_.getLong(0)).toSet
     for (chunkUs <- Seq(100L, 1000L, 100000L)) {
-      val gotD = TimeSeries.derivative(df, chunkUs = chunkUs)
+      val gotD = TimeSeries.derivative(df, chunkUs = chunkUs,
+          naiveMaxRows = 0)
         .select("event_id").collect().map(_.getLong(0)).toSet
       assert(gotD == expD, s"derivative chunkUs=$chunkUs")
     }
     val expF = TimeSeries.gapFill(df, stepUs = 100L,
-        chunkTicks = Int.MaxValue / 200).collect()
+        chunkTicks = Int.MaxValue / 200, naiveMaxRows = 0).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
       .toSet
     for (ticks <- Seq(1, 3, 16)) {
-      val gotF = TimeSeries.gapFill(df, stepUs = 100L, chunkTicks = ticks)
+      val gotF = TimeSeries.gapFill(df, stepUs = 100L, chunkTicks = ticks,
+          naiveMaxRows = 0)
         .collect()
         .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
         .toSet
@@ -304,12 +315,13 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
     val df = ev(
       (1L, 100L, 7L, "a", 1.0), (2L, 900L, 7L, "a", 2.0),
       (3L, 100L, 7L, null, 10.0), (4L, 900L, 7L, null, 30.0))
-    val rates = TimeSeries.derivative(df, chunkUs = 500L)
+    val rates = TimeSeries.derivative(df, chunkUs = 500L, naiveMaxRows = 0)
       .select("event_id", "rate").collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toMap
     // null-type: (30-10)/(800µs/1e6 s) = 25000/s; crosses chunk 0 → 1
     assert(rates == Map(2L -> 1250.0, 4L -> 25000.0), s"got $rates")
-    val fills = TimeSeries.gapFill(df, stepUs = 200L, chunkTicks = 2)
+    val fills = TimeSeries.gapFill(df, stepUs = 200L, chunkTicks = 2,
+        naiveMaxRows = 0)
       .collect().map(r => (Option(r.getString(0)), r.getLong(1),
         r.getDouble(2), r.getBoolean(3)))
     val nullRows = fills.filter(_._1.isEmpty).sortBy(_._2)
@@ -330,15 +342,22 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
     // types over a 100-TB stream must not serialize through one task.
     // (The boundary-pass windows DO key on event_type alone, by design:
     // they run over per-chunk tables whose size is ∝ time span.)
-    val m = windowPartitionSpecs(TimeSeries.movingAggregate(df, 100L))
+    // naiveMaxRows = 0 stands in for "a type exceeded the probe bound"
+    val m = windowPartitionSpecs(TimeSeries.movingAggregate(df, 100L,
+      naiveMaxRows = 0))
     assert(m.exists(_.contains("__chunk")),
       s"movingAggregate window must include __chunk: $m")
-    val dv = windowPartitionSpecs(TimeSeries.derivative(df))
+    val dv = windowPartitionSpecs(TimeSeries.derivative(df, naiveMaxRows = 0))
     assert(dv.exists(_.contains("__chunk")),
       s"derivative per-event window must include __chunk: $dv")
-    val g = windowPartitionSpecs(TimeSeries.gapFill(df, 10L))
+    val g = windowPartitionSpecs(TimeSeries.gapFill(df, 10L, naiveMaxRows = 0))
     assert(g.exists(_.contains("__chunk")),
       s"gapFill fill window must include __chunk: $g")
+    // below the threshold, the adaptive default plans the plain window —
+    // no __chunk routing anywhere
+    val mN = windowPartitionSpecs(TimeSeries.movingAggregate(df, 100L))
+    assert(mN.nonEmpty && mN.forall(!_.contains("__chunk")),
+      s"movingAggregate naive branch must not chunk: $mN")
   }
 
   test("derivative: per-type consecutive rate; zero gap → null rate") {

@@ -31,10 +31,15 @@ class TwoPhaseLoweringSpec extends AnyFunSuite with SparkTestBase {
     val exp = naive.collect().map(r => (r.getLong(0), r.getInt(4))).toSet
     for (nChunks <- Seq(1, 3, 64)) {
       val got = Analytics.topKPerGroup(docs, "source", "score", "doc_id",
-          k = 7, nChunks = nChunks)
+          k = 7, nChunks = nChunks, naiveMaxRows = 0)
         .collect().map(r => (r.getLong(0), r.getInt(4))).toSet
       assert(got == exp, s"topK mismatch at nChunks=$nChunks")
     }
+    // adaptive default picks the naive branch at this scale — same rows
+    val adaptive = Analytics.topKPerGroup(docs, "source", "score", "doc_id",
+        k = 7)
+      .collect().map(r => (r.getLong(0), r.getInt(4))).toSet
+    assert(adaptive == exp)
   }
 
   test("stratifiedExactK: two-phase == naive, ranks identical") {
@@ -48,11 +53,15 @@ class TwoPhaseLoweringSpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     for (nChunks <- Seq(1, 5, 64)) {
       val got = Sampling.stratifiedExactK(docs, "source", k = 9,
-          nChunks = nChunks)
+          nChunks = nChunks, naiveMaxRows = 0)
         .select("doc_id", "rank").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got == exp, s"exactK mismatch at nChunks=$nChunks")
     }
+    val adaptive = Sampling.stratifiedExactK(docs, "source", k = 9)
+      .select("doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(adaptive == exp)
   }
 
   test("byTokenBudget: chunked running sum == naive, including cum_tokens") {
@@ -70,11 +79,35 @@ class TwoPhaseLoweringSpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     for (nChunks <- Seq(1, 4, 64)) {
       val got = Sampling.byTokenBudget(docs, "source", "n_tokens",
-          budget = 2000L, nChunks = nChunks)
+          budget = 2000L, nChunks = nChunks, naiveMaxRows = 0)
         .select("doc_id", "cum_tokens").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got == exp, s"tokenBudget mismatch at nChunks=$nChunks")
     }
+    val adaptive = Sampling.byTokenBudget(docs, "source", "n_tokens",
+        budget = 2000L)
+      .select("doc_id", "cum_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(adaptive == exp)
+  }
+
+  test("byTokenBudget: fractional token counts are order-independent " +
+      "(decimal sums, both branches)") {
+    // doubles whose naive sequential sum vs chunked reordered sum would
+    // differ in double arithmetic; decimal partial sums make the budget
+    // boundary exact in both branches
+    val frac = (0 until 400).map { i =>
+      (i.toLong, "hot", 0.0, 0.1 + (i % 7) * 0.3)
+    }.toDF("doc_id", "source", "score", "n_tokens")
+    def run(naiveMaxRows: Long, nChunks: Int) =
+      Sampling.byTokenBudget(frac, "source", "n_tokens", budget = 150L,
+          nChunks = nChunks, naiveMaxRows = naiveMaxRows)
+        .select("doc_id", "cum_tokens").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = run(Long.MaxValue, 64)
+    assert(naive.nonEmpty)
+    for (nChunks <- Seq(1, 4, 64))
+      assert(run(0, nChunks) == naive, s"fractional mismatch at $nChunks")
   }
 
   test("percentileNormalize: two-phase == percent_rank, ties included") {
@@ -88,10 +121,17 @@ class TwoPhaseLoweringSpec extends AnyFunSuite with SparkTestBase {
     }
     val exp = naive.select("doc_id", "norm_score").collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSet
-    val got = TextAnalysis.percentileNormalize(dup, "source", "score", "tie")
+    val got = TextAnalysis.percentileNormalize(dup, "source", "score", "tie",
+        naiveMaxRows = 0)
       .select("doc_id", "norm_score").collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSet
     assert(got == exp)
+    // adaptive default picks the naive branch at this scale — same values
+    val adaptive = TextAnalysis.percentileNormalize(dup, "source", "score",
+        "tie")
+      .select("doc_id", "norm_score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(adaptive == exp)
     // single-row source: percent_rank = 0.0, no NaN from 0/0
     val one = Seq((1L, "solo", 5.0, 0L)).toDF("doc_id", "source", "score", "n_tokens")
     val sv = TextAnalysis.percentileNormalize(one, "source", "score", "doc_id")
@@ -134,22 +174,42 @@ class TwoPhaseLoweringSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("plans: no whole-group window survives in any lowering") {
+  test("plans: past the adaptive threshold, no whole-group window " +
+      "survives in any lowering") {
     def specs(d: DataFrame): Seq[String] =
       "Window \\[[^\\]]*\\], \\[([^\\]]*)\\]".r
         .findAllMatchIn(d.queryExecution.executedPlan.toString)
         .map(_.group(1)).toSeq
     // topK/exactK/tokenBudget: the window over the RAW rows must carry
     // the chunk; only the bounded-survivor / tiny-offset windows may key
-    // on the group alone
-    val tk = specs(Analytics.topKPerGroup(docs, "source", "score", "doc_id", 5))
+    // on the group alone. naiveMaxRows = 0 stands in for "a group
+    // exceeded the probe bound" — the branch condition is identical.
+    val tk = specs(Analytics.topKPerGroup(docs, "source", "score", "doc_id",
+      5, naiveMaxRows = 0))
     assert(tk.exists(_.contains("__chunk")), s"topK: $tk")
-    val ek = specs(Sampling.stratifiedExactK(docs, "source", 5))
+    val ek = specs(Sampling.stratifiedExactK(docs, "source", 5,
+      naiveMaxRows = 0))
     assert(ek.exists(_.contains("__chunk")), s"exactK: $ek")
-    val tb = specs(Sampling.byTokenBudget(docs, "source", "n_tokens", 100L))
+    val tb = specs(Sampling.byTokenBudget(docs, "source", "n_tokens", 100L,
+      naiveMaxRows = 0))
     assert(tb.exists(_.contains("__chunk")), s"tokenBudget: $tb")
     val pn = specs(TextAnalysis.percentileNormalize(docs, "source", "score",
-      "doc_id"))
+      "doc_id", naiveMaxRows = 0))
     assert(pn.exists(_.contains("__pid")), s"percentileNormalize: $pn")
+    // and below the threshold the adaptive default plans the plain
+    // single window — no chunk/pid routing, no boundary pass
+    val tkN = specs(Analytics.topKPerGroup(docs, "source", "score", "doc_id", 5))
+    assert(tkN.nonEmpty && tkN.forall(s =>
+      !s.contains("__chunk") && !s.contains("__pid")), s"topK naive: $tkN")
+    val pnN = specs(TextAnalysis.percentileNormalize(docs, "source", "score",
+      "doc_id"))
+    assert(pnN.nonEmpty && pnN.forall(s =>
+      !s.contains("__pid") && !s.contains("__chunk")),
+      s"percentileNormalize naive: $pnN")
+    // the PROBE itself flips the branch: a bound under the hot group's
+    // 600 rows plans chunked without forcing
+    val tkP = specs(Analytics.topKPerGroup(docs, "source", "score", "doc_id",
+      5, naiveMaxRows = 100))
+    assert(tkP.exists(_.contains("__chunk")), s"topK probe: $tkP")
   }
 }
