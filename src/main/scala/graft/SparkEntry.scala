@@ -239,6 +239,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // deterministic ordered-shard export: shard = global-rank bucket on
+    // (n_chars, doc_id) — two-phase rank, no global-order window
+    "q_ordered_shards" -> ((s, dir) =>
+      Packing.orderedShardsExact(
+          docs(s, dir).select(col("doc_id"), col("n_chars")),
+          "n_chars", "doc_id", nShards = 8)
+        .orderBy("doc_id")),
+
     // benchmark decontamination: src0 is the held-out eval corpus, every
     // other doc is scored by shingle overlap against it
     "q_decontaminate" -> ((s, dir) => {
@@ -598,6 +606,34 @@ object SparkEntry {
     "q_asof_join" -> ((s, dir) =>
       TimeSeries.asofJoin(table(s, dir, "events"), "click", "purchase")
         .orderBy("event_id")),
+
+    // two-table as-of join, STRICT, forced through the chunked LOCF
+    // lowering (1-hour chunks) so the oracle gates the scale-shape plan
+    "q_asof_tables" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val tsUs = Records.eventTsUs(ev)
+      val l = ev.where(col("event_type") === "click")
+        .select(col("user_id"), tsUs.as("ts"), col("value"))
+      val r = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), tsUs.as("ts"))
+      TimeSeries.asofJoinTables(l, r, "user_id", "ts", "value",
+          strict = true, chunkUs = 3600000000L, naiveMaxRows = 0)
+        .orderBy("user_id", "ts")
+    }),
+
+    // same join INCLUSIVE, adaptive default (naive interleaved window at
+    // this scale) — the strict/inclusive matrix gates both branches
+    "q_asof_tables_incl" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val tsUs = Records.eventTsUs(ev)
+      val l = ev.where(col("event_type") === "click")
+        .select(col("user_id"), tsUs.as("ts"), col("value"))
+      val r = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), tsUs.as("ts"))
+      TimeSeries.asofJoinTables(l, r, "user_id", "ts", "value",
+          strict = false)
+        .orderBy("user_id", "ts")
+    }),
 
     // tumbling 1-hour rollup per event type (partial-agg downsample)
     "q_rollup_hour" -> ((s, dir) =>
@@ -1477,6 +1513,17 @@ object SparkEntry {
              CAST("start" // 512 AS BIGINT) AS pack_id,
              CAST("start" % 512 AS BIGINT) AS offset
            FROM s ORDER BY doc_id""",
+
+      // deterministic ordered shards: shard = ((rank-1)·8) div N on the
+      // (n_chars, doc_id) global rank — a pure function of the data
+      "q_ordered_shards" ->
+        """WITH t AS (SELECT doc_id, n_chars,
+             row_number() OVER (ORDER BY n_chars, doc_id) AS rank,
+             count(*) OVER () AS n
+           FROM documents)
+           SELECT doc_id, n_chars, CAST(rank AS BIGINT) AS rank,
+             CAST(((rank - 1) * 8) // n AS BIGINT) AS shard
+           FROM t ORDER BY doc_id""",
 
       // benchmark decontamination: shingle-overlap of every non-src0 doc
       // against the distinct src0 shingle set (same md5-60 shingles as
@@ -2561,6 +2608,53 @@ object SparkEntry {
              FROM e)
            SELECT event_id, user_id, ts_us AS ts, value, asof_value, asof_ts
            FROM w WHERE event_type = 'purchase'""",
+
+      // two-table as-of, STRICT: right rows sort before left rows at an
+      // equal timestamp (side DESC) and the frame stops 1 row back; among
+      // equal-ts left rows the largest value wins (v ASC NULLS FIRST +
+      // last_value). The (ts, v) pair travels as ONE struct so a
+      // null-valued left row cannot split asof_value from asof_ts.
+      // NB: "asof" is a reserved word in DuckDB (ASOF JOIN) — the
+      // carried column is named "pair".
+      "q_asof_tables" ->
+        """WITH l AS (SELECT user_id, epoch_us(ts) AS ts, value AS v,
+                        0 AS side
+                      FROM events WHERE event_type = 'click'),
+           rt AS (SELECT user_id, epoch_us(ts) AS ts,
+                    CAST(NULL AS DOUBLE) AS v, 1 AS side
+                  FROM events WHERE event_type = 'purchase'),
+           u AS (SELECT * FROM l UNION ALL SELECT * FROM rt),
+           w AS (SELECT user_id, ts, side,
+             last_value(CASE WHEN side = 0
+                 THEN struct_pack(ts := ts, v := v) END IGNORE NULLS) OVER
+               (PARTITION BY user_id
+                ORDER BY ts ASC, side DESC, v ASC NULLS FIRST
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pair
+             FROM u)
+           SELECT user_id, ts, struct_extract(pair, 'v') AS asof_value,
+             struct_extract(pair, 'ts') AS asof_ts
+           FROM w WHERE side = 1 ORDER BY user_id, ts""",
+
+      // INCLUSIVE variant: left rows sort first at an equal timestamp
+      // (side ASC) and the frame includes the current row
+      "q_asof_tables_incl" ->
+        """WITH l AS (SELECT user_id, epoch_us(ts) AS ts, value AS v,
+                        0 AS side
+                      FROM events WHERE event_type = 'click'),
+           rt AS (SELECT user_id, epoch_us(ts) AS ts,
+                    CAST(NULL AS DOUBLE) AS v, 1 AS side
+                  FROM events WHERE event_type = 'purchase'),
+           u AS (SELECT * FROM l UNION ALL SELECT * FROM rt),
+           w AS (SELECT user_id, ts, side,
+             last_value(CASE WHEN side = 0
+                 THEN struct_pack(ts := ts, v := v) END IGNORE NULLS) OVER
+               (PARTITION BY user_id
+                ORDER BY ts ASC, side ASC, v ASC NULLS FIRST
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pair
+             FROM u)
+           SELECT user_id, ts, struct_extract(pair, 'v') AS asof_value,
+             struct_extract(pair, 'ts') AS asof_ts
+           FROM w WHERE side = 1 ORDER BY user_id, ts""",
 
       "q_rollup_hour" ->
         """SELECT event_type,

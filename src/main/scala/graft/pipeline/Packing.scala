@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -81,6 +82,49 @@ object Packing {
     df.repartitionByRange(nShards, col(orderCol))
       .sortWithinPartitions(orderCol)
       .withColumn("shard", spark_partition_id().cast(LongType))
+  }
+
+  /** Deterministic variant of [[orderedShards]]: shard ids derive from
+    * the GLOBAL RANK on (orderCol, tieBreak) — `shard = ((rank − 1) ·
+    * nShards) div N` — so the assignment is a pure function of the data:
+    * stable across runs, plans, partition counts, and engines, which is
+    * what resume bookkeeping actually wants ([[orderedShards]]'s sampled
+    * range boundaries shift between runs; its scaladoc says so). The
+    * price is one extra tiny aggregation pass.
+    *
+    * Rank comes from the two-phase distributed scan (no global-order
+    * window): range-exchange on (orderCol, tieBreak), per-partition
+    * counts — ≤ shuffle-partitions rows — exclusive offsets under a
+    * window over that tiny table, then a local row_number per
+    * partition. `(orderCol, tieBreak)` must totalize the order. Emits
+    * `rank` (1-based) and `shard` (0-based), both long; shard sizes
+    * differ by at most one row.
+    */
+  def orderedShardsExact(df: DataFrame, orderCol: String, tieBreak: String,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    TwoPhase.requireHelperColumnsFree(df, "__pid", "__cnt", "__off", "__n")
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val rp = df.repartitionByRange(parts, col(orderCol), col(tieBreak))
+      .withColumn("__pid", spark_partition_id())
+    val counts = rp.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+    // both windows run over the counts table: ≤ shuffle-partitions rows
+    // (the constant partition key just tells Spark that single partition
+    // is intentional — no WindowExec warning)
+    val wOff = Window.partitionBy(lit(0)).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(lit(0))
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
+      .withColumn("__n", sum(col("__cnt")).over(wAll))
+      .select(col("__pid"), col("__off"), col("__n"))
+    val wLocal = Window.partitionBy(col("__pid"))
+      .orderBy(col(orderCol), col(tieBreak))
+    rp.join(offsets, Seq("__pid"))
+      .withColumn("rank",
+        (col("__off") + row_number().over(wLocal)).cast(LongType))
+      .withColumn("shard", expr(s"((rank - 1) * $nShards) DIV __n"))
+      .select(df.columns.map(col) :+ col("rank") :+ col("shard"): _*)
   }
 
   /** Pack documents into fixed `budget`-token windows: (…, n_tokens,

@@ -583,31 +583,85 @@ object TimeSeries {
 
   /** General two-table as-of join: each `right` row picks up the latest
     * `left` row with the same `keyCol` whose `tsCol` is <= (or < with
-    * `strict`) its own. Same single-interleaved-window-scan lowering as
-    * [[asofJoin]] — tag both inputs, one keyed sort, carry the left value
-    * forward; no join node, no per-key index. `valueCol` names the left
-    * column to attach (as `asof_value`, with its timestamp as `asof_ts`).
+    * `strict`) its own. Tag both inputs, sort once per key, carry the
+    * left value forward — a lookup-join formulation would shuffle both
+    * sides AND build a per-key index. `valueCol` names the left column
+    * to attach (as `asof_value`, with its timestamp as `asof_ts`).
+    *
+    * ADAPTIVE two-phase lowering: below the `naiveMaxRows` probe bound,
+    * one interleaved keyed window scan (no join node at all, same as
+    * [[asofJoin]]); above it — the quotes→trades shape this operator
+    * documents has a few hundred symbols, so one symbol's history must
+    * not sort through one task — the µs axis chunks on `chunkUs` and the
+    * LOCF carry crosses chunks via a boundary table ∝ time span (the
+    * [[gapFill]] pattern). Differential specs pin the branches and the
+    * strict/inclusive matrix identical.
     */
   def asofJoinTables(left: DataFrame, right: DataFrame, keyCol: String,
-      tsCol: String, valueCol: String, strict: Boolean = true): DataFrame = {
+      tsCol: String, valueCol: String, strict: Boolean = true,
+      chunkUs: Long = 86400000000L,
+      naiveMaxRows: Long = TwoPhase.NaiveMaxRows): DataFrame = {
+    require(chunkUs > 0, s"chunkUs must be positive, got $chunkUs")
     val l = left.select(col(keyCol), col(tsCol).as("__ts"),
       col(valueCol).cast("double").as("__v"), lit(0).as("__side"))
     val r = right.select(col(keyCol), col(tsCol).as("__ts"),
       lit(null).cast("double").as("__v"), lit(1).as("__side"))
     // left rows order before right rows at an equal timestamp iff the
-    // match is inclusive (non-strict)
+    // match is inclusive (non-strict); among equal-timestamp LEFT rows
+    // the largest value wins (ties totalized — both branches and the
+    // boundary max_by agree bit-for-bit). The carried (ts, value) pair
+    // travels as ONE struct, so a null-valued left row still advances
+    // asof_ts with its own null rather than splitting the pair.
     val sideOrd = if (strict) col("__side").desc else col("__side").asc
-    val w = Window.partitionBy(col(keyCol))
-      .orderBy(col("__ts").asc, sideOrd)
-      .rowsBetween(Window.unboundedPreceding, if (strict) -1 else 0)
-    val leftVal = when(col("__side") === 0, col("__v"))
-    val leftTs = when(col("__side") === 0, col("__ts"))
-    l.unionByName(r)
-      .withColumn("asof_value", last(leftVal, ignoreNulls = true).over(w))
-      .withColumn("asof_ts", last(leftTs, ignoreNulls = true).over(w))
+    val tieOrd = Seq(col("__ts").asc, sideOrd, col("__v").asc_nulls_first)
+    val frameEnd = if (strict) -1L else 0L
+    val leftPair = when(col("__side") === 0, struct(col("__ts"), col("__v")))
+    def finish(withAsof: DataFrame): DataFrame = withAsof
       .where(col("__side") === 1)
-      .select(col(keyCol), col("__ts").as(tsCol), col("asof_value"),
-        col("asof_ts"))
+      .select(col(keyCol), col("__ts").as(tsCol),
+        col("__asof.__v").as("asof_value"), col("__asof.__ts").as("asof_ts"))
+    val u = l.unionByName(r)
+    // ADAPTIVE: when every key's interleaved history fits one task
+    // (plan-time probe; naiveMaxRows <= 0 forces the chunked form), one
+    // keyed window scan carries the left value forward — no join node
+    if (!TwoPhase.useChunked(u, Seq(col(keyCol)), naiveMaxRows)) {
+      val w = Window.partitionBy(col(keyCol)).orderBy(tieOrd: _*)
+        .rowsBetween(Window.unboundedPreceding, frameEnd)
+      return finish(u.withColumn("__asof",
+        last(leftPair, ignoreNulls = true).over(w)))
+    }
+    // TWO-PHASE CHUNKED (the gapFill LOCF pattern): the documented shape
+    // is quotes→trades over hundreds of symbols — low key cardinality,
+    // where the naive window would sort one symbol's entire 100-TB
+    // history through ONE task. Cut the µs axis into `chunkUs` chunks;
+    // phase 1 collapses each occupied (key, chunk) to its LAST left
+    // event (ties by value, same rule) and a carry pass over the chunk
+    // table — one row per occupied chunk, ∝ span not data — hands every
+    // chunk the newest left event strictly before it (equal timestamps
+    // land in the SAME chunk, so the cross-chunk carry never meets the
+    // strict/inclusive tie rule). Phase 2 runs the identical window
+    // within each (key, chunk), falling back to the inherited pair.
+    val ev = u.withColumn("__chunk", chunkOf(col("__ts"), chunkUs))
+      .withColumn("__k", struct(col(keyCol)))
+    val bounds = ev.filter(col("__side") === 0)
+      .groupBy(col("__k"), col("__chunk"))
+      .agg(max_by(struct(col("__ts"), col("__v")),
+        struct(col("__ts"), col("__v"))).as("__cl"))
+    // carry over ALL occupied chunks (right-only chunks must inherit
+    // through runs of chunks with no left events)
+    val allChunks = ev.select(col("__k"), col("__chunk")).distinct()
+    val wCarry = Window.partitionBy(col("__k")).orderBy(col("__chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = allChunks.join(bounds, Seq("__k", "__chunk"), "left")
+      .withColumn("__carry",
+        last(col("__cl"), ignoreNulls = true).over(wCarry))
+      .select(col("__k"), col("__chunk"), col("__carry"))
+    val wC = Window.partitionBy(col("__k"), col("__chunk"))
+      .orderBy(tieOrd: _*)
+      .rowsBetween(Window.unboundedPreceding, frameEnd)
+    finish(ev.join(carry, Seq("__k", "__chunk"), "left")
+      .withColumn("__asof", coalesce(
+        last(leftPair, ignoreNulls = true).over(wC), col("__carry"))))
   }
 
   /** Tumbling rollup via the native `window` function — the declarative

@@ -44,6 +44,34 @@ class IncrementalSpec extends AnyFunSuite with SparkTestBase {
     assert(shards.length == 1000)
   }
 
+  test("orderedShardsExact: rank-derived shards are a pure function of " +
+      "the data") {
+    val df = (0 until 1000).map(i => ((i * 7919) % 97L, i.toLong))
+      .toDF("key", "id").repartition(13) // heavy key ties → tieBreak decides
+    val out = Packing.orderedShardsExact(df, "key", "id", 4)
+      .select("key", "id", "rank", "shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // rank is exactly row_number over (key, id): compare to a local sort
+    val expRank = out.sortBy(x => (x._1, x._2)).zipWithIndex
+      .map { case ((k, id, _, _), i) => (k, id) -> (i + 1).toLong }.toMap
+    assert(out.forall { case (k, id, rank, _) => rank == expRank((k, id)) })
+    // shard = ((rank-1)*4) div 1000 — 4 shards of exactly 250
+    assert(out.forall { case (_, _, rank, shard) =>
+      shard == (rank - 1) * 4 / 1000 })
+    val sizes = out.groupBy(_._4).view.mapValues(_.size).toMap
+    assert(sizes == Map(0L -> 250, 1L -> 250, 2L -> 250, 3L -> 250))
+    // determinism across a different physical partitioning
+    val out2 = Packing.orderedShardsExact(df.repartition(3), "key", "id", 4)
+      .select("id", "shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out2 == out.map(x => (x._2, x._4)).toSet)
+    // reserved helper columns refused
+    intercept[IllegalArgumentException] {
+      Packing.orderedShardsExact(df.withColumn("__pid", lit(1)), "key",
+        "id", 4)
+    }
+  }
+
   test("histogram: shared global bins, extremes clamped into end bins") {
     val df = Seq(("a", 0.0), ("a", 5.0), ("a", 10.0), ("b", 10.0),
       ("b", 2.4), ("b", 2.6)).toDF("g", "v")

@@ -527,23 +527,88 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
       .toDF("user_id", "ts", "price")
     val trades = Seq((7L, 20L), (7L, 25L), (7L, 5L), (8L, 6L))
       .toDF("user_id", "ts")
-    def run(strict: Boolean) =
+    def run(strict: Boolean, naiveMaxRows: Long) =
       TimeSeries.asofJoinTables(quotes, trades, "user_id", "ts", "price",
-          strict)
+          strict, chunkUs = 8L, naiveMaxRows = naiveMaxRows)
         .orderBy("user_id", "ts")
         .collect().map(r => (r.getLong(0), r.getLong(1),
           Option(r.get(2)).map(_.asInstanceOf[Double])))
-    // strict: the 20-quote is NOT visible to the 20-trade
-    assert(run(strict = true).toSeq == Seq(
-      (7L, 5L, None), (7L, 20L, Some(1.0)), (7L, 25L, Some(2.0)),
-      (8L, 6L, Some(9.0))))
-    // inclusive: it is
-    assert(run(strict = false).toSeq == Seq(
-      (7L, 5L, None), (7L, 20L, Some(2.0)), (7L, 25L, Some(2.0)),
-      (8L, 6L, Some(9.0))))
+    for (branch <- Seq(Long.MaxValue, 0L)) { // naive window / forced chunked
+      // strict: the 20-quote is NOT visible to the 20-trade
+      assert(run(strict = true, branch).toSeq == Seq(
+        (7L, 5L, None), (7L, 20L, Some(1.0)), (7L, 25L, Some(2.0)),
+        (8L, 6L, Some(9.0))), s"strict, naiveMaxRows=$branch")
+      // inclusive: it is
+      assert(run(strict = false, branch).toSeq == Seq(
+        (7L, 5L, None), (7L, 20L, Some(2.0)), (7L, 25L, Some(2.0)),
+        (8L, 6L, Some(9.0))), s"inclusive, naiveMaxRows=$branch")
+    }
+    // naive branch (the adaptive default here): a single interleaved
+    // window scan, no join node at all
     val plan = TimeSeries.asofJoinTables(quotes, trades, "user_id", "ts",
       "price").queryExecution.executedPlan.toString
-    assert(!plan.contains("Join"), "two-table as-of must not plan a join")
+    assert(!plan.contains("Join"),
+      "two-table as-of naive branch must not plan a join")
+    // chunked branch: the output window must carry __chunk (no per-key
+    // whole-history sort), and its boundary joins must stay equi-joins
+    val cPlan = TimeSeries.asofJoinTables(quotes, trades, "user_id", "ts",
+        "price", strict = true, chunkUs = 8L, naiveMaxRows = 0)
+      .queryExecution.executedPlan.toString
+    val cSpecs = "Window \\[[^\\]]*\\], \\[([^\\]]*)\\]".r
+      .findAllMatchIn(cPlan).map(_.group(1)).toSeq
+    assert(cSpecs.exists(_.contains("__chunk")),
+      s"chunked as-of output window must include __chunk: $cSpecs")
+    assert(!cPlan.contains("CartesianProduct") &&
+      !cPlan.contains("BroadcastNestedLoopJoin"),
+      "chunked as-of must join on (key, chunk) only")
+  }
+
+  test("asofJoinTables: randomized chunked == naive across chunk widths " +
+      "and strictness") {
+    val rnd = new scala.util.Random(20260814L)
+    // few keys (the low-cardinality shape), colliding timestamps on and
+    // off chunk boundaries, interleaved left/right, value ties
+    val quotes = (0 until 500).map { i =>
+      (rnd.nextInt(3).toLong, rnd.nextInt(2000).toLong,
+        rnd.nextInt(5).toDouble)
+    }.toDF("sym", "ts", "price")
+    val trades = (0 until 500).map { i =>
+      (rnd.nextInt(3).toLong, rnd.nextInt(2000).toLong)
+    }.toDF("sym", "ts")
+    for (strict <- Seq(true, false)) {
+      val exp = TimeSeries.asofJoinTables(quotes, trades, "sym", "ts",
+          "price", strict, naiveMaxRows = Long.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)), Option(r.get(3)))).sortBy(x => (x._1, x._2)).toSeq
+      for (chunkUs <- Seq(7L, 64L, 1000L, 100000L)) {
+        val got = TimeSeries.asofJoinTables(quotes, trades, "sym", "ts",
+            "price", strict, chunkUs = chunkUs, naiveMaxRows = 0)
+          .collect().map(r => (r.getLong(0), r.getLong(1),
+            Option(r.get(2)), Option(r.get(3)))).sortBy(x => (x._1, x._2)).toSeq
+        assert(got == exp, s"asofJoinTables strict=$strict chunkUs=$chunkUs")
+      }
+    }
+  }
+
+  test("asofJoinTables: NULL keys and null left values survive both branches") {
+    val quotes = Seq((Option(7L), 10L, Option(1.0)),
+      (Option.empty[Long], 5L, Option(3.0)),
+      (Option.empty[Long], 8L, Option.empty[Double]))
+      .toDF("sym", "ts", "price")
+    val trades = Seq((Option(7L), 12L), (Option.empty[Long], 9L))
+      .toDF("sym", "ts")
+    for (branch <- Seq(Long.MaxValue, 0L)) {
+      val out = TimeSeries.asofJoinTables(quotes, trades, "sym", "ts",
+          "price", strict = true, chunkUs = 4L, naiveMaxRows = branch)
+        .collect().map(r => (Option(r.get(0)), r.getLong(1),
+          Option(r.get(2)), Option(r.get(3)))).sortBy(_._2)
+      // the null-key trade matches the null-key quote stream; the later
+      // null-VALUED quote is still the as-of row (the pair is one struct)
+      assert(out.toSeq == Seq(
+        (None, 9L, None, Some(8L)),
+        (Some(7L), 12L, Some(1.0), Some(10L))),
+        s"naiveMaxRows=$branch: ${out.toSeq}")
+    }
   }
 
   test("snapshotDiff: added/removed/changed/unchanged classification") {
