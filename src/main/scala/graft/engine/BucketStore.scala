@@ -43,6 +43,47 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     * executors, so the lock serializes API calls, not cluster work. */
   private[graft] val writeLock = new Object
 
+  /** Rewrite epoch: ODD while a partition-swap's visible changes
+    * (renames + emptied-dir deletes) are in flight, even when the tree
+    * is quiescent. Mutation jobs (the staged rewrite write) run OUTSIDE
+    * the odd window — only the cheap rename loop holds it, so the
+    * blocking window is milliseconds regardless of data volume. */
+  private val rewriteEpochCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+  def rewriteEpoch: Long = rewriteEpochCounter.get
+
+  /** Snapshot-or-retry read seam: runs `f` (which must fully materialize
+    * its result — collect/count, not a lazy frame) and returns it iff no
+    * partition swap overlapped; otherwise retries against the settled
+    * tree. An error raised while a swap DID overlap is treated as the
+    * race (a reader can observe a renamed-away file mid-swap) and
+    * retried; an error with no overlapping swap is real and rethrown.
+    * This is the single-process consistency contract — the same scope as
+    * the reference's single-owner storage engine, where every reader
+    * goes through the owning process (storage/engine.rs); multi-process
+    * readers over shared storage would need a manifest/table-format
+    * commit layer, out of scope by the same parity argument. Lazy cursor
+    * drains (QueryRegistry.toLocalIterator) intentionally bypass this:
+    * a long-lived cursor racing a delete serves rows it already planned,
+    * as the reference's cursors do. */
+  def readConsistent[T](f: => T, maxRetries: Int = 50): T = {
+    var attempts = 0
+    while (attempts <= maxRetries) {
+      val e0 = rewriteEpochCounter.get
+      if ((e0 & 1L) == 0L) {
+        try {
+          val out = f
+          if (rewriteEpochCounter.get == e0) return out
+        } catch {
+          case NonFatal(ex) if rewriteEpochCounter.get != e0 => // raced: retry
+          case NonFatal(ex) => throw ex
+        }
+        attempts += 1
+      } else Thread.sleep(1) // swap renames in flight: settle, then read
+    }
+    throw new IllegalStateException(
+      s"read did not settle after $maxRetries rewrite-racing retries")
+  }
+
   /** Interval usage-traffic counters incremented at the serving-layer
     * choke points (wire writes/reads); drained by
     * [[graft.lifecycle.Lifecycle.flushUsage]] (PR-1474). Internal
@@ -194,15 +235,15 @@ final class BucketStore(val spark: SparkSession, val root: String) {
         // materialize: `survivors` is reused after the swap, when the
         // file tree it was planned against has changed
         .localCheckpoint(true)
-      overwritePartitions(survivors)
-      // dynamic overwrite only rewrites partitions PRESENT in the output —
-      // a partition whose every record matched is left untouched, so drop
-      // fully-emptied partition directories explicitly
+      // the staged rewrite only recreates partitions PRESENT in the
+      // output — a partition whose every record matched must be dropped
+      // explicitly, inside the same swap window so a consistent reader
+      // sees the whole removal or none of it
       val surviving = survivors.withColumn("dt", dtCol)
         .select("bucket", "entry", "dt").distinct().collect()
         .map(r => (r.getString(0), r.getString(1), r.getDate(2).toString)).toSet
-      for ((b, e, dt) <- affected if !surviving((b, e, dt)))
-        deletePartitionDir(b, e, dt)
+      overwritePartitions(survivors,
+        dropAfter = affected.filterNot(surviving))
       n
     } finally matched.unpersist()
   }
@@ -281,12 +322,11 @@ final class BucketStore(val spark: SparkSession, val root: String) {
         val survivors = prunedPartitionScan(affected)
           .join(broadcast(existing), Seq("bucket", "entry", "ts"), "left_anti")
           .localCheckpoint(true) // reused after the swap (see overwritePartitions)
-        overwritePartitions(survivors)
         val surviving = survivors.withColumn("dt", dtCol)
           .select("bucket", "entry", "dt").distinct().collect()
           .map(r => (r.getString(0), r.getString(1), r.getDate(2).toString)).toSet
-        for ((b, e, dt) <- affected if !surviving((b, e, dt)))
-          deletePartitionDir(b, e, dt)
+        overwritePartitions(survivors,
+          dropAfter = affected.filterNot(surviving))
       }
       keys.map(k => k -> found(k)).toMap
     } finally existing.unpersist()
@@ -361,7 +401,8 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     * Callers that reuse `records` AFTER the swap must pass an
     * already-materialized frame (localCheckpoint) — recomputing it
     * post-swap would resolve against a changed file tree. */
-  private def overwritePartitions(records: DataFrame): Unit = {
+  private def overwritePartitions(records: DataFrame,
+      dropAfter: Iterable[(String, String, String)] = Nil): Unit = {
     val stage = new org.apache.hadoop.fs.Path(
       s"$root/$RewriteDir/${java.util.UUID.randomUUID}")
     records.withColumn("dt", dtCol)
@@ -370,6 +411,12 @@ final class BucketStore(val spark: SparkSession, val root: String) {
       .mode(SaveMode.Overwrite)
       .parquet(stage.toString)
     val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // every reader-visible change of the mutation — partition renames
+    // AND the fully-emptied-dir deletes — lands inside ONE odd-epoch
+    // window, so [[readConsistent]] callers see the whole mutation or
+    // none of it, never a mix. The staged write job above ran outside
+    // the window: the window holds only renames/deletes (milliseconds).
+    rewriteEpochCounter.incrementAndGet() // odd: swap in flight
     try {
       val rootPath = new org.apache.hadoop.fs.Path(root)
       var parked = 0
@@ -390,7 +437,11 @@ final class BucketStore(val spark: SparkSession, val root: String) {
         }
         fs.rename(d.getPath, live)
       }
-    } finally fs.delete(stage, true) // parked old dirs go with it
+      for ((db, de, ddt) <- dropAfter) deletePartitionDir(db, de, ddt)
+    } finally {
+      fs.delete(stage, true) // parked old dirs go with it
+      rewriteEpochCounter.incrementAndGet() // even: settled
+    }
   }
 
   /** Entry catalog (names only; from partition listing, no data scan). */

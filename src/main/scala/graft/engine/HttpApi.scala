@@ -555,10 +555,11 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
 
   private def bucketInfo(ex: HttpExchange, bucket: String): Unit = {
     if (!bucketExists(bucket)) throw notFound(s"Bucket '$bucket' is not found")
-    val all = store.tableOrEmpty().filter(col("bucket") === bucket)
-      .groupBy("entry").agg(count(lit(1)).as("n"),
-        min("ts").as("oldest"), max("ts").as("latest"))
-      .orderBy("entry").collect()
+    val all = store.readConsistent(
+      store.tableOrEmpty().filter(col("bucket") === bucket)
+        .groupBy("entry").agg(count(lit(1)).as("n"),
+          min("ts").as("oldest"), max("ts").as("latest"))
+        .orderBy("entry").collect())
     // $meta system entries are invisible here (storage/entry/system.rs:
     // 163-165); their parents — auto-created by the reference's
     // parent_prefixes walk — surface as EMPTY entries, and when no
@@ -682,7 +683,10 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
       case Some(ts) => base.filter(col("ts") === ts.toLong)
       case None     => base.orderBy(col("ts").desc).limit(1)
     }
-    at.collect().headOption.getOrElse(throw notFound("No record found"))
+    // snapshot-or-retry: a read racing a label-rewrite swap settles on
+    // the before- or after-state, never a renamed-away file error
+    store.readConsistent(at.collect()).headOption
+      .getOrElse(throw notFound("No record found"))
   }
 
   private def readSingle(ex: HttpExchange, bucket: String, entry: String,

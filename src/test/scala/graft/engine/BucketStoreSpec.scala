@@ -172,6 +172,72 @@ class BucketStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(store.table().filter(col("entry") === "dup").count() == 1)
   }
 
+  test("readConsistent: a read overlapped by a swap re-runs against the " +
+      "settled tree (deterministic interleaving)") {
+    val store = newStore()
+    store.write(recordsDf(Seq(
+      ("e", 1L, Map("v" -> "old")), ("e", day + 1L, Map("v" -> "old")))))
+    // first read invocation: pause, let a mutation's swap window pass,
+    // resume — readConsistent must detect the epoch change, discard the
+    // stale result, and re-run f exactly once more
+    val firstReadEntered = new java.util.concurrent.CountDownLatch(1)
+    val mutationDone = new java.util.concurrent.CountDownLatch(1)
+    val runs = new java.util.concurrent.atomic.AtomicInteger(0)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val mutator = Future {
+      firstReadEntered.await()
+      store.updateLabels(QuerySpec(), set = Map("v" -> "new")): Unit
+      mutationDone.countDown()
+    }
+    val got = store.readConsistent {
+      val attempt = runs.incrementAndGet()
+      if (attempt == 1) {
+        firstReadEntered.countDown()
+        mutationDone.await()
+      }
+      store.table().select(element_at(col("labels"), "v")).collect()
+        .map(_.getString(0)).toSeq
+    }
+    Await.result(mutator, 180.seconds)
+    assert(runs.get() == 2, s"stale read must re-run once, ran ${runs.get()}")
+    assert(got == Seq("new", "new"),
+      s"the settled read must see the whole mutation: $got")
+  }
+
+  test("reader racing label-rewrite swaps never sees a mixed snapshot") {
+    val store = newStore()
+    // two day-partitions — the mutation rewrites BOTH dirs per flip, so
+    // a non-atomic reader could catch one flipped and one not
+    store.write(recordsDf(Seq(
+      ("e", 1L, Map("v" -> "0")), ("e", day + 1L, Map("v" -> "0")))))
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    @volatile var done = false
+    val reader = Future {
+      val seen = Seq.newBuilder[Seq[String]]
+      while (!done) {
+        val vals = store.readConsistent(
+          store.table().select(element_at(col("labels"), "v")).collect()
+            .map(_.getString(0)).toSeq)
+        seen += vals
+      }
+      seen.result()
+    }
+    for (i <- 1 to 4)
+      store.updateLabels(QuerySpec(), set = Map("v" -> i.toString))
+    done = true
+    val snapshots = Await.result(reader, 180.seconds)
+    assert(snapshots.nonEmpty)
+    for (s <- snapshots) {
+      assert(s.length == 2, s"reads must never lose rows mid-swap: $s")
+      assert(s.distinct.length == 1,
+        s"both partitions must show the same mutation state, got $s")
+    }
+  }
+
   test("free-disk preflight rejects writes the volume can't hold (507 path)") {
     val store = newStore()
     store.freeSpaceFn = () => 10L // injected: volume "has" 10 bytes
