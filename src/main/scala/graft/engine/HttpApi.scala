@@ -364,29 +364,33 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
       !col("entry").endsWith("/" + EntryPattern.MetaSegment)
 
   private def info(ex: HttpExchange): Unit = {
-    // collect_set(bucket) is bounded by the BUCKET count — the reference
-    // holds its whole bucket map in server memory (engine.rs), so a
-    // deployment's bucket cardinality is in-memory-sized by contract
-    // (createdBuckets below is the same set, driver-side already).
-    // Entry cardinality is NOT so bounded; list() counts entries
-    // distributively for that reason.
-    val t = store.tableOrEmpty().groupBy()
-      .agg(count(lit(1)),
-        min(when(visibleEntry, col("ts"))),
-        max(when(visibleEntry, col("ts"))),
-        collect_set(col("bucket")))
-      .collect()(0)
+    // DISTRIBUTIVE, the /list pattern: the driver receives one small row
+    // per bucket (partial-aggregated min/max), never a collect_set array
+    // inside a single row/aggregation buffer. Bucket cardinality is
+    // in-memory-sized by the reference's own contract (engine.rs holds
+    // the bucket map in server memory; createdBuckets below is the same
+    // set, driver-side already), so folding per-bucket rows here costs
+    // what the bucket map already costs.
+    val rows = store.readConsistent(
+      store.tableOrEmpty().groupBy("bucket")
+        .agg(min(when(visibleEntry, col("ts"))).as("oldest"),
+          max(when(visibleEntry, col("ts"))).as("latest"))
+        .collect())
     // created-but-empty buckets exist too (engine.rs keeps the bucket
     // map, not the record table)
     val bucketCount =
-      (t.getSeq[String](3).toSet ++ createdBuckets.asScala).size
+      (rows.map(_.getString(0)).toSet ++ createdBuckets.asScala).size
+    val oldest = rows.collect { case r if !r.isNullAt(1) => r.getLong(1) }
+    val latest = rows.collect { case r if !r.isNullAt(2) => r.getLong(2) }
     json(ex, 200, JObject(
       "version" -> JString(s"${HttpApi.ServerVersion}-spark"),
       "bucket_count" -> JInt(bucketCount),
       "usage" -> JInt(BigInt(storeBytes)),
       "uptime" -> JLong((System.currentTimeMillis() - startedAtMs) / 1000L),
-      "oldest_record" -> JInt(if (t.isNullAt(1)) 0 else BigInt(t.getLong(1))),
-      "latest_record" -> JInt(if (t.isNullAt(2)) 0 else BigInt(t.getLong(2))),
+      "oldest_record" -> JInt(
+        if (oldest.isEmpty) 0 else BigInt(oldest.min)),
+      "latest_record" -> JInt(
+        if (latest.isEmpty) 0 else BigInt(latest.max)),
       // server_api.rs:55-58: instance-default bucket settings; license
       // null = OSS terms
       "defaults" -> JObject("bucket" ->

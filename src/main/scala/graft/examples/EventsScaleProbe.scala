@@ -1,0 +1,127 @@
+package graft.examples
+
+import graft.SparkEntry
+import graft.core.Records
+import graft.engine.{BucketStore, QueryEngine, QuerySpec}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Events-family scale probe (SCALE.md round-12): runs the TimeSeries and
+  * stateful-kernel driver queries plus the reference-shaped store
+  * workload (write / read-payload / update-labels / `$each_n`-remove)
+  * against an events table of any size — built for the 100x slice from
+  * `tools/gen_events100.py`, where the adaptive chunked lowerings cross
+  * their ~1M-rows-per-type threshold and engage for real.
+  *
+  * Alongside wall time it measures the claim the chunked plans make:
+  * the largest per-task slice — max rows per (event_type, chunk) for
+  * movingAggregate/derivative, max ticks per chunk for gapFill — stays
+  * bounded by the chunk width while the naive per-type slice grows with
+  * the data, and REQUIREs the separation once the threshold is crossed.
+  *
+  * Usage: runMain graft.examples.EventsScaleProbe <dir> [query...]
+  */
+object EventsScaleProbe {
+
+  val Family: Seq[String] = Seq(
+    "q_sessionize", "q_asof_join", "q_asof_tables", "q_asof_tables_incl",
+    "q_rollup_hour", "q_gap_fill", "q_moving_avg", "q_derivative",
+    "q_interval_join", "q_anomaly", "q_trend_slope", "q_mad_anomaly",
+    "q_each_n", "q_each_t", "q_gate", "q_limit")
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val wanted = if (args.length > 1) args.drop(1).toSeq else Family
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    chunkSliceStats(spark, dir)
+
+    for (name <- wanted) {
+      try {
+        val t0 = System.nanoTime()
+        val df = SparkEntry.queries(name)(spark, dir)
+        val n = df.queryExecution.toRdd.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"$name%-22s ${dt}%8.2f s  rows=$n")
+      } catch {
+        case e: Throwable =>
+          println(f"$name%-22s FAILED ${e.getMessage}")
+      }
+    }
+
+    workload(spark, dir)
+    spark.stop()
+  }
+
+  /** The serialization-hazard measurement: naive per-type slice vs the
+    * chunked plans' per-(type, chunk) slices at the driver queries'
+    * operator parameters. */
+  private def chunkSliceStats(spark: SparkSession, dir: String): Unit = {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val ev = raw.withColumn("ts_us", Records.eventTsUs(raw))
+    def maxGroup(keys: org.apache.spark.sql.Column*): Long =
+      ev.groupBy(keys: _*).count().agg(max("count")).collect()(0).getLong(0)
+    val perType = maxGroup(col("event_type"))
+    // q_moving_avg: windowUs 3600e6, chunkFactor 4
+    val movingSlice = maxGroup(col("event_type"),
+      (col("ts_us") - pmod(col("ts_us"), lit(4L * 3600000000L))))
+    // q_derivative: chunkUs = 1 day
+    val derivSlice = maxGroup(col("event_type"),
+      (col("ts_us") - pmod(col("ts_us"), lit(86400000000L))))
+    // q_gap_fill: stepUs 900e6, chunkTicks 256 → per-chunk tick bound is
+    // the constant 256 by construction; report the grid size per type
+    val span = ev.groupBy("event_type")
+      .agg(((max("ts_us") - min("ts_us")) / 900000000L + 1).as("ticks"))
+      .agg(max("ticks")).collect()(0).getDouble(0).toLong
+    val chunked = perType > graft.pipeline.TwoPhase.NaiveMaxRows
+    println(s"per-type max rows:            $perType " +
+      s"(adaptive branch: ${if (chunked) "CHUNKED" else "naive"})")
+    println(s"movingAggregate max slice:    $movingSlice rows per " +
+      "(type, 4h chunk)")
+    println(s"derivative max slice:         $derivSlice rows per (type, day)")
+    println(s"gapFill grid ticks per type:  $span (fill window slice " +
+      "<= 256 ticks by construction)")
+    if (chunked) {
+      require(movingSlice * 2 < perType,
+        s"movingAggregate slice $movingSlice must sit well under the " +
+          s"per-type series $perType once chunking engages")
+      require(derivSlice * 2 < perType,
+        s"derivative slice $derivSlice must sit well under $perType")
+    }
+  }
+
+  /** The reference workload shape (python-benchmark.py) at probe scale. */
+  private def workload(spark: SparkSession, dir: String): Unit = {
+    def timed(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+    val records = Records.fromEvents(
+      spark.read.parquet(s"$dir/events.parquet")).cache()
+    records.count()
+    val storeDir = java.nio.file.Files.createTempDirectory("graft-probe").toString
+    val store = new BucketStore(spark, storeDir)
+    timed("w_write") { store.write(records) }
+    timed("w_read_payload") {
+      val n = QueryEngine.query(store.table(), QuerySpec())
+        .agg(sum(length(col("payload")))).collect()(0).getLong(0)
+      require(n > 0)
+    }
+    timed("w_update_labels") {
+      store.updateLabels(QuerySpec(), set = Map("key" -> "value2")): Unit
+    }
+    timed("w_remove_each_n") {
+      store.removeQuery(QuerySpec(when = Some("""{"$each_n": 2}"""))): Unit
+    }
+    records.unpersist()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(storeDir))
+  }
+}

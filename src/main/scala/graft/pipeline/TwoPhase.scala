@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * one place (Analytics.topKPerGroup and Sampling.stratifiedExactK both
   * lower through here).
   */
-private[pipeline] object TwoPhase {
+private[graft] object TwoPhase {
 
   /** The lowerings stage intermediate state in `__`-prefixed columns; an
     * input that already carries one would be silently clobbered — refuse

@@ -540,6 +540,51 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
     } finally bigApi.stop()
   }
 
+  test("info folds per-bucket rows at many buckets (distributive, like " +
+      "/list)") {
+    import org.apache.spark.sql.functions._
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val manyStore = new BucketStore(spark,
+      Files.createTempDirectory("graft-http-many").toString)
+    val manyApi = new HttpApi(manyStore, apiToken = "root-token")
+    manyApi.start()
+    try {
+      // 300 buckets, one record each, plus one meta-only record that
+      // must not count into history
+      val rows = spark.range(300).select(
+        concat(lit("b"), col("id")).as("bucket"),
+        lit("e").as("entry"),
+        (col("id") + 5).as("ts"),
+        map(lit("k"), lit("v")).as("labels"),
+        typedLit(Map.empty[String, String]).as("computed_labels"),
+        lit("text/plain").as("content_type"),
+        lit(graft.core.Records.State.Finished).as("state"),
+        lit("x".getBytes).as("payload"))
+      val meta = spark.range(1).select(
+        lit("b0").as("bucket"), lit("e/$meta").as("entry"),
+        lit(99999L).as("ts"),
+        map(lit("k"), lit("v")).as("labels"),
+        typedLit(Map.empty[String, String]).as("computed_labels"),
+        lit("text/plain").as("content_type"),
+        lit(graft.core.Records.State.Finished).as("state"),
+        lit("m".getBytes).as("payload"))
+      manyStore.write(rows.unionByName(meta))
+      val r = client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${manyApi.boundPort}/api/v1/info"))
+          .header("Authorization", "Bearer root-token").GET().build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(r.statusCode() == 200)
+      assert(r.body().length < 2048,
+        s"/info response must stay bounded: ${r.body().length} bytes")
+      val j = jsonOf(r)
+      // 300 data buckets + the auto-provisioned $system bucket (PR-1557)
+      assert((j \ "bucket_count").extract[Long] == 301L)
+      assert((j \ "oldest_record").extract[Long] == 5L)
+      assert((j \ "latest_record").extract[Long] == 304L,
+        "meta-only records must not stretch the history")
+    } finally manyApi.stop()
+  }
+
   test("meta-only buckets normalize history to 0/0 (PR-1534); list fields") {
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
     assert(req("POST", "/b/mnorm").statusCode() == 200)
