@@ -233,11 +233,23 @@ object TimeSeries {
     * end are REPLICATED into the next chunk as context-only rows (frame
     * members there, never outputs). Because a trailing frame of width W
     * reaches at most W behind a chunk boundary, each (type, chunk)
-    * partition then holds every frame member its output rows need, and
-    * the same RANGE window runs per chunk — identical results, per-task
-    * work bounded by the chunk span, replication overhead
-    * ≤ 1/chunkFactor. The windowed sum is decimal so the slide is exact
-    * (a double running sum would drift with slide order/parallelism).
+    * partition then holds every frame member its output rows need —
+    * identical results, per-task work bounded by the chunk span,
+    * replication overhead ≤ 1/chunkFactor.
+    *
+    * Within each (type, chunk) slice the frame is computed by an O(n)
+    * SLIDING-DEQUE KERNEL (sorted mapPartitions, the StatefulKernel
+    * shape), NOT a RANGE window: Spark's sliding window frame
+    * re-aggregates its buffer as rows leave, which is O(rows × frame
+    * width) — measured 100x-probe pathology: at 10M events the per-type
+    * frame holds thousands of rows and the windowed form ran minutes
+    * where the kernel runs seconds. The kernel adds each row once and
+    * retracts it once; sums ride exact DECIMAL(38,6) arithmetic
+    * (BigDecimal mirrors Spark's double→decimal HALF_UP cast), so
+    * retraction is exact and results match the window bit-for-bit —
+    * pinned by the randomized differential spec. The below-threshold
+    * naive branch keeps the codegen'd RANGE window: its frames are
+    * small at the densities where the adaptive probe selects it.
     */
   def movingAggregate(events: DataFrame, windowUs: Long,
       chunkFactor: Int = 4,
@@ -272,19 +284,92 @@ object TimeSeries {
       .withColumn("__chunk", col("__r.c"))
       .withColumn("__ctx", col("__r.ctx"))
       .drop("__r")
-    val w = Window.partitionBy(col("event_type"), col("__chunk"))
-      .orderBy(col("ts_us")).rangeBetween(-windowUs, 0)
-    routed
-      .withColumn("win_n", count(lit(1)).over(w))
-      .withColumn("win_avg",
-        sum(col("value").cast(Dec)).over(w).cast("double") / col("win_n"))
-      .filter(!col("__ctx"))
-      .select(col("event_id"), col("event_type"), col("ts_us").as("ts"),
-        col("value"), col("win_n"), col("win_avg"))
-    // win_avg is NOT rounded: the decimal window sum is exact, so the
-    // double division is bit-identical on any engine — while rounding a
-    // value that lands exactly on a half-way digit (e.g. 64.0153125 at 6
+    // one Dataset plan: exchange on (type, chunk) → in-partition sort →
+    // the deque kernel; the sort order (type, chunk, ts, id) lets one
+    // task hold several (type, chunk) groups and reset state between them
+    val sp = events.sparkSession
+    import sp.implicits._
+    val W = windowUs
+    val kin = routed.select(
+        col("event_id").cast("long").as("event_id"),
+        col("event_type").cast("string").as("event_type"),
+        col("ts_us").cast("long").as("ts_us"),
+        col("value").cast("double").as("value"),
+        col("__chunk").cast("long").as("chunk"),
+        col("__ctx").as("ctx"))
+      .as[MovIn]
+      .repartition(col("event_type"), col("chunk"))
+      .sortWithinPartitions(col("event_type"), col("chunk"), col("ts_us"),
+        col("event_id"))
+    kin.mapPartitions(slidingKernel(_, W)).toDF()
+    // win_avg is NOT rounded: the decimal sum is exact, so the double
+    // division is bit-identical on any engine — while rounding a value
+    // that lands exactly on a half-way digit (e.g. 64.0153125 at 6
     // places) diverges between HALF_UP and HALF_EVEN engines
+  }
+
+  private[pipeline] final case class MovIn(event_id: Long,
+      event_type: String, ts_us: Long, value: Option[Double], chunk: Long,
+      ctx: Boolean)
+  private[pipeline] final case class MovOut(event_id: Long,
+      event_type: String, ts: Long, value: Option[Double], win_n: Long,
+      win_avg: Option[Double])
+
+  /** O(n) trailing-frame slide over one sorted partition: every row
+    * enters the deque once and retracts once. The RANGE-frame tie rule
+    * is preserved by ingesting each equal-timestamp RUN whole before any
+    * of its rows emits (a frame's upper bound is the row's ts VALUE, so
+    * later rows at the same ts are frame members too). Decimal adds and
+    * retracts are exact, so the running sum equals the window's
+    * aggregated sum regardless of slide order; the per-value rounding
+    * mirrors Spark's double→decimal(38,6) HALF_UP cast. */
+  private def slidingKernel(rows: Iterator[MovIn],
+      windowUs: Long): Iterator[MovOut] = {
+    val it = rows.buffered
+    val out = scala.collection.mutable.Queue.empty[MovOut]
+    val deque = new java.util.ArrayDeque[(Long, java.math.BigDecimal)]()
+    var sum = java.math.BigDecimal.ZERO
+    var defined = 0L
+    var count = 0L
+    var curType: String = null
+    var curChunk = 0L
+    var inGroup = false
+    def sameGroup(r: MovIn): Boolean =
+      inGroup && r.chunk == curChunk && r.event_type == curType
+    def dec(v: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(v).setScale(6, java.math.RoundingMode.HALF_UP)
+    def fill(): Unit = while (out.isEmpty && it.hasNext) {
+      if (!sameGroup(it.head)) {
+        deque.clear(); sum = java.math.BigDecimal.ZERO
+        defined = 0L; count = 0L
+        curType = it.head.event_type; curChunk = it.head.chunk
+        inGroup = true
+      }
+      val ts = it.head.ts_us
+      // retract rows that left the trailing frame [ts - W, ts]
+      while (!deque.isEmpty && deque.peekFirst()._1 < ts - windowUs) {
+        val (_, bd) = deque.pollFirst()
+        count -= 1
+        if (bd != null) { sum = sum.subtract(bd); defined -= 1 }
+      }
+      // ingest the whole equal-ts run, then emit its non-context rows
+      val run = scala.collection.mutable.ArrayBuffer.empty[MovIn]
+      while (it.hasNext && sameGroup(it.head) && it.head.ts_us == ts) {
+        val r = it.next()
+        val bd = r.value.map(dec).orNull
+        deque.addLast((ts, bd))
+        count += 1
+        if (bd != null) { sum = sum.add(bd); defined += 1 }
+        run += r
+      }
+      for (r <- run if !r.ctx)
+        out += MovOut(r.event_id, r.event_type, ts, r.value, count,
+          if (defined == 0) None else Some(sum.doubleValue / count))
+    }
+    new Iterator[MovOut] {
+      def hasNext: Boolean = { fill(); out.nonEmpty }
+      def next(): MovOut = { fill(); out.dequeue() }
+    }
   }
 
   /** Discrete derivative per event type: value delta over time delta

@@ -343,10 +343,17 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
     // (The boundary-pass windows DO key on event_type alone, by design:
     // they run over per-chunk tables whose size is ∝ time span.)
     // naiveMaxRows = 0 stands in for "a type exceeded the probe bound"
+    // movingAggregate's chunked branch is the sliding-deque KERNEL: no
+    // window node at all (a sliding RANGE frame re-aggregates per row —
+    // O(rows x frame)), just the (type, chunk) exchange + mapPartitions
+    val mPlan = TimeSeries.movingAggregate(df, 100L, naiveMaxRows = 0)
+      .queryExecution.executedPlan.toString
     val m = windowPartitionSpecs(TimeSeries.movingAggregate(df, 100L,
       naiveMaxRows = 0))
-    assert(m.exists(_.contains("__chunk")),
-      s"movingAggregate window must include __chunk: $m")
+    assert(m.isEmpty, s"chunked movingAggregate must not plan a window: $m")
+    assert(mPlan.contains("MapPartitions") &&
+      mPlan.contains("hashpartitioning(event_type"),
+      s"kernel must run per (type, chunk) partition:\n$mPlan")
     val dv = windowPartitionSpecs(TimeSeries.derivative(df, naiveMaxRows = 0))
     assert(dv.exists(_.contains("__chunk")),
       s"derivative per-event window must include __chunk: $dv")
@@ -358,6 +365,29 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
     val mN = windowPartitionSpecs(TimeSeries.movingAggregate(df, 100L))
     assert(mN.nonEmpty && mN.forall(!_.contains("__chunk")),
       s"movingAggregate naive branch must not chunk: $mN")
+  }
+
+  test("movingAggregate: null values count into win_n but not the sum, " +
+      "both branches") {
+    val df = Seq(
+      (1L, 0L, 7L, "a", Some(2.0)), (2L, 50L, 7L, "a", None),
+      (3L, 80L, 7L, "a", Some(4.0)), (4L, 300L, 7L, "a", None))
+      .toDF("event_id", "ts_in", "user_id", "event_type", "value")
+      .select(col("event_id"), (col("ts_in") * 1000).as("ts"),
+        col("user_id"), col("event_type"), col("value"),
+        lit("{}").as("props"))
+    for (branch <- Seq(Long.MaxValue, 0L)) {
+      val out = TimeSeries.movingAggregate(df, windowUs = 100L,
+          naiveMaxRows = branch)
+        .orderBy("event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(4), Option(r.get(5))))
+      val expected = Seq(
+        (1L, 1L, Some(2.0)),  // sum 2 / 1 row
+        (2L, 2L, Some(1.0)),  // sum 2 / 2 rows (null counted, not summed)
+        (3L, 3L, Some(2.0)),  // sum 6 / 3 rows
+        (4L, 1L, None))       // frame holds only the null row → null avg
+      assert(out.toSeq == expected, s"naiveMaxRows=$branch: ${out.toSeq}")
+    }
   }
 
   test("derivative: per-type consecutive rate; zero gap → null rate") {
