@@ -284,13 +284,23 @@ object QueryEngine {
       if (v.isDuration) PadDuration(n) else PadRecords(n.toInt)
     }
 
-  /** `#ctx_before`/`#ctx_after` as window frames over the match flag —
+  /** `#ctx_before`/`#ctx_after` as window passes over the match flag —
     * set-equivalent to the reference's drain-on-match ring buffer
     * (filters/when/ctx_before.rs:60-81, ctx_after.rs:53-70): a record is
-    * emitted iff some match lies within its trailing/leading frame.
-    * Records variants use row frames; duration variants range frames on µs.
-    * The match flag may itself contain window expressions, so it is always
-    * materialized before filtering.
+    * emitted iff some match lies within its trailing/leading pad.
+    * The match flag may itself contain window expressions, so it is
+    * always materialized before filtering.
+    *
+    * O(n) LOWERING: "a match exists within the pad" is a DISTANCE check
+    * against the nearest match — `max(match position)` under a
+    * cumulative (unbounded) frame, which Spark computes incrementally —
+    * never a `max(flag)` over a finite sliding frame, which re-scans the
+    * frame per row (O(rows × pad); the same SlidingWindowFunctionFrame
+    * pathology the movingAggregate kernel removes). Records variants
+    * compare row numbers (deterministic: ts is UNIQUE per (bucket,
+    * entry) by the store's duplicate-ts admission rule); duration
+    * variants compare µs under range-to-current frames, which keep the
+    * reference's same-µs peer semantics.
     */
   def ctxRewrite(base: DataFrame, pred: Column, d: Directives): DataFrame = {
     val before = padding(d, "#ctx_before")
@@ -298,19 +308,35 @@ object QueryEngine {
     val flagged = base.withColumn("__m", when(pred, 1).otherwise(0))
     if (before.isEmpty && after.isEmpty)
       return flagged.filter(col("__m") === 1).drop("__m")
-    val afterW = after match {
-      case Some(PadRecords(n))  => entryWindow.rowsBetween(-n.toLong, Window.currentRow)
-      case Some(PadDuration(us)) => entryWindow.rangeBetween(-us, Window.currentRow)
-      case None => entryWindow.rowsBetween(Window.currentRow, Window.currentRow)
+    val cum = entryWindow.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumR = entryWindow.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val fut = entryWindow.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val futR = entryWindow.rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    val needRn = Seq(before, after).exists(_.exists(_.isInstanceOf[PadRecords]))
+    val withRn =
+      if (needRn) flagged.withColumn("__rn", row_number().over(entryWindow))
+      else flagged
+    val trigCol = after match {
+      case Some(PadRecords(n)) =>
+        max(when(col("__m") === 1, col("__rn"))).over(cum) >=
+          col("__rn") - n.toLong
+      case Some(PadDuration(us)) =>
+        max(when(col("__m") === 1, col("ts"))).over(cumR) >= col("ts") - us
+      case None => col("__m") === 1
     }
-    val trig = flagged.withColumn("__t", max(col("__m")).over(afterW))
-    val beforeW = before match {
-      case Some(PadRecords(n))  => entryWindow.rowsBetween(Window.currentRow, n.toLong)
-      case Some(PadDuration(us)) => entryWindow.rangeBetween(Window.currentRow, us)
-      case None => entryWindow.rowsBetween(Window.currentRow, Window.currentRow)
+    val trig = withRn.withColumn("__t", when(trigCol, 1).otherwise(0))
+    val emitCol = before match {
+      case Some(PadRecords(n)) =>
+        min(when(col("__t") === 1, col("__rn"))).over(fut) <=
+          col("__rn") + n.toLong
+      case Some(PadDuration(us)) =>
+        min(when(col("__t") === 1, col("ts"))).over(futR) <= col("ts") + us
+      case None => col("__t") === 1
     }
-    trig.withColumn("__e", max(col("__t")).over(beforeW))
-      .filter(col("__e") === 1).drop("__m", "__t", "__e")
+    trig.withColumn("__e", when(emitCol, 1).otherwise(0))
+      .filter(col("__e") === 1)
+      .drop(Seq("__m", "__t", "__e") ++
+        (if (needRn) Seq("__rn") else Nil): _*)
   }
 
   /** `#select_labels` → map_filter (filters/when/select_labels.rs:14-56). */
