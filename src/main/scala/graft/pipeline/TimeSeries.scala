@@ -150,10 +150,11 @@ object TimeSeries {
     // table — a types-sized collect), not the event count. When every
     // grid fits one task (naiveMaxRows <= 0 forces the chunked form), a
     // single per-type fill window needs no boundary pass.
-    val naive = naiveMaxRows > 0 && {
-      val r = span.agg(max((col("t1") - col("t0")) / stepUs + 1)).collect()(0)
-      r.isNullAt(0) || r.getDouble(0) <= naiveMaxRows.toDouble
-    }
+    val naive = naiveMaxRows > 0 && !TwoPhase.memoProbe(events,
+      s"gapFill|$stepUs|$naiveMaxRows", { () =>
+        val r = span.agg(max((col("t1") - col("t0")) / stepUs + 1)).collect()(0)
+        !(r.isNullAt(0) || r.getDouble(0) <= naiveMaxRows.toDouble)
+      })
     if (naive) {
       val fillW = Window.partitionBy(col("__k")).orderBy(col("tick"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
