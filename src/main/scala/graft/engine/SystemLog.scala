@@ -68,22 +68,45 @@ final class SystemLog(store: BucketStore, instance: String,
       nowUs: Long = System.currentTimeMillis() * 1000L,
       /** Additional queryable labels (the usage family pins
         * written_entries / read_entries / record_count here, PR-1474). */
-      extraLabels: Map[String, String] = Map.empty): Boolean = {
-    if (!eventsEnabled) return false
+      extraLabels: Map[String, String] = Map.empty): Boolean =
+    events(Seq(Event(entryPrefix, name, status, payloadJson, nowUs,
+      extraLabels)))
+
+  /** Persist a BURST of events as ONE `$system` write. A per-event
+    * write is one full Spark job each — the usage snapshot emits one
+    * event per bucket, so flushing a many-bucket instance event-by-event
+    * costs minutes (measured: 300 buckets ≈ 7.5 min) and the 60-second
+    * usage flusher could never drain a 10k-bucket instance. Sequence
+    * order fixes the ts order: each event takes the next strictly-
+    * increasing microsecond, so `usage/total` emitted first still sorts
+    * before the per-bucket events it summarizes. */
+  def events(items: Seq[Event]): Boolean = {
+    if (!eventsEnabled || items.isEmpty) return false
     import scala.jdk.CollectionConverters._
-    val ts = lastUs.updateAndGet(prev => math.max(prev + 1, nowUs))
-    val row = Row("$system", s"$entryPrefix/$inst/$name", ts,
-      Map("status" -> status.toString) ++ extraLabels,
-      Map.empty[String, String], "application/json",
-      graft.core.Records.State.Finished, payloadJson.getBytes("UTF-8"))
+    val rows = items.map { e =>
+      val ts = lastUs.updateAndGet(prev => math.max(prev + 1, e.nowUs))
+      Row("$system", s"${e.entryPrefix}/$inst/${e.name}", ts,
+        Map("status" -> e.status.toString) ++ e.extraLabels,
+        Map.empty[String, String], "application/json",
+        graft.core.Records.State.Finished,
+        e.payloadJson.getBytes("UTF-8"))
+    }
     store.writeWithSettings("$system", store.spark.createDataFrame(
-      Seq(row).asJava, graft.core.Records.schema),
-      BucketStore.Conflict.Skip, incomingBytes = payloadJson.length.toLong)
+      rows.asJava, graft.core.Records.schema),
+      BucketStore.Conflict.Skip,
+      incomingBytes = items.iterator.map(_.payloadJson.length.toLong).sum)
     true
   }
 }
 
 object SystemLog {
+  /** One diagnostics event, pre-clock: ts is assigned at write time by
+    * the log's shared strictly-increasing clock, in sequence order. */
+  final case class Event(entryPrefix: String, name: String, status: Int,
+      payloadJson: String,
+      nowUs: Long = System.currentTimeMillis() * 1000L,
+      extraLabels: Map[String, String] = Map.empty)
+
   /** Severity rank, ERROR most severe (log::Level's ordering). */
   val Rank: Map[String, Int] =
     Map("ERROR" -> 1, "WARN" -> 2, "INFO" -> 3, "DEBUG" -> 4, "TRACE" -> 5)

@@ -134,16 +134,21 @@ object Lifecycle {
       (name, t, records, entries, blocks, storageBytes)
     }
     val totalRecords = perBucket.map(_._3).sum
-    syslog.event("usage", "total", 200,
-      payloadJson(drained.total, perBucket.map(_._6).sum,
-        allNames.length.toLong, perBucket.map(_._4).sum,
-        perBucket.map(_._5).sum, totalRecords),
-      nowUs, extraLabels = labels(drained.total, totalRecords))
-    for ((name, t, records, entries, blocks, storageBytes) <- perBucket
-         if !name.startsWith("$"))
-      syslog.event("usage", name, 200,
-        payloadJson(t, storageBytes, 1L, entries, blocks, records),
-        nowUs, extraLabels = labels(t, records))
+    // ONE batched $system write for the whole snapshot: per-event
+    // writes are one Spark job each, and this family scales with the
+    // bucket count (graft.engine.SystemLog.events scaladoc). The total
+    // event leads the batch, so its ts still sorts first.
+    syslog.events(
+      graft.engine.SystemLog.Event("usage", "total", 200,
+        payloadJson(drained.total, perBucket.map(_._6).sum,
+          allNames.length.toLong, perBucket.map(_._4).sum,
+          perBucket.map(_._5).sum, totalRecords),
+        nowUs, extraLabels = labels(drained.total, totalRecords)) +:
+      (for ((name, t, records, entries, blocks, storageBytes) <- perBucket
+            if !name.startsWith("$"))
+        yield graft.engine.SystemLog.Event("usage", name, 200,
+          payloadJson(t, storageBytes, 1L, entries, blocks, records),
+          nowUs, extraLabels = labels(t, records))))
   }
 
   /** `$system` usage events (syslog.rs:52-155): the engine's own telemetry
