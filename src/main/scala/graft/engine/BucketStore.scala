@@ -144,9 +144,11 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     // dir it touches and the store degrades into thousands of tiny files
     // (the classic small-files problem; measured 10x on the write path).
     // `maxRecordsPerFile` still splits a genuinely hot (entry, day).
-    val writer = deduped
-      .withColumn("dt", dtCol)
-      .repartition(col("bucket"), col("entry"), col("dt"))
+    // Pinned count: AQE byte-coalescing would serialize a many-entry
+    // batch through one task (core/Partitioning.scala).
+    val writer = graft.core.Partitioning.pinned(
+        deduped.withColumn("dt", dtCol),
+        col("bucket"), col("entry"), col("dt"))
       .write
       .partitionBy("bucket", "entry", "dt")
       .option("maxRecordsPerFile", maxRecordsPerFile)
@@ -405,8 +407,9 @@ final class BucketStore(val spark: SparkSession, val root: String) {
       dropAfter: Iterable[(String, String, String)] = Nil): Unit = {
     val stage = new org.apache.hadoop.fs.Path(
       s"$root/$RewriteDir/${java.util.UUID.randomUUID}")
-    records.withColumn("dt", dtCol)
-      .repartition(col("bucket"), col("entry"), col("dt")) // one task per dir
+    graft.core.Partitioning.pinned( // one task per dir, AQE-proof
+        records.withColumn("dt", dtCol),
+        col("bucket"), col("entry"), col("dt"))
       .write.partitionBy("bucket", "entry", "dt")
       .mode(SaveMode.Overwrite)
       .parquet(stage.toString)
@@ -608,8 +611,8 @@ final class BucketStore(val spark: SparkSession, val root: String) {
       val pathStr = staged.toString
       val b = bucket
       import spark.implicits._
-      val df = spark.createDataset(slices)
-        .repartition(col("entry"))
+      val df = graft.core.Partitioning.pinned(
+          spark.createDataset(slices), col("entry"))
         .mapPartitions { it =>
           if (!it.hasNext) Iterator.empty[Records.Record]
           else {

@@ -31,8 +31,7 @@ object StatefulKernel {
     val before = QueryEngine.padding(parsed.directives, "#ctx_before")
     val after = QueryEngine.padding(parsed.directives, "#ctx_after")
 
-    val sorted = base
-      .repartition(col("entry"))
+    val sorted = graft.core.Partitioning.pinned(base, col("entry"))
       .sortWithinPartitions(col("entry"), col("ts"))
 
     sorted.mapPartitions { rows =>

@@ -59,6 +59,24 @@ object WriteScaleProbe {
           time("table read-back") {
             println("  rows=" + store.table().count())
           }
+        case "events" | "eventsraw" => // the w_write shape: sf0.1 events
+          val records = graft.core.Records.fromEvents(
+            spark.read.parquet("/root/testdata/sf0.1/events.parquet")).cache()
+          records.count()
+          for (i <- 1 to 2) {
+            val r2 = Files.createTempDirectory(s"graft-wp-ev$i").toString
+            if (mode == "events") {
+              val store = new graft.engine.BucketStore(spark, r2)
+              time(s"store.write events run$i")(store.write(records))
+            } else time(s"raw unpinned events run$i") {
+              records.withColumn("dt",
+                  to_date(timestamp_micros(col("ts"))))
+                .repartition(col("bucket"), col("entry"), col("dt"))
+                .write.partitionBy("bucket", "entry", "dt")
+                .mode("append").parquet(r2)
+            }
+          }
+          records.unpersist()
         case "raw" => // the writer shape store.write uses, no checks
           time(s"raw zstd n=$n") {
             rows.withColumn("dt", lit("1970-01-01"))

@@ -61,8 +61,9 @@ object Lifecycle {
         val rewritten = store.table()
           .withColumn("dt", to_date(timestamp_micros(col("ts"))))
           .join(broadcast(affected), Seq("bucket", "entry", "dt"))
-        rewritten.localCheckpoint(true)
-          .repartition(col("bucket"), col("entry"), col("dt")) // one task/dir
+        graft.core.Partitioning.pinned( // one task/dir, AQE-proof
+            rewritten.localCheckpoint(true),
+            col("bucket"), col("entry"), col("dt"))
           .write.partitionBy("bucket", "entry", "dt")
           .option("compression", codec)
           // writer options propagate into the task-side Hadoop conf, which

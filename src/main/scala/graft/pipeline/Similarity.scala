@@ -262,7 +262,7 @@ object Similarity {
       val dims = seeds(0).length
       val sums = corpus
         .select(assignCentroid(col(vecCol), seeds).as("c"), col(vecCol).as("v"))
-        .repartition(col("c"))
+        .transform(graft.core.Partitioning.pinned(_, col("c")))
         .select(col("c"),
           posexplode(transform(col("v"), _.cast("double"))).as(Seq("d", "x")))
         .groupBy("c", "d")

@@ -299,10 +299,11 @@ object TimeSeries {
         col("__chunk").cast("long").as("chunk"),
         col("__ctx").as("ctx"))
       .as[MovIn]
-      .repartition(col("event_type"), col("chunk"))
+    val kpart = graft.core.Partitioning
+      .pinned(kin, col("event_type"), col("chunk"))
       .sortWithinPartitions(col("event_type"), col("chunk"), col("ts_us"),
         col("event_id"))
-    kin.mapPartitions(slidingKernel(_, W)).toDF()
+    kpart.mapPartitions(slidingKernel(_, W)).toDF()
     // win_avg is NOT rounded: the decimal sum is exact, so the double
     // division is bit-identical on any engine — while rounding a value
     // that lands exactly on a half-way digit (e.g. 64.0153125 at 6
