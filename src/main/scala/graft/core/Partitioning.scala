@@ -28,4 +28,12 @@ object Partitioning {
     ds.repartition(
       ds.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
       cols: _*)
+
+  /** Range flavor, same rationale. AQE's coalesce would merge only
+    * ADJACENT ranges (order survives), so for the prefix-sum shapes this
+    * backs it is a parallelism question, not a correctness one. */
+  def pinnedByRange[T](ds: Dataset[T], cols: Column*): Dataset[T] =
+    ds.repartitionByRange(
+      ds.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+      cols: _*)
 }

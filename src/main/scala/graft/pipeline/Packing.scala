@@ -27,9 +27,9 @@ object Packing {
   def withRunningOffset(df: DataFrame, orderCol: String,
       valueCol: String): DataFrame = {
     val spark = df.sparkSession
-    val ranged = df
-      .withColumn(valueCol, col(valueCol).cast(LongType))
-      .repartitionByRange(col(orderCol))
+    val ranged = graft.core.Partitioning.pinnedByRange(
+        df.withColumn(valueCol, col(valueCol).cast(LongType)),
+        col(orderCol))
       .sortWithinPartitions(orderCol)
     val schema = ranged.schema.add("start", LongType, nullable = false)
     val vIdx = ranged.schema.fieldIndex(valueCol)

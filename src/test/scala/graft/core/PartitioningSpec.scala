@@ -34,4 +34,21 @@ class PartitioningSpec extends AnyFunSuite with SparkTestBase {
       .agg(max("np")).collect()(0).getLong(0)
     assert(parts == 1L)
   }
+
+  test("pinnedByRange keeps the count and the range order") {
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val tiny = spark.range(1000).select(col("id"))
+    val ranged = Partitioning.pinnedByRange(tiny, col("id"))
+    assert(ranged.rdd.getNumPartitions == n)
+    // range property: partition ids are monotone in the sort key, so the
+    // max of partition p never exceeds the min of partition p+1
+    val bounds = ranged
+      .select(spark_partition_id().as("p"), col("id"))
+      .groupBy("p").agg(min("id").as("lo"), max("id").as("hi"))
+      .orderBy("p").collect()
+    bounds.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(2) <= b.getLong(1))
+      case _           =>
+    }
+  }
 }
