@@ -24,6 +24,13 @@ object Bench {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Local-fs roots: skip Hadoop's client-side .crc siblings — they
+      // DOUBLE the file creates on every store write/rewrite (each local
+      // create pays a ~19 ms chmod fork without libhadoop; measured 76 s
+      // → 53 s on a 10k-entry write). Parquet's own page checksums keep
+      // integrity; a cluster deployment's scheme (hdfs/s3a) is unaffected.
+      .config("spark.hadoop.fs.file.impl",
+        "org.apache.hadoop.fs.RawLocalFileSystem")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

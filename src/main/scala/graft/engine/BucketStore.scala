@@ -25,6 +25,14 @@ import scala.util.control.NonFatal
   * metadata-bounded scan, not a table scan. Belated writes (old ts) land in
   * their historical partition with no special casing
   * (entry/write_record.rs:92-160).
+  *
+  * Local-fs roots: set `spark.hadoop.fs.file.impl` to
+  * `org.apache.hadoop.fs.RawLocalFileSystem` on the session. Hadoop's
+  * checksummed local fs writes a `.crc` sibling per file, doubling the
+  * creates on every many-entry write/rewrite (each local create pays a
+  * chmod fork without libhadoop; measured 76 s → 53 s on a 10k-entry
+  * write). Parquet's page checksums already cover integrity, matching the
+  * reference's integrity model; hdfs/s3a schemes are unaffected.
   */
 final class BucketStore(val spark: SparkSession, val root: String) {
   import BucketStore._

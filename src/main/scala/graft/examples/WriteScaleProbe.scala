@@ -16,12 +16,18 @@ object WriteScaleProbe {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toInt else 10000
     val modes = if (args.length > 1) args.drop(1).toSeq else Seq("store")
-    val spark = SparkSession.builder()
+    val b = SparkSession.builder()
       .master("local[32]")
       .appName("write-scale-probe")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", false)
-      .getOrCreate()
+    // A/B hook: GRAFT_PROBE_RAWFS=1 swaps file:// to RawLocalFileSystem
+    // (no client-side .crc siblings → half the file creates per write).
+    // Build-time config so the FileSystem cache never sees the default.
+    if (sys.env.get("GRAFT_PROBE_RAWFS").contains("1"))
+      b.config("spark.hadoop.fs.file.impl",
+        "org.apache.hadoop.fs.RawLocalFileSystem")
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def rows = spark.range(n).select(
       lit("big").as("bucket"),

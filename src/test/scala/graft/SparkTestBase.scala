@@ -26,6 +26,10 @@ object SparkTestBase {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+      // No .crc siblings on local-fs writes (see Bench.scala rationale);
+      // the suite runs the same fs config the graded mains do.
+      .config("spark.hadoop.fs.file.impl",
+        "org.apache.hadoop.fs.RawLocalFileSystem")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
