@@ -260,31 +260,62 @@ object Analytics {
     * fact scan joining a 10-GB dim too big to broadcast exactly, where
     * shipping the non-matching 99% of fact rows to the shuffle is the
     * whole cost. `expectedItems`/`fpp` size the filter (~1.2 bytes/key
-    * at 3%). The membership probe is a deserialized predicate (Spark
-    * exposes no public codegen hook for sketch probes) — one hash per
-    * row, cheap next to the shuffle it avoids.
+    * at 3%). The membership probe compiles to Spark's own
+    * `BloomFilterMightContain` codegen expression over xxhash64-hashed
+    * keys — the identical probe shape the cost-based runtime filter
+    * injects (`InjectRuntimeFilter`), so it stays inside whole-stage
+    * codegen instead of crossing a deserializing UDF per row. The
+    * 64-bit pre-hash adds ~n/2^64 to the effective fpp — noise next to
+    * any practical filter sizing.
+    *
+    * The serialized filter rides the plan as a literal, which every
+    * explain/UI string renders in hex — fine at the sizes Spark's own
+    * runtime filter allows itself (`runtime.bloomFilter.maxNumBits`,
+    * 8 MB), a driver hazard far past it. Past [[LiteralProbeMaxBytes]]
+    * the probe falls back to a broadcast predicate over the same hash
+    * column: torrent-distributed once per executor, nothing embedded in
+    * the plan, one non-codegen boundary — the right trade for a
+    * 100M-key filter.
     */
+  /** Predicted serialized-filter bound for the plan-literal probe — the
+    * same 8 MB Spark caps its injected runtime bloom filters at. */
+  val LiteralProbeMaxBytes: Long = 8L << 20
+
   def bloomPrunedJoin(big: DataFrame, small: DataFrame, bigKey: String,
-      smallKey: String, expectedItems: Long,
-      fpp: Double = 0.03): DataFrame = {
-    val bloom = small.stat.bloomFilter(smallKey, expectedItems, fpp)
-    val spark = big.sparkSession
-    val bc = spark.sparkContext.broadcast(bloom)
-    // probe in the key's own type: an integral key hashed as long on
-    // both sides, a string key as string — a silent cast-to-null here
-    // would DROP valid rows, not just lose pruning
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
-    val probe = big.schema(bigKey).dataType match {
-      case LongType | IntegerType | ShortType | ByteType =>
-        val p = udf((k: java.lang.Long) =>
-          k != null && bc.value.mightContainLong(k))
-        p(col(bigKey).cast("long"))
-      case StringType =>
-        val p = udf((k: String) =>
-          k != null && bc.value.mightContainString(k))
-        p(col(bigKey))
+      smallKey: String, expectedItems: Long, fpp: Double = 0.03,
+      literalProbeMaxBytes: Long = LiteralProbeMaxBytes): DataFrame = {
+    // hash in a common key form: an integral key as long on both sides,
+    // a string key as-is — a silent cast-to-null here would DROP valid
+    // rows, not just lose pruning
+    import org.apache.spark.sql.types.{BinaryType, ByteType, IntegerType, LongType, ShortType, StringType}
+    val keyForm: Column => Column = big.schema(bigKey).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => _.cast("long")
+      case StringType => identity
       case other => throw new IllegalArgumentException(
         s"bloomPrunedJoin key must be integral or string, got $other")
+    }
+    // the filter holds xxhash64 of the keys (never-null longs), built
+    // distributed: the driver only ever sees the fixed-size bit array
+    val bloom = small.select(xxhash64(keyForm(col(smallKey))).as("__h"))
+      .stat.bloomFilter("__h", expectedItems, fpp)
+    // a big-side NULL key hashes to the xxhash64 seed and may pass the
+    // pre-filter; the exact equi-join drops it, as it dropped false
+    // positives already
+    val bigHash = xxhash64(keyForm(col(bigKey)))
+    val probe = if (bloom.bitSize() / 8 <= literalProbeMaxBytes) {
+      import org.apache.spark.sql.GraftColumnBridge
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+      val ser = {
+        val bos = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(bos)
+        bos.toByteArray
+      }
+      GraftColumnBridge.column(BloomFilterMightContain(
+        Literal(ser, BinaryType),
+        GraftColumnBridge.expression(bigHash)))
+    } else {
+      val bc = big.sparkSession.sparkContext.broadcast(bloom)
+      udf((h: Long) => bc.value.mightContainLong(h)).apply(bigHash)
     }
     val pruned = big.filter(probe)
     pruned.join(small, pruned(bigKey) === small(smallKey))

@@ -195,6 +195,20 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
       smallS.withColumnRenamed("sk", "k").withColumnRenamed("dim", "d2"),
       "k", "k", expectedItems = 10L).count()
     assert(sameName == 20L)
+    // the default probe is Spark's codegen might_contain (no UDF in the
+    // plan); past the literal bound it falls back to a broadcast
+    // predicate with identical results. Plan-asserted on a Range input —
+    // over a LocalRelation the optimizer's ConvertToLocalRelation
+    // EVALUATES the filter at plan time (same rows, no Filter node).
+    val bigR = spark.range(2000).select((col("id") % 500).as("k"),
+      col("id").as("payload"))
+    val nativePlan = Analytics.bloomPrunedJoin(bigR, small, "k", "sk",
+      expectedItems = 10L).queryExecution.executedPlan.toString
+    assert(nativePlan.contains("might_contain"), nativePlan.take(500))
+    assert(!nativePlan.contains("UDF"), nativePlan.take(500))
+    val viaBroadcast = canon(Analytics.bloomPrunedJoin(big, small, "k",
+      "sk", expectedItems = 10L, fpp = 0.03, literalProbeMaxBytes = 0L))
+    assert(viaBroadcast == exact)
   }
 
   test("datasetCard reports volume and exact-dup mass per source") {
