@@ -73,8 +73,10 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     * drains (QueryRegistry.toLocalIterator) intentionally bypass this:
     * a long-lived cursor racing a delete serves rows it already planned,
     * as the reference's cursors do. */
-  def readConsistent[T](f: => T, maxRetries: Int = 50): T = {
+  def readConsistent[T](f: => T, maxRetries: Int = 50,
+      maxWaitMs: Long = 10000L): T = {
     var attempts = 0
+    var waitedMs = 0L
     while (attempts <= maxRetries) {
       val e0 = rewriteEpochCounter.get
       if ((e0 & 1L) == 0L) {
@@ -86,7 +88,15 @@ final class BucketStore(val spark: SparkSession, val root: String) {
           case NonFatal(ex) => throw ex
         }
         attempts += 1
-      } else Thread.sleep(1) // swap renames in flight: settle, then read
+      } else {
+        // swap renames in flight: settle, then read. The window is
+        // milliseconds by construction, so a long odd phase means a
+        // wedged swap — fail the read rather than spin forever.
+        waitedMs += 1
+        if (waitedMs > maxWaitMs) throw new IllegalStateException(
+          s"rewrite epoch stuck odd for > $maxWaitMs ms; swap wedged?")
+        Thread.sleep(1)
+      }
     }
     throw new IllegalStateException(
       s"read did not settle after $maxRetries rewrite-racing retries")
@@ -450,8 +460,16 @@ final class BucketStore(val spark: SparkSession, val root: String) {
       }
       for ((db, de, ddt) <- dropAfter) deletePartitionDir(db, de, ddt)
     } finally {
-      fs.delete(stage, true) // parked old dirs go with it
+      // settle FIRST, unconditionally: a failed stage-dir GC must never
+      // leave the epoch odd (readers would spin on a consistent tree)
       rewriteEpochCounter.incrementAndGet() // even: settled
+      // GC outside the window — the stage dir (incl. parked old dirs
+      // renamed into it mid-swap) is invisible to the live tree. A
+      // failed delete leaks a temp dir, not consistency; don't let it
+      // mask the mutation's own outcome.
+      try fs.delete(stage, true)
+      catch { case NonFatal(e) =>
+        System.err.println(s"[store] stage GC failed, leaking $stage: $e") }
     }
   }
 

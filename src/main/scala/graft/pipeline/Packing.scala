@@ -103,26 +103,10 @@ object Packing {
   def orderedShardsExact(df: DataFrame, orderCol: String, tieBreak: String,
       nShards: Int): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
-    TwoPhase.requireHelperColumnsFree(df, "__pid", "__cnt", "__off", "__n")
-    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val rp = df.repartitionByRange(parts, col(orderCol), col(tieBreak))
-      .withColumn("__pid", spark_partition_id())
-    val counts = rp.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
-    // both windows run over the counts table: ≤ shuffle-partitions rows
-    // (the constant partition key just tells Spark that single partition
-    // is intentional — no WindowExec warning)
-    val wOff = Window.partitionBy(lit(0)).orderBy(col("__pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wAll = Window.partitionBy(lit(0))
-    val offsets = counts
-      .withColumn("__off", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
-      .withColumn("__n", sum(col("__cnt")).over(wAll))
-      .select(col("__pid"), col("__off"), col("__n"))
-    val wLocal = Window.partitionBy(col("__pid"))
-      .orderBy(col(orderCol), col(tieBreak))
-    rp.join(offsets, Seq("__pid"))
-      .withColumn("rank",
-        (col("__off") + row_number().over(wLocal)).cast(LongType))
+    TwoPhase.requireHelperColumnsFree(df,
+      "__pid", "__k", "__c", "__off", "__n", "__pos")
+    TwoPhase.positioned(df, Nil, Seq(col(orderCol), col(tieBreak)))
+      .withColumn("rank", col("__pos").cast(LongType))
       .withColumn("shard", expr(s"((rank - 1) * $nShards) DIV __n"))
       .select(df.columns.map(col) :+ col("rank") :+ col("shard"): _*)
   }

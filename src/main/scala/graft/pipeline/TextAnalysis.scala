@@ -552,7 +552,7 @@ object TextAnalysis {
     // only), and the quotient is (rank−1)/(n−1) with n from the same
     // tiny count table, 0.0 for a single-row source.
     TwoPhase.requireHelperColumnsFree(df,
-      "__pid", "__k", "__off", "__n", "__pos", "__rank")
+      "__pid", "__k", "__c", "__off", "__n", "__pos", "__rank")
     // ADAPTIVE: when every source fits one task (plan-time probe;
     // naiveMaxRows <= 0 forces the two-phase form), the built-in
     // percent_rank over a per-source window IS the exact semantics the
@@ -562,29 +562,14 @@ object TextAnalysis {
         .orderBy(col(scoreCol), col(tieBreak))
       return df.withColumn("norm_score", round(percent_rank().over(w), 6))
     }
-    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    // the offset join keys on a STRUCT-wrapped source: a window treats
-    // NULL as its own partition, so the lowering must too — a
+    // the shared scaffold keys on a STRUCT-wrapped source: a window
+    // treats NULL as its own partition, so the lowering must too — a
     // bare-column equi-join would silently drop null-source rows
-    val rp = df
-      .repartitionByRange(parts, col(sourceCol), col(scoreCol), col(tieBreak))
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__k", struct(col(sourceCol)))
-    val counts = rp.groupBy(col("__k"), col("__pid"))
-      .agg(count(lit(1)).as("__c"))
-    val wOff = Window.partitionBy(col("__k")).orderBy(col("__pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wN = Window.partitionBy(col("__k"))
-    val offsets = counts
-      .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
-      .withColumn("__n", sum(col("__c")).over(wN))
-      .select(col("__k"), col("__pid"), col("__off"), col("__n"))
-    val wLocal = Window.partitionBy(col("__k"), col("__pid"))
-      .orderBy(col(scoreCol), col(tieBreak))
-    val wTies = Window.partitionBy(col("__k"), col(scoreCol),
+    val pos = TwoPhase.positioned(df, Seq(col(sourceCol)),
+      Seq(col(scoreCol), col(tieBreak)))
+    val wTies = Window.partitionBy(struct(col(sourceCol)), col(scoreCol),
       col(tieBreak))
-    rp.join(offsets, Seq("__k", "__pid"))
-      .withColumn("__pos", col("__off") + row_number().over(wLocal))
+    pos
       .withColumn("__rank", min(col("__pos")).over(wTies))
       .withColumn("norm_score", round(
         when(col("__n") === 1, lit(0.0)).otherwise(

@@ -256,13 +256,27 @@ object TimeSeries {
       chunkFactor: Int = 4,
       naiveMaxRows: Long = TwoPhase.NaiveMaxRows): DataFrame = {
     require(windowUs > 0, s"windowUs must be positive, got $windowUs")
-    require(chunkFactor >= 1, s"chunkFactor must be >= 1, got $chunkFactor")
+    require(chunkFactor >= 1, s"chunkFactor >= 1, got $chunkFactor")
     val chunkUs = Math.multiplyExact(windowUs, chunkFactor.toLong)
+    val ev0 = withTsUs(events)
+    // the output schema is branch-independent: (event_id long,
+    // event_type string, ts long, value double, win_n long, win_avg
+    // double) — the kernel's encoder types, which the naive branch
+    // normalizes to as well. Reject ids a long cast would silently
+    // null (branch choice must never corrupt ids).
+    locally {
+      import org.apache.spark.sql.types._
+      val idT = ev0.schema("event_id").dataType
+      require(Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+        .contains(idT), s"movingAggregate needs an integral event_id, got $idT")
+      val vT = ev0.schema("value").dataType
+      require(vT.isInstanceOf[NumericType],
+        s"movingAggregate needs a numeric value, got $vT")
+    }
     // ADAPTIVE: when every type's series fits one task (plan-time
     // probe; naiveMaxRows <= 0 forces the chunked form), the plain
     // per-type RANGE window computes the identical frame with no
     // routing/replication pass — same decimal slide, same division
-    val ev0 = withTsUs(events)
     if (!TwoPhase.useChunked(ev0, Seq(col("event_type")), naiveMaxRows)) {
       val w = Window.partitionBy(col("event_type"))
         .orderBy(col("ts_us")).rangeBetween(-windowUs, 0)
@@ -270,8 +284,10 @@ object TimeSeries {
         .withColumn("win_n", count(lit(1)).over(w))
         .withColumn("win_avg",
           sum(col("value").cast(Dec)).over(w).cast("double") / col("win_n"))
-        .select(col("event_id"), col("event_type"), col("ts_us").as("ts"),
-          col("value"), col("win_n"), col("win_avg"))
+        .select(col("event_id").cast("long").as("event_id"),
+          col("event_type").cast("string").as("event_type"),
+          col("ts_us").as("ts"), col("value").cast("double").as("value"),
+          col("win_n"), col("win_avg"))
     }
     val ev = ev0.withColumn("__chunk", chunkOf(col("ts_us"), chunkUs))
     // one scan: each row lands in its own chunk, plus the next chunk as
@@ -338,8 +354,18 @@ object TimeSeries {
     var inGroup = false
     def sameGroup(r: MovIn): Boolean =
       inGroup && r.chunk == curChunk && r.event_type == curType
+    // mirrors the non-ANSI double→decimal(38,6) cast EXACTLY, including
+    // its null cases: NaN/±Inf and magnitudes past 32 integer digits
+    // cast to NULL in the window branch, so they must leave the running
+    // sum (and `defined`) here too — BigDecimal.valueOf(NaN) would
+    // throw, and an overflowing value would silently diverge.
     def dec(v: Double): java.math.BigDecimal =
-      java.math.BigDecimal.valueOf(v).setScale(6, java.math.RoundingMode.HALF_UP)
+      if (!java.lang.Double.isFinite(v)) null
+      else {
+        val bd = java.math.BigDecimal.valueOf(v)
+          .setScale(6, java.math.RoundingMode.HALF_UP)
+        if (bd.precision > 38) null else bd
+      }
     def fill(): Unit = while (out.isEmpty && it.hasNext) {
       if (!sameGroup(it.head)) {
         deque.clear(); sum = java.math.BigDecimal.ZERO

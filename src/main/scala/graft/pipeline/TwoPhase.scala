@@ -49,17 +49,20 @@ private[graft] object TwoPhase {
   /** Probe memo, keyed on the CANONICALIZED analyzed plan + keys +
     * bound: a bench/serving loop re-running the same query re-pays the
     * probe job otherwise (3x per bench entry: warmup + two passes).
-    * Safe by construction — both branches compute identical results, so
-    * a stale entry (the underlying files changed cardinality under the
-    * same plan) can only affect plan choice, never output. Bounded;
-    * cleared wholesale past the cap. */
+    * The key holds the canonicalized plan ITSELF (structural equality —
+    * a 32-bit hash alone could collide two different inputs into one
+    * verdict, and a wrong verdict re-creates the one-task serialization
+    * hazard the chunked branch exists to remove). Stale entries (the
+    * underlying files changed cardinality under the same plan) can only
+    * affect plan choice, never output. Bounded; cleared wholesale past
+    * the cap, which also bounds the retained plan references. */
   private val probeMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), java.lang.Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[(Any, String), java.lang.Boolean]()
 
   /** Memoized probe evaluation (see [[probeMemo]]); `tag` distinguishes
     * probes over the same input plan. */
   def memoProbe(df: DataFrame, tag: String, compute: () => Boolean): Boolean = {
-    val memoKey = (df.queryExecution.analyzed.canonicalized.hashCode(), tag)
+    val memoKey = (df.queryExecution.analyzed.canonicalized: Any, tag)
     if (probeMemo.size() > 1024) probeMemo.clear()
     probeMemo.computeIfAbsent(memoKey, _ => compute())
   }
@@ -70,6 +73,43 @@ private[graft] object TwoPhase {
     naiveMaxRows <= 0 || memoProbe(df,
       keys.map(_.toString).mkString(",") + "|" + naiveMaxRows,
       () => maxGroupRows(df, keys) > naiveMaxRows)
+
+  /** Shared two-phase global-position scaffold: range-exchange on
+    * (group, order) so partition order respects key order within each
+    * group, per-(group, partition) counts — ≤ groups × shuffle-partition
+    * rows — exclusive offsets and group totals under windows over that
+    * tiny table, then a local row_number per (group, partition). Adds
+    * `__pos` (1-based position within the group; global when
+    * `groupCols` is empty) and `__n` (group size). The group key rides
+    * as a STRUCT so a NULL group ranks like a window partition would
+    * instead of dropping at the equi-join. `orderCols` must totalize
+    * the order within a group. Callers own the reserved-helper-column
+    * check (`__pid __k __c __off __n __pos`) and drop `__pos`/`__n`
+    * when done. `Packing.orderedShardsExact` and
+    * `TextAnalysis.percentileNormalize` both lower through here — the
+    * range-exchange/pid determinism contract lives in ONE place. */
+  def positioned(df: DataFrame, groupCols: Seq[Column],
+      orderCols: Seq[Column]): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val key = if (groupCols.isEmpty) lit(0) else struct(groupCols: _*)
+    val rp = df.repartitionByRange(parts, groupCols ++ orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__k", key)
+    val counts = rp.groupBy(col("__k"), col("__pid"))
+      .agg(count(lit(1)).as("__c"))
+    val wOff = Window.partitionBy(col("__k")).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wN = Window.partitionBy(col("__k"))
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(wN))
+      .select(col("__k"), col("__pid"), col("__off"), col("__n"))
+    val wLocal = Window.partitionBy(col("__k"), col("__pid"))
+      .orderBy(orderCols: _*)
+    rp.join(offsets, Seq("__k", "__pid"))
+      .withColumn("__pos", col("__off") + row_number().over(wLocal))
+      .drop("__pid", "__k", "__off")
+  }
 
   /** `orderCols` must totalize the order within a group for the result
     * to be deterministic (the same contract the naive window form had).

@@ -390,6 +390,37 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("movingAggregate: NaN/Inf/overflow values match the window's " +
+      "cast-to-null semantics, both branches") {
+    // the RANGE window's sum rides a double→decimal(38,6) cast, which
+    // nulls NaN, ±Inf, and magnitudes past 32 integer digits; the
+    // kernel must drop the same values from its running sum (and must
+    // not crash on BigDecimal(NaN))
+    val df = Seq(
+      (1L, 0L, 2.0), (2L, 10L, Double.NaN),
+      (3L, 20L, Double.PositiveInfinity), (4L, 30L, 1e33),
+      (5L, 40L, 4.0))
+      .toDF("event_id", "ts_in", "value")
+      .select(col("event_id"), (col("ts_in") * 1000).as("ts"),
+        lit(7L).as("user_id"), lit("a").as("event_type"), col("value"),
+        lit("{}").as("props"))
+    for (branch <- Seq(Long.MaxValue, 0L)) {
+      val out = TimeSeries.movingAggregate(df, windowUs = 100000L,
+          naiveMaxRows = branch)
+        .orderBy("event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(4), Option(r.get(5))))
+      assert(out.last == ((5L, 5L, Some(6.0 / 5))),
+        s"naiveMaxRows=$branch: ${out.toSeq}")
+      assert(out(1)._2 == 2L && out(1)._3 == Some(2.0 / 2),
+        s"naiveMaxRows=$branch NaN row: ${out.toSeq}")
+    }
+    // a long cast would silently null a string id — refused instead
+    val bad = df.withColumn("event_id", concat(lit("e"), col("event_id")))
+    intercept[IllegalArgumentException] {
+      TimeSeries.movingAggregate(bad, windowUs = 100000L)
+    }
+  }
+
   test("derivative: per-type consecutive rate; zero gap → null rate") {
     val df = ev(
       (1L, 0L, 7L, "a", 1.0), (2L, 2000000L, 7L, "a", 5.0), // +4 over 2 s
