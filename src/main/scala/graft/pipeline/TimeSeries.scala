@@ -359,13 +359,13 @@ object TimeSeries {
     // cast to NULL in the window branch, so they must leave the running
     // sum (and `defined`) here too — BigDecimal.valueOf(NaN) would
     // throw, and an overflowing value would silently diverge.
+    // (the overflow test runs in the double domain: |v| >= 1e32 is
+    // exactly "more than 32 integer digits", i.e. precision > 38 at
+    // scale 6 — no BigDecimal built for a value the cast would null)
     def dec(v: Double): java.math.BigDecimal =
-      if (!java.lang.Double.isFinite(v)) null
-      else {
-        val bd = java.math.BigDecimal.valueOf(v)
-          .setScale(6, java.math.RoundingMode.HALF_UP)
-        if (bd.precision > 38) null else bd
-      }
+      if (!java.lang.Double.isFinite(v) || math.abs(v) >= 1e32) null
+      else java.math.BigDecimal.valueOf(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
     def fill(): Unit = while (out.isEmpty && it.hasNext) {
       if (!sameGroup(it.head)) {
         deque.clear(); sum = java.math.BigDecimal.ZERO
