@@ -74,12 +74,13 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     * a long-lived cursor racing a delete serves rows it already planned,
     * as the reference's cursors do. */
   def readConsistent[T](f: => T, maxRetries: Int = 50,
-      maxWaitMs: Long = 10000L): T = {
+      maxWaitMs: Long = 60000L): T = {
     var attempts = 0
     var waitedMs = 0L
     while (attempts <= maxRetries) {
       val e0 = rewriteEpochCounter.get
       if ((e0 & 1L) == 0L) {
+        waitedMs = 0L // a settled epoch is progress: re-arm the wait cap
         try {
           val out = f
           if (rewriteEpochCounter.get == e0) return out
@@ -89,9 +90,12 @@ final class BucketStore(val spark: SparkSession, val root: String) {
         }
         attempts += 1
       } else {
-        // swap renames in flight: settle, then read. The window is
-        // milliseconds by construction, so a long odd phase means a
-        // wedged swap — fail the read rather than spin forever.
+        // swap renames/deletes in flight: settle, then read. The window
+        // scales with the mutation's affected-partition count (renames +
+        // emptied-dir deletes), so the cap is a wedged-swap safety net —
+        // generous enough for a many-thousand-partition rewrite on slow
+        // storage, finite so a crashed swap (thread killed mid-window)
+        // fails readers instead of spinning them forever.
         waitedMs += 1
         if (waitedMs > maxWaitMs) throw new IllegalStateException(
           s"rewrite epoch stuck odd for > $maxWaitMs ms; swap wedged?")

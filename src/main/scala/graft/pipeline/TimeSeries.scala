@@ -259,16 +259,25 @@ object TimeSeries {
     require(chunkFactor >= 1, s"chunkFactor >= 1, got $chunkFactor")
     val chunkUs = Math.multiplyExact(windowUs, chunkFactor.toLong)
     val ev0 = withTsUs(events)
-    // the output schema is branch-independent: (event_id long,
-    // event_type string, ts long, value double, win_n long, win_avg
-    // double) — the kernel's encoder types, which the naive branch
-    // normalizes to as well. Reject ids a long cast would silently
-    // null (branch choice must never corrupt ids).
+    // the output schema AND semantics are branch-independent: (event_id
+    // long, event_type string, ts long, value double, win_n long,
+    // win_avg double) — the kernel's encoder types, which the naive
+    // branch normalizes to as well, and BOTH branches aggregate the
+    // value AS A DOUBLE (the kernel must: its rows ride a Double
+    // encoder — so the naive branch casts before its decimal sum too,
+    // or a >2^53 long value would sum differently per branch). Ids are
+    // gated to long-safe types: a lossy/saturating cast must never
+    // silently corrupt ids when data growth flips the branch.
     locally {
       import org.apache.spark.sql.types._
       val idT = ev0.schema("event_id").dataType
-      require(Seq[DataType](ByteType, ShortType, IntegerType, LongType)
-        .contains(idT), s"movingAggregate needs an integral event_id, got $idT")
+      val idOk = idT match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case d: DecimalType => d.scale == 0 && d.precision <= 18 // fits long
+        case _ => false
+      }
+      require(idOk,
+        s"movingAggregate needs a long-safe event_id, got $idT")
       val vT = ev0.schema("value").dataType
       require(vT.isInstanceOf[NumericType],
         s"movingAggregate needs a numeric value, got $vT")
@@ -283,7 +292,10 @@ object TimeSeries {
       return ev0
         .withColumn("win_n", count(lit(1)).over(w))
         .withColumn("win_avg",
-          sum(col("value").cast(Dec)).over(w).cast("double") / col("win_n"))
+          // double FIRST (the kernel's value representation), then the
+          // exact decimal slide: branch parity over any numeric input
+          sum(col("value").cast("double").cast(Dec)).over(w)
+            .cast("double") / col("win_n"))
         .select(col("event_id").cast("long").as("event_id"),
           col("event_type").cast("string").as("event_type"),
           col("ts_us").as("ts"), col("value").cast("double").as("value"),

@@ -49,20 +49,26 @@ private[graft] object TwoPhase {
   /** Probe memo, keyed on the CANONICALIZED analyzed plan + keys +
     * bound: a bench/serving loop re-running the same query re-pays the
     * probe job otherwise (3x per bench entry: warmup + two passes).
-    * The key holds the canonicalized plan ITSELF (structural equality —
-    * a 32-bit hash alone could collide two different inputs into one
-    * verdict, and a wrong verdict re-creates the one-task serialization
-    * hazard the chunked branch exists to remove). Stale entries (the
-    * underlying files changed cardinality under the same plan) can only
-    * affect plan choice, never output. Bounded; cleared wholesale past
-    * the cap, which also bounds the retained plan references. */
+    * The key is TWO independent 32-bit digests of the canonicalized
+    * plan — its structural hashCode and its rendered-string hashCode —
+    * plus the schema: a single 32-bit hash could plausibly collide two
+    * live plans onto one verdict (and a wrong verdict re-creates the
+    * one-task serialization hazard the chunked branch exists to
+    * remove), while holding the plan OBJECT itself would pin up to 1024
+    * full trees — including LocalRelation row data — in a static map.
+    * Joint collision of both digests AND the schema string is ~2^-64:
+    * not a realistic event. Stale entries (the underlying files changed
+    * cardinality under the same plan) can only affect plan choice,
+    * never output. Bounded; cleared wholesale past the cap. */
   private val probeMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Any, String), java.lang.Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, String, String), java.lang.Boolean]()
 
   /** Memoized probe evaluation (see [[probeMemo]]); `tag` distinguishes
     * probes over the same input plan. */
   def memoProbe(df: DataFrame, tag: String, compute: () => Boolean): Boolean = {
-    val memoKey = (df.queryExecution.analyzed.canonicalized: Any, tag)
+    val canon = df.queryExecution.analyzed.canonicalized
+    val memoKey = (canon.hashCode(), canon.toString.hashCode,
+      df.schema.treeString, tag)
     if (probeMemo.size() > 1024) probeMemo.clear()
     probeMemo.computeIfAbsent(memoKey, _ => compute())
   }

@@ -414,11 +414,32 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
       assert(out(1)._2 == 2L && out(1)._3 == Some(2.0 / 2),
         s"naiveMaxRows=$branch NaN row: ${out.toSeq}")
     }
-    // a long cast would silently null a string id — refused instead
+    // a long cast would silently null a string id — refused instead;
+    // a scale-0 decimal id fits a long losslessly — accepted
     val bad = df.withColumn("event_id", concat(lit("e"), col("event_id")))
     intercept[IllegalArgumentException] {
       TimeSeries.movingAggregate(bad, windowUs = 100000L)
     }
+    val decId = df.withColumn("event_id",
+      col("event_id").cast("decimal(18,0)"))
+    assert(TimeSeries.movingAggregate(decId, windowUs = 100000L)
+      .count() == 5L)
+    // >2^53 long values: both branches aggregate the value AS A DOUBLE
+    // (the kernel's representation), so branch choice cannot change
+    // win_avg even where the double rounds the long
+    val wide = Seq((1L, 0L, 9007199254740993L), (2L, 10L, 1L))
+      .toDF("event_id", "ts_in", "value")
+      .select(col("event_id"), (col("ts_in") * 1000).as("ts"),
+        lit(7L).as("user_id"), lit("a").as("event_type"), col("value"),
+        lit("{}").as("props"))
+    val byBranch = Seq(Long.MaxValue, 0L).map { b =>
+      TimeSeries.movingAggregate(wide, windowUs = 100000L,
+          naiveMaxRows = b)
+        .orderBy("event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(4), r.getDouble(5))).toSeq
+    }
+    assert(byBranch(0) == byBranch(1),
+      s"wide-long branches diverge: ${byBranch(0)} vs ${byBranch(1)}")
   }
 
   test("derivative: per-type consecutive rate; zero gap → null rate") {
