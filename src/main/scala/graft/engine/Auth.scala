@@ -136,7 +136,15 @@ object Auth {
 
   /** token_repository/repo.rs — in-memory (the storage backend would be a
     * `$system` entry at scale; see Lifecycle.recordUsageEvent). `nowMs` is
-    * injectable for deterministic tests. */
+    * injectable for deterministic tests.
+    *
+    * Thread-safe: the serving layer runs on a thread pool and EVERY
+    * authenticated request mutates the repo (validateToken stamps
+    * lastAccessMs for the inactivity TTL), so all map access holds the
+    * instance monitor — an unsynchronized LinkedHashMap corrupts its
+    * link chain under concurrent insert/update. The critical sections
+    * are in-memory map ops plus per-token SHA-256, micro-scale next to
+    * any request's Spark work. */
   final class TokenRepository(apiToken: String,
       nowMs: () => Long = () => System.currentTimeMillis()) {
 
@@ -154,7 +162,7 @@ object Auth {
     def createToken(name: String, permissions: Permissions,
         expiresAtMs: Option[Long] = None, ttlSec: Option[Long] = None,
         ipAllowlist: Seq[String] = Seq.empty,
-        provisioned: Boolean = false): TokenCreateResponse = {
+        provisioned: Boolean = false): TokenCreateResponse = synchronized {
       if (name.isEmpty) throw unprocessable("Token name can't be empty")
       if (repo.contains(name)) throw conflict(s"Token '$name' already exists")
       for (e <- permissions.read ++ permissions.write)
@@ -178,18 +186,19 @@ object Auth {
       * an existing token of the same name is overwritten, and the
       * provisioned flag shields it from remove/rotate. */
     def provisionToken(name: String, value: String, permissions: Permissions,
-        expiresAtMs: Option[Long] = None): Unit = {
+        expiresAtMs: Option[Long] = None): Unit = synchronized {
       val createdAt = repo.get(name).map(_.createdAtMs).getOrElse(nowMs())
       repo(name) = Token(name, hashTokenSecret(value), createdAt,
         Some(permissions), isProvisioned = true, expiresAtMs = expiresAtMs)
     }
 
-    def getToken(name: String): Token =
+    def getToken(name: String): Token = synchronized {
       repo.getOrElse(name, throw notFound(s"Token '$name' doesn't exist"))
+    }
 
-    def tokenList: Seq[Token] = repo.values.toSeq
+    def tokenList: Seq[Token] = synchronized(repo.values.toSeq)
 
-    def removeToken(name: String): Unit = {
+    def removeToken(name: String): Unit = synchronized {
       repo.get(name).foreach(t => if (t.isProvisioned)
         throw conflict(s"Can't remove provisioned token '$name'"))
       if (repo.remove(name).isEmpty)
@@ -197,7 +206,7 @@ object Auth {
     }
 
     /** repo.rs rotate_token — re-issue the secret, keep the grants. */
-    def rotateToken(name: String): TokenCreateResponse = {
+    def rotateToken(name: String): TokenCreateResponse = synchronized {
       if (name == InitTokenName) throw conflict("Can't rotate init token")
       val t = repo.getOrElse(name, throw notFound(s"Token '$name' doesn't exist"))
       if (t.isProvisioned) throw conflict(s"Can't rotate provisioned token '$name'")
@@ -210,7 +219,7 @@ object Auth {
 
     /** repo.rs validate_token — bearer parse, hash match, lifetime + IP. */
     def validateToken(header: Option[String],
-        clientIp: Option[String] = None): Token = {
+        clientIp: Option[String] = None): Token = synchronized {
       val value = parseBearerToken(header.getOrElse(""))
       val token = repo.values
         .find(t => verifyTokenSecret(t.value, value))

@@ -91,6 +91,41 @@ class AuthSpec extends AnyFunSuite {
     intercept[ApiError](r.validateToken(Some(s"Bearer ${ip.value}"), None))
   }
 
+  test("repository survives concurrent validate/create/remove (serving pool)") {
+    // Every authenticated request WRITES the repo (lastAccessMs stamp), so
+    // the serving pool's threads mutate it concurrently with token CRUD; an
+    // unsynchronized LinkedHashMap corrupts its link chain under this load.
+    val r = new TokenRepository("s3cret-api")
+    val secrets = (0 until 8).map { i =>
+      r.createToken(s"t$i", Permissions(fullAccess = true)).value
+    }
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (0 until 8).map { i =>
+        pool.submit(new Runnable {
+          def run(): Unit = try {
+            var n = 0
+            while (n < 500) {
+              r.validateToken(Some(s"Bearer ${secrets(n % secrets.size)}"))
+              if (n % 100 == i) { // interleave CRUD with the validations
+                val name = s"w$i-$n"
+                r.createToken(name, Permissions())
+                r.removeToken(name)
+              }
+              n += 1
+            }
+          } catch { case t: Throwable => errs.add(t) }
+        })
+      }
+      futures.foreach(_.get())
+    } finally pool.shutdownNow()
+    assert(errs.isEmpty, s"concurrent repo access failed: ${errs.peek()}")
+    // the original tokens all survive with a fresh lastAccessMs
+    assert((0 until 8).forall(i => r.getToken(s"t$i").lastAccessMs.nonEmpty))
+    assert(r.tokenList.map(_.name).count(_.startsWith("w")) === 0)
+  }
+
   test("client IP resolution: RFC 7239 golden table + trusted-proxy gate") {
     import ClientIp._
     def ip(s: String) = java.net.InetAddress.getByName(s)
