@@ -27,10 +27,12 @@ object Bench {
       // Local-fs roots: skip Hadoop's client-side .crc siblings — they
       // DOUBLE the file creates on every store write/rewrite (each local
       // create pays a ~19 ms chmod fork without libhadoop; measured 76 s
-      // → 53 s on a 10k-entry write). Parquet's own page checksums keep
-      // integrity; a cluster deployment's scheme (hdfs/s3a) is unaffected.
+      // → 53 s on a 10k-entry write). Integrity moves to parquet's page
+      // checksums, VERIFIED on read below (parquet-java writes them by
+      // default but only checks when asked); hdfs/s3a are unaffected.
       .config("spark.hadoop.fs.file.impl",
         "org.apache.hadoop.fs.RawLocalFileSystem")
+      .config("spark.hadoop.parquet.page.verify-checksum.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -16,9 +16,11 @@ object Verify {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      // No .crc siblings on local-fs writes (see Bench.scala rationale)
+      // No .crc siblings on local-fs writes (see Bench.scala rationale);
+      // integrity moves to parquet page checksums, verified on read
       .config("spark.hadoop.fs.file.impl",
         "org.apache.hadoop.fs.RawLocalFileSystem")
+      .config("spark.hadoop.parquet.page.verify-checksum.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

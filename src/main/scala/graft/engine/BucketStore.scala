@@ -31,8 +31,10 @@ import scala.util.control.NonFatal
   * checksummed local fs writes a `.crc` sibling per file, doubling the
   * creates on every many-entry write/rewrite (each local create pays a
   * chmod fork without libhadoop; measured 76 s → 53 s on a 10k-entry
-  * write). Parquet's page checksums already cover integrity, matching the
-  * reference's integrity model; hdfs/s3a schemes are unaffected.
+  * write). Pair it with `parquet.page.verify-checksum.enabled=true`:
+  * parquet-java WRITES page checksums by default but does not verify
+  * them on read unless asked, so the pair keeps an end-to-end integrity
+  * check on the payload path; hdfs/s3a schemes are unaffected.
   */
 final class BucketStore(val spark: SparkSession, val root: String) {
   import BucketStore._
@@ -76,11 +78,11 @@ final class BucketStore(val spark: SparkSession, val root: String) {
   def readConsistent[T](f: => T, maxRetries: Int = 50,
       maxWaitMs: Long = 60000L): T = {
     var attempts = 0
-    var waitedMs = 0L
+    var waitStartNanos = 0L // 0 = not currently waiting on an odd epoch
     while (attempts <= maxRetries) {
       val e0 = rewriteEpochCounter.get
       if ((e0 & 1L) == 0L) {
-        waitedMs = 0L // a settled epoch is progress: re-arm the wait cap
+        waitStartNanos = 0L // a settled epoch is progress: re-arm the wait cap
         try {
           val out = f
           if (rewriteEpochCounter.get == e0) return out
@@ -95,15 +97,27 @@ final class BucketStore(val spark: SparkSession, val root: String) {
         // emptied-dir deletes), so the cap is a wedged-swap safety net —
         // generous enough for a many-thousand-partition rewrite on slow
         // storage, finite so a crashed swap (thread killed mid-window)
-        // fails readers instead of spinning them forever.
-        waitedMs += 1
-        if (waitedMs > maxWaitMs) throw new IllegalStateException(
-          s"rewrite epoch stuck odd for > $maxWaitMs ms; swap wedged?")
+        // fails readers instead of spinning them forever. Elapsed time is
+        // measured with nanoTime deltas — Thread.sleep(1) commonly lasts
+        // several ms, so counting iterations would stretch the cap.
+        val now = System.nanoTime()
+        if (waitStartNanos == 0L) waitStartNanos = now
+        else if ((now - waitStartNanos) / 1000000L > maxWaitMs)
+          throw new IllegalStateException(
+            s"rewrite epoch stuck odd for > $maxWaitMs ms; swap wedged?")
         Thread.sleep(1)
       }
     }
     throw new IllegalStateException(
       s"read did not settle after $maxRetries rewrite-racing retries")
+  }
+
+  /** Test hook: run `f` with the rewrite epoch held ODD — a swap window
+    * that never settles — so specs can exercise [[readConsistent]]'s
+    * wedged-swap cap without a real wedged mutation. */
+  private[graft] def holdSwapWindowForTest[T](f: => T): T = {
+    rewriteEpochCounter.incrementAndGet()
+    try f finally rewriteEpochCounter.incrementAndGet()
   }
 
   /** Interval usage-traffic counters incremented at the serving-layer
@@ -424,15 +438,21 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     *
     * Callers that reuse `records` AFTER the swap must pass an
     * already-materialized frame (localCheckpoint) — recomputing it
-    * post-swap would resolve against a changed file tree. */
-  private def overwritePartitions(records: DataFrame,
-      dropAfter: Iterable[(String, String, String)] = Nil): Unit = {
+    * post-swap would resolve against a changed file tree.
+    *
+    * `private[graft]` so lifecycle compaction reuses this seam (its
+    * rewrite must land inside the same odd-epoch window readers retry
+    * on); `writerOptions` carries its codec/level writer settings. */
+  private[graft] def overwritePartitions(records: DataFrame,
+      dropAfter: Iterable[(String, String, String)] = Nil,
+      writerOptions: Map[String, String] = Map.empty): Unit = {
     val stage = new org.apache.hadoop.fs.Path(
       s"$root/$RewriteDir/${java.util.UUID.randomUUID}")
     graft.core.Partitioning.pinned( // one task per dir, AQE-proof
         records.withColumn("dt", dtCol),
         col("bucket"), col("entry"), col("dt"))
       .write.partitionBy("bucket", "entry", "dt")
+      .options(writerOptions)
       .mode(SaveMode.Overwrite)
       .parquet(stage.toString)
     val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -681,15 +681,20 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
 
   private def recordAt(bucket: String, entry: String,
       q: Map[String, String]): Row = {
-    val base = store.table()
-      .filter(col("bucket") === bucket && col("entry") === entry)
-    val at = q.get("ts") match {
-      case Some(ts) => base.filter(col("ts") === ts.toLong)
-      case None     => base.orderBy(col("ts").desc).limit(1)
-    }
     // snapshot-or-retry: a read racing a label-rewrite swap settles on
-    // the before- or after-state, never a renamed-away file error
-    store.readConsistent(at.collect()).headOption
+    // the before- or after-state, never a renamed-away file error. The
+    // frame MUST be built inside the by-name block — table() lists files
+    // at construction, so a plan built pre-swap would re-hit renamed-away
+    // files on the retry with the epoch already settled.
+    store.readConsistent {
+      val base = store.table()
+        .filter(col("bucket") === bucket && col("entry") === entry)
+      val at = q.get("ts") match {
+        case Some(ts) => base.filter(col("ts") === ts.toLong)
+        case None     => base.orderBy(col("ts").desc).limit(1)
+      }
+      at.collect()
+    }.headOption
       .getOrElse(throw notFound("No record found"))
   }
 

@@ -42,6 +42,7 @@ object EventsScaleProbe {
       // workload numbers here compare against Bench's
       .config("spark.hadoop.fs.file.impl",
         "org.apache.hadoop.fs.RawLocalFileSystem")
+      .config("spark.hadoop.parquet.page.verify-checksum.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -2,7 +2,7 @@ package graft.lifecycle
 
 import graft.engine.{BucketStore, QueryEngine, QuerySpec}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, Row, SaveMode}
+import org.apache.spark.sql.{DataFrame, Row}
 
 /** Lifecycle policies (SURVEY §2.6; lifecycle/lifecycle_task.rs:25-90):
   * periodic batch jobs applying `delete` or `compress` to records older
@@ -54,24 +54,25 @@ object Lifecycle {
         val matched = QueryEngine.matching(store.table(), spec)
         val n = matched.count()
         if (policy.dryRun || n == 0) return Result(n, applied = false)
-        // rewrite affected day-partitions with the target codec
+        // rewrite affected day-partitions with the target codec, routed
+        // through the store's staged rename-swap so the reader-visible
+        // change lands inside the rewrite-epoch window (a readConsistent
+        // reader racing the compaction retries instead of failing on a
+        // renamed-away file). Staging also reads live tree → _rewrite
+        // dir, so no localCheckpoint materialization of the rewrite set.
         val affected = matched
           .withColumn("dt", to_date(timestamp_micros(col("ts"))))
           .select("bucket", "entry", "dt").distinct()
         val rewritten = store.table()
           .withColumn("dt", to_date(timestamp_micros(col("ts"))))
           .join(broadcast(affected), Seq("bucket", "entry", "dt"))
-        graft.core.Partitioning.pinned( // one task/dir, AQE-proof
-            rewritten.localCheckpoint(true),
-            col("bucket"), col("entry"), col("dt"))
-          .write.partitionBy("bucket", "entry", "dt")
-          .option("compression", codec)
+          .drop("dt")
+        store.overwritePartitions(rewritten, writerOptions = Map(
+          "compression" -> codec,
           // writer options propagate into the task-side Hadoop conf, which
           // is where parquet-java reads the zstd level from (verified by
           // size in LifecycleSpec — the level is not recorded in footers)
-          .option("parquet.compression.codec.zstd.level", level)
-          .mode(SaveMode.Overwrite)
-          .parquet(store.root)
+          "parquet.compression.codec.zstd.level" -> level.toString))
         Result(n, applied = true)
       }
     }

@@ -30,6 +30,7 @@ object SparkTestBase {
       // the suite runs the same fs config the graded mains do.
       .config("spark.hadoop.fs.file.impl",
         "org.apache.hadoop.fs.RawLocalFileSystem")
+      .config("spark.hadoop.parquet.page.verify-checksum.enabled", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

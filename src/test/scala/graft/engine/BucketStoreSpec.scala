@@ -238,6 +238,26 @@ class BucketStoreSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("wedged-swap cap is wall-time, not sleep-iteration count (ADVICE r12)") {
+    val store = newStore()
+    store.write(recordsDf(Seq(("e", 1L, Map("v" -> "0")))))
+    // Thread.sleep(1) commonly lasts several ms — an iteration-counting
+    // cap of 100 "ms" could stretch to seconds. The nanoTime cap must
+    // fire near the requested wall time.
+    val t0 = System.nanoTime()
+    val ex = intercept[IllegalStateException] {
+      store.holdSwapWindowForTest {
+        store.readConsistent(store.table().count(), maxWaitMs = 100L)
+      }
+    }
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    assert(ex.getMessage.contains("wedged"))
+    assert(elapsedMs < 2000L,
+      s"100 ms wall-time cap took ${elapsedMs} ms to fire")
+    // and the seam still works after the window settles
+    assert(store.readConsistent(store.table().count()) == 1L)
+  }
+
   test("free-disk preflight rejects writes the volume can't hold (507 path)") {
     val store = newStore()
     store.freeSpaceFn = () => 10L // injected: volume "has" 10 bytes

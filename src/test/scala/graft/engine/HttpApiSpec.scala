@@ -493,6 +493,49 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
     assert(req("DELETE", "/tokens/proxy-client").statusCode() == 200)
   }
 
+  test("GET single racing label-rewrite swaps never 5xxs (ADVICE r12)") {
+    // recordAt must build its frame INSIDE readConsistent: a plan listed
+    // pre-swap re-hits renamed-away files on retry with the epoch already
+    // settled, surfacing the race as a 500 to the client
+    val raceStore = new BucketStore(spark,
+      Files.createTempDirectory("graft-http-race").toString)
+    val raceApi = new HttpApi(raceStore, apiToken = "root-token")
+    raceApi.start()
+    try {
+      val p = raceApi.boundPort
+      def rreq(method: String, path: String,
+          headers: Seq[(String, String)] = Seq.empty): HttpResponse[Array[Byte]] = {
+        var b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/api/v1$path"))
+          .method(method, HttpRequest.BodyPublishers.ofByteArray("x".getBytes))
+          .header("Authorization", "Bearer root-token")
+        for ((k, v) <- headers) b = b.header(k, v)
+        client.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
+      }
+      assert(rreq("POST", "/b/rb").statusCode() == 200)
+      assert(rreq("POST", "/b/rb/e?ts=1000").statusCode() == 200)
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration._
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      @volatile var done = false
+      val reader = Future {
+        val codes = Seq.newBuilder[Int]
+        while (!done) {
+          codes += rreq("GET", "/b/rb/e?ts=1000").statusCode()
+          codes += rreq("GET", "/b/rb/e").statusCode() // latest path too
+        }
+        codes.result()
+      }
+      try
+        for (i <- 1 to 3) // each PATCH swaps the record's partition dir
+          assert(rreq("PATCH", "/b/rb/e?ts=1000",
+            headers = Seq(s"x-reduct-label-k" -> s"v$i")).statusCode() == 200)
+      finally done = true
+      val codes = Await.result(reader, 180.seconds)
+      assert(codes.nonEmpty && codes.forall(_ == 200),
+        s"reads racing a label rewrite must settle, got ${codes.distinct}")
+    } finally raceApi.stop()
+  }
+
   test("list stays bounded at 10k entries: counts computed distributed") {
     import org.apache.spark.sql.functions._
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats

@@ -91,4 +91,33 @@ class LifecycleSpec extends AnyFunSuite with SparkTestBase {
     assert(hi < lo,
       s"zstd level 19 ($hi B) should beat level 1 ($lo B) — level option not applied?")
   }
+
+  test("readConsistent reader racing a compress retries, never fails (ADVICE r12)") {
+    // the compaction rewrite must land inside the store's rewrite-epoch
+    // window (staged rename swap), so a racing reader settles on the
+    // before- or after-state instead of erroring on a renamed-away file
+    val store = newStore()
+    store.write(recordsDf(8))
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    @volatile var done = false
+    val reader = Future {
+      val seen = Seq.newBuilder[Long]
+      while (!done) seen += store.readConsistent(store.table().count())
+      seen.result()
+    }
+    try
+      for (level <- Seq(3, 9, 3)) {
+        val res = Lifecycle.apply(store,
+          Lifecycle.Policy(olderThanUs = 0L,
+            action = Lifecycle.Action.Compress("zstd", level)),
+          nowUs = 100 * day)
+        assert(res.applied && res.matched == 8)
+      }
+    finally done = true
+    val counts = Await.result(reader, 180.seconds)
+    assert(counts.nonEmpty && counts.forall(_ == 8L),
+      s"reads racing compaction must always see all rows: ${counts.distinct}")
+  }
 }
