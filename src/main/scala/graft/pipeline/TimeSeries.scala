@@ -148,12 +148,20 @@ object TimeSeries {
     // ADAPTIVE: the fill window runs over the tick GRID, so the probe is
     // the largest per-type tick count (from the already-aggregated span
     // table — a types-sized collect), not the event count. When every
-    // grid fits one task (naiveMaxRows <= 0 forces the chunked form), a
-    // single per-type fill window needs no boundary pass.
-    val naive = naiveMaxRows > 0 && !TwoPhase.memoProbe(events,
-      s"gapFill|$stepUs|$naiveMaxRows", { () =>
-        val r = span.agg(max((col("t1") - col("t0")) / stepUs + 1)).collect()(0)
-        !(r.isNullAt(0) || r.getDouble(0) <= naiveMaxRows.toDouble)
+    // grid fits one task (naiveMaxRows <= 0 forces the chunked form,
+    // Long.MaxValue the plain form — no probe either way), a single
+    // per-type fill window needs no boundary pass. Stats-gated like
+    // TwoPhase.useChunked: past the byte budget no probe job runs
+    // (chunked is correct at every scale); under it the span scan is
+    // budget-bounded by the same estimate.
+    val naive =
+      if (naiveMaxRows <= 0) false
+      else if (naiveMaxRows == TwoPhase.ProbeHint.Naive) true
+      else !TwoPhase.memoProbe(events, s"gapFill|$stepUs|$naiveMaxRows", { () =>
+        TwoPhase.statsBytes(events) > TwoPhase.ProbeByteBudget || {
+          val r = span.agg(max((col("t1") - col("t0")) / stepUs + 1)).collect()(0)
+          !(r.isNullAt(0) || r.getDouble(0) <= naiveMaxRows.toDouble)
+        }
       })
     if (naive) {
       val fillW = Window.partitionBy(col("__k")).orderBy(col("tick"))

@@ -33,52 +33,121 @@ private[graft] object TwoPhase {
     * 100-TB serialization hazard the chunked forms exist to remove. */
   val NaiveMaxRows: Long = 1L << 20
 
-  /** Plan-time probe for the adaptive switch: the largest per-group row
-    * count (0 for an empty frame). EAGER — runs a cheap count-aggregate
-    * job when the operator is CALLED (column-pruned to the group keys,
-    * map-side combined, `groups`-sized result). Sound for batch
-    * pipelines over immutable inputs — the same contract
-    * `Dedup.splitByGroupSize` already pins — and it makes the adaptive
-    * operators reject streaming frames, as the dedup family does. */
+  /** Byte budget gating the exact probe: inputs whose OPTIMIZER size
+    * estimate exceeds this never pay a probe job — they take the chunked
+    * branch outright, since chunked is correct at every scale and its
+    * boundary-pass tax is amortized by exactly the data volumes that
+    * exceed the budget. Inputs under the budget pay one probe scan that
+    * is, by the same estimate, pinned under the budget — so a one-shot
+    * 100 TB pipeline runs ZERO probe jobs while the small/mid inputs
+    * where the naive window actually wins keep the exact decision.
+    * `SizeInBytesOnlyStatsVisitor` never shrinks a filter's child and
+    * scales projections by column width, so the estimate is conservative
+    * for the probe's own column-pruned scan. */
+  val ProbeByteBudget: Long = 1L << 30
+
+  /** Caller cardinality hints, expressed through the `naiveMaxRows`
+    * parameter every adaptive operator already exposes — no probe job
+    * runs for either. */
+  object ProbeHint {
+    /** Caller asserts every group fits one task: plain window. */
+    val Naive: Long = Long.MaxValue
+    /** Caller asserts groups may exceed any task: chunked lowering. */
+    val Chunked: Long = 0L
+  }
+
+  /** Exact plan-time probe: the largest per-group row count (0 for an
+    * empty frame) — a count-aggregate job, column-pruned to the group
+    * keys and map-side combined. [[useChunked]] only runs it when the
+    * input's size statistic fits [[ProbeByteBudget]]; callers wanting
+    * the unconditional exact decision can invoke it directly. */
   def maxGroupRows(df: DataFrame, keys: Seq[Column]): Long = {
     val r = df.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
       .agg(max(col("__n"))).collect()(0)
     if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 
+  /** The optimizer's size-in-bytes estimate for `df` (file-relation
+    * bytes × projection width ratios; filters never shrink it without
+    * CBO). Saturates to Long.MaxValue. */
+  def statsBytes(df: DataFrame): Long = {
+    val s = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (s.isValidLong) s.toLong else Long.MaxValue
+  }
+
+  /** Data fingerprint for the probe memo: folds every file relation's
+    * listed size + file count (a fresh read of a grown directory lists
+    * fresh files, so in-place growth re-probes under an IDENTICAL
+    * canonical plan) and every local relation's row count. */
+  private def dataFingerprint(df: DataFrame): Long = {
+    var h = -3750763034362895579L // FNV-1a offset basis
+    def mix(x: Long): Unit = { h ^= x; h *= 1099511628211L }
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            mix(fs.location.sizeInBytes)
+            mix(fs.location.inputFiles.length.toLong)
+          case other => mix(other.sizeInBytes)
+        }
+      case lrel: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        mix(lrel.data.length.toLong)
+      case _ =>
+    }
+    h
+  }
+
   /** Probe memo, keyed on the CANONICALIZED analyzed plan + keys +
-    * bound: a bench/serving loop re-running the same query re-pays the
-    * probe job otherwise (3x per bench entry: warmup + two passes).
-    * The key is TWO independent 32-bit digests of the canonicalized
-    * plan — its structural hashCode and its rendered-string hashCode —
-    * plus the schema: a single 32-bit hash could plausibly collide two
-    * live plans onto one verdict (and a wrong verdict re-creates the
-    * one-task serialization hazard the chunked branch exists to
-    * remove), while holding the plan OBJECT itself would pin up to 1024
-    * full trees — including LocalRelation row data — in a static map.
-    * Joint collision of both digests AND the schema string is ~2^-64:
-    * not a realistic event. Stale entries (the underlying files changed
-    * cardinality under the same plan) can only affect plan choice,
-    * never output. Bounded; cleared wholesale past the cap. */
+    * bound + a [[dataFingerprint]]: a bench/serving loop re-running the
+    * same query re-pays the probe job otherwise (3x per bench entry:
+    * warmup + two passes), while the fingerprint makes a stale verdict
+    * self-healing — data growing in place under an identical plan keys
+    * a fresh probe instead of re-creating the one-task hazard the
+    * chunked branch exists to remove. The key holds TWO independent
+    * 32-bit digests of the canonicalized plan — structural hashCode and
+    * rendered-string hashCode — plus the schema, not the plan OBJECT
+    * (which would pin up to 1024 full trees, including LocalRelation
+    * row data, in a static map); joint collision of both digests AND
+    * the schema is ~2^-64. Access-ordered with eldest-entry eviction at
+    * the cap, so a long-lived process recycles one stale slot at a time
+    * instead of thundering a full re-probe. */
   private val probeMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int, String, String), java.lang.Boolean]()
+    new java.util.LinkedHashMap[(Int, Int, String, String, Long), java.lang.Boolean](
+        64, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Int, Int, String, String, Long), java.lang.Boolean]): Boolean =
+        size() > 1024
+    }
 
   /** Memoized probe evaluation (see [[probeMemo]]); `tag` distinguishes
-    * probes over the same input plan. */
+    * probes over the same input plan. `compute` runs OUTSIDE the memo
+    * lock (it launches a Spark job); a racing duplicate probe is benign. */
   def memoProbe(df: DataFrame, tag: String, compute: () => Boolean): Boolean = {
     val canon = df.queryExecution.analyzed.canonicalized
     val memoKey = (canon.hashCode(), canon.toString.hashCode,
-      df.schema.treeString, tag)
-    if (probeMemo.size() > 1024) probeMemo.clear()
-    probeMemo.computeIfAbsent(memoKey, _ => compute())
+      df.schema.treeString, tag, dataFingerprint(df))
+    val cached = probeMemo.synchronized(probeMemo.get(memoKey))
+    if (cached != null) cached.booleanValue()
+    else {
+      val v = compute()
+      probeMemo.synchronized(probeMemo.put(memoKey, java.lang.Boolean.valueOf(v)))
+      v
+    }
   }
 
-  /** The switch itself: chunked when forced (`naiveMaxRows <= 0`) or
-    * when any group exceeds the bound. */
-  def useChunked(df: DataFrame, keys: Seq[Column], naiveMaxRows: Long): Boolean =
-    naiveMaxRows <= 0 || memoProbe(df,
-      keys.map(_.toString).mkString(",") + "|" + naiveMaxRows,
-      () => maxGroupRows(df, keys) > naiveMaxRows)
+  /** The switch itself: chunked when forced (`naiveMaxRows <= 0`, the
+    * [[ProbeHint.Chunked]] hint), plain when the caller vouches for the
+    * cardinality (`Long.MaxValue`, the [[ProbeHint.Naive]] hint — no
+    * probe job), chunked WITHOUT probing when the input's size estimate
+    * exceeds `probeByteBudget`, and exactly probed otherwise. */
+  def useChunked(df: DataFrame, keys: Seq[Column], naiveMaxRows: Long,
+      probeByteBudget: Long = ProbeByteBudget): Boolean =
+    if (naiveMaxRows <= 0) true
+    else if (naiveMaxRows == ProbeHint.Naive) false
+    else memoProbe(df,
+      keys.map(_.toString).mkString(",") + "|" + naiveMaxRows + "|" + probeByteBudget,
+      () => statsBytes(df) > probeByteBudget ||
+        maxGroupRows(df, keys) > naiveMaxRows)
 
   /** Shared two-phase global-position scaffold: range-exchange on
     * (group, order) so partition order respects key order within each

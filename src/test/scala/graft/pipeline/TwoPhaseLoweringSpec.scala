@@ -212,4 +212,47 @@ class TwoPhaseLoweringSpec extends AnyFunSuite with SparkTestBase {
       5, naiveMaxRows = 100))
     assert(tkP.exists(_.contains("__chunk")), s"topK probe: $tkP")
   }
+
+  test("probe is stats-gated: an over-budget input goes chunked unprobed; " +
+      "hints skip the probe entirely (verdict r12 #1)") {
+    // docs' hot group (600 rows) is UNDER naiveMaxRows=1000, so the exact
+    // probe would answer "naive". With the byte budget forced below the
+    // input's size estimate the switch must answer "chunked" WITHOUT
+    // consulting the data — proving no probe scan ran (the only code
+    // path returning true here is the stats gate; the budget also salts
+    // the memo tag, so the two calls can't share a verdict).
+    assert(TwoPhase.useChunked(docs, Seq(col("source")), naiveMaxRows = 1000,
+      probeByteBudget = 1L), "over-budget input must take chunked unprobed")
+    assert(!TwoPhase.useChunked(docs, Seq(col("source")), naiveMaxRows = 1000),
+      "under the default budget the exact probe decides")
+    // caller hints resolve with no probe job: Naive on a frame whose hot
+    // group EXCEEDS any sane bound, Chunked on a tiny one
+    assert(!TwoPhase.useChunked(docs, Seq(col("source")),
+      TwoPhase.ProbeHint.Naive, probeByteBudget = 1L),
+      "Naive hint must skip both the stats gate and the probe")
+    assert(TwoPhase.useChunked(docs.limit(1), Seq(col("source")),
+      TwoPhase.ProbeHint.Chunked))
+    // gapFill's custom probe reuses the same statsBytes gate (constant
+    // budget there); sanity-pin the estimate is a real positive number
+    assert(TwoPhase.statsBytes(docs) > 0L)
+  }
+
+  test("memo re-probes when data grows in place under an identical plan " +
+      "(verdict r12 #2)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-twophase-grow").toString
+    spark.range(5).select(lit("g").as("k"), col("id").as("v"))
+      .write.mode("append").parquet(dir)
+    def rd = spark.read.parquet(dir)
+    assert(!TwoPhase.useChunked(rd, Seq(col("k")), naiveMaxRows = 10),
+      "5-row group fits the bound")
+    // append past the bound: the canonical plan of a fresh read over the
+    // same path is IDENTICAL (InMemoryFileIndex compares by rootPaths),
+    // so only the data fingerprint in the memo key forces the re-probe
+    spark.range(20).select(lit("g").as("k"), (col("id") + 5).as("v"))
+      .write.mode("append").parquet(dir)
+    assert(TwoPhase.useChunked(rd, Seq(col("k")), naiveMaxRows = 10),
+      "stale naive verdict survived in-place growth — the one-task " +
+        "serialization hazard the chunked branch exists to remove")
+  }
 }
