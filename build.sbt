@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// graft.Bench's contract is that its compact result JSON is the LITERAL
+// last stdout line (the harness running `sbt "runMain graft.Bench"`
+// parses it): StdoutOutput passes the forked run's stdout through raw
+// (no "[info] " logger prefix), and showSuccess drops sbt's
+// "[success] Total time ..." epilogue that would print after it. Exit
+// codes still report success/failure.
+Compile / run / outputStrategy := Some(StdoutOutput)
+Compile / runMain / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// consumed by sbt's command engine, not a task — exempt from lintUnused
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
