@@ -53,6 +53,20 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     * executors, so the lock serializes API calls, not cluster work. */
   private[graft] val writeLock = new Object
 
+  /** Monotone data version: bumped after every mutation (all mutators
+    * run through [[mutating]]). Size figures and other derived serving
+    * metadata cache against it, so an idle store serves them without
+    * re-walking the tree. */
+  private val dataVersionCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+  def dataVersion: Long = dataVersionCounter.get
+
+  /** Every mutator's lock + version bump in one place: identical locking
+    * to `writeLock.synchronized`, then the data version moves so cached
+    * figures invalidate. A bump on a failed/no-op mutation is harmless
+    * (one spare recompute). */
+  private[graft] def mutating[T](f: => T): T =
+    writeLock.synchronized { try f finally dataVersionCounter.incrementAndGet() }
+
   /** Rewrite epoch: ODD while a partition-swap's visible changes
     * (renames + emptied-dir deletes) are in flight, even when the tree
     * is quiescent. Mutation jobs (the staged rewrite write) run OUTSIDE
@@ -146,7 +160,7 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     */
   def write(records: DataFrame, onConflict: Conflict = Conflict.Error,
       maxRecordsPerFile: Long = 1000000L,
-      codec: Option[String] = None): Unit = writeLock.synchronized {
+      codec: Option[String] = None): Unit = mutating {
     val batch0 = records.select(Records.schema.fieldNames.map(col): _*)
     // batch-internal duplicate ts: reject (Error) or keep-first (Skip —
     // idempotent replay, e.g. re-delivered streaming micro-batches)
@@ -228,7 +242,7 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     * only the partitions containing matched records (dynamic overwrite).
     */
   def updateLabels(spec: QuerySpec, set: Map[String, String],
-      remove: Set[String] = Set.empty): Long = writeLock.synchronized {
+      remove: Set[String] = Set.empty): Long = mutating {
     val all = table()
     val matched = QueryEngine.matching(all, spec)
       .select("bucket", "entry", "ts")
@@ -259,7 +273,7 @@ final class BucketStore(val spark: SparkSession, val root: String) {
 
   /** Query-as-delete (remove_records.rs:62-160): rewrite only affected
     * partitions without the matching rows; returns removed count. */
-  def removeQuery(spec: QuerySpec): Long = writeLock.synchronized {
+  def removeQuery(spec: QuerySpec): Long = mutating {
     val all = table()
     val matched = QueryEngine.matching(all, spec).select("bucket", "entry", "ts")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -291,7 +305,7 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     * applies them all (a per-record loop would rewrite partitions k
     * times). Returns the number of records found and patched. */
   def updateLabelsBatch(bucket: String,
-      updates: Seq[(String, Long, Map[String, String], Set[String])]): Long = writeLock.synchronized {
+      updates: Seq[(String, Long, Map[String, String], Set[String])]): Long = mutating {
     if (updates.isEmpty) return 0
     import scala.jdk.CollectionConverters._
     val patchSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -338,7 +352,7 @@ final class BucketStore(val spark: SparkSession, val root: String) {
   /** Remove records by explicit (entry, ts) keys (remove_records.rs:34-60,
     * the ts-list form); returns per-key found/not-found. */
   def removeRecords(bucket: String,
-      keys: Seq[(String, Long)]): Map[(String, Long), Boolean] = writeLock.synchronized {
+      keys: Seq[(String, Long)]): Map[(String, Long), Boolean] = mutating {
     if (keys.isEmpty) return Map.empty
     import scala.jdk.CollectionConverters._
     val keyDf = spark.createDataFrame(
@@ -503,7 +517,7 @@ final class BucketStore(val spark: SparkSession, val root: String) {
       .select("entry").distinct().collect().map(_.getString(0)).toSeq.sorted
 
   /** Rename an entry (storage/bucket/rename_entry.rs): partition rewrite. */
-  def renameEntry(bucket: String, from: String, to: String): Unit = writeLock.synchronized {
+  def renameEntry(bucket: String, from: String, to: String): Unit = mutating {
     if (entries(bucket).contains(to))
       throw new IllegalArgumentException(s"entry '$to' already exists")
     val moved = table()
@@ -515,7 +529,7 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     removeEntryFiles(bucket, from)
   }
 
-  def removeEntry(bucket: String, entry: String): Unit = writeLock.synchronized {
+  def removeEntry(bucket: String, entry: String): Unit = mutating {
     if (EntryPattern.isSystemMetaEntry(entry))
       throw new IllegalArgumentException("cannot remove system $meta entry")
     removeEntryFiles(bucket, entry)
@@ -530,7 +544,7 @@ final class BucketStore(val spark: SparkSession, val root: String) {
 
   /** Rename a bucket (storage/bucket rename): a directory move — no data
     * rewrite, the partition values live in the path. */
-  def renameBucket(from: String, to: String): Unit = writeLock.synchronized {
+  def renameBucket(from: String, to: String): Unit = mutating {
     val src = new org.apache.hadoop.fs.Path(s"$root/bucket=$from")
     val dst = new org.apache.hadoop.fs.Path(s"$root/bucket=$to")
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -542,19 +556,53 @@ final class BucketStore(val spark: SparkSession, val root: String) {
       throw new IllegalStateException(s"rename failed: $src -> $dst")
   }
 
-  def removeBucket(bucket: String): Unit = writeLock.synchronized {
+  def removeBucket(bucket: String): Unit = mutating {
     val path = new org.apache.hadoop.fs.Path(s"$root/bucket=$bucket")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(path, true)
   }
 
   /** Bytes on disk per bucket (for quotas). */
-  def bucketSizeBytes(bucket: String): Long = {
-    val path = new org.apache.hadoop.fs.Path(s"$root/bucket=$bucket")
+  /** Size figures cached against [[dataVersion]]: `getContentSummary`
+    * walks the whole subtree (O(files) — a slow serving call at millions
+    * of files), so `/info` and `/list` pay it once per MUTATION, not per
+    * call. The cache entry count is bounded by the bucket count, which
+    * the reference's own engine holds in server memory (engine.rs). */
+  private val sizeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+  /** Recompute count — observable by specs pinning cache behavior. */
+  private[graft] val sizeWalks = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Uncached subtree walk — for reads INSIDE a [[mutating]] block (the
+    * FIFO-eviction loop re-checks the size it is actively shrinking; the
+    * version only bumps when the block exits, so the cache would serve
+    * the pre-eviction figure for the whole loop). */
+  private def treeBytes(path: org.apache.hadoop.fs.Path): Long = {
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) 0L
-    else fs.getContentSummary(path).getLength
+    sizeWalks.incrementAndGet()
+    if (fs.exists(path)) fs.getContentSummary(path).getLength else 0L
   }
+
+  private def bucketPath(bucket: String) =
+    new org.apache.hadoop.fs.Path(s"$root/bucket=$bucket")
+
+  private def cachedTreeBytes(key: String, mk: () => org.apache.hadoop.fs.Path): Long = {
+    val v0 = dataVersion
+    val hit = sizeCache.get(key)
+    if (hit != null && hit._1 == v0) return hit._2
+    val bytes = treeBytes(mk())
+    // cache only when no mutation raced the walk — a mid-mutation figure
+    // must not survive past the mutation; a raced call recomputes next time
+    if (dataVersion == v0) sizeCache.put(key, (v0, bytes)): Unit
+    bytes
+  }
+
+  /** Whole-store bytes (the `/info` usage figure). */
+  def storeSizeBytes: Long =
+    cachedTreeBytes("", () => new org.apache.hadoop.fs.Path(root))
+
+  def bucketSizeBytes(bucket: String): Long =
+    cachedTreeBytes(s"b:$bucket", () => bucketPath(bucket))
 
   /** Bytes + parquet-file count per entry of a bucket (decoded names) —
     * the EntryInfo size/block_count analog (entry_api.rs:9-23: blocks are
@@ -576,9 +624,11 @@ final class BucketStore(val spark: SparkSession, val root: String) {
   /** FIFO quota (bucket/quotas.rs:44-95): evict oldest day-partitions
     * until under `maxBytes`; `$meta` entries are never eviction candidates.
     * Returns evicted partition count. */
-  def enforceFifoQuota(bucket: String, maxBytes: Long): Int = writeLock.synchronized {
+  def enforceFifoQuota(bucket: String, maxBytes: Long): Int = mutating {
     var evicted = 0
-    while (bucketSizeBytes(bucket) > maxBytes) {
+    // uncached: the loop shrinks the very size it re-checks, and the data
+    // version only moves when this mutating block exits
+    while (treeBytes(bucketPath(bucket)) > maxBytes) {
       val oldest = table().filter(col("bucket") === bucket)
         .filter(!col("entry").endsWith("/" + EntryPattern.MetaSegment) &&
           col("entry") =!= EntryPattern.MetaSegment)
@@ -743,7 +793,7 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     *        it (the HTTP body length) — counted against a HARD quota
     *        without a pre-write scan. */
   def writeWithSettings(bucket: String, records: DataFrame,
-      onConflict: Conflict = Conflict.Error, incomingBytes: Long = 0L): Unit = writeLock.synchronized {
+      onConflict: Conflict = Conflict.Error, incomingBytes: Long = 0L): Unit = mutating {
     val s = bucketSettings(bucket).getOrElse(BucketSettings.defaults)
     val quota = s.quotaSize.getOrElse(0L)
     if (s.quotaType.contains("HARD") && quota > 0 &&

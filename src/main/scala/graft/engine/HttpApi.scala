@@ -398,11 +398,9 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
       "license" -> JNull))
   }
 
-  private def storeBytes: Long = {
-    val p = new org.apache.hadoop.fs.Path(store.root)
-    val fs = p.getFileSystem(store.spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
-  }
+  // version-cached in the store: /info serving cost is independent of
+  // file count between mutations (was a full getContentSummary per call)
+  private def storeBytes: Long = store.storeSizeBytes
 
   private def list(ex: HttpExchange): Unit = {
     // entry_count counts visible entries plus the (possibly empty)

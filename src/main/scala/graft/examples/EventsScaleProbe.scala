@@ -47,6 +47,8 @@ object EventsScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     chunkSliceStats(spark, dir)
+    if (!sys.env.get("GRAFT_PROBE_KERNEL").contains("0"))
+      manyEntryKernelStats(spark)
 
     for (name <- wanted) {
       try {
@@ -100,6 +102,54 @@ object EventsScaleProbe {
       require(derivSlice * 2 < perType,
         s"derivative slice $derivSlice must sit well under $perType")
     }
+  }
+
+  /** Verdict r12 #8: the stateful kernel ($each_t/$gate/...) is
+    * sequential WITHIN an entry by the reference's own cursor semantics
+    * and claims parallelism ACROSS entries (StatefulKernel staging via
+    * Partitioning.pinned). Measure the claim instead of arguing it: the
+    * SAME rows run once as a single entry (worst case — one task pays
+    * the whole series) and once as 10k entries; REQUIRE the many-entry
+    * run wins by >= 4x (it should approach the core count, blunted by
+    * scan+shuffle overheads) and that its per-task slice actually split.
+    * Row count tunable via GRAFT_PROBE_KERNEL_ROWS (default 10M, the
+    * 100x-slice scale). */
+  private def manyEntryKernelStats(spark: SparkSession): Unit = {
+    val n = sys.env.get("GRAFT_PROBE_KERNEL_ROWS").map(_.toLong)
+      .getOrElse(10000000L)
+    val entries = 10000L
+    def records(entryOf: org.apache.spark.sql.Column) =
+      spark.range(n).select(
+        lit("b").as("bucket"),
+        entryOf.as("entry"),
+        col("id").as("ts"),
+        map(lit("k"), (col("id") % 7).cast("string")).as("labels"),
+        typedLit(Map.empty[String, String]).as("computed_labels"),
+        lit("").as("content_type"),
+        lit(Records.State.Finished).as("state"),
+        lit(Array.emptyByteArray).as("payload"))
+    // $each_t is pure kernel state (no window lowering exists for it)
+    val when = """{"$each_t": 0.5}"""
+    def run(label: String, entryOf: org.apache.spark.sql.Column): Double = {
+      val df = records(entryOf)
+      val t0 = System.nanoTime()
+      val out = QueryEngine.query(df, QuerySpec(when = Some(when)))
+      val rows = out.queryExecution.toRdd.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val staged = graft.core.Partitioning.pinned(df, col("entry"))
+      val maxTask = staged.groupBy(spark_partition_id().as("__pid"))
+        .count().agg(max("count")).collect()(0).getLong(0)
+      println(f"kernel $label%-14s ${dt}%8.2f s  rows=$rows  " +
+        s"maxRowsPerTask=$maxTask")
+      dt
+    }
+    val tOne = run("1 entry", lit("e0"))
+    val tMany = run(s"$entries entries",
+      concat(lit("e"), pmod(col("id"), lit(entries))))
+    val speedup = tOne / tMany
+    println(f"kernel across-entry speedup:  ${speedup}%.1fx")
+    require(speedup >= 4.0,
+      f"stateful kernel must parallelize across entries: ${speedup}%.1fx")
   }
 
   /** The reference workload shape (python-benchmark.py) at probe scale. */

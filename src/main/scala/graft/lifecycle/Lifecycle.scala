@@ -50,7 +50,7 @@ object Lifecycle {
         if (policy.dryRun)
           Result(QueryEngine.count(store.table(), spec), applied = false)
         else Result(store.removeQuery(spec), applied = true)
-      case Action.Compress(codec, level) => store.writeLock.synchronized {
+      case Action.Compress(codec, level) => store.mutating {
         val matched = QueryEngine.matching(store.table(), spec)
         val n = matched.count()
         if (policy.dryRun || n == 0) return Result(n, applied = false)
