@@ -87,7 +87,14 @@ private[graft] object TwoPhase {
         lr.relation match {
           case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
             mix(fs.location.sizeInBytes)
-            mix(fs.location.inputFiles.length.toLong)
+            fs.location match {
+              // file count from the CACHED listing — inputFiles would
+              // materialize a fresh path-string array per call, real
+              // garbage at millions of files
+              case pa: org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex =>
+                mix(pa.allFiles().length.toLong)
+              case _ => ()
+            }
           case other => mix(other.sizeInBytes)
         }
       case lrel: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
