@@ -625,6 +625,27 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
       assert((j \ "oldest_record").extract[Long] == 5L)
       assert((j \ "latest_record").extract[Long] == 304L,
         "meta-only records must not stretch the history")
+      // /info's usage figure: at most ONE subtree walk (a cache refill)
+      // across repeated calls within a version-stable window — serving
+      // cost independent of file count between mutations (verdict r12
+      // #6). The 60 s usage-flush timer legitimately mutates the store,
+      // so retry until a window isn't raced by it.
+      def info() = client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${manyApi.boundPort}/api/v1/info"))
+          .header("Authorization", "Bearer root-token").GET().build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      val stable = (1 to 3).exists { _ =>
+        val (v0, w0) = (manyStore.dataVersion, manyStore.sizeWalks.get())
+        for (_ <- 1 to 4) assert(info().statusCode() == 200)
+        val (v1, w1) = (manyStore.dataVersion, manyStore.sizeWalks.get())
+        v0 == v1 && {
+          assert(w1 - w0 <= 1,
+            s"4 /info calls in a version-stable window walked ${w1 - w0}x " +
+              "— the 300-bucket tree must be served from the version cache")
+          true
+        }
+      }
+      assert(stable, "no version-stable window in 3 attempts (flush storm?)")
     } finally manyApi.stop()
   }
 
@@ -706,30 +727,40 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
 
   test("usage flush: $system events carry entry/record parity labels") {
     import org.apache.spark.sql.functions.col
-    // traffic: 3 records into 2 entries written, 2 entries read back
-    assert(req("POST", "/b/ub").statusCode() == 200)
-    assert(req("POST", "/b/ub/e1?ts=100", "aaaa".getBytes).statusCode() == 200)
-    assert(req("POST", "/b/ub/e1?ts=200", "bbbb".getBytes).statusCode() == 200)
-    assert(req("POST", "/b/ub/e2?ts=300", "cc".getBytes).statusCode() == 200)
-    assert(req("GET", "/b/ub/e1?ts=100").statusCode() == 200)
-    assert(req("GET", "/b/ub/e2?ts=300").statusCode() == 200)
-    api.flushUsageNow()
-    val ev = store.table()
+    // traffic: 3 records into 2 entries written, 2 entries read back.
+    // The api's 60 s usage timer can fire mid-traffic and split the
+    // interval across two events (a real flake under a loaded box), so
+    // each attempt drains first (shrinking the window to the traffic
+    // itself) and a raced attempt retries with a fresh bucket.
+    def perBucketEvents(bkt: String) = store.table()
       .filter(col("bucket") === "$system" &&
-        col("entry").startsWith("usage/") && col("entry").endsWith("/ub"))
+        col("entry").startsWith("usage/") && col("entry").endsWith(s"/$bkt"))
       .orderBy(col("ts").desc).collect()
-    assert(ev.nonEmpty, "per-bucket usage event must exist")
-    // PR-1474 parity: distinct entries written/read + stored record
-    // count, pinned as queryable labels
-    val labels = ev.head.getAs[collection.Map[String, String]]("labels")
-    assert(labels("written_entries") == "2", s"labels: $labels")
-    assert(labels("read_entries") == "2", s"labels: $labels")
-    assert(labels("record_count") == "3", s"labels: $labels")
-    val payload = new String(ev.head.getAs[Array[Byte]]("payload"), "UTF-8")
-    assert(payload.contains("\"event_type\":\"usage_stats\""))
-    assert(payload.contains("\"records_written\":3"))
-    assert(payload.contains("\"records_read\":2"))
-    assert(payload.contains("\"write_bytes\":10"))  // 4 + 4 + 2
+    def attempt(bkt: String): Boolean = {
+      assert(req("POST", s"/b/$bkt").statusCode() == 200)
+      api.flushUsageNow() // fresh interval for the traffic below
+      assert(req("POST", s"/b/$bkt/e1?ts=100", "aaaa".getBytes).statusCode() == 200)
+      assert(req("POST", s"/b/$bkt/e1?ts=200", "bbbb".getBytes).statusCode() == 200)
+      assert(req("POST", s"/b/$bkt/e2?ts=300", "cc".getBytes).statusCode() == 200)
+      assert(req("GET", s"/b/$bkt/e1?ts=100").statusCode() == 200)
+      assert(req("GET", s"/b/$bkt/e2?ts=300").statusCode() == 200)
+      api.flushUsageNow()
+      val ev = perBucketEvents(bkt)
+      assert(ev.nonEmpty, "per-bucket usage event must exist")
+      // PR-1474 parity: distinct entries written/read + stored record
+      // count, pinned as queryable labels
+      val labels = ev.head.getAs[collection.Map[String, String]]("labels")
+      val payload = new String(ev.head.getAs[Array[Byte]]("payload"), "UTF-8")
+      payload.contains("\"event_type\":\"usage_stats\"") &&
+        labels("written_entries") == "2" && labels("read_entries") == "2" &&
+        labels("record_count") == "3" &&
+        payload.contains("\"records_written\":3") &&
+        payload.contains("\"records_read\":2") &&
+        payload.contains("\"write_bytes\":10") // 4 + 4 + 2
+    }
+    val bkt = (1 to 3).map(i => s"ub$i").find(attempt)
+      .getOrElse(fail("usage interval raced by the flush timer 3x in a row"))
+    val ev = perBucketEvents(bkt)
     // instance total exists, is emitted BEFORE the per-bucket events
     // (reference ordering: usage_snapshot emits the total first, so its
     // monotone $system ts is strictly smaller), and its storage side
@@ -750,7 +781,7 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
     // (engine.rs:238 walks ALL buckets for the total, filtering $ names
     // only per-bucket): by the second flush, $system itself holds the
     // first flush's event records, so the total record_count must
-    // exceed the user-bucket records alone (ub has 3)
+    // exceed the user-bucket records alone (the test bucket has 3)
     val totalPayload = new String(
       latestTotal().head.getAs[Array[Byte]]("payload"), "UTF-8")
     val sysRecords = store.table()
@@ -759,9 +790,7 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
       .findFirstMatchIn(totalPayload).get.group(1).toLong
     assert(sysRecords > 0L && totalCount > 3L,
       s"total must include $$system storage, got record_count=$totalCount")
-    val again = store.table()
-      .filter(col("entry").startsWith("usage/") && col("entry").endsWith("/ub"))
-      .orderBy(col("ts").desc).collect().head
+    val again = perBucketEvents(bkt).head
     val l2 = again.getAs[collection.Map[String, String]]("labels")
     assert(l2("written_entries") == "0" && l2("read_entries") == "0",
       s"counters must drain: $l2")
