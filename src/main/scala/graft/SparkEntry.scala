@@ -907,7 +907,10 @@ object SparkEntry {
     // (the q_multimodal events variant was collateral damage of the r9
     // events-ts refresh; this one has no events dependency)
     "q_multimodal_docs" -> ((s, dir) => {
-      val d = docs(s, dir)
+      // pin-spread first: the docs scan is one small file (one input
+      // partition), so an unpartitioned map would decode single-task
+      val d = graft.core.Partitioning.pinned(
+          docs(s, dir).select(col("doc_id"), col("text")), col("doc_id"))
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       Multimodal.extractFeatures(d)
         .select(col("doc_id"),
@@ -930,7 +933,8 @@ object SparkEntry {
           (8 + id % 24).toInt, (8 + (id / 5) % 24).toInt)
         case _ => text.getBytes("UTF-8")
       })
-      val d = docs(s, dir)
+      val d = graft.core.Partitioning.pinned( // single-file scan: spread
+          docs(s, dir).select(col("doc_id"), col("text")), col("doc_id"))
         .select(col("doc_id"), payload(col("doc_id"), col("text")).as("payload"))
       Multimodal.extractFeatures(d)
         .select(col("doc_id"),
@@ -949,7 +953,8 @@ object SparkEntry {
     "q_multimodal_resize" -> ((s, dir) => {
       val payload = udf((id: Long) => Multimodal.synthImage("png",
         (20 + id % 40).toInt, (20 + (id / 7) % 40).toInt))
-      val d = docs(s, dir)
+      val d = graft.core.Partitioning.pinned( // single-file scan: spread
+          docs(s, dir).select(col("doc_id")), col("doc_id"))
         .select(col("doc_id"), payload(col("doc_id")).as("payload"))
       Multimodal.resizeFeatures(d, maxDim = 16)
         .select(col("doc_id"),
@@ -968,7 +973,8 @@ object SparkEntry {
         if (id % 5 == 4) text.getBytes("UTF-8")
         else Multimodal.synthWav(rates((id % 3).toInt),
           1 + (id % 2).toInt, 100 + (id % 500).toInt))
-      val d = docs(s, dir)
+      val d = graft.core.Partitioning.pinned( // single-file scan: spread
+          docs(s, dir).select(col("doc_id"), col("text")), col("doc_id"))
         .select(col("doc_id"), payload(col("doc_id"), col("text")).as("payload"))
       Multimodal.extractAudio(d)
         .select(col("doc_id"),

@@ -181,34 +181,93 @@ object Multimodal {
     StructField("n_frames", LongType),
     StructField("decode_ok", BooleanType)))
 
-  /** Real audio-container decode via the JDK's javax.sound.sampled
-    * (WAV/AIFF/AU header parsing, zero deps): sample rate / channels /
-    * bit depth / frame count with `decode_ok = true`; unrecognized
-    * payloads → all-null metadata, decode_ok = false. Header-only — the
-    * PCM body is never buffered. */
+  /** Real audio-container header parse (WAV / AIFF / AU — the same
+    * container surface javax.sound's file-format readers cover for these
+    * types): sample rate / channels / bit depth / frame count with
+    * `decode_ok = true`; unrecognized payloads → all-null metadata,
+    * decode_ok = false. Header-only — the PCM body is never buffered.
+    * Hand-rolled rather than AudioSystem.getAudioFileFormat: the JDK's
+    * provider registry serializes lookups on a global lock, which makes
+    * a 32-thread decode stage SLOWER than one thread (measured 0.5 s →
+    * 2.0 s on the sf0.1 bench when the stage was parallelized). */
   def decodeAudio(payload: Array[Byte]): Row =
     try {
-      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
-        new ByteArrayInputStream(payload))
-      val f = aff.getFormat
-      Row(f.getSampleRate.toInt, f.getChannels, f.getSampleSizeInBits,
-        aff.getFrameLength.toLong, true)
+      def u16le(o: Int) = ((payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8))
+      def u32le(o: Int): Long = (u16le(o).toLong | (u16le(o + 2).toLong << 16))
+      def u16be(o: Int) = (((payload(o) & 0xff) << 8) | (payload(o + 1) & 0xff))
+      def u32be(o: Int): Long = ((u16be(o).toLong << 16) | u16be(o + 2).toLong)
+      def tag(o: Int) = new String(payload, o, 4, "US-ASCII")
+      if (payload.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE") {
+        // chunk walk: "fmt " carries channels/rate/block-align/bits,
+        // "data" carries the payload size → frames = size / blockAlign
+        var o = 12
+        var rate, channels, bits, blockAlign = -1
+        var frames = -1L
+        while (o + 8 <= payload.length) {
+          val id = tag(o); val sz = u32le(o + 4)
+          if (id == "fmt " && o + 24 <= payload.length) {
+            channels = u16le(o + 10); rate = u32le(o + 12).toInt
+            blockAlign = u16le(o + 20); bits = u16le(o + 22)
+          } else if (id == "data" && blockAlign > 0) frames = sz / blockAlign
+          o += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+        }
+        require(rate > 0 && channels > 0 && bits > 0 && frames >= 0)
+        Row(rate, channels, bits, frames, true)
+      } else if (payload.length >= 12 && tag(0) == "FORM" &&
+          (tag(8) == "AIFF" || tag(8) == "AIFC")) {
+        // COMM chunk: channels(2) frames(4) bits(2) rate(80-bit extended)
+        var o = 12
+        while (o + 8 <= payload.length) {
+          val id = tag(o); val sz = u32be(o + 4)
+          if (id == "COMM" && o + 26 <= payload.length) {
+            val channels = u16be(o + 8)
+            val frames = u32be(o + 10)
+            val bits = u16be(o + 14)
+            val exp = u16be(o + 16) & 0x7fff
+            val mantHi = u32be(o + 18); val mantLo = u32be(o + 22)
+            val mant = (mantHi.toDouble * 4294967296.0) + mantLo.toDouble
+            val rate = (mant * math.pow(2.0, exp - 16383 - 63)).round.toInt
+            require(rate > 0 && channels > 0 && bits > 0)
+            return Row(rate, channels, bits, frames, true)
+          }
+          o += 8 + sz.toInt + (sz.toInt & 1)
+        }
+        throw new IllegalArgumentException("no COMM chunk")
+      } else if (payload.length >= 24 && tag(0) == ".snd") {
+        val dataSize = u32be(8)
+        val enc = u32be(12).toInt
+        val rate = u32be(16).toInt
+        val channels = u32be(20).toInt
+        val bytesPer = enc match {
+          case 1 | 2 => 1; case 3 => 2; case 4 => 3; case 5 => 4
+          case other => throw new IllegalArgumentException(s"au enc $other")
+        }
+        val bits = if (enc == 1) 8 else bytesPer * 8
+        require(rate > 0 && channels > 0)
+        Row(rate, channels, bits, dataSize / (bytesPer.toLong * channels), true)
+      } else throw new IllegalArgumentException("unknown container")
     } catch { case NonFatal(_) => Row(null, null, null, null, false) }
 
-  /** Deterministic synthetic 16-bit little-endian PCM WAV (specs and
-    * oracles predict [[decodeAudio]]'s output from the parameters). */
+  /** Deterministic synthetic 16-bit little-endian PCM WAV — canonical
+    * 44-byte RIFF header, no javax.sound (same global-lock rationale as
+    * [[decodeAudio]]; specs and oracles predict [[decodeAudio]]'s output
+    * from the parameters). */
   def synthWav(rateHz: Int, channels: Int, nFrames: Int): Array[Byte] = {
-    val fmt = new javax.sound.sampled.AudioFormat(
-      rateHz.toFloat, 16, channels, true, false)
-    val pcm = new Array[Byte](2 * channels * nFrames)
+    val dataLen = 2 * channels * nFrames
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort).putInt(rateHz)
+      .putInt(rateHz * 2 * channels)       // byte rate
+      .putShort((2 * channels).toShort)    // block align
+      .putShort(16)                        // bits
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
     var i = 0
-    while (i < pcm.length) { pcm(i) = (i * 31).toByte; i += 1 }
-    val bos = new ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      new javax.sound.sampled.AudioInputStream(
-        new ByteArrayInputStream(pcm), fmt, nFrames.toLong),
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    while (i < dataLen) { out.put((i * 31).toByte); i += 1 }
+    out.array()
   }
 
   /** Batch audio metadata extraction; appends an `audio` struct.
