@@ -42,7 +42,10 @@ object EventsScaleProbe {
       // workload numbers here compare against Bench's
       .config("spark.hadoop.fs.file.impl",
         "org.apache.hadoop.fs.RawLocalFileSystem")
-      .config("spark.hadoop.parquet.page.verify-checksum.enabled", "true")
+      // A/B hook: GRAFT_PROBE_VERIFY=0 turns read-side page-checksum
+      // verification off to quantify its scan-path cost at probe scale
+      .config("spark.hadoop.parquet.page.verify-checksum.enabled",
+        (!sys.env.get("GRAFT_PROBE_VERIFY").contains("0")).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
