@@ -202,15 +202,19 @@ object Multimodal {
         // "data" carries the payload size → frames = size / blockAlign
         var o = 12
         var rate, channels, bits, blockAlign = -1
-        var frames = -1L
+        var dataSz = -1L
         while (o + 8 <= payload.length) {
           val id = tag(o); val sz = u32le(o + 4)
           if (id == "fmt " && o + 24 <= payload.length) {
             channels = u16le(o + 10); rate = u32le(o + 12).toInt
             blockAlign = u16le(o + 20); bits = u16le(o + 22)
-          } else if (id == "data" && blockAlign > 0) frames = sz / blockAlign
-          o += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+          } else if (id == "data") dataSz = sz // fmt may follow data
+          // step in Long: a 32-bit size near 0xFFFFFFF8 truncated to Int
+          // makes the step 0/negative and the walk never terminates
+          val next = o.toLong + 8L + sz + (sz & 1L) // word-aligned, >= o+8
+          o = if (next > payload.length) payload.length else next.toInt
         }
+        val frames = if (blockAlign > 0 && dataSz >= 0) dataSz / blockAlign else -1L
         require(rate > 0 && channels > 0 && bits > 0 && frames >= 0)
         Row(rate, channels, bits, frames, true)
       } else if (payload.length >= 12 && tag(0) == "FORM" &&
@@ -230,7 +234,8 @@ object Multimodal {
             require(rate > 0 && channels > 0 && bits > 0)
             return Row(rate, channels, bits, frames, true)
           }
-          o += 8 + sz.toInt + (sz.toInt & 1)
+          val next = o.toLong + 8L + sz + (sz & 1L) // Long step: see WAV walk
+          o = if (next > payload.length) payload.length else next.toInt
         }
         throw new IllegalArgumentException("no COMM chunk")
       } else if (payload.length >= 24 && tag(0) == ".snd") {

@@ -585,6 +585,35 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(!a(2).getBoolean(4) && a(2).isNullAt(0))
   }
 
+  test("audio decode terminates on corrupt chunk sizes; data-before-fmt ok") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // WAV with a chunk-size field of 0xFFFFFFF8: as a truncated Int the
+    // walk step is exactly 0 — must terminate (decode_ok=false), not hang
+    val evilWav = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("US-ASCII")).putInt(16)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("junk".getBytes("US-ASCII")).putInt(0xFFFFFFF8).array()
+    assert(!Multimodal.decodeAudio(evilWav).getBoolean(4))
+    // AIFF with size 0xFFFFFFF7 (step would be -1 in Int arithmetic)
+    val evilAiff = ByteBuffer.allocate(24).order(ByteOrder.BIG_ENDIAN)
+      .put("FORM".getBytes("US-ASCII")).putInt(16)
+      .put("AIFF".getBytes("US-ASCII"))
+      .put("junk".getBytes("US-ASCII")).putInt(0xFFFFFFF7).array()
+    assert(!Multimodal.decodeAudio(evilAiff).getBoolean(4))
+    // WAV whose data chunk precedes fmt still decodes (frames computed
+    // after the walk once both chunks are known)
+    val good = Multimodal.synthWav(16000, 2, 300)
+    val fmtLen = 16 + 8 // "fmt " + size + body
+    val dataFirst = ByteBuffer.allocate(good.length)
+      .put(good, 0, 12)                                  // RIFF header
+      .put(good, 12 + fmtLen, good.length - 12 - fmtLen) // data chunk
+      .put(good, 12, fmtLen)                             // fmt chunk last
+      .array()
+    val r = Multimodal.decodeAudio(dataFirst)
+    assert(r.getBoolean(4) && r.getInt(0) == 16000 && r.getInt(1) == 2 &&
+      r.getLong(3) == 300L, s"data-before-fmt: $r")
+  }
+
   test("text analysis metrics on edge cases") {
     import spark.implicits._
     val df = Seq((1L, ""), (2L, "   "), (3L, "the cat. and dog!"),
