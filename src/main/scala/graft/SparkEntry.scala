@@ -2403,12 +2403,15 @@ object SparkEntry {
              round(exp(nll / nb), 2) AS ppl
            FROM t LEFT JOIN sc USING (id) ORDER BY doc_id""",
 
-      // IVF with one Lloyd refinement step: assignment over the md5-seeded
-      // centroids, then per-(centroid,dim) means as LEFT FOLDS OVER THE
-      // VALUE-SORTED member lists (bit-identical to Spark's
-      // aggregate(sort_array(collect_list(x)))); empty centroids keep
-      // their seed vector; buckets/probes re-score against the refined
-      // centroids with the same (score, ci) DESC tie-break
+      // IVF with one SAMPLE-TRAINED Lloyd refinement step: the training
+      // pass assigns only the first 2048 (= 2 * nCentroids * dims)
+      // vectors in md5-of-id order to the md5-seeded centroids, then the
+      // per-(centroid,dim) means are LEFT FOLDS OVER THE VALUE-SORTED
+      // member lists (bit-identical to Spark's
+      // aggregate(sort_array(collect_list(x))) over the bounded sample);
+      // empty centroids keep their seed vector; buckets/probes re-score
+      // the FULL corpus against the refined centroids with the same
+      // (score, ci) DESC tie-break
       "q_ivf_refined" ->
         """WITH e AS (
              SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
@@ -2425,13 +2428,17 @@ object SparkEntry {
              FROM e
              ORDER BY ('0x'||substring(md5(vec_id::VARCHAR),1,15))::BIGINT, vec_id
              LIMIT 16),
+           samp AS (
+             SELECT vec_id, v FROM e
+             ORDER BY ('0x'||substring(md5(vec_id::VARCHAR),1,15))::BIGINT, vec_id
+             LIMIT 2048),
            scores AS (
-             SELECT e.vec_id, e.v, e.nrm, c.ci,
+             SELECT sp.vec_id, sp.v, c.ci,
                list_reduce(list_prepend(0.0, list_transform(range(64), dd ->
-                 e.v[dd+1]*c.cv[dd+1])), (a,b)->a+b) / c.cnrm AS s
-             FROM e, cents c),
+                 sp.v[dd+1]*c.cv[dd+1])), (a,b)->a+b) / c.cnrm AS s
+             FROM samp sp, cents c),
            assigned AS (
-             SELECT vec_id, v, nrm, ci AS bucket FROM (
+             SELECT vec_id, v, ci AS bucket FROM (
                SELECT *, row_number() OVER (PARTITION BY vec_id
                  ORDER BY s DESC, ci DESC) AS rn
                FROM scores) WHERE rn = 1),

@@ -229,15 +229,57 @@ object Similarity {
   private def assignCentroid(vec: Column, cents: Array[Array[Double]]): Column =
     array_max(centroidScores(vec, cents))("ci")
 
-  /** @param refine run one distributed Lloyd step over the seed centroids
-    *        (better-balanced lists). The per-(centroid,dim) mean is a
-    *        left fold over the VALUE-SORTED member contributions, so the
-    *        result is bit-deterministic regardless of partitioning — any
-    *        engine folding the same sorted list reproduces it exactly
-    *        (the DuckDB oracle does). Sorting costs one collect_list per
-    *        (centroid,dim) group; a 100 TB deployment would train on a
-    *        deterministic corpus sample instead (as IVF trainers do), not
-    *        fold billions of contributions per cell. */
+  /** One Lloyd refinement step over a BOUNDED deterministic training
+    * sample — the first `trainN` corpus vectors in md5-of-id order (the
+    * [[seedCentroids]] formula extended), selected via orderBy+limit
+    * (TakeOrderedAndProject: each task keeps its top-N, no full sort).
+    * The per-(centroid,dim) mean is a left fold over the VALUE-SORTED
+    * member contributions, so the result is bit-deterministic regardless
+    * of partitioning — any engine folding the same sorted list reproduces
+    * it exactly (the DuckDB oracle does). Because the fold's input is the
+    * sample, the per-cell `collect_list` array is `<= trainN` elements no
+    * matter the corpus size — a 100 TB corpus trains on the same bounded
+    * sample, as IVF trainers do; only the map-only assignment pass ever
+    * touches the full corpus.
+    *
+    * Returns (refined centroids, observed training row count) — the count
+    * is the EXECUTED input row count of the training aggregation
+    * (CollectMetrics above the limit), specs pin it to `trainN`. Empty
+    * centroids keep their seed vector. */
+  private[graft] def refineCentroids(corpus: DataFrame,
+      seeds: Array[Array[Double]], trainN: Int,
+      idCol: String, vecCol: String): (Array[Array[Double]], Long) = {
+    val dims = seeds(0).length
+    val obs = org.apache.spark.sql.Observation()
+    val sample = corpus
+      .select(col(idCol).as("sid"), col(vecCol).as("sv"))
+      .orderBy(conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+        .cast("long"), col("sid"))
+      .limit(trainN)
+      .observe(obs, count(lit(1)).as("train_rows"))
+    // one Lloyd step: per-(centroid, dim) mean via posexplode. The
+    // repartition is a deliberate pipeline boundary: without it the
+    // Generate (explode) re-evaluates the centroid-assignment expression
+    // once per exploded element (dims x the work).
+    val sums = sample
+      .select(assignCentroid(col("sv"), seeds).as("c"), col("sv").as("v"))
+      .transform(graft.core.Partitioning.pinned(_, col("c")))
+      .select(col("c"),
+        posexplode(transform(col("v"), _.cast("double"))).as(Seq("d", "x")))
+      .groupBy("c", "d")
+      .agg(aggregate(sort_array(collect_list(col("x"))), lit(0.0),
+          (acc, x) => acc + x).as("sum"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2) / r.getLong(3))
+      .toMap
+    val refined = seeds.indices.map { ci =>
+      val c = Array.tabulate(dims)(d => sums.getOrElse((ci, d), seeds(ci)(d)))
+      if (sums.contains((ci, 0))) c else seeds(ci)
+    }.toArray
+    (refined, obs.get("train_rows").asInstanceOf[Long])
+  }
+
   /** Deterministic seed sample: the first `nCentroids` corpus vectors in
     * md5-of-id order (a formula any engine reproduces, unlike an
     * engine-native hash). Driver-bounded: nCentroids rows. */
@@ -249,33 +291,19 @@ object Similarity {
     .limit(nCentroids).collect()
     .map(_.getSeq[Float](1).map(_.toDouble).toArray)
 
+  /** @param refine run one sample-trained Lloyd step over the seed
+    *        centroids (better-balanced lists) — see [[refineCentroids]].
+    *  @param trainSampleSize bound on the Lloyd training sample;
+    *        `<= 0` means the default `2 * nCentroids * dims`. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 16, nprobe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      refine: Boolean = true): DataFrame = {
+      refine: Boolean = true, trainSampleSize: Int = 0): DataFrame = {
     val seeds = seedCentroids(corpus, nCentroids, idCol, vecCol)
-    // one distributed Lloyd step: per-(centroid, dim) mean via posexplode.
-    // The repartition is a deliberate pipeline boundary: without it the
-    // Generate (explode) re-evaluates the centroid-assignment expression
-    // once per exploded element (dims× the work).
     val refined: Array[Array[Double]] = if (!refine) seeds else {
-      val dims = seeds(0).length
-      val sums = corpus
-        .select(assignCentroid(col(vecCol), seeds).as("c"), col(vecCol).as("v"))
-        .transform(graft.core.Partitioning.pinned(_, col("c")))
-        .select(col("c"),
-          posexplode(transform(col("v"), _.cast("double"))).as(Seq("d", "x")))
-        .groupBy("c", "d")
-        .agg(aggregate(sort_array(collect_list(col("x"))), lit(0.0),
-            (acc, x) => acc + x).as("sum"),
-          count(lit(1)).as("n"))
-        .collect()
-        .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2) / r.getLong(3))
-        .toMap
-      seeds.indices.map { ci =>
-        val c = Array.tabulate(dims)(d => sums.getOrElse((ci, d), seeds(ci)(d)))
-        if (sums.contains((ci, 0))) c else seeds(ci)
-      }.toArray
+      val trainN = if (trainSampleSize > 0) trainSampleSize
+                   else 2 * nCentroids * seeds(0).length
+      refineCentroids(corpus, seeds, trainN, idCol, vecCol)._1
     }
     val bucketed = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
       assignCentroid(col(vecCol), refined).as("bucket"))

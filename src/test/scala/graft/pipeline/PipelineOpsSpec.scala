@@ -117,6 +117,32 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(recall > 0.3, s"IVF recall $recall too low")
   }
 
+  test("IVF Lloyd refine trains on a bounded deterministic sample") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val seeds = emb.orderBy("vec_id").limit(4).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    // the training aggregation's EXECUTED input row count (CollectMetrics
+    // above the limit) is pinned to the sample bound: 500-row corpus,
+    // bound 100 -> exactly 100 rows feed the per-cell fold
+    val (c100, n100) =
+      Similarity.refineCentroids(emb, seeds, 100, "vec_id", "embedding")
+    assert(n100 == 100L, s"training rows $n100 != sample bound 100")
+    // sample selection formula = first trainN in md5-of-id order: refining
+    // over a pre-limited frame built with the same formula is bit-identical
+    val top100 = emb.orderBy(
+        conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
+          .cast("long"), col("vec_id")).limit(100)
+    val (c100b, _) =
+      Similarity.refineCentroids(top100, seeds, 100, "vec_id", "embedding")
+    assert(c100.map(_.toSeq).toSeq == c100b.map(_.toSeq).toSeq,
+      "sample-trained centroids must equal the explicit md5-top-100 fold")
+    // a bound >= corpus size degenerates to the full-corpus fold (this is
+    // why the sf-test oracles are unchanged: 2*16*64 = 2048 >= 2000 rows)
+    val (_, nAll) =
+      Similarity.refineCentroids(emb, seeds, 100000, "vec_id", "embedding")
+    assert(nAll == emb.count(), "unbounded sample must cover the corpus")
+  }
+
   test("embeddingDupPairs drops hot buckets over maxBucketSize") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
