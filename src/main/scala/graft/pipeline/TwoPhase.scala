@@ -78,7 +78,17 @@ private[graft] object TwoPhase {
   /** Data fingerprint for the probe memo: folds every file relation's
     * listed size + file count (a fresh read of a grown directory lists
     * fresh files, so in-place growth re-probes under an IDENTICAL
-    * canonical plan) and every local relation's row count. */
+    * canonical plan) and every local relation's row count.
+    *
+    * LIFETIME CONTRACT: the fingerprint is exactly as fresh as the
+    * caller's FileIndex. A DataFrame re-created per call (`spark.read`,
+    * every BucketStore path) re-lists and re-probes — the spec pins
+    * this. A long-lived DataFrame OBJECT held across in-place appends
+    * keeps its cached listing, so its fingerprint — and hence the memoed
+    * branch verdict — stays at the listing's snapshot until the holder
+    * re-reads (or `spark.catalog.refreshByPath` invalidates the
+    * relation cache). That is Spark's own staleness semantics for held
+    * frames, not an extra window this memo introduces. */
   private def dataFingerprint(df: DataFrame): Long = {
     var h = -3750763034362895579L // FNV-1a offset basis
     def mix(x: Long): Unit = { h ^= x; h *= 1099511628211L }

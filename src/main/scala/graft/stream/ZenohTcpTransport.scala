@@ -58,7 +58,9 @@ final class ZenohTcpTransport extends Zenoh.Transport with AutoCloseable {
         in.readByte() match {
           case Publish =>
             val s = readSample(in)
-            subs.forEach(h => h(s))
+            // each handler isolated: one throwing subscriber must not
+            // tear down the wire (the ACK below) or starve the others
+            subs.forEach(h => try h(s) catch { case NonFatal(_) => () })
             out.writeByte(Ack); out.flush()
           case Get =>
             val q = readQuery(in)

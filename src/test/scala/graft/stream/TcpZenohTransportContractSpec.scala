@@ -26,4 +26,21 @@ class TcpZenohTransportContractSpec extends ZenohTransportContract {
       try p.get(q) finally p.close()
     }
   }
+
+  test("loopback-tcp: a throwing subscriber cannot kill the wire or starve others") {
+    val t = new ZenohTcpTransport
+    try {
+      val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+      t.subscribe("graft/**") { _ => throw new RuntimeException("bad handler") }
+      t.subscribe("graft/**") { _ => seen.incrementAndGet(): Unit }
+      val p = new ZenohTcpTransport.Peer(t.port)
+      try {
+        // publish must ACK (not EOF) and reach the healthy subscriber,
+        // twice — the connection survives the first handler failure
+        p.publish(Zenoh.Sample("graft/e/1", Array[Byte](1)))
+        p.publish(Zenoh.Sample("graft/e/2", Array[Byte](2)))
+      } finally p.close()
+      assert(seen.get() == 2, s"healthy subscriber saw ${seen.get()}/2 samples")
+    } finally t.close()
+  }
 }
