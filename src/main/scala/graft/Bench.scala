@@ -32,7 +32,10 @@ object Bench {
       // default but only checks when asked); hdfs/s3a are unaffected.
       .config("spark.hadoop.fs.file.impl",
         "org.apache.hadoop.fs.RawLocalFileSystem")
-      .config("spark.hadoop.parquet.page.verify-checksum.enabled", "true")
+      // A/B seam for the read-side verification cost (SCALE.md r14):
+      // default ON, set GRAFT_BENCH_VERIFY_CHECKSUM=false to measure off
+      .config("spark.hadoop.parquet.page.verify-checksum.enabled",
+        sys.env.getOrElse("GRAFT_BENCH_VERIFY_CHECKSUM", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
