@@ -36,6 +36,12 @@ object Bench {
       // default ON, set GRAFT_BENCH_VERIFY_CHECKSUM=false to measure off
       .config("spark.hadoop.parquet.page.verify-checksum.enabled",
         sys.env.getOrElse("GRAFT_BENCH_VERIFY_CHECKSUM", "true"))
+      // 120+ distinct query shapes overflow Spark's 100-entry generated-
+      // class cache, so a query's timed pass re-janinos its class with
+      // cold JIT state — q_date2 at sf1 measured 2.6 s cold vs 0.27 s
+      // steady-state (SCALE.md r14). Any serving process with >100 live
+      // query shapes wants the same bump.
+      .config("spark.sql.codegen.cache.maxEntries", "1024")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -21,6 +21,9 @@ object Verify {
       .config("spark.hadoop.fs.file.impl",
         "org.apache.hadoop.fs.RawLocalFileSystem")
       .config("spark.hadoop.parquet.page.verify-checksum.enabled", "true")
+      // 116 query shapes overflow the default 100-entry generated-class
+      // cache (see Bench.scala / SCALE.md r14)
+      .config("spark.sql.codegen.cache.maxEntries", "1024")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
