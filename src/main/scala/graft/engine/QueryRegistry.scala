@@ -13,8 +13,19 @@ import javax.crypto.spec.SecretKeySpec
   * re-arm from `last_ts + 1` when exhausted (storage/query/continuous.rs:
   * 16-84). `query links` serialize a QuerySpec with an HMAC signature and
   * expiry (reduct_base/src/msg/query_link_api.rs:10-35).
+  *
+  * MEMORY BOUND: an idle cursor holds its spec + a lazy local iterator
+  * (at most ONE partition's fetched rows once draining starts — Spark's
+  * toLocalIterator pulls partitions on demand), and the registry never
+  * exceeds `maxCursors` entries: expired cursors are swept on every
+  * open/fetch, and opening past the cap evicts the least-recently
+  * accessed cursor first (the reference only expires —
+  * storage/query.rs:99-110 — but an unbounded registry would let one
+  * client with a pathological TTL pin driver memory; the cap is this
+  * library's explicit DoS bound, spec-pinned at 10k cursors).
   */
-final class QueryRegistry(defaultTtlMs: Long = 60000L) {
+final class QueryRegistry(defaultTtlMs: Long = 60000L,
+    maxCursors: Int = 8192) {
 
   final class Cursor(
       val id: Long,
@@ -22,7 +33,8 @@ final class QueryRegistry(defaultTtlMs: Long = 60000L) {
       spec: QuerySpec,
       continuous: Boolean,
       ttlMs: Long) {
-    private var lastAccess = System.nanoTime()
+    @volatile private var lastAccess = System.nanoTime()
+    private[QueryRegistry] def lastAccessNanos: Long = lastAccess
     private var lastTs: Option[Long] = None
     private var iter: Iterator[Row] = newIter(spec)
 
@@ -66,6 +78,20 @@ final class QueryRegistry(defaultTtlMs: Long = 60000L) {
   def open(records: () => DataFrame, spec: QuerySpec,
       continuous: Boolean = false, ttlMs: Long = defaultTtlMs): Long = {
     evictExpired()
+    // cap enforcement: evict least-recently-accessed until under the
+    // bound (O(size) scan per eviction — at most a few at the cap)
+    var capped = cursors.size() >= maxCursors
+    while (capped) {
+      var oldest: Cursor = null
+      val it = cursors.values().iterator()
+      while (it.hasNext) {
+        val c = it.next()
+        if (oldest == null || c.lastAccessNanos < oldest.lastAccessNanos)
+          oldest = c
+      }
+      if (oldest != null) cursors.remove(oldest.id)
+      capped = oldest != null && cursors.size() >= maxCursors
+    }
     val id = nextId.getAndIncrement()
     cursors.put(id, new Cursor(id, records, spec, continuous, ttlMs))
     id

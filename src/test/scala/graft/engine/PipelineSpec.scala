@@ -72,6 +72,25 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(reg.fetch(id2, 1).isEmpty) // TTL expired (base.rs:52-92)
   }
 
+  test("query registry: 10k cursors with pathological TTLs stay bounded") {
+    val df = recordsDf(Seq(("e", 1L, Map.empty[String, String], "p")))
+    // pathological client: huge TTL, never fetches, never closes
+    val reg = new QueryRegistry(maxCursors = 64)
+    val ids = (1 to 10000).map(_ =>
+      reg.open(() => df, QuerySpec(), ttlMs = Long.MaxValue / 2))
+    assert(reg.size <= 64, s"registry grew to ${reg.size}")
+    // the cap evicted least-recently-accessed (= oldest-opened here):
+    // the newest cursors survive, the earliest are gone
+    assert(reg.fetch(ids.last, 1).isDefined)
+    assert(reg.fetch(ids.head, 1).isEmpty)
+    // expired cursors are actually freed on the next open/fetch sweep
+    val reg2 = new QueryRegistry(maxCursors = 1000)
+    (1 to 500).foreach(_ => reg2.open(() => df, QuerySpec(), ttlMs = 1L))
+    Thread.sleep(5)
+    reg2.open(() => df, QuerySpec()): Unit
+    assert(reg2.size == 1, s"expired cursors not freed: ${reg2.size}")
+  }
+
   test("query links round-trip, reject tamper and expiry") {
     val spec = QuerySpec(start = Some(10L), stop = Some(99L),
       when = Some("""{"&a": {"$gt": 1}}"""), entries = Some(Seq("e*")))
