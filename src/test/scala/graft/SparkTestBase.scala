@@ -31,6 +31,10 @@ object SparkTestBase {
       .config("spark.hadoop.fs.file.impl",
         "org.apache.hadoop.fs.RawLocalFileSystem")
       .config("spark.hadoop.parquet.page.verify-checksum.enabled", "true")
+      // the suite executes far more than 100 distinct plan shapes in one
+      // JVM — without this every suite re-janinos evicted classes
+      // (see Bench.scala / SCALE.md r14)
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
