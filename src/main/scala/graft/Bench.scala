@@ -17,31 +17,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // GraftSession carries the shared recommended config (raw-fs, UTC,
+    // nanosAsLong, verify-checksum ON, 1024-entry codegen cache — each
+    // with its rationale there)
+    val spark = GraftSession.builder(s"local[$cpus]", "graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      // Local-fs roots: skip Hadoop's client-side .crc siblings — they
-      // DOUBLE the file creates on every store write/rewrite (each local
-      // create pays a ~19 ms chmod fork without libhadoop; measured 76 s
-      // → 53 s on a 10k-entry write). Integrity moves to parquet's page
-      // checksums, VERIFIED on read below (parquet-java writes them by
-      // default but only checks when asked); hdfs/s3a are unaffected.
-      .config("spark.hadoop.fs.file.impl",
-        "org.apache.hadoop.fs.RawLocalFileSystem")
       // A/B seam for the read-side verification cost (SCALE.md r14):
       // default ON, set GRAFT_BENCH_VERIFY_CHECKSUM=false to measure off
       .config("spark.hadoop.parquet.page.verify-checksum.enabled",
         sys.env.getOrElse("GRAFT_BENCH_VERIFY_CHECKSUM", "true"))
-      // 120+ distinct query shapes overflow Spark's 100-entry generated-
-      // class cache, so a query's timed pass re-janinos its class with
-      // cold JIT state — q_date2 at sf1 measured 2.6 s cold vs 0.27 s
-      // steady-state (SCALE.md r14). Any serving process with >100 live
-      // query shapes wants the same bump.
-      .config("spark.sql.codegen.cache.maxEntries", "1024")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -9,21 +9,10 @@ object Verify {
     // subset for focused iteration; the driver passes exactly two args
     val Array(sfDir, outDir, only @ _*) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // shared recommended config — raw-fs, UTC, nanosAsLong, checksum
+    // verification, codegen cache sized past the 116 query shapes
+    val spark = GraftSession.builder(s"local[$cpus]", "graft-verify")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      // No .crc siblings on local-fs writes (see Bench.scala rationale);
-      // integrity moves to parquet page checksums, verified on read
-      .config("spark.hadoop.fs.file.impl",
-        "org.apache.hadoop.fs.RawLocalFileSystem")
-      .config("spark.hadoop.parquet.page.verify-checksum.enabled", "true")
-      // 116 query shapes overflow the default 100-entry generated-class
-      // cache (see Bench.scala / SCALE.md r14)
-      .config("spark.sql.codegen.cache.maxEntries", "1024")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
