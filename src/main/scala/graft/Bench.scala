@@ -23,9 +23,17 @@ object Bench {
     val spark = GraftSession.builder(s"local[$cpus]", "graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       // A/B seam for the read-side verification cost (SCALE.md r14):
-      // default ON, set GRAFT_BENCH_VERIFY_CHECKSUM=false to measure off
+      // default ON, set GRAFT_BENCH_VERIFY_CHECKSUM=false to measure off.
+      // Normalized strictly: Hadoop's getBoolean treats anything that is
+      // not literally true/false as the default, so "1"/"ON" would
+      // SILENTLY flip the A/B arm — reject instead.
       .config("spark.hadoop.parquet.page.verify-checksum.enabled",
-        sys.env.getOrElse("GRAFT_BENCH_VERIFY_CHECKSUM", "true"))
+        sys.env.getOrElse("GRAFT_BENCH_VERIFY_CHECKSUM", "true")
+          .toLowerCase match {
+            case b @ ("true" | "false") => b
+            case other => throw new IllegalArgumentException(
+              s"GRAFT_BENCH_VERIFY_CHECKSUM must be true|false, got '$other'")
+          })
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

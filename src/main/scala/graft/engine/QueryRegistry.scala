@@ -78,24 +78,30 @@ final class QueryRegistry(defaultTtlMs: Long = 60000L,
   def open(records: () => DataFrame, spec: QuerySpec,
       continuous: Boolean = false, ttlMs: Long = defaultTtlMs): Long = {
     evictExpired()
-    // cap enforcement: evict least-recently-accessed until under the
-    // bound (O(size) scan per eviction — at most a few at the cap)
-    var capped = cursors.size() >= maxCursors
-    while (capped) {
-      var oldest: Cursor = null
-      val it = cursors.values().iterator()
-      while (it.hasNext) {
-        val c = it.next()
-        if (oldest == null || c.lastAccessNanos < oldest.lastAccessNanos)
-          oldest = c
-      }
-      if (oldest != null) cursors.remove(oldest.id)
-      capped = oldest != null && cursors.size() >= maxCursors
-    }
     val id = nextId.getAndIncrement()
-    cursors.put(id, new Cursor(id, records, spec, continuous, ttlMs))
+    val cursor = new Cursor(id, records, spec, continuous, ttlMs)
+    // cap enforcement under a lock: a check-then-put race would let N
+    // concurrent opens overshoot the documented bound. Eviction is an
+    // O(size) least-recently-accessed scan — at most a few at the cap;
+    // fetch/close stay lock-free on the ConcurrentHashMap.
+    capLock.synchronized {
+      var evictable = true
+      while (evictable && cursors.size() >= maxCursors) {
+        var oldest: Cursor = null
+        val it = cursors.values().iterator()
+        while (it.hasNext) {
+          val c = it.next()
+          if (oldest == null || c.lastAccessNanos < oldest.lastAccessNanos)
+            oldest = c
+        }
+        if (oldest == null) evictable = false // raced empty
+        else cursors.remove(oldest.id)
+      }
+      cursors.put(id, cursor)
+    }
     id
   }
+  private val capLock = new Object
 
   def fetch(id: Long, maxRecords: Int): Option[Seq[Row]] = {
     evictExpired()

@@ -40,15 +40,7 @@ object DateTailProbe {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val passes = if (args.length > 1) args(1).toInt else 4
-    val spark = SparkSession.builder()
-      .master("local[32]").appName("graft-date-tail-probe")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .config("spark.hadoop.fs.file.impl",
-        "org.apache.hadoop.fs.RawLocalFileSystem")
+    val spark = graft.GraftSession.builder(appName = "graft-date-tail-probe")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

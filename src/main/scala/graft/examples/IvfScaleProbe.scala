@@ -17,13 +17,7 @@ import org.apache.spark.sql.functions._
 object IvfScaleProbe {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
-    val spark = SparkSession.builder()
-      .master("local[32]").appName("graft-ivf-scale-probe")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
+    val spark = graft.GraftSession.builder(appName = "graft-ivf-scale-probe")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -59,8 +59,12 @@ final class ZenohTcpTransport extends Zenoh.Transport with AutoCloseable {
           case Publish =>
             val s = readSample(in)
             // each handler isolated: one throwing subscriber must not
-            // tear down the wire (the ACK below) or starve the others
-            subs.forEach(h => try h(s) catch { case NonFatal(_) => () })
+            // tear down the wire (the ACK below) or starve the others —
+            // but a permanently failing handler must stay visible
+            subs.forEach(h => try h(s) catch {
+              case NonFatal(e) => System.err.println(
+                s"[zenoh-tcp] subscriber handler failed on ${s.keyExpr}: $e")
+            })
             out.writeByte(Ack); out.flush()
           case Get =>
             val q = readQuery(in)

@@ -72,11 +72,13 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(reg.fetch(id2, 1).isEmpty) // TTL expired (base.rs:52-92)
   }
 
-  test("query registry: 10k cursors with pathological TTLs stay bounded") {
+  test("query registry: cursor floods with pathological TTLs stay bounded") {
     val df = recordsDf(Seq(("e", 1L, Map.empty[String, String], "p")))
-    // pathological client: huge TTL, never fetches, never closes
+    // pathological client: huge TTL, never fetches, never closes. Each
+    // open compiles a plan (~10 ms), so the flood is sized at 10x the
+    // cap — the eviction invariant is per-open, independent of count.
     val reg = new QueryRegistry(maxCursors = 64)
-    val ids = (1 to 10000).map(_ =>
+    val ids = (1 to 640).map(_ =>
       reg.open(() => df, QuerySpec(), ttlMs = Long.MaxValue / 2))
     assert(reg.size <= 64, s"registry grew to ${reg.size}")
     // the cap evicted least-recently-accessed (= oldest-opened here):
@@ -85,7 +87,7 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(reg.fetch(ids.head, 1).isEmpty)
     // expired cursors are actually freed on the next open/fetch sweep
     val reg2 = new QueryRegistry(maxCursors = 1000)
-    (1 to 500).foreach(_ => reg2.open(() => df, QuerySpec(), ttlMs = 1L))
+    (1 to 50).foreach(_ => reg2.open(() => df, QuerySpec(), ttlMs = 1L))
     Thread.sleep(5)
     reg2.open(() => df, QuerySpec()): Unit
     assert(reg2.size == 1, s"expired cursors not freed: ${reg2.size}")
