@@ -2,7 +2,6 @@ package graft.examples
 
 import graft.core.Records
 import graft.engine.{QueryEngine, QuerySpec}
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Profiles the sf1-sweep tail (SCALE.md round-14, verdict r13 #4):

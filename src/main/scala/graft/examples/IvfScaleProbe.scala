@@ -1,7 +1,6 @@
 package graft.examples
 
 import graft.pipeline.Similarity
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Proves the round-14 IVF training bound at scale (SCALE.md round-14):

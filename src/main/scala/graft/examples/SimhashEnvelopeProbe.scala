@@ -1,7 +1,6 @@
 package graft.examples
 
 import graft.pipeline.Dedup
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Measures the simhash band-join envelope (SCALE.md round-14, verdict
