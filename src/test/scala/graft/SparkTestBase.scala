@@ -17,6 +17,11 @@ trait SparkTestBase extends BeforeAndAfterAll { self: Suite =>
 object SparkTestBase {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
+      // local[4]: measured A/B (r14) — the suite's dominant cost (the
+      // 10k-entry-dir store write in HttpApiSpec) is filesystem-bound,
+      // not thread-bound: local[16] left the full-suite wall unchanged
+      // (500 vs 503 s), and committer algorithm v2 was SLOWER (70 vs
+      // 46 s on the isolated write). Keep the small, deterministic value.
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
