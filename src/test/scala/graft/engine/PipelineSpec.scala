@@ -91,6 +91,25 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     Thread.sleep(5)
     reg2.open(() => df, QuerySpec()): Unit
     assert(reg2.size == 1, s"expired cursors not freed: ${reg2.size}")
+    // CONCURRENT floods cannot overshoot: the check-then-put runs under
+    // the cap lock (a race here was a review finding — n threads at
+    // size == cap-1 could all pass the check and land cap+n-1)
+    val reg3 = new QueryRegistry(maxCursors = 16)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val peak = new java.util.concurrent.atomic.AtomicInteger(0)
+    try {
+      val futs = (1 to 8).map { _ =>
+        pool.submit(new Runnable {
+          def run(): Unit = (1 to 25).foreach { _ =>
+            reg3.open(() => df, QuerySpec(), ttlMs = Long.MaxValue / 2)
+            peak.getAndAccumulate(reg3.size, math.max)
+          }
+        })
+      }
+      futs.foreach(_.get())
+    } finally pool.shutdown()
+    assert(peak.get() <= 16, s"concurrent opens overshot the cap: ${peak.get()}")
+    assert(reg3.size <= 16)
   }
 
   test("query links round-trip, reject tamper and expiry") {
