@@ -402,7 +402,24 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
   // file count between mutations (was a full getContentSummary per call)
   private def storeBytes: Long = store.storeSizeBytes
 
-  private def list(ex: HttpExchange): Unit = {
+  /** Per-bucket /list stats (entry_count, oldest, latest) cached against
+    * the store data version: the aggregation re-reads the store, and a
+    * fresh read pays PARTITION DISCOVERY over every entry dir — measured
+    * ~30 s per read at 10k entries (SCALE.md r14). Two fixes here: both
+    * aggregations share ONE DataFrame (one discovery per recompute, not
+    * two), and the collected rows are served from this cache between
+    * mutations (same contract + raced-mutation guard as
+    * BucketStore.sizeCache). */
+  private val listStatsCache = new java.util.concurrent.atomic.AtomicReference[
+    (Long, Array[org.apache.spark.sql.Row])]()
+  /** Recompute count — observable by specs pinning cache behavior. */
+  private[engine] val listAggs = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def listStats(): Array[org.apache.spark.sql.Row] = {
+    val v0 = store.dataVersion
+    val hit = listStatsCache.get()
+    if (hit != null && hit._1 == v0) return hit._2
+    listAggs.incrementAndGet()
     // entry_count counts visible entries plus the (possibly empty)
     // parents of `$meta` entries — the reference's parent_prefixes walk
     // creates the parent entry alongside `<entry>/$meta`; history spans
@@ -417,10 +434,21 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     // strip the "/$meta" suffix, drop the bare-"$meta" root, anti-join
     // away parents that already exist as visible entries.
     val metaSuffix = "/" + EntryPattern.MetaSegment
-    val entries = store.tableOrEmpty()
-      .select(col("bucket"), col("entry")).distinct()
-    val vis = entries.filter(visibleEntry)
-    val parents = entries
+    // ONE scan: everything below derives from the per-(bucket, entry)
+    // aggregation, PERSISTED for the duration of this recompute — the
+    // three consumers (visible set, meta parents, ts bounds) each push a
+    // different filter into the scan otherwise, so without the persist
+    // the store is scanned three times (at 10k one-record entries the
+    // scan is 10k tiny file opens and dominates). The cached frame is
+    // O(distinct entries) rows — the same bound the distributed counting
+    // already guarantees the driver never exceeds per bucket.
+    val perEntry = store.tableOrEmpty()
+      .groupBy("bucket", "entry")
+      .agg(min(when(visibleEntry, col("ts"))).as("emin"),
+        max(when(visibleEntry, col("ts"))).as("emax"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vis = perEntry.filter(visibleEntry).select("bucket", "entry")
+    val parents = perEntry
       .filter(col("entry").endsWith(metaSuffix) &&
         length(col("entry")) > metaSuffix.length)
       .select(col("bucket"), expr(
@@ -430,11 +458,19 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
       .join(vis, Seq("bucket", "entry"), "left_anti")
     val counts = vis.unionByName(parents).groupBy("bucket")
       .agg(count(lit(1)).as("entry_count"))
-    val rows = store.tableOrEmpty().groupBy("bucket")
-      .agg(min(when(visibleEntry, col("ts"))).as("oldest"),
-        max(when(visibleEntry, col("ts"))).as("latest"))
-      .join(counts, Seq("bucket"), "left")
-      .collect()
+    val rows =
+      try perEntry.groupBy("bucket")
+        .agg(min(col("emin")).as("oldest"), // min-of-entry-minima == min
+          max(col("emax")).as("latest"))
+        .join(counts, Seq("bucket"), "left")
+        .collect()
+      finally perEntry.unpersist(false)
+    if (store.dataVersion == v0) listStatsCache.set((v0, rows))
+    rows
+  }
+
+  private def list(ex: HttpExchange): Unit = {
+    val rows = listStats()
     val byName = rows.map(r => r.getString(0) -> r).toMap
     val names = (byName.keySet ++ createdBuckets.asScala).toSeq.sorted
     json(ex, 200, JObject("buckets" -> JArray(names.map { name =>

@@ -25,6 +25,12 @@ object CommitterProbe {
 
     val store = new BucketStore(spark,
       java.nio.file.Files.createTempDirectory("graft-committer").toString)
+    // isolate the HttpApiSpec delta: GRAFT_PROBE_HTTP=1 starts an HttpApi
+    // on the store (usage-flush timer + serving caches) before the write
+    val api = if (sys.env.get("GRAFT_PROBE_HTTP").contains("1")) {
+      val a = new graft.engine.HttpApi(store, apiToken = "root-token")
+      a.start(); Some(a)
+    } else None
     val rows = spark.range(entries).select(
       lit("big").as("bucket"),
       concat(lit("e"), col("id")).as("entry"),
@@ -34,10 +40,39 @@ object CommitterProbe {
       lit("text/plain").as("content_type"),
       lit(graft.core.Records.State.Finished).as("state"),
       lit("x".getBytes).as("payload"))
+    // GRAFT_PROBE_META=1 unions the HttpApiSpec test's 50 $meta entries
+    // (slash-escaped partition names) to replicate the exact test input
+    val input = if (sys.env.get("GRAFT_PROBE_META").contains("1")) {
+      val meta = spark.range(50).select(
+        lit("big").as("bucket"),
+        concat(lit("e"), col("id") * 1000, lit("/$meta")).as("entry"),
+        (col("id") + 20000).as("ts"),
+        map(lit("k"), lit("v")).as("labels"),
+        typedLit(Map.empty[String, String]).as("computed_labels"),
+        lit("text/plain").as("content_type"),
+        lit(graft.core.Records.State.Finished).as("state"),
+        lit("m".getBytes).as("payload"))
+      rows.unionByName(meta)
+    } else rows
     val t0 = System.nanoTime()
-    store.write(rows)
+    store.write(input)
+    val tWrite = (System.nanoTime() - t0) / 1e9
+    // the read side the HttpApiSpec bound test also pays: /list-shaped
+    // serving metadata over the fresh 10k-partition-dir tree (partition
+    // discovery + distributed counts)
+    val t1 = System.nanoTime()
+    val distinctEntries = store.tableOrEmpty()
+      .select(col("bucket"), col("entry")).distinct().count()
+    val tList1 = (System.nanoTime() - t1) / 1e9
+    val t2 = System.nanoTime()
+    val bounds = store.tableOrEmpty().groupBy("bucket")
+      .agg(min("ts"), max("ts")).collect().length
+    val tList2 = (System.nanoTime() - t2) / 1e9
     println(f"algo=$algo entries=$entries threads=$threads " +
-      f"write_secs=${(System.nanoTime() - t0) / 1e9}%.1f")
+      f"http=${api.nonEmpty} write_secs=$tWrite%.1f " +
+      f"list1_secs=$tList1%.1f list2_secs=$tList2%.1f " +
+      f"entries_seen=$distinctEntries buckets=$bounds")
+    api.foreach(_.stop())
     spark.stop()
   }
 }

@@ -566,11 +566,15 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
         lit("m".getBytes).as("payload"))
       // e0*1000 for id<10 → e0..e9000 exist as visible; id>=10 →
       // e10000.. don't → 40 fresh parents
+      val tW0 = System.nanoTime()
       bigStore.write(rows.unionByName(meta))
+      println(f"[probe] big write: ${(System.nanoTime()-tW0)/1e9}%.1f s")
+      val tL0 = System.nanoTime()
       val r = client.send(HttpRequest.newBuilder(
           URI.create(s"http://127.0.0.1:${bigApi.boundPort}/api/v1/list"))
           .header("Authorization", "Bearer root-token").GET().build(),
         HttpResponse.BodyHandlers.ofByteArray())
+      println(f"[probe] first /list: ${(System.nanoTime()-tL0)/1e9}%.1f s")
       assert(r.statusCode() == 200)
       // the response must carry COUNTS, not 10k entry names
       assert(r.body().length < 4096,
@@ -580,6 +584,27 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
       assert((big \ "entry_count").extract[Long] == 10040L)
       assert((big \ "oldest_record").extract[Long] == 0L)
       assert((big \ "latest_record").extract[Long] == 9999L)
+      // repeat /list in a version-stable window must serve the cached
+      // aggregation — a fresh read pays partition discovery over all 10k
+      // entry dirs (~30 s), so the cache is what makes /list serveable
+      def listReq() = client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${bigApi.boundPort}/api/v1/list"))
+          .header("Authorization", "Bearer root-token").GET().build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      val stable = (1 to 3).exists { _ =>
+        val (v0, a0) = (bigStore.dataVersion, bigApi.listAggs.get())
+        for (_ <- 1 to 3) assert(listReq().statusCode() == 200)
+        val (v1, a1) = (bigStore.dataVersion, bigApi.listAggs.get())
+        v0 == v1 && {
+          // <= 1: the first call in the window may legitimately recompute
+          // if a racing mutation voided the previous fill (same contract
+          // as the sizeWalks pin above); a broken cache would show 3
+          assert(a1 - a0 <= 1,
+            s"3 /list calls in a version-stable window re-aggregated ${a1 - a0}x")
+          true
+        }
+      }
+      assert(stable, "no version-stable window in 3 attempts (flush storm?)")
     } finally bigApi.stop()
   }
 
