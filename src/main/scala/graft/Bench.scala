@@ -12,11 +12,22 @@ import org.apache.spark.sql.functions._
   * the workload staging fail: failures land in an `errors` map instead of
   * contributing bogus near-zero timings to `queries` (a round-9 lesson:
   * one staging exception must not erase the whole round's numbers).
+  *
+  * NOISE DISCIPLINE (SCALE.md): identical-config runs on this box vary
+  * ±10% (r14 idle A/B: 53.4 vs 58.6 s) — more than most effects the bench
+  * is asked to detect, so a single-run total keeps producing phantom
+  * "drifts". The bench therefore runs GRAFT_BENCH_PASSES (default 3)
+  * independent passes and reports the per-query CROSS-PASS MEDIAN in the
+  * headline; within a pass each query keeps the min-of-2 convention (the
+  * work is deterministic, so the faster of two adjacent runs is the
+  * less-perturbed one). bench_results.json carries the per-pass values so
+  * the spread is auditable.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val passes = math.max(1, sys.env.getOrElse("GRAFT_BENCH_PASSES", "3").toInt)
     // GraftSession carries the shared recommended config (raw-fs, UTC,
     // nanosAsLong, verify-checksum ON, 1024-entry codegen cache — each
     // with its rationale there)
@@ -37,17 +48,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // per-pass per-query min-of-2 timings; median across passes reported
+    val passResults =
+      Vector.fill(passes)(scala.collection.mutable.LinkedHashMap.empty[String, Double])
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
     // A failed query records its error and NO timing — a near-zero
     // failure duration must never masquerade as a fast min-of-2 latency.
-    def timed(name: String)(f: => Unit): Unit = {
+    def timed(pass: Int, name: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime()
       try {
         f
         val t = (System.nanoTime() - t0) / 1e9
-        results(name) = math.min(results.getOrElse(name, Double.MaxValue), t)
+        val r = passResults(pass)
+        r(name) = math.min(r.getOrElse(name, Double.MaxValue), t)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
@@ -58,55 +72,70 @@ object Bench {
     // init, the one-time events->records staging, and per-operator-shape
     // codegen/JIT (~1-3 s each for the first explode/join/window/broadcast
     // in a JVM — measured; the first query otherwise pays for all of them).
-    // The timed pass below then measures steady-state latency, which is
+    // The timed passes below then measure steady-state latency, which is
     // what amortizes at scale and what the reference bench measures (a
     // warmed server process).
     for ((name, fn) <- SparkEntry.queries)
       try fn(spark, sfDir).count()
       catch { case e: Throwable => System.err.println(s"[bench] warmup $name: $e") }
 
-    // declared queries: TWO timed passes, report the per-query MIN — a
-    // single background-load spike on the machine can't fake a
-    // regression (the r7/r8 driver runs were both load-contaminated;
-    // the min of two independent runs is still an honest latency: the
-    // work is deterministic, so the faster run is the less-perturbed one)
-    for (_ <- 1 to 2; (name, fn) <- SparkEntry.queries)
-      timed(name) { fn(spark, sfDir).count(): Unit }
+    for (pass <- 0 until passes) {
+      // declared queries: two timed runs per pass, per-pass MIN — a
+      // single background-load spike on the machine can't fake a
+      // regression (the r7/r8 driver runs were both load-contaminated)
+      for (_ <- 1 to 2; (name, fn) <- SparkEntry.queries)
+        timed(pass, name) { fn(spark, sfDir).count(): Unit }
 
-    // evict the operator staging caches (tf/bigram/overlap tables) before
-    // the store workload — they've served their passes; the w_* family
-    // should not compete with them for storage memory
-    graft.pipeline.Staging.unstageAll()
+      // evict the operator staging caches (tf/bigram/overlap tables) before
+      // the store workload — they've served their passes; the w_* family
+      // should not compete with them for storage memory
+      graft.pipeline.Staging.unstageAll()
 
-    // reference workload shape (python-benchmark.py:43-127) on a store;
-    // the sequence mutates the store, so min-of-2 runs the whole
-    // sequence twice on two fresh stores. Staging is inside the guard:
-    // a bad events schema degrades the w_* family, not the whole bench.
-    try {
-      val records = Records.fromEvents(
-        spark.read.parquet(s"$sfDir/events.parquet")).cache()
-      records.count()
-      for (_ <- 1 to 2) {
-        val storeDir = java.nio.file.Files.createTempDirectory("graft-bench").toString
-        val store = new BucketStore(spark, storeDir)
-        timed("w_write") { store.write(records) }
-        timed("w_read_payload") {
-          // full scan via query cursor incl. payload bytes (read B/s analog)
-          val n = QueryEngine.query(store.table(), QuerySpec())
-            .agg(sum(length(col("payload")))).collect()(0).getLong(0)
-          require(n > 0)
+      // reference workload shape (python-benchmark.py:43-127) on a store;
+      // the sequence mutates the store, so min-of-2 runs the whole
+      // sequence twice on two fresh stores. Staging is inside the guard:
+      // a bad events schema degrades the w_* family, not the whole bench.
+      try {
+        val records = Records.fromEvents(
+          spark.read.parquet(s"$sfDir/events.parquet")).cache()
+        records.count()
+        for (_ <- 1 to 2) {
+          val storeDir = java.nio.file.Files.createTempDirectory("graft-bench").toString
+          val store = new BucketStore(spark, storeDir)
+          timed(pass, "w_write") { store.write(records) }
+          timed(pass, "w_read_payload") {
+            // full scan via query cursor incl. payload bytes (read B/s analog)
+            val n = QueryEngine.query(store.table(), QuerySpec())
+              .agg(sum(length(col("payload")))).collect()(0).getLong(0)
+            require(n > 0)
+          }
+          timed(pass, "w_update_labels") {
+            store.updateLabels(QuerySpec(), set = Map("key" -> "value2")): Unit
+          }
+          timed(pass, "w_remove_each_n") {
+            store.removeQuery(QuerySpec(when = Some("""{"$each_n": 2}"""))): Unit
+          }
         }
-        timed("w_update_labels") {
-          store.updateLabels(QuerySpec(), set = Map("key" -> "value2")): Unit
-        }
-        timed("w_remove_each_n") {
-          store.removeQuery(QuerySpec(when = Some("""{"$each_n": 2}"""))): Unit
-        }
+        records.unpersist()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] workload staging failed: ${e.getMessage}")
+        errors("w_staging") = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
       }
-      records.unpersist()
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] workload staging failed: ${e.getMessage}")
-      errors("w_staging") = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+    }
+
+    // cross-pass median per query, in first-pass declaration order; a
+    // query missing from some pass (transient failure) medians over the
+    // passes that have it
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val names = passResults.flatMap(_.keys).distinct
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val spreads = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    for (n <- names) {
+      val xs = passResults.flatMap(_.get(n))
+      if (xs.nonEmpty) { results(n) = median(xs); spreads(n) = xs }
     }
 
     def jstr(s: String): String = "\"" + s.flatMap {
@@ -117,21 +146,24 @@ object Bench {
     } + "\""
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
+    val ps = spreads.map { case (k, xs) =>
+      jstr(k) + ":" + xs.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = results.values.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","convention":"median-of-$passes-passes, min-of-2 within a pass","queries":$qs,"passes":$ps,"errors":$es,"sf":"$sfDir"}"""
     // The driver's artifact keeps only a ~2000-char TAIL of captured
     // output; the full 100+-entry query map is ~5 KB, so no placement of
     // the full line survives the window (r11's artifact had parsed:null
     // with the line's head cut off). Contract, in order: (1) the full
     // JSON persists to bench_results.json — every timed entry, full
-    // precision; (2) the full line prints for a human scrollback; (3)
-    // the LAST stdout line is a COMPACT headline JSON — the workload
-    // family plus the slowest queries, ms precision — sized well under
-    // the tail window even with sbt's epilogue after it, so the driver's
-    // parse always finds a complete object.
+    // precision, with per-pass spreads; (2) the full line prints for a
+    // human scrollback; (3) the LAST stdout line is a COMPACT headline
+    // JSON — the workload family plus the slowest queries, ms precision —
+    // sized well under the tail window even with sbt's epilogue after it,
+    // so the driver's parse always finds a complete object.
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_results.json"),
@@ -146,7 +178,7 @@ object Bench {
       jstr(k) + ":" + (math.rint(v * 1000) / 1000)
     }.mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","queries":$hq,"n_queries":${results.size},"n_errors":${errors.size},"queries_full":"bench_results.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","queries":$hq,"n_queries":${results.size},"n_errors":${errors.size},"n_passes":$passes,"queries_full":"bench_results.json","sf":"$sfDir"}"""
     spark.stop()
     println(compact)
   }

@@ -143,14 +143,187 @@ final class BucketStore(val spark: SparkSession, val root: String) {
 
   private def dtCol = to_date(timestamp_micros(col("ts")))
 
-  /** The whole store as one logical table (records schema + dt). */
-  def table(): DataFrame =
-    spark.read.schema(storedSchema).parquet(root)
-      .drop("dt") // derived; queries use ts
+  /** The whole store as one logical table (records schema + dt), with
+    * the label overlay applied — `labels` reflects every PATCH. */
+  def table(): DataFrame = applyOverlay(baseTable())
 
   def tableOrEmpty(): DataFrame =
     try table()
     catch { case NonFatal(_) => emptyRecords(spark) }
+
+  /** The base parquet tree only — PATCHed labels NOT applied. For
+    * key-only internal reads (conflict admission, entry catalog, oldest
+    * partition) where the overlay can't change the answer and the join
+    * would be waste. */
+  private[graft] def baseTable(): DataFrame =
+    spark.read.schema(storedSchema).parquet(root)
+      .drop("dt") // derived; queries use ts
+
+  private def baseTableOrEmpty(): DataFrame =
+    try baseTable()
+    catch { case NonFatal(_) => emptyRecords(spark) }
+
+  // ------------------------------------------------------- label overlay
+
+  /** Label PATCHes land as tiny overlay rows instead of partition
+    * rewrites, matching the reference's metadata-only update
+    * (storage/entry/update_labels.rs:14-36 rewrites a block descriptor,
+    * "payload untouched"). A copy-on-write parquet rewrite would carry
+    * the payload column with it — ~1000x write amplification for
+    * label-only curation at 10 MB payloads.
+    *
+    * Layout: `root/_labels/bucket=<b>/entry=<e>/dt=<d>/<part>.parquet` with
+    * rows `(bucket, entry, ts, labels, seq)` — the FULL post-patch label
+    * map, `seq` monotone per patch so the latest patch wins. The
+    * underscore root hides the tree from the base table's partition
+    * discovery (batch and streaming alike, same mechanism as `_rewrite`).
+    *
+    * Read path: when the overlay is empty (the common case) `table()` is
+    * the plain base scan — zero overhead. Otherwise a BROADCAST left
+    * join applies the latest overlay labels map-side: payload bytes
+    * never shuffle, full-payload reads stay scan-shaped. The broadcast
+    * is safe because the overlay is bounded: once it exceeds
+    * [[overlayFoldThreshold]] rows the next PATCH folds it into the base
+    * files (one amortized partition rewrite per ~100k patches).
+    *
+    * Invariant: overlay rows exist only for LIVE base records. Every
+    * base-partition rewrite (fold, removeQuery, removeRecords, lifecycle
+    * compress) rewrites effective labels and purges that partition's
+    * overlay dirs inside the same swap window; entry/bucket/FIFO deletes
+    * drop the mirror overlay dirs. So a removed-then-rewritten timestamp
+    * can never resurrect stale labels.
+    *
+    * Sizing: ~200 B/row → the 100k default folds at ~20 MB broadcast,
+    * well inside executor budgets at any corpus size. Test seam. */
+  @volatile var overlayFoldThreshold: Long = 100000L
+
+  private def overlayRootPath = new org.apache.hadoop.fs.Path(s"$root/$LabelsDir")
+
+  /** Cheap non-empty gate: one exists() (+ a small walk when present).
+    * Uncached on purpose — correct mid-mutation, and the empty case is a
+    * single namenode/stat call. */
+  private def overlayFileCount(): Long = {
+    val p = overlayRootPath
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L else fs.getContentSummary(p).getFileCount
+  }
+
+  /** The overlay as a DataFrame. The `_labels` root itself is
+    * underscore-hidden (so the BASE scan skips it) — passing it straight
+    * to `spark.read.parquet` would silently yield zero rows ("All paths
+    * were ignored"), so the read lists the non-hidden `bucket=` children
+    * and anchors partition discovery with `basePath`. */
+  private def overlayTableRaw(): DataFrame = {
+    val p = overlayRootPath
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val children =
+      if (!fs.exists(p)) Array.empty[String]
+      else fs.listStatus(p).collect {
+        case st if st.isDirectory && st.getPath.getName.startsWith("bucket=") =>
+          st.getPath.toString
+      }
+    if (children.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(overlayStoredSchema.dropRight(1)))
+    else
+      spark.read.schema(overlayStoredSchema)
+        .option("basePath", p.toString)
+        .parquet(children.toSeq: _*)
+        .drop("dt")
+  }
+
+  private[graft] def overlayRowCount(): Long =
+    if (overlayFileCount() == 0L) 0L else overlayTableRaw().count()
+
+  /** Monotone patch sequence; persisted implicitly in overlay rows and
+    * re-seeded from max(seq) on the first overlay op of a store instance
+    * (a restart must not mint seqs below live overlay rows). */
+  private lazy val overlaySeqCounter = new java.util.concurrent.atomic.AtomicLong(
+    if (overlayFileCount() == 0L) 0L
+    else {
+      val r = overlayTableRaw().agg(max("seq")).collect()(0)
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    })
+
+  private def applyOverlay(base: DataFrame): DataFrame =
+    if (overlayFileCount() == 0L) base
+    else {
+      val ov = overlayTableRaw()
+        .groupBy("bucket", "entry", "ts")
+        .agg(max_by(col("labels"), col("seq")).as("__ov_labels"))
+      base.join(broadcast(ov), Seq("bucket", "entry", "ts"), "left")
+        .withColumn("labels", coalesce(col("__ov_labels"), col("labels")))
+        .drop("__ov_labels")
+    }
+
+  /** Append overlay rows (`bucket, entry, ts, labels, seq`) via staged
+    * write + rename-in: the parquet job runs outside the epoch window,
+    * only the per-file renames hold it — same discipline as
+    * [[overwritePartitions]], but files ADD to live overlay dirs instead
+    * of swapping them (readers dedup by seq, so accumulation is safe). */
+  private def appendOverlay(rows: DataFrame): Unit = {
+    val stage = new org.apache.hadoop.fs.Path(
+      s"$root/$RewriteDir/${java.util.UUID.randomUUID}")
+    graft.core.Partitioning.pinned(
+        rows.withColumn("dt", dtCol),
+        col("bucket"), col("entry"), col("dt"))
+      .write.partitionBy("bucket", "entry", "dt")
+      .mode(SaveMode.Overwrite)
+      .parquet(stage.toString)
+    val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    rewriteEpochCounter.incrementAndGet() // odd: files landing
+    try {
+      val ovRoot = overlayRootPath
+      for {
+        b <- fs.listStatus(stage) if b.isDirectory &&
+          b.getPath.getName.startsWith("bucket=")
+        e <- fs.listStatus(b.getPath) if e.isDirectory &&
+          e.getPath.getName.startsWith("entry=")
+        d <- fs.listStatus(e.getPath) if d.isDirectory &&
+          d.getPath.getName.startsWith("dt=")
+      } {
+        val live = new org.apache.hadoop.fs.Path(ovRoot,
+          s"${b.getPath.getName}/${e.getPath.getName}/${d.getPath.getName}")
+        fs.mkdirs(live)
+        for (f <- fs.listStatus(d.getPath) if f.isFile &&
+            !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+          fs.rename(f.getPath, new org.apache.hadoop.fs.Path(live, f.getPath.getName))
+      }
+    } finally {
+      rewriteEpochCounter.incrementAndGet() // even: settled
+      try fs.delete(stage, true)
+      catch { case NonFatal(e) =>
+        System.err.println(s"[store] overlay stage GC failed, leaking $stage: $e") }
+    }
+  }
+
+  /** Drop the overlay dirs mirroring the given base partitions — runs
+    * inside a rewrite-swap window (the caller's `extraSwapActions`). */
+  private[graft] def purgeOverlayDirs(
+      affected: Iterable[(String, String, String)]): Unit = {
+    val fs = overlayRootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for ((b, e, d) <- affected)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$root/$LabelsDir/bucket=${escapePartition(b)}/entry=${escapePartition(e)}/dt=$d"),
+        true): Unit
+  }
+
+  /** Fold the label overlay into the base files: every partition with
+    * overlay rows is rewritten with effective labels and its overlay
+    * dirs purged in the same swap. Public so operators/lifecycle can
+    * compact eagerly; PATCH calls it automatically past
+    * [[overlayFoldThreshold]]. Returns the folded overlay row count. */
+  def foldLabelOverlay(): Long = mutating { foldOverlayLocked() }
+
+  private def foldOverlayLocked(): Long = {
+    val n = overlayRowCount()
+    if (n == 0L) return 0L
+    val affected = collectAffected(overlayTableRaw().select("bucket", "entry", "ts"))
+    val rewritten = prunedPartitionScan(affected) // effective labels
+    overwritePartitions(rewritten,
+      extraSwapActions = () => purgeOverlayDirs(affected))
+    n
+  }
 
   /** Append a batch of records.
     * @param onConflict Error → reject batch if any (bucket,entry,ts)
@@ -178,7 +351,7 @@ final class BucketStore(val spark: SparkSession, val root: String) {
             s"duplicate timestamp within batch: $dup")
         }
         if (!stats.isNullAt(1)) {
-          val existing = tableOrEmpty()
+          val existing = baseTableOrEmpty() // keys only
             .filter(col("ts").between(stats.getLong(1), stats.getLong(2)))
             .select("bucket", "entry", "ts")
           val clash = batch0.join(existing, Seq("bucket", "entry", "ts"))
@@ -211,7 +384,7 @@ final class BucketStore(val spark: SparkSession, val root: String) {
   private def antiExisting(batch: DataFrame): DataFrame = {
     val bounds = batch.agg(min("ts"), max("ts")).collect()(0)
     if (bounds.isNullAt(0)) return batch
-    val existing = tableOrEmpty()
+    val existing = baseTableOrEmpty() // keys only
       .filter(col("ts").between(bounds.getLong(0), bounds.getLong(1)))
       .select("bucket", "entry", "ts")
     batch.join(existing, Seq("bucket", "entry", "ts"), "left_anti")
@@ -238,37 +411,35 @@ final class BucketStore(val spark: SparkSession, val root: String) {
   }
 
   /** PATCH labels (storage/entry/update_labels.rs:14-36): merge `set` keys
-    * over existing labels, drop `remove` keys, payload untouched. Rewrites
-    * only the partitions containing matched records (dynamic overwrite).
+    * over existing labels, drop `remove` keys, payload untouched —
+    * LITERALLY: the patch appends (key, merged-labels, seq) rows to the
+    * label overlay (see [[overlayFoldThreshold]]), base parquet files are
+    * not rewritten, so write cost ∝ label bytes exactly like the
+    * reference's descriptor-only rewrite. Past the fold threshold the
+    * overlay compacts into the base (amortized).
     */
   def updateLabels(spec: QuerySpec, set: Map[String, String],
       remove: Set[String] = Set.empty): Long = mutating {
     val all = table()
-    val matched = QueryEngine.matching(all, spec)
-      .select("bucket", "entry", "ts")
+    val patch =
+      if (set.isEmpty) map().cast("map<string,string>")
+      else map(set.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val dropKeys = array((remove ++ set.keys).toSeq.map(lit(_)): _*)
+    val patched = QueryEngine.matching(all, spec)
+      .select(col("bucket"), col("entry"), col("ts"),
+        map_concat(
+          map_filter(coalesce(col("labels"), map().cast("map<string,string>")),
+            (k, _) => !array_contains(dropKeys, k)),
+          patch).as("labels"))
+      .withColumn("seq", lit(overlaySeqCounter.incrementAndGet()))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val n = matched.count() // also materializes the persist for reuse
+      val n = patched.count() // also materializes the persist for reuse
       if (n == 0) return 0
-      val patch =
-        if (set.isEmpty) map().cast("map<string,string>")
-        else map(set.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
-      val dropKeys = array((remove ++ set.keys).toSeq.map(lit(_)): _*)
-      val affected = collectAffected(matched)
-      val rewritten = prunedPartitionScan(affected)
-        .join(matched.withColumn("__upd", lit(1)),
-          Seq("bucket", "entry", "ts"), "left")
-        .withColumn("labels",
-          when(col("__upd").isNotNull,
-            map_concat(
-              map_filter(coalesce(col("labels"), map().cast("map<string,string>")),
-                (k, _) => !array_contains(dropKeys, k)),
-              patch))
-            .otherwise(col("labels")))
-        .drop("__upd")
-      overwritePartitions(rewritten)
+      appendOverlay(patched)
+      if (overlayRowCount() > overlayFoldThreshold) foldOverlayLocked(): Unit
       n
-    } finally matched.unpersist()
+    } finally patched.unpersist()
   }
 
   /** Query-as-delete (remove_records.rs:62-160): rewrite only affected
@@ -295,7 +466,12 @@ final class BucketStore(val spark: SparkSession, val root: String) {
         .select("bucket", "entry", "dt").distinct().collect()
         .map(r => (r.getString(0), r.getString(1), r.getDate(2).toString)).toSet
       overwritePartitions(survivors,
-        dropAfter = affected.filterNot(surviving))
+        dropAfter = affected.filterNot(surviving),
+        // survivors carry folded effective labels; purging the affected
+        // overlay dirs in the SAME swap keeps the live-records-only
+        // invariant (a later re-write of a removed ts must not see
+        // stale overlay labels)
+        extraSwapActions = () => purgeOverlayDirs(affected))
       n
     } finally matched.unpersist()
   }
@@ -321,32 +497,26 @@ final class BucketStore(val spark: SparkSession, val root: String) {
       updates.map { case (e, ts, set, remove) =>
         org.apache.spark.sql.Row(bucket, e, ts, set, (remove ++ set.keys).toSeq)
       }.asJava, patchSchema)
-    val matched = table()
+    val patched = table()
       .filter(col("bucket") === bucket &&
         col("entry").isin(updates.map(_._1).distinct: _*) &&
         col("ts").between(updates.map(_._2).min, updates.map(_._2).max))
-      .join(broadcast(patches.select("bucket", "entry", "ts")),
-        Seq("bucket", "entry", "ts"), "left_semi")
-      .select("bucket", "entry", "ts")
+      .join(broadcast(patches), Seq("bucket", "entry", "ts"), "inner")
+      .select(col("bucket"), col("entry"), col("ts"),
+        map_concat(
+          map_filter(coalesce(col("labels"), map().cast("map<string,string>")),
+            (k, _) => !array_contains(coalesce(col("__drop"),
+              array().cast("array<string>")), k)),
+          coalesce(col("__set"), map().cast("map<string,string>"))).as("labels"))
+      .withColumn("seq", lit(overlaySeqCounter.incrementAndGet()))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val n = matched.count()
+      val n = patched.count()
       if (n == 0) return 0
-      val affected = collectAffected(matched)
-      val rewritten = prunedPartitionScan(affected)
-        .join(broadcast(patches), Seq("bucket", "entry", "ts"), "left")
-        .withColumn("labels",
-          when(col("__set").isNotNull || col("__drop").isNotNull,
-            map_concat(
-              map_filter(coalesce(col("labels"), map().cast("map<string,string>")),
-                (k, _) => !array_contains(coalesce(col("__drop"),
-                  array().cast("array<string>")), k)),
-              coalesce(col("__set"), map().cast("map<string,string>"))))
-            .otherwise(col("labels")))
-        .drop("__set", "__drop")
-      overwritePartitions(rewritten)
+      appendOverlay(patched)
+      if (overlayRowCount() > overlayFoldThreshold) foldOverlayLocked(): Unit
       n
-    } finally matched.unpersist()
+    } finally patched.unpersist()
   }
 
   /** Remove records by explicit (entry, ts) keys (remove_records.rs:34-60,
@@ -361,7 +531,7 @@ final class BucketStore(val spark: SparkSession, val root: String) {
         org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("entry", org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType))))
-    val existing = table()
+    val existing = baseTable() // keys only — overlay can't change them
       .filter(col("bucket") === bucket && col("entry").isin(keys.map(_._1).distinct: _*) &&
         col("ts").between(keys.map(_._2).min, keys.map(_._2).max))
       .join(broadcast(keyDf), Seq("bucket", "entry", "ts"), "left_semi")
@@ -378,7 +548,8 @@ final class BucketStore(val spark: SparkSession, val root: String) {
           .select("bucket", "entry", "dt").distinct().collect()
           .map(r => (r.getString(0), r.getString(1), r.getDate(2).toString)).toSet
         overwritePartitions(survivors,
-          dropAfter = affected.filterNot(surviving))
+          dropAfter = affected.filterNot(surviving),
+          extraSwapActions = () => purgeOverlayDirs(affected))
       }
       keys.map(k => k -> found(k)).toMap
     } finally existing.unpersist()
@@ -400,7 +571,15 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     * distinct-value isin lists in the plan. */
   private val PruneListMax = 1000
 
+  /** Pruned scans feed partition REWRITES, so they return EFFECTIVE rows
+    * (overlay applied): every rewrite folds outstanding label patches
+    * into the files it recreates. Callers purge the matching overlay
+    * dirs in the swap (idempotent if skipped — a folded overlay row
+    * re-applies the labels the base now already has). */
   private def prunedPartitionScan(affected: Array[(String, String, String)]): DataFrame =
+    applyOverlay(prunedPartitionScanBase(affected))
+
+  private def prunedPartitionScanBase(affected: Array[(String, String, String)]): DataFrame =
     if (affected.length <= PruneListMax) prunedPartitionScanIsin(affected)
     else {
       import scala.jdk.CollectionConverters._
@@ -459,7 +638,8 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     * on); `writerOptions` carries its codec/level writer settings. */
   private[graft] def overwritePartitions(records: DataFrame,
       dropAfter: Iterable[(String, String, String)] = Nil,
-      writerOptions: Map[String, String] = Map.empty): Unit = {
+      writerOptions: Map[String, String] = Map.empty,
+      extraSwapActions: () => Unit = () => ()): Unit = {
     val stage = new org.apache.hadoop.fs.Path(
       s"$root/$RewriteDir/${java.util.UUID.randomUUID}")
     graft.core.Partitioning.pinned( // one task per dir, AQE-proof
@@ -497,6 +677,7 @@ final class BucketStore(val spark: SparkSession, val root: String) {
         fs.rename(d.getPath, live)
       }
       for ((db, de, ddt) <- dropAfter) deletePartitionDir(db, de, ddt)
+      extraSwapActions() // e.g. overlay-dir purge — same swap window
     } finally {
       // settle FIRST, unconditionally: a failed stage-dir GC must never
       // leave the epoch odd (readers would spin on a consistent tree)
@@ -513,7 +694,7 @@ final class BucketStore(val spark: SparkSession, val root: String) {
 
   /** Entry catalog (names only; from partition listing, no data scan). */
   def entries(bucket: String): Seq[String] =
-    table().filter(col("bucket") === bucket)
+    baseTable().filter(col("bucket") === bucket)
       .select("entry").distinct().collect().map(_.getString(0)).toSeq.sorted
 
   /** Rename an entry (storage/bucket/rename_entry.rs): partition rewrite. */
@@ -540,6 +721,9 @@ final class BucketStore(val spark: SparkSession, val root: String) {
       s"$root/bucket=$bucket/entry=${escapePartition(entry)}")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(path, true)
+    // mirror overlay subtree goes with the entry (live-records invariant)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$root/$LabelsDir/bucket=$bucket/entry=${escapePartition(entry)}"), true): Unit
   }
 
   /** Rename a bucket (storage/bucket rename): a directory move — no data
@@ -554,12 +738,20 @@ final class BucketStore(val spark: SparkSession, val root: String) {
       throw new IllegalArgumentException(s"Bucket '$to' already exists")
     if (!fs.rename(src, dst))
       throw new IllegalStateException(s"rename failed: $src -> $dst")
+    val ovSrc = new org.apache.hadoop.fs.Path(s"$root/$LabelsDir/bucket=$from")
+    if (fs.exists(ovSrc)) {
+      val ovDst = new org.apache.hadoop.fs.Path(s"$root/$LabelsDir/bucket=$to")
+      fs.mkdirs(ovDst.getParent)
+      fs.rename(ovSrc, ovDst): Unit // overlay keys carry the bucket name in the path
+    }
   }
 
   def removeBucket(bucket: String): Unit = mutating {
     val path = new org.apache.hadoop.fs.Path(s"$root/bucket=$bucket")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(path, true)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$root/$LabelsDir/bucket=$bucket"), true): Unit
   }
 
   /** Bytes on disk per bucket (for quotas). */
@@ -629,7 +821,7 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     // uncached: the loop shrinks the very size it re-checks, and the data
     // version only moves when this mutating block exits
     while (treeBytes(bucketPath(bucket)) > maxBytes) {
-      val oldest = table().filter(col("bucket") === bucket)
+      val oldest = baseTable().filter(col("bucket") === bucket)
         .filter(!col("entry").endsWith("/" + EntryPattern.MetaSegment) &&
           col("entry") =!= EntryPattern.MetaSegment)
         .agg(min(dtCol).as("dt")).collect()(0)
@@ -651,7 +843,12 @@ final class BucketStore(val spark: SparkSession, val root: String) {
       var any = false
       for (e <- entryDirs) {
         val p = new org.apache.hadoop.fs.Path(e.getPath, s"dt=$dt")
-        if (fs.exists(p)) { fs.delete(p, true); any = true; evicted += 1 }
+        if (fs.exists(p)) {
+          fs.delete(p, true)
+          fs.delete(new org.apache.hadoop.fs.Path( // mirror overlay day
+            s"$root/$LabelsDir/bucket=$bucket/${e.getPath.getName}/dt=$dt"), true)
+          any = true; evicted += 1
+        }
       }
       if (!any) return evicted
     }
@@ -852,6 +1049,11 @@ object BucketStore {
   val StagingDir = "_upload"
   val RewriteDir = "_rewrite"
 
+  /** Label-overlay tree root (underscore-hidden from the base table's
+    * partition discovery, batch and streaming). Partitioned like the
+    * base: `bucket=<b>/entry=<e>/dt=<d>`. */
+  val LabelsDir = "_labels"
+
   /** One record of a spooled batch body: its payload is
     * `staged[offset, offset + len)`. */
   final case class StagedSlice(entry: String, ts: Long,
@@ -918,6 +1120,15 @@ object BucketStore {
   val storedSchema: StructType =
     Records.schema.add(StructField("dt", DateType))
 
+  /** Overlay row = record key + full post-patch labels + patch seq. */
+  val overlayStoredSchema: StructType = StructType(Seq(
+    StructField("bucket", StringType, nullable = false),
+    StructField("entry", StringType, nullable = false),
+    StructField("ts", LongType, nullable = false),
+    StructField("labels", MapType(StringType, StringType), nullable = true),
+    StructField("seq", LongType, nullable = false),
+    StructField("dt", DateType)))
+
   def emptyRecords(spark: SparkSession): DataFrame =
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
       Records.schema)
@@ -925,7 +1136,7 @@ object BucketStore {
   /** Spark's partition-path escaping for special chars (e.g. '/'). */
   def escapePartition(v: String): String =
     v.flatMap {
-      case c if "\"#%'*/:=?\\{[]^".contains(c) =>
+      case c if ("\"#%'*/:=?\\{[]^" + 127.toChar).contains(c) =>
         f"%%${c.toInt}%02X"
       case c => c.toString
     }

@@ -298,6 +298,8 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
         errorResponse(ex, e.status, e.message)
       case e: BucketStore.InsufficientStorageException =>
         errorResponse(ex, 507, e.getMessage)
+      case e: QueryRegistry.TooManyQueriesException =>
+        errorResponse(ex, 429, e.getMessage)
       case e: IllegalArgumentException =>
         errorResponse(ex, 422, Option(e.getMessage).getOrElse("unprocessable"))
       case e: NoSuchElementException =>
@@ -434,37 +436,45 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     // strip the "/$meta" suffix, drop the bare-"$meta" root, anti-join
     // away parents that already exist as visible entries.
     val metaSuffix = "/" + EntryPattern.MetaSegment
-    // ONE scan: everything below derives from the per-(bucket, entry)
-    // aggregation, PERSISTED for the duration of this recompute — the
-    // three consumers (visible set, meta parents, ts bounds) each push a
-    // different filter into the scan otherwise, so without the persist
-    // the store is scanned three times (at 10k one-record entries the
-    // scan is 10k tiny file opens and dominates). The cached frame is
-    // O(distinct entries) rows — the same bound the distributed counting
-    // already guarantees the driver never exceeds per bucket.
-    val perEntry = store.tableOrEmpty()
-      .groupBy("bucket", "entry")
-      .agg(min(when(visibleEntry, col("ts"))).as("emin"),
-        max(when(visibleEntry, col("ts"))).as("emax"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val vis = perEntry.filter(visibleEntry).select("bucket", "entry")
-    val parents = perEntry
-      .filter(col("entry").endsWith(metaSuffix) &&
-        length(col("entry")) > metaSuffix.length)
-      .select(col("bucket"), expr(
-        s"substring(entry, 1, length(entry) - ${metaSuffix.length})")
-        .as("entry"))
-      .distinct()
-      .join(vis, Seq("bucket", "entry"), "left_anti")
-    val counts = vis.unionByName(parents).groupBy("bucket")
-      .agg(count(lit(1)).as("entry_count"))
-    val rows =
+    // swap-consistent like info(): an aggregation racing a partition
+    // swap could collect torn/errored rows — and if the mutation hadn't
+    // bumped dataVersion yet, the torn rows would be CACHED under v0 and
+    // served to every /list caller until the next mutation (ADVICE r14).
+    // The WHOLE frame is built inside the block: a retry must re-list
+    // the settled file tree, not re-collect a plan pinned to the
+    // renamed-away files.
+    val rows = store.readConsistent {
+      // ONE scan: everything below derives from the per-(bucket, entry)
+      // aggregation, PERSISTED for the duration of this recompute — the
+      // three consumers (visible set, meta parents, ts bounds) each push a
+      // different filter into the scan otherwise, so without the persist
+      // the store is scanned three times (at 10k one-record entries the
+      // scan is 10k tiny file opens and dominates). The cached frame is
+      // O(distinct entries) rows — the same bound the distributed counting
+      // already guarantees the driver never exceeds per bucket.
+      val perEntry = store.tableOrEmpty()
+        .groupBy("bucket", "entry")
+        .agg(min(when(visibleEntry, col("ts"))).as("emin"),
+          max(when(visibleEntry, col("ts"))).as("emax"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val vis = perEntry.filter(visibleEntry).select("bucket", "entry")
+      val parents = perEntry
+        .filter(col("entry").endsWith(metaSuffix) &&
+          length(col("entry")) > metaSuffix.length)
+        .select(col("bucket"), expr(
+          s"substring(entry, 1, length(entry) - ${metaSuffix.length})")
+          .as("entry"))
+        .distinct()
+        .join(vis, Seq("bucket", "entry"), "left_anti")
+      val counts = vis.unionByName(parents).groupBy("bucket")
+        .agg(count(lit(1)).as("entry_count"))
       try perEntry.groupBy("bucket")
         .agg(min(col("emin")).as("oldest"), // min-of-entry-minima == min
           max(col("emax")).as("latest"))
         .join(counts, Seq("bucket"), "left")
         .collect()
       finally perEntry.unpersist(false)
+    }
     if (store.dataVersion == v0) listStatsCache.set((v0, rows))
     rows
   }

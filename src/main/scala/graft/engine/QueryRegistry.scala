@@ -17,12 +17,17 @@ import javax.crypto.spec.SecretKeySpec
   * MEMORY BOUND: an idle cursor holds its spec + a lazy local iterator
   * (at most ONE partition's fetched rows once draining starts — Spark's
   * toLocalIterator pulls partitions on demand), and the registry never
-  * exceeds `maxCursors` entries: expired cursors are swept on every
-  * open/fetch, and opening past the cap evicts the least-recently
-  * accessed cursor first (the reference only expires —
-  * storage/query.rs:99-110 — but an unbounded registry would let one
-  * client with a pathological TTL pin driver memory; the cap is this
-  * library's explicit DoS bound, spec-pinned at 10k cursors).
+  * exceeds `maxCursors` entries (default 8192): expired cursors are
+  * swept on every open/fetch, and an open at the cap is REJECTED with
+  * [[QueryRegistry.TooManyQueriesException]] (HTTP 429) after a final
+  * expiry sweep. Live cursors are never evicted — the reference only
+  * expires, never evicts (storage/query.rs:99-110), and evicting the
+  * least-recently-accessed live cursor would hand a flooding client a
+  * kill-other-clients'-queries primitive: the flood holds the freshest
+  * lastAccess, so the victims' valid cursors would go first and their
+  * next fetch would silently return None mid-drain (ADVICE r14). The
+  * cap is this library's explicit memory-DoS bound; rejection keeps it
+  * O(1) per open, no scan.
   */
 final class QueryRegistry(defaultTtlMs: Long = 60000L,
     maxCursors: Int = 8192) {
@@ -47,7 +52,17 @@ final class QueryRegistry(defaultTtlMs: Long = 60000L,
       (System.nanoTime() - lastAccess) / 1000000L > ttlMs
 
     /** Drain up to `maxRecords`; empty result = NoContent. A continuous
-      * cursor re-arms from last_ts+1 on exhaustion (continuous.rs:41-66). */
+      * cursor re-arms from last_ts+1 on exhaustion (continuous.rs:41-66).
+      *
+      * Concurrency: the cursor's monitor serializes fetches of the SAME
+      * cursor only (the iterator is stateful) — the registry's expiry
+      * sweep and other cursors' fetches never contend it. Time bound:
+      * one fetch pulls at most one result partition through
+      * toLocalIterator plus local iteration of ≤ maxRecords rows; it
+      * never scans the full result set. A cursor expiring (or being
+      * closed) while a fetch is in flight is benign: the in-flight fetch
+      * completes against its own iterator, the NEXT registry.fetch
+      * returns None. */
     def fetch(maxRecords: Int): Seq[Row] = synchronized {
       lastAccess = System.nanoTime()
       val out = Seq.newBuilder[Row]
@@ -74,28 +89,25 @@ final class QueryRegistry(defaultTtlMs: Long = 60000L,
   private val nextId = new AtomicLong(1)
   private val cursors = new ConcurrentHashMap[Long, Cursor]()
 
-  /** Register a query; returns its process-global id (query.rs:33-36). */
+  /** Register a query; returns its process-global id (query.rs:33-36).
+    * @throws QueryRegistry.TooManyQueriesException when the registry is
+    *         at `maxCursors` live (unexpired) cursors — the caller maps
+    *         this to HTTP 429; existing cursors are never evicted. */
   def open(records: () => DataFrame, spec: QuerySpec,
       continuous: Boolean = false, ttlMs: Long = defaultTtlMs): Long = {
     evictExpired()
     val id = nextId.getAndIncrement()
     val cursor = new Cursor(id, records, spec, continuous, ttlMs)
     // cap enforcement under a lock: a check-then-put race would let N
-    // concurrent opens overshoot the documented bound. Eviction is an
-    // O(size) least-recently-accessed scan — at most a few at the cap;
-    // fetch/close stay lock-free on the ConcurrentHashMap.
+    // concurrent opens overshoot the documented bound. The check is
+    // O(1); fetch/close stay lock-free on the ConcurrentHashMap.
     capLock.synchronized {
-      var evictable = true
-      while (evictable && cursors.size() >= maxCursors) {
-        var oldest: Cursor = null
-        val it = cursors.values().iterator()
-        while (it.hasNext) {
-          val c = it.next()
-          if (oldest == null || c.lastAccessNanos < oldest.lastAccessNanos)
-            oldest = c
-        }
-        if (oldest == null) evictable = false // raced empty
-        else cursors.remove(oldest.id)
+      if (cursors.size() >= maxCursors) {
+        evictExpired() // a racer may have left expired entries behind
+        if (cursors.size() >= maxCursors)
+          throw new QueryRegistry.TooManyQueriesException(
+            s"too many queries: $maxCursors cursors live; close cursors " +
+              "or let them expire before opening more")
       }
       cursors.put(id, cursor)
     }
@@ -115,6 +127,12 @@ final class QueryRegistry(defaultTtlMs: Long = 60000L,
     val it = cursors.entrySet().iterator()
     while (it.hasNext) if (it.next().getValue.expired) it.remove()
   }
+}
+
+object QueryRegistry {
+  /** Open rejected at the cursor cap (→ HTTP 429). The registry never
+    * evicts live cursors to make room (see class doc). */
+  final class TooManyQueriesException(msg: String) extends RuntimeException(msg)
 }
 
 /** Shareable signed query links (query_link_api.rs:10-35): a serialized

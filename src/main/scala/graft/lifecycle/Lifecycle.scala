@@ -63,6 +63,11 @@ object Lifecycle {
         val affected = matched
           .withColumn("dt", to_date(timestamp_micros(col("ts"))))
           .select("bucket", "entry", "dt").distinct()
+        // bounded by the affected-partition count; the string list also
+        // drives the overlay purge inside the swap (compaction folds
+        // outstanding label patches — store.table() is effective rows)
+        val affectedList = affected.collect()
+          .map(r => (r.getString(0), r.getString(1), r.getDate(2).toString))
         val rewritten = store.table()
           .withColumn("dt", to_date(timestamp_micros(col("ts"))))
           .join(broadcast(affected), Seq("bucket", "entry", "dt"))
@@ -72,7 +77,8 @@ object Lifecycle {
           // writer options propagate into the task-side Hadoop conf, which
           // is where parquet-java reads the zstd level from (verified by
           // size in LifecycleSpec — the level is not recorded in footers)
-          "parquet.compression.codec.zstd.level" -> level.toString))
+          "parquet.compression.codec.zstd.level" -> level.toString),
+          extraSwapActions = () => store.purgeOverlayDirs(affectedList))
         Result(n, applied = true)
       }
     }

@@ -1,0 +1,201 @@
+package graft.engine
+
+import graft.SparkTestBase
+import graft.core.Records
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The metadata/payload separation invariant (VERDICT r14 #1): a label
+  * PATCH must never rewrite payload bytes — the reference rewrites only a
+  * block descriptor (storage/entry/update_labels.rs:14-36, "payload
+  * untouched"). Here that property is the label overlay: PATCHes append
+  * tiny label rows under `_labels/`, base parquet files stay byte-frozen,
+  * and the overlay folds into the base past a bounded threshold. */
+class LabelOverlaySpec extends AnyFunSuite with SparkTestBase {
+
+  private def newStore(): BucketStore =
+    new BucketStore(spark, Files.createTempDirectory("graft-overlay").toString)
+
+  private def recordsDf(rows: Seq[(String, Long, Map[String, String])],
+      bucket: String = "b"): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val data = rows.map { case (entry, ts, labels) =>
+      Row(bucket, entry, ts, labels, Map.empty[String, String],
+        "", Records.State.Finished, s"payload-$ts".getBytes)
+    }.asJava
+    spark.createDataFrame(data, Records.schema)
+  }
+
+  private val day = 86400000000L
+
+  /** Every data file under the BASE tree (excludes `_`-prefixed dirs):
+    * path -> (length, mtime, md5-of-bytes). */
+  private def baseFileFingerprints(store: BucketStore): Map[String, (Long, Long, String)] = {
+    val root = new org.apache.hadoop.fs.Path(store.root)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def walk(p: org.apache.hadoop.fs.Path): Iterator[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).iterator.flatMap { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("_") || name.startsWith(".")) Iterator.empty
+        else if (st.isDirectory) walk(st.getPath)
+        else Iterator.single(st)
+      }
+    walk(root).map { st =>
+      val in = fs.open(st.getPath)
+      val bytes = try in.readAllBytes() finally in.close()
+      val md5 = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        .map("%02x".format(_)).mkString
+      st.getPath.toString -> ((st.getLen, st.getModificationTime, md5))
+    }.toMap
+  }
+
+  private def labelsOf(store: BucketStore): Map[Long, Map[String, String]] =
+    store.table().select("ts", "labels").collect().map { r =>
+      r.getLong(0) -> Option(r.getMap[String, String](1))
+        .map(_.toMap).getOrElse(Map.empty[String, String])
+    }.toMap
+
+  test("PATCH leaves every base file byte-identical (reference parity: payload untouched)") {
+    val store = newStore()
+    store.write(recordsDf(Seq(
+      ("e", 1L, Map("q" -> "low")), ("e", 2L, Map("q" -> "low")),
+      ("e", day + 3L, Map("q" -> "high")))))
+    val before = baseFileFingerprints(store)
+    assert(before.nonEmpty)
+
+    val n = store.updateLabels(
+      QuerySpec(when = Some("""{"&q": {"$eq": "low"}}""")),
+      set = Map("q" -> "relabeled", "pass" -> "2"), remove = Set.empty)
+    assert(n == 2)
+
+    val after = baseFileFingerprints(store)
+    assert(after == before,
+      "a label PATCH must not touch base parquet files (paths, sizes, mtimes, bytes)")
+    // ...and the patch is visible through the read seam
+    val ls = labelsOf(store)
+    assert(ls(1L) == Map("q" -> "relabeled", "pass" -> "2"))
+    assert(ls(2L) == Map("q" -> "relabeled", "pass" -> "2"))
+    assert(ls(day + 3L) == Map("q" -> "high"))
+  }
+
+  test("stacked PATCHes: the latest patch wins per record, merges accumulate") {
+    val store = newStore()
+    store.write(recordsDf(Seq(("e", 1L, Map("a" -> "0", "drop" -> "x")))))
+    store.updateLabels(QuerySpec(), set = Map("a" -> "1")): Unit
+    store.updateLabels(QuerySpec(), set = Map("b" -> "2"), remove = Set("drop")): Unit
+    store.updateLabels(QuerySpec(), set = Map("a" -> "3")): Unit
+    assert(labelsOf(store)(1L) == Map("a" -> "3", "b" -> "2"))
+    assert(store.overlayRowCount() == 3L)
+  }
+
+  test("fold threshold: overlay compacts into base and purges; labels survive") {
+    val store = newStore()
+    store.write(recordsDf(Seq(
+      ("e", 1L, Map("v" -> "0")), ("e", day + 2L, Map("v" -> "0")))))
+    store.overlayFoldThreshold = 1L
+    store.updateLabels(QuerySpec(), set = Map("v" -> "1")): Unit // 2 rows > 1 → folds
+    assert(store.overlayRowCount() == 0L,
+      "past the threshold the overlay must fold into the base files")
+    assert(labelsOf(store) ==
+      Map(1L -> Map("v" -> "1"), (day + 2L) -> Map("v" -> "1")))
+    // explicit fold on an empty overlay is a no-op
+    assert(store.foldLabelOverlay() == 0L)
+  }
+
+  test("explicit foldLabelOverlay compacts below the threshold too") {
+    val store = newStore()
+    store.write(recordsDf(Seq(("e", 1L, Map("v" -> "0")))))
+    store.updateLabels(QuerySpec(), set = Map("v" -> "1")): Unit
+    assert(store.overlayRowCount() == 1L)
+    assert(store.foldLabelOverlay() == 1L)
+    assert(store.overlayRowCount() == 0L)
+    assert(labelsOf(store)(1L) == Map("v" -> "1"))
+    // base now carries the folded labels: a fresh store on the same root
+    // (no overlay state) reads them from the files alone
+    val reopened = new BucketStore(spark, store.root)
+    assert(labelsOf(reopened)(1L) == Map("v" -> "1"))
+  }
+
+  test("remove-then-rewrite a patched ts never resurrects stale overlay labels") {
+    val store = newStore()
+    store.write(recordsDf(Seq(("e", 1L, Map("v" -> "old")))))
+    store.updateLabels(QuerySpec(), set = Map("v" -> "patched")): Unit
+    assert(store.removeQuery(QuerySpec()) == 1L)
+    assert(store.overlayRowCount() == 0L,
+      "removing a record must purge its overlay rows in the same swap")
+    store.write(recordsDf(Seq(("e", 1L, Map("v" -> "fresh")))))
+    assert(labelsOf(store)(1L) == Map("v" -> "fresh"))
+  }
+
+  test("updateLabelsBatch (io-v2 per-record deltas) goes through the overlay") {
+    val store = newStore()
+    store.write(recordsDf(Seq(
+      ("e", 1L, Map("a" -> "1", "x" -> "1")), ("e", 2L, Map("a" -> "2")))))
+    val before = baseFileFingerprints(store)
+    val n = store.updateLabelsBatch("b", Seq(
+      ("e", 1L, Map("b" -> "10"), Set("x")),
+      ("e", 2L, Map("b" -> "20"), Set.empty[String])))
+    assert(n == 2)
+    assert(baseFileFingerprints(store) == before)
+    val ls = labelsOf(store)
+    assert(ls(1L) == Map("a" -> "1", "b" -> "10"))
+    assert(ls(2L) == Map("a" -> "2", "b" -> "20"))
+  }
+
+  test("rename entry and rename bucket carry outstanding overlay labels") {
+    val store = newStore()
+    store.write(recordsDf(Seq(("e", 1L, Map("v" -> "0")))))
+    store.updateLabels(QuerySpec(), set = Map("v" -> "patched")): Unit
+    store.renameEntry("b", "e", "e2")
+    assert(labelsOf(store)(1L) == Map("v" -> "patched"))
+    store.renameBucket("b", "b2")
+    val r = store.table().collect()(0)
+    assert(r.getAs[String]("bucket") == "b2")
+    assert(r.getMap[String, String](r.fieldIndex("labels")).toMap ==
+      Map("v" -> "patched"))
+  }
+
+  test("lifecycle seq survives a store reopen (patches never regress the winner)") {
+    val store = newStore()
+    store.write(recordsDf(Seq(("e", 1L, Map("v" -> "0")))))
+    store.updateLabels(QuerySpec(), set = Map("v" -> "first")): Unit
+    // a new store instance on the same root must mint HIGHER seqs
+    val reopened = new BucketStore(spark, store.root)
+    reopened.updateLabels(QuerySpec(), set = Map("v" -> "second")): Unit
+    assert(labelsOf(reopened)(1L) == Map("v" -> "second"))
+  }
+
+  test("racing readers across PATCH + fold see whole snapshots, never a mix") {
+    val store = newStore()
+    store.write(recordsDf(Seq(
+      ("e", 1L, Map("v" -> "0")), ("e", day + 1L, Map("v" -> "0")))))
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    @volatile var done = false
+    val reader = Future {
+      val seen = Seq.newBuilder[Seq[String]]
+      while (!done) {
+        seen += store.readConsistent(
+          store.table().select(element_at(col("labels"), "v")).collect()
+            .map(_.getString(0)).toSeq)
+      }
+      seen.result()
+    }
+    for (i <- 1 to 3) {
+      store.updateLabels(QuerySpec(), set = Map("v" -> s"p$i")): Unit
+      if (i == 2) store.foldLabelOverlay(): Unit // overlay purge races reads too
+    }
+    done = true
+    val snapshots = Await.result(reader, 180.seconds)
+    assert(snapshots.nonEmpty)
+    for (s <- snapshots) {
+      assert(s.length == 2, s"reads must never lose rows mid-append/fold: $s")
+      assert(s.distinct.length == 1,
+        s"both partitions must show the same patch state, got $s")
+    }
+    assert(labelsOf(store).values.toSet == Set(Map("v" -> "p3")))
+  }
+}

@@ -76,32 +76,45 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     val df = recordsDf(Seq(("e", 1L, Map.empty[String, String], "p")))
     // pathological client: huge TTL, never fetches, never closes. Each
     // open compiles a plan (~10 ms), so the flood is sized at 10x the
-    // cap — the eviction invariant is per-open, independent of count.
+    // cap. Opens past the cap are REJECTED — never evict live cursors:
+    // LRU eviction would let the flood (freshest lastAccess) kill OTHER
+    // clients' valid cursors mid-drain (ADVICE r14 medium).
     val reg = new QueryRegistry(maxCursors = 64)
-    val ids = (1 to 640).map(_ =>
-      reg.open(() => df, QuerySpec(), ttlMs = Long.MaxValue / 2))
-    assert(reg.size <= 64, s"registry grew to ${reg.size}")
-    // the cap evicted least-recently-accessed (= oldest-opened here):
-    // the newest cursors survive, the earliest are gone
-    assert(reg.fetch(ids.last, 1).isDefined)
-    assert(reg.fetch(ids.head, 1).isEmpty)
+    val results = (1 to 640).map(_ => scala.util.Try(
+      reg.open(() => df, QuerySpec(), ttlMs = Long.MaxValue / 2)))
+    assert(reg.size == 64, s"registry holds ${reg.size}")
+    assert(results.take(64).forall(_.isSuccess), "first 64 opens admitted")
+    assert(results.drop(64).forall(r => r.isFailure &&
+      r.failed.get.isInstanceOf[QueryRegistry.TooManyQueriesException]),
+      "opens at the cap must be rejected, not displace live cursors")
+    // the EARLIEST cursors survive the flood — the victim's query drains
+    assert(reg.fetch(results.head.get, 1).isDefined)
     // expired cursors are actually freed on the next open/fetch sweep
     val reg2 = new QueryRegistry(maxCursors = 1000)
     (1 to 50).foreach(_ => reg2.open(() => df, QuerySpec(), ttlMs = 1L))
     Thread.sleep(5)
     reg2.open(() => df, QuerySpec()): Unit
     assert(reg2.size == 1, s"expired cursors not freed: ${reg2.size}")
+    // ...and an at-cap open succeeds once an expired cursor frees a slot
+    val reg4 = new QueryRegistry(maxCursors = 2)
+    reg4.open(() => df, QuerySpec(), ttlMs = Long.MaxValue / 2): Unit
+    reg4.open(() => df, QuerySpec(), ttlMs = 1L): Unit
+    Thread.sleep(5)
+    reg4.open(() => df, QuerySpec()): Unit // expired slot swept, admitted
+    assert(reg4.size == 2)
     // CONCURRENT floods cannot overshoot: the check-then-put runs under
     // the cap lock (a race here was a review finding — n threads at
     // size == cap-1 could all pass the check and land cap+n-1)
     val reg3 = new QueryRegistry(maxCursors = 16)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     val peak = new java.util.concurrent.atomic.AtomicInteger(0)
+    val admitted = new java.util.concurrent.atomic.AtomicInteger(0)
     try {
       val futs = (1 to 8).map { _ =>
         pool.submit(new Runnable {
           def run(): Unit = (1 to 25).foreach { _ =>
-            reg3.open(() => df, QuerySpec(), ttlMs = Long.MaxValue / 2)
+            try { reg3.open(() => df, QuerySpec(), ttlMs = Long.MaxValue / 2); admitted.incrementAndGet() }
+            catch { case _: QueryRegistry.TooManyQueriesException => () }
             peak.getAndAccumulate(reg3.size, math.max)
           }
         })
@@ -109,7 +122,23 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       futs.foreach(_.get())
     } finally pool.shutdown()
     assert(peak.get() <= 16, s"concurrent opens overshot the cap: ${peak.get()}")
-    assert(reg3.size <= 16)
+    assert(admitted.get() == 16, s"exactly cap admissions, got ${admitted.get()}")
+    assert(reg3.size == 16)
+  }
+
+  test("query registry: expiry racing an in-flight fetch is clean — no deadlock, next fetch is None") {
+    val df = recordsDf((1 to 8).map(i => ("e", i.toLong, Map.empty[String, String], "p")))
+    val reg = new QueryRegistry(maxCursors = 4)
+    val id = reg.open(() => df, QuerySpec(), ttlMs = 1500L)
+    // first fetch drains some rows and refreshes lastAccess (TTL is wide
+    // enough that plan compilation before this fetch can't expire it)
+    assert(reg.fetch(id, 2).get.size == 2)
+    Thread.sleep(1800) // cursor expires while idle
+    // a sweep triggered by ANOTHER open frees the slot concurrently with
+    // this fetch — fetch must fail cleanly (None), never deadlock
+    reg.open(() => df, QuerySpec()): Unit
+    assert(reg.fetch(id, 2).isEmpty, "expired cursor's fetch returns None")
+    assert(reg.size == 1)
   }
 
   test("query links round-trip, reject tamper and expiry") {
