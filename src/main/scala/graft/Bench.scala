@@ -96,6 +96,12 @@ object Bench {
       // sequence twice on two fresh stores. Staging is inside the guard:
       // a bad events schema degrades the w_* family, not the whole bench.
       try {
+        // NOTE: this plan is IDENTICAL to SparkEntry's staged events table,
+        // so Spark's CacheManager dedups them into one entry — and an
+        // unpersist() here would evict that shared entry, silently
+        // de-staging every events query in later passes (measured: q_logic
+        // 0.45 → 2.2 s/run, PassDegradeProbe). Leave it cached: the entry
+        // IS the staging later passes want warm.
         val records = Records.fromEvents(
           spark.read.parquet(s"$sfDir/events.parquet")).cache()
         records.count()
@@ -116,7 +122,6 @@ object Bench {
             store.removeQuery(QuerySpec(when = Some("""{"$each_n": 2}"""))): Unit
           }
         }
-        records.unpersist()
       } catch { case e: Throwable =>
         System.err.println(s"[bench] workload staging failed: ${e.getMessage}")
         errors("w_staging") = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)

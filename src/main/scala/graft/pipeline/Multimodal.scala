@@ -52,17 +52,43 @@ object Multimodal {
     h
   }
 
+  /** Raster-size admission bound: 64 MP ≈ 192 MB for a 3-band byte
+    * raster. A corrupt/forged header declaring absurd dimensions must be
+    * rejected BEFORE the decoder allocates the raster — on an untrusted
+    * 100 TB corpus one such payload per partition would OOM executors.
+    * Real corpora sit orders of magnitude below this. */
+  private val MaxImagePixels = 64L * 1024 * 1024
+
+  /** ImageIO decode with a header-first dimension check: the reader
+    * parses width/height from the container header (no raster alloc),
+    * insane declared dims → null (opaque fallback), then the bounded
+    * raster decodes. Null for undecodable/empty payloads. */
+  private def readImageBounded(payload: Array[Byte]): BufferedImage = {
+    if (payload.length == 0) return null
+    try {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return null
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          val w = r.getWidth(0).toLong
+          val h = r.getHeight(0).toLong
+          if (w <= 0 || h <= 0 || w * h > MaxImagePixels) null
+          else r.read(0)
+        } finally r.dispose()
+      } finally iis.close()
+    } catch { case NonFatal(_) => null } // corrupt container: treat as opaque
+  }
+
   /** Decode one payload: real ImageIO decode when a codec claims the
     * bytes, hash-derived fallback (decode_ok = false) otherwise. The
     * fallback dimensions are a deterministic function of the bytes so
     * opaque-payload pipelines stay reproducible end-to-end. */
   def decode(payload: Array[Byte]): Row = {
     val h = byteHash(payload)
-    val img =
-      if (payload.length == 0) null
-      else
-        try ImageIO.read(new ByteArrayInputStream(payload))
-        catch { case NonFatal(_) => null } // corrupt container: treat as opaque
+    val img = readImageBounded(payload)
     if (img == null) {
       val w = 64 + math.floorMod(h, 1024).toInt
       val ht = 64 + math.floorMod(h >> 10, 1024).toInt
@@ -97,11 +123,7 @@ object Multimodal {
     * within `maxDim` pass through unchanged. */
   def resizeImage(payload: Array[Byte], maxDim: Int,
       format: String = "png"): Array[Byte] = {
-    val img =
-      if (payload.length == 0) null
-      else
-        try ImageIO.read(new ByteArrayInputStream(payload))
-        catch { case NonFatal(_) => null }
+    val img = readImageBounded(payload)
     if (img == null) return payload
     val w = img.getWidth; val h = img.getHeight
     val m = math.max(w, h)
@@ -144,11 +166,7 @@ object Multimodal {
   /** Single-decode kernel behind [[resizeFeatures]]. */
   def resizeAndDescribe(payload: Array[Byte], maxDim: Int,
       format: String): (Array[Byte], Row) = {
-    val img =
-      if (payload.length == 0) null
-      else
-        try ImageIO.read(new ByteArrayInputStream(payload))
-        catch { case NonFatal(_) => null }
+    val img = readImageBounded(payload)
     if (img == null) { // opaque: pass through, hash-derived pseudo-dims
       val h = byteHash(payload)
       val w = 64 + math.floorMod(h, 1024).toInt

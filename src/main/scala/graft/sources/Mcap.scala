@@ -76,6 +76,18 @@ object Mcap {
       lit(graft.core.Records.State.Finished).as("state"),
       col("payload"))
 
+  /** Upper bound on a chunk's declared uncompressed size (the
+    * decompressor allocates it upfront). Real MCAP chunks are megabytes;
+    * the bound only rejects forged headers. */
+  private val MaxChunkBytes = 256L * 1024 * 1024
+
+  /** Test seam: parse raw MCAP bytes driver-side (the same iterator the
+    * distributed `read` runs per file) — lets robustness fuzzing hit the
+    * parser without a Spark job per case. */
+  private[graft] def parseBytes(name: String, bytes: Array[Byte]): Seq[Row] =
+    new MessageIterator(name, new DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))).toVector
+
   // ---------------------------------------------------------- opcodes
   private val OpHeader = 0x01
   private val OpFooter = 0x02
@@ -129,8 +141,12 @@ object Mcap {
           }
         }
       } catch {
-        case _: EOFException | _: IllegalArgumentException =>
-          finish() // truncated/corrupt tail: keep the parsed prefix
+        // truncated/corrupt tail: keep the parsed prefix. NonFatal, not
+        // just EOF/IAE — fuzzed size fields reach BufferUnderflow /
+        // NegativeArraySize / zstd errors through decodeChunk, and a
+        // corrupt record must degrade to a damage-bounded short read,
+        // never a task failure (r15 decoder-robustness pass)
+        case scala.util.control.NonFatal(_) => finish()
       }
 
     private def finish(): Unit = { done = true; in.close() }
@@ -191,6 +207,13 @@ object Mcap {
       buf.getInt // crc (not verified on the scan path)
       val compression = getString(buf)
       val recLen = buf.getLong
+      // a lying records-length can't exceed the bytes actually present
+      require(recLen >= 0 && recLen <= buf.remaining(),
+        s"chunk records length $recLen > ${buf.remaining()} available")
+      // decompression allocates uncompressedSize upfront — bound it so a
+      // forged header can't request multi-GB (real chunks are ~MBs)
+      require(uncompressedSize >= 0 && uncompressedSize <= MaxChunkBytes,
+        s"chunk uncompressed size $uncompressedSize")
       val comp = new Array[Byte](recLen.toInt)
       buf.get(comp)
       val records: Array[Byte] = compression match {
@@ -241,11 +264,22 @@ object Mcap {
       le(b).getLong
     }
 
+    /** Read exactly `len` bytes — INCREMENTALLY (64 KiB steps), so a
+      * lying length field in a corrupt file can't force a multi-GB
+      * upfront allocation; a truncated stream EOFs having buffered only
+      * the bytes that exist. */
     private def readN(in: DataInputStream, len: Long): Array[Byte] = {
-      require(len >= 0 && len <= Int.MaxValue, s"record length $len")
-      val b = new Array[Byte](len.toInt)
-      in.readFully(b)
-      b
+      require(len >= 0 && len <= Int.MaxValue - 8, s"record length $len")
+      val out = new java.io.ByteArrayOutputStream(math.min(len, 1L << 16).toInt)
+      val tmp = new Array[Byte](1 << 16)
+      var left = len
+      while (left > 0) {
+        val n = in.read(tmp, 0, math.min(left, tmp.length.toLong).toInt)
+        if (n < 0) throw new EOFException(s"truncated record: $left of $len left")
+        out.write(tmp, 0, n)
+        left -= n
+      }
+      out.toByteArray
     }
 
     private def skipN(in: DataInputStream, len: Long): Unit = {

@@ -50,6 +50,13 @@ object Warc {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Test seam: parse raw WARC bytes driver-side (the same iterator the
+    * distributed `read` runs per file) — lets robustness fuzzing hit the
+    * parser without a Spark job per case. */
+  private[graft] def parseBytes(name: String, bytes: Array[Byte]): Seq[Row] =
+    new RecordIterator(name, new DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))).toVector
+
   /** Only `response` records, HTTP envelope split off: `http_status` from
     * the status line, `payload` = the HTTP body, `content_type` from the
     * HTTP headers (falling back to the WARC header). */
@@ -79,8 +86,12 @@ object Warc {
         val headers = readHeaderBlock(in)
         if (headers == null) { done = true; in.close(); return }
         val len = headers.getOrElse("content-length", "0").trim.toLong
-        val body = new Array[Byte](len.toInt)
-        in.readFully(body)
+        // reject lying lengths BEFORE allocating (a negative value would
+        // NegativeArraySize, 2^32 would truncate to 0 and desync, 2 GB
+        // would allocate upfront for a possibly tiny stream)
+        if (len < 0 || len > Int.MaxValue - 8)
+          throw new NumberFormatException(s"content-length $len")
+        val body = readFullyN(in, len.toInt)
         skipCrlfs(in)
         val warcType = headers.getOrElse("warc-type", "")
         var status: Integer = null
@@ -103,9 +114,27 @@ object Warc {
           headers.getOrElse("warc-date", ""),
           status, contentType, payload)
       } catch {
-        case _: EOFException | _: NumberFormatException =>
-          done = true; in.close() // truncated tail: keep the parsed prefix
+        // truncated/corrupt tail: keep the parsed prefix — damage is
+        // bounded to a short read, never a task failure (NonFatal, not
+        // just EOF/NumberFormat: fuzzed records reach other throw sites)
+        case scala.util.control.NonFatal(_) => done = true; in.close()
       }
+
+    /** Read exactly `len` bytes incrementally (64 KiB steps): a lying
+      * content-length can't force a multi-GB upfront allocation, and a
+      * truncated stream EOFs holding only the bytes that exist. */
+    private def readFullyN(in: InputStream, len: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(math.min(len, 1 << 16))
+      val tmp = new Array[Byte](1 << 16)
+      var left = len
+      while (left > 0) {
+        val n = in.read(tmp, 0, math.min(left, tmp.length))
+        if (n < 0) throw new EOFException(s"truncated body: $left of $len left")
+        out.write(tmp, 0, n)
+        left -= n
+      }
+      out.toByteArray
+    }
 
     /** Reads the `WARC/…` version line + headers up to the blank line;
       * null at clean end-of-stream. Header names are lower-cased. */
