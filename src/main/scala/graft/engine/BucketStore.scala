@@ -245,16 +245,40 @@ final class BucketStore(val spark: SparkSession, val root: String) {
       if (r.isNullAt(0)) 0L else r.getLong(0)
     })
 
+  /** Latest-patch-per-key overlay aggregation, PERSISTED and cached
+    * against [[dataVersion]]: every query over a patched store joins
+    * this frame, so recomputing the agg per query would tax the whole
+    * read path. Mutators that change the overlay INSIDE a mutation
+    * (before the version bump) invalidate eagerly — see
+    * [[invalidateOverlayAgg]] call sites; serving a pre-append agg to
+    * the fold would silently drop the just-appended patch. */
+  private val ovAggCache =
+    new java.util.concurrent.atomic.AtomicReference[(Long, DataFrame)]()
+
+  private def invalidateOverlayAgg(): Unit = {
+    val prev = ovAggCache.getAndSet(null)
+    if (prev != null) prev._2.unpersist(false)
+  }
+
+  private def overlayLatest(): DataFrame = {
+    val v0 = dataVersion
+    val hit = ovAggCache.get
+    if (hit != null && hit._1 == v0) return hit._2
+    val ov = overlayTableRaw()
+      .groupBy("bucket", "entry", "ts")
+      .agg(max_by(col("labels"), col("seq")).as("__ov_labels"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prev = ovAggCache.getAndSet((v0, ov))
+    if (prev != null && (prev._2 ne ov)) prev._2.unpersist(false)
+    ov
+  }
+
   private def applyOverlay(base: DataFrame): DataFrame =
     if (overlayFileCount() == 0L) base
-    else {
-      val ov = overlayTableRaw()
-        .groupBy("bucket", "entry", "ts")
-        .agg(max_by(col("labels"), col("seq")).as("__ov_labels"))
-      base.join(broadcast(ov), Seq("bucket", "entry", "ts"), "left")
+    else
+      base.join(broadcast(overlayLatest()), Seq("bucket", "entry", "ts"), "left")
         .withColumn("labels", coalesce(col("__ov_labels"), col("labels")))
         .drop("__ov_labels")
-    }
 
   /** Append overlay rows (`bucket, entry, ts, labels, seq`) via staged
     * write + rename-in: the parquet job runs outside the epoch window,
@@ -291,6 +315,7 @@ final class BucketStore(val spark: SparkSession, val root: String) {
       }
     } finally {
       rewriteEpochCounter.incrementAndGet() // even: settled
+      invalidateOverlayAgg() // the overlay changed mid-mutation
       try fs.delete(stage, true)
       catch { case NonFatal(e) =>
         System.err.println(s"[store] overlay stage GC failed, leaking $stage: $e") }
@@ -306,6 +331,7 @@ final class BucketStore(val spark: SparkSession, val root: String) {
       fs.delete(new org.apache.hadoop.fs.Path(
         s"$root/$LabelsDir/bucket=${escapePartition(b)}/entry=${escapePartition(e)}/dt=$d"),
         true): Unit
+    invalidateOverlayAgg() // the overlay changed mid-mutation
   }
 
   /** Fold the label overlay into the base files: every partition with

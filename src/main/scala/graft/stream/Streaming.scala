@@ -39,7 +39,15 @@ object Streaming {
 
   /** Continuous query: stream of records matching the spec as they arrive
     * in the store. The compiled condition applies per micro-batch; row
-    * `when` semantics are identical to the batch path (same compiler). */
+    * `when` semantics are identical to the batch path (same compiler).
+    *
+    * Label PATCHes are NOT re-emitted: the file stream sees new BASE
+    * files only, and patches land in the hidden `_labels` overlay
+    * (BucketStore r15). Before the overlay this was accidentally worse —
+    * a patch REWROTE partitions, so the stream re-emitted every record
+    * of those partitions as spurious new-file rows; now a patch emits
+    * nothing, matching the batch cursors' reference semantics (a cursor
+    * serves records as written; label updates don't replay history). */
   def continuousQuery(store: BucketStore, spec: QuerySpec): DataFrame = {
     val stream = store.spark.readStream
       .schema(BucketStore.storedSchema)
