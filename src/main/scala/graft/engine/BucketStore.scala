@@ -254,6 +254,8 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     * the fold would silently drop the just-appended patch. */
   private val ovAggCache =
     new java.util.concurrent.atomic.AtomicReference[(Long, DataFrame)]()
+  /** Cache-rebuild count — observable by specs pinning one-agg-per-mutation. */
+  private[graft] val overlayAggBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private def invalidateOverlayAgg(): Unit = {
     val prev = ovAggCache.getAndSet(null)
@@ -264,6 +266,7 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     val v0 = dataVersion
     val hit = ovAggCache.get
     if (hit != null && hit._1 == v0) return hit._2
+    overlayAggBuilds.incrementAndGet()
     val ov = overlayTableRaw()
       .groupBy("bucket", "entry", "ts")
       .agg(max_by(col("labels"), col("seq")).as("__ov_labels"))

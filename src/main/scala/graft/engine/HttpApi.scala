@@ -34,6 +34,8 @@ import java.nio.charset.StandardCharsets.UTF_8
   */
 final class HttpApi(store: BucketStore, apiToken: String = "",
     port: Int = 0, queryTtlMs: Long = 60000L,
+    /** Live-cursor cap: opens past it are 429'd (QueryRegistry doc). */
+    maxCursors: Int = 8192,
     spoolThresholdBytes: Int = 1 << 20,
     ssl: Option[javax.net.ssl.SSLContext] = None,
     /** `RS_*` provisioning variables (cfg/provision); injectable so specs
@@ -51,7 +53,7 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
   import scala.jdk.CollectionConverters._
 
   val tokens = new TokenRepository(apiToken)
-  private val registry = new QueryRegistry(queryTtlMs)
+  private val registry = new QueryRegistry(queryTtlMs, maxCursors)
   // TLS when an SSLContext is supplied — the analog of the reference's
   // cert_path/cert_key_path settings (HTTPS server, cfg/mod.rs); the
   // JVM-idiomatic key source is a PKCS12 keystore ([[HttpApi.sslContext]])

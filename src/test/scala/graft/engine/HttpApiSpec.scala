@@ -536,6 +536,39 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
     } finally raceApi.stop()
   }
 
+  test("query opens past the cursor cap 429; live cursors keep draining (ADVICE r14)") {
+    val capStore = new BucketStore(spark,
+      Files.createTempDirectory("graft-http-cap").toString)
+    val capApi = new HttpApi(capStore, apiToken = "root-token", maxCursors = 2)
+    capApi.start()
+    try {
+      val p = capApi.boundPort
+      def creq(method: String, path: String,
+          body: Array[Byte] = Array.empty): HttpResponse[Array[Byte]] = {
+        val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/api/v1$path"))
+          .method(method, HttpRequest.BodyPublishers.ofByteArray(body))
+          .header("Authorization", "Bearer root-token")
+        client.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
+      }
+      assert(creq("POST", "/b/cb").statusCode() == 200)
+      assert(creq("POST", "/b/cb/e?ts=1000", "x".getBytes).statusCode() == 200)
+      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+      // two long-TTL cursors fill the cap
+      val id1 = (jsonOf(creq("POST", "/b/cb/e/q",
+        """{"ttl": 3600}""".getBytes)) \ "id").extract[Long]
+      val id2 = (jsonOf(creq("POST", "/b/cb/e/q",
+        """{"ttl": 3600}""".getBytes)) \ "id").extract[Long]
+      assert(id2 > id1)
+      // the flood is rejected with 429 — NOT admitted by evicting a
+      // victim's live cursor (the pre-r15 LRU eviction primitive)
+      for (_ <- 1 to 5)
+        assert(creq("POST", "/b/cb/e/q", """{"ttl": 3600}""".getBytes)
+          .statusCode() == 429)
+      // the earliest cursor still drains its query
+      assert(creq("GET", s"/b/cb/e/batch?q=$id1").statusCode() == 200)
+    } finally capApi.stop()
+  }
+
   test("list stays bounded at 10k entries: counts computed distributed") {
     import org.apache.spark.sql.functions._
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats

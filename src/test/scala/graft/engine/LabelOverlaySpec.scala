@@ -167,6 +167,22 @@ class LabelOverlaySpec extends AnyFunSuite with SparkTestBase {
     assert(labelsOf(reopened)(1L) == Map("v" -> "second"))
   }
 
+  test("overlay aggregation builds once per mutation, not per query") {
+    val store = newStore()
+    store.write(recordsDf(Seq(("e", 1L, Map("v" -> "0")), ("e", 2L, Map("v" -> "0")))))
+    store.updateLabels(QuerySpec(), set = Map("v" -> "1")): Unit
+    val b0 = store.overlayAggBuilds.get()
+    (1 to 5).foreach(_ => store.table().count(): Unit)
+    assert(store.overlayAggBuilds.get() == b0 + 1,
+      "five reads over one overlay state must build the agg exactly once")
+    // a new PATCH invalidates: the next read rebuilds exactly once more
+    store.updateLabels(QuerySpec(), set = Map("v" -> "2")): Unit
+    (1 to 3).foreach(_ => store.table().count(): Unit)
+    assert(store.overlayAggBuilds.get() <= b0 + 3, // patch itself may build once
+      s"reads after one more patch rebuilt too often: ${store.overlayAggBuilds.get() - b0}")
+    assert(labelsOf(store).values.toSet == Set(Map("v" -> "2")))
+  }
+
   test("racing readers across PATCH + fold see whole snapshots, never a mix") {
     val store = newStore()
     store.write(recordsDf(Seq(
