@@ -465,11 +465,32 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     try {
       val n = patched.count() // also materializes the persist for reuse
       if (n == 0) return 0
-      appendOverlay(patched)
-      if (overlayRowCount() > overlayFoldThreshold) foldOverlayLocked(): Unit
+      applyPatch(patched, n)
       n
     } finally patched.unpersist()
   }
+
+  /** Route a computed patch (key + merged labels + seq): small patches
+    * append to the overlay (payload untouched — the common curation
+    * shape); a patch ALREADY past the fold threshold would append and
+    * immediately fold — strictly more work than rewriting once — so bulk
+    * patches take the direct pruned-partition rewrite (folding any older
+    * overlay rows for those partitions in the same swap, since
+    * [[prunedPartitionScan]] is effective and the new labels override). */
+  private def applyPatch(patched: DataFrame, n: Long): Unit =
+    if (n <= overlayFoldThreshold) {
+      appendOverlay(patched)
+      if (overlayRowCount() > overlayFoldThreshold) foldOverlayLocked(): Unit
+    } else {
+      val affected = collectAffected(patched.select("bucket", "entry", "ts"))
+      val rewritten = prunedPartitionScan(affected)
+        .join(patched.drop("seq").withColumnRenamed("labels", "__new_labels"),
+          Seq("bucket", "entry", "ts"), "left")
+        .withColumn("labels", coalesce(col("__new_labels"), col("labels")))
+        .drop("__new_labels")
+      overwritePartitions(rewritten,
+        extraSwapActions = () => purgeOverlayDirs(affected))
+    }
 
   /** Query-as-delete (remove_records.rs:62-160): rewrite only affected
     * partitions without the matching rows; returns removed count. */
@@ -542,8 +563,7 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     try {
       val n = patched.count()
       if (n == 0) return 0
-      appendOverlay(patched)
-      if (overlayRowCount() > overlayFoldThreshold) foldOverlayLocked(): Unit
+      applyPatch(patched, n)
       n
     } finally patched.unpersist()
   }

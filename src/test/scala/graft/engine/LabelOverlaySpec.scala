@@ -167,6 +167,29 @@ class LabelOverlaySpec extends AnyFunSuite with SparkTestBase {
     assert(labelsOf(reopened)(1L) == Map("v" -> "second"))
   }
 
+  test("bulk PATCH past the threshold rewrites directly — no pointless append+fold") {
+    val store = newStore()
+    store.write(recordsDf(Seq(
+      ("e", 1L, Map("v" -> "0")), ("e", 2L, Map("v" -> "0")),
+      ("e", day + 3L, Map("v" -> "0")))))
+    // an outstanding small patch first — the bulk rewrite must fold it
+    store.updateLabels(QuerySpec(when = Some("""{"$eq": ["$timestamp", 1]}""")),
+      set = Map("old" -> "patch")): Unit
+    assert(store.overlayRowCount() == 1L)
+    store.overlayFoldThreshold = 2L
+    val n = store.updateLabels(QuerySpec(), set = Map("v" -> "bulk")) // 3 > 2
+    assert(n == 3)
+    assert(store.overlayRowCount() == 0L,
+      "bulk path must leave no overlay (direct rewrite + purge)")
+    val ls = labelsOf(store)
+    assert(ls(1L) == Map("v" -> "bulk", "old" -> "patch"),
+      "bulk rewrite folds the outstanding small patch and applies the new one")
+    assert(ls(2L) == Map("v" -> "bulk") && ls(day + 3L) == Map("v" -> "bulk"))
+    // and it actually wrote base files: a reopened store (no overlay)
+    // reads the bulk labels from the files alone
+    assert(labelsOf(new BucketStore(spark, store.root))(2L) == Map("v" -> "bulk"))
+  }
+
   test("overlay aggregation builds once per mutation, not per query") {
     val store = newStore()
     store.write(recordsDf(Seq(("e", 1L, Map("v" -> "0")), ("e", 2L, Map("v" -> "0")))))
