@@ -235,6 +235,22 @@ final class BucketStore(val spark: SparkSession, val root: String) {
   private[graft] def overlayRowCount(): Long =
     if (overlayFileCount() == 0L) 0L else overlayTableRaw().count()
 
+  /** Driver-side overlay row count: -1 = unknown (re-seeded by the next
+    * MUTATOR under the write lock — readers never write it, a racing
+    * reader's stale seed could mask live patches). Keeps the per-patch
+    * fold-threshold check and the per-read has-overlay gate O(1)
+    * instead of a Spark count job / fs walk per call (review r15): the
+    * count only runs on the first patch of a store instance or after a
+    * partial purge left the count unknown. */
+  private val overlayRowsApprox = new java.util.concurrent.atomic.AtomicLong(-1L)
+
+  /** Exact overlay rows, from the driver counter when known (mutator
+    * callers only — runs a count job to re-seed when unknown). */
+  private def knownOverlayRows(): Long = {
+    val v = overlayRowsApprox.get
+    if (v >= 0L) v else overlayRowCount()
+  }
+
   /** Monotone patch sequence; persisted implicitly in overlay rows and
     * re-seeded from max(seq) on the first overlay op of a store instance
     * (a restart must not mint seqs below live overlay rows). */
@@ -246,42 +262,66 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     })
 
   /** Latest-patch-per-key overlay aggregation, PERSISTED and cached
-    * against [[dataVersion]]: every query over a patched store joins
-    * this frame, so recomputing the agg per query would tax the whole
-    * read path. Mutators that change the overlay INSIDE a mutation
-    * (before the version bump) invalidate eagerly — see
-    * [[invalidateOverlayAgg]] call sites; serving a pre-append agg to
-    * the fold would silently drop the just-appended patch. */
+    * against an OVERLAY EPOCH — a counter bumped by every overlay
+    * change, INCLUDING mid-mutation ones. dataVersion would be the
+    * wrong key (review r15): it only advances when a mutation EXITS, so
+    * a lock-free reader that built the agg before an append could
+    * re-install the stale agg after the mutator's invalidation, still
+    * keyed "current" — and the fold would then consume it and
+    * permanently drop the just-appended patch. With the epoch key, a
+    * build that observed a pre-change epoch can never install after the
+    * change (CAS guard below), and the fold always sees a fresh agg. */
+  private val overlayEpochCounter = new java.util.concurrent.atomic.AtomicLong(0L)
   private val ovAggCache =
     new java.util.concurrent.atomic.AtomicReference[(Long, DataFrame)]()
   /** Cache-rebuild count — observable by specs pinning one-agg-per-mutation. */
   private[graft] val overlayAggBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Retired aggs unpersist IMMEDIATELY — deferring is NOT safe here:
+    * Spark's InMemoryFileIndex compares by rootPaths, so a fresh agg
+    * over the same `_labels` root canonicalizes EQUAL to the retired
+    * one; while the retired generation is still registered,
+    * `persist()` on the new agg is a no-op ("already cached") and
+    * CacheManager substitutes the RETIRED generation's data into every
+    * new-agg query — stale labels served as current (observed: a
+    * reopened store kept serving the first patch). The cost of
+    * immediacy is bounded: a registry cursor mid-drain racing an
+    * overlay mutation may recompute evicted agg blocks from purged
+    * files and fail — the same documented cursor-vs-mutation class as
+    * partition swaps (cursors bypass readConsistent by design). */
   private def invalidateOverlayAgg(): Unit = {
+    overlayEpochCounter.incrementAndGet() // FIRST: stale builds can't install
     val prev = ovAggCache.getAndSet(null)
     if (prev != null) prev._2.unpersist(false)
   }
 
   private def overlayLatest(): DataFrame = {
-    val v0 = dataVersion
+    val e0 = overlayEpochCounter.get
     val hit = ovAggCache.get
-    if (hit != null && hit._1 == v0) return hit._2
+    if (hit != null && hit._1 == e0) return hit._2
     overlayAggBuilds.incrementAndGet()
     val ov = overlayTableRaw()
       .groupBy("bucket", "entry", "ts")
       .agg(max_by(col("labels"), col("seq")).as("__ov_labels"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val prev = ovAggCache.getAndSet((v0, ov))
-    if (prev != null && (prev._2 ne ov)) prev._2.unpersist(false)
-    ov
+    // install only if no overlay change overlapped the build — a raced
+    // build is still correct to RETURN (the caller's own consistency
+    // comes from readConsistent), just never to CACHE
+    if (overlayEpochCounter.get != e0) return ov
+    val p = ov.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (overlayEpochCounter.get == e0 && ovAggCache.compareAndSet(hit, (e0, p))) p
+    else { p.unpersist(false); p } // lost the install race (see doc above)
   }
 
-  private def applyOverlay(base: DataFrame): DataFrame =
-    if (overlayFileCount() == 0L) base
+  private def applyOverlay(base: DataFrame): DataFrame = {
+    // O(1) gate when the driver counter is known; fs fallback otherwise
+    val known = overlayRowsApprox.get
+    val has = if (known >= 0L) known > 0L else overlayFileCount() > 0L
+    if (!has) base
     else
       base.join(broadcast(overlayLatest()), Seq("bucket", "entry", "ts"), "left")
         .withColumn("labels", coalesce(col("__ov_labels"), col("labels")))
         .drop("__ov_labels")
+  }
 
   /** Append overlay rows (`bucket, entry, ts, labels, seq`) via staged
     * write + rename-in: the parquet job runs outside the epoch window,
@@ -330,10 +370,23 @@ final class BucketStore(val spark: SparkSession, val root: String) {
   private[graft] def purgeOverlayDirs(
       affected: Iterable[(String, String, String)]): Unit = {
     val fs = overlayRootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    for ((b, e, d) <- affected)
-      fs.delete(new org.apache.hadoop.fs.Path(
-        s"$root/$LabelsDir/bucket=${escapePartition(b)}/entry=${escapePartition(e)}/dt=$d"),
-        true): Unit
+    for ((b, e, d) <- affected) {
+      val dtDir = new org.apache.hadoop.fs.Path(
+        s"$root/$LabelsDir/bucket=${escapePartition(b)}/entry=${escapePartition(e)}/dt=$d")
+      fs.delete(dtDir, true)
+      // GC empty parent skeletons so the overlay-gate walk never grows
+      // with dead entry/bucket dirs (review r15)
+      try {
+        val entryDir = dtDir.getParent
+        if (fs.exists(entryDir) && fs.listStatus(entryDir).isEmpty) {
+          fs.delete(entryDir, false)
+          val bucketDir = entryDir.getParent
+          if (fs.exists(bucketDir) && fs.listStatus(bucketDir).isEmpty)
+            fs.delete(bucketDir, false): Unit
+        }
+      } catch { case NonFatal(_) => () } // GC only; never fail the swap
+    }
+    overlayRowsApprox.set(-1L) // partial purge: count unknown until re-seeded
     invalidateOverlayAgg() // the overlay changed mid-mutation
   }
 
@@ -345,12 +398,13 @@ final class BucketStore(val spark: SparkSession, val root: String) {
   def foldLabelOverlay(): Long = mutating { foldOverlayLocked() }
 
   private def foldOverlayLocked(): Long = {
-    val n = overlayRowCount()
+    val n = knownOverlayRows()
     if (n == 0L) return 0L
     val affected = collectAffected(overlayTableRaw().select("bucket", "entry", "ts"))
     val rewritten = prunedPartitionScan(affected) // effective labels
     overwritePartitions(rewritten,
       extraSwapActions = () => purgeOverlayDirs(affected))
+    overlayRowsApprox.set(0L) // fold purged every overlay partition
     n
   }
 
@@ -479,8 +533,10 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     * [[prunedPartitionScan]] is effective and the new labels override). */
   private def applyPatch(patched: DataFrame, n: Long): Unit =
     if (n <= overlayFoldThreshold) {
+      val before = knownOverlayRows() // O(1) once seeded
       appendOverlay(patched)
-      if (overlayRowCount() > overlayFoldThreshold) foldOverlayLocked(): Unit
+      overlayRowsApprox.set(before + n)
+      if (before + n > overlayFoldThreshold) foldOverlayLocked(): Unit
     } else {
       val affected = collectAffected(patched.select("bucket", "entry", "ts"))
       val rewritten = prunedPartitionScan(affected)
@@ -531,8 +587,18 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     * applies them all (a per-record loop would rewrite partitions k
     * times). Returns the number of records found and patched. */
   def updateLabelsBatch(bucket: String,
-      updates: Seq[(String, Long, Map[String, String], Set[String])]): Long = mutating {
-    if (updates.isEmpty) return 0
+      updates0: Seq[(String, Long, Map[String, String], Set[String])]): Long = mutating {
+    if (updates0.isEmpty) return 0
+    // compose duplicate (entry, ts) deltas IN ORDER before the join —
+    // the inner join would otherwise emit same-seq overlay rows with a
+    // nondeterministic winner and an inflated match count (review r15).
+    // Composition: later sets win, later removes drop earlier sets,
+    // a later set resurrects an earlier remove (apply-in-order).
+    val updates = updates0.groupBy(u => (u._1, u._2)).values.map { vs =>
+      vs.reduce { (a, b) =>
+        (a._1, a._2, (a._3 -- b._4) ++ b._3, (a._4 ++ b._4) -- b._3.keySet)
+      }
+    }.toSeq
     import scala.jdk.CollectionConverters._
     val patchSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.StringType),
@@ -767,19 +833,22 @@ final class BucketStore(val spark: SparkSession, val root: String) {
 
   private def removeEntryFiles(bucket: String, entry: String): Unit = {
     val path = new org.apache.hadoop.fs.Path(
-      s"$root/bucket=$bucket/entry=${escapePartition(entry)}")
+      s"$root/bucket=${escapePartition(bucket)}/entry=${escapePartition(entry)}")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(path, true)
     // mirror overlay subtree goes with the entry (live-records invariant)
     fs.delete(new org.apache.hadoop.fs.Path(
-      s"$root/$LabelsDir/bucket=$bucket/entry=${escapePartition(entry)}"), true): Unit
+      s"$root/$LabelsDir/bucket=${escapePartition(bucket)}/entry=${escapePartition(entry)}"),
+      true)
+    overlayRowsApprox.set(-1L)
+    invalidateOverlayAgg()
   }
 
   /** Rename a bucket (storage/bucket rename): a directory move — no data
     * rewrite, the partition values live in the path. */
   def renameBucket(from: String, to: String): Unit = mutating {
-    val src = new org.apache.hadoop.fs.Path(s"$root/bucket=$from")
-    val dst = new org.apache.hadoop.fs.Path(s"$root/bucket=$to")
+    val src = new org.apache.hadoop.fs.Path(s"$root/bucket=${escapePartition(from)}")
+    val dst = new org.apache.hadoop.fs.Path(s"$root/bucket=${escapePartition(to)}")
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(src))
       throw new NoSuchElementException(s"Bucket '$from' is not found")
@@ -787,20 +856,26 @@ final class BucketStore(val spark: SparkSession, val root: String) {
       throw new IllegalArgumentException(s"Bucket '$to' already exists")
     if (!fs.rename(src, dst))
       throw new IllegalStateException(s"rename failed: $src -> $dst")
-    val ovSrc = new org.apache.hadoop.fs.Path(s"$root/$LabelsDir/bucket=$from")
+    val ovSrc = new org.apache.hadoop.fs.Path(
+      s"$root/$LabelsDir/bucket=${escapePartition(from)}")
     if (fs.exists(ovSrc)) {
-      val ovDst = new org.apache.hadoop.fs.Path(s"$root/$LabelsDir/bucket=$to")
+      val ovDst = new org.apache.hadoop.fs.Path(
+        s"$root/$LabelsDir/bucket=${escapePartition(to)}")
       fs.mkdirs(ovDst.getParent)
       fs.rename(ovSrc, ovDst): Unit // overlay keys carry the bucket name in the path
     }
+    invalidateOverlayAgg() // agg rows carry the old bucket name
   }
 
   def removeBucket(bucket: String): Unit = mutating {
-    val path = new org.apache.hadoop.fs.Path(s"$root/bucket=$bucket")
+    val path = new org.apache.hadoop.fs.Path(
+      s"$root/bucket=${escapePartition(bucket)}")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(path, true)
     fs.delete(new org.apache.hadoop.fs.Path(
-      s"$root/$LabelsDir/bucket=$bucket"), true): Unit
+      s"$root/$LabelsDir/bucket=${escapePartition(bucket)}"), true)
+    overlayRowsApprox.set(-1L)
+    invalidateOverlayAgg()
   }
 
   /** Bytes on disk per bucket (for quotas). */
@@ -825,7 +900,7 @@ final class BucketStore(val spark: SparkSession, val root: String) {
   }
 
   private def bucketPath(bucket: String) =
-    new org.apache.hadoop.fs.Path(s"$root/bucket=$bucket")
+    new org.apache.hadoop.fs.Path(s"$root/bucket=${escapePartition(bucket)}")
 
   private def cachedTreeBytes(key: String, mk: () => org.apache.hadoop.fs.Path): Long = {
     val v0 = dataVersion
@@ -850,7 +925,8 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     * the reference's storage unit, parquet files are ours). One
     * filesystem listing, no Spark job. */
   def entryStats(bucket: String): Map[String, (Long, Long)] = {
-    val bpath = new org.apache.hadoop.fs.Path(s"$root/bucket=$bucket")
+    val bpath = new org.apache.hadoop.fs.Path(
+      s"$root/bucket=${escapePartition(bucket)}")
     val fs = bpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(bpath)) return Map.empty
     fs.listStatus(bpath).iterator
@@ -867,6 +943,16 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     * Returns evicted partition count. */
   def enforceFifoQuota(bucket: String, maxBytes: Long): Int = mutating {
     var evicted = 0
+    // evictions drop overlay day-dirs too: count + agg cache must reset
+    // whichever exit path the loop takes (epoch-keyed cache, review r15)
+    try enforceFifoLoop(bucket, maxBytes, n => evicted = n)
+    finally if (evicted > 0) { overlayRowsApprox.set(-1L); invalidateOverlayAgg() }
+    evicted
+  }
+
+  private def enforceFifoLoop(bucket: String, maxBytes: Long,
+      report: Int => Unit): Unit = {
+    var evicted = 0
     // uncached: the loop shrinks the very size it re-checks, and the data
     // version only moves when this mutating block exits
     while (treeBytes(bucketPath(bucket)) > maxBytes) {
@@ -874,9 +960,10 @@ final class BucketStore(val spark: SparkSession, val root: String) {
         .filter(!col("entry").endsWith("/" + EntryPattern.MetaSegment) &&
           col("entry") =!= EntryPattern.MetaSegment)
         .agg(min(dtCol).as("dt")).collect()(0)
-      if (oldest.isNullAt(0)) return evicted
+      if (oldest.isNullAt(0)) return
       val dt = oldest.getDate(0).toString
-      val bpath = new org.apache.hadoop.fs.Path(s"$root/bucket=$bucket")
+      val bpath = new org.apache.hadoop.fs.Path(
+      s"$root/bucket=${escapePartition(bucket)}")
       val fs = bpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       // system $meta entries are never eviction candidates
       // (bucket/quotas.rs is_eligible_for_fifo_eviction) — skip their dirs,
@@ -895,13 +982,12 @@ final class BucketStore(val spark: SparkSession, val root: String) {
         if (fs.exists(p)) {
           fs.delete(p, true)
           fs.delete(new org.apache.hadoop.fs.Path( // mirror overlay day
-            s"$root/$LabelsDir/bucket=$bucket/${e.getPath.getName}/dt=$dt"), true)
-          any = true; evicted += 1
+            s"$root/$LabelsDir/bucket=${escapePartition(bucket)}/${e.getPath.getName}/dt=$dt"), true)
+          any = true; evicted += 1; report(evicted)
         }
       }
-      if (!any) return evicted
+      if (!any) return
     }
-    evicted
   }
 
   // -------------------------------------------------------- staged upload
@@ -1182,10 +1268,15 @@ object BucketStore {
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
       Records.schema)
 
-  /** Spark's partition-path escaping for special chars (e.g. '/'). */
+  /** Spark's partition-path escaping (ExternalCatalogUtils.escapePathName):
+    * the listed specials, DEL, and ALL control chars below 0x20 — the
+    * set must match what partitionBy writes exactly, or path-addressed
+    * deletes (overlay purge, partition drop) silently miss dirs for
+    * names containing e.g. a tab (review r15). */
   def escapePartition(v: String): String =
     v.flatMap {
-      case c if ("\"#%'*/:=?\\{[]^" + 127.toChar).contains(c) =>
+      case c if c < ' ' ||
+          ("\"#%'*/:=?\\{[]^" + 127.toChar).contains(c) =>
         f"%%${c.toInt}%02X"
       case c => c.toString
     }

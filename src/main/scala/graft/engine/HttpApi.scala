@@ -192,13 +192,16 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
           if (provisionedBuckets.contains(bucket)) // engine.rs:455-460
             throw conflict(s"Can't rename provisioned bucket '$bucket'")
           val to = renameTarget(ex)
+          checkBucketName(to) // engine.rs:447
           store.renameBucket(bucket, to)
           if (createdBuckets.remove(bucket)) createdBuckets.add(to)
           json(ex, 200, JObject())
         case ("PUT", "b" :: bucket :: rest)
             if rest.length > 1 && rest.last == "rename" =>
           auth(ex, FullAccessPolicy)
-          store.renameEntry(bucket, rest.dropRight(1).mkString("/"), renameTarget(ex))
+          val entryTo = renameTarget(ex)
+          checkEntryName(entryTo)
+          store.renameEntry(bucket, rest.dropRight(1).mkString("/"), entryTo)
           json(ex, 200, JObject())
         // ----------------- query links (api/http/links.rs:55-58)
         case ("POST", "links" :: _) =>
@@ -576,7 +579,33 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
 
   /** POST /b/:bucket — create with settings; missing fields filled with
     * defaults (create.rs + fill_settings). */
+  /** engine.rs:571-578 — bucket names are [A-Za-z0-9_-] only; enforced
+    * at create + rename (engine.rs:325,447), so no name that needs
+    * path-escaping ever reaches the partition layout via the API. */
+  private def checkBucketName(name: String): Unit =
+    if (name.isEmpty || !name.forall(c =>
+        c.isLetterOrDigit && c < 128 || c == '_' || c == '-'))
+      throw unprocessable(
+        "Bucket or entry name can contain only letters, digests and [-,_] symbols")
+
+  /** engine.rs:580-605 — entry names are [A-Za-z0-9_/-] path segments
+    * (non-empty, no empty segments), plus the `$meta` attachment form. */
+  private def checkEntryName(name: String): Unit = {
+    if (name.isEmpty || name.startsWith("/") || name.endsWith("/") ||
+        name.split("/", -1).exists(_.isEmpty))
+      throw unprocessable(
+        "Entry name must be non-empty and must not contain empty path segments")
+    def plain(s: String) = s.forall(c =>
+      c.isLetterOrDigit && c < 128 || c == '_' || c == '-' || c == '/')
+    val ok = plain(name) || name == EntryPattern.MetaSegment ||
+      (name.endsWith("/" + EntryPattern.MetaSegment) &&
+        plain(name.dropRight(EntryPattern.MetaSegment.length + 1)))
+    if (!ok) throw unprocessable(
+      "Bucket or entry name can contain only letters, digests and [-,_] symbols")
+  }
+
   private def createBucket(ex: HttpExchange, bucket: String): Unit = {
+    checkBucketName(bucket)
     if (bucketExists(bucket)) throw conflict(s"Bucket '$bucket' already exists")
     store.putBucketSettings(bucket,
       parseSettings(ex).over(defaultBucketSettings))
@@ -684,6 +713,7 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
 
   private def writeSingle(ex: HttpExchange, bucket: String, entry: String,
       q: Map[String, String]): Unit = {
+    checkEntryName(entry) // entry creation path (engine.rs get_or_create)
     val ts = q.getOrElse("ts",
       throw unprocessable("'ts' parameter is required")).toLong
     val ct = Option(ex.getRequestHeaders.getFirst("Content-Type"))

@@ -145,8 +145,12 @@ object Mcap {
         // just EOF/IAE — fuzzed size fields reach BufferUnderflow /
         // NegativeArraySize / zstd errors through decodeChunk, and a
         // corrupt record must degrade to a damage-bounded short read,
-        // never a task failure (r15 decoder-robustness pass)
-        case scala.util.control.NonFatal(_) => finish()
+        // never a task failure (r15 decoder-robustness pass). LOGGED:
+        // silent truncation would hide real parser bugs and bound
+        // rejections from operators.
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[mcap] $file: kept parsed prefix, dropping tail: $e")
+          finish()
       }
 
     private def finish(): Unit = { done = true; in.close() }
@@ -226,7 +230,15 @@ object Mcap {
           val out = new java.io.ByteArrayOutputStream(uncompressedSize.toInt)
           val tmp = new Array[Byte](1 << 16)
           var n = s.read(tmp)
-          while (n >= 0) { out.write(tmp, 0, n); n = s.read(tmp) }
+          while (n >= 0) {
+            out.write(tmp, 0, n)
+            // the declared-size bound must also bind the STREAMED path —
+            // an lz4 frame packing max-ratio blocks would otherwise
+            // expand a small chunk into gigabytes on-heap (review r15)
+            require(out.size() <= MaxChunkBytes,
+              s"lz4 chunk decompressed past $MaxChunkBytes bytes")
+            n = s.read(tmp)
+          }
           out.toByteArray
         case other =>
           throw new IllegalArgumentException(s"unsupported chunk compression '$other'")

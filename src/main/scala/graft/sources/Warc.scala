@@ -116,8 +116,11 @@ object Warc {
       } catch {
         // truncated/corrupt tail: keep the parsed prefix — damage is
         // bounded to a short read, never a task failure (NonFatal, not
-        // just EOF/NumberFormat: fuzzed records reach other throw sites)
-        case scala.util.control.NonFatal(_) => done = true; in.close()
+        // just EOF/NumberFormat: fuzzed records reach other throw
+        // sites). Logged so truncation is visible to operators.
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[warc] $file: kept parsed prefix, dropping tail: $e")
+          done = true; in.close()
       }
 
     /** Read exactly `len` bytes incrementally (64 KiB steps): a lying

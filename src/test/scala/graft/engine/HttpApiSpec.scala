@@ -536,6 +536,26 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
     } finally raceApi.stop()
   }
 
+  test("bucket/entry name conventions are 422'd like the reference (engine.rs:571-605)") {
+    // bucket: [A-Za-z0-9_-] only, at create and rename
+    assert(req("POST", "/b/bad%20name").statusCode() == 422)
+    assert(req("POST", "/b/bad.dot").statusCode() == 422)
+    assert(req("POST", "/b/ok_Name-1").statusCode() == 200)
+    assert(req("PUT", "/b/ok_Name-1/rename",
+      """{"new_name": "bad/slash"}""".getBytes).statusCode() == 422)
+    // entry: [A-Za-z0-9_/-] segments, $meta attachment ok. (The router
+    // normalizes away empty path segments before dispatch, so the
+    // reference's empty-segment 422 is unreachable over this wire —
+    // `a//b` arrives as `a/b`; the charset rule is the observable part.)
+    assert(req("POST", "/b/ok_Name-1/bad.dot?ts=1", "x".getBytes)
+      .statusCode() == 422)
+    assert(req("POST", "/b/ok_Name-1/a%2Fb?ts=1", "x".getBytes)
+      .statusCode() == 200)
+    assert(req("POST", "/b/ok_Name-1/a%2Fb%2F%24meta?ts=1", "m".getBytes)
+      .statusCode() == 200, "the $meta attachment form is legal")
+    assert(req("DELETE", "/b/ok_Name-1").statusCode() == 200)
+  }
+
   test("query opens past the cursor cap 429; live cursors keep draining (ADVICE r14)") {
     val capStore = new BucketStore(spark,
       Files.createTempDirectory("graft-http-cap").toString)

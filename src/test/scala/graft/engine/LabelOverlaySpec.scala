@@ -144,6 +144,35 @@ class LabelOverlaySpec extends AnyFunSuite with SparkTestBase {
     assert(ls(2L) == Map("a" -> "2", "b" -> "20"))
   }
 
+  test("updateLabelsBatch composes duplicate (entry, ts) deltas in order") {
+    val store = newStore()
+    store.write(recordsDf(Seq(("e", 1L, Map("a" -> "0", "x" -> "1")))))
+    // three deltas to the SAME record: later sets win, a later remove
+    // drops an earlier set, a later set resurrects an earlier remove
+    val n = store.updateLabelsBatch("b", Seq(
+      ("e", 1L, Map("k" -> "first", "gone" -> "soon"), Set("x")),
+      ("e", 1L, Map("k" -> "second"), Set("gone")),
+      ("e", 1L, Map("x" -> "back"), Set.empty[String])))
+    assert(n == 1, s"one record patched, not one per delta: $n")
+    assert(labelsOf(store)(1L) ==
+      Map("a" -> "0", "k" -> "second", "x" -> "back"))
+  }
+
+  test("entries with path-escaped characters purge their overlay dirs on remove") {
+    val store = newStore()
+    // ':' and a control char both need Spark's %XX path escaping — the
+    // purge path must compute the SAME escaping or it misses the dir
+    val entry = "weird:name\tx"
+    store.write(recordsDf(Seq((entry, 1L, Map("v" -> "old")))))
+    store.updateLabels(QuerySpec(), set = Map("v" -> "patched")): Unit
+    assert(labelsOf(store)(1L) == Map("v" -> "patched"))
+    assert(store.removeQuery(QuerySpec()) == 1L)
+    assert(store.overlayRowCount() == 0L,
+      "overlay dir for an escaped entry name must be purged")
+    store.write(recordsDf(Seq((entry, 1L, Map("v" -> "fresh")))))
+    assert(labelsOf(store)(1L) == Map("v" -> "fresh"))
+  }
+
   test("rename entry and rename bucket carry outstanding overlay labels") {
     val store = newStore()
     store.write(recordsDf(Seq(("e", 1L, Map("v" -> "0")))))
