@@ -328,19 +328,59 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     * only the per-file renames hold it — same discipline as
     * [[overwritePartitions]], but files ADD to live overlay dirs instead
     * of swapping them (readers dedup by seq, so accumulation is safe). */
+  /** Overlay append that ALSO feeds the `_updates` log from the same
+    * staged job: the two trees receive identical rows, and a second
+    * Spark write would double the per-patch fixed cost (measured ~2x at
+    * sf0.01) — copying the staged label-only files is bytes-proportional
+    * and cheap. */
   private def appendOverlay(rows: DataFrame): Unit = {
+    appendHiddenTree(rows, LabelsDir,
+      alsoCopyTo = if (updateLogEnabled) Some(UpdatesDir) else None)
+    invalidateOverlayAgg() // the overlay changed mid-mutation
+  }
+
+  /** Whether PATCHes also append to the `_updates` replication log. OFF
+    * by default — the reference creates its transaction log PER
+    * REPLICATION TASK (transaction_log.rs: the log exists because a task
+    * does); without consumers the log would only add fs ops to every
+    * patch (measured ~+1 s on the many-partition bench patch). The
+    * replication façade flips it on when a task targeting this store is
+    * registered; patches made BEFORE any task exists don't replicate —
+    * exactly the reference's semantics (a task's log starts at task
+    * creation). */
+  @volatile var updateLogEnabled: Boolean = false
+
+  /** Env-gated patch-path component timing (GRAFT_PATCH_TIMING=true):
+    * stderr-only, for probes localizing per-patch cost. */
+  private val patchTiming = sys.env.get("GRAFT_PATCH_TIMING").contains("true")
+  private def ptimed[T](label: String)(f: => T): T =
+    if (!patchTiming) f
+    else {
+      val t0 = System.nanoTime(); val r = f
+      System.err.println(f"[patch-timing] $label%-20s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+
+  /** Stage + rename-in append of (key, labels, seq) rows under a hidden
+    * partitioned tree — shared by the label overlay and the update log.
+    * `alsoCopyTo` duplicates each staged file into a second tree before
+    * the rename (same swap window — a reader sees both or neither). */
+  private def appendHiddenTree(rows: DataFrame, dirName: String,
+      alsoCopyTo: Option[String] = None): Unit = {
     val stage = new org.apache.hadoop.fs.Path(
       s"$root/$RewriteDir/${java.util.UUID.randomUUID}")
-    graft.core.Partitioning.pinned(
-        rows.withColumn("dt", dtCol),
-        col("bucket"), col("entry"), col("dt"))
-      .write.partitionBy("bucket", "entry", "dt")
-      .mode(SaveMode.Overwrite)
-      .parquet(stage.toString)
+    ptimed(s"stage-write:$dirName") {
+      graft.core.Partitioning.pinned(
+          rows.withColumn("dt", dtCol),
+          col("bucket"), col("entry"), col("dt"))
+        .write.partitionBy("bucket", "entry", "dt")
+        .mode(SaveMode.Overwrite)
+        .parquet(stage.toString)
+    }
     val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
     rewriteEpochCounter.incrementAndGet() // odd: files landing
-    try {
-      val ovRoot = overlayRootPath
+    try ptimed(s"rename-in:$dirName") {
+      val treeRoot = new org.apache.hadoop.fs.Path(s"$root/$dirName")
       for {
         b <- fs.listStatus(stage) if b.isDirectory &&
           b.getPath.getName.startsWith("bucket=")
@@ -349,19 +389,28 @@ final class BucketStore(val spark: SparkSession, val root: String) {
         d <- fs.listStatus(e.getPath) if d.isDirectory &&
           d.getPath.getName.startsWith("dt=")
       } {
-        val live = new org.apache.hadoop.fs.Path(ovRoot,
-          s"${b.getPath.getName}/${e.getPath.getName}/${d.getPath.getName}")
+        val rel = s"${b.getPath.getName}/${e.getPath.getName}/${d.getPath.getName}"
+        val live = new org.apache.hadoop.fs.Path(treeRoot, rel)
         fs.mkdirs(live)
+        val copyLive = alsoCopyTo.map { t =>
+          val p = new org.apache.hadoop.fs.Path(s"$root/$t/$rel")
+          fs.mkdirs(p); p
+        }
         for (f <- fs.listStatus(d.getPath) if f.isFile &&
-            !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+            !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".")) {
+          copyLive.foreach { p =>
+            org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
+              new org.apache.hadoop.fs.Path(p, f.getPath.getName),
+              false, spark.sparkContext.hadoopConfiguration): Unit
+          }
           fs.rename(f.getPath, new org.apache.hadoop.fs.Path(live, f.getPath.getName))
+        }
       }
     } finally {
       rewriteEpochCounter.incrementAndGet() // even: settled
-      invalidateOverlayAgg() // the overlay changed mid-mutation
       try fs.delete(stage, true)
       catch { case NonFatal(e) =>
-        System.err.println(s"[store] overlay stage GC failed, leaking $stage: $e") }
+        System.err.println(s"[store] $dirName stage GC failed, leaking $stage: $e") }
     }
   }
 
@@ -388,6 +437,35 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     }
     overlayRowsApprox.set(-1L) // partial purge: count unknown until re-seeded
     invalidateOverlayAgg() // the overlay changed mid-mutation
+  }
+
+  /** Apply replicated label updates (the destination side of the
+    * reference's UpdateRecord replication — remote_bucket sends them as
+    * a PATCH batch, states/bucket_available.rs:79-88): rows are
+    * (bucket, entry, ts, labels) with the FULL source-side label map.
+    * Updates for records this store doesn't hold are skipped (the
+    * reference's per-record error map — a destination only replicating
+    * a subset legitimately lacks some keys). Routed through the same
+    * size-gated patch path as local PATCHes, which also re-logs them to
+    * `_updates/` — chained replications propagate. Returns applied rows. */
+  def applyReplicatedLabels(updates: DataFrame): Long = mutating {
+    val patched = updates
+      // a batch may carry STACKED updates for one key (several source
+      // patches drained together): the highest source seq wins before
+      // the destination mints its single seq — same-seq duplicate rows
+      // would have a nondeterministic winner
+      .groupBy("bucket", "entry", "ts")
+      .agg(max_by(col("labels"), col("seq")).as("labels"))
+      .join(baseTable().select("bucket", "entry", "ts"),
+        Seq("bucket", "entry", "ts"), "left_semi")
+      .withColumn("seq", lit(overlaySeqCounter.incrementAndGet()))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = patched.count()
+      if (n == 0) return 0
+      applyPatch(patched, n)
+      n
+    } finally patched.unpersist()
   }
 
   /** Fold the label overlay into the base files: every partition with
@@ -517,7 +595,7 @@ final class BucketStore(val spark: SparkSession, val root: String) {
       .withColumn("seq", lit(overlaySeqCounter.incrementAndGet()))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val n = patched.count() // also materializes the persist for reuse
+      val n = ptimed("match+persist+count")(patched.count())
       if (n == 0) return 0
       applyPatch(patched, n)
       n
@@ -531,13 +609,24 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     * patches take the direct pruned-partition rewrite (folding any older
     * overlay rows for those partitions in the same swap, since
     * [[prunedPartitionScan]] is effective and the new labels override). */
-  private def applyPatch(patched: DataFrame, n: Long): Unit =
+  private def applyPatch(patched: DataFrame, n: Long): Unit = {
+    // the UPDATE transaction log (the reference's replication analog of
+    // Transaction::UpdateRecord, replication.rs:27): BOTH patch paths
+    // record the patched (key, labels, seq) rows under `_updates/`, an
+    // append-only hidden tree replication streams to propagate label
+    // updates to destinations (api/http/entry/update_single.rs:84).
+    // Cost ∝ label data; grows with patch history until pruned with the
+    // entry/bucket it belongs to. The overlay path logs from the SAME
+    // staged write (appendOverlay copies the staged files); the bulk
+    // path runs the one extra small job.
     if (n <= overlayFoldThreshold) {
       val before = knownOverlayRows() // O(1) once seeded
-      appendOverlay(patched)
+      appendOverlay(patched) // also feeds _updates/
       overlayRowsApprox.set(before + n)
       if (before + n > overlayFoldThreshold) foldOverlayLocked(): Unit
     } else {
+      if (updateLogEnabled)
+        appendHiddenTree(patched, UpdatesDir) // log only; base rewrite below
       val affected = collectAffected(patched.select("bucket", "entry", "ts"))
       val rewritten = prunedPartitionScan(affected)
         .join(patched.drop("seq").withColumnRenamed("labels", "__new_labels"),
@@ -547,6 +636,7 @@ final class BucketStore(val spark: SparkSession, val root: String) {
       overwritePartitions(rewritten,
         extraSwapActions = () => purgeOverlayDirs(affected))
     }
+  }
 
   /** Query-as-delete (remove_records.rs:62-160): rewrite only affected
     * partitions without the matching rows; returns removed count. */
@@ -836,9 +926,12 @@ final class BucketStore(val spark: SparkSession, val root: String) {
       s"$root/bucket=${escapePartition(bucket)}/entry=${escapePartition(entry)}")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(path, true)
-    // mirror overlay subtree goes with the entry (live-records invariant)
+    // mirror overlay + update-log subtrees go with the entry
     fs.delete(new org.apache.hadoop.fs.Path(
       s"$root/$LabelsDir/bucket=${escapePartition(bucket)}/entry=${escapePartition(entry)}"),
+      true)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$root/$UpdatesDir/bucket=${escapePartition(bucket)}/entry=${escapePartition(entry)}"),
       true)
     overlayRowsApprox.set(-1L)
     invalidateOverlayAgg()
@@ -856,13 +949,15 @@ final class BucketStore(val spark: SparkSession, val root: String) {
       throw new IllegalArgumentException(s"Bucket '$to' already exists")
     if (!fs.rename(src, dst))
       throw new IllegalStateException(s"rename failed: $src -> $dst")
-    val ovSrc = new org.apache.hadoop.fs.Path(
-      s"$root/$LabelsDir/bucket=${escapePartition(from)}")
-    if (fs.exists(ovSrc)) {
-      val ovDst = new org.apache.hadoop.fs.Path(
-        s"$root/$LabelsDir/bucket=${escapePartition(to)}")
-      fs.mkdirs(ovDst.getParent)
-      fs.rename(ovSrc, ovDst): Unit // overlay keys carry the bucket name in the path
+    for (tree <- Seq(LabelsDir, UpdatesDir)) {
+      val tSrc = new org.apache.hadoop.fs.Path(
+        s"$root/$tree/bucket=${escapePartition(from)}")
+      if (fs.exists(tSrc)) {
+        val tDst = new org.apache.hadoop.fs.Path(
+          s"$root/$tree/bucket=${escapePartition(to)}")
+        fs.mkdirs(tDst.getParent)
+        fs.rename(tSrc, tDst): Unit // keys carry the bucket name in the path
+      }
     }
     invalidateOverlayAgg() // agg rows carry the old bucket name
   }
@@ -874,6 +969,8 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     fs.delete(path, true)
     fs.delete(new org.apache.hadoop.fs.Path(
       s"$root/$LabelsDir/bucket=${escapePartition(bucket)}"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$root/$UpdatesDir/bucket=${escapePartition(bucket)}"), true)
     overlayRowsApprox.set(-1L)
     invalidateOverlayAgg()
   }
@@ -1188,6 +1285,15 @@ object BucketStore {
     * partition discovery, batch and streaming). Partitioned like the
     * base: `bucket=<b>/entry=<e>/dt=<d>`. */
   val LabelsDir = "_labels"
+
+  /** Label-UPDATE transaction log root (hidden, append-only, same
+    * partitioning + row schema as the overlay): every PATCH — overlay or
+    * bulk — appends its (key, merged-labels, seq) rows here, and
+    * replication streams the tree to propagate label updates
+    * (the reference's Transaction::UpdateRecord log, replication.rs:27,
+    * transaction_log.rs). Unlike `_labels`, folds never purge it —
+    * it is history, pruned only with its entry/bucket. */
+  val UpdatesDir = "_updates"
 
   /** One record of a spooled batch body: its payload is
     * `staged[offset, offset + len)`. */

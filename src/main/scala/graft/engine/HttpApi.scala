@@ -221,7 +221,11 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
           auth(ex, FullAccessPolicy)
           if (replications.containsKey(name))
             throw conflict(s"Replication '$name' already exists")
-          replications.put(name, parseReplication(ex)); json(ex, 200, JObject())
+          replications.put(name, parseReplication(ex))
+          // a task now exists: patches start logging for replication
+          // (the reference creates the transaction log with the task)
+          store.updateLogEnabled = true
+          json(ex, 200, JObject())
         case ("PUT", List("replications", name)) =>
           auth(ex, FullAccessPolicy)
           if (!replications.containsKey(name))
@@ -1153,6 +1157,15 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
       onReplicated = onBatch, excludeEntries = exclude) match {
       case Some(q) =>
         q.awaitTermination()
+        // label PATCHes propagate too (the reference replicates
+        // Transaction::UpdateRecord through the same task,
+        // update_single.rs:84) — a second drain over the update log,
+        // its own checkpoint beside the record stream's
+        Streaming.replicateLabelUpdates(store, store, s,
+            checkpoint + "-labels",
+            onReplicated = n => if (n > 0) onBatch(n, 0L),
+            excludeEntries = exclude)
+          .foreach(_.awaitTermination())
         // the drain examined everything in scope up to now — advance the
         // pending_records high-water mark (a write racing the drain's
         // tail is re-examined by the next run via the checkpoint, so the
@@ -1624,6 +1637,7 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     }
     for ((name, s) <- provisionedResources.replications) {
       replications.put(name, s)
+      store.updateLogEnabled = true // task exists → patches log (see POST)
       provisionedReplications.add(name)
     }
     for ((name, p) <- provisionedResources.lifecycles) {

@@ -275,4 +275,96 @@ object Streaming {
       .start()
     Some(q)
   }
+
+  /** Propagate label UPDATES src → dst — the reference replicates label
+    * PATCHes as `Transaction::UpdateRecord` through the same pipeline as
+    * writes and PATCHes the destination batch-wise
+    * (api/http/entry/update_single.rs:84, remote_bucket/states/
+    * bucket_available.rs:79-88). Here the store's `_updates/` tree IS
+    * that transaction log (append-only, written by every PATCH path), so
+    * update replication is a second file stream over it: each row
+    * carries the full post-patch label map, the destination applies the
+    * latest per key to records it holds and skips the rest (the
+    * reference's per-record error map).
+    *
+    * Scoping matches [[replicate]]: srcBucket, entry globs, excludes,
+    * dstBucket/dstPrefix rename, Paused skips batches but advances the
+    * checkpoint. A PURE `when` evaluates against the updated record's
+    * labels (transaction_filter semantics); a STATEFUL `when` is a
+    * record-stream property — its counters live in the record query's
+    * state store — so updates do not propagate under one (documented
+    * divergence: the reference shares one filter chain; replaying
+    * updates through a second state store would double-tick counters). */
+  def replicateLabelUpdates(src: BucketStore, dst: BucketStore,
+      settings: ReplicationSettings, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      onReplicated: Long => Unit = _ => (),
+      excludeEntries: Seq[String] = Nil,
+      /** Remote-wire seam: receives renamed (dstBucket/dstPrefix) update
+        * rows (bucket, entry, ts, labels, seq); None applies to `dst`. */
+      sendUpdates: Option[DataFrame => Unit] = None): Option[StreamingQuery] = {
+    if (settings.mode == ReplicationMode.Disabled) return None
+    val parsed = settings.when.map(w => graft.cond.Parser.parse(w))
+    if (parsed.exists(p => graft.cond.Node.isStateful(p.root))) return None
+    // ensure future patches log — callers managing tasks set this at
+    // task CREATION (HttpApi); direct library use gets it here at the
+    // latest, so at worst pre-first-drain patches don't replicate
+    // (reference: the transaction log starts with the task)
+    src.updateLogEnabled = true
+    val updatesRoot = s"${src.root}/${BucketStore.UpdatesDir}"
+    // a store that has never been PATCHed has no `_updates` yet — the
+    // stream must still start (and pick updates up as they appear)
+    val urPath = new org.apache.hadoop.fs.Path(updatesRoot)
+    urPath.getFileSystem(src.spark.sparkContext.hadoopConfiguration)
+      .mkdirs(urPath)
+    // the hidden `_updates` root itself would be filtered by Spark's
+    // listing — glob its non-hidden `bucket=` children (the same shape
+    // as the batch overlay read) with basePath anchoring the partitions
+    val stream0 = src.spark.readStream
+      .schema(BucketStore.overlayStoredSchema)
+      .option("basePath", updatesRoot)
+      .parquet(s"$updatesRoot/bucket=*")
+      .drop("dt")
+    val bucketScoped = settings.srcBucket
+      .fold(stream0)(b => stream0.filter(col("bucket") === b))
+    val entryScoped0 = settings.entries
+      .fold(bucketScoped)(pats =>
+        bucketScoped.filter(EntryPattern.predicateCol(col("entry"), Some(pats))))
+    val entryScoped =
+      if (excludeEntries.isEmpty) entryScoped0
+      else entryScoped0.filter(
+        !EntryPattern.predicateCol(col("entry"), Some(excludeEntries)))
+    val enabled = settings.mode == ReplicationMode.Enabled
+    val q = entryScoped.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (enabled) {
+          // pure `when` evaluates on a synthetic record built from the
+          // update row (post-patch labels; no payload) — the same
+          // compiled-condition path as everything else
+          val matched = settings.when.fold(batch) { w =>
+            QueryEngine.matching(
+              batch.select(col("bucket"), col("entry"), col("ts"),
+                col("labels"),
+                map().cast("map<string,string>").as("computed_labels"),
+                lit("").as("content_type"),
+                lit(graft.core.Records.State.Finished).as("state"),
+                lit(null).cast("binary").as("payload"),
+                col("seq")),
+              QuerySpec(when = Some(w), strict = true))
+              .select("bucket", "entry", "ts", "labels", "seq")
+          }
+          val renamed = matched
+            .withColumn("bucket", lit(settings.dstBucket))
+            .withColumn("entry", concat(lit(settings.dstPrefix), col("entry")))
+          sendUpdates match {
+            case Some(send) => send(renamed); onReplicated(-1L)
+            case None => onReplicated(dst.applyReplicatedLabels(renamed))
+          }
+        }
+      }
+      .start()
+    Some(q)
+  }
 }

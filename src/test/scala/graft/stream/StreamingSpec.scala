@@ -83,6 +83,66 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       settings.copy(mode = Streaming.ReplicationMode.Disabled), tmp("x")).isEmpty)
   }
 
+  test("label PATCHes replicate: update log streams to the destination (UpdateRecord parity)") {
+    val src = new BucketStore(spark, tmp("replu-src"))
+    val dst = new BucketStore(spark, tmp("replu-dst"))
+    val ck = tmp("replu-ck")
+    val settings = Streaming.ReplicationSettings(
+      entries = Some(Seq("acc/*")), dstBucket = "replica", dstPrefix = "mirror/")
+    // a replication task exists → patches log for replication (the
+    // façade flips this at task creation, like the reference creating
+    // the transaction log with the task)
+    src.updateLogEnabled = true
+    // seed both sides: records replicate first (the normal flow)
+    src.write(recordsDf(Seq(
+      ("acc/x", 1L, Map("v" -> "old")), ("acc/y", 2L, Map("v" -> "old")),
+      ("other", 3L, Map("v" -> "old")))))
+    Streaming.replicate(src, dst, settings, tmp("replu-rck")).get.awaitTermination()
+    assert(dst.table().count() == 2)
+
+    // PATCH at src: in scope (acc/*) and out of scope (other)
+    src.updateLabels(QuerySpec(), set = Map("q" -> "gold")): Unit
+    Streaming.replicateLabelUpdates(src, dst, settings, ck).get.awaitTermination()
+    def dstLabels(): Map[String, Map[String, String]] = dst.table()
+      .select("entry", "labels").collect()
+      .map(r => r.getString(0) -> r.getMap[String, String](1).toMap).toMap
+    assert(dstLabels() == Map(
+      "mirror/acc/x" -> Map("v" -> "old", "q" -> "gold"),
+      "mirror/acc/y" -> Map("v" -> "old", "q" -> "gold")),
+      s"in-scope patches must propagate with the dst rename: ${dstLabels()}")
+
+    // stacked patches drain as one batch: the LATEST wins at dst; the
+    // checkpoint means already-propagated updates don't reapply
+    src.updateLabels(QuerySpec(entries = Some(Seq("acc/x"))),
+      set = Map("q" -> "silver")): Unit
+    src.updateLabels(QuerySpec(entries = Some(Seq("acc/x"))),
+      set = Map("q" -> "bronze")): Unit
+    Streaming.replicateLabelUpdates(src, dst, settings, ck).get.awaitTermination()
+    assert(dstLabels()("mirror/acc/x")("q") == "bronze")
+    assert(dstLabels()("mirror/acc/y")("q") == "gold")
+
+    // a BULK patch (past the fold threshold, direct-rewrite path at src)
+    // still logs and propagates — the log is written by BOTH paths
+    src.overlayFoldThreshold = 0L
+    src.updateLabels(QuerySpec(entries = Some(Seq("acc/*"))),
+      set = Map("bulk" -> "1")): Unit
+    Streaming.replicateLabelUpdates(src, dst, settings, ck).get.awaitTermination()
+    assert(dstLabels()("mirror/acc/y") ==
+      Map("v" -> "old", "q" -> "gold", "bulk" -> "1"))
+
+    // pure `when` scopes updates by the PATCHED labels; dst-missing
+    // records are skipped (the reference's per-record error map)
+    val whenSettings = settings.copy(when = Some("""{"&q": {"$eq": "bronze"}}"""))
+    src.updateLabels(QuerySpec(), set = Map("w" -> "2")): Unit
+    Streaming.replicateLabelUpdates(src, dst, whenSettings, tmp("replu-ck2"))
+      .get.awaitTermination()
+    val after = dstLabels()
+    assert(after("mirror/acc/x").get("w").contains("2"),
+      s"bronze-labeled update passes the when: $after")
+    assert(!after("mirror/acc/y").contains("w"),
+      s"gold-labeled update must be filtered by the when: $after")
+  }
+
   test("replication with stateful when keeps $each_n state across micro-batches") {
     val src = new BucketStore(spark, tmp("replst-src"))
     val dst = new BucketStore(spark, tmp("replst-dst"))
