@@ -202,8 +202,10 @@ final class BucketStore(val spark: SparkSession, val root: String) {
   /** Cheap non-empty gate: one exists() (+ a small walk when present).
     * Uncached on purpose — correct mid-mutation, and the empty case is a
     * single namenode/stat call. */
-  private def overlayFileCount(): Long = {
-    val p = overlayRootPath
+  private def overlayFileCount(): Long = hiddenTreeFileCount(LabelsDir)
+
+  private def hiddenTreeFileCount(dirName: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/$dirName")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) 0L else fs.getContentSummary(p).getFileCount
   }
@@ -213,8 +215,10 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     * to `spark.read.parquet` would silently yield zero rows ("All paths
     * were ignored"), so the read lists the non-hidden `bucket=` children
     * and anchors partition discovery with `basePath`. */
-  private def overlayTableRaw(): DataFrame = {
-    val p = overlayRootPath
+  private def overlayTableRaw(): DataFrame = hiddenTreeRaw(LabelsDir)
+
+  private def hiddenTreeRaw(dirName: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/$dirName")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val children =
       if (!fs.exists(p)) Array.empty[String]
@@ -235,6 +239,13 @@ final class BucketStore(val spark: SparkSession, val root: String) {
   private[graft] def overlayRowCount(): Long =
     if (overlayFileCount() == 0L) 0L else overlayTableRaw().count()
 
+  /** Update-log row count (spec hook: echo convergence, log gating). */
+  private[graft] def updatesLogRowCount(): Long =
+    if (hiddenTreeFileCount(UpdatesDir) == 0L) 0L else hiddenTreeRaw(UpdatesDir).count()
+
+  /** Update-log rows (spec hook: seq monotonicity across restarts). */
+  private[graft] def updatesLogRaw(): DataFrame = hiddenTreeRaw(UpdatesDir)
+
   /** Driver-side overlay row count: -1 = unknown (re-seeded by the next
     * MUTATOR under the write lock — readers never write it, a racing
     * reader's stale seed could mask live patches). Keeps the per-patch
@@ -251,15 +262,21 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     if (v >= 0L) v else overlayRowCount()
   }
 
-  /** Monotone patch sequence; persisted implicitly in overlay rows and
-    * re-seeded from max(seq) on the first overlay op of a store instance
-    * (a restart must not mint seqs below live overlay rows). */
+  /** Monotone patch sequence; persisted implicitly in overlay AND
+    * update-log rows, re-seeded from the max over BOTH trees on the
+    * first overlay op of a store instance: the `_updates` log outlives
+    * folds, so seeding from the overlay alone would let a restart after
+    * a fold mint seqs BELOW logged ones — a replication drain's
+    * latest-per-key max_by would then prefer the stale history over the
+    * fresh patch (review r15 pass 2). */
   private lazy val overlaySeqCounter = new java.util.concurrent.atomic.AtomicLong(
-    if (overlayFileCount() == 0L) 0L
-    else {
-      val r = overlayTableRaw().agg(max("seq")).collect()(0)
-      if (r.isNullAt(0)) 0L else r.getLong(0)
-    })
+    Seq(LabelsDir, UpdatesDir).map { dir =>
+      if (hiddenTreeFileCount(dir) == 0L) 0L
+      else {
+        val r = hiddenTreeRaw(dir).agg(max("seq")).collect()(0)
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
+    }.max)
 
   /** Latest-patch-per-key overlay aggregation, PERSISTED and cached
     * against an OVERLAY EPOCH — a counter bumped by every overlay
@@ -308,8 +325,13 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     // comes from readConsistent), just never to CACHE
     if (overlayEpochCounter.get != e0) return ov
     val p = ov.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    if (overlayEpochCounter.get == e0 && ovAggCache.compareAndSet(hit, (e0, p))) p
-    else { p.unpersist(false); p } // lost the install race (see doc above)
+    if (overlayEpochCounter.get == e0 && ovAggCache.compareAndSet(hit, (e0, p))) {
+      // a replaced non-null stale hit must unpersist NOW — leaving it
+      // registered would make later persists of plan-equal aggs no-ops
+      // serving the retired data (see the rootPaths-equality doc above)
+      if (hit != null) hit._2.unpersist(false)
+      p
+    } else { p.unpersist(false); p } // lost the install race (see doc above)
   }
 
   private def applyOverlay(base: DataFrame): DataFrame = {
@@ -333,11 +355,13 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     * Spark write would double the per-patch fixed cost (measured ~2x at
     * sf0.01) — copying the staged label-only files is bytes-proportional
     * and cheap. */
-  private def appendOverlay(rows: DataFrame): Unit = {
-    appendHiddenTree(rows, LabelsDir,
+  private def appendOverlay(rows: DataFrame): Unit =
+    // invalidate even on FAILURE: a throw mid-rename may have landed
+    // some overlay files — the pre-append agg must not stay cached as
+    // current (review r15 pass 2)
+    try appendHiddenTree(rows, LabelsDir,
       alsoCopyTo = if (updateLogEnabled) Some(UpdatesDir) else None)
-    invalidateOverlayAgg() // the overlay changed mid-mutation
-  }
+    finally invalidateOverlayAgg()
 
   /** Whether PATCHes also append to the `_updates` replication log. OFF
     * by default — the reference creates its transaction log PER
@@ -448,24 +472,47 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     * a subset legitimately lacks some keys). Routed through the same
     * size-gated patch path as local PATCHes, which also re-logs them to
     * `_updates/` — chained replications propagate. Returns applied rows. */
-  def applyReplicatedLabels(updates: DataFrame): Long = mutating {
-    val patched = updates
-      // a batch may carry STACKED updates for one key (several source
-      // patches drained together): the highest source seq wins before
-      // the destination mints its single seq — same-seq duplicate rows
-      // would have a nondeterministic winner
+  def applyReplicatedLabels(updates: DataFrame): (Long, Long) = mutating {
+    // a batch may carry STACKED updates for one key (several source
+    // patches drained together): the highest source seq wins before
+    // the destination mints its single seq — same-seq duplicate rows
+    // would have a nondeterministic winner
+    val latest = updates
       .groupBy("bucket", "entry", "ts")
       .agg(max_by(col("labels"), col("seq")).as("labels"))
-      .join(baseTable().select("bucket", "entry", "ts"),
-        Seq("bucket", "entry", "ts"), "left_semi")
-      .withColumn("seq", lit(overlaySeqCounter.incrementAndGet()))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val n = patched.count()
-      if (n == 0) return 0
-      applyPatch(patched, n)
-      n
-    } finally patched.unpersist()
+      val total = latest.count()
+      if (total == 0) return (0L, 0L)
+      // prune the existence/current-labels lookup to the batch's own
+      // partitions — a full-store scan per micro-batch would make small
+      // frequent updates O(store) (review r15 pass 2)
+      val affected = collectAffected(latest.select("bucket", "entry", "ts"))
+      // map equality isn't orderable in Spark — compare sorted entries
+      def canon(m: org.apache.spark.sql.Column) =
+        array_sort(map_entries(coalesce(m, map().cast("map<string,string>"))))
+      val patched = latest
+        .join(prunedPartitionScan(affected) // effective dst labels
+          .select(col("bucket"), col("entry"), col("ts"),
+            col("labels").as("__cur")),
+          Seq("bucket", "entry", "ts"), "inner")
+        // no-op guard: an update that would not change the destination
+        // neither applies nor re-logs. Besides skipping waste, this
+        // TERMINATES self-referential configs (same store, identity
+        // rename): the echo's second pass is all no-ops (review r15
+        // pass 2 — without it, applied updates re-logged forever).
+        .filter(canon(col("labels")) =!= canon(col("__cur")))
+        .drop("__cur")
+        .withColumn("seq", lit(overlaySeqCounter.incrementAndGet()))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = patched.count()
+        if (n > 0) applyPatch(patched, n)
+        // dropped = destination-missing records (the reference's
+        // per-record error map) + already-current no-ops
+        (n, total - n)
+      } finally patched.unpersist()
+    } finally latest.unpersist()
   }
 
   /** Fold the label overlay into the base files: every partition with
@@ -621,7 +668,11 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     // path runs the one extra small job.
     if (n <= overlayFoldThreshold) {
       val before = knownOverlayRows() // O(1) once seeded
-      appendOverlay(patched) // also feeds _updates/
+      try appendOverlay(patched) // also feeds _updates/
+      catch { case NonFatal(e) =>
+        overlayRowsApprox.set(-1L) // partial landing: count unknown
+        throw e
+      }
       overlayRowsApprox.set(before + n)
       if (before + n > overlayFoldThreshold) foldOverlayLocked(): Unit
     } else {

@@ -241,6 +241,9 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
             throw conflict(s"Can't remove provisioned replication '$name'")
           if (replications.remove(name) == null)
             throw notFound(s"Replication '$name' doesn't exist")
+          // last task gone → patches stop paying the update-log write
+          // (the reference drops the task's transaction log with it)
+          if (replications.isEmpty) store.updateLogEnabled = false
           // PR-1572: the task's closing diagnostics are emitted during
           // deletion (the reference fixed a lock inversion doing this in
           // `replication/`; here the stats object is detached from the
@@ -1160,10 +1163,16 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
         // label PATCHes propagate too (the reference replicates
         // Transaction::UpdateRecord through the same task,
         // update_single.rs:84) — a second drain over the update log,
-        // its own checkpoint beside the record stream's
+        // its own checkpoint beside the record stream's. Dropped
+        // updates (dst-missing records / no-ops) count as the
+        // reference's failed_records.
+        val droppedUpdates = new java.util.concurrent.atomic.AtomicLong(0L)
         Streaming.replicateLabelUpdates(store, store, s,
             checkpoint + "-labels",
-            onReplicated = n => if (n > 0) onBatch(n, 0L),
+            onReplicated = (n, dropped) => {
+              if (n > 0) onBatch(n, 0L)
+              droppedUpdates.addAndGet(dropped): Unit
+            },
             excludeEntries = exclude)
           .foreach(_.awaitTermination())
         // the drain examined everything in scope up to now — advance the
@@ -1172,7 +1181,7 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
         // mark is advisory, never a correctness input)
         val maxTs = scopedSource(s).agg(max("ts")).collect()(0)
         if (!maxTs.isNullAt(0)) st.lastTs = maxTs.getLong(0)
-        replEvent(200, failed = 0) // payload/replication.rs success shape
+        replEvent(200, failed = droppedUpdates.get()) // payload/replication.rs shape
         json(ex, 200, JObject())
       case None => json(ex, 200, JObject("skipped" -> JString("disabled")))
     } catch { case scala.util.control.NonFatal(e) =>

@@ -294,11 +294,20 @@ object Streaming {
     * record-stream property — its counters live in the record query's
     * state store — so updates do not propagate under one (documented
     * divergence: the reference shares one filter chain; replaying
-    * updates through a second state store would double-tick counters). */
+    * updates through a second state store would double-tick counters).
+    *
+    * Ordering: records and updates drain as two streams, so an update
+    * whose record lands at the destination only in a LATER pass is
+    * dropped by this pass (reported in the `dropped` count — the
+    * reference's per-record error map is the same outcome: its sender
+    * records the failure and moves on, remote_bucket states). */
   def replicateLabelUpdates(src: BucketStore, dst: BucketStore,
       settings: ReplicationSettings, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      onReplicated: Long => Unit = _ => (),
+      /** (applied, dropped) per micro-batch — dropped covers
+        * destination-missing records (the reference's per-record error
+        * map) and already-current no-ops. */
+      onReplicated: (Long, Long) => Unit = (_, _) => (),
       excludeEntries: Seq[String] = Nil,
       /** Remote-wire seam: receives renamed (dstBucket/dstPrefix) update
         * rows (bucket, entry, ts, labels, seq); None applies to `dst`. */
@@ -359,8 +368,10 @@ object Streaming {
             .withColumn("bucket", lit(settings.dstBucket))
             .withColumn("entry", concat(lit(settings.dstPrefix), col("entry")))
           sendUpdates match {
-            case Some(send) => send(renamed); onReplicated(-1L)
-            case None => onReplicated(dst.applyReplicatedLabels(renamed))
+            case Some(send) => send(renamed); onReplicated(-1L, 0L)
+            case None =>
+              val (applied, dropped) = dst.applyReplicatedLabels(renamed)
+              onReplicated(applied, dropped)
           }
         }
       }

@@ -235,6 +235,26 @@ class LabelOverlaySpec extends AnyFunSuite with SparkTestBase {
     assert(labelsOf(store).values.toSet == Set(Map("v" -> "2")))
   }
 
+  test("seq re-seeds from the updates LOG across fold+reopen — replication winner stays the newest patch") {
+    val store = newStore()
+    store.updateLogEnabled = true
+    store.write(recordsDf(Seq(("e", 1L, Map("v" -> "0")))))
+    store.updateLabels(QuerySpec(), set = Map("v" -> "first")): Unit
+    store.foldLabelOverlay(): Unit // overlay purged; the LOG keeps seq 1
+    assert(store.overlayRowCount() == 0L && store.updatesLogRowCount() == 1L)
+    // a reopened store seeding from the overlay alone would re-mint seq 1
+    // and the log's latest-per-key would prefer the STALE row
+    val reopened = new BucketStore(spark, store.root)
+    reopened.updateLogEnabled = true
+    reopened.updateLabels(QuerySpec(), set = Map("v" -> "second")): Unit
+    val winner = reopened.updatesLogRaw()
+      .groupBy("bucket", "entry", "ts")
+      .agg(max_by(col("labels"), col("seq")).as("labels"))
+      .collect()(0).getMap[String, String](3)
+    assert(winner.get("v").contains("second"),
+      s"the newest patch must carry the highest seq, got $winner")
+  }
+
   test("racing readers across PATCH + fold see whole snapshots, never a mix") {
     val store = newStore()
     store.write(recordsDf(Seq(

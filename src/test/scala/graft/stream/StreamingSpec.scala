@@ -143,6 +143,29 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       s"gold-labeled update must be filtered by the when: $after")
   }
 
+  test("self-referential update replication converges via the no-op guard") {
+    val store = new BucketStore(spark, tmp("echo-store"))
+    store.updateLogEnabled = true
+    store.write(recordsDf(Seq(("e", 1L, Map("v" -> "0")))))
+    store.updateLabels(QuerySpec(), set = Map("v" -> "1")): Unit
+    assert(store.updatesLogRowCount() == 1L)
+    // identity config: same store, same bucket, no prefix — each applied
+    // update would re-log and echo forever without the no-op guard
+    val settings = Streaming.ReplicationSettings(dstBucket = "b")
+    val ck = tmp("echo-ck")
+    var applied = 0L
+    for (_ <- 1 to 3)
+      Streaming.replicateLabelUpdates(store, store, settings, ck,
+        onReplicated = (n, _) => applied += math.max(0, n))
+        .get.awaitTermination()
+    assert(applied == 0L,
+      "the patch was already locally applied — every echo pass is a no-op")
+    assert(store.updatesLogRowCount() == 1L,
+      s"no-op applies must not re-log: ${store.updatesLogRowCount()}")
+    val r = store.table().collect()(0)
+    assert(r.getMap[String, String](r.fieldIndex("labels")).toMap == Map("v" -> "1"))
+  }
+
   test("replication with stateful when keeps $each_n state across micro-batches") {
     val src = new BucketStore(spark, tmp("replst-src"))
     val dst = new BucketStore(spark, tmp("replst-dst"))
