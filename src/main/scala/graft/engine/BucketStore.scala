@@ -197,6 +197,39 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     * well inside executor budgets at any corpus size. Test seam. */
   @volatile var overlayFoldThreshold: Long = 100000L
 
+  /** Parallelism for the per-partition fs METADATA ops (rename/mkdirs/
+    * delete) inside mutation swaps. The ops are independent per
+    * partition dir, but a serial loop makes the swap window — and so
+    * both mutation latency and the readers' retry window — scale
+    * linearly with the touched-partition count (measured: the rename-in
+    * of a ~480-dir patch spent 0.6–1.8 s in pure fs-op latency). posix/
+    * HDFS rename stays atomic per dir regardless of issue order, and
+    * remote stores (HDFS namenode, object-store metadata layers) want
+    * MORE concurrency than local fs, so parallel issue is the
+    * scale-correct shape. Test seam (1 = the old serial behavior). */
+  @volatile var fsOpParallelism: Int = 32
+
+  /** Run `op` over independent fs items on a bounded pool. Joins EVERY
+    * task before returning — even after a failure: a swap must never
+    * leave renames in flight past its epoch settle — then rethrows the
+    * first failure. Single-item and parallelism-1 calls run inline. */
+  private def parallelFs[T](items: Seq[T])(op: T => Unit): Unit = {
+    val par = math.min(fsOpParallelism, items.size)
+    if (par <= 1) { items.foreach(op); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(par,
+      (r: Runnable) => { val t = new Thread(r, "graft-fsop"); t.setDaemon(true); t })
+    try {
+      val futs = items.map(it => pool.submit(new Runnable { def run(): Unit = op(it) }))
+      var first: Throwable = null
+      futs.foreach { f =>
+        try { f.get(): Unit }
+        catch { case e: java.util.concurrent.ExecutionException =>
+          if (first == null) first = e.getCause }
+      }
+      if (first != null) throw first
+    } finally pool.shutdownNow()
+  }
+
   private def overlayRootPath = new org.apache.hadoop.fs.Path(s"$root/$LabelsDir")
 
   /** Cheap non-empty gate: one exists() (+ a small walk when present).
@@ -405,22 +438,18 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     rewriteEpochCounter.incrementAndGet() // odd: files landing
     try ptimed(s"rename-in:$dirName") {
       val treeRoot = new org.apache.hadoop.fs.Path(s"$root/$dirName")
-      for {
-        b <- fs.listStatus(stage) if b.isDirectory &&
-          b.getPath.getName.startsWith("bucket=")
-        e <- fs.listStatus(b.getPath) if e.isDirectory &&
-          e.getPath.getName.startsWith("entry=")
-        d <- fs.listStatus(e.getPath) if d.isDirectory &&
-          d.getPath.getName.startsWith("dt=")
-      } {
-        val rel = s"${b.getPath.getName}/${e.getPath.getName}/${d.getPath.getName}"
+      val dirs = stagedPartitionDirs(fs, stage)
+      // per-dir ops are independent (distinct paths; mkdirs of a shared
+      // entry parent is idempotent) — issue them in parallel so the
+      // landing window doesn't grow with the touched-partition count
+      parallelFs(dirs) { case (d, rel) =>
         val live = new org.apache.hadoop.fs.Path(treeRoot, rel)
         fs.mkdirs(live)
         val copyLive = alsoCopyTo.map { t =>
           val p = new org.apache.hadoop.fs.Path(s"$root/$t/$rel")
           fs.mkdirs(p); p
         }
-        for (f <- fs.listStatus(d.getPath) if f.isFile &&
+        for (f <- fs.listStatus(d) if f.isFile &&
             !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".")) {
           copyLive.foreach { p =>
             org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
@@ -438,19 +467,38 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     }
   }
 
+  /** Walk a staged partitioned tree: every `bucket=/entry=/dt=` leaf dir
+    * with its tree-relative path. One serial listing pass — the listing
+    * is O(buckets + entries) calls; the per-dir WORK it feeds is what
+    * [[parallelFs]] spreads. */
+  private def stagedPartitionDirs(fs: org.apache.hadoop.fs.FileSystem,
+      stage: org.apache.hadoop.fs.Path): Seq[(org.apache.hadoop.fs.Path, String)] =
+    (for {
+      b <- fs.listStatus(stage) if b.isDirectory &&
+        b.getPath.getName.startsWith("bucket=")
+      e <- fs.listStatus(b.getPath) if e.isDirectory &&
+        e.getPath.getName.startsWith("entry=")
+      d <- fs.listStatus(e.getPath) if d.isDirectory &&
+        d.getPath.getName.startsWith("dt=")
+    } yield (d.getPath,
+      s"${b.getPath.getName}/${e.getPath.getName}/${d.getPath.getName}")).toSeq
+
   /** Drop the overlay dirs mirroring the given base partitions — runs
     * inside a rewrite-swap window (the caller's `extraSwapActions`). */
   private[graft] def purgeOverlayDirs(
       affected: Iterable[(String, String, String)]): Unit = {
     val fs = overlayRootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    for ((b, e, d) <- affected) {
-      val dtDir = new org.apache.hadoop.fs.Path(
-        s"$root/$LabelsDir/bucket=${escapePartition(b)}/entry=${escapePartition(e)}/dt=$d")
-      fs.delete(dtDir, true)
-      // GC empty parent skeletons so the overlay-gate walk never grows
-      // with dead entry/bucket dirs (review r15)
+    def dtDir(b: String, e: String, d: String) = new org.apache.hadoop.fs.Path(
+      s"$root/$LabelsDir/bucket=${escapePartition(b)}/entry=${escapePartition(e)}/dt=$d")
+    parallelFs(affected.toSeq) { case (b, e, d) =>
+      fs.delete(dtDir(b, e, d), true): Unit }
+    // GC empty parent skeletons so the overlay-gate walk never grows
+    // with dead entry/bucket dirs (review r15). Serial over the DISTINCT
+    // parents, after every dt delete joined — two threads GC'ing one
+    // shared entry dir would race their exists/list/delete.
+    for ((b, e) <- affected.map(a => (a._1, a._2)).toSet) {
       try {
-        val entryDir = dtDir.getParent
+        val entryDir = dtDir(b, e, "x").getParent
         if (fs.exists(entryDir) && fs.listStatus(entryDir).isEmpty) {
           fs.delete(entryDir, false)
           val bucketDir = entryDir.getParent
@@ -914,25 +962,21 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     rewriteEpochCounter.incrementAndGet() // odd: swap in flight
     try {
       val rootPath = new org.apache.hadoop.fs.Path(root)
-      var parked = 0
-      for {
-        b <- fs.listStatus(stage) if b.isDirectory &&
-          b.getPath.getName.startsWith("bucket=")
-        e <- fs.listStatus(b.getPath) if e.isDirectory &&
-          e.getPath.getName.startsWith("entry=")
-        d <- fs.listStatus(e.getPath) if d.isDirectory &&
-          d.getPath.getName.startsWith("dt=")
-      } {
-        val live = new org.apache.hadoop.fs.Path(rootPath,
-          s"${b.getPath.getName}/${e.getPath.getName}/${d.getPath.getName}")
+      val parked = new java.util.concurrent.atomic.AtomicInteger(0)
+      // independent per-dir swaps issued in parallel: the odd-epoch
+      // window readers retry on now lasts O(dirs / parallelism) fs ops
+      // instead of O(dirs) (each swap stays atomic per dir; the park
+      // names are unique via the atomic counter)
+      parallelFs(stagedPartitionDirs(fs, stage)) { case (d, rel) =>
+        val live = new org.apache.hadoop.fs.Path(rootPath, rel)
         fs.mkdirs(live.getParent)
-        if (fs.exists(live)) {
-          parked += 1
-          fs.rename(live, new org.apache.hadoop.fs.Path(stage, s"old-$parked"))
-        }
-        fs.rename(d.getPath, live)
+        if (fs.exists(live))
+          fs.rename(live, new org.apache.hadoop.fs.Path(
+            stage, s"old-${parked.incrementAndGet()}"))
+        fs.rename(d, live)
       }
-      for ((db, de, ddt) <- dropAfter) deletePartitionDir(db, de, ddt)
+      parallelFs(dropAfter.toSeq) { case (db, de, ddt) =>
+        deletePartitionDir(db, de, ddt) }
       extraSwapActions() // e.g. overlay-dir purge — same swap window
     } finally {
       // settle FIRST, unconditionally: a failed stage-dir GC must never
