@@ -41,7 +41,15 @@ final class QueryRegistry(defaultTtlMs: Long = 60000L,
     @volatile private var lastAccess = System.nanoTime()
     private[QueryRegistry] def lastAccessNanos: Long = lastAccess
     private var lastTs: Option[Long] = None
-    private var iter: Iterator[Row] = newIter(spec)
+    // Compiled at OPEN (parse/plan errors surface there → HTTP 422; no
+    // Spark jobs run — the flood spec pins ~10 ms opens), but the
+    // iterator is materialized on FIRST FETCH: toLocalIterator under
+    // AQE eagerly runs the plan's upstream shuffle stages, so eager
+    // init made open() pay the query's first shuffle (measured: a
+    // gated 4-row sort blocked open for the full stage time; the
+    // reference registers instantly and pays on read, query.rs:33-36).
+    private var compiled: DataFrame = QueryEngine.query(records(), spec)
+    private var iter: Iterator[Row] = null
 
     private def newIter(s: QuerySpec): Iterator[Row] = {
       import scala.jdk.CollectionConverters._
@@ -77,6 +85,11 @@ final class QueryRegistry(defaultTtlMs: Long = 60000L,
     }
 
     private def ensureNext(): Boolean = {
+      if (iter == null) {
+        import scala.jdk.CollectionConverters._
+        iter = compiled.toLocalIterator().asScala
+        compiled = null // the iterator owns the execution from here
+      }
       if (iter.hasNext) return true
       if (!continuous) return false
       // re-arm a fresh historical query from last emitted ts + 1

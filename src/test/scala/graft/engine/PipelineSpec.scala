@@ -141,6 +141,51 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(reg.size == 1)
   }
 
+  test("query registry: sweep removing a cursor MID-fetch — in-flight fetch completes, next is None") {
+    // the truly concurrent interleaving behind the scaladoc contract
+    // (QueryRegistry.scala fetch): a fetch blocked inside a partition
+    // pull holds the cursor's monitor; the expiry sweep must still be
+    // able to remove the cursor (it never takes that monitor), the
+    // blocked fetch must complete against its own iterator, and the
+    // NEXT fetch must return None. Gate UDF: local mode runs executor
+    // tasks in this JVM, so static latches pause the pull mid-flight.
+    import java.util.concurrent.TimeUnit
+    val df = recordsDf((1 to 4).map(i => ("e", i.toLong, Map.empty[String, String], "p")))
+    val entered = PipelineSpec.fetchEntered
+    val release = PipelineSpec.fetchRelease
+    val gate = udf { (ts: Long) =>
+      entered.countDown()
+      release.await(90, TimeUnit.SECONDS)
+      ts
+    }
+    val gated = df.withColumn("ts", gate(col("ts")))
+    val reg = new QueryRegistry()
+    // open must NOT touch the gate: iterator materialization is
+    // deferred to first fetch (eager toLocalIterator under AQE ran the
+    // upstream shuffle INSIDE open — this spec caught it)
+    val t0 = System.nanoTime()
+    val id = reg.open(() => gated, QuerySpec(), ttlMs = 100L)
+    assert((System.nanoTime() - t0) < 30e9, "open ran the query's shuffle stages")
+    assert(entered.getCount == 1, "open must not execute the plan")
+    @volatile var fetched: Option[Seq[Row]] = None
+    @volatile var fetchErr: Throwable = null
+    val t = new Thread(() => {
+      try fetched = reg.fetch(id, 10)
+      catch { case e: Throwable => fetchErr = e }
+    }, "inflight-fetch")
+    t.start()
+    assert(entered.await(90, TimeUnit.SECONDS), "fetch never reached the gate")
+    Thread.sleep(300) // > ttl, measured from the fetch's own lastAccess refresh
+    assert(reg.fetch(-1L, 1).isEmpty) // unknown id — but its sweep runs
+    assert(reg.size == 0, "sweep must remove the expired cursor despite the in-flight fetch")
+    release.countDown()
+    t.join(90000)
+    assert(!t.isAlive, "in-flight fetch deadlocked against the sweep")
+    if (fetchErr != null) fail(s"in-flight fetch threw: $fetchErr", fetchErr)
+    assert(fetched.exists(_.size == 4), s"in-flight fetch must complete with its rows, got $fetched")
+    assert(reg.fetch(id, 1).isEmpty, "post-removal fetch returns None")
+  }
+
   test("query links round-trip, reject tamper and expiry") {
     val spec = QuerySpec(start = Some(10L), stop = Some(99L),
       when = Some("""{"&a": {"$gt": 1}}"""), entries = Some(Seq("e*")))
@@ -153,4 +198,11 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     val expired = QueryLinks.sign(spec, System.currentTimeMillis() - 1, "s3cret")
     assert(QueryLinks.verify(expired, "s3cret").isEmpty)
   }
+}
+
+object PipelineSpec {
+  /** Latches for the mid-fetch sweep spec — static because the gate UDF
+    * executes in executor task threads of the same local JVM. */
+  val fetchEntered = new java.util.concurrent.CountDownLatch(1)
+  val fetchRelease = new java.util.concurrent.CountDownLatch(1)
 }
