@@ -744,29 +744,29 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     val matched = QueryEngine.matching(all, spec).select("bucket", "entry", "ts")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val n = matched.count()
+      val n = ptimed("rm:match+count")(matched.count())
       if (n == 0) return 0
       // materialize the affected-partition list before any file is touched
-      val affected = collectAffected(matched)
+      val affected = ptimed("rm:affected")(collectAffected(matched))
+      // survivors are consumed by exactly one action — the staged write
+      // inside overwritePartitions. No localCheckpoint: checkpointing
+      // the survivor set materializes (corpus - removed) bytes into
+      // executor-local storage, the PB-scale hazard the rewrite seam
+      // exists to avoid. Partitions whose every record matched are
+      // absent from the staged tree; dropMissingFrom deletes them in
+      // the same swap window, so a consistent reader sees the whole
+      // removal or none of it.
       val survivors = prunedPartitionScan(affected)
         .join(matched, Seq("bucket", "entry", "ts"), "left_anti")
-        // materialize: `survivors` is reused after the swap, when the
-        // file tree it was planned against has changed
-        .localCheckpoint(true)
-      // the staged rewrite only recreates partitions PRESENT in the
-      // output — a partition whose every record matched must be dropped
-      // explicitly, inside the same swap window so a consistent reader
-      // sees the whole removal or none of it
-      val surviving = survivors.withColumn("dt", dtCol)
-        .select("bucket", "entry", "dt").distinct().collect()
-        .map(r => (r.getString(0), r.getString(1), r.getDate(2).toString)).toSet
-      overwritePartitions(survivors,
-        dropAfter = affected.filterNot(surviving),
-        // survivors carry folded effective labels; purging the affected
-        // overlay dirs in the SAME swap keeps the live-records-only
-        // invariant (a later re-write of a removed ts must not see
-        // stale overlay labels)
-        extraSwapActions = () => purgeOverlayDirs(affected))
+      ptimed("rm:overwrite") {
+        overwritePartitions(survivors,
+          dropMissingFrom = affected,
+          // survivors carry folded effective labels; purging the affected
+          // overlay dirs in the SAME swap keeps the live-records-only
+          // invariant (a later re-write of a removed ts must not see
+          // stale overlay labels)
+          extraSwapActions = () => purgeOverlayDirs(affected))
+      }
       n
     } finally matched.unpersist()
   }
@@ -845,14 +845,12 @@ final class BucketStore(val spark: SparkSession, val root: String) {
       val found = existing.collect().map(r => (r.getString(1), r.getLong(2))).toSet
       if (found.nonEmpty) {
         val affected = collectAffected(existing)
+        // one action (the staged write) — no localCheckpoint, see
+        // removeQuery; fully-emptied partitions drop via dropMissingFrom
         val survivors = prunedPartitionScan(affected)
           .join(broadcast(existing), Seq("bucket", "entry", "ts"), "left_anti")
-          .localCheckpoint(true) // reused after the swap (see overwritePartitions)
-        val surviving = survivors.withColumn("dt", dtCol)
-          .select("bucket", "entry", "dt").distinct().collect()
-          .map(r => (r.getString(0), r.getString(1), r.getDate(2).toString)).toSet
         overwritePartitions(survivors,
-          dropAfter = affected.filterNot(surviving),
+          dropMissingFrom = affected,
           extraSwapActions = () => purgeOverlayDirs(affected))
       }
       keys.map(k => k -> found(k)).toMap
@@ -933,15 +931,25 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     * deleted with it. Renames are atomic per partition on posix/HDFS;
     * object stores without atomic rename would keep the in-place path.
     *
-    * Callers that reuse `records` AFTER the swap must pass an
-    * already-materialized frame (localCheckpoint) — recomputing it
-    * post-swap would resolve against a changed file tree.
+    * `records` is consumed by exactly ONE action here (the staged
+    * write, pre-swap), so callers need no localCheckpoint — a remove
+    * that checkpoints its survivor set materializes up to the whole
+    * corpus into executor-local storage, the very risk above. A caller
+    * that would read `records` AFTER the swap must still materialize it
+    * first — recomputing post-swap resolves against a changed tree.
+    *
+    * `dropMissingFrom`: partitions the mutation touched; any of them
+    * ABSENT from the staged tree (every record removed) is deleted in
+    * the same swap window. This is derived from the staged dirs, so
+    * callers don't need a second pass over `records` to learn which
+    * partitions survived.
     *
     * `private[graft]` so lifecycle compaction reuses this seam (its
     * rewrite must land inside the same odd-epoch window readers retry
     * on); `writerOptions` carries its codec/level writer settings. */
   private[graft] def overwritePartitions(records: DataFrame,
       dropAfter: Iterable[(String, String, String)] = Nil,
+      dropMissingFrom: Iterable[(String, String, String)] = Nil,
       writerOptions: Map[String, String] = Map.empty,
       extraSwapActions: () => Unit = () => ()): Unit = {
     val stage = new org.apache.hadoop.fs.Path(
@@ -963,11 +971,17 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     try {
       val rootPath = new org.apache.hadoop.fs.Path(root)
       val parked = new java.util.concurrent.atomic.AtomicInteger(0)
+      val dirs = stagedPartitionDirs(fs, stage)
+      // touched partitions the staged tree does NOT recreate were fully
+      // emptied by the mutation — drop them in the same window
+      val stagedRels = dirs.map(_._2).toSet
+      val emptied = dropMissingFrom.filterNot { case (b, e, d) =>
+        stagedRels(s"bucket=${escapePartition(b)}/entry=${escapePartition(e)}/dt=$d") }
       // independent per-dir swaps issued in parallel: the odd-epoch
       // window readers retry on now lasts O(dirs / parallelism) fs ops
       // instead of O(dirs) (each swap stays atomic per dir; the park
       // names are unique via the atomic counter)
-      parallelFs(stagedPartitionDirs(fs, stage)) { case (d, rel) =>
+      parallelFs(dirs) { case (d, rel) =>
         val live = new org.apache.hadoop.fs.Path(rootPath, rel)
         fs.mkdirs(live.getParent)
         if (fs.exists(live))
@@ -975,7 +989,7 @@ final class BucketStore(val spark: SparkSession, val root: String) {
             stage, s"old-${parked.incrementAndGet()}"))
         fs.rename(d, live)
       }
-      parallelFs(dropAfter.toSeq) { case (db, de, ddt) =>
+      parallelFs((dropAfter ++ emptied).toSeq) { case (db, de, ddt) =>
         deletePartitionDir(db, de, ddt) }
       extraSwapActions() // e.g. overlay-dir purge — same swap window
     } finally {
