@@ -92,7 +92,14 @@ object QueryEngine {
           .drop("__rm").drop(helpers: _*)
         (survivors, n)
       case None =>
-        val doomed = matching(records, spec).select("bucket", "entry", "ts").cache()
+        // keys-only (3 narrow cols), disk-spillable: rows ∝ removed
+        // count, never payload bytes. Stays persisted because the
+        // returned survivors plan anti-joins against it — the caller
+        // consumes survivors after this returns. Repeated same-spec
+        // removes reuse the one CacheManager entry (plan-keyed), so
+        // the retained footprint is per distinct spec, not per call.
+        val doomed = matching(records, spec).select("bucket", "entry", "ts")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val n = doomed.count()
         val survivors = records.join(doomed, Seq("bucket", "entry", "ts"), "left_anti")
         (survivors, n)
