@@ -989,8 +989,26 @@ final class BucketStore(val spark: SparkSession, val root: String) {
             stage, s"old-${parked.incrementAndGet()}"))
         fs.rename(d, live)
       }
-      parallelFs((dropAfter ++ emptied).toSeq) { case (db, de, ddt) =>
+      val drops = (dropAfter ++ emptied).toSeq
+      parallelFs(drops) { case (db, de, ddt) =>
         deletePartitionDir(db, de, ddt) }
+      // GC empty entry/bucket skeleton dirs left by the drops — mirrors
+      // purgeOverlayDirs' parent GC: remove-heavy stores would otherwise
+      // accumulate dead entry dirs that every partition-discovery
+      // listing walks. Serial over DISTINCT parents after the parallel
+      // deletes joined; best-effort (an empty dir is cosmetic).
+      for ((db, de) <- drops.map(d => (d._1, d._2)).toSet[(String, String)]) {
+        try {
+          val entryDir = new org.apache.hadoop.fs.Path(
+            s"$root/bucket=${escapePartition(db)}/entry=${escapePartition(de)}")
+          if (fs.exists(entryDir) && fs.listStatus(entryDir).isEmpty) {
+            fs.delete(entryDir, false)
+            val bucketDir = entryDir.getParent
+            if (fs.exists(bucketDir) && fs.listStatus(bucketDir).isEmpty)
+              fs.delete(bucketDir, false): Unit
+          }
+        } catch { case NonFatal(_) => () }
+      }
       extraSwapActions() // e.g. overlay-dir purge — same swap window
     } finally {
       // settle FIRST, unconditionally: a failed stage-dir GC must never

@@ -105,6 +105,33 @@ class BucketStoreSpec extends AnyFunSuite with SparkTestBase {
       Seq(0L, 2L, 4L, 6L, 8L))
   }
 
+  test("removeQuery: emptied vs surviving partitions with escape-worthy entry names") {
+    // guards the dropMissingFrom derivation: surviving partitions are
+    // recognized by comparing escapePartition output against the dirs
+    // SPARK'S WRITER produced — an escaping drift would misclassify a
+    // SURVIVING special-char partition as emptied and delete live data.
+    // Entry names cover '/' (escaped), tab (control), '%' (the escape
+    // char itself), '=' and ':' (Hive-escaped), and a plain name.
+    val store = newStore()
+    val entries = Seq("a/b", "t\tb", "p%20q", "k=v", "c:d", "plain")
+    store.write(recordsDf(entries.flatMap(e =>
+      Seq((e, 1L, Map("side" -> "del")), (e, 2L, Map("side" -> "keep"))))))
+    // doomed entry: every record matches → partition fully emptied
+    store.write(recordsDf(Seq(("gone/e", 5L, Map("side" -> "del")))))
+    val n = store.removeQuery(QuerySpec(when = Some("""{"&side": {"$eq": "del"}}""")))
+    assert(n == entries.size + 1)
+    val left = store.table().select("entry", "ts").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(left == entries.map(e => (e, 2L)).toSet,
+      s"surviving special-char partitions must keep their records, got $left")
+    // the fully-emptied partition's dir is gone (not just empty)
+    val fs = new org.apache.hadoop.fs.Path(store.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"${store.root}/bucket=b/entry=${BucketStore.escapePartition("gone/e")}")),
+      "fully-emptied entry dir must be dropped in the swap")
+  }
+
   test("writeBatch convenience (wire batch-protocol analog)") {
     val store = newStore()
     store.writeBatch("b", "sensor/x", Seq(
