@@ -209,25 +209,52 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     * scale-correct shape. Test seam (1 = the old serial behavior). */
   @volatile var fsOpParallelism: Int = 32
 
-  /** Run `op` over independent fs items on a bounded pool. Joins EVERY
-    * task before returning — even after a failure: a swap must never
-    * leave renames in flight past its epoch settle — then rethrows the
-    * first failure. Single-item and parallelism-1 calls run inline. */
+  /** Run `op` over independent fs items with bounded parallelism. Joins
+    * EVERY op before returning — even after failures or an interrupt of
+    * the joining thread: a swap must never leave renames in flight past
+    * its epoch settle (a straggler landing after the epoch went even
+    * would give snapshot readers a torn view the counter can't detect).
+    * Every failure is kept: the first is rethrown with the rest
+    * suppressed, so a multi-partition failure isn't under-reported.
+    * Single-item and parallelism-1 calls run inline. Work is striped
+    * over `par` workers on a shared cached daemon pool — mutations are
+    * serialized under the store lock, and one swap calls this up to
+    * three times inside its latency-sensitive window, so per-call pool
+    * construction would re-add fixed cost the parallelism exists to
+    * remove. */
   private def parallelFs[T](items: Seq[T])(op: T => Unit): Unit = {
     val par = math.min(fsOpParallelism, items.size)
     if (par <= 1) { items.foreach(op); return }
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(par,
-      (r: Runnable) => { val t = new Thread(r, "graft-fsop"); t.setDaemon(true); t })
-    try {
-      val futs = items.map(it => pool.submit(new Runnable { def run(): Unit = op(it) }))
-      var first: Throwable = null
-      futs.foreach { f =>
-        try { f.get(): Unit }
-        catch { case e: java.util.concurrent.ExecutionException =>
-          if (first == null) first = e.getCause }
+    val idx = new java.util.concurrent.atomic.AtomicInteger(0)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val workers = (1 to par).map(_ => BucketStore.fsOpPool.submit(new Runnable {
+      def run(): Unit = {
+        var i = idx.getAndIncrement()
+        while (i < items.size) {
+          try op(items(i))
+          catch { case e: Throwable => failures.add(e): Unit }
+          i = idx.getAndIncrement()
+        }
       }
-      if (first != null) throw first
-    } finally pool.shutdownNow()
+    }))
+    var interrupted = false
+    workers.foreach { f =>
+      var joined = false
+      while (!joined)
+        try { f.get(): Unit; joined = true }
+        catch {
+          case _: InterruptedException => interrupted = true // keep joining
+          case e: java.util.concurrent.ExecutionException => // fatal in worker
+            failures.add(e.getCause); joined = true
+        }
+    }
+    if (interrupted) Thread.currentThread().interrupt() // re-assert, post-join
+    val it = failures.iterator()
+    if (it.hasNext) {
+      val first = it.next()
+      while (it.hasNext) first.addSuppressed(it.next())
+      throw first
+    }
   }
 
   private def overlayRootPath = new org.apache.hadoop.fs.Path(s"$root/$LabelsDir")
@@ -493,23 +520,30 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     parallelFs(affected.toSeq) { case (b, e, d) =>
       fs.delete(dtDir(b, e, d), true): Unit }
     // GC empty parent skeletons so the overlay-gate walk never grows
-    // with dead entry/bucket dirs (review r15). Serial over the DISTINCT
-    // parents, after every dt delete joined — two threads GC'ing one
-    // shared entry dir would race their exists/list/delete.
-    for ((b, e) <- affected.map(a => (a._1, a._2)).toSet) {
+    // with dead entry/bucket dirs (review r15)
+    gcEmptyParents(fs, affected.map(a => (a._1, a._2)).toSet[(String, String)]
+      .map { case (b, e) => dtDir(b, e, "x").getParent })
+    overlayRowsApprox.set(-1L) // partial purge: count unknown until re-seeded
+    invalidateOverlayAgg() // the overlay changed mid-mutation
+  }
+
+  /** Best-effort GC of empty `entry=` skeleton dirs (and their `bucket=`
+    * parent if that empties too). Serial over DISTINCT parents, called
+    * only after the parallel per-dt deletes joined — two threads GC'ing
+    * one shared parent would race their exists/list/delete. Never fails
+    * the surrounding swap: an un-GC'd empty dir is cosmetic. */
+  private def gcEmptyParents(fs: org.apache.hadoop.fs.FileSystem,
+      entryDirs: Iterable[org.apache.hadoop.fs.Path]): Unit =
+    for (entryDir <- entryDirs) {
       try {
-        val entryDir = dtDir(b, e, "x").getParent
         if (fs.exists(entryDir) && fs.listStatus(entryDir).isEmpty) {
           fs.delete(entryDir, false)
           val bucketDir = entryDir.getParent
           if (fs.exists(bucketDir) && fs.listStatus(bucketDir).isEmpty)
             fs.delete(bucketDir, false): Unit
         }
-      } catch { case NonFatal(_) => () } // GC only; never fail the swap
+      } catch { case NonFatal(_) => () }
     }
-    overlayRowsApprox.set(-1L) // partial purge: count unknown until re-seeded
-    invalidateOverlayAgg() // the overlay changed mid-mutation
-  }
 
   /** Apply replicated label updates (the destination side of the
     * reference's UpdateRecord replication — remote_bucket sends them as
@@ -992,23 +1026,12 @@ final class BucketStore(val spark: SparkSession, val root: String) {
       val drops = (dropAfter ++ emptied).toSeq
       parallelFs(drops) { case (db, de, ddt) =>
         deletePartitionDir(db, de, ddt) }
-      // GC empty entry/bucket skeleton dirs left by the drops — mirrors
-      // purgeOverlayDirs' parent GC: remove-heavy stores would otherwise
-      // accumulate dead entry dirs that every partition-discovery
-      // listing walks. Serial over DISTINCT parents after the parallel
-      // deletes joined; best-effort (an empty dir is cosmetic).
-      for ((db, de) <- drops.map(d => (d._1, d._2)).toSet[(String, String)]) {
-        try {
-          val entryDir = new org.apache.hadoop.fs.Path(
-            s"$root/bucket=${escapePartition(db)}/entry=${escapePartition(de)}")
-          if (fs.exists(entryDir) && fs.listStatus(entryDir).isEmpty) {
-            fs.delete(entryDir, false)
-            val bucketDir = entryDir.getParent
-            if (fs.exists(bucketDir) && fs.listStatus(bucketDir).isEmpty)
-              fs.delete(bucketDir, false): Unit
-          }
-        } catch { case NonFatal(_) => () }
-      }
+      // GC empty entry/bucket skeleton dirs left by the drops —
+      // remove-heavy stores would otherwise accumulate dead entry dirs
+      // that every partition-discovery listing walks
+      gcEmptyParents(fs, drops.map(d => (d._1, d._2)).toSet[(String, String)]
+        .map { case (db, de) => new org.apache.hadoop.fs.Path(
+          s"$root/bucket=${escapePartition(db)}/entry=${escapePartition(de)}") })
       extraSwapActions() // e.g. overlay-dir purge — same swap window
     } finally {
       // settle FIRST, unconditionally: a failed stage-dir GC must never
@@ -1388,6 +1411,17 @@ final class BucketStore(val spark: SparkSession, val root: String) {
 }
 
 object BucketStore {
+  /** Shared pool for [[BucketStore.parallelFs]] workers: cached (idle
+    * threads die after 60 s, reused across the up-to-three parallelFs
+    * calls inside one swap window), daemon (never blocks JVM exit),
+    * process-wide (mutations are store-lock-serialized, so concurrent
+    * stores at worst stripe onto more threads — the per-call worker
+    * count still bounds each call's own parallelism). */
+  private[engine] lazy val fsOpPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newCachedThreadPool((r: Runnable) => {
+      val t = new Thread(r, "graft-fsop"); t.setDaemon(true); t
+    })
+
   /** Write admission failure: the data volume can't hold the record
     * (reference ErrorCode::InsufficientStorage → HTTP 507). */
   final class InsufficientStorageException(msg: String)

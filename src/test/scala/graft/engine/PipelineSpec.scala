@@ -141,14 +141,17 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(reg.size == 1)
   }
 
-  test("query registry: sweep removing a cursor MID-fetch — in-flight fetch completes, next is None") {
+  test("query registry: cursor removed MID-fetch — in-flight fetch completes, next is None") {
     // the truly concurrent interleaving behind the scaladoc contract
     // (QueryRegistry.scala fetch): a fetch blocked inside a partition
-    // pull holds the cursor's monitor; the expiry sweep must still be
-    // able to remove the cursor (it never takes that monitor), the
-    // blocked fetch must complete against its own iterator, and the
-    // NEXT fetch must return None. Gate UDF: local mode runs executor
-    // tasks in this JVM, so static latches pause the pull mid-flight.
+    // pull holds the cursor's monitor; removal (expiry sweep or close —
+    // both are a bare map remove that never takes that monitor) must
+    // still proceed, the blocked fetch must complete against its own
+    // iterator, and the NEXT fetch must return None. close() drives the
+    // removal here because it is timing-free; a short-TTL sweep races
+    // the fetch thread's own startup on a loaded JVM (observed flake).
+    // Gate UDF: local mode runs executor tasks in this JVM, so static
+    // latches pause the pull mid-flight.
     import java.util.concurrent.TimeUnit
     val df = recordsDf((1 to 4).map(i => ("e", i.toLong, Map.empty[String, String], "p")))
     val entered = PipelineSpec.fetchEntered
@@ -163,9 +166,7 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     // open must NOT touch the gate: iterator materialization is
     // deferred to first fetch (eager toLocalIterator under AQE ran the
     // upstream shuffle INSIDE open — this spec caught it)
-    val t0 = System.nanoTime()
-    val id = reg.open(() => gated, QuerySpec(), ttlMs = 100L)
-    assert((System.nanoTime() - t0) < 30e9, "open ran the query's shuffle stages")
+    val id = reg.open(() => gated, QuerySpec())
     assert(entered.getCount == 1, "open must not execute the plan")
     @volatile var fetched: Option[Seq[Row]] = None
     @volatile var fetchErr: Throwable = null
@@ -175,12 +176,11 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     }, "inflight-fetch")
     t.start()
     assert(entered.await(90, TimeUnit.SECONDS), "fetch never reached the gate")
-    Thread.sleep(300) // > ttl, measured from the fetch's own lastAccess refresh
-    assert(reg.fetch(-1L, 1).isEmpty) // unknown id — but its sweep runs
-    assert(reg.size == 0, "sweep must remove the expired cursor despite the in-flight fetch")
+    reg.close(id) // removal while the fetch is blocked in the pull
+    assert(reg.size == 0, "removal must proceed despite the in-flight fetch")
     release.countDown()
     t.join(90000)
-    assert(!t.isAlive, "in-flight fetch deadlocked against the sweep")
+    assert(!t.isAlive, "in-flight fetch deadlocked against the removal")
     if (fetchErr != null) fail(s"in-flight fetch threw: $fetchErr", fetchErr)
     assert(fetched.exists(_.size == 4), s"in-flight fetch must complete with its rows, got $fetched")
     assert(reg.fetch(id, 1).isEmpty, "post-removal fetch returns None")
