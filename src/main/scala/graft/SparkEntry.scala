@@ -682,7 +682,7 @@ object SparkEntry {
       val ev = table(s, dir, "events")
       val tsUs = Records.eventTsUs(ev)
       Analytics.pivotCounts(
-          ev.select((tsUs - tsUs % 86400000000L).as("day"),
+          ev.select((tsUs - pmod(tsUs, lit(86400000000L))).as("day"),
             col("event_type")),
           "day", "event_type",
           Seq("click", "view", "purchase", "signup", "error"))
@@ -2615,21 +2615,23 @@ object SparkEntry {
              CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
            FROM t GROUP BY user_id, session_idx""",
 
+      // the (ts, value) pair travels as ONE struct (like q_asof_tables):
+      // two independent IGNORE NULLS columns would let a null-valued
+      // left event pair an older value with a newer timestamp
       "q_asof_join" ->
         """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
                         event_type, value
                       FROM events WHERE event_type IN ('click', 'purchase')),
            w AS (SELECT *,
-             last_value(CASE WHEN event_type = 'click' THEN value END
+             last_value(CASE WHEN event_type = 'click'
+                 THEN struct_pack(t := ts_us, v := value) END
                IGNORE NULLS) OVER
                (PARTITION BY user_id ORDER BY ts_us, event_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS asof_value,
-             last_value(CASE WHEN event_type = 'click' THEN ts_us END
-               IGNORE NULLS) OVER
-               (PARTITION BY user_id ORDER BY ts_us, event_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS asof_ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pair
              FROM e)
-           SELECT event_id, user_id, ts_us AS ts, value, asof_value, asof_ts
+           SELECT event_id, user_id, ts_us AS ts, value,
+             struct_extract(pair, 'v') AS asof_value,
+             struct_extract(pair, 't') AS asof_ts
            FROM w WHERE event_type = 'purchase'""",
 
       // two-table as-of, STRICT: right rows sort before left rows at an
@@ -2679,9 +2681,11 @@ object SparkEntry {
              struct_extract(pair, 'ts') AS asof_ts
            FROM w WHERE side = 1 ORDER BY user_id, ts""",
 
+      // floor bucketing (((x % w) + w) % w): matches the engine's pmod —
+      // truncating % would diverge for pre-epoch timestamps
       "q_rollup_hour" ->
         """SELECT event_type,
-             epoch_us(ts) - epoch_us(ts) % 3600000000 AS bucket_ts,
+             epoch_us(ts) - ((epoch_us(ts) % 3600000000) + 3600000000) % 3600000000 AS bucket_ts,
              CAST(count(*) AS BIGINT) AS n_events,
              CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
              min(value) AS min_value, max(value) AS max_value
@@ -2695,7 +2699,7 @@ object SparkEntry {
                      (PARTITION BY event_type, tick
                       ORDER BY ts_us DESC, event_id DESC) AS rn
                    FROM (SELECT event_type,
-                           ts_us - ts_us % 900000000 AS tick,
+                           ts_us - ((ts_us % 900000000) + 900000000) % 900000000 AS tick,
                            ts_us, event_id, value FROM e))
                  WHERE rn = 1),
            r AS (SELECT event_type, min(tick) AS t0, max(tick) AS t1
@@ -2724,14 +2728,24 @@ object SparkEntry {
            FROM events e JOIN mm USING (event_type)
            WHERE abs(value - mean) > 3 * sigma""",
 
+      // length-prefixed tokens with 'N' for NULL, '|'-joined — the
+      // engine's injective digest encoding (Analytics.snapshotDiff)
       "q_snapshot_diff" ->
         """WITH old AS (SELECT doc_id,
-                 md5(text || chr(31) || source) AS old_digest
+                 md5((CASE WHEN text IS NULL THEN 'N'
+                       ELSE length(text) || ':' || text END) || '|' ||
+                     (CASE WHEN source IS NULL THEN 'N'
+                       ELSE length(source) || ':' || source END)) AS old_digest
                FROM documents WHERE doc_id % 7 <> 0),
            nw AS (SELECT doc_id,
-                 md5((CASE WHEN doc_id % 11 = 0 THEN text || ' v2'
-                       ELSE text END) || chr(31) || source) AS new_digest
-               FROM documents WHERE doc_id % 5 <> 0)
+                 md5((CASE WHEN t2 IS NULL THEN 'N'
+                       ELSE length(t2) || ':' || t2 END) || '|' ||
+                     (CASE WHEN source IS NULL THEN 'N'
+                       ELSE length(source) || ':' || source END)) AS new_digest
+               FROM (SELECT doc_id, source,
+                       CASE WHEN doc_id % 11 = 0 THEN text || ' v2'
+                         ELSE text END AS t2
+                     FROM documents WHERE doc_id % 5 <> 0))
            SELECT coalesce(old.doc_id, nw.doc_id) AS doc_id,
              CASE WHEN old_digest IS NULL THEN 'added'
                   WHEN new_digest IS NULL THEN 'removed'
@@ -2743,7 +2757,7 @@ object SparkEntry {
         """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, event_id,
                         value FROM events),
            b AS (SELECT event_type,
-                   ts_us - ts_us % 3600000000 AS bucket_ts,
+                   ts_us - ((ts_us % 3600000000) + 3600000000) % 3600000000 AS bucket_ts,
                    ts_us, event_id, value FROM e),
            o AS (SELECT event_type, bucket_ts, value AS open FROM (
                    SELECT *, row_number() OVER
@@ -2842,7 +2856,7 @@ object SparkEntry {
              AND epoch_us(r.ts) <= epoch_us(l.ts) + 21600000000""",
 
       "q_pivot_daily" ->
-        """SELECT epoch_us(ts) - epoch_us(ts) % 86400000000 AS day,
+        """SELECT epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000 AS day,
              CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
                AS BIGINT) AS click,
              CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
@@ -2975,7 +2989,7 @@ object SparkEntry {
            latest AS (
              SELECT * FROM (
                SELECT *, row_number() OVER (
-                 PARTITION BY doc_id ORDER BY seq DESC) AS rn
+                 PARTITION BY doc_id ORDER BY seq DESC, op ASC) AS rn
                FROM changes) WHERE rn = 1),
            merged AS (
              SELECT doc_id,
@@ -3015,7 +3029,8 @@ object SparkEntry {
 
       "q_wau_sliding" ->
         """WITH ud AS (
-             SELECT DISTINCT epoch_us(ts) - epoch_us(ts) % 86400000000
+             SELECT DISTINCT epoch_us(ts)
+               - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000
                AS period, user_id FROM events),
            mx AS (SELECT max(period) AS mx FROM ud),
            w AS (
@@ -3176,7 +3191,7 @@ object SparkEntry {
            FROM events JOIN st ON event_type = t ORDER BY event_id""",
 
       "q_active_users" ->
-        """SELECT epoch_us(ts) - epoch_us(ts) % 86400000000 AS period_ts,
+        """SELECT epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000 AS period_ts,
              CAST(count(DISTINCT user_id) AS BIGINT) AS active_users,
              CAST(count(*) AS BIGINT) AS n_events
            FROM events GROUP BY 1 ORDER BY 1""",

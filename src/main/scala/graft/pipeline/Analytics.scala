@@ -58,12 +58,21 @@ object Analytics {
     */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
       contentCols: Seq[String]): DataFrame = {
-    // 0x1F (unit separator) between content columns: prevents
-    // ("ab","c")/("a","bc")-style digest collisions while staying
-    // representable in every engine's VARCHAR (DuckDB rejects embedded
-    // NUL, so an oracle twin could never match a NUL separator)
+    // length-prefixed tokens, 'N' for NULL, '|'-joined: a bare
+    // separator-concat has two collision classes — concat_ws SKIPS null
+    // columns, so ("x", NULL) vs (NULL, "x") digest identically, and a
+    // separator embedded in the data realigns columns. The length
+    // prefix makes the encoding injective regardless of content
+    // (("ab","c") -> "2:ab|1:c" != ("a","bc") -> "1:a|2:bc"); 'N' is
+    // distinct from every real token (those start with a digit). Plain
+    // VARCHAR pieces, so the DuckDB oracle computes the same digest.
+    def token(c: String) = {
+      val s = col(c).cast("string")
+      when(s.isNull, lit("N"))
+        .otherwise(concat(length(s).cast("string"), lit(":"), s))
+    }
     def digested(df: DataFrame, name: String) = df.select(col(idCol),
-      md5(concat_ws("\u001F", contentCols.map(col): _*)).as(name))
+      md5(concat_ws("|", contentCols.map(token): _*)).as(name))
     digested(oldDf, "old_digest")
       .join(digested(newDf, "new_digest"), Seq(idCol), "full_outer")
       .select(col(idCol),
@@ -131,8 +140,13 @@ object Analytics {
     // up front (and the min/max head() row is null on an all-null or
     // empty input, so bail to an empty frame of the right shape). The
     // filter tests the CAST value: a non-numeric string is just as null
-    // after cast("double") as a true NULL.
-    val valued = df.filter(col(valueCol).cast("double").isNotNull)
+    // after cast("double") as a true NULL. Non-finite doubles are
+    // dropped the same way: one ±Inf poisons lo/hi so every finite
+    // value lands in bin 0, and NaN propagates NaN bin edges — the
+    // same silent-garbage class as the null parking.
+    val cd = col(valueCol).cast("double")
+    val valued = df.filter(cd.isNotNull && !isnan(cd) &&
+      cd =!= Double.PositiveInfinity && cd =!= Double.NegativeInfinity)
     val mm = valued.agg(min(col(valueCol).cast("double")),
       max(col(valueCol).cast("double"))).head()
     if (mm.isNullAt(0))
@@ -200,8 +214,21 @@ object Analytics {
   def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
       smallKey: String, salts: Int): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
+    // hash() rejects MapType anywhere in a column's type — serialize
+    // such columns through to_json for the salt (the record schema's
+    // labels/computed_labels maps would otherwise make this throw).
+    // Deterministic row-content salt; NB byte-identical duplicate rows
+    // share a salt, so skew made of EXACT duplicates stays on one task.
+    def hasMap(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+    val saltSrc = big.schema.fields.map(f =>
+      if (hasMap(f.dataType)) to_json(col(f.name)) else col(f.name))
     val saltedBig = big.withColumn("__salt",
-      pmod(hash(big.columns.map(col): _*), lit(salts)))
+      pmod(hash(saltSrc: _*), lit(salts)))
     val saltedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     // frame-qualified key refs: unqualified col(...) is ambiguous the
@@ -231,8 +258,12 @@ object Analytics {
   def applyChanges(base: DataFrame, changes: DataFrame, idCol: String,
       seqCol: String, opCol: String): DataFrame = {
     val payload = base.columns.filterNot(_ == idCol)
+    // op as the tiebreak on equal seq ('delete' < 'upsert' asc, so
+    // delete wins): row_number over a non-total order would resolve
+    // same-seq changes nondeterministically across runs/retries —
+    // the snapshot would randomly contain or drop the id
     val w = Window.partitionBy(col(idCol))
-      .orderBy(col(seqCol).desc)
+      .orderBy(col(seqCol).desc, col(opCol).asc)
     val latest = changes
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)

@@ -55,6 +55,7 @@ object TimeSeries {
     * order-independent decimal sum of `value`.
     */
   def sessionize(events: DataFrame, gapUs: Long): DataFrame = {
+    require(gapUs > 0, s"gapUs must be positive, got $gapUs")
     val byUser = Window.partitionBy(col("user_id")).orderBy(eventOrder: _*)
     val prevTs = lag(col("ts_us"), 1).over(byUser)
     val isNew = when(prevTs.isNull || col("ts_us") - prevTs > gapUs, 1L)
@@ -84,15 +85,20 @@ object TimeSeries {
   def asofJoin(events: DataFrame, leftType: String, rightType: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(eventOrder: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val leftVal = when(col("event_type") === leftType, col("value"))
-    val leftTs = when(col("event_type") === leftType, col("ts_us"))
+    // the (ts, value) pair travels as ONE struct — carrying two
+    // independent ignoreNulls columns would let a null-valued left
+    // event split the pair: its ts is skipped by the value column but
+    // not the ts column, pairing an older event's value with a newer
+    // event's timestamp (asofJoinTables fixed this the same way)
+    val leftPair = when(col("event_type") === leftType,
+      struct(col("ts_us").as("t"), col("value").as("v")))
     withTsUs(events)
       .where(col("event_type").isin(leftType, rightType))
-      .withColumn("asof_value", last(leftVal, ignoreNulls = true).over(w))
-      .withColumn("asof_ts", last(leftTs, ignoreNulls = true).over(w))
+      .withColumn("__asof", last(leftPair, ignoreNulls = true).over(w))
       .where(col("event_type") === rightType)
       .select(col("event_id"), col("user_id"), col("ts_us").as("ts"),
-        col("value"), col("asof_value"), col("asof_ts"))
+        col("value"), col("__asof")("v").as("asof_value"),
+        col("__asof")("t").as("asof_ts"))
   }
 
   /** Tumbling-window rollup per event type: count / decimal sum / min /
@@ -100,15 +106,20 @@ object TimeSeries {
     * aggregation map-side, one shuffle on (type, bucket); the natural
     * downsampling query over a µs-keyed store.
     */
-  def tumblingRollup(events: DataFrame, widthUs: Long): DataFrame =
+  def tumblingRollup(events: DataFrame, widthUs: Long): DataFrame = {
+    require(widthUs > 0, s"widthUs must be positive, got $widthUs")
+    // floor bucketing (pmod, not %): truncate-toward-zero would put a
+    // pre-epoch event in the bucket STARTING AFTER it and diverge from
+    // rollupWindows, this operator's declarative twin (window() floors)
     withTsUs(events)
-      .withColumn("bucket_ts", col("ts_us") - col("ts_us") % widthUs)
+      .withColumn("bucket_ts", col("ts_us") - pmod(col("ts_us"), lit(widthUs)))
       .groupBy(col("event_type"), col("bucket_ts"))
       .agg(
         count(lit(1)).as("n_events"),
         sum(col("value").cast(Dec)).cast("double").as("sum_value"),
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"))
+  }
 
   /** Regular-grid downsample with forward fill: per event type, one row
     * per `stepUs` tick from the type's first tick to its last, carrying
@@ -133,13 +144,14 @@ object TimeSeries {
   def gapFill(events: DataFrame, stepUs: Long,
       chunkTicks: Int = 256,
       naiveMaxRows: Long = TwoPhase.NaiveMaxRows): DataFrame = {
+    require(stepUs > 0, s"stepUs must be positive, got $stepUs")
     require(chunkTicks > 0, s"chunkTicks must be positive, got $chunkTicks")
     val chunkUs = Math.multiplyExact(stepUs, chunkTicks.toLong)
     // every grid/boundary join keys on a STRUCT-wrapped type ("__k") so
     // a NULL event_type series — its own partition under a window — is
     // filled like any other instead of dropping through the equi-joins
     val ev = withTsUs(events)
-      .withColumn("tick", col("ts_us") - col("ts_us") % stepUs)
+      .withColumn("tick", col("ts_us") - pmod(col("ts_us"), lit(stepUs)))
       .withColumn("__k", struct(col("event_type")))
     val perTick = ev.groupBy(col("__k"), col("tick"))
       .agg(max_by(col("value"), struct(eventOrder: _*)).as("tick_value"))
@@ -493,7 +505,13 @@ object TimeSeries {
     */
   def intervalJoin(events: DataFrame, leftType: String, rightType: String,
       beforeUs: Long, afterUs: Long): DataFrame = {
-    val width = beforeUs + afterUs
+    require(beforeUs >= 0 && afterUs >= 0,
+      s"interval bounds must be non-negative, got [$beforeUs, $afterUs]")
+    // width 0 would make every pmod NULL (non-ANSI x % 0) and silently
+    // return zero rows; an exact-ts pairing is an equi-join, not this
+    require(beforeUs + afterUs > 0,
+      "zero-width interval: join on ts equality instead")
+    val width = Math.addExact(beforeUs, afterUs)
     val ev = withTsUs(events)
     val left = ev.where(col("event_type") === leftType)
       .select(col("user_id"), col("event_id").as("l_id"),
@@ -581,6 +599,7 @@ object TimeSeries {
     * site. The standard DAU/WAU panel signal.
     */
   def activeUsers(events: DataFrame, periodUs: Long): DataFrame = {
+    require(periodUs > 0, s"periodUs must be positive, got $periodUs")
     val ev = withTsUs(events)
     ev.groupBy((col("ts_us") - pmod(col("ts_us"), lit(periodUs)))
         .as("period_ts"))
@@ -600,6 +619,8 @@ object TimeSeries {
     */
   def slidingActiveUsers(events: DataFrame, periodUs: Long,
       nPeriods: Int): DataFrame = {
+    require(periodUs > 0, s"periodUs must be positive, got $periodUs")
+    require(nPeriods > 0, s"nPeriods must be positive, got $nPeriods")
     val ev = withTsUs(events)
     val userPeriods = ev.select(
         (col("ts_us") - pmod(col("ts_us"), lit(periodUs))).as("period"),
@@ -685,9 +706,10 @@ object TimeSeries {
     * (cohort, offset) distinct-user count; the classic engagement matrix.
     */
   def cohortRetention(events: DataFrame, periodUs: Long): DataFrame = {
+    require(periodUs > 0, s"periodUs must be positive, got $periodUs")
     val ev = withTsUs(events)
-      .withColumn("period", (col("ts_us") - col("ts_us") % periodUs) / periodUs)
-      .select(col("user_id"), col("period").cast("long").as("period"))
+      .withColumn("period", chunkOf(col("ts_us"), periodUs))
+      .select(col("user_id"), col("period"))
     val cohorts = ev.groupBy(col("user_id"))
       .agg(min(col("period")).as("cohort"))
     ev.join(cohorts, Seq("user_id"))
@@ -702,9 +724,10 @@ object TimeSeries {
     * are deterministic under ties and any parallelism.
     */
   def ohlcBars(events: DataFrame, widthUs: Long): DataFrame = {
+    require(widthUs > 0, s"widthUs must be positive, got $widthUs")
     val ord = struct(eventOrder: _*)
     withTsUs(events)
-      .withColumn("bucket_ts", col("ts_us") - col("ts_us") % widthUs)
+      .withColumn("bucket_ts", col("ts_us") - pmod(col("ts_us"), lit(widthUs)))
       .groupBy(col("event_type"), col("bucket_ts"))
       .agg(
         min_by(col("value"), ord).as("open"),

@@ -115,6 +115,55 @@ class IncrementalSpec extends AnyFunSuite with SparkTestBase {
       ("s", 3L, 1L, 2L, "a", "x")))
   }
 
+  test("applyChanges: equal-seq changes resolve deterministically (delete wins the tie)") {
+    val base = Seq((1L, "one")).toDF("id", "text")
+    val changes = Seq(
+      (1L, 7L, "upsert", "one-v2"),
+      (1L, 7L, "delete", null.asInstanceOf[String])
+    ).toDF("id", "seq", "op", "text")
+    // without a tiebreak the winner depended on partitioning/retries —
+    // the snapshot randomly contained or dropped the id (review r15)
+    (1 to 5).foreach { _ =>
+      val out = Analytics.applyChanges(base, changes, "id", "seq", "op")
+      assert(out.count() == 0, "delete must win an equal-seq tie, every run")
+    }
+  }
+
+  test("snapshotDiff: null-shifted and separator-embedded content is 'changed', not 'unchanged'") {
+    // concat_ws skips nulls: ("x", null) vs (null, "x") used to digest
+    // identically, as did ("pq", null-ish) column realignments;
+    // the length-prefixed token encoding is injective (review r15)
+    val old = Seq((1L, "x", null.asInstanceOf[String]), (2L, "a|b", "c"))
+      .toDF("id", "c1", "c2")
+    val nw = Seq((1L, null.asInstanceOf[String], "x"), (2L, "a", "b|c"))
+      .toDF("id", "c1", "c2")
+    val out = Analytics.snapshotDiff(old, nw, "id", Seq("c1", "c2"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out == Map(1L -> "changed", 2L -> "changed"), s"got $out")
+  }
+
+  test("saltedJoin: map-typed columns salt through to_json instead of throwing") {
+    val big = Seq((1L, "k1"), (2L, "k2"))
+      .toDF("id", "k")
+      .withColumn("labels", map(lit("a"), col("k"))) // records-shaped map col
+    val small = Seq(("k1", 10L), ("k2", 20L)).toDF("sk", "dim")
+    val out = Analytics.saltedJoin(big, small, "k", "sk", salts = 4)
+      .select("id", "dim").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 10L), (2L, 20L)))
+  }
+
+  test("histogram: non-finite values are dropped like nulls, not binned") {
+    val df = Seq(("t", 1.0), ("t", 2.0), ("t", Double.PositiveInfinity),
+      ("t", Double.NaN), ("t", 3.0)).toDF("g", "v")
+    val out = Analytics.histogram(df, "g", "v", bins = 2)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    // one Inf used to make hi=Inf → every finite value in bin 0 with
+    // garbage edges; now bins span the finite range [1, 3] (boundary
+    // value 2.0 belongs to the upper bin, max clamps into the last bin)
+    assert(out.toSeq == Seq((0L, 1.0, 2.0, 1L), (1L, 2.0, 3.0, 2L)), s"got ${out.toSeq}")
+  }
+
   test("saltedJoin: exact parity with the plain join; hot key spread over salts") {
     // extreme skew: one key holds 90% of the rows
     val big = ((0 until 900).map(i => ("hot", s"r$i")) ++

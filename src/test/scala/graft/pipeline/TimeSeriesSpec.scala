@@ -56,6 +56,43 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
       (7L, None, None)))
   }
 
+  test("asof join: a null-valued left event advances the pair, never splits it") {
+    // (ts, value) travel as one struct: the null-valued click@20 is the
+    // latest left event for purchase@30 — asof_value must be null WITH
+    // asof_ts=20, not click@10's value paired with click@20's ts
+    val df = ev((1L, 10L, 7L, "click", 1.0), (3L, 30L, 7L, "purchase", 50.0))
+      .union(spark.sql( // ev frames carry ns-long ts: 20 µs = 20000 ns
+        """SELECT CAST(2 AS BIGINT), CAST(20000 AS BIGINT),
+             CAST(7 AS BIGINT), 'click', CAST(NULL AS DOUBLE), '{}'"""))
+    val out = TimeSeries.asofJoin(df, "click", "purchase").collect()(0)
+    assert(out.isNullAt(out.fieldIndex("asof_value")), s"got $out")
+    assert(out.getLong(out.fieldIndex("asof_ts")) == 20L, s"got $out")
+  }
+
+  test("tumbling rollup: floor buckets pre-epoch, agreeing with rollupWindows") {
+    val df = ev((1L, -1L, 7L, "click", 1.0), (2L, 1L, 7L, "click", 2.0),
+      (3L, -3600000000L, 7L, "click", 3.0))
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.select("event_type", "bucket_ts", "n_events", "sum_value")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    val batch = canon(TimeSeries.tumblingRollup(df, 3600000000L))
+    val declarative = canon(TimeSeries.rollupWindows(
+      df.withColumn("tsc", timestamp_micros(expr("ts DIV 1000"))),
+      col("tsc"), "1 hour"))
+    // truncating % put ts=-1 in the bucket STARTING AFTER it (0) and
+    // diverged from the window() twin; floor agrees: -1 → -3600000000
+    assert(batch == declarative, s"batch $batch vs declarative $declarative")
+    assert(batch.exists { case (_, b, n, s) => b == -3600000000L && n == 2 && s == 4.0 })
+  }
+
+  test("interval join: zero-width interval is rejected, not silently empty") {
+    val df = ev((1L, 10L, 7L, "click", 1.0))
+    intercept[IllegalArgumentException] {
+      TimeSeries.intervalJoin(df, "click", "view", 0L, 0L)
+    }
+  }
+
   test("asof join plan: one window scan, no join node") {
     val df = ev((1L, 10L, 7L, "click", 1.0), (2L, 20L, 7L, "purchase", 2.0))
     val plan = TimeSeries.asofJoin(df, "click", "purchase")
