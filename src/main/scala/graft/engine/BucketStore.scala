@@ -227,12 +227,22 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     if (par <= 1) { items.foreach(op); return }
     val idx = new java.util.concurrent.atomic.AtomicInteger(0)
     val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    // First failure flips this: remaining workers DRAIN the index without
+    // calling op (no new renames once the swap is known-broken — each op
+    // skipped keeps the partially-applied window narrower), while still
+    // joining every in-flight op so nothing lands past the epoch settle.
+    val abort = new java.util.concurrent.atomic.AtomicBoolean(false)
     val workers = (1 to par).map(_ => BucketStore.fsOpPool.submit(new Runnable {
       def run(): Unit = {
         var i = idx.getAndIncrement()
         while (i < items.size) {
-          try op(items(i))
-          catch { case e: Throwable => failures.add(e): Unit }
+          if (!abort.get)
+            try op(items(i))
+            catch {
+              case e: VirtualMachineError => // OOM etc: don't keep striping
+                abort.set(true); failures.add(e): Unit
+              case e: Throwable => abort.set(true); failures.add(e): Unit
+            }
           i = idx.getAndIncrement()
         }
       }
@@ -251,8 +261,13 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     if (interrupted) Thread.currentThread().interrupt() // re-assert, post-join
     val it = failures.iterator()
     if (it.hasNext) {
-      val first = it.next()
-      while (it.hasNext) first.addSuppressed(it.next())
+      // a VM error (OOM, stack overflow) outranks ordinary IO failures:
+      // surface it as the primary so callers/JVM handlers see it
+      import scala.jdk.CollectionConverters._
+      val all = failures.asScala.toSeq
+      val first = all.collectFirst { case e: VirtualMachineError => e }
+        .getOrElse(all.head)
+      all.foreach(e => if (e ne first) first.addSuppressed(e))
       throw first
     }
   }

@@ -92,14 +92,18 @@ object QueryEngine {
           .drop("__rm").drop(helpers: _*)
         (survivors, n)
       case None =>
-        // keys-only (3 narrow cols), disk-spillable: rows ∝ removed
-        // count, never payload bytes. Stays persisted because the
-        // returned survivors plan anti-joins against it — the caller
-        // consumes survivors after this returns. Repeated same-spec
-        // removes reuse the one CacheManager entry (plan-keyed), so
-        // the retained footprint is per distinct spec, not per call.
+        // keys-only (3 narrow cols): rows ∝ removed count, never payload
+        // bytes. Eager localCheckpoint (not persist) so the sequential
+        // kernel runs ONCE, the count and the survivors anti-join both
+        // read the materialized blocks, and — unlike a CacheManager
+        // persist, which pins until an explicit unpersist — the blocks
+        // are freed by the ContextCleaner as soon as the returned
+        // survivors plan is GC'd. Remove-heavy long-lived sessions
+        // (each remove plans against a fresh file index, so same-spec
+        // calls can NOT share one cache entry) no longer accumulate
+        // keysets without bound.
         val doomed = matching(records, spec).select("bucket", "entry", "ts")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint(true)
         val n = doomed.count()
         val survivors = records.join(doomed, Seq("bucket", "entry", "ts"), "left_anti")
         (survivors, n)

@@ -507,11 +507,12 @@ object TimeSeries {
       beforeUs: Long, afterUs: Long): DataFrame = {
     require(beforeUs >= 0 && afterUs >= 0,
       s"interval bounds must be non-negative, got [$beforeUs, $afterUs]")
+    // checked add FIRST: bounds whose sum overflows Long must report
+    // overflow, not the misleading zero-width message below
+    val width = Math.addExact(beforeUs, afterUs)
     // width 0 would make every pmod NULL (non-ANSI x % 0) and silently
     // return zero rows; an exact-ts pairing is an equi-join, not this
-    require(beforeUs + afterUs > 0,
-      "zero-width interval: join on ts equality instead")
-    val width = Math.addExact(beforeUs, afterUs)
+    require(width > 0, "zero-width interval: join on ts equality instead")
     val ev = withTsUs(events)
     val left = ev.where(col("event_type") === leftType)
       .select(col("user_id"), col("event_id").as("l_id"),

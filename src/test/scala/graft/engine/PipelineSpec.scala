@@ -154,11 +154,15 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     // latches pause the pull mid-flight.
     import java.util.concurrent.TimeUnit
     val df = recordsDf((1 to 4).map(i => ("e", i.toLong, Map.empty[String, String], "p")))
-    val entered = PipelineSpec.fetchEntered
-    val release = PipelineSpec.fetchRelease
+    // fresh latches per run (suite re-run / retry harness in one JVM);
+    // the UDF dereferences through the companion at CALL time so it
+    // always sees this run's latches
+    PipelineSpec.fetchEntered.set(new java.util.concurrent.CountDownLatch(1))
+    PipelineSpec.fetchRelease.set(new java.util.concurrent.CountDownLatch(1))
+    val entered = PipelineSpec.fetchEntered.get
     val gate = udf { (ts: Long) =>
-      entered.countDown()
-      release.await(90, TimeUnit.SECONDS)
+      PipelineSpec.fetchEntered.get.countDown()
+      PipelineSpec.fetchRelease.get.await(90, TimeUnit.SECONDS)
       ts
     }
     val gated = df.withColumn("ts", gate(col("ts")))
@@ -178,7 +182,7 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(entered.await(90, TimeUnit.SECONDS), "fetch never reached the gate")
     reg.close(id) // removal while the fetch is blocked in the pull
     assert(reg.size == 0, "removal must proceed despite the in-flight fetch")
-    release.countDown()
+    PipelineSpec.fetchRelease.get.countDown()
     t.join(90000)
     assert(!t.isAlive, "in-flight fetch deadlocked against the removal")
     if (fetchErr != null) fail(s"in-flight fetch threw: $fetchErr", fetchErr)
@@ -202,7 +206,12 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
 
 object PipelineSpec {
   /** Latches for the mid-fetch sweep spec — static because the gate UDF
-    * executes in executor task threads of the same local JVM. */
-  val fetchEntered = new java.util.concurrent.CountDownLatch(1)
-  val fetchRelease = new java.util.concurrent.CountDownLatch(1)
+    * executes in executor task threads of the same local JVM. Held in
+    * AtomicReferences the test REINITIALIZES at its start: CountDownLatch
+    * is single-use, so a bare static latch makes the test non-rerunnable
+    * in one JVM (second run finds it already counted down / spent). */
+  val fetchEntered = new java.util.concurrent.atomic.AtomicReference(
+    new java.util.concurrent.CountDownLatch(1))
+  val fetchRelease = new java.util.concurrent.atomic.AtomicReference(
+    new java.util.concurrent.CountDownLatch(1))
 }
