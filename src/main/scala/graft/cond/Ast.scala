@@ -41,6 +41,23 @@ object Node {
     case _                 => Set.empty
   }
 
+  /** Whether evaluating the tree can OBSERVE record labels: a static
+    * `&ref`, a dynamic `$ref` lookup, or an `$exists`/`$has` membership
+    * probe (the only three label readers in Interp/CondCompiler).
+    * `@computed` refs count too — #ext processors derive computed labels
+    * WITH the record's labels map as input. Trees where this is false
+    * evaluate identically with or without the label-overlay join (a
+    * PATCH can only change `labels`), so key-only consumers may match
+    * against the base table directly. Callers must separately treat a
+    * `#ext` directive as label-reading (its per-step when-conditions and
+    * processors see labels). */
+  def readsLabels(n: Node): Boolean = n match {
+    case LabelRef(_) | ComputedRef(_)       => true
+    case Op("$ref" | "$exists" | "$has", _) => true
+    case Op(_, ops)                         => ops.exists(readsLabels)
+    case _                                  => false
+  }
+
   /** Render a tree back to condition-language JSON (array operator form —
     * always legal, unlike the object sugar). Round-trips through
     * [[Parser.parse]] up to the language's own string-literal limits: a

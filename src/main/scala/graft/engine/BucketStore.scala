@@ -409,6 +409,18 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     } else { p.unpersist(false); p } // lost the install race (see doc above)
   }
 
+  /** Whether `spec.when` can observe record labels (see
+    * [[graft.cond.Node.readsLabels]]); a `#ext` directive counts — its
+    * processors and per-step whens receive the labels map. Specs without
+    * a when-condition trivially can't. Parse errors propagate: the
+    * caller's own parse would raise the identical error anyway. */
+  private def specReadsLabels(spec: QuerySpec): Boolean =
+    spec.when.exists { w =>
+      val parsed = graft.cond.Parser.parse(w)
+      parsed.directives.get("#ext").isDefined ||
+        graft.cond.Node.readsLabels(parsed.root)
+    }
+
   private def applyOverlay(base: DataFrame): DataFrame = {
     // O(1) gate when the driver counter is known; fs fallback otherwise
     val known = overlayRowsApprox.get
@@ -789,7 +801,13 @@ final class BucketStore(val spark: SparkSession, val root: String) {
   /** Query-as-delete (remove_records.rs:62-160): rewrite only affected
     * partitions without the matching rows; returns removed count. */
   def removeQuery(spec: QuerySpec): Long = mutating {
-    val all = table()
+    // match phase: a when-condition that can't observe labels (&ref /
+    // $ref / $exists / #ext) selects identical keys on the BASE table,
+    // so the common time-range / $each_n / retention removes skip the
+    // overlay broadcast join AND the overlay-agg build while patches
+    // are outstanding. The rewrite below still folds effective labels
+    // into the affected partitions either way (purge invariant).
+    val all = if (specReadsLabels(spec)) table() else baseTable()
     val matched = QueryEngine.matching(all, spec).select("bucket", "entry", "ts")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

@@ -129,6 +129,31 @@ class LabelOverlaySpec extends AnyFunSuite with SparkTestBase {
     assert(labelsOf(store)(1L) == Map("v" -> "fresh"))
   }
 
+  test("label-free remove with outstanding patches folds labels; label-referencing remove sees them") {
+    // the removeQuery match-phase fast path (round 16): a when that
+    // can't observe labels matches on the BASE table — must still fold
+    // outstanding patches into the rewritten partitions, and a when
+    // that DOES reference labels must match against PATCHED labels
+    val store = newStore()
+    store.write(recordsDf((1L to 6L).map(ts => ("e", ts, Map("v" -> "old")))))
+    store.updateLabels(QuerySpec(), set = Map("v" -> "patched")): Unit
+    assert(store.overlayRowCount() == 6L)
+    // label-free when: $each_n 2 matches every 2nd tick — removes 2,4,6
+    assert(store.removeQuery(QuerySpec(when = Some("""{"$each_n": 2}"""))) == 3L)
+    assert(store.overlayRowCount() == 0L,
+      "rewritten partitions fold + purge their overlay rows")
+    val after = labelsOf(store)
+    assert(after.keySet == Set(1L, 3L, 5L))
+    assert(after.values.forall(_ == Map("v" -> "patched")),
+      s"survivors must carry folded patched labels, got $after")
+    // label-referencing when over a fresh overlay: must see the patch
+    store.updateLabels(QuerySpec(start = Some(1L), stop = Some(2L)),
+      set = Map("kill" -> "yes")): Unit
+    assert(store.removeQuery(
+      QuerySpec(when = Some("""{"$exists": ["kill"]}"""))) == 1L)
+    assert(labelsOf(store).keySet == Set(3L, 5L))
+  }
+
   test("updateLabelsBatch (io-v2 per-record deltas) goes through the overlay") {
     val store = newStore()
     store.write(recordsDf(Seq(
