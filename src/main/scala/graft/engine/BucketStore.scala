@@ -126,6 +126,18 @@ final class BucketStore(val spark: SparkSession, val root: String) {
       s"read did not settle after $maxRetries rewrite-racing retries")
   }
 
+  /** Test-only fault injection, invoked at named crash seams inside the
+    * mutation machinery: `append:<tree>:staged` (hidden-tree append —
+    * staged files written, NOTHING renamed in yet), `overwrite:staged`
+    * (partition rewrite — staged tree written, live tree untouched),
+    * `overwrite:swapped` (renames + drops landed, extraSwapActions —
+    * e.g. the fold's overlay purge — NOT yet run). A hook that throws
+    * simulates the process dying at that boundary; specs then open a
+    * FRESH store on the same root (cold seq counter, cold overlay
+    * count — exactly a restarted process) and assert the recovery
+    * contract (OverlayCrashSpec). Production: no-op. */
+  @volatile private[graft] var crashSeamForTest: String => Unit = _ => ()
+
   /** Test hook: run `f` with the rewrite epoch held ODD — a swap window
     * that never settles — so specs can exercise [[readConsistent]]'s
     * wedged-swap cap without a real wedged mutation. */
@@ -489,6 +501,7 @@ final class BucketStore(val spark: SparkSession, val root: String) {
         .parquet(stage.toString)
     }
     val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    crashSeamForTest(s"append:$dirName:staged")
     rewriteEpochCounter.incrementAndGet() // odd: files landing
     try ptimed(s"rename-in:$dirName") {
       val treeRoot = new org.apache.hadoop.fs.Path(s"$root/$dirName")
@@ -1029,6 +1042,7 @@ final class BucketStore(val spark: SparkSession, val root: String) {
       .mode(SaveMode.Overwrite)
       .parquet(stage.toString)
     val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    crashSeamForTest("overwrite:staged")
     // every reader-visible change of the mutation — partition renames
     // AND the fully-emptied-dir deletes — lands inside ONE odd-epoch
     // window, so [[readConsistent]] callers see the whole mutation or
@@ -1065,6 +1079,7 @@ final class BucketStore(val spark: SparkSession, val root: String) {
       gcEmptyParents(fs, drops.map(d => (d._1, d._2)).toSet[(String, String)]
         .map { case (db, de) => new org.apache.hadoop.fs.Path(
           s"$root/bucket=${escapePartition(db)}/entry=${escapePartition(de)}") })
+      crashSeamForTest("overwrite:swapped")
       extraSwapActions() // e.g. overlay-dir purge — same swap window
     } finally {
       // settle FIRST, unconditionally: a failed stage-dir GC must never
