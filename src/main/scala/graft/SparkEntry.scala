@@ -1301,27 +1301,73 @@ object SparkEntry {
                   CAST(count(*) AS BIGINT) AS dup_count
            FROM documents GROUP BY md5(text) ORDER BY keep_id""",
 
-      // groups within the 1000-doc bound take the exact all-pairs path
-      // (capped = false); no source group exceeds it at any test SF, so
-      // the oracle needs only that branch here (q_jaccard_capped pins the
-      // oversized branch)
+      // BOTH adaptive branches, so the oracle gates whichever the data
+      // routes to (sf1 flips every 2500-doc source group to the
+      // fallback): groups within the 1000-doc bound take the exact
+      // all-pairs path (capped = false); bigger groups are minhash-
+      // blocked PER GROUP over md5-60 token hashes — candidacy = sharing
+      // one of 8 (band, 8-slice) buckets within the [2, 200] hot-bucket
+      // cap — then exact-Jaccard-verified (capped = true), mirroring
+      // groupedJaccardPairs' big0 branch (Dedup.scala)
       "q_jaccard_pairs" ->
-        """WITH d0 AS (
-             SELECT source, doc_id,
-               list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
+        """WITH consts AS (
+             SELECT
+               list_transform(range(64), j ->
+                 ('0x' || substring(md5('graft:minhash:a:' || j), 1, 15))::BIGINT
+                   % 2147483646 + 1) AS pa,
+               list_transform(range(64), j ->
+                 ('0x' || substring(md5('graft:minhash:b:' || j), 1, 15))::BIGINT
+                   % 2147483647) AS pb),
+           d0 AS (
+             SELECT source, doc_id AS id,
+               list_sort(list_distinct(list_transform(
+                 regexp_split_to_array(trim(text), '\s+'),
+                 t -> ('0x' || substring(md5(t), 1, 15))::BIGINT))) AS h
              FROM documents),
-           sz AS (SELECT source FROM d0 GROUP BY source
-                  HAVING count(*) <= 1000),
-           d AS (SELECT d0.* FROM d0 JOIN sz ON d0.source = sz.source)
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
-               (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6)
-               AS jaccard,
-             false AS capped
-           FROM d a, d b
-           WHERE a.source = b.source AND a.doc_id < b.doc_id
-             AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
-               (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.1
+           gs AS (SELECT source, count(*) AS n FROM d0 GROUP BY source),
+           small AS (SELECT d0.* FROM d0 JOIN gs USING (source) WHERE gs.n <= 1000),
+           exact AS (
+             SELECT a.id AS id_a, b.id AS id_b,
+               round(CAST(len(list_intersect(a.h, b.h)) AS DOUBLE) /
+                 (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))), 6)
+                 AS jaccard,
+               false AS capped
+             FROM small a JOIN small b
+               ON a.source = b.source AND a.id < b.id
+             WHERE CAST(len(list_intersect(a.h, b.h)) AS DOUBLE) /
+               (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))) >= 0.1),
+           big AS (SELECT d0.* FROM d0 JOIN gs USING (source)
+                   WHERE gs.n > 1000 AND len(h) > 0),
+           sigs AS (
+             SELECT source, id, h,
+               list_transform(range(64), j ->
+                 list_min(list_transform(h, x ->
+                   (pa[j+1] * (x % 2147483647) + pb[j+1]) % 2147483647))) AS sig
+             FROM big, consts),
+           banded AS (
+             SELECT source, id, b AS band, sig[b*8+1:b*8+8] AS bucket
+             FROM sigs, unnest(range(8)) AS t(b)),
+           ok_buckets AS (
+             SELECT source, band, bucket FROM banded
+             GROUP BY 1, 2, 3 HAVING count(*) BETWEEN 2 AND 200),
+           cand AS (
+             SELECT DISTINCT a.id AS ia, b.id AS ib
+             FROM ok_buckets ob
+             JOIN banded a ON a.source = ob.source AND a.band = ob.band
+               AND a.bucket = ob.bucket
+             JOIN banded b ON b.source = ob.source AND b.band = ob.band
+               AND b.bucket = ob.bucket
+             WHERE a.id < b.id),
+           blocked AS (
+             SELECT ia AS id_a, ib AS id_b,
+               round(CAST(len(list_intersect(ta.h, tb.h)) AS DOUBLE) /
+                 (len(ta.h) + len(tb.h) - len(list_intersect(ta.h, tb.h))), 6)
+                 AS jaccard,
+               true AS capped
+             FROM cand JOIN big ta ON ta.id = ia JOIN big tb ON tb.id = ib
+             WHERE CAST(len(list_intersect(ta.h, tb.h)) AS DOUBLE) /
+               (len(ta.h) + len(tb.h) - len(list_intersect(ta.h, tb.h))) >= 0.1)
+           SELECT * FROM exact UNION ALL SELECT * FROM blocked
            ORDER BY id_a, id_b""",
 
       // oversized-group fallback: the single corpus-wide group (> 100
@@ -1673,6 +1719,13 @@ object SparkEntry {
 
       // SimHash near-dup: 60-bit md5 token-hash bit votes; candidacy =
       // sharing any of the four 16-bit fingerprint chunks; hamming <= 8
+      // pair candidacy = sharing a 16-bit block, EMITTED only from the
+      // first shared block, and only when that block's bucket is within
+      // the [2, 1000] hot-bucket cap (simhashPairs drops over-cap
+      // buckets by scale design; a pair whose FIRST shared block is
+      // over-cap is dropped even if a later shared block is small —
+      // the later block's emission guard rejects non-first blocks).
+      // sf1's dense fp distribution is where the cap first binds.
       "q_simhash_pairs" ->
         """WITH f AS (
              SELECT doc_id AS id,
@@ -1685,13 +1738,26 @@ object SparkEntry {
                      - len(regexp_split_to_array(trim(text), '\s+')) > 0
                    THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT)
                END AS fp
-             FROM documents)
-           SELECT a.id AS a, b.id AS b,
-             CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
-           FROM f a JOIN f b ON a.id < b.id
-           WHERE len(list_filter(range(4), c ->
-               ((a.fp >> (c*16)) & 65535) = ((b.fp >> (c*16)) & 65535))) > 0
-             AND bit_count(xor(a.fp, b.fp)) <= 8
+             FROM documents),
+           bcount AS (
+             SELECT c AS block, (fp >> (c*16)) & 65535 AS key, count(*) AS n
+             FROM f, unnest(range(4)) t(c)
+             GROUP BY 1, 2),
+           cand AS (
+             SELECT a.id AS ia, b.id AS ib,
+               CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming,
+               list_min(list_filter(range(4), c ->
+                 ((a.fp >> (c*16)) & 65535) = ((b.fp >> (c*16)) & 65535))) AS fb,
+               a.fp AS afp
+             FROM f a JOIN f b ON a.id < b.id
+             WHERE len(list_filter(range(4), c ->
+                 ((a.fp >> (c*16)) & 65535) = ((b.fp >> (c*16)) & 65535))) > 0
+               AND bit_count(xor(a.fp, b.fp)) <= 8)
+           SELECT ia AS a, ib AS b, hamming
+           FROM cand
+           JOIN bcount ON bcount.block = cand.fb
+             AND bcount.key = ((cand.afp >> (cand.fb*16)) & 65535)
+           WHERE bcount.n BETWEEN 2 AND 1000
            ORDER BY a, b""",
 
       "q_text_quality" ->
@@ -2085,35 +2151,106 @@ object SparkEntry {
                  ORDER BY sim DESC, nid) AS rank FROM scored)
            WHERE rank <= 5""",
 
+      // BOTH adaptive branches (sf1 flips every 2000-vector label group
+      // to the LSH fallback): groups within the 1000-vector bound take
+      // the exact all-pairs path (capped = false); bigger groups pair
+      // only within per-(label, sign-bucket) LSH blocks under the
+      // [2, 1000] hot-bucket cap, exact-cosine-verified (capped = true)
+      // — mirroring cosineDupPairsByGroup's big0 branch
       "q_embed_dup" ->
-        """WITH e AS (
+        """WITH hp AS (
+             SELECT i, list_transform(range(64), d ->
+               ('0x'||substring(md5('graft:lsh:'||i||':'||d),1,15))::BIGINT::DOUBLE
+                 / 576460752303423488.0 - 1.0) AS plane
+             FROM range(8) t(i)),
+           e AS (
              SELECT label, vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-             FROM embeddings)
-           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             round(list_dot_product(a.v, b.v) /
-               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
-               AS sim,
-             false AS capped
-           FROM e a, e b
-           WHERE a.label = b.label AND a.vec_id < b.vec_id
-             AND list_dot_product(a.v, b.v) /
-               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+             FROM embeddings),
+           gs AS (SELECT label, count(*) AS n FROM e GROUP BY label),
+           small AS (SELECT e.* FROM e JOIN gs USING (label) WHERE gs.n <= 1000),
+           exact AS (
+             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+                 AS sim,
+               false AS capped
+             FROM small a, small b
+             WHERE a.label = b.label AND a.vec_id < b.vec_id
+               AND list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3),
+           big AS (SELECT e.* FROM e JOIN gs USING (label) WHERE gs.n > 1000),
+           sigs AS (
+             SELECT label, vec_id, any_value(v) AS v,
+               CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << i) ELSE 0 END)
+                 AS BIGINT) AS bucket
+             FROM (
+               SELECT big.label, big.vec_id, big.v, hp.i,
+                 list_reduce(list_prepend(0.0, list_transform(range(64), dd ->
+                   big.v[dd+1]*hp.plane[dd+1])), (a,b)->a+b) AS dot
+               FROM big, hp)
+             GROUP BY label, vec_id),
+           bc AS (SELECT label, bucket, count(*) AS n FROM sigs GROUP BY 1, 2),
+           blocked AS (
+             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+                 AS sim,
+               true AS capped
+             FROM sigs a
+             JOIN sigs b ON a.label = b.label AND a.bucket = b.bucket
+               AND a.vec_id < b.vec_id
+             JOIN bc ON bc.label = a.label AND bc.bucket = a.bucket
+             WHERE bc.n BETWEEN 2 AND 1000
+               AND list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3)
+           SELECT * FROM exact UNION ALL SELECT * FROM blocked
            ORDER BY id_a, id_b""",
 
       // components over the cosine near-dup graph (same recursive walk as
-      // q_dup_clusters; same bit-identical cosine as q_embed_dup)
+      // q_dup_clusters; pair set = the SAME dual-branch generator as
+      // q_embed_dup, so the cluster oracle follows its branch flips)
       "q_embed_clusters" ->
-        """WITH RECURSIVE e AS (
+        """WITH RECURSIVE hp AS (
+             SELECT i, list_transform(range(64), d ->
+               ('0x'||substring(md5('graft:lsh:'||i||':'||d),1,15))::BIGINT::DOUBLE
+                 / 576460752303423488.0 - 1.0) AS plane
+             FROM range(8) t(i)),
+           e AS (
              SELECT label, vec_id,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              FROM embeddings),
-           prs AS (
+           gs AS (SELECT label, count(*) AS n FROM e GROUP BY label),
+           small AS (SELECT e.* FROM e JOIN gs USING (label) WHERE gs.n <= 1000),
+           prs_small AS (
              SELECT a.vec_id AS a, b.vec_id AS b
-             FROM e a, e b
+             FROM small a, small b
              WHERE a.label = b.label AND a.vec_id < b.vec_id
                AND list_dot_product(a.v, b.v) /
                  (sqrt(list_dot_product(a.v, a.v)) *
                   sqrt(list_dot_product(b.v, b.v))) >= 0.3),
+           big AS (SELECT e.* FROM e JOIN gs USING (label) WHERE gs.n > 1000),
+           sigs AS (
+             SELECT label, vec_id, any_value(v) AS v,
+               CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << i) ELSE 0 END)
+                 AS BIGINT) AS bucket
+             FROM (
+               SELECT big.label, big.vec_id, big.v, hp.i,
+                 list_reduce(list_prepend(0.0, list_transform(range(64), dd ->
+                   big.v[dd+1]*hp.plane[dd+1])), (a,b)->a+b) AS dot
+               FROM big, hp)
+             GROUP BY label, vec_id),
+           bc AS (SELECT label, bucket, count(*) AS n FROM sigs GROUP BY 1, 2),
+           prs_big AS (
+             SELECT a.vec_id AS a, b.vec_id AS b
+             FROM sigs a
+             JOIN sigs b ON a.label = b.label AND a.bucket = b.bucket
+               AND a.vec_id < b.vec_id
+             JOIN bc ON bc.label = a.label AND bc.bucket = a.bucket
+             WHERE bc.n BETWEEN 2 AND 1000
+               AND list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) *
+                  sqrt(list_dot_product(b.v, b.v))) >= 0.3),
+           prs AS (SELECT * FROM prs_small UNION ALL SELECT * FROM prs_big),
            edges AS (
              SELECT a, b FROM prs
              UNION ALL SELECT b AS a, a AS b FROM prs),
@@ -2160,12 +2297,15 @@ object SparkEntry {
                    e.v[dd+1]*hp.plane[dd+1])), (a,b)->a+b) AS dot
                FROM e, hp)
              GROUP BY vec_id),
+           bc AS (SELECT bucket, count(*) AS n FROM sigs GROUP BY 1),
            cand AS (
              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                list_reduce(list_prepend(0.0, list_transform(range(64), dd ->
                  a.v[dd+1]*b.v[dd+1])), (a,b)->a+b) / (a.nrm * b.nrm) AS sim
              FROM sigs a JOIN sigs b
-               ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+               ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+             JOIN bc ON bc.bucket = a.bucket
+             WHERE bc.n BETWEEN 2 AND 1000)
            SELECT id_a, id_b, round(sim, 6) AS sim FROM cand
            WHERE sim >= 0.2 ORDER BY id_a, id_b""",
 

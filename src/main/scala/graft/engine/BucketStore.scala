@@ -42,6 +42,20 @@ final class BucketStore(val spark: SparkSession, val root: String) {
   spark.conf.set("spark.sql.parquet.compression.codec", "zstd")
   spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
+  // Cross-process single-writer guard (the reference is single-owner by
+  // construction, storage/engine.rs; this ENFORCES the documented
+  // contract below): the first instance for this root in this process
+  // claims `root/_writer.lock`, later same-process instances attach, a
+  // different live process fails fast here. Stale (dead-holder) locks
+  // are taken over after WriterLock.staleMs. See [[WriterLock]].
+  WriterLock.acquire(root, spark.sparkContext.hadoopConfiguration)
+
+  /** Release this instance's writer-lock reference; the last instance
+    * for the root deletes the lock file. Optional — a JVM shutdown hook
+    * releases everything on normal exit. */
+  def close(): Unit =
+    WriterLock.release(root, spark.sparkContext.hadoopConfiguration)
+
   /** Store-wide mutation lock. Spark's file committer stages every job
     * writing one output path under the same `_temporary/0` directory, so
     * two CONCURRENT append jobs into the store root can delete each
@@ -811,6 +825,50 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     }
   }
 
+  /** Bulk export: run `spec` and write the result as TOTALLY ORDERED
+    * parquet shards under `outPath` (shard i's every (ts, entry) key
+    * precedes shard i+1's; rows sorted inside each), returning one
+    * manifest row per non-empty shard.
+    *
+    * This is the 100-TB bulk-read path the cursor surface can't be:
+    * cursors drain through the driver via toLocalIterator — correct for
+    * the reference's paged-fetch parity, but a driver-width bottleneck
+    * for a full-corpus read. Here the rows never touch the driver: ONE
+    * range exchange on (ts, entry) (sampled boundaries, explicit shard
+    * count so AQE never re-coalesces the layout) and parallel sorted
+    * writes, the same shape as [[graft.pipeline.Packing.orderedShards]].
+    * The query's own global sort is skipped (queryUnordered) — the
+    * range exchange IS the ordering step, not a second one.
+    *
+    * Consumers resume by shard id + the manifest's ts bounds. NOT under
+    * [[mutating]]: exports are reads; racing mutations are handled by
+    * the same snapshot-or-retry contract as any other read. */
+  def exportShards(spec: QuerySpec, outPath: String,
+      nShards: Int = 32): Seq[BucketStore.ShardInfo] = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    readConsistent {
+      val result = QueryEngine.queryUnordered(table(), spec)
+      result
+        .repartitionByRange(nShards, col("ts"), col("entry"))
+        .sortWithinPartitions("ts", "entry")
+        .withColumn("shard", spark_partition_id().cast("long"))
+        .write.partitionBy("shard")
+        .mode(SaveMode.Overwrite)
+        .parquet(outPath)
+    }
+    // manifest from the WRITTEN tree (one cheap scan of shard stats;
+    // re-deriving from the query plan would recompute the export)
+    spark.read.parquet(outPath)
+      // partition discovery infers the dir value as int — pin to long
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("rows"), min("ts").as("min_ts"), max("ts").as("max_ts"))
+      .orderBy("shard")
+      .collect() // ≤ nShards rows — bounded driver aggregate
+      .map(r => BucketStore.ShardInfo(r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3)))
+      .toSeq
+  }
+
   /** Query-as-delete (remove_records.rs:62-160): rewrite only affected
     * partitions without the matching rows; returns removed count. */
   def removeQuery(spec: QuerySpec): Long = mutating {
@@ -1503,6 +1561,11 @@ object BucketStore {
     * transaction_log.rs). Unlike `_labels`, folds never purge it —
     * it is history, pruned only with its entry/bucket. */
   val UpdatesDir = "_updates"
+
+  /** One shard of a bulk export ([[BucketStore.exportShards]]): rows
+    * and inclusive ts bounds — the resume bookkeeping a 100-TB consumer
+    * keys on (shard ids alone shift with sampled range boundaries). */
+  final case class ShardInfo(shard: Long, rows: Long, minTs: Long, maxTs: Long)
 
   /** One record of a spooled batch body: its payload is
     * `staged[offset, offset + len)`. */

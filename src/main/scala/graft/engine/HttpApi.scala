@@ -40,7 +40,12 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     ssl: Option[javax.net.ssl.SSLContext] = None,
     /** `RS_*` provisioning variables (cfg/provision); injectable so specs
       * don't touch the process env — a server main passes `sys.env.toMap`. */
-    env: Map[String, String] = Map.empty) {
+    env: Map[String, String] = Map.empty,
+    /** Server-side directory bulk exports may write under
+      * (`POST /io/:bucket/export`). None (default) disables the
+      * endpoint: HTTP callers must never pick arbitrary server-side
+      * filesystem targets. */
+    exportRoot: Option[String] = None) {
   import Auth._
   import HttpApi._
 
@@ -303,6 +308,8 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
           auth(ex, WriteAccessPolicy(bucket)); ioRemove(ex, bucket)
         case ("PATCH", List("io", bucket, "update")) =>
           auth(ex, WriteAccessPolicy(bucket)); ioUpdate(ex, bucket)
+        case ("POST", List("io", bucket, "export")) =>
+          auth(ex, ReadAccessPolicy(bucket)); ioExport(ex, bucket)
         case _ => throw notFound(s"Route not found: $method ${ex.getRequestURI.getPath}")
       }
     } catch {
@@ -1382,6 +1389,42 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
       continuous = continuous, ttlMs = ttlMs)
     rememberBatchLimits(id, spec)
     json(ex, 200, JObject("id" -> JInt(BigInt(id))))
+  }
+
+  /** POST /io/:bucket/export — graft extension past the reference
+    * surface: bulk shard export ([[BucketStore.exportShards]]). Body =
+    * the usual QueryEntry JSON plus `path` (RELATIVE, resolved under
+    * the server's configured export root) and optional `shards`
+    * (default 32). Rows never drain through the server: the response
+    * is the shard manifest, the data lands as ordered parquet shards
+    * executor-side — the 100-TB bulk-read path cursors can't be.
+    * 403 unless the server was constructed with an export root. */
+  private def ioExport(ex: HttpExchange, bucket: String): Unit = {
+    val rootDir = exportRoot.getOrElse(throw forbidden(
+      "bulk export is disabled: server has no export root configured"))
+    val body = new String(readBody(ex), UTF_8)
+    val j = JsonMethods.parseOpt(body).getOrElse(JObject())
+    implicit val fmts: Formats = DefaultFormats
+    val rel = (j \ "path").extractOpt[String].filter(_.nonEmpty)
+      .getOrElse(throw unprocessable("'path' is required"))
+    // containment: relative, no traversal — the export root is the jail
+    if (rel.startsWith("/") || rel.split('/').contains(".."))
+      throw unprocessable("'path' must be relative and must not contain '..'")
+    val nShards = (j \ "shards").extractOpt[Int].getOrElse(32)
+    if (nShards < 1 || nShards > 65536)
+      throw unprocessable("'shards' must be in [1, 65536]")
+    val (spec0, _, _) = parseQueryEntry(body)
+    val spec = spec0.copy(bucket = Some(bucket))
+    val out = new java.io.File(rootDir, rel).getPath
+    val manifest = store.exportShards(spec, out, nShards)
+    json(ex, 200, JObject(
+      "path" -> JString(out),
+      "total_rows" -> JInt(BigInt(manifest.map(_.rows).sum)),
+      "shards" -> JArray(manifest.map(s => JObject(
+        "shard" -> JInt(BigInt(s.shard)),
+        "rows" -> JInt(BigInt(s.rows)),
+        "min_ts" -> JInt(BigInt(s.minTs)),
+        "max_ts" -> JInt(BigInt(s.maxTs)))).toList)))
   }
 
   /** GET /io/:bucket/read — drain a cursor as a batch-protocol-v2

@@ -43,6 +43,14 @@ object QueryEngine {
     * (storage/bucket/query.rs:156-318, ties broken by entry name).
     */
   def query(records: DataFrame, spec: QuerySpec,
+      processors: Map[String, RecordProcessor] = Processors.registry): DataFrame =
+    queryUnordered(records, spec, processors).orderBy(col("ts"), col("entry"))
+
+  /** [[query]] without the final total (ts, entry) sort — for consumers
+    * that impose their own order-preserving exchange (bulk shard export
+    * range-partitions on the same key, so a global sort underneath would
+    * be a redundant second exchange). */
+  def queryUnordered(records: DataFrame, spec: QuerySpec,
       processors: Map[String, RecordProcessor] = Processors.registry): DataFrame = {
     val filtered = matching(records, spec)
     val projected = spec.when match {
@@ -57,8 +65,7 @@ object QueryEngine {
         applySelectLabels(withExt, directives)
       case None => filtered
     }
-    val ordered = projected.orderBy(col("ts"), col("entry"))
-    if (spec.onlyMetadata) ordered.drop("payload") else ordered
+    if (spec.onlyMetadata) projected.drop("payload") else projected
   }
 
   /** The matching record set (unordered) — shared by read/count/remove. */

@@ -1,0 +1,182 @@
+package graft.engine
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import scala.util.control.NonFatal
+
+/** Advisory cross-process single-writer lock on a store root.
+  *
+  * The reference is a single-owner engine by construction — one server
+  * process owns the data dir and every client goes through it
+  * (storage/engine.rs). graft documents the same contract
+  * ([[BucketStore]] scaladoc) but a second JVM opening the same root
+  * could interleave swap windows and the shared `_temporary/0` committer
+  * dir. This closes that operational hazard: the FIRST [[BucketStore]]
+  * for a root in this process claims `root/_writer.lock`; further
+  * instances in the SAME process attach (in-process multi-instance is
+  * the long-standing spec/demo pattern, and in-process mutations already
+  * serialize per store); a DIFFERENT live process fails fast with a
+  * clear error.
+  *
+  * Liveness: a heartbeat (staleMs/4) keeps the held lock's mtime fresh;
+  * a lock whose mtime is older than [[staleMs]] is a dead holder and is
+  * TAKEN OVER (delete + re-claim + read-back). A crashed process
+  * therefore blocks a successor for at most ~staleMs — the standard
+  * trade for lease locks over plain filesystems, where O(1) OS-level
+  * lock release (flock) isn't available on remote stores. A shutdown
+  * hook releases cleanly on normal JVM exit so sequential processes
+  * never wait.
+  *
+  * Advisory means: create-no-overwrite + read-back-verify closes the
+  * common races, but a filesystem without atomic create (raw local FS
+  * has a TOCTOU window) can in principle admit two claimants — the lock
+  * is an operational guard, not a correctness primitive the data path
+  * relies on. */
+object WriterLock {
+
+  /** One id per PROCESS (not per store): instances in one JVM share
+    * ownership, matching the single-OWNER-PROCESS contract. */
+  val processOwnerId: String = java.util.UUID.randomUUID().toString
+
+  val LockFile = "_writer.lock"
+
+  /** Holder considered dead when its lock mtime is older than this.
+    * Test seam; new acquires/heartbeats pick the current value up. */
+  @volatile var staleMs: Long = 60000L
+
+  private final class Holder(val path: Path, val fs: FileSystem) {
+    var refs: Int = 1
+    @volatile var beat: java.util.concurrent.ScheduledFuture[_] = null
+  }
+
+  private val held = scala.collection.mutable.Map[String, Holder]()
+
+  private lazy val heartbeats = {
+    val ex = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => { val t = new Thread(r, "graft-writer-lock"); t.setDaemon(true); t })
+    Runtime.getRuntime.addShutdownHook(new Thread(() => releaseAllOnExit(), "graft-lock-release"))
+    ex
+  }
+
+  private def payload(): String =
+    s"""{"owner":"$processOwnerId","pid":${ProcessHandle.current().pid()},""" +
+      s""""host":"${java.net.InetAddress.getLocalHost.getHostName}",""" +
+      s""""acquired_ms":${System.currentTimeMillis()}}"""
+
+  private def writeLockFile(fs: FileSystem, p: Path): Unit = {
+    val os = fs.create(p, true)
+    try os.write(payload().getBytes("UTF-8")) finally os.close()
+  }
+
+  private def readOwner(fs: FileSystem, p: Path): Option[String] =
+    try {
+      val in = fs.open(p)
+      val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val m = """"owner"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(s)
+      m.map(_.group(1))
+    } catch { case NonFatal(_) => None }
+
+  /** Claim (or attach to) the writer lock for `root`. Throws
+    * IllegalStateException when another LIVE process holds it. */
+  def acquire(root: String, conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val p0 = new Path(root, LockFile)
+    val fs = p0.getFileSystem(conf)
+    val p = fs.makeQualified(p0)
+    val key = p.toUri.toString
+    held.synchronized {
+      held.get(key) match {
+        case Some(h) => h.refs += 1; return
+        case None =>
+      }
+    }
+    fs.mkdirs(p.getParent)
+    val st = try Some(fs.getFileStatus(p)) catch { case _: java.io.FileNotFoundException => None }
+    st match {
+      case Some(s) if readOwner(fs, p).contains(processOwnerId) =>
+        // ours from a prior un-released instance in this process: reattach
+        ()
+      case Some(s) if System.currentTimeMillis() - s.getModificationTime <= staleMs =>
+        throw new IllegalStateException(
+          s"store root '$root' is owned by another live writer process " +
+            s"(${readOwner(fs, p).getOrElse("unknown")}, lock ${p.toUri.getPath}, " +
+            s"heartbeat ${System.currentTimeMillis() - s.getModificationTime} ms ago); " +
+            "one process owns a store root at a time — route writes through it, " +
+            s"or remove the lock file if the holder is truly gone")
+      case Some(_) => // stale: dead holder — take over
+        try fs.delete(p, false) catch { case NonFatal(_) => () }
+        writeLockFile(fs, p)
+        Thread.sleep(20) // let a racing claimant's write land before verify
+        if (!readOwner(fs, p).contains(processOwnerId))
+          throw new IllegalStateException(
+            s"store root '$root': lost the lock-takeover race to " +
+              s"${readOwner(fs, p).getOrElse("unknown")}")
+      case None =>
+        // atomic claim where the fs supports it; racing claimants verify
+        try {
+          val os = fs.create(p, false)
+          try os.write(payload().getBytes("UTF-8")) finally os.close()
+        } catch {
+          case _: java.io.IOException =>
+            // creation raced or fs refused — re-check against live holder
+            val owner = readOwner(fs, p)
+            if (!owner.contains(processOwnerId))
+              throw new IllegalStateException(
+                s"store root '$root' was just claimed by another writer " +
+                  s"process (${owner.getOrElse("unknown")})")
+        }
+        Thread.sleep(20)
+        if (!readOwner(fs, p).contains(processOwnerId))
+          throw new IllegalStateException(
+            s"store root '$root': lost the lock-claim race to " +
+              s"${readOwner(fs, p).getOrElse("unknown")}")
+    }
+    val h = new Holder(p, fs)
+    val period = math.max(staleMs / 4, 250L)
+    h.beat = heartbeats.scheduleAtFixedRate(() => {
+      try {
+        if (fs.exists(p)) fs.setTimes(p, System.currentTimeMillis(), -1)
+        else writeLockFile(fs, p) // vanished (manual delete): re-assert
+      } catch { case NonFatal(_) => () } // missed beat ≠ lost lock; next fires
+    }, period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+    held.synchronized { held.put(key, h): Unit }
+  }
+
+  /** Drop one reference; the LAST release stops the heartbeat and
+    * deletes the lock file (only if still ours). */
+  def release(root: String, conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val p0 = new Path(root, LockFile)
+    val fs = p0.getFileSystem(conf)
+    val key = fs.makeQualified(p0).toUri.toString
+    val last = held.synchronized {
+      held.get(key) match {
+        case None => None
+        case Some(h) =>
+          h.refs -= 1
+          if (h.refs > 0) None else { held.remove(key); Some(h) }
+      }
+    }
+    last.foreach { h =>
+      if (h.beat != null) h.beat.cancel(false)
+      try if (readOwner(h.fs, h.path).contains(processOwnerId))
+        h.fs.delete(h.path, false): Unit
+      catch { case NonFatal(_) => () }
+    }
+  }
+
+  private def releaseAllOnExit(): Unit = {
+    val all = held.synchronized { val v = held.values.toSeq; held.clear(); v }
+    all.foreach { h =>
+      if (h.beat != null) h.beat.cancel(false)
+      try if (readOwner(h.fs, h.path).contains(processOwnerId))
+        h.fs.delete(h.path, false): Unit
+      catch { case NonFatal(_) => () }
+    }
+  }
+
+  /** Spec hook: whether this process currently holds `root`'s lock. */
+  private[graft] def heldFor(root: String,
+      conf: org.apache.hadoop.conf.Configuration): Boolean = {
+    val p0 = new Path(root, LockFile)
+    val key = p0.getFileSystem(conf).makeQualified(p0).toUri.toString
+    held.synchronized(held.contains(key))
+  }
+}

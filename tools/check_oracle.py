@@ -2,12 +2,16 @@ import duckdb, json, glob, os, sys
 import pandas as pd
 sf = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
 out = sys.argv[2] if len(sys.argv) > 2 else '/tmp/vout'
+# optional 3rd arg: comma-separated query-name filter (parallel sharding
+# for big-SF sweeps — some recursive-CTE oracles run minutes at sf1)
+only = set(sys.argv[3].split(',')) if len(sys.argv) > 3 else None
 con = duckdb.connect()
 for t in ['region','nation','customer','supplier','part','orders','lineitem','events','documents','embeddings']:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 oracle = json.load(open(f'{out}/oracle_sql.json'))
 ok = fail = 0
 for name in sorted(os.listdir(out)):
+    if only is not None and name not in only: continue
     d = os.path.join(out, name)
     if not os.path.isdir(d): continue
     spark_df = con.sql(f"SELECT * FROM '{d}/*.parquet'").df()
