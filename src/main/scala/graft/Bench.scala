@@ -118,6 +118,14 @@ object Bench {
           timed(pass, "w_update_labels") {
             store.updateLabels(QuerySpec(), set = Map("key" -> "value2")): Unit
           }
+          timed(pass, "w_export") {
+            // bulk shard export — the executor-side full read; contrast
+            // with w_read_payload's driver-side cursor-drain shape
+            val out = java.nio.file.Files
+              .createTempDirectory("graft-bench-exp").toString + "/run"
+            val m = store.exportShards(QuerySpec(), out, nShards = 32)
+            require(m.map(_.rows).sum > 0)
+          }
           timed(pass, "w_remove_each_n") {
             store.removeQuery(QuerySpec(when = Some("""{"$each_n": 2}"""))): Unit
           }

@@ -235,10 +235,17 @@ object Dedup {
       .select(col("p.a"), col("p.b"))
       .dropDuplicates("a", "b")
     // exact Jaccard verification over the sorted hash sets (native merge
-    // kernel) — recomputed for the (small) candidate set only
+    // kernel) — recomputed for the (small) candidate set only. The
+    // size-ratio prefilter is RESULT-INVARIANT (jaccard(A,B) ≤
+    // min|A|,|B| / max|A|,|B|: intersect ≤ min, union ≥ max), so a pair
+    // whose set sizes are too lopsided to reach the threshold skips the
+    // O(|A|+|B|) merge — at sf1 the hot-bucket candidate set is the cost
+    // center, and the ratio prunes before the expensive kernel runs.
     pairs
       .join(hsTab.select(col("id").as("a"), col("hs").as("ha")), "a")
       .join(hsTab.select(col("id").as("b"), col("hs").as("hb")), "b")
+      .filter(least(size(col("ha")), size(col("hb"))).cast("double") >=
+        lit(threshold) * greatest(size(col("ha")), size(col("hb"))))
       .withColumn("ni", DedupExprs.sortedIntersectCount(col("ha"), col("hb")))
       .withColumn("jaccard", col("ni").cast("double") /
         (size(col("ha")) + size(col("hb")) - col("ni")))
@@ -346,8 +353,12 @@ object Dedup {
     val (small, big0) = splitByGroupSize(d0, maxGroupSize)
     val a = small.as("a"); val b = small.as("b")
     // |A∪B| = |A|+|B|-|A∩B| (inputs are distinct) — avoids building the
-    // union array per pair
-    val exact = a.join(b, col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+    // union array per pair. Size-ratio prefilter in the JOIN condition
+    // (result-invariant: jaccard ≤ min/max sizes) prunes lopsided pairs
+    // before the merge kernel ever runs.
+    val exact = a.join(b, col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
+        least(size(col("a.toks")), size(col("b.toks"))).cast("double") >=
+          lit(threshold) * greatest(size(col("a.toks")), size(col("b.toks"))))
       .withColumn("ni", DedupExprs.sortedIntersectCount(col("a.toks"), col("b.toks")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         (col("ni").cast("double") /
@@ -382,6 +393,9 @@ object Dedup {
     val blocked = cand
       .join(big.select(col("id").as("a"), col("toks").as("ta")), "a")
       .join(big.select(col("id").as("b"), col("toks").as("tb")), "b")
+      // same result-invariant size-ratio prune as the exact branch
+      .filter(least(size(col("ta")), size(col("tb"))).cast("double") >=
+        lit(threshold) * greatest(size(col("ta")), size(col("tb"))))
       .withColumn("ni", DedupExprs.sortedIntersectCount(col("ta"), col("tb")))
       .select(col("a").as("id_a"), col("b").as("id_b"),
         (col("ni").cast("double") /
