@@ -1028,9 +1028,13 @@ object SparkEntry {
     }))
 
   /** DuckDB twin of [[Dedup.minhashPairs]] (threshold 0.3) as a CTE chain
-    * ending in `mh_pairs(a, b, jaccard)` — shared by q_minhash_pairs and
-    * q_dup_clusters. Plain (non-interpolated) string: the regexes keep
-    * their backslashes. */
+    * ending in `mh_pairs(a, b, jaccard)` — shared by q_minhash_pairs,
+    * q_dup_clusters, and q_cluster_keep. Candidacy is the BUCKET JOIN the
+    * engine runs — (band, 4-slice) groups under the [2, 1000] hot-bucket
+    * cap — not an all-pairs scan with the band test in WHERE: the
+    * nested-loop form is O(n²) row pairs (1.25B at sf1 — hours in
+    * DuckDB) and silently omits the cap the engine applies. Plain
+    * (non-interpolated) string: the regexes keep their backslashes. */
   /** 3-shingle md5-60 hash lists per document (the [[graft.pipeline.Dedup.shingleHashes]]
     * twin) — shared by the cross-snapshot and duplicated-ngram oracles. */
   private val shingle3Cte =
@@ -1076,15 +1080,28 @@ object SparkEntry {
                  list_min(list_transform(h, x ->
                    (pa[j+1] * (x % 2147483647) + pb[j+1]) % 2147483647))) AS sig
              FROM hs, consts WHERE len(h) > 0),
+           banded AS (
+             SELECT id, bb AS band, sig[bb*4+1:bb*4+4] AS bucket
+             FROM sigs, unnest(range(16)) AS t(bb)),
+           okb AS (
+             SELECT band, bucket FROM banded
+             GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 1000),
+           mh_cand AS (
+             SELECT DISTINCT a.id AS a, b.id AS b
+             FROM okb
+             JOIN banded a ON a.band = okb.band AND a.bucket = okb.bucket
+             JOIN banded b ON b.band = okb.band AND b.bucket = okb.bucket
+             WHERE a.id < b.id),
            mh_pairs AS (
-             SELECT a.id AS a, b.id AS b,
-               round(CAST(len(list_intersect(a.h, b.h)) AS DOUBLE) /
-                 (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))), 6) AS jaccard
-             FROM sigs a JOIN sigs b ON a.id < b.id
-             WHERE len(list_filter(range(16), bb ->
-                 a.sig[bb*4+1:bb*4+4] = b.sig[bb*4+1:bb*4+4])) > 0
-               AND CAST(len(list_intersect(a.h, b.h)) AS DOUBLE) /
-                 (len(a.h) + len(b.h) - len(list_intersect(a.h, b.h))) >= 0.3)"""
+             SELECT c.a, c.b,
+               round(CAST(len(list_intersect(ha.h, hb.h)) AS DOUBLE) /
+                 (len(ha.h) + len(hb.h) - len(list_intersect(ha.h, hb.h))), 6)
+                 AS jaccard
+             FROM mh_cand c
+             JOIN sigs ha ON ha.id = c.a
+             JOIN sigs hb ON hb.id = c.b
+             WHERE CAST(len(list_intersect(ha.h, hb.h)) AS DOUBLE) /
+               (len(ha.h) + len(hb.h) - len(list_intersect(ha.h, hb.h))) >= 0.3)"""
 
   /** Z-order oracle, GENERATED for the same bit count the query uses —
     * the interleave is 2·bits parenthesized shift/mask terms OR'd
@@ -1236,65 +1253,68 @@ object SparkEntry {
              FROM events) t
            WHERE rn % 2 <> 0 ORDER BY event_id""",
 
-      // $each_t debounce: the state machine (StateMachines.eachT) unrolled
-      // as a recursive CTE — first record anchors without emitting; emit
-      // when ts - anchor >= 6h, then re-anchor
+      // $each_t debounce (StateMachines.eachT): first record anchors
+      // without emitting; emit when ts - anchor >= 6h, then re-anchor.
+      // Recursion JUMPS per EMIT (next emit = first row with tsu >=
+      // anchor + T via LATERAL), not per row — the row-wise unroll is
+      // O(rows) recursive iterations, which DuckDB cannot finish at sf1
+      // (1M events); proven row-for-row equal to the row-wise CTE at
+      // sf0.01 AND sf0.1 (round 16)
       "q_each_t" ->
         """WITH RECURSIVE n AS (
              SELECT 'events/' || event_type AS entry, event_id,
-               epoch_us(ts) AS tsu,
-               row_number() OVER (PARTITION BY event_type
-                 ORDER BY epoch_us(ts)) AS rn
+               epoch_us(ts) AS tsu
              FROM events),
-           r AS (
-             SELECT entry, event_id, tsu, rn, tsu AS anchor, false AS emitted
-             FROM n WHERE rn = 1
+           r(entry, anchor, eid) AS (
+             SELECT entry, min(tsu), NULL::BIGINT FROM n GROUP BY entry
              UNION ALL
-             SELECT n.entry, n.event_id, n.tsu, n.rn,
-               CASE WHEN n.tsu - r.anchor >= 21600000000 THEN n.tsu
-                    ELSE r.anchor END,
-               n.tsu - r.anchor >= 21600000000
-             FROM r JOIN n ON n.entry = r.entry AND n.rn = r.rn + 1)
-           SELECT event_id, entry, tsu AS ts FROM r WHERE emitted
-           ORDER BY event_id""",
+             SELECT r.entry, e.tsu, e.event_id
+             FROM r, LATERAL (
+               SELECT n.tsu, n.event_id FROM n
+               WHERE n.entry = r.entry AND n.tsu >= r.anchor + 21600000000
+               ORDER BY n.tsu, n.event_id LIMIT 1) e)
+           SELECT eid AS event_id, entry, anchor AS ts FROM r
+           WHERE eid IS NOT NULL ORDER BY event_id""",
 
-      // $gate edge-triggered window (StateMachines.gate) as a recursive
-      // CTE: state = (deadline d, previous-input p, reset-latch rr);
-      // dur = 12h, input = value > 150
+      // $gate edge-triggered window (StateMachines.gate), dur = 12h,
+      // input = value > 150. The observable machine: a rising edge
+      // (inp, prev row not inp) while the gate is CLOSED opens a window
+      // [a, a+dur) — inp rows inside EMIT (the edge row included); the
+      // first row with tsu >= a+dur closes the gate without emitting
+      // (and never re-opens it itself: the crossing branch outranks the
+      // edge branch; the machine's reset latch rr is observationally
+      // redundant — the row after an inp crossing row can never be an
+      // edge, its prev input is true). Recursion JUMPS per ACTIVATION
+      // via LATERAL (crossing row → next edge), not per row: the
+      // row-wise unroll cannot finish at sf1; proven row-for-row equal
+      // to the row-wise CTE at sf0.01 AND sf0.1 (round 16)
       "q_gate" ->
         """WITH RECURSIVE n AS (
              SELECT 'events/' || event_type AS entry, event_id,
                epoch_us(ts) AS tsu, value > 150 AS inp,
+               coalesce(lag(value > 150) OVER (PARTITION BY event_type
+                 ORDER BY epoch_us(ts)), false) AS pinp,
                row_number() OVER (PARTITION BY event_type
                  ORDER BY epoch_us(ts)) AS rn
              FROM events),
-           r AS (
-             SELECT entry, 0::BIGINT AS rn, NULL::BIGINT AS d, false AS p,
-                    false AS rr, false AS emitted, NULL::BIGINT AS tsu,
-                    NULL::BIGINT AS event_id
-             FROM (SELECT DISTINCT entry FROM n)
+           act(entry, atsu) AS (
+             SELECT entry, min(tsu) FROM n WHERE inp AND NOT pinp GROUP BY entry
              UNION ALL
-             SELECT n.entry, n.rn,
-               CASE WHEN (r.rr OR (r.d IS NOT NULL AND n.tsu >= r.d)) THEN
-                   CASE WHEN r.d IS NOT NULL AND n.tsu >= r.d THEN NULL ELSE r.d END
-                 WHEN (CASE WHEN r.d IS NOT NULL AND n.tsu >= r.d THEN NULL ELSE r.d END) IS NULL
-                      AND NOT r.p AND n.inp THEN n.tsu + 43200000000
-                 ELSE (CASE WHEN r.d IS NOT NULL AND n.tsu >= r.d THEN NULL ELSE r.d END) END AS d,
-               n.inp AS p,
-               CASE WHEN (r.rr OR (r.d IS NOT NULL AND n.tsu >= r.d)) THEN n.inp
-                    ELSE false END AS rr,
-               CASE WHEN (r.rr OR (r.d IS NOT NULL AND n.tsu >= r.d)) THEN false
-                 ELSE (CASE WHEN (CASE WHEN r.d IS NOT NULL AND n.tsu >= r.d THEN NULL ELSE r.d END) IS NULL
-                            AND NOT r.p AND n.inp THEN n.tsu + 43200000000
-                       ELSE (CASE WHEN r.d IS NOT NULL AND n.tsu >= r.d THEN NULL ELSE r.d END) END) IS NOT NULL
-                   AND n.tsu < (CASE WHEN (CASE WHEN r.d IS NOT NULL AND n.tsu >= r.d THEN NULL ELSE r.d END) IS NULL
-                            AND NOT r.p AND n.inp THEN n.tsu + 43200000000
-                       ELSE (CASE WHEN r.d IS NOT NULL AND n.tsu >= r.d THEN NULL ELSE r.d END) END)
-                   AND n.inp END AS emitted,
-               n.tsu, n.event_id
-             FROM r JOIN n ON n.entry = r.entry AND n.rn = r.rn + 1)
-           SELECT event_id, entry, tsu AS ts FROM r
-           WHERE rn >= 1 AND emitted ORDER BY event_id""",
+             SELECT act.entry, nx.tsu
+             FROM act, LATERAL (
+               SELECT c.rn FROM n c
+               WHERE c.entry = act.entry AND c.tsu >= act.atsu + 43200000000
+               ORDER BY c.rn LIMIT 1) cr,
+             LATERAL (
+               SELECT n2.tsu FROM n n2
+               WHERE n2.entry = act.entry AND n2.rn > cr.rn
+                 AND n2.inp AND NOT n2.pinp
+               ORDER BY n2.rn LIMIT 1) nx)
+           SELECT n.event_id, n.entry, n.tsu AS ts
+           FROM n JOIN act ON n.entry = act.entry
+           WHERE n.inp AND n.tsu >= act.atsu
+             AND n.tsu < act.atsu + 43200000000
+           ORDER BY event_id""",
 
       "q_dedup_exact" ->
         """SELECT md5(text) AS digest, min(doc_id) AS keep_id,

@@ -686,8 +686,9 @@ final class BucketStore(val spark: SparkSession, val root: String) {
       case Conflict.Error =>
         // one aggregation pass yields BOTH the in-batch-duplicate flag and
         // the ts bounds for the overlap check (was two scans)
-        val stats = batch0.groupBy("bucket", "entry", "ts").count()
-          .agg(max("count"), min("ts"), max("ts")).collect()(0)
+        val stats = ptimed("write:stats-agg")(batch0
+          .groupBy("bucket", "entry", "ts").count()
+          .agg(max("count"), min("ts"), max("ts")).collect()(0))
         if (!stats.isNullAt(0) && stats.getLong(0) > 1) {
           val dup = batch0.groupBy("bucket", "entry", "ts").count()
             .filter(col("count") > 1).limit(1).collect()(0) // rare path
@@ -698,8 +699,9 @@ final class BucketStore(val spark: SparkSession, val root: String) {
           val existing = baseTableOrEmpty() // keys only
             .filter(col("ts").between(stats.getLong(1), stats.getLong(2)))
             .select("bucket", "entry", "ts")
-          val clash = batch0.join(existing, Seq("bucket", "entry", "ts"))
-            .limit(1).collect()
+          val clash = ptimed("write:clash-check")(
+            batch0.join(existing, Seq("bucket", "entry", "ts"))
+              .limit(1).collect())
           if (clash.nonEmpty)
             throw new IllegalArgumentException(
               s"record already exists: ${clash(0)}")
@@ -722,7 +724,8 @@ final class BucketStore(val spark: SparkSession, val root: String) {
       .mode(SaveMode.Append)
     // per-write codec override (replication transfer compression); None
     // keeps the session default (zstd, set above)
-    codec.fold(writer)(c => writer.option("compression", c)).parquet(root)
+    ptimed("write:partitioned-write")(
+      codec.fold(writer)(c => writer.option("compression", c)).parquet(root))
   }
 
   private def antiExisting(batch: DataFrame): DataFrame = {
