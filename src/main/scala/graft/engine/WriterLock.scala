@@ -76,17 +76,21 @@ object WriterLock {
     } catch { case NonFatal(_) => None }
 
   /** Claim (or attach to) the writer lock for `root`. Throws
-    * IllegalStateException when another LIVE process holds it. */
-  def acquire(root: String, conf: org.apache.hadoop.conf.Configuration): Unit = {
+    * IllegalStateException when another LIVE process holds it. The
+    * whole claim runs under the registry monitor: two same-root
+    * instances racing their FIRST acquire must not both miss the
+    * registry, both claim, and then overwrite each other's Holder
+    * (the lost refcount would let one close() release a lock another
+    * live instance relies on). Acquire is once per root per process,
+    * so serializing the fs work here costs nothing that matters. */
+  def acquire(root: String, conf: org.apache.hadoop.conf.Configuration): Unit = held.synchronized {
     val p0 = new Path(root, LockFile)
     val fs = p0.getFileSystem(conf)
     val p = fs.makeQualified(p0)
     val key = p.toUri.toString
-    held.synchronized {
-      held.get(key) match {
-        case Some(h) => h.refs += 1; return
-        case None =>
-      }
+    held.get(key) match {
+      case Some(h) => h.refs += 1; return
+      case None =>
     }
     fs.mkdirs(p.getParent)
     val st = try Some(fs.getFileStatus(p)) catch { case _: java.io.FileNotFoundException => None }
