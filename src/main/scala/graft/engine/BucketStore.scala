@@ -311,6 +311,19 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     if (!fs.exists(p)) 0L else fs.getContentSummary(p).getFileCount
   }
 
+  /** Cheap base-tree non-empty gate: any `bucket=` child under the root
+    * — ONE root listing, O(bucket count), never a tree walk. Write
+    * admission uses it to skip the existing-key clash job on a fresh/
+    * empty store (the common first-write shape; the job would scan
+    * nothing). Conservative: a bucket dir holding only settings still
+    * returns true and the clash job then no-ops. */
+  private def baseHasBucketDirs(): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith("bucket="))
+  }
+
   /** The overlay as a DataFrame. The `_labels` root itself is
     * underscore-hidden (so the BASE scan skips it) — passing it straight
     * to `spark.read.parquet` would silently yield zero rows ("All paths
@@ -695,7 +708,7 @@ final class BucketStore(val spark: SparkSession, val root: String) {
           throw new IllegalArgumentException(
             s"duplicate timestamp within batch: $dup")
         }
-        if (!stats.isNullAt(1)) {
+        if (!stats.isNullAt(1) && baseHasBucketDirs()) {
           val existing = baseTableOrEmpty() // keys only
             .filter(col("ts").between(stats.getLong(1), stats.getLong(2)))
             .select("bucket", "entry", "ts")
@@ -730,7 +743,7 @@ final class BucketStore(val spark: SparkSession, val root: String) {
 
   private def antiExisting(batch: DataFrame): DataFrame = {
     val bounds = batch.agg(min("ts"), max("ts")).collect()(0)
-    if (bounds.isNullAt(0)) return batch
+    if (bounds.isNullAt(0) || !baseHasBucketDirs()) return batch
     val existing = baseTableOrEmpty() // keys only
       .filter(col("ts").between(bounds.getLong(0), bounds.getLong(1)))
       .select("bucket", "entry", "ts")
