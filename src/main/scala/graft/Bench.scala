@@ -118,13 +118,24 @@ object Bench {
           timed(pass, "w_update_labels") {
             store.updateLabels(QuerySpec(), set = Map("key" -> "value2")): Unit
           }
-          timed(pass, "w_export") {
+          locally {
             // bulk shard export — the executor-side full read; contrast
-            // with w_read_payload's driver-side cursor-drain shape
-            val out = java.nio.file.Files
-              .createTempDirectory("graft-bench-exp").toString + "/run"
-            val m = store.exportShards(QuerySpec(), out, nShards = 32)
-            require(m.map(_.rows).sum > 0)
+            // with w_read_payload's driver-side cursor-drain shape. The
+            // export tree is a full corpus copy: delete it after the
+            // timed block or a multi-pass run stacks N copies in /tmp.
+            val dir = java.nio.file.Files.createTempDirectory("graft-bench-exp")
+            try timed(pass, "w_export") {
+              val m = store.exportShards(QuerySpec(), dir.toString + "/run",
+                nShards = 32)
+              require(m.map(_.rows).sum > 0)
+            } finally {
+              import scala.jdk.CollectionConverters._
+              java.nio.file.Files.walk(dir).sorted(
+                  java.util.Comparator.reverseOrder[java.nio.file.Path]())
+                .iterator().asScala.foreach(p =>
+                  try java.nio.file.Files.deleteIfExists(p)
+                  catch { case _: java.io.IOException => () })
+            }
           }
           timed(pass, "w_remove_each_n") {
             store.removeQuery(QuerySpec(when = Some("""{"$each_n": 2}"""))): Unit

@@ -50,11 +50,17 @@ final class BucketStore(val spark: SparkSession, val root: String) {
   // are taken over after WriterLock.staleMs. See [[WriterLock]].
   WriterLock.acquire(root, spark.sparkContext.hadoopConfiguration)
 
+  private val lockReleased = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   /** Release this instance's writer-lock reference; the last instance
-    * for the root deletes the lock file. Optional — a JVM shutdown hook
-    * releases everything on normal exit. */
+    * for the root deletes the lock file. Idempotent PER INSTANCE — a
+    * double close (nested try/finally, retry wrappers) must not burn a
+    * second refcount and release the lock out from under another live
+    * same-root instance. Optional — a JVM shutdown hook releases
+    * everything on normal exit. */
   def close(): Unit =
-    WriterLock.release(root, spark.sparkContext.hadoopConfiguration)
+    if (lockReleased.compareAndSet(false, true))
+      WriterLock.release(root, spark.sparkContext.hadoopConfiguration)
 
   /** Store-wide mutation lock. Spark's file committer stages every job
     * writing one output path under the same `_temporary/0` directory, so
@@ -264,11 +270,9 @@ final class BucketStore(val spark: SparkSession, val root: String) {
         while (i < items.size) {
           if (!abort.get)
             try op(items(i))
-            catch {
-              case e: VirtualMachineError => // OOM etc: don't keep striping
-                abort.set(true); failures.add(e): Unit
-              case e: Throwable => abort.set(true); failures.add(e): Unit
-            }
+            // any failure (VM errors included) flips abort; VM errors
+            // get rethrow PRIORITY at the aggregation site below
+            catch { case e: Throwable => abort.set(true); failures.add(e): Unit }
           i = idx.getAndIncrement()
         }
       }
@@ -862,7 +866,17 @@ final class BucketStore(val spark: SparkSession, val root: String) {
   def exportShards(spec: QuerySpec, outPath: String,
       nShards: Int = 32): Seq[BucketStore.ShardInfo] = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
+    val out = new org.apache.hadoop.fs.Path(outPath)
+    val ofs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
     readConsistent {
+      // an export is a fresh materialization: clear the target first.
+      // The session runs partitionOverwriteMode=dynamic, under which
+      // mode(Overwrite).partitionBy replaces only the shard= dirs the
+      // NEW write produces — a re-export (client retry, or this
+      // readConsistent block re-running after a racing mutation) with
+      // fewer non-empty shards would otherwise leave the previous
+      // run's extra shard dirs mixed into the tree and the manifest.
+      ofs.delete(out, true)
       val result = QueryEngine.queryUnordered(table(), spec)
       result
         .repartitionByRange(nShards, col("ts"), col("entry"))
@@ -872,6 +886,11 @@ final class BucketStore(val spark: SparkSession, val root: String) {
         .mode(SaveMode.Overwrite)
         .parquet(outPath)
     }
+    // zero-row export: legitimate (a spec past all data); the output
+    // tree holds only _SUCCESS and schema inference would throw
+    val hasShards = ofs.exists(out) && ofs.listStatus(out)
+      .exists(st => st.isDirectory && st.getPath.getName.startsWith("shard="))
+    if (!hasShards) return Seq.empty
     // manifest from the WRITTEN tree (one cheap scan of shard stats;
     // re-deriving from the query plan would recompute the export)
     spark.read.parquet(outPath)

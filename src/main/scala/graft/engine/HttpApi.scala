@@ -1407,15 +1407,28 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     implicit val fmts: Formats = DefaultFormats
     val rel = (j \ "path").extractOpt[String].filter(_.nonEmpty)
       .getOrElse(throw unprocessable("'path' is required"))
-    // containment: relative, no traversal — the export root is the jail
-    if (rel.startsWith("/") || rel.split('/').contains(".."))
-      throw unprocessable("'path' must be relative and must not contain '..'")
+    // containment: relative, clean segments only — the export root is
+    // the jail, and '.' / empty segments would alias the root itself
+    // or other clients' trees
+    val segs = rel.split('/')
+    if (rel.startsWith("/") ||
+        segs.exists(s => s.isEmpty || s == "." || s == ".."))
+      throw unprocessable(
+        "'path' must be relative, with non-empty segments and no '.'/'..'")
     val nShards = (j \ "shards").extractOpt[Int].getOrElse(32)
     if (nShards < 1 || nShards > 65536)
       throw unprocessable("'shards' must be in [1, 65536]")
     val (spec0, _, _) = parseQueryEntry(body)
     val spec = spec0.copy(bucket = Some(bucket))
     val out = new java.io.File(rootDir, rel).getPath
+    // exports are immutable runs: an existing target is refused unless
+    // the caller says overwrite — a read-scoped client must not clobber
+    // another client's export tree inside the shared jail (the library
+    // call clears the target, so admission is decided HERE)
+    if (new java.io.File(out).exists() &&
+        !(j \ "overwrite").extractOpt[Boolean].getOrElse(false))
+      throw ApiError(409, s"export path '$rel' already exists; " +
+        "pass \"overwrite\": true to replace it")
     val manifest = store.exportShards(spec, out, nShards)
     json(ex, 200, JObject(
       "path" -> JString(out),

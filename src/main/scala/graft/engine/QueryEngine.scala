@@ -108,7 +108,13 @@ object QueryEngine {
         // survivors plan is GC'd. Remove-heavy long-lived sessions
         // (each remove plans against a fresh file index, so same-spec
         // calls can NOT share one cache entry) no longer accumulate
-        // keysets without bound.
+        // keysets without bound. Accepted trade: localCheckpoint blocks
+        // are executor-local and non-recomputable — on a real cluster,
+        // losing an executor between here and the survivors' consumption
+        // fails the remove loudly and the caller retries (a remove is a
+        // mutation; fail-and-retry beats the alternative, a persist that
+        // leaks per call, and the keyset is small enough that the loss
+        // window is one job).
         val doomed = matching(records, spec).select("bucket", "entry", "ts")
           .localCheckpoint(true)
         val n = doomed.count()

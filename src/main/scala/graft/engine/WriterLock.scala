@@ -137,11 +137,35 @@ object WriterLock {
     val period = math.max(staleMs / 4, 250L)
     h.beat = heartbeats.scheduleAtFixedRate(() => {
       try {
-        if (fs.exists(p)) fs.setTimes(p, System.currentTimeMillis(), -1)
-        else writeLockFile(fs, p) // vanished (manual delete): re-assert
+        // verify ownership BEFORE refreshing: if we missed beats past
+        // staleMs (GC pause, fs outage) a successor may have legally
+        // taken over — refreshing ITS file, or blind-recreating over
+        // its claim window, would manufacture two live writers, the
+        // exact hazard the lock exists for. Lost lease → stop beating
+        // and scream; the next mutation's failure modes are the
+        // operator's signal (the takeover already decided ownership).
+        readOwner(fs, p) match {
+          case Some(o) if o == processOwnerId =>
+            fs.setTimes(p, System.currentTimeMillis(), -1): Unit
+          case Some(_) =>
+            System.err.println(s"[writer-lock] LEASE LOST for ${p.toUri.getPath}: " +
+              "another process took over after missed heartbeats; stopping beat")
+            h.beat.cancel(false): Unit
+          case None => // vanished: manual delete OR a takeover's
+            // delete/create window — re-assert only via atomic
+            // create-no-overwrite so a racing claimant always wins
+            try {
+              val os = fs.create(p, false)
+              try os.write(payload().getBytes("UTF-8")) finally os.close()
+            } catch { case _: java.io.IOException =>
+              System.err.println(s"[writer-lock] LEASE LOST for ${p.toUri.getPath}: " +
+                "lock vanished and was re-claimed by another process; stopping beat")
+              h.beat.cancel(false): Unit
+            }
+        }
       } catch { case NonFatal(_) => () } // missed beat ≠ lost lock; next fires
     }, period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
-    held.synchronized { held.put(key, h): Unit }
+    held.put(key, h): Unit
   }
 
   /** Drop one reference; the LAST release stops the heartbeat and

@@ -63,6 +63,21 @@ class ExportShardsSpec extends AnyFunSuite with SparkTestBase {
     assert(viaExport.sameElements(viaQuery))
   }
 
+  test("re-export to the same path never mixes runs; empty export returns an empty manifest") {
+    val store = new BucketStore(spark, Files.createTempDirectory("graft-exp3").toString)
+    store.write(recordsDf((1L to 100L).map(ts => ("e", ts, Map.empty[String, String]))))
+    val out = Files.createTempDirectory("graft-exp3-out").toString + "/run"
+    assert(store.exportShards(QuerySpec(), out, nShards = 8).map(_.rows).sum == 100L)
+    // second, NARROWER export to the same path: under dynamic partition
+    // overwrite the first run's extra shard dirs would survive — the
+    // pre-delete must leave ONLY the new run
+    val m2 = store.exportShards(QuerySpec(start = Some(90L)), out, nShards = 8)
+    assert(m2.map(_.rows).sum == 11L, s"stale shards leaked into $m2")
+    assert(spark.read.parquet(out).count() == 11L)
+    // zero-row export: legitimate, returns empty manifest (no crash)
+    assert(store.exportShards(QuerySpec(start = Some(10000L)), out).isEmpty)
+  }
+
   test("HTTP export endpoint: disabled by default, jailed to the export root, returns the manifest") {
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
     val store = new BucketStore(spark, Files.createTempDirectory("graft-exp2").toString)
@@ -88,6 +103,8 @@ class ExportShardsSpec extends AnyFunSuite with SparkTestBase {
       val p = api.boundPort
       assert(post(p, "/io/b/export", """{"path": "/abs"}""").statusCode() == 422)
       assert(post(p, "/io/b/export", """{"path": "a/../b"}""").statusCode() == 422)
+      assert(post(p, "/io/b/export", """{"path": "."}""").statusCode() == 422)
+      assert(post(p, "/io/b/export", """{"path": "a//b"}""").statusCode() == 422)
       assert(post(p, "/io/b/export", """{}""").statusCode() == 422)
       val r = post(p, "/io/b/export",
         """{"path": "runs/r1", "shards": 3, "start": 11}""")
@@ -99,6 +116,15 @@ class ExportShardsSpec extends AnyFunSuite with SparkTestBase {
       assert(shards.nonEmpty && shards.size <= 3)
       // the data really landed under the jail
       assert(spark.read.parquet(s"$exportRoot/runs/r1").count() == 30L)
+      // exports are immutable runs: an existing path 409s without
+      // overwrite, replaces with it (read-scoped clients must not
+      // silently clobber each other's trees)
+      assert(post(p, "/io/b/export",
+        """{"path": "runs/r1", "shards": 3}""").statusCode() == 409)
+      val r2 = post(p, "/io/b/export",
+        """{"path": "runs/r1", "shards": 2, "start": 31, "overwrite": true}""")
+      assert(r2.statusCode() == 200, new String(r2.body(), "UTF-8"))
+      assert(spark.read.parquet(s"$exportRoot/runs/r1").count() == 10L)
     } finally api.stop()
   }
 }
