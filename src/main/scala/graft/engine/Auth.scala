@@ -169,7 +169,9 @@ object Auth {
         if (!e.startsWith("$") && !bucketNameRe.matches(e))
           throw unprocessable(
             s"Permission can contain only bucket names or wildcard '*', got '$e'")
-      if (ttlSec.contains(0L))
+      // <= 0: zero is meaningless and a NEGATIVE ttl would mint a token
+      // that authenticates once, stamps lastAccess, then fails forever
+      if (ttlSec.exists(_ <= 0L))
         throw unprocessable("Token TTL must be greater than zero")
       val createdAt = nowMs()
       expiresAtMs.foreach(e => if (e < createdAt)
@@ -177,7 +179,11 @@ object Auth {
       val value = s"$name-${(0 until 32).map(_ => f"${rng.nextInt(16)}%x").mkString}"
       repo(name) = Token(name, hashTokenSecret(value), createdAt,
         Some(permissions), isProvisioned = provisioned,
-        expiresAtMs = expiresAtMs, ttlSec = ttlSec, ipAllowlist = ipAllowlist)
+        expiresAtMs = expiresAtMs, ttlSec = ttlSec,
+        // the inactivity clock starts AT CREATION: a minted-but-never-
+        // used token must expire ttl after issue, not live forever
+        // waiting for a first use to arm the check
+        lastAccessMs = Some(createdAt), ipAllowlist = ipAllowlist)
       TokenCreateResponse(value, createdAt)
     }
 

@@ -524,8 +524,14 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
   private def me(ex: HttpExchange): Unit = {
     if (!tokens.authRequired)
       return json(ex, 200, JObject("name" -> JString("anonymous")))
+    // same client-ip resolution as every other route: an ip-allowlisted
+    // token must not 401 on /me from an ALLOWED address (validateToken
+    // with ip=None treats a non-empty allowlist as a mismatch)
     val t = tokens.validateToken(
-      Option(ex.getRequestHeaders.getFirst("Authorization")))
+      Option(ex.getRequestHeaders.getFirst("Authorization")),
+      ClientIp.resolve(
+        Option(ex.getRemoteAddress).map(_.getAddress),
+        name => Option(ex.getRequestHeaders.getFirst(name))))
     json(ex, 200, tokenJson(t))
   }
 
@@ -1224,6 +1230,10 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     val base = Lifecycle.Policy(
       olderThanUs = durationField("older_than")
         .orElse((j \ "older_than_s").extractOpt[Long].map(_ * 1000000L))
+        .map(us => if (us >= 0) us else throw unprocessable(
+          // a negative age = FUTURE cutoff = a delete policy removing
+          // every record in scope; refuse at admission
+          "'older_than' must be non-negative"))
         .getOrElse(throw unprocessable("'older_than' is required")),
       action = action,
       // toOption: a missing key must stay None (= all entries), not Some(Nil)

@@ -74,22 +74,33 @@ object Processors {
 
   // ------------------------------------------------- built-in processors
 
+  /** Merge step-produced computed labels over the existing map with
+    * LATER-STEP-WINS semantics: overlapping keys are dropped from the
+    * existing side before the concat (same pattern as
+    * BucketStore.updateLabels). A bare map_concat would throw
+    * DUPLICATE_MAP_KEY under Spark's default mapKeyDedupPolicy the
+    * moment two steps produce the same key — a re-run step or two
+    * json_extract steps sharing a field must overwrite, not crash. */
+  private def mergeComputed(produced: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val base = coalesce(col("computed_labels"), map().cast("map<string,string>"))
+    map_concat(map_filter(base, (k, _) => !map_contains_key(produced, k)), produced)
+  }
+
   /** Extract JSON fields from the payload into computed labels:
     * `{"json_extract": {"fields": ["k", "x.y"]}}` → `@k`, `@x.y`. */
   object JsonExtract extends RecordProcessor {
     val name = "json_extract"
     def process(df: DataFrame, config: JValue): DataFrame = {
-      val fields = config \ "fields" match {
+      val fields = (config \ "fields" match {
         case JArray(vs) => vs.collect { case JString(s) => s }
         case _ => throw CondError("json_extract requires a 'fields' array")
-      }
+      }).distinct // ["k","k"] must not build a duplicate-keyed map
+      if (fields.isEmpty) return df // degenerate-but-valid: no-op step
       val entries = fields.flatMap { f =>
         Seq(lit(f), get_json_object(col("payload").cast("string"), s"$$.$f"))
       }
       df.withColumn("computed_labels",
-        map_concat(
-          coalesce(col("computed_labels"), map().cast("map<string,string>")),
-          map_filter(map(entries: _*), (_, v) => v.isNotNull)))
+        mergeComputed(map_filter(map(entries: _*), (_, v) => v.isNotNull)))
     }
   }
 
@@ -98,25 +109,24 @@ object Processors {
     val name = "payload_stats"
     def process(df: DataFrame, config: JValue): DataFrame =
       df.withColumn("computed_labels",
-        map_concat(
-          coalesce(col("computed_labels"), map().cast("map<string,string>")),
-          map(
-            lit("size"), coalesce(length(col("payload")), lit(0)).cast("string"),
-            lit("crc32"), crc32(coalesce(col("payload"), lit(Array[Byte]())))
-              .cast("string"))))
+        mergeComputed(map(
+          lit("size"), coalesce(length(col("payload")), lit(0)).cast("string"),
+          lit("crc32"), crc32(coalesce(col("payload"), lit(Array[Byte]())))
+            .cast("string"))))
   }
 
   /** Record-splitting processor (the Generator analog): one record per
-    * payload line, `@line` = 0-based index. */
+    * payload line, `@line` = 0-based index. A NULL payload behaves like
+    * an empty one (one empty line) — posexplode of a NULL split would
+    * silently DROP the record from the pipeline. */
   object SplitLines extends RecordProcessor {
     val name = "split_lines"
     def process(df: DataFrame, config: JValue): DataFrame =
-      df.select(col("*"), posexplode(split(col("payload").cast("string"), "\n"))
+      df.select(col("*"), posexplode(
+            split(coalesce(col("payload").cast("string"), lit("")), "\n"))
           .as(Seq("__pos", "__line")))
         .withColumn("computed_labels",
-          map_concat(
-            coalesce(col("computed_labels"), map().cast("map<string,string>")),
-            map(lit("line"), col("__pos").cast("string"))))
+          mergeComputed(map(lit("line"), col("__pos").cast("string"))))
         .withColumn("payload", encode(col("__line"), "UTF-8"))
         .drop("__pos", "__line")
   }

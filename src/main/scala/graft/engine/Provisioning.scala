@@ -144,9 +144,13 @@ object Provisioning {
         // RS_REPLICATION_1_INCLUDE_NAME is replication 1's include filter
         // on label "NAME", not a replication with id "1_INCLUDE" — the
         // greedy id capture would otherwise fabricate one and warn about
-        // a missing source bucket. (The reference's (.*) scans share the
-        // quirk; dropping the phantom here is a deliberate improvement.)
-        id.endsWith("_INCLUDE") || id.endsWith("_EXCLUDE")
+        // a missing source bucket. contains(): a filter on a label whose
+        // own name ends in _NAME (RS_REPLICATION_1_INCLUDE_FOO_NAME →
+        // phantom id "1_INCLUDE_FOO") is the same quirk one level deeper.
+        // (The reference's (.*) scans share it; dropping phantoms here is
+        // a deliberate improvement.)
+        id.endsWith("_INCLUDE") || id.endsWith("_EXCLUDE") ||
+          id.contains("_INCLUDE_") || id.contains("_EXCLUDE_")
       }
       .flatMap { case (id, name) =>
         parseReplication(env, id, name, warn).map(name -> _)
@@ -205,7 +209,14 @@ object Provisioning {
     var when: Option[JValue] =
       env.get(s"RS_REPLICATION_${id}_WHEN").flatMap { s =>
         JsonMethods.parseOpt(s) match {
-          case some @ Some(_) => some
+          case some @ Some(_: JObject) => some
+          case Some(_) =>
+            // parsed but not an object: the condition root must be an
+            // object, and EACH_S/EACH_N injection or legacy filters
+            // would otherwise silently REPLACE the operator's filter —
+            // the replicate-everything failure mode this guard exists for
+            warn(s"Replication '$name' when condition must be a JSON object. Drop it.")
+            return None
           case None =>
             warn(s"Replication '$name' has invalid when condition. Drop it.")
             return None
@@ -287,7 +298,10 @@ object Provisioning {
     }
     val olderThan = env.get(s"RS_LIFECYCLE_${id}_OLDER_THAN")
       .flatMap(graft.cond.Value.parseDurationMicros) match {
-      case Some(us) => us
+      case Some(us) if us >= 0 => us
+      case Some(_) => // '-1d' would put the cutoff in the FUTURE: a
+        // delete policy would remove everything in scope off one typo
+        warn(s"Lifecycle '$name' has a negative older_than. Drop it."); return None
       case None =>
         warn(s"Lifecycle '$name' has no older_than value. Drop it."); return None
     }

@@ -42,6 +42,11 @@ object Lifecycle {
     * policy is a no-op (lifecycle_task.rs skips inactive policies). */
   def apply(store: BucketStore, policy: Policy, nowUs: Long): Result = {
     if (!policy.enabled) return Result(0, applied = false)
+    // a negative age would put the cutoff in the FUTURE — a Delete
+    // policy would then remove every record in scope off one operator
+    // typo ('-1d'); the parse layers reject it too, this is the last line
+    require(policy.olderThanUs >= 0,
+      s"older_than must be non-negative, got ${policy.olderThanUs} us")
     val cutoff = nowUs - policy.olderThanUs
     val spec = QuerySpec(stop = Some(cutoff), entries = policy.entries,
       when = policy.when, bucket = policy.bucket)
@@ -50,10 +55,17 @@ object Lifecycle {
         if (policy.dryRun)
           Result(QueryEngine.count(store.table(), spec), applied = false)
         else Result(store.removeQuery(spec), applied = true)
-      case Action.Compress(codec, level) => store.mutating {
+      case Action.Compress(codec, level) =>
+        // dry-run preview never takes the store's write lock — a full
+        // count inside `mutating` would block every writer for the
+        // scan's duration (the Delete branch counts lock-free too)
+        if (policy.dryRun)
+          return Result(QueryEngine.matching(store.table(), spec).count(),
+            applied = false)
+        store.mutating {
         val matched = QueryEngine.matching(store.table(), spec)
         val n = matched.count()
-        if (policy.dryRun || n == 0) return Result(n, applied = false)
+        if (n == 0) return Result(n, applied = false)
         // rewrite affected day-partitions with the target codec, routed
         // through the store's staged rename-swap so the reader-visible
         // change lands inside the rewrite-epoch window (a readConsistent

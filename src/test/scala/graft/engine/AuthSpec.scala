@@ -89,6 +89,14 @@ class AuthSpec extends AnyFunSuite {
     r.validateToken(Some(s"Bearer ${ip.value}"), Some("10.0.0.1"))
     intercept[ApiError](r.validateToken(Some(s"Bearer ${ip.value}"), Some("10.0.0.2")))
     intercept[ApiError](r.validateToken(Some(s"Bearer ${ip.value}"), None))
+    // negative TTL is rejected at creation like zero (it would mint a
+    // token that authenticates once then fails forever)
+    intercept[ApiError](r.createToken("neg", Permissions(), ttlSec = Some(-1)))
+    // the inactivity clock starts AT CREATION: a never-used token must
+    // not live forever waiting for a first use to arm the check
+    val unused = r.createToken("unused", Permissions(), ttlSec = Some(10))
+    now += 11000
+    intercept[ApiError](r.validateToken(Some(s"Bearer ${unused.value}")))
   }
 
   test("repository survives concurrent validate/create/remove (serving pool)") {

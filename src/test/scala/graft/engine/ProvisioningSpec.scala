@@ -44,9 +44,35 @@ class ProvisioningSpec extends AnyFunSuite with SparkTestBase {
       // include-filter on a label literally called "NAME" — the greedy id
       // capture would otherwise read this as replication "1_INCLUDE"
       "RS_REPLICATION_1_INCLUDE_NAME" -> "x",
-      "RS_REPLICATION_1_EXCLUDE_NAME" -> "y"))
+      "RS_REPLICATION_1_EXCLUDE_NAME" -> "y",
+      // one level deeper: a filter on a label whose own name ends in
+      // _NAME (phantom id would be "1_INCLUDE_FOO")
+      "RS_REPLICATION_1_INCLUDE_FOO_NAME" -> "z"))
     assert(r.replications.keySet == Set("real"))
     assert(r.warnings.isEmpty, s"no phantom warnings: ${r.warnings}")
+  }
+
+  test("non-object WHEN drops the replication instead of silently losing the filter") {
+    // '[...]' parses as JSON but is not a legal condition root; EACH_S
+    // injection would have silently REPLACED it (replicate-everything)
+    val r = Provisioning.parse(Map(
+      "RS_REPLICATION_1_NAME" -> "arr",
+      "RS_REPLICATION_1_SRC_BUCKET" -> "s",
+      "RS_REPLICATION_1_DST_BUCKET" -> "d",
+      "RS_REPLICATION_1_WHEN" -> """[{"&l": {"$eq": "x"}}]""",
+      "RS_REPLICATION_1_EACH_S" -> "5"))
+    assert(r.replications.isEmpty)
+    assert(r.warnings.exists(_.contains("must be a JSON object")), r.warnings)
+  }
+
+  test("negative lifecycle older_than drops the policy (future cutoff would delete everything)") {
+    val r = Provisioning.parse(Map(
+      "RS_LIFECYCLE_1_NAME" -> "oops",
+      "RS_LIFECYCLE_1_BUCKET" -> "b",
+      "RS_LIFECYCLE_1_TYPE" -> "delete",
+      "RS_LIFECYCLE_1_OLDER_THAN" -> "-1d"))
+    assert(r.lifecycles.isEmpty)
+    assert(r.warnings.exists(_.contains("negative older_than")), r.warnings)
   }
 
   test("deprecated EACH_N/EACH_S and INCLUDE merge into the when tree") {

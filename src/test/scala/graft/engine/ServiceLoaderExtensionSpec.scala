@@ -49,4 +49,43 @@ class ServiceLoaderExtensionSpec extends AnyFunSuite with SparkTestBase {
       .select(col("payload").cast("string")).collect().map(_.getString(0)).toSeq
     assert(out == Seq("X", "Y"))
   }
+
+  test("re-produced computed-label keys overwrite (later step wins), never crash") {
+    // two payload_stats steps produce the same keys; Spark's default
+    // mapKeyDedupPolicy=EXCEPTION would throw DUPLICATE_MAP_KEY on a
+    // bare map_concat — the merge must drop-then-concat
+    val df = recordsDf(Seq(("e", 1L, "hello")))
+    val out = QueryEngine.query(df, QuerySpec(when = Some(
+      """{"#ext": [{"payload_stats": {}}, {"payload_stats": {}}]}""")))
+      .select(element_at(col("computed_labels"), "size")).collect()
+    assert(out.length == 1 && out(0).getString(0) == "5")
+    // json_extract with a repeated field must not build a dup-keyed map
+    val df2 = recordsDf(Seq(("e", 1L, """{"k": "v"}""")))
+    val out2 = QueryEngine.query(df2, QuerySpec(when = Some(
+      """{"#ext": {"json_extract": {"fields": ["k", "k"]}}}""")))
+      .select(element_at(col("computed_labels"), "k")).collect()
+    assert(out2(0).getString(0) == "v")
+  }
+
+  test("json_extract with an empty fields array is a no-op, not an analysis error") {
+    val df = recordsDf(Seq(("e", 1L, "x")))
+    val out = QueryEngine.query(df, QuerySpec(when = Some(
+      """{"#ext": {"json_extract": {"fields": []}}}""")))
+    assert(out.count() == 1)
+  }
+
+  test("split_lines keeps NULL-payload records instead of silently dropping them") {
+    import scala.jdk.CollectionConverters._
+    val data = Seq(
+      Row("b", "e", 1L, Map.empty[String, String], Map.empty[String, String],
+        "text/plain", Records.State.Finished, null),
+      Row("b", "e", 2L, Map.empty[String, String], Map.empty[String, String],
+        "text/plain", Records.State.Finished, "a\nb".getBytes)).asJava
+    val df = spark.createDataFrame(data, Records.schema)
+    val out = QueryEngine.query(df, QuerySpec(when = Some(
+      """{"#ext": {"split_lines": {}}}""")))
+      .select(col("ts"), col("payload").cast("string")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, ""), (2L, "a"), (2L, "b")), s"got $out")
+  }
 }
