@@ -33,7 +33,9 @@ final class AuditLog(store: BucketStore, instance: String,
   def record(tokenName: Option[String], method: String, path: String,
       status: Int, clientIp: Option[String], durationSec: Double): Unit = {
     if (!enabled) return
-    if (path.endsWith("/alive") || path.endsWith("/ready")) return
+    // EXACT health-probe routes only: endsWith would let an ordinary
+    // entry legitimately named 'alive'/'ready' evade the audit trail
+    if (path == "/api/v1/alive" || path == "/api/v1/ready") return
     val name = if (status == 401) Some("unauthorized") else tokenName
     name.foreach { n =>
       buf.merge((n, method, path, status), (1L, durationSec),

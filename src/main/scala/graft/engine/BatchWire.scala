@@ -47,6 +47,9 @@ object BatchWire {
     val contentLength =
       try header.substring(0, i).trim.toLong
       catch { case _: NumberFormatException => bad("Invalid content length") }
+    // the reference parses u64: a negative length must 422 here, not
+    // surface later as a NegativeArraySizeException in an executor
+    if (contentLength < 0) bad("Invalid content length")
     val rest0 = header.substring(i + 1)
     val (ctRaw, rest1) = rest0.indexOf(',') match {
       case -1 => (rest0, "")
@@ -160,7 +163,12 @@ object BatchWire {
 
   def parseLabelsHeader(value: String): Seq[String] = {
     if (value.trim.isEmpty) bad("x-reduct-labels header is empty")
-    value.split(",", -1).toSeq.map(l => decodeEntryName(l.trim))
+    value.split(",", -1).toSeq.map { l =>
+      // same strictness as parseEntriesHeader: an empty element would
+      // mint a label with an EMPTY NAME, silently stored and unqueryable
+      if (l.trim.isEmpty) bad("x-reduct-labels header has an empty element")
+      decodeEntryName(l.trim)
+    }
   }
 
   /** v2.rs LabelIndex — shared label-name dictionary for a batch. */
@@ -176,7 +184,11 @@ object BatchWire {
   }
 
   /** v2.rs:229-287 build_label_delta — only changed labels travel; `k=`
-    * unsets; computed labels ship as `@name`. */
+    * unsets; computed labels ship as `@name`. Protocol-level caveat
+    * (v2.rs:23 defines `k=` AS the unset form): the wire cannot
+    * distinguish an empty-string label VALUE from removal, so a label
+    * stored with value "" does not survive a v2 batched read round
+    * trip — reference clients share the limitation by construction. */
   def buildLabelDelta(labels: Map[String, String],
       computedLabels: Map[String, String],
       previousLabels: Option[Map[String, String]],
@@ -304,6 +316,7 @@ object BatchWire {
     val contentLength =
       try lenStr.toLong
       catch { case _: NumberFormatException => bad("Invalid batched header") }
+    if (contentLength < 0) bad("Invalid content length") // u64 parity
     restOpt match {
       case None =>
         val prev = previous.getOrElse(bad(

@@ -998,6 +998,20 @@ final class BucketStore(val spark: SparkSession, val root: String) {
 
   /** Remove records by explicit (entry, ts) keys (remove_records.rs:34-60,
     * the ts-list form); returns per-key found/not-found. */
+  /** Which of `ts` already exist for (bucket, entry) — the per-record
+    * admission check behind the batched write/update endpoints' error
+    * maps (write_batched.rs / update_batched.rs report per-record
+    * 409/404 instead of failing the batch). Bounded: `ts` comes from
+    * HTTP headers, so the isin list and the collect stay small. */
+  def existingTimestamps(bucket: String, entry: String,
+      ts: Seq[Long]): Set[Long] = {
+    if (ts.isEmpty) return Set.empty
+    baseTableOrEmpty()
+      .filter(col("bucket") === bucket && col("entry") === entry &&
+        col("ts").between(ts.min, ts.max) && col("ts").isin(ts: _*))
+      .select("ts").collect().map(_.getLong(0)).toSet
+  }
+
   def removeRecords(bucket: String,
       keys: Seq[(String, Long)]): Map[(String, Long), Boolean] = mutating {
     if (keys.isEmpty) return Map.empty

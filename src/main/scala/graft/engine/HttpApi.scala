@@ -97,15 +97,24 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
 
   def start(): Int = {
     server.start()
-    usageFlusher.scheduleAtFixedRate(() => flushUsageNow(), 60L, 60L,
-      java.util.concurrent.TimeUnit.SECONDS)
+    // usage AND audit flush on the same interval: without a periodic
+    // drain, a low-traffic instance (few distinct token/method/path
+    // keys) never crosses the audit buffer's size threshold and the
+    // $system audit trail stays empty for the server's whole life
+    usageFlusher.scheduleAtFixedRate(() => { flushUsageNow(); flushAuditNow() },
+      60L, 60L, java.util.concurrent.TimeUnit.SECONDS)
     server.getAddress.getPort
   }
   def stop(): Unit = {
     usageFlusher.shutdownNow()
     flushUsageNow()
+    flushAuditNow() // buffered audit entries must survive shutdown
     server.stop(0)
   }
+
+  private def flushAuditNow(): Unit =
+    try auditLog.flush()
+    catch { case scala.util.control.NonFatal(_) => () }
   def boundPort: Int = server.getAddress.getPort
 
   // ------------------------------------------------------------- routing
@@ -171,6 +180,14 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
             if rest.length > 1 && rest.last == "batch" =>
           auth(ex, ReadAccessPolicy(bucket))
           readBatched(ex, bucket, rest.dropRight(1).mkString("/"), q)
+        case ("POST", "b" :: bucket :: rest)
+            if rest.length > 1 && rest.last == "batch" =>
+          auth(ex, WriteAccessPolicy(bucket))
+          writeBatched(ex, bucket, rest.dropRight(1).mkString("/"))
+        case ("PATCH", "b" :: bucket :: rest)
+            if rest.length > 1 && rest.last == "batch" =>
+          auth(ex, WriteAccessPolicy(bucket))
+          updateBatched(ex, bucket, rest.dropRight(1).mkString("/"))
         case ("POST", "b" :: bucket :: rest) if rest.nonEmpty =>
           auth(ex, WriteAccessPolicy(bucket)); writeSingle(ex, bucket, rest.mkString("/"), q)
         case ("GET", "b" :: bucket :: rest) if rest.nonEmpty =>
@@ -1603,6 +1620,95 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
         (entries(idx), startTs + delta, set, remove)
       }
     val n = store.updateLabelsBatch(bucket, updates.toSeq)
+    json(ex, 200, JObject("updated_records" -> JInt(BigInt(n))))
+  }
+
+  /** POST /b/:b/:e/batch (write_batched.rs): one request writes many
+    * records to ONE entry. `x-reduct-time-<ts>` headers carry the batch
+    * v1 record form `content_length,content_type,k=v,...`; the body is
+    * the payloads concatenated in ascending-ts order. Per-record
+    * admission failures (existing timestamp → 409) come back as
+    * `x-reduct-error-<ts>` headers on a 200 with the REST of the batch
+    * written — the reference's error map, not an all-or-nothing batch.
+    * Spools past the threshold like writeSingle/ioWrite. */
+  private def writeBatched(ex: HttpExchange, bucket: String, entry: String): Unit = {
+    val timed = BatchWire.sortHeadersByTime(requestHeaders(ex))
+      .map { case (ts, raw) => (ts, BatchWire.parseBatchedHeader(raw)) }
+    if (timed.isEmpty) throw unprocessable("No records in batch")
+    for ((_, h) <- timed if h.contentLength > Int.MaxValue)
+      throw unprocessable("Record content length too large")
+    val expected = timed.map(_._2.contentLength).sum
+    // per-record conflict admission (the reference checks per record)
+    val existing = store.existingTimestamps(bucket, entry, timed.map(_._1))
+    val respH = ex.getResponseHeaders
+    for (ts <- timed.map(_._1) if existing(ts))
+      respH.set(s"x-reduct-error-$ts",
+        s"409,A record with timestamp $ts already exists")
+    val in = ex.getRequestBody
+    val head = in.readNBytes(spoolThresholdBytes)
+    if (head.length < spoolThresholdBytes) {
+      val body = head
+      var offset = 0
+      val rows = timed.flatMap { case (ts, hdr) =>
+        val len = hdr.contentLength.toInt
+        if (offset + len > body.length)
+          throw unprocessable("Content length mismatch with record headers")
+        val payload = java.util.Arrays.copyOfRange(body, offset, offset + len)
+        offset += len // conflicting records still consume their body slice
+        if (existing(ts)) None
+        else Some(Row(bucket, entry, ts, hdr.labels,
+          Map.empty[String, String], hdr.contentType,
+          graft.core.Records.State.Finished, payload))
+      }
+      if (offset != body.length)
+        throw unprocessable("Content length mismatch with record headers")
+      if (rows.nonEmpty) {
+        import scala.jdk.CollectionConverters._
+        store.writeWithSettings(bucket,
+          store.spark.createDataFrame(rows.asJava, graft.core.Records.schema),
+          incomingBytes = body.length.toLong)
+        store.usage.countWrite(bucket, entry, rows.size.toLong,
+          timed.filterNot(t => existing(t._1)).map(_._2.contentLength).sum)
+      }
+    } else {
+      val staged = spoolToStaging(head, in)
+      val fs = staged.getFileSystem(store.spark.sparkContext.hadoopConfiguration)
+      if (fs.getFileStatus(staged).getLen != expected) {
+        fs.delete(staged, false)
+        throw unprocessable("Content length mismatch with record headers")
+      }
+      val slices = timed.foldLeft((0L, Vector.empty[BucketStore.StagedSlice])) {
+        case ((off, acc), (ts, hdr)) =>
+          (off + hdr.contentLength,
+            if (existing(ts)) acc // slice skipped, offset still advances
+            else acc :+ BucketStore.StagedSlice(entry, ts, hdr.labels,
+              hdr.contentType, off, hdr.contentLength))
+      }._2
+      spooledWrites.incrementAndGet()
+      if (slices.nonEmpty) store.writeStagedSlices(bucket, staged, slices)
+      else fs.delete(staged, false): Unit
+    }
+    json(ex, 200, JObject(
+      "written_records" -> JInt(BigInt(timed.count(t => !existing(t._1))))))
+  }
+
+  /** PATCH /b/:b/:e/batch (update_batched.rs): batched label updates for
+    * one entry — same `x-reduct-time-<ts>` v1 headers; a label with an
+    * EMPTY value means remove, others merge (update_batched.rs:71-82).
+    * Missing records come back as `x-reduct-error-<ts>: 404,...`. */
+  private def updateBatched(ex: HttpExchange, bucket: String, entry: String): Unit = {
+    val timed = BatchWire.sortHeadersByTime(requestHeaders(ex))
+      .map { case (ts, raw) => (ts, BatchWire.parseBatchedHeader(raw)) }
+    if (timed.isEmpty) throw unprocessable("No records to update")
+    val existing = store.existingTimestamps(bucket, entry, timed.map(_._1))
+    val respH = ex.getResponseHeaders
+    for (ts <- timed.map(_._1) if !existing(ts))
+      respH.set(s"x-reduct-error-$ts", "404,No record with timestamp " + ts)
+    val updates = timed.collect { case (ts, hdr) if existing(ts) =>
+      val (set, remove) = hdr.labels.partition(_._2.nonEmpty)
+      (entry, ts, set, remove.keySet)
+    }
+    val n = store.updateLabelsBatch(bucket, updates)
     json(ex, 200, JObject("updated_records" -> JInt(BigInt(n))))
   }
 

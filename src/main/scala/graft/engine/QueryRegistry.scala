@@ -166,7 +166,15 @@ object QueryLinks {
     new String(java.util.Base64.getUrlDecoder.decode(s), "UTF-8")
 
   private def specJson(spec: QuerySpec, expiresAtMs: Long): String = {
-    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // full JSON string escaping incl. control chars — an entry name with
+    // a newline/tab would otherwise produce invalid JSON that SIGNS fine
+    // but throws at verify-time on every use of the legitimate link
+    def q(s: String) = "\"" + s.flatMap {
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c            => c.toString
+    } + "\""
     val fields = Seq(
       spec.start.map(v => s"\"start\":$v"),
       spec.stop.map(v => s"\"stop\":$v"),

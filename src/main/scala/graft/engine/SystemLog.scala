@@ -50,10 +50,20 @@ final class SystemLog(store: BucketStore, instance: String,
         Map.empty[String, String], "application/json",
         graft.core.Records.State.Finished, payload.getBytes("UTF-8"))
       // writeWithSettings so $system's provisioned FIFO quota and the
-      // free-disk preflight apply to log records like any other write
-      store.writeWithSettings("$system", store.spark.createDataFrame(
-        Seq(row).asJava, graft.core.Records.schema),
-        BucketStore.Conflict.Skip, incomingBytes = payload.length.toLong)
+      // free-disk preflight apply to log records like any other write.
+      // GUARDED: telemetry must never take the serving path down — a
+      // full disk (507 preflight) would otherwise abort server startup
+      // (the ctor logs provisioning warnings) or turn an already-
+      // completed operation into an error response.
+      try {
+        store.writeWithSettings("$system", store.spark.createDataFrame(
+          Seq(row).asJava, graft.core.Records.schema),
+          BucketStore.Conflict.Skip,
+          incomingBytes = payload.getBytes("UTF-8").length.toLong)
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[system-log] dropped log write: $e")
+        return false
+      }
     }
     persist
   }
@@ -91,11 +101,20 @@ final class SystemLog(store: BucketStore, instance: String,
         graft.core.Records.State.Finished,
         e.payloadJson.getBytes("UTF-8"))
     }
-    store.writeWithSettings("$system", store.spark.createDataFrame(
-      rows.asJava, graft.core.Records.schema),
-      BucketStore.Conflict.Skip,
-      incomingBytes = items.iterator.map(_.payloadJson.length.toLong).sum)
-    true
+    // same no-throw guard as log(); byte count, not char count — CJK
+    // payloads are 3 bytes/char and the quota/preflight admission must
+    // see the real size
+    try {
+      store.writeWithSettings("$system", store.spark.createDataFrame(
+        rows.asJava, graft.core.Records.schema),
+        BucketStore.Conflict.Skip,
+        incomingBytes = items.iterator
+          .map(_.payloadJson.getBytes("UTF-8").length.toLong).sum)
+      true
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[system-log] dropped ${items.size}-event write: $e")
+      false
+    }
   }
 }
 

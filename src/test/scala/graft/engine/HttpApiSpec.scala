@@ -1141,4 +1141,44 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
       assert(plain != 200, "cleartext must not be served on the TLS port")
     } finally tlsApi.stop()
   }
+
+  test("v1 batched write + update (write_batched.rs / update_batched.rs parity)") {
+    assert(req("POST", "/b/bw").statusCode() == 200)
+    // two records in one POST: v1 time headers, payloads concatenated
+    val w1 = req("POST", "/b/bw/sens/batch", "helloworld".getBytes,
+      headers = Seq(
+        "x-reduct-time-1000" -> "5,text/plain,k=v1",
+        "x-reduct-time-2000" -> "5,text/plain,k=v2"))
+    assert(w1.statusCode() == 200, new String(w1.body()))
+    val r1 = req("GET", "/b/bw/sens?ts=1000")
+    assert(new String(r1.body()) == "hello")
+    assert(r1.headers().firstValue("x-reduct-label-k").get() == "v1")
+    assert(new String(req("GET", "/b/bw/sens?ts=2000").body()) == "world")
+    // conflicting ts: per-record 409 in the error map, the REST written
+    val w2 = req("POST", "/b/bw/sens/batch", "xxxxxYYYYY".getBytes,
+      headers = Seq(
+        "x-reduct-time-2000" -> "5,text/plain,k=clob",
+        "x-reduct-time-3000" -> "5,text/plain,k=v3"))
+    assert(w2.statusCode() == 200)
+    assert(w2.headers().firstValue("x-reduct-error-2000").get().startsWith("409"))
+    assert(w2.headers().firstValue("x-reduct-error-3000").isEmpty)
+    assert(new String(req("GET", "/b/bw/sens?ts=2000").body()) == "world",
+      "conflicting record must stay untouched")
+    assert(new String(req("GET", "/b/bw/sens?ts=3000").body()) == "YYYYY")
+    // malformed: negative content length is a 422, not a 500
+    assert(req("POST", "/b/bw/sens/batch", Array.empty[Byte],
+      headers = Seq("x-reduct-time-4000" -> "-5,text/plain")).statusCode() == 422)
+    // batched label update: empty value removes, others merge; missing ts -> 404 map
+    val u = req("PATCH", "/b/bw/sens/batch", Array.empty[Byte],
+      headers = Seq(
+        "x-reduct-time-1000" -> "0,,k=,k2=nv",
+        "x-reduct-time-9999" -> "0,,k2=zz"))
+    assert(u.statusCode() == 200, new String(u.body()))
+    assert(u.headers().firstValue("x-reduct-error-9999").get().startsWith("404"))
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    assert((jsonOf(u) \ "updated_records").extract[Long] == 1L)
+    val r1b = req("GET", "/b/bw/sens?ts=1000")
+    assert(r1b.headers().firstValue("x-reduct-label-k").isEmpty, "k removed")
+    assert(r1b.headers().firstValue("x-reduct-label-k2").get() == "nv")
+  }
 }
