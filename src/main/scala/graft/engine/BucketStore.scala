@@ -863,6 +863,15 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     * Consumers resume by shard id + the manifest's ts bounds. NOT under
     * [[mutating]]: exports are reads; racing mutations are handled by
     * the same snapshot-or-retry contract as any other read. */
+  /** The export's DataFrame plan, pre-write — factored out so PlanSpec
+    * can assert the shape: exactly ONE exchange (the range exchange IS
+    * the ordering step; queryUnordered contributes no global sort). */
+  private[graft] def exportPlan(spec: QuerySpec, nShards: Int): DataFrame =
+    QueryEngine.queryUnordered(table(), spec)
+      .repartitionByRange(nShards, col("ts"), col("entry"))
+      .sortWithinPartitions("ts", "entry")
+      .withColumn("shard", spark_partition_id().cast("long"))
+
   def exportShards(spec: QuerySpec, outPath: String,
       nShards: Int = 32): Seq[BucketStore.ShardInfo] = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
@@ -877,11 +886,7 @@ final class BucketStore(val spark: SparkSession, val root: String) {
       // fewer non-empty shards would otherwise leave the previous
       // run's extra shard dirs mixed into the tree and the manifest.
       ofs.delete(out, true)
-      val result = QueryEngine.queryUnordered(table(), spec)
-      result
-        .repartitionByRange(nShards, col("ts"), col("entry"))
-        .sortWithinPartitions("ts", "entry")
-        .withColumn("shard", spark_partition_id().cast("long"))
+      exportPlan(spec, nShards)
         .write.partitionBy("shard")
         .mode(SaveMode.Overwrite)
         .parquet(outPath)

@@ -84,4 +84,18 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(store.table().count() == 9)
     assert(store.table().filter(col("entry") === "sensor/b").count() == 5)
   }
+
+  test("bulk-export plan: one range exchange, no redundant global sort") {
+    val store = newStore()
+    val plan = planOf(store.exportPlan(QuerySpec(), nShards = 4))
+    val exchanges = "(?i)exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"export must pay exactly ONE exchange (the range\n$plan")
+    assert(plan.toLowerCase.contains("rangepartitioning"),
+      s"the one exchange must be the range exchange\n$plan")
+    // the sort inside each shard is partition-local; a GLOBAL sort node
+    // would mean queryUnordered leaked the cursor path's orderBy under
+    // the repartition (a second, redundant ordering step)
+    assert(!"(?i)sort \\[.*global=true".r.unanchored.matches(plan) &&
+      !plan.contains("global=true"), s"no global sort in the export plan\n$plan")
+  }
 }
