@@ -1044,7 +1044,12 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
       entries = (j \ "entries").toOption.flatMap(_.extractOpt[Seq[String]]),
       when = (j \ "when").toOption.filter(_ != JNothing)
         .map(w => JsonMethods.compact(JsonMethods.render(w))),
-      srcBucket = (j \ "src_bucket").extractOpt[String],
+      // required, like the reference (replication_api.rs:42 src_bucket
+      // is a non-optional String): a src-less same-store replication
+      // would re-ingest its own dst bucket on every run, compounding
+      // dst_prefix unboundedly
+      srcBucket = Some((j \ "src_bucket").extractOpt[String].filter(_.nonEmpty)
+        .getOrElse(throw unprocessable("'src_bucket' is required"))),
       dstBucket = (j \ "dst_bucket").extractOpt[String].getOrElse("default"),
       dstPrefix = (j \ "dst_prefix").extractOpt[String].getOrElse(""),
       mode = parseMode((j \ "mode").extractOpt[String].getOrElse("enabled")),

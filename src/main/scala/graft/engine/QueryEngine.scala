@@ -248,7 +248,7 @@ object QueryEngine {
 
   /** Can evaluation raise (missing label, bad cast, ÷0 …)? Pure trees of
     * constants/logic can't; anything touching labels or arithmetic can. */
-  private def mayError(n: Node): Boolean = n match {
+  private[graft] def mayError(n: Node): Boolean = n match {
     case Node.LabelRef(_) | Node.ComputedRef(_) => true
     case Node.Op("$and" | "$all_of" | "$or" | "$any_of" | "$not" |
         "$none_of" | "$xor" | "$one_of" | "$eq" | "$ne" | "$gt" | "$gte" |

@@ -64,14 +64,17 @@ object StatefulStream {
     val root = graft.cond.Parser.parse(when).root
     val schema = records.schema
     val tsIdx = schema.fieldIndex("ts")
+    // hoisted like tsIdx: fieldIndex is a per-call map lookup,
+    // and the key extractor runs per RECORD on the hot path
+    val bucketIdx = schema.fieldIndex("bucket")
+    val entryIdx = schema.fieldIndex("entry")
     val labelsIdx = schema.fieldIndex("labels")
     val computedIdx = schema.fieldIndex("computed_labels")
     implicit val rowEnc = Encoders.row(schema)
     implicit val keyEnc = Encoders.tuple(Encoders.STRING, Encoders.STRING)
     implicit val stateEnc = Encoders.kryo[Vector[Any]]
     records.groupByKey { r: Row =>
-      (r.getString(schema.fieldIndex("bucket")),
-        r.getString(schema.fieldIndex("entry")))
+      (r.getString(bucketIdx), r.getString(entryIdx))
     }.flatMapGroupsWithState[Vector[Any], Row](
       OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
       (_: (String, String), rows: Iterator[Row], gs: GroupState[Vector[Any]]) =>
@@ -166,13 +169,16 @@ object StatefulStream {
       when(size(shingles) > 0, DedupExprs.minhashSig(shingles, numHashes)))
     val schema = withSig.schema
     val tsIdx = schema.fieldIndex("ts")
+    // hoisted like tsIdx: fieldIndex is a per-call map lookup,
+    // and the key extractor runs per RECORD on the hot path
+    val bucketIdx = schema.fieldIndex("bucket")
+    val entryIdx = schema.fieldIndex("entry")
     val sigIdx = schema.fieldIndex("__sig")
     implicit val rowEnc = Encoders.row(schema)
     implicit val keyEnc = Encoders.tuple(Encoders.STRING, Encoders.STRING)
     implicit val stateEnc = Encoders.kryo[Vector[Array[Long]]]
     withSig.groupByKey { r: Row =>
-      (r.getString(schema.fieldIndex("bucket")),
-        r.getString(schema.fieldIndex("entry")))
+      (r.getString(bucketIdx), r.getString(entryIdx))
     }.flatMapGroupsWithState[Vector[Array[Long]], Row](
       OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
       (_: (String, String), rows: Iterator[Row], gs: GroupState[Vector[Array[Long]]]) =>
@@ -272,13 +278,16 @@ object StatefulStream {
   def silenceAlerts(records: DataFrame, silenceUs: Long): DataFrame = {
     val schema = records.schema
     val tsIdx = schema.fieldIndex("ts")
+    // hoisted like tsIdx: fieldIndex is a per-call map lookup,
+    // and the key extractor runs per RECORD on the hot path
+    val bucketIdx = schema.fieldIndex("bucket")
+    val entryIdx = schema.fieldIndex("entry")
     implicit val rowEnc = Encoders.row(schema)
     implicit val keyEnc = Encoders.tuple(Encoders.STRING, Encoders.STRING)
     implicit val stateEnc = Encoders.scalaLong
     implicit val outEnc = Encoders.product[SilenceAlert]
     records.groupByKey { r: Row =>
-      (r.getString(schema.fieldIndex("bucket")),
-        r.getString(schema.fieldIndex("entry")))
+      (r.getString(bucketIdx), r.getString(entryIdx))
     }.flatMapGroupsWithState[Long, SilenceAlert](
       OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
       (key: (String, String), rows: Iterator[Row], gs: GroupState[Long]) =>
@@ -406,13 +415,16 @@ object StatefulStream {
       step: (S, Long, Boolean) => (S, Boolean)): DataFrame = {
     val schema = records.schema
     val tsIdx = schema.fieldIndex("ts")
+    // hoisted like tsIdx: fieldIndex is a per-call map lookup,
+    // and the key extractor runs per RECORD on the hot path
+    val bucketIdx = schema.fieldIndex("bucket")
+    val entryIdx = schema.fieldIndex("entry")
     val inIdx = schema.fieldIndex("__in")
     implicit val rowEnc = Encoders.row(schema)
     implicit val keyEnc = Encoders.tuple(Encoders.STRING, Encoders.STRING)
     implicit val stateEnc = Encoders.kryo[S]
     val grouped = records.groupByKey { r: Row =>
-      (r.getString(schema.fieldIndex("bucket")),
-        r.getString(schema.fieldIndex("entry")))
+      (r.getString(bucketIdx), r.getString(entryIdx))
     }
     grouped.flatMapGroupsWithState[S, Row](
       OutputMode.Append(), GroupStateTimeout.NoTimeout()) {

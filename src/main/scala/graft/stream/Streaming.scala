@@ -54,7 +54,25 @@ object Streaming {
       .option("basePath", store.root)
       .parquet(store.root)
       .drop("dt")
-    QueryEngine.matching(stream, spec)
+    // stateful operators (and strict conditions that can error) run on
+    // the batch path's sequential kernel, whose sortWithinPartitions is
+    // UNSUPPORTED on streaming frames — route those through the
+    // streaming state store instead (the same filter replication uses;
+    // counters persist across micro-batches, the right continuous-tail
+    // semantic: the reference keeps one filter chain for the query's
+    // lifetime). Pure conditions keep the compiled batch predicate.
+    val parsed = spec.when.map(w => graft.cond.Parser.parse(w))
+    val kernelPath = parsed.exists(p => graft.cond.Node.isStateful(p.root)) ||
+      (spec.strict && parsed.exists(p => QueryEngine.mayError(p.root)))
+    if (!kernelPath) QueryEngine.matching(stream, spec)
+    else {
+      var scoped = stream.filter(col("state") === graft.core.Records.State.Finished)
+      spec.bucket.foreach(b => scoped = scoped.filter(col("bucket") === b))
+      spec.start.foreach(v => scoped = scoped.filter(col("ts") >= v))
+      spec.stop.foreach(v => scoped = scoped.filter(col("ts") < v))
+      scoped = scoped.filter(EntryPattern.predicateCol(col("entry"), spec.entries))
+      StatefulStream.whenFilter(scoped, spec.when.get, strict = spec.strict)
+    }
   }
 
   /** Event-time windowed per-entry stats with a watermark — the streaming
@@ -101,9 +119,14 @@ object Streaming {
       compression: String = "none")        // none|zstd|gzip
 
   /** Start a replication stream src → dst. Disabled → no-op (returns
-    * None); Paused → the stream runs but batches are skipped (transaction
-    * log keeps accumulating via the checkpoint, like the reference's
-    * paused mode).
+    * None). Paused → ALSO no-op: the checkpoint must not advance while
+    * paused — the reference's paused worker skips the whole sync pass
+    * (`continue` before sender.run(), replication_task.rs:236-245) and
+    * pending transactions ACCUMULATE until resume. Running the stream
+    * with a skipping sink would commit the file-source offsets anyway
+    * and permanently drop everything written while paused (a round-16
+    * review fix: the previous behavior did exactly that). Resuming
+    * re-runs from the untouched checkpoint and drains the backlog.
     *
     * Entry globs compile to a static Column predicate
     * ([[EntryPattern.predicateCol]] — equality/startsWith/rlike, all
@@ -156,7 +179,7 @@ object Streaming {
         * assert overlap STRUCTURALLY (a prepare finished while a send
         * was in flight) instead of racing wall clocks. */
       onPrepared: String => Unit = _ => ()): Option[StreamingQuery] = {
-    if (settings.mode == ReplicationMode.Disabled) return None
+    if (settings.mode != ReplicationMode.Enabled) return None
     val parsed = settings.when.map(w => graft.cond.Parser.parse(w))
     val statefulWhen = parsed.exists(p => graft.cond.Node.isStateful(p.root))
     val stream0 = src.spark.readStream
@@ -164,11 +187,23 @@ object Streaming {
       .option("basePath", src.root)
       .parquet(src.root)
       .drop("dt")
-    val bucketScoped = settings.srcBucket
-      .fold(stream0)(b => stream0.filter(col("bucket") === b))
-    val entryScoped0 = settings.entries
-      .fold(bucketScoped)(pats =>
-        bucketScoped.filter(EntryPattern.predicateCol(col("entry"), Some(pats))))
+    val bucketScoped = settings.srcBucket match {
+      case Some(b) => stream0.filter(col("bucket") === b)
+      case None if src.root == dst.root =>
+        // whole-store replication into the SAME store: the destination
+        // bucket must never feed itself — run N's output would
+        // replicate again in run N+1 under another dstPrefix layer,
+        // growing entries unboundedly (library-level belt; the HTTP
+        // facade requires src_bucket outright, like the reference)
+        stream0.filter(col("bucket") =!= settings.dstBucket)
+      case None => stream0
+    }
+    // predicateCol with entries=None applies the default non-system
+    // guard — $meta entries never replicate implicitly, matching the
+    // batch path's resolve(None) semantics (round-16 review: the
+    // stateful-when stream previously saw them when entries was unset)
+    val entryScoped0 = bucketScoped
+      .filter(EntryPattern.predicateCol(col("entry"), settings.entries))
       // only finished records replicate (and tick stateful counters) —
       // the batch path gets this from QueryEngine.matching's state flag
       .filter(col("state") === graft.core.Records.State.Finished)
@@ -176,18 +211,19 @@ object Streaming {
       if (excludeEntries.isEmpty) entryScoped0
       else entryScoped0.filter(
         !EntryPattern.predicateCol(col("entry"), Some(excludeEntries)))
-    // paused replications skip batches in the sink but must not tick
-    // stateful counters either — mode is checked before the state filter
-    val enabled = settings.mode == ReplicationMode.Enabled
+    // mode gating happens ABOVE (paused/disabled never open the
+    // checkpoint), so the stream shape is constant per checkpoint — a
+    // pause toggle can't flip the stateful operator's presence under
+    // Spark's state-metadata validation
     val stream =
-      if (statefulWhen && enabled)
+      if (statefulWhen)
         StatefulStream.whenFilter(entryScoped, settings.when.get, strict = true)
       else entryScoped
     val q = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (enabled) {
+        {
           val matched = (
             if (statefulWhen) batch // already filtered on the stream
             else QueryEngine.matching(batch,
@@ -205,13 +241,6 @@ object Streaming {
             .sortBy(_._1)
           val n = perEntry.map(_._2).sum
           val bytes = perEntry.map(_._3).sum
-          // count destination writes at the storage choke point, like the
-          // reference (storage/usage.rs header: "external, replication
-          // and Zenoh traffic count uniformly") — a replication dst
-          // bucket reports its write traffic in the usage events
-          for ((e, en, eb) <- perEntry)
-            dst.usage.countWrite(settings.dstBucket,
-              settings.dstPrefix + e, en, eb)
           val renamed = matched
             .withColumn("bucket", lit(settings.dstBucket))
             .withColumn("entry", concat(lit(settings.dstPrefix), col("entry")))
@@ -269,6 +298,14 @@ object Streaming {
               } finally sender.shutdownNow()
             }
           } finally matched.unpersist()
+          // count destination writes AFTER the send, like the reference's
+          // storage choke point (storage/usage.rs: "external, replication
+          // and Zenoh traffic count uniformly") — counting before it
+          // would double-tally on a Spark retry of a failed batch and
+          // count writes a failing custom sender never delivered
+          for ((e, en, eb) <- perEntry)
+            dst.usage.countWrite(settings.dstBucket,
+              settings.dstPrefix + e, en, eb)
           onReplicated(n, bytes) // diagnostics hook (msg/diagnostics.rs)
         }
       }
@@ -288,8 +325,8 @@ object Streaming {
     * reference's per-record error map).
     *
     * Scoping matches [[replicate]]: srcBucket, entry globs, excludes,
-    * dstBucket/dstPrefix rename, Paused skips batches but advances the
-    * checkpoint. A PURE `when` evaluates against the updated record's
+    * dstBucket/dstPrefix rename; Paused never opens the checkpoint, so
+    * the update backlog accumulates until resume (same as [[replicate]]). A PURE `when` evaluates against the updated record's
     * labels (transaction_filter semantics); a STATEFUL `when` is a
     * record-stream property — its counters live in the record query's
     * state store — so updates do not propagate under one (documented
@@ -312,7 +349,9 @@ object Streaming {
       /** Remote-wire seam: receives renamed (dstBucket/dstPrefix) update
         * rows (bucket, entry, ts, labels, seq); None applies to `dst`. */
       sendUpdates: Option[DataFrame => Unit] = None): Option[StreamingQuery] = {
-    if (settings.mode == ReplicationMode.Disabled) return None
+    // paused must not advance this checkpoint either — same backlog
+    // semantics as [[replicate]] (replication_task.rs:236-245)
+    if (settings.mode != ReplicationMode.Enabled) return None
     val parsed = settings.when.map(w => graft.cond.Parser.parse(w))
     if (parsed.exists(p => graft.cond.Node.isStateful(p.root))) return None
     // ensure future patches log — callers managing tasks set this at
@@ -334,21 +373,28 @@ object Streaming {
       .option("basePath", updatesRoot)
       .parquet(s"$updatesRoot/bucket=*")
       .drop("dt")
-    val bucketScoped = settings.srcBucket
-      .fold(stream0)(b => stream0.filter(col("bucket") === b))
-    val entryScoped0 = settings.entries
-      .fold(bucketScoped)(pats =>
-        bucketScoped.filter(EntryPattern.predicateCol(col("entry"), Some(pats))))
+    val bucketScoped = settings.srcBucket match {
+      case Some(b) => stream0.filter(col("bucket") === b)
+      case None if src.root == dst.root =>
+        // whole-store replication into the SAME store: the destination
+        // bucket must never feed itself — run N's output would
+        // replicate again in run N+1 under another dstPrefix layer,
+        // growing entries unboundedly (library-level belt; the HTTP
+        // facade requires src_bucket outright, like the reference)
+        stream0.filter(col("bucket") =!= settings.dstBucket)
+      case None => stream0
+    }
+    val entryScoped0 = bucketScoped
+      .filter(EntryPattern.predicateCol(col("entry"), settings.entries))
     val entryScoped =
       if (excludeEntries.isEmpty) entryScoped0
       else entryScoped0.filter(
         !EntryPattern.predicateCol(col("entry"), Some(excludeEntries)))
-    val enabled = settings.mode == ReplicationMode.Enabled
     val q = entryScoped.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (enabled) {
+        {
           // pure `when` evaluates on a synthetic record built from the
           // update row (post-patch labels; no payload) — the same
           // compiled-condition path as everything else

@@ -269,7 +269,11 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
     assert((full \ "settings" \ "compression").extract[String] == "zstd")
     assert(req("POST", "/replications/lz4",
       """{"compression": "lz4"}""".getBytes).statusCode() == 422)
-    assert(req("POST", "/replications/plain", "{}".getBytes).statusCode() == 200)
+    // src_bucket is REQUIRED (replication_api.rs:42 non-optional; a
+    // src-less same-store replication would re-ingest its own dst)
+    assert(req("POST", "/replications/plain", "{}".getBytes).statusCode() == 422)
+    assert(req("POST", "/replications/plain",
+      """{"src_bucket": "src1"}""".getBytes).statusCode() == 200)
     assert((jsonOf(req("GET", "/replications/plain")) \ "settings" \
       "compression").extract[String] == "none")
     assert(req("DELETE", "/replications/plain").statusCode() == 200)

@@ -75,10 +75,22 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val got = dst.table().select("bucket", "entry", "ts").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
     assert(got == Seq(("replica", "mirror/acc/y", 2L)))
-    // paused: stream runs, nothing written
+    // paused: the checkpoint must NOT advance (reference
+    // replication_task.rs:236-245 skips the sync pass; the backlog
+    // accumulates) — a run while paused is a no-op, and records written
+    // during the pause replicate after resume FROM THE SAME CHECKPOINT
+    val ck2 = tmp("repl-ck2")
     val paused = settings.copy(mode = Streaming.ReplicationMode.Paused)
-    Streaming.replicate(src, dst, paused, tmp("repl-ck2")).get.awaitTermination()
+    assert(Streaming.replicate(src, dst, paused, ck2).isEmpty,
+      "paused must not open the checkpoint")
     assert(dst.table().count() == 1)
+    src.write(recordsDf(Seq(("acc/z", 9L, Map("v" -> "99")))))
+    assert(Streaming.replicate(src, dst, paused, ck2).isEmpty)
+    // resume: the pause-period record arrives (nothing was lost)
+    Streaming.replicate(src, dst, settings, ck2).get.awaitTermination()
+    val resumed = dst.table().select("entry").collect().map(_.getString(0)).toSet
+    assert(resumed == Set("mirror/acc/y", "mirror/acc/z"),
+      s"records written while paused must replicate on resume, got $resumed")
     assert(Streaming.replicate(src, dst,
       settings.copy(mode = Streaming.ReplicationMode.Disabled), tmp("x")).isEmpty)
   }
