@@ -59,6 +59,9 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
 
   val tokens = new TokenRepository(apiToken)
   private val registry = new QueryRegistry(queryTtlMs, maxCursors)
+  /** `RS_RATE_LIMIT_API/INGRESS/EGRESS` windowed limits (api/limits.rs,
+    * PR-1255). Package-visible so specs can assert the parsed config. */
+  private[engine] val limits = RateLimits.fromEnv(env)
   // TLS when an SSLContext is supplied — the analog of the reference's
   // cert_path/cert_key_path settings (HTTPS server, cfg/mod.rs); the
   // JVM-idiomatic key source is a PKCS12 keystore ([[HttpApi.sslContext]])
@@ -130,6 +133,10 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
       val segs = path.split("/").filter(_.nonEmpty).map(urlDecode).toList
       val method = ex.getRequestMethod.toUpperCase
       val q = queryParams(ex)
+      // per-request API admission runs BEFORE routing and auth — the
+      // check_api_rate_limit layer wraps the whole router, health
+      // probes included (http.rs:271-274, middleware.rs:61-89)
+      limits.checkApiRequest(requestClientIp(ex))
       (method, segs) match {
         // health probes, both verbs (api/http/server.rs:26-32) —
         // orchestration GETs /ready constantly
@@ -380,14 +387,30 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
       }
     } catch { case scala.util.control.NonFatal(_) => () }
 
+  /** Resolved client IP of the exchange — the attach_client_ip
+    * middleware analog (middleware.rs:48-59): the Forwarded /
+    * X-Forwarded-For originating hop behind a trusted proxy, the
+    * socket peer otherwise. Feeds the allowlist, the audit trail, and
+    * the rate-limit scope alike. */
+  private def requestClientIp(ex: HttpExchange): Option[String] =
+    ClientIp.resolve(
+      Option(ex.getRemoteAddress).map(_.getAddress),
+      name => Option(ex.getRequestHeaders.getFirst(name)))
+
+  /** Declared request-body size for ingress admission
+    * (write_single.rs parse_content_length_from_header). A chunked
+    * request carries no Content-Length; its bytes are then accounted 0
+    * at admission — the write paths still enforce per-record declared
+    * lengths against the actual stream. */
+  private def declaredContentLength(ex: HttpExchange): Long =
+    Option(ex.getRequestHeaders.getFirst("Content-Length"))
+      .flatMap(_.trim.toLongOption).filter(_ >= 0).getOrElse(0L)
+
   private def auth(ex: HttpExchange, policy: Policy): Unit =
     tokens.check(Option(ex.getRequestHeaders.getFirst("Authorization")),
       // behind a trusted (local/private) proxy, the allowlist sees the
       // real client from Forwarded / X-Forwarded-For, not the proxy
-      ClientIp.resolve(
-        Option(ex.getRemoteAddress).map(_.getAddress),
-        name => Option(ex.getRequestHeaders.getFirst(name))),
-      policy)
+      requestClientIp(ex), policy)
 
   // ------------------------------------------------------------- server
 
@@ -753,6 +776,10 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     checkEntryName(entry) // entry creation path (engine.rs get_or_create)
     val ts = q.getOrElse("ts",
       throw unprocessable("'ts' parameter is required")).toLong
+    // ingress admission against the declared size, BEFORE the body is
+    // consumed (write_single.rs:44-54) — a too-large upload is refused
+    // without paying its transfer
+    limits.checkIngress(requestClientIp(ex), declaredContentLength(ex))
     val ct = Option(ex.getRequestHeaders.getFirst("Content-Type"))
       .getOrElse("application/octet-stream")
     // Stream, don't buffer (write_single.rs streams bodies): read up to
@@ -830,6 +857,10 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
 
   private def serveRecord(ex: HttpExchange, r: Row): Unit = {
     val payload = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.empty[Byte])
+    // egress admission AFTER the record resolves (404 beats 429) and
+    // only when a body will ship — HEAD is free (read_single.rs:99-104)
+    if (!ex.getRequestMethod.equalsIgnoreCase("HEAD"))
+      limits.checkEgress(requestClientIp(ex), payload.length.toLong)
     store.usage.countRead(r.getAs[String]("bucket"),
       r.getAs[String]("entry"), 1L, payload.length.toLong)
     val h = ex.getResponseHeaders
@@ -992,6 +1023,13 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
       respond(ex, 204, Array.empty)
       return
     }
+    // egress admission on the assembled batch size, before any record
+    // header or usage tally is emitted (read_batched.rs:214-216); HEAD
+    // ships no body and is exempt
+    if (!ex.getRequestMethod.equalsIgnoreCase("HEAD"))
+      limits.checkEgress(requestClientIp(ex), rows.iterator.map(r =>
+        Option(r.getAs[Array[Byte]]("payload")).map(_.length.toLong)
+          .getOrElse(0L)).sum)
     val h = ex.getResponseHeaders
     val payloads = rows.map { r =>
       val payload = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.empty[Byte])
@@ -1485,6 +1523,11 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
       respond(ex, 204, Array.empty)
       return
     }
+    // egress admission on the page size before emission (io/read.rs:237-239)
+    if (!ex.getRequestMethod.equalsIgnoreCase("HEAD"))
+      limits.checkEgress(requestClientIp(ex), rows.iterator.map(r =>
+        Option(r.getAs[Array[Byte]]("payload")).map(_.length.toLong)
+          .getOrElse(0L)).sum)
     val recs = rows.map { r =>
       val payload = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.empty[Byte])
       store.usage.countRead(r.getAs[String]("bucket"),
@@ -1517,6 +1560,8 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     * so large batches spool to staging like single records do, and the
     * payload slicing happens executor-side ([[BucketStore.writeStagedSlices]]). */
   private def ioWrite(ex: HttpExchange, bucket: String): Unit = {
+    // ingress admission before the body is consumed (io/write.rs:68-78)
+    limits.checkIngress(requestClientIp(ex), declaredContentLength(ex))
     val decoded = BatchWire.decodeBatchV2(requestHeaders(ex))
     val expected = decoded.map(_.header.contentLength).sum
     val in = ex.getRequestBody
@@ -1637,6 +1682,9 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     * written — the reference's error map, not an all-or-nothing batch.
     * Spools past the threshold like writeSingle/ioWrite. */
   private def writeBatched(ex: HttpExchange, bucket: String, entry: String): Unit = {
+    // ingress admission on the declared batch size before the body is
+    // consumed (write_batched.rs:66-76)
+    limits.checkIngress(requestClientIp(ex), declaredContentLength(ex))
     val timed = BatchWire.sortHeadersByTime(requestHeaders(ex))
       .map { case (ts, raw) => (ts, BatchWire.parseBatchedHeader(raw)) }
     if (timed.isEmpty) throw unprocessable("No records in batch")

@@ -97,14 +97,14 @@ object RoboticsIngestDemo {
   /** Minimal in-process transport (same shape as the spec's). */
   final class InMemoryTransport extends Zenoh.Transport {
     private var subs = List.empty[(String, Zenoh.Sample => Unit)]
-    private var queryables = List.empty[(String, Zenoh.Query => Seq[Zenoh.Reply])]
+    private var queryables = List.empty[(String, Zenoh.Query => Iterator[Zenoh.Reply])]
     def subscribe(kx: String)(h: Zenoh.Sample => Unit): AutoCloseable = {
       subs ::= (kx, h); () => ()
     }
-    def queryable(kx: String)(h: Zenoh.Query => Seq[Zenoh.Reply]): AutoCloseable = {
+    def queryable(kx: String)(h: Zenoh.Query => Iterator[Zenoh.Reply]): AutoCloseable = {
       queryables ::= (kx, h); () => ()
     }
     def publish(s: Zenoh.Sample): Unit = subs.foreach(_._2(s))
-    def get(q: Zenoh.Query): Seq[Zenoh.Reply] = queryables.flatMap(_._2(q))
+    def get(q: Zenoh.Query): Seq[Zenoh.Reply] = queryables.flatMap(_._2(q).toSeq)
   }
 }

@@ -107,8 +107,13 @@ object Zenoh {
   trait Transport {
     /** Deliver samples matching `keyexpr` to `handler`; close() undeclares. */
     def subscribe(keyexpr: String)(handler: Sample => Unit): AutoCloseable
-    /** Answer get() selectors matching `keyexpr` via `handler`. */
-    def queryable(keyexpr: String)(handler: Query => Seq[Reply]): AutoCloseable
+    /** Answer get() selectors matching `keyexpr` via `handler`. The
+      * handler returns a LAZY reply stream — the transport pulls one
+      * reply at a time and ships it before pulling the next, the
+      * QueryResult::Stream backpressure contract (queryable.rs:108-115):
+      * a selector over a huge entry never materializes its result set
+      * in driver memory. */
+    def queryable(keyexpr: String)(handler: Query => Iterator[Reply]): AutoCloseable
   }
 
   /** Decode a serialized-labels attachment: a JSON object of string (or
@@ -152,7 +157,11 @@ final class ZenohBridge(
       * block writer. */
     flushEvery: Int = 1024,
     nowUs: () => Long = () => System.currentTimeMillis() * 1000L,
-    onWarn: String => Unit = m => System.err.println(s"[zenoh] $m")) {
+    onWarn: String => Unit = m => System.err.println(s"[zenoh] $m"),
+    /** `RS_RATE_LIMIT_*` enforcement for the bridge (PR-1255): the
+      * zenoh paths count under the GLOBAL scope — a zenoh session has
+      * no client IP (queryable.rs:54-66, subscriber.rs:69-76). */
+    limits: graft.engine.RateLimits = graft.engine.RateLimits.unlimited) {
 
   import Zenoh._
 
@@ -172,6 +181,17 @@ final class ZenohBridge(
     * attachment merged under the transport's source labels, sample
     * timestamp or ingest time, fixed bucket. */
   def handleSample(subPattern: String, s: Sample): Unit = {
+    // per-sample admission (subscriber.rs:69-76): one api request plus
+    // the payload's ingress bytes, global scope. A limited sample is
+    // DROPPED with a warning — the reference logs the error and keeps
+    // the subscriber alive rather than tearing down the session
+    try {
+      limits.checkApiRequest(None)
+      limits.checkIngress(None, s.payload.length.toLong)
+    } catch { case e: graft.engine.Auth.ApiError =>
+      onWarn(s"sample '${s.keyExpr}' dropped: ${e.message}")
+      return
+    }
     val entry = entryName(s.keyExpr)
     // zenoh only delivers matching keys; the bridge re-checks with the
     // entry-pattern grammar (pattern.rs:4-70) so a misbehaving transport
@@ -216,30 +236,48 @@ final class ZenohBridge(
 
   /** queryable.rs:71-117: `ts` → that record, `last` → the latest record,
     * otherwise a when-query over [start, stop) with the attachment's
-    * condition. Replies carry labels as the serialized attachment. */
-  def handleQuery(q: Query): Seq[Reply] = {
+    * condition. Replies carry labels as the serialized attachment.
+    *
+    * The when-query branch returns a STREAM, not a collected result
+    * (QueryResult::Stream, queryable.rs:108-115): `toLocalIterator`
+    * pulls one partition of rows at a time as the transport drains, so
+    * an unbounded selector over a large entry holds at most one
+    * partition driver-side — the same paging discipline the HTTP
+    * cursors get from [[graft.engine.QueryRegistry]]. Each reply pays
+    * its egress bytes as it ships (session.rs:597,672); a mid-stream
+    * 429 aborts the remaining replies, which the transport surfaces as
+    * an error reply. The `ts`/`last` point reads collect ≤ 1 row by
+    * construction. */
+  def handleQuery(q: Query): Iterator[Reply] = {
+    // per-query admission before any work (session.rs:499)
+    limits.checkApiRequest(None)
     val entry = entryName(q.keyExpr)
     val base = QueryEngine.matching(store.tableOrEmpty(),
       QuerySpec(bucket = Some(config.bucket), entries = Some(Seq(entry))))
 
-    def reply(r: Row): Reply = Reply(
-      keyExpr = q.keyExpr,
-      payload = r.getAs[Array[Byte]]("payload"),
-      labels = Option(r.getAs[Map[String, String]]("labels")).getOrElse(Map.empty),
-      timestampUs = r.getAs[Long]("ts"),
-      contentType = r.getAs[String]("content_type"))
+    def reply(r: Row): Reply = {
+      val payload = r.getAs[Array[Byte]]("payload")
+      limits.checkEgress(None,
+        Option(payload).map(_.length.toLong).getOrElse(0L))
+      Reply(
+        keyExpr = q.keyExpr,
+        payload = payload,
+        labels = Option(r.getAs[Map[String, String]]("labels")).getOrElse(Map.empty),
+        timestampUs = r.getAs[Long]("ts"),
+        contentType = r.getAs[String]("content_type"))
+    }
 
     q.params.get("ts") match {
       case Some(raw) =>
         val ts = raw.toLongOption.getOrElse(
           throw new IllegalArgumentException("'ts' must be an unsigned integer"))
-        return base.filter(col("ts") === ts).collect().toSeq.map(reply)
+        return base.filter(col("ts") === ts).collect().iterator.map(reply)
       case None => ()
     }
     val last = q.params.get("last").map(r => r.toBooleanOption.getOrElse(
       throw new IllegalArgumentException("'last' must be a boolean value")))
     if (last.contains(true))
-      return base.orderBy(col("ts").desc).limit(1).collect().toSeq.map(reply)
+      return base.orderBy(col("ts").desc).limit(1).collect().iterator.map(reply)
 
     val when = q.attachment.flatMap { raw =>
       JsonMethods.parse(new String(raw, StandardCharsets.UTF_8)) \ "when" match {
@@ -257,6 +295,7 @@ final class ZenohBridge(
     val rows = QueryEngine.query(store.tableOrEmpty(), spec)
     val limited = q.params.get("limit").map(_.toInt)
       .fold(rows)(n => rows.limit(n))
-    limited.collect().toSeq.map(reply)
+    import scala.jdk.CollectionConverters._
+    limited.toLocalIterator().asScala.map(reply)
   }
 }

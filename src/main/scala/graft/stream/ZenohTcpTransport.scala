@@ -32,7 +32,7 @@ final class ZenohTcpTransport extends Zenoh.Transport with AutoCloseable {
   private val subs =
     new java.util.concurrent.CopyOnWriteArrayList[Zenoh.Sample => Unit]()
   private val queryables =
-    new java.util.concurrent.CopyOnWriteArrayList[Zenoh.Query => Seq[Zenoh.Reply]]()
+    new java.util.concurrent.CopyOnWriteArrayList[Zenoh.Query => Iterator[Zenoh.Reply]]()
 
   private val server =
     new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
@@ -69,10 +69,18 @@ final class ZenohTcpTransport extends Zenoh.Transport with AutoCloseable {
           case Get =>
             val q = readQuery(in)
             try {
-              val replies = Seq.newBuilder[Zenoh.Reply]
-              queryables.forEach(h => replies ++= h(q))
-              replies.result().foreach { r =>
-                out.writeByte(ReplyFrame); writeReply(out, r)
+              // stream each reply as the handler yields it — the server
+              // never accumulates the result set (QueryResult::Stream
+              // backpressure: the handler's iterator is pulled at socket
+              // write pace). A handler failure MID-stream surfaces as an
+              // Err frame after the replies already shipped, matching
+              // the reference's reply_err on a failed stream drain
+              // (session.rs:615-621)
+              queryables.forEach { h =>
+                val it = h(q)
+                while (it.hasNext) {
+                  out.writeByte(ReplyFrame); writeReply(out, it.next())
+                }
               }
               out.writeByte(End)
             } catch { case NonFatal(e) =>
@@ -95,7 +103,7 @@ final class ZenohTcpTransport extends Zenoh.Transport with AutoCloseable {
     () => subs.remove(handler): Unit
   }
 
-  def queryable(keyexpr: String)(handler: Zenoh.Query => Seq[Zenoh.Reply]): AutoCloseable = {
+  def queryable(keyexpr: String)(handler: Zenoh.Query => Iterator[Zenoh.Reply]): AutoCloseable = {
     queryables.add(handler)
     () => queryables.remove(handler): Unit
   }

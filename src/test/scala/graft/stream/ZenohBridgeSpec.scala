@@ -20,15 +20,15 @@ class ZenohBridgeSpec extends AnyFunSuite with SparkTestBase {
     * get() routes a selector to the queryable. */
   private final class InMemoryTransport extends Transport {
     private var subs = List.empty[(String, Sample => Unit)]
-    private var queryables = List.empty[(String, Query => Seq[Reply])]
+    private var queryables = List.empty[(String, Query => Iterator[Reply])]
     def subscribe(kx: String)(h: Sample => Unit): AutoCloseable = {
       subs ::= (kx, h); () => subs = subs.filterNot(_._2 eq h)
     }
-    def queryable(kx: String)(h: Query => Seq[Reply]): AutoCloseable = {
+    def queryable(kx: String)(h: Query => Iterator[Reply]): AutoCloseable = {
       queryables ::= (kx, h); () => queryables = queryables.filterNot(_._2 eq h)
     }
     def publish(s: Sample): Unit = subs.foreach(_._2(s))
-    def get(q: Query): Seq[Reply] = queryables.flatMap(_._2(q))
+    def get(q: Query): Seq[Reply] = queryables.flatMap(_._2(q).toSeq)
     def subscriberCount: Int = subs.size
   }
 
@@ -38,9 +38,11 @@ class ZenohBridgeSpec extends AnyFunSuite with SparkTestBase {
   private def bridge(store: BucketStore, t: Transport,
       config: Config = Config(enabled = true, subKeyexprs = Some("**"),
         queryKeyexprs = Some("**")),
-      warns: StringBuilder = new StringBuilder) =
+      warns: StringBuilder = new StringBuilder,
+      limits: graft.engine.RateLimits = graft.engine.RateLimits.unlimited) =
     new ZenohBridge(store, config, t, flushEvery = 1024,
-      nowUs = () => 7777000L, onWarn = m => { warns.append(m).append('\n'); () })
+      nowUs = () => 7777000L, onWarn = m => { warns.append(m).append('\n'); () },
+      limits = limits)
 
   test("disabled config starts nothing (api/zenoh.rs spawn_runtime)") {
     val t = new InMemoryTransport
@@ -155,5 +157,56 @@ class ZenohBridgeSpec extends AnyFunSuite with SparkTestBase {
     val files = Zenoh.materializeCredentials(cfg)
     assert(files.keySet == Set("usrpwd_dictionary"))
     assert(Files.readString(files("usrpwd_dictionary")) == "user:pass")
+  }
+
+  test("query replies STREAM: lazy iterator, per-reply egress accounting") {
+    import graft.engine.{RateLimits, Auth}
+    val store = newStore()
+    val t = new InMemoryTransport
+    // 10-byte records, 35-byte egress budget: exactly 3 replies fit
+    val limits = new RateLimits(RateLimits.Config(
+      egress = Some(RateLimits.WindowLimit(35, 3600))))
+    val b = bridge(store, t, limits = limits)
+    b.start()
+    for (i <- 1 to 50)
+      t.publish(Sample("s", f"payload-$i%02d".getBytes, timestampUs = Some(i.toLong)))
+    b.flush()
+    // handleQuery RETURNS without draining — the old collect() path
+    // would have thrown 429 here before yielding anything (the result
+    // was materialized eagerly, queryable weak-spot r16); the stream
+    // pays egress per pulled reply (session.rs:672) so the first three
+    // arrive and the fourth pull raises the limit
+    val it = b.handleQuery(Query("s"))
+    assert(new String(it.next().payload) == "payload-01")
+    assert(new String(it.next().payload) == "payload-02")
+    assert(new String(it.next().payload) == "payload-03")
+    val e = intercept[Auth.ApiError] { it.next() }
+    assert(e.status == 429 && e.message.contains("egress bytes"))
+  }
+
+  test("rate limits: api-limited queries error, ingress-limited samples drop") {
+    import graft.engine.RateLimits
+    val store = newStore()
+    val t = new InMemoryTransport
+    val warns = new StringBuilder
+    val limits = new RateLimits(RateLimits.Config(
+      api = Some(RateLimits.WindowLimit(3, 3600)),
+      ingress = Some(RateLimits.WindowLimit(10, 3600))))
+    val b = bridge(store, t, warns = warns, limits = limits)
+    b.start()
+    // each sample spends one api slot + its ingress bytes
+    // (subscriber.rs:69-76). Sample 1: admitted (api 1/3, ingress
+    // 6/10); sample 2: api 2/3 passes but 6 more ingress bytes would
+    // exceed 10 → dropped with a warning, subscriber stays alive
+    t.publish(Sample("e", "abcdef".getBytes, timestampUs = Some(1L)))
+    t.publish(Sample("e", "ghijkl".getBytes, timestampUs = Some(2L)))
+    b.flush()
+    assert(store.table().count() == 1)
+    assert(warns.toString.contains("ingress bytes"))
+    // the query path consumes the last api slot; the next one 429s
+    // with an error the transport ships as an error reply (session.rs:499)
+    assert(t.get(Query("e", params = Map("ts" -> "1"))).nonEmpty)
+    val err = intercept[graft.engine.Auth.ApiError] { b.handleQuery(Query("e")) }
+    assert(err.status == 429 && err.message.contains("api requests"))
   }
 }

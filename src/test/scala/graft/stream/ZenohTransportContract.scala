@@ -187,15 +187,15 @@ class InMemoryZenohTransportContractSpec extends ZenohTransportContract {
   private final class InMemoryTransport extends Zenoh.Transport {
     private var subs = List.empty[(String, Zenoh.Sample => Unit)]
     private var queryables =
-      List.empty[(String, Zenoh.Query => Seq[Zenoh.Reply])]
+      List.empty[(String, Zenoh.Query => Iterator[Zenoh.Reply])]
     def subscribe(kx: String)(h: Zenoh.Sample => Unit): AutoCloseable = {
       subs ::= (kx, h); () => subs = subs.filterNot(_._2 eq h)
     }
-    def queryable(kx: String)(h: Zenoh.Query => Seq[Zenoh.Reply]): AutoCloseable = {
+    def queryable(kx: String)(h: Zenoh.Query => Iterator[Zenoh.Reply]): AutoCloseable = {
       queryables ::= (kx, h); () => queryables = queryables.filterNot(_._2 eq h)
     }
     def publish(s: Zenoh.Sample): Unit = subs.foreach(_._2(s))
-    def get(q: Zenoh.Query): Seq[Zenoh.Reply] = queryables.flatMap(_._2(q))
+    def get(q: Zenoh.Query): Seq[Zenoh.Reply] = queryables.flatMap(_._2(q).toSeq)
   }
 
   // lazy: the contract superclass registers its tests (and reads
