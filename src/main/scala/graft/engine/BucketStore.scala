@@ -877,6 +877,20 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     require(nShards > 0, s"nShards must be positive, got $nShards")
     val out = new org.apache.hadoop.fs.Path(outPath)
     val ofs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // serialize exports PER OUTPUT PATH: two concurrent exports to the
+    // same target (HTTP overwrite retries, library callers) would
+    // interleave the delete+write below and corrupt each other's tree
+    // and manifest — the HTTP-level existence check is admission, not a
+    // guard. Striped process-wide monitors: bounded memory, and
+    // distinct paths almost never share a stripe (exports are
+    // heavyweight, collisions just serialize two of them)
+    BucketStore.exportPathLock(ofs.makeQualified(out).toUri.toString)
+      .synchronized { exportShardsLocked(spec, outPath, nShards, out, ofs) }
+  }
+
+  private def exportShardsLocked(spec: QuerySpec, outPath: String,
+      nShards: Int, out: org.apache.hadoop.fs.Path,
+      ofs: org.apache.hadoop.fs.FileSystem): Seq[BucketStore.ShardInfo] = {
     readConsistent {
       // an export is a fresh materialization: clear the target first.
       // The session runs partitionOverwriteMode=dynamic, under which
@@ -1538,12 +1552,31 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     if (s.quotaType.contains("HARD") && quota > 0 &&
         bucketSizeBytes(bucket) + incomingBytes > quota)
       throw new IllegalArgumentException(s"Quota of '$bucket' exceeded")
+    ensureStorageLimit(incomingBytes)
     checkFreeDiskSpace(incomingBytes)
     write(records, onConflict,
       maxRecordsPerFile = s.maxBlockRecords.filter(_ > 0).getOrElse(1000000L))
     if (s.quotaType.contains("FIFO") && quota > 0)
       enforceFifoQuota(bucket, quota)
   }
+
+  /** Global storage cap across ALL buckets —
+    * `RS_ENGINE_MAX_STORAGE_SIZE` (PR-1263, cfg/storage_engine.rs:45-47,
+    * engine.rs:301-315). None (default) = unlimited; the server sets it
+    * from env, library callers directly. Enforced on every settings-
+    * aware write alongside quota and free-disk admission; uses the
+    * cached whole-store size, so an unset cap costs nothing and a set
+    * one costs one cached tree walk per mutation epoch. */
+  @volatile var maxStorageSize: Option[Long] = None
+
+  /** engine.rs ensure_storage_limit: total usage + incoming must stay
+    * within the cap; the reference surfaces this as a server error
+    * ("storage limit exceeded"), not a per-bucket quota 422. */
+  def ensureStorageLimit(incomingBytes: Long): Unit =
+    maxStorageSize.foreach { limit =>
+      if (storeSizeBytes + math.max(0L, incomingBytes) > limit)
+        throw new IllegalStateException("storage limit exceeded")
+    }
 
   /** Injectable free-space provider (the reference's FreeSpaceFn,
     * bucket.rs:50-58): bytes available on the filesystem holding the store
@@ -1586,6 +1619,13 @@ object BucketStore {
     * (reference ErrorCode::InsufficientStorage → HTTP 507). */
   final class InsufficientStorageException(msg: String)
       extends RuntimeException(msg)
+
+  /** Striped per-export-path monitors ([[BucketStore.exportShards]]):
+    * process-wide so two stores (or two HTTP retries) exporting to the
+    * same target serialize instead of interleaving delete+write. */
+  private val exportPathLocks = Array.fill(64)(new Object)
+  private[engine] def exportPathLock(qualifiedPath: String): Object =
+    exportPathLocks(math.floorMod(qualifiedPath.hashCode, 64))
 
   sealed trait Conflict
   object Conflict {

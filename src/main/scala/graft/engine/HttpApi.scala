@@ -62,6 +62,9 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
   /** `RS_RATE_LIMIT_API/INGRESS/EGRESS` windowed limits (api/limits.rs,
     * PR-1255). Package-visible so specs can assert the parsed config. */
   private[engine] val limits = RateLimits.fromEnv(env)
+  /** `RS_IO_MAX_WRITERS_IN_FLIGHT` concurrent-write admission
+    * (storage/in_flight.rs, PR-1357/1361). */
+  private[engine] val inFlight = InFlightIo.fromEnv(env)
   // TLS when an SSLContext is supplied — the analog of the reference's
   // cert_path/cert_key_path settings (HTTPS server, cfg/mod.rs); the
   // JVM-idiomatic key source is a PKCS12 keystore ([[HttpApi.sslContext]])
@@ -73,7 +76,14 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
       s
     case None => HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   }
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+  // serving pool sized to the box (the reference's tokio runtime uses a
+  // worker per core): a 4-thread pool let a handful of slow uploads
+  // starve health probes — the PR-1341 hazard class. Write-path
+  // concurrency stays bounded separately by RS_IO_MAX_WRITERS_IN_FLIGHT,
+  // so a bigger pool admits reads/probes while writes queue at their own
+  // admission gate.
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(
+    math.max(8, Runtime.getRuntime.availableProcessors())))
   server.createContext("/api/v1/", (ex: HttpExchange) => handle(ex))
 
   /** Periodic usage flush (syslog/aggregate/usage.rs, 60 s
@@ -398,12 +408,15 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
       name => Option(ex.getRequestHeaders.getFirst(name)))
 
   /** Declared request-body size for ingress admission
-    * (write_single.rs parse_content_length_from_header). A chunked
-    * request carries no Content-Length; its bytes are then accounted 0
-    * at admission — the write paths still enforce per-record declared
-    * lengths against the actual stream. */
+    * (entry/common.rs parse_content_length_from_header):
+    * `Content-Length` first, then `x-reduct-content-length` — the
+    * Fetch-API alternative for browser streaming uploads where the
+    * UA strips Content-Length (PR-1411). A chunked request declaring
+    * neither is accounted 0 at admission — the write paths still
+    * enforce per-record declared lengths against the actual stream. */
   private def declaredContentLength(ex: HttpExchange): Long =
     Option(ex.getRequestHeaders.getFirst("Content-Length"))
+      .orElse(Option(ex.getRequestHeaders.getFirst("x-reduct-content-length")))
       .flatMap(_.trim.toLongOption).filter(_ >= 0).getOrElse(0L)
 
   private def auth(ex: HttpExchange, policy: Policy): Unit =
@@ -780,6 +793,14 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     // consumed (write_single.rs:44-54) — a too-large upload is refused
     // without paying its transfer
     limits.checkIngress(requestClientIp(ex), declaredContentLength(ex))
+    // the whole body copy + write holds one in-flight writer slot
+    // (write_record.rs:69) — a flood of slow uploads queues here
+    // instead of exhausting threads and staging disk
+    inFlight.withWriterSlot { writeSingleAdmitted(ex, bucket, entry, ts) }
+  }
+
+  private def writeSingleAdmitted(ex: HttpExchange, bucket: String,
+      entry: String, ts: Long): Unit = {
     val ct = Option(ex.getRequestHeaders.getFirst("Content-Type"))
       .getOrElse("application/octet-stream")
     // Stream, don't buffer (write_single.rs streams bodies): read up to
@@ -1388,7 +1409,9 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
           case _: Lifecycle.Action.Compress => "compress"
         }}","bucket":"${p.bucket.getOrElse("")}",""" +
         s""""duration":${(System.nanoTime() - t0) / 1e9},""" +
-        s""""processed_records":${res.matched},"caught_up":true}""")
+        s""""processed_records":${res.matched},""" +
+        // block analog = rewritten parquet partitions (PR-1470)
+        s""""processed_blocks":${res.processedBlocks},"caught_up":true}""")
     json(ex, 200, JObject(
       "matched" -> JInt(BigInt(res.matched)),
       "applied" -> JBool(res.applied)))
@@ -1415,31 +1438,106 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
       .getOrElse(throw unprocessable("'bucket' is required"))
     val entry = (j \ "entry").extractOpt[String]
       .getOrElse(throw unprocessable("'entry' is required"))
-    val expiresAtMs = (j \ "expires_at").extractOpt[Long]
-      .getOrElse(System.currentTimeMillis() + 3600000L)
     val qj = j \ "query"
+    // only plain queries are shareable (links/create.rs:43-45)
+    val qt = (qj \ "query_type").extractOpt[String].getOrElse("QUERY")
+    if (!qt.equalsIgnoreCase("QUERY"))
+      throw unprocessable("Only 'Query' type is supported for query links")
+    // STRICT record identity (PR-1334, links/create.rs:46-49): a link
+    // points at one exact record — index-based selection was removed
+    // because it resolved to different records as data changed
+    val recordEntry = (j \ "record_entry").extractOpt[String].filter(_.nonEmpty)
+    val recordTs = (j \ "record_timestamp").extractOpt[Long]
+    if (recordEntry.isEmpty || recordTs.isEmpty)
+      throw unprocessable(
+        "Both 'record_entry' and 'record_timestamp' must be provided in payload")
+    // expire_at is SECONDS in the reference message (query_link_api.rs
+    // ts_seconds); the legacy expires_at milliseconds form still parses
+    val expiresAtMs = (j \ "expire_at").extractOpt[Long].map(_ * 1000L)
+      .orElse((j \ "expires_at").extractOpt[Long])
+      .getOrElse(System.currentTimeMillis() + 3600000L)
+    // optional base_url prefix (PR-1031), validated (links/create.rs:129)
+    val baseUrl = (j \ "base_url").extractOpt[String].filter(_.nonEmpty)
+      .map { u =>
+        val uri = try new java.net.URI(u) catch { case _: Exception =>
+          throw unprocessable(s"Invalid base_url provided for query link: $u") }
+        if (uri.getScheme == null || uri.getHost == null)
+          throw unprocessable(s"Invalid base_url provided for query link: $u")
+        u.stripSuffix("/")
+      }
     val spec = QuerySpec(
       start = (qj \ "start").extractOpt[Long],
       stop = (qj \ "stop").extractOpt[Long],
-      entries = Some(Seq(entry)),
+      entries = (qj \ "entries").toOption.flatMap(_.extractOpt[Seq[String]])
+        .filter(_.nonEmpty).orElse(Some(Seq(entry))),
       when = (qj \ "when").toOption.filter(_ != JNothing)
         .map(w => JsonMethods.compact(JsonMethods.render(w))),
       bucket = Some(bucket))
-    val token = QueryLinks.sign(spec, expiresAtMs, linkSecret)
+    val token =
+      QueryLinks.sign(spec, recordEntry.get, recordTs.get, expiresAtMs, linkSecret)
     val file = ex.getRequestURI.getPath.stripPrefix("/api/v1/links").stripPrefix("/")
     json(ex, 200, JObject(
-      "link" -> JString(s"/api/v1/links/$file?token=${urlEncode(token)}")))
+      "link" -> JString(
+        s"${baseUrl.getOrElse("")}/api/v1/links/$file?token=${urlEncode(token)}")))
   }
 
   /** GET /links/...?token= — replay the signed query (no other auth) and
-    * stream the first page like a batched read. */
+    * serve the ONE record the link identifies (links/get.rs
+    * process_query_and_fetch_record_by_identity): the record must both
+    * exist and match the query. Supports single-range `Range` requests
+    * with RFC-compliant `Content-Range` on 206 (PR-1329) so MCAP
+    * seek/backfill clients can read partial payloads. */
   private def resolveLink(ex: HttpExchange, q: Map[String, String]): Unit = {
     val token = q.getOrElse("token", throw unprocessable("'token' is required"))
-    val spec = QueryLinks.verify(token, linkSecret)
+    val lp = QueryLinks.verify(token, linkSecret)
       .getOrElse(throw unauthorized("Invalid or expired query link"))
-    val id = registry.open(() => store.table(), spec)
-    val bucket = spec.bucket.getOrElse("")
-    readBatched(ex, bucket, "", q + ("q" -> id.toString))
+    val row = store.readConsistent {
+      QueryEngine.query(store.table(), lp.spec)
+        .filter(col("entry") === lp.recordEntry && col("ts") === lp.recordTs)
+        .limit(1).collect()
+    }.headOption.getOrElse(throw notFound(
+      s"Record '${lp.recordEntry}' @ ${lp.recordTs} not found in query link results"))
+    serveRecordRanged(ex, row)
+  }
+
+  /** Serve one record honoring an optional single `Range: bytes=a-b`
+    * header: 206 + `Content-Range: bytes a-b/total` on a satisfiable
+    * range, 416 + a star-slash-total Content-Range on an unsatisfiable
+    * one (RFC 9110), plain 200
+    * otherwise. Egress admission covers the bytes actually shipped. */
+  private def serveRecordRanged(ex: HttpExchange, r: Row): Unit = {
+    val rangeHeader = Option(ex.getRequestHeaders.getFirst("Range"))
+    if (rangeHeader.isEmpty) { serveRecord(ex, r); return }
+    val payload = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.empty[Byte])
+    val total = payload.length.toLong
+    val m = "^bytes=(\\d*)-(\\d*)$".r.findFirstMatchIn(rangeHeader.get.trim)
+      .getOrElse(throw unprocessable(s"Unsupported Range '${rangeHeader.get}'"))
+    val (from, to) = (m.group(1), m.group(2)) match {
+      case ("", "") => throw unprocessable(s"Unsupported Range '${rangeHeader.get}'")
+      case ("", suf) => (math.max(0L, total - suf.toLong), total - 1) // suffix range
+      case (a, "")   => (a.toLong, total - 1)
+      case (a, b)    => (a.toLong, b.toLong)
+    }
+    val h = ex.getResponseHeaders
+    if (from >= total || from > to) {
+      h.set("Content-Range", s"bytes */$total")
+      respond(ex, 416, Array.empty)
+      return
+    }
+    val end = math.min(to, total - 1)
+    val slice = java.util.Arrays.copyOfRange(payload, from.toInt, end.toInt + 1)
+    if (!ex.getRequestMethod.equalsIgnoreCase("HEAD"))
+      limits.checkEgress(requestClientIp(ex), slice.length.toLong)
+    store.usage.countRead(r.getAs[String]("bucket"),
+      r.getAs[String]("entry"), 1L, slice.length.toLong)
+    h.set("Content-Type", Option(r.getAs[String]("content_type"))
+      .filter(_.nonEmpty).getOrElse("application/octet-stream"))
+    h.set("x-reduct-time", r.getAs[Long]("ts").toString)
+    h.set("Content-Range", s"bytes $from-$end/$total")
+    val labels = Option(r.getAs[collection.Map[String, String]]("labels"))
+      .getOrElse(Map.empty[String, String])
+    for ((k, v) <- labels) h.set(s"x-reduct-label-$k", v)
+    respond(ex, 206, slice)
   }
 
   // ------------------------------------------------------- io API v2
@@ -1491,6 +1589,17 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     val (spec0, _, _) = parseQueryEntry(body)
     val spec = spec0.copy(bucket = Some(bucket))
     val out = new java.io.File(rootDir, rel).getPath
+    // the segment checks above are lexical; canonicalize too so a
+    // symlink planted under the export root can't redirect the export
+    // (and its overwrite=true recursive delete) outside the jail —
+    // getCanonicalFile resolves links in every EXISTING ancestor
+    val canonicalRoot = new java.io.File(rootDir).getCanonicalFile
+    val canonicalOut = new java.io.File(out).getCanonicalFile
+    // strictly below the root: resolving TO the root itself would let
+    // overwrite=true clear the whole jail
+    if (!canonicalOut.getPath.startsWith(
+        canonicalRoot.getPath + java.io.File.separator))
+      throw forbidden(s"export path '$rel' resolves outside the export root")
     // exports are immutable runs: an existing target is refused unless
     // the caller says overwrite — a read-scoped client must not clobber
     // another client's export tree inside the shared jail (the library
@@ -1562,6 +1671,11 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
   private def ioWrite(ex: HttpExchange, bucket: String): Unit = {
     // ingress admission before the body is consumed (io/write.rs:68-78)
     limits.checkIngress(requestClientIp(ex), declaredContentLength(ex))
+    // body copy + write under one in-flight writer slot (write_record.rs:69)
+    inFlight.withWriterSlot { ioWriteAdmitted(ex, bucket) }
+  }
+
+  private def ioWriteAdmitted(ex: HttpExchange, bucket: String): Unit = {
     val decoded = BatchWire.decodeBatchV2(requestHeaders(ex))
     val expected = decoded.map(_.header.contentLength).sum
     val in = ex.getRequestBody
@@ -1691,37 +1805,56 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     for ((_, h) <- timed if h.contentLength > Int.MaxValue)
       throw unprocessable("Record content length too large")
     val expected = timed.map(_._2.contentLength).sum
-    // per-record conflict admission (the reference checks per record)
-    val existing = store.existingTimestamps(bucket, entry, timed.map(_._1))
     val respH = ex.getResponseHeaders
-    for (ts <- timed.map(_._1) if existing(ts))
-      respH.set(s"x-reduct-error-$ts",
-        s"409,A record with timestamp $ts already exists")
     val in = ex.getRequestBody
     val head = in.readNBytes(spoolThresholdBytes)
-    if (head.length < spoolThresholdBytes) {
+    // The per-record conflict admission (the reference checks per
+    // record) runs inside the SAME store mutation section as the write:
+    // checked outside it, a concurrent write of one of the batch's
+    // timestamps between admission and write would trip the engine-level
+    // clash check and fail the WHOLE batch — the reference degrades such
+    // a record to its per-record 409 entry and writes the rest
+    // (write_batched.rs error map). The body is fully consumed BEFORE
+    // the section so a slow client never holds the store lock.
+    def admitConflicts(): Set[Long] = {
+      val existing = store.existingTimestamps(bucket, entry, timed.map(_._1))
+      for (ts <- timed.map(_._1) if existing(ts))
+        respH.set(s"x-reduct-error-$ts",
+          s"409,A record with timestamp $ts already exists")
+      existing
+    }
+    val written: Int = inFlight.withWriterSlot {
+      if (head.length < spoolThresholdBytes) {
       val body = head
+      // slice every record first — conflicting records still consume
+      // their body slice, so offsets are per-batch, not per-survivor
       var offset = 0
-      val rows = timed.flatMap { case (ts, hdr) =>
+      val sliced = timed.map { case (ts, hdr) =>
         val len = hdr.contentLength.toInt
         if (offset + len > body.length)
           throw unprocessable("Content length mismatch with record headers")
         val payload = java.util.Arrays.copyOfRange(body, offset, offset + len)
-        offset += len // conflicting records still consume their body slice
-        if (existing(ts)) None
-        else Some(Row(bucket, entry, ts, hdr.labels,
-          Map.empty[String, String], hdr.contentType,
-          graft.core.Records.State.Finished, payload))
+        offset += len
+        (ts, hdr, payload)
       }
       if (offset != body.length)
         throw unprocessable("Content length mismatch with record headers")
-      if (rows.nonEmpty) {
-        import scala.jdk.CollectionConverters._
-        store.writeWithSettings(bucket,
-          store.spark.createDataFrame(rows.asJava, graft.core.Records.schema),
-          incomingBytes = body.length.toLong)
-        store.usage.countWrite(bucket, entry, rows.size.toLong,
-          timed.filterNot(t => existing(t._1)).map(_._2.contentLength).sum)
+      store.mutating {
+        val existing = admitConflicts()
+        val rows = sliced.collect { case (ts, hdr, payload) if !existing(ts) =>
+          Row(bucket, entry, ts, hdr.labels,
+            Map.empty[String, String], hdr.contentType,
+            graft.core.Records.State.Finished, payload)
+        }
+        if (rows.nonEmpty) {
+          import scala.jdk.CollectionConverters._
+          store.writeWithSettings(bucket,
+            store.spark.createDataFrame(rows.asJava, graft.core.Records.schema),
+            incomingBytes = body.length.toLong)
+          store.usage.countWrite(bucket, entry, rows.size.toLong,
+            sliced.filterNot(s => existing(s._1)).map(_._2.contentLength).sum)
+        }
+        rows.size
       }
     } else {
       val staged = spoolToStaging(head, in)
@@ -1730,19 +1863,23 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
         fs.delete(staged, false)
         throw unprocessable("Content length mismatch with record headers")
       }
-      val slices = timed.foldLeft((0L, Vector.empty[BucketStore.StagedSlice])) {
-        case ((off, acc), (ts, hdr)) =>
-          (off + hdr.contentLength,
-            if (existing(ts)) acc // slice skipped, offset still advances
-            else acc :+ BucketStore.StagedSlice(entry, ts, hdr.labels,
-              hdr.contentType, off, hdr.contentLength))
-      }._2
-      spooledWrites.incrementAndGet()
-      if (slices.nonEmpty) store.writeStagedSlices(bucket, staged, slices)
-      else fs.delete(staged, false): Unit
+      store.mutating {
+        val existing = admitConflicts()
+        val slices = timed.foldLeft((0L, Vector.empty[BucketStore.StagedSlice])) {
+          case ((off, acc), (ts, hdr)) =>
+            (off + hdr.contentLength,
+              if (existing(ts)) acc // slice skipped, offset still advances
+              else acc :+ BucketStore.StagedSlice(entry, ts, hdr.labels,
+                hdr.contentType, off, hdr.contentLength))
+        }._2
+        spooledWrites.incrementAndGet()
+        if (slices.nonEmpty) store.writeStagedSlices(bucket, staged, slices)
+        else fs.delete(staged, false): Unit
+        slices.size
+      }
     }
-    json(ex, 200, JObject(
-      "written_records" -> JInt(BigInt(timed.count(t => !existing(t._1))))))
+    }
+    json(ex, 200, JObject("written_records" -> JInt(BigInt(written))))
   }
 
   /** PATCH /b/:b/:e/batch (update_batched.rs): batched label updates for
@@ -1828,6 +1965,11 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
   private val provisionedResources = Provisioning.parse(env)
   private val defaultBucketSettings = provisionedResources.bucketDefaults
 
+  // global storage cap across all buckets (PR-1263): env-configured,
+  // enforced on the store's write-admission path
+  store.maxStorageSize = env.get("RS_ENGINE_MAX_STORAGE_SIZE")
+    .flatMap(Provisioning.parseByteSize).filter(_ > 0)
+
   /** Engine log capture into `$system/logs/<instance>/messages`
     * (syslog/capture/logs.rs, PR-1481), gated by
     * RS_SYSTEM_EVENTS_LOG_LEVEL and RS_SYSTEM_EVENTS_ENABLED. */
@@ -1839,10 +1981,20 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     eventsEnabled = provisionedResources.systemEvents.enabled)
 
   /** `$system` API audit trail (middleware/audit.rs, aggregated per
-    * (token, method, path, status) like syslog/aggregate/audit.rs). */
+    * (token, method, path, status) like syslog/aggregate/audit.rs).
+    * Enablement follows PR-1275: ON by default only when the instance
+    * runs with an API token (an open instance has no identities worth
+    * auditing), with `RS_AUDIT_ENABLED` as the explicit override either
+    * way; audit storage quota rides the `$system` bucket's
+    * RS_SYSTEM_EVENTS_QUOTA_SIZE (graft colocates the audit trail
+    * there, so a separate RS_AUDIT_QUOTA_SIZE knob would double-govern
+    * one bucket). */
   private[engine] val auditLog = new AuditLog(store,
     provisionedResources.systemEvents.instance,
-    enabled = provisionedResources.systemEvents.enabled)
+    enabled = provisionedResources.systemEvents.enabled &&
+      env.get("RS_AUDIT_ENABLED")
+        .map(v => v.equalsIgnoreCase("true") || v == "1")
+        .getOrElse(apiToken.nonEmpty))
 
   provisionedResources.warnings.foreach { w =>
     System.err.println(s"[provision] $w")

@@ -79,6 +79,28 @@ object Provisioning {
     }
   }
 
+  /** Is candidate `id` really `<owner>_INCLUDE[_<label>]` /
+    * `<owner>_EXCLUDE[_<label>]` for a provisioned owner? Returns the
+    * owning id iff some prefix of `id` ending at an _INCLUDE/_EXCLUDE
+    * marker has its own `<prefix><owner>_NAME` variable in the env —
+    * the only evidence the variable is a filter, not a replication
+    * whose legitimate id merely contains the marker substring. */
+  private def phantomOwner(env: Map[String, String], prefix: String,
+      id: String): Option[String] =
+    Seq("_INCLUDE", "_EXCLUDE").flatMap { m =>
+      // marker occurrences at a WORD boundary: the id must continue
+      // with "_<label>" or end right there ("_INCLUDED_B" is not a
+      // filter marker)
+      Iterator.unfold(id.indexOf(m)) { i =>
+        if (i < 0) None else Some((i, id.indexOf(m, i + 1)))
+      }.filter { i =>
+        val after = i + m.length
+        after == id.length || id.charAt(after) == '_'
+      }.toSeq
+    }.sorted.iterator
+      .map(id.substring(0, _))
+      .find(owner => owner.nonEmpty && env.contains(s"$prefix${owner}_NAME"))
+
   /** env.matches("RS_X_(.*)_NAME"): (id, value) pairs in stable order. */
   private def matches(env: Map[String, String], prefix: String,
       suffix: String): Seq[(String, String)] = {
@@ -144,13 +166,19 @@ object Provisioning {
         // RS_REPLICATION_1_INCLUDE_NAME is replication 1's include filter
         // on label "NAME", not a replication with id "1_INCLUDE" — the
         // greedy id capture would otherwise fabricate one and warn about
-        // a missing source bucket. contains(): a filter on a label whose
-        // own name ends in _NAME (RS_REPLICATION_1_INCLUDE_FOO_NAME →
-        // phantom id "1_INCLUDE_FOO") is the same quirk one level deeper.
-        // (The reference's (.*) scans share it; dropping phantoms here is
-        // a deliberate improvement.)
-        id.endsWith("_INCLUDE") || id.endsWith("_EXCLUDE") ||
-          id.contains("_INCLUDE_") || id.contains("_EXCLUDE_")
+        // a missing source bucket. A filter on a label whose own name
+        // ends in _NAME (RS_REPLICATION_1_INCLUDE_FOO_NAME → phantom id
+        // "1_INCLUDE_FOO") is the same quirk one level deeper. But the
+        // marker substring alone is NOT proof of a phantom: a legitimate
+        // replication id can contain _EXCLUDE_ (RS_REPLICATION_DATA_
+        // EXCLUDE_TEST_NAME). A candidate is suppressed ONLY when some
+        // prefix before a marker is itself a provisioned replication id
+        // (its _NAME variable exists) — then the variable really is that
+        // owner's filter. (The reference's (.*) scans fabricate phantoms
+        // here; suppressing owned ones is a deliberate improvement.)
+        // no warning here: an owned marker is a NORMAL filter variable
+        // (every filter on a label named *_NAME would otherwise warn)
+        phantomOwner(env, "RS_REPLICATION_", id).isDefined
       }
       .flatMap { case (id, name) =>
         parseReplication(env, id, name, warn).map(name -> _)

@@ -149,9 +149,16 @@ object QueryRegistry {
 }
 
 /** Shareable signed query links (query_link_api.rs:10-35): a serialized
-  * QuerySpec + expiry, HMAC-SHA256-signed so the server can replay it
-  * without trusting the caller. */
+  * QuerySpec + expiry + the target record's STRICT identity
+  * (`record_entry`, `record_timestamp` — PR-1334 removed index-based
+  * selection so a link always resolves the same record), HMAC-SHA256-
+  * signed so the server can replay it without trusting the caller. */
 object QueryLinks {
+
+  /** What a verified link carries: the query to replay plus the exact
+    * record the link points at within its results. */
+  final case class LinkPayload(spec: QuerySpec, recordEntry: String,
+      recordTs: Long)
 
   private def hmac(secret: String, payload: String): String = {
     val mac = Mac.getInstance("HmacSHA256")
@@ -165,7 +172,8 @@ object QueryLinks {
   private def dec(s: String): String =
     new String(java.util.Base64.getUrlDecoder.decode(s), "UTF-8")
 
-  private def specJson(spec: QuerySpec, expiresAtMs: Long): String = {
+  private def specJson(spec: QuerySpec, recordEntry: String,
+      recordTs: Long, expiresAtMs: Long): String = {
     // full JSON string escaping incl. control chars — an entry name with
     // a newline/tab would otherwise produce invalid JSON that SIGNS fine
     // but throws at verify-time on every use of the legitimate link
@@ -184,20 +192,23 @@ object QueryLinks {
       spec.bucket.map(b => s"\"bucket\":${q(b)}"),
       Some(s"\"strict\":${spec.strict}"),
       Some(s"\"only_metadata\":${spec.onlyMetadata}"),
+      Some(s"\"record_entry\":${q(recordEntry)}"),
+      Some(s"\"record_timestamp\":$recordTs"),
       Some(s"\"expires_at\":$expiresAtMs")).flatten
     fields.mkString("{", ",", "}")
   }
 
-  /** Create a link token. */
-  def sign(spec: QuerySpec, expiresAtMs: Long, secret: String): String = {
-    val payload = enc(specJson(spec, expiresAtMs))
+  /** Create a link token pointing at one record inside the query. */
+  def sign(spec: QuerySpec, recordEntry: String, recordTs: Long,
+      expiresAtMs: Long, secret: String): String = {
+    val payload = enc(specJson(spec, recordEntry, recordTs, expiresAtMs))
     payload + "." + hmac(secret, payload)
   }
 
-  /** Verify + decode; returns the spec if the signature matches and the
-    * link has not expired. */
+  /** Verify + decode; returns the payload if the signature matches and
+    * the link has not expired. */
   def verify(token: String, secret: String,
-      nowMs: Long = System.currentTimeMillis()): Option[QuerySpec] = {
+      nowMs: Long = System.currentTimeMillis()): Option[LinkPayload] = {
     token.split("\\.", 2) match {
       // constant-time comparison — plain string equality leaks a
       // byte-by-byte timing side channel that allows signature forgery
@@ -207,8 +218,12 @@ object QueryLinks {
         import org.json4s._
         implicit val fmts: Formats = DefaultFormats
         val expires = (json \ "expires_at").extractOpt[Long].getOrElse(0L)
-        if (expires < nowMs) None
-        else Some(QuerySpec(
+        // strict identity (PR-1334): a payload missing either identity
+        // field is not a valid link, even if correctly signed
+        val recordEntry = (json \ "record_entry").extractOpt[String]
+        val recordTs = (json \ "record_timestamp").extractOpt[Long]
+        if (expires < nowMs || recordEntry.isEmpty || recordTs.isEmpty) None
+        else Some(LinkPayload(QuerySpec(
           start = (json \ "start").extractOpt[Long],
           stop = (json \ "stop").extractOpt[Long],
           // toOption: json4s extracts a missing key as Some(Nil) for Seqs
@@ -218,7 +233,8 @@ object QueryLinks {
             .map(w => org.json4s.jackson.JsonMethods.compact(w)),
           strict = (json \ "strict").extractOpt[Boolean].getOrElse(false),
           onlyMetadata = (json \ "only_metadata").extractOpt[Boolean].getOrElse(false),
-          bucket = (json \ "bucket").extractOpt[String]))
+          bucket = (json \ "bucket").extractOpt[String]),
+          recordEntry.get, recordTs.get))
       case _ => None
     }
   }

@@ -19,7 +19,9 @@ import scala.util.control.NonFatal
   *
   * Liveness: a heartbeat (staleMs/4) keeps the held lock's mtime fresh;
   * a lock whose mtime is older than [[staleMs]] is a dead holder and is
-  * TAKEN OVER (delete + re-claim + read-back). A crashed process
+  * TAKEN OVER (atomic rename-retire + create-no-overwrite re-claim +
+  * read-back — at most one of any set of racing claimants can win the
+  * rename, so staleness observers serialize). A crashed process
   * therefore blocks a successor for at most ~staleMs — the standard
   * trade for lease locks over plain filesystems, where O(1) OS-level
   * lock release (flock) isn't available on remote stores. A shutdown
@@ -62,11 +64,6 @@ object WriterLock {
       s""""host":"${java.net.InetAddress.getLocalHost.getHostName}",""" +
       s""""acquired_ms":${System.currentTimeMillis()}}"""
 
-  private def writeLockFile(fs: FileSystem, p: Path): Unit = {
-    val os = fs.create(p, true)
-    try os.write(payload().getBytes("UTF-8")) finally os.close()
-  }
-
   private def readOwner(fs: FileSystem, p: Path): Option[String] =
     try {
       val in = fs.open(p)
@@ -106,8 +103,31 @@ object WriterLock {
             "one process owns a store root at a time — route writes through it, " +
             s"or remove the lock file if the holder is truly gone")
       case Some(_) => // stale: dead holder — take over
-        try fs.delete(p, false) catch { case NonFatal(_) => () }
-        writeLockFile(fs, p)
+        // RETIRE the stale file by rename first: rename-to-unique is the
+        // one mutation exactly ONE claimant can win, so two processes
+        // that both observed staleness serialize here instead of both
+        // passing an overwrite+verify (two racing overwrites could each
+        // verify before the other's write landed — two live writers,
+        // the exact hazard this lock exists to prevent). The loser's
+        // rename fails → lost race. The winner then claims with
+        // create-no-overwrite, mirroring the fresh-claim branch, so a
+        // third claimant that slipped in after the delete also loses.
+        val retired = new Path(p.getParent, s"$LockFile.stale.$processOwnerId")
+        val won = try fs.rename(p, retired) catch { case NonFatal(_) => false }
+        if (!won)
+          throw new IllegalStateException(
+            s"store root '$root': lost the lock-takeover race " +
+              s"(another claimant retired the stale lock first)")
+        try fs.delete(retired, false) catch { case NonFatal(_) => () }
+        try {
+          val os = fs.create(p, false)
+          try os.write(payload().getBytes("UTF-8")) finally os.close()
+        } catch {
+          case _: java.io.IOException =>
+            throw new IllegalStateException(
+              s"store root '$root': lost the lock-takeover race to " +
+                s"${readOwner(fs, p).getOrElse("unknown")}")
+        }
         Thread.sleep(20) // let a racing claimant's write land before verify
         if (!readOwner(fs, p).contains(processOwnerId))
           throw new IllegalStateException(

@@ -36,7 +36,10 @@ object Lifecycle {
         * carried for API parity and scheduling hints only. */
       intervalUs: Long = 3600L * 1000000L)
 
-  final case class Result(matched: Long, applied: Boolean)
+  /** `processedBlocks`: parquet files are graft's block analog —
+    * compression events report both record and block counts (PR-1470). */
+  final case class Result(matched: Long, applied: Boolean,
+      processedBlocks: Long = 0L)
 
   /** Apply one policy pass; `nowUs` is injectable for tests. A disabled
     * policy is a no-op (lifecycle_task.rs skips inactive policies). */
@@ -91,7 +94,10 @@ object Lifecycle {
           // size in LifecycleSpec — the level is not recorded in footers)
           "parquet.compression.codec.zstd.level" -> level.toString),
           extraSwapActions = () => store.purgeOverlayDirs(affectedList))
-        Result(n, applied = true)
+        // block analog: every parquet file in an affected partition was
+        // rewritten; entryStats would re-list post-swap, the partition
+        // count is the stable pre/post-invariant figure
+        Result(n, applied = true, processedBlocks = affectedList.length.toLong)
       }
     }
   }

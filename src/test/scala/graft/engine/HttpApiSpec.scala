@@ -212,17 +212,55 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
     assert(req("GET", "/b/ren2/e2?ts=100").statusCode() == 200)
     assert(req("PUT", "/b/ren1/rename", """{"new_name": "x"}""".getBytes)
       .statusCode() == 404)
-    // signed link: create, resolve WITHOUT a bearer token, reject tamper
-    val mk = req("POST", "/links/share.json",
+    // signed link: STRICT record identity is required (PR-1334) —
+    // creation without record_entry/record_timestamp is a 422
+    val noId = req("POST", "/links/share.json",
       """{"bucket": "ren2", "entry": "e2", "query": {}}""".getBytes)
+    assert(noId.statusCode() == 422)
+    assert(noId.headers().firstValue("x-reduct-error").get()
+      .contains("record_entry"))
+    // create with identity, resolve WITHOUT a bearer token, reject tamper
+    val mk = req("POST", "/links/share.json",
+      ("""{"bucket": "ren2", "entry": "e2", "record_entry": "e2",""" +
+        """ "record_timestamp": 100, "query": {}}""").getBytes)
     assert(mk.statusCode() == 200)
     val link = (jsonOf(mk) \ "link").extract[String]
     val resolved = req("GET", link.stripPrefix("/api/v1"), token = "")
     assert(resolved.statusCode() == 200)
     assert(new String(resolved.body()) == "x")
-    assert(resolved.headers().firstValue("x-reduct-time-100").isPresent)
+    assert(resolved.headers().firstValue("x-reduct-time").get() == "100")
     assert(req("GET", link.stripPrefix("/api/v1") + "x", token = "")
       .statusCode() == 401)
+    // Range request → 206 with RFC Content-Range (PR-1329); the payload
+    // is "x" (1 byte), so bytes=0-0 is the whole record
+    val ranged = req("GET", link.stripPrefix("/api/v1"), token = "",
+      headers = Seq("Range" -> "bytes=0-0"))
+    assert(ranged.statusCode() == 206)
+    assert(ranged.headers().firstValue("Content-Range").get() == "bytes 0-0/1")
+    assert(new String(ranged.body()) == "x")
+    val unsat = req("GET", link.stripPrefix("/api/v1"), token = "",
+      headers = Seq("Range" -> "bytes=5-9"))
+    assert(unsat.statusCode() == 416)
+    assert(unsat.headers().firstValue("Content-Range").get() == "bytes */1")
+    // a link whose record does not match its query resolves to 404 —
+    // identity is WITHIN the query results, not a bare point read
+    val mkMiss = req("POST", "/links/share.json",
+      ("""{"bucket": "ren2", "entry": "e2", "record_entry": "e2",""" +
+        """ "record_timestamp": 100, "query": {"start": 101}}""").getBytes)
+    val missLink = (jsonOf(mkMiss) \ "link").extract[String]
+    assert(req("GET", missLink.stripPrefix("/api/v1"), token = "")
+      .statusCode() == 404)
+    // base_url prefixes the returned link (PR-1031); invalid → 422
+    val mkBase = req("POST", "/links/share.json",
+      ("""{"bucket": "ren2", "entry": "e2", "record_entry": "e2",""" +
+        """ "record_timestamp": 100, "query": {},""" +
+        """ "base_url": "https://example.com/store/"}""").getBytes)
+    assert((jsonOf(mkBase) \ "link").extract[String]
+      .startsWith("https://example.com/store/api/v1/links/"))
+    assert(req("POST", "/links/share.json",
+      ("""{"bucket": "ren2", "entry": "e2", "record_entry": "e2",""" +
+        """ "record_timestamp": 100, "query": {}, "base_url": "::bad::"}""")
+        .getBytes).statusCode() == 422)
   }
 
   test("batched remove by time headers and HEAD metadata reads") {

@@ -193,13 +193,17 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
   test("query links round-trip, reject tamper and expiry") {
     val spec = QuerySpec(start = Some(10L), stop = Some(99L),
       when = Some("""{"&a": {"$gt": 1}}"""), entries = Some(Seq("e*")))
-    val token = QueryLinks.sign(spec, expiresAtMs = System.currentTimeMillis() + 60000, "s3cret")
+    val token = QueryLinks.sign(spec, recordEntry = "e1", recordTs = 42L,
+      expiresAtMs = System.currentTimeMillis() + 60000, secret = "s3cret")
     val decoded = QueryLinks.verify(token, "s3cret").get
-    assert(decoded.copy(when = None) == spec.copy(when = None))
-    assert(decoded.when.contains("""{"&a":{"$gt":1}}""")) // canonical form
+    assert(decoded.spec.copy(when = None) == spec.copy(when = None))
+    assert(decoded.spec.when.contains("""{"&a":{"$gt":1}}""")) // canonical form
+    // the strict record identity survives the round trip (PR-1334)
+    assert(decoded.recordEntry == "e1" && decoded.recordTs == 42L)
     assert(QueryLinks.verify(token + "x", "s3cret").isEmpty)
     assert(QueryLinks.verify(token, "wrong").isEmpty)
-    val expired = QueryLinks.sign(spec, System.currentTimeMillis() - 1, "s3cret")
+    val expired = QueryLinks.sign(spec, "e1", 42L,
+      System.currentTimeMillis() - 1, "s3cret")
     assert(QueryLinks.verify(expired, "s3cret").isEmpty)
   }
 }

@@ -52,6 +52,26 @@ class ProvisioningSpec extends AnyFunSuite with SparkTestBase {
     assert(r.warnings.isEmpty, s"no phantom warnings: ${r.warnings}")
   }
 
+  test("a legitimate id containing _EXCLUDE_ is NOT dropped as a phantom") {
+    // the marker substring alone is not proof: no replication "DATA"
+    // exists, so DATA_EXCLUDE_TEST is a real id, not DATA's filter
+    val r = Provisioning.parse(Map(
+      "RS_REPLICATION_DATA_EXCLUDE_TEST_NAME" -> "data-excl",
+      "RS_REPLICATION_DATA_EXCLUDE_TEST_SRC_BUCKET" -> "s",
+      "RS_REPLICATION_DATA_EXCLUDE_TEST_DST_BUCKET" -> "d",
+      // and _INCLUDED_ is not even a marker (word-boundary check)
+      "RS_REPLICATION_A_INCLUDED_B_NAME" -> "included-b",
+      "RS_REPLICATION_A_INCLUDED_B_SRC_BUCKET" -> "s2",
+      "RS_REPLICATION_A_INCLUDED_B_DST_BUCKET" -> "d2",
+      // owner A exists but its filter var uses the real marker form —
+      // only THAT one is suppressed
+      "RS_REPLICATION_A_NAME" -> "owner-a",
+      "RS_REPLICATION_A_SRC_BUCKET" -> "s3",
+      "RS_REPLICATION_A_DST_BUCKET" -> "d3",
+      "RS_REPLICATION_A_EXCLUDE_NAME" -> "x"))
+    assert(r.replications.keySet == Set("data-excl", "included-b", "owner-a"))
+  }
+
   test("non-object WHEN drops the replication instead of silently losing the filter") {
     // '[...]' parses as JSON but is not a legal condition root; EACH_S
     // injection would have silently REPLACED it (replicate-everything)
