@@ -24,6 +24,83 @@ import org.apache.spark.sql.functions._
   * the spread is auditable.
   */
 object Bench {
+
+  /** One concurrent-clients pass through the real HTTP façade: 4
+    * clients, each batching 128 records in (one v1 batched write,
+    * 64 KiB body) and opening + fully draining a cursor, then half the
+    * clients patching labels on a batch and half batch-removing a
+    * slice — the reference benchmark's write/read mix
+    * (python-benchmark.py:43-127) under REAL dispatch, auth, admission,
+    * and the store mutation lock. Sized to ~8 store mutations: each
+    * mutation is a Spark job serialized on the store lock (~0.8 s), so
+    * client count scales the entry's cost near-linearly — 4 keeps the
+    * contention signal (4-way concurrent dispatch, interleaved
+    * reads-during-writes) without doubling the bench total. Any client
+    * failure fails the entry (timed() records an error, not a timing). */
+  private def httpConcurrentWorkload(spark: SparkSession): Unit = {
+    val storeDir = java.nio.file.Files.createTempDirectory("graft-bench-http").toString
+    val store = new BucketStore(spark, storeDir)
+    val api = new graft.engine.HttpApi(store, apiToken = "bench")
+    val port = api.start()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val payload = Array.fill[Byte](512)('x')
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      def client(tid: Int): Runnable = () => try {
+        val http = java.net.http.HttpClient.newHttpClient()
+        def req(method: String, path: String, body: Array[Byte],
+            headers: Seq[(String, String)] = Nil) = {
+          var b = java.net.http.HttpRequest.newBuilder(
+              java.net.URI.create(s"http://127.0.0.1:$port/api/v1$path"))
+            .header("Authorization", "Bearer bench")
+            .method(method,
+              java.net.http.HttpRequest.BodyPublishers.ofByteArray(body))
+          headers.foreach { case (k, v) => b = b.header(k, v) }
+          http.send(b.build(),
+            java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+        }
+        // one batched write: 128 records, 512 B each
+        val writeHdrs = (0 until 128).map(i =>
+          (s"x-reduct-time-${i * 1000}",
+            s"${payload.length},application/octet-stream,k=v$i"))
+        val body = Array.fill[Byte](128 * payload.length)('x')
+        val w = req("POST", s"/b/bench/t$tid/batch", body, writeHdrs)
+        require(w.statusCode() == 200, s"write -> ${w.statusCode()}")
+        // cursor open + full drain
+        val q = req("POST", s"/b/bench/t$tid/q", "{}".getBytes("UTF-8"))
+        require(q.statusCode() == 200, s"query -> ${q.statusCode()}")
+        val id = "\\d+".r.findFirstIn(new String(q.body(), "UTF-8"))
+          .getOrElse(sys.error("no cursor id")).toLong
+        var last = false
+        while (!last) {
+          val r = req("GET", s"/b/bench/t$tid/batch?q=$id", Array.empty)
+          if (r.statusCode() == 204) last = true
+          else {
+            require(r.statusCode() == 200, s"read -> ${r.statusCode()}")
+            last = r.headers().firstValue("x-reduct-last")
+              .orElse("true").toBoolean
+          }
+        }
+        if (tid % 2 == 0) {
+          // batched label update on 8 records
+          val updHdrs = (0 until 8).map(i =>
+            (s"x-reduct-time-${i * 1000}", "0,,k2=updated"))
+          val u = req("PATCH", s"/b/bench/t$tid/batch", Array.empty, updHdrs)
+          require(u.statusCode() == 200, s"update -> ${u.statusCode()}")
+        } else {
+          // batched remove of 8
+          val rmHdrs = (8 until 16).map(i =>
+            (s"x-reduct-time-${i * 1000}", "0"))
+          val d = req("DELETE", s"/b/bench/t$tid/batch", Array.empty, rmHdrs)
+          require(d.statusCode() == 200, s"remove -> ${d.statusCode()}")
+        }
+      } catch { case t: Throwable => failures.add(t): Unit }
+      val tasks = (0 until 4).map(tid => pool.submit(client(tid)))
+      tasks.foreach(_.get())
+      if (!failures.isEmpty) throw failures.peek()
+    } finally { pool.shutdownNow(); api.stop() }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -141,6 +218,12 @@ object Bench {
             store.removeQuery(QuerySpec(when = Some("""{"$each_n": 2}"""))): Unit
           }
         }
+        // concurrent HTTP serving (python-benchmark.py's shape: N
+        // concurrent batched clients through the REAL server) — the w_*
+        // entries above time engine calls; this one catches serving-layer
+        // contention (dispatch pool, store mutation lock, per-request
+        // admission). Once per pass on its own store: the mix mutates.
+        timed(pass, "w_http_concurrent") { httpConcurrentWorkload(spark) }
       } catch { case e: Throwable =>
         System.err.println(s"[bench] workload staging failed: ${e.getMessage}")
         errors("w_staging") = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)

@@ -172,6 +172,28 @@ class BucketStoreSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("RS_ENGINE_MAX_STORAGE_SIZE analog: global cap rejects across buckets") {
+    // PR-1263: the cap is STORE-wide — a second bucket can't write past
+    // it even when its own bucket quota would admit
+    val store = newStore()
+    store.write(recordsDf(Seq(("e", 1000L, Map("k" -> "v")))))
+    val used = store.storeSizeBytes
+    assert(used > 0)
+    store.maxStorageSize = Some(used + 5) // room for ~nothing
+    val e = intercept[IllegalStateException] {
+      store.writeWithSettings("other",
+        recordsDf(Seq(("e2", 2000L, Map())), bucket = "other"),
+        incomingBytes = 100L)
+    }
+    assert(e.getMessage.contains("storage limit exceeded"))
+    // raising the cap admits again; unset = unlimited
+    store.maxStorageSize = None
+    store.writeWithSettings("other",
+      recordsDf(Seq(("e2", 2000L, Map())), bucket = "other"),
+      incomingBytes = 100L)
+    assert(store.table().count() == 2)
+  }
+
   test("concurrent writers serialize on the store lock; no lost records") {
     // Without the writeLock this races: Spark jobs appending one root
     // share _temporary/0, so a finishing job can delete a concurrent

@@ -177,6 +177,33 @@ class RateLimitsSpec extends AnyFunSuite with SparkTestBase {
     } finally api.stop()
   }
 
+  test("x-reduct-content-length drives ingress admission when " +
+      "Content-Length is absent (PR-1411 Fetch-API streaming)") {
+    val store = new BucketStore(spark,
+      Files.createTempDirectory("graft-rl-alt").toString)
+    val api = new HttpApi(store, apiToken = "root",
+      env = Map("RS_RATE_LIMIT_INGRESS" -> "10/h"))
+    val port = api.start()
+    try {
+      // a chunked request has no Content-Length; the declared size must
+      // come from the alternative header — raw socket, since the JDK
+      // client always sets Content-Length for fixed bodies
+      val sock = new java.net.Socket("127.0.0.1", port)
+      try {
+        val out = sock.getOutputStream
+        out.write(("POST /api/v1/b/rb/e?ts=5 HTTP/1.1\r\n" +
+          "Host: 127.0.0.1\r\nAuthorization: Bearer root\r\n" +
+          "x-reduct-content-length: 100\r\n" +
+          "Transfer-Encoding: chunked\r\n\r\n" +
+          "0\r\n\r\n").getBytes("US-ASCII"))
+        out.flush()
+        val status = new java.io.BufferedReader(
+          new java.io.InputStreamReader(sock.getInputStream)).readLine()
+        assert(status.contains("429"), s"expected 429, got: $status")
+      } finally sock.close()
+    } finally api.stop()
+  }
+
   test("egress limit: read past the byte budget 429s; HEAD stays free") {
     val store = new BucketStore(spark,
       Files.createTempDirectory("graft-rl-eg").toString)
