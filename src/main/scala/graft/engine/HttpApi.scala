@@ -81,9 +81,16 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
   // starve health probes — the PR-1341 hazard class. Write-path
   // concurrency stays bounded separately by RS_IO_MAX_WRITERS_IN_FLIGHT,
   // so a bigger pool admits reads/probes while writes queue at their own
-  // admission gate.
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(
-    math.max(8, Runtime.getRuntime.availableProcessors())))
+  // admission gate. DAEMON threads + explicit shutdown in stop():
+  // HttpServer.stop() does NOT shut down a caller-provided executor, and
+  // non-daemon pool threads would pin the embedding JVM alive after main
+  // returns (measured: the bench runMain never exited).
+  private val dispatchPool = java.util.concurrent.Executors.newFixedThreadPool(
+    math.max(8, Runtime.getRuntime.availableProcessors()),
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-http-dispatch"); t.setDaemon(true); t
+    })
+  server.setExecutor(dispatchPool)
   server.createContext("/api/v1/", (ex: HttpExchange) => handle(ex))
 
   /** Periodic usage flush (syslog/aggregate/usage.rs, 60 s
@@ -123,6 +130,7 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     flushUsageNow()
     flushAuditNow() // buffered audit entries must survive shutdown
     server.stop(0)
+    dispatchPool.shutdown()
   }
 
   private def flushAuditNow(): Unit =

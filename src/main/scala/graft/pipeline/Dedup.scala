@@ -253,6 +253,34 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** [[minhashPairs]] with the banding dial read from the session conf —
+    * the OPT-IN recall/cost trade. Defaults are UNCHANGED (64 hashes ×
+    * 16 bands of 4): unset keys resolve to them, so behavior — and the
+    * oracle — is identical unless a user explicitly dials.
+    *
+    *  - `spark.graft.minhash.numHashes` (default 64)
+    *  - `spark.graft.minhash.bands`     (default 16)
+    *
+    * Fewer, longer bands (e.g. 8 bands × 8 rows) raise the S-curve knee:
+    * a candidate needs a LONGER exact slice match, so hot buckets shrink
+    * and the candidate shuffle — the sf1 pair-family cost center — gets
+    * cheaper, at the price of recall just above the threshold. With the
+    * same signature length, an 8-row band is two adjacent 4-row bands
+    * concatenated, so the 8×8 candidate set is a DETERMINISTIC SUBSET of
+    * 16×4's (a longer match implies both halves match) —
+    * MinhashBandingSpec pins the subset property and quantifies the
+    * recall trade on planted near-duplicates. */
+  def minhashPairsTuned(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 3, threshold: Double = 0.5,
+      maxBucketSize: Int = 1000, capName: String = "minhash"): DataFrame = {
+    val conf = docs.sparkSession.conf
+    minhashPairs(docs, idCol, textCol, k,
+      numHashes = conf.get("spark.graft.minhash.numHashes", "64").toInt,
+      bands = conf.get("spark.graft.minhash.bands", "16").toInt,
+      threshold = threshold, maxBucketSize = maxBucketSize,
+      capName = capName)
+  }
+
   // ----------------------------------------------------------- simhash
 
   /** 60-bit SimHash over whitespace tokens (md5-60 token hashes, with
