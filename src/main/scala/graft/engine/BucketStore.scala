@@ -699,6 +699,14 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     // batch-internal duplicate ts: reject (Error) or keep-first (Skip —
     // idempotent replay, e.g. re-delivered streaming micro-batches)
     val deduped = onConflict match {
+      case Conflict.Preadmitted =>
+        // caller vouches: keys are in-batch unique and checked against
+        // the store INSIDE the same mutation section (the HTTP batched
+        // write's per-record admission). Skipping the stats-agg and
+        // clash-join jobs here saves ~2 Spark jobs per serving-layer
+        // write — the per-mutation job cost is the measured serving
+        // bottleneck (SCALE.md r17).
+        batch0
       case Conflict.Skip => antiExisting(batch0.dropDuplicates("bucket", "entry", "ts"))
       case Conflict.Error =>
         // one aggregation pass yields BOTH the in-batch-duplicate flag and
@@ -1631,6 +1639,13 @@ object BucketStore {
   object Conflict {
     case object Error extends Conflict
     case object Skip extends Conflict
+    /** Admission already happened: the caller verified in-batch key
+      * uniqueness and absence-from-store inside the SAME [[mutating]]
+      * section this write runs in, so the write skips its own dedup and
+      * clash jobs. NEVER use outside a mutation-section admission — an
+      * unchecked duplicate key would land two records on one (bucket,
+      * entry, ts). */
+    case object Preadmitted extends Conflict
   }
 
   /** Settings JSON file inside the bucket's partition directory — the

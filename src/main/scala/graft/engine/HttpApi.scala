@@ -1812,6 +1812,12 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     if (timed.isEmpty) throw unprocessable("No records in batch")
     for ((_, h) <- timed if h.contentLength > Int.MaxValue)
       throw unprocessable("Record content length too large")
+    // in-batch duplicate ts (a repeated x-reduct-time-<ts> header) is
+    // rejected HERE, driver-side: the write below runs Preadmitted —
+    // it skips the engine's own dedup jobs on this admission's word
+    timed.groupBy(_._1).collectFirst { case (ts, vs) if vs.size > 1 => ts }
+      .foreach(ts => throw unprocessable(
+        s"Duplicate timestamp $ts within batch"))
     val expected = timed.map(_._2.contentLength).sum
     val respH = ex.getResponseHeaders
     val in = ex.getRequestBody
@@ -1858,6 +1864,10 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
           import scala.jdk.CollectionConverters._
           store.writeWithSettings(bucket,
             store.spark.createDataFrame(rows.asJava, graft.core.Records.schema),
+            // admission happened above, inside THIS mutation section —
+            // the write skips its own dedup/clash jobs (~2 Spark jobs
+            // per serving write, the measured serving bottleneck)
+            onConflict = BucketStore.Conflict.Preadmitted,
             incomingBytes = body.length.toLong)
           store.usage.countWrite(bucket, entry, rows.size.toLong,
             sliced.filterNot(s => existing(s._1)).map(_._2.contentLength).sum)
@@ -1881,7 +1891,8 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
                 hdr.contentType, off, hdr.contentLength))
         }._2
         spooledWrites.incrementAndGet()
-        if (slices.nonEmpty) store.writeStagedSlices(bucket, staged, slices)
+        if (slices.nonEmpty) store.writeStagedSlices(bucket, staged, slices,
+          onConflict = BucketStore.Conflict.Preadmitted) // admitted above
         else fs.delete(staged, false): Unit
         slices.size
       }
