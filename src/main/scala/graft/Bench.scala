@@ -98,7 +98,12 @@ object Bench {
       val tasks = (0 until 4).map(tid => pool.submit(client(tid)))
       tasks.foreach(_.get())
       if (!failures.isEmpty) throw failures.peek()
-    } finally { pool.shutdownNow(); api.stop() }
+    } finally {
+      pool.shutdownNow(); api.stop(); store.close()
+      // 3 passes per bench run — leaked temp stores would otherwise
+      // accumulate one orphaned parquet tree per pass in /tmp
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(storeDir)): Unit
+    }
   }
 
   def main(args: Array[String]): Unit = {

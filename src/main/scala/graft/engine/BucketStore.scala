@@ -694,7 +694,22 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     */
   def write(records: DataFrame, onConflict: Conflict = Conflict.Error,
       maxRecordsPerFile: Long = 1000000L,
-      codec: Option[String] = None): Unit = mutating {
+      codec: Option[String] = None,
+      incomingBytes: Long = -1L): Unit = mutating {
+    // the global storage cap guards the COMMON mutator, not just the
+    // settings-aware wire path — the reference enforces it in
+    // engine::begin_write (engine.rs:226), which the zenoh subscriber
+    // and streaming ingest also pass through. incomingBytes < 0 means
+    // the caller doesn't know the payload size; with a cap set (rare —
+    // default unlimited) it is computed with one agg over the batch,
+    // with no cap this costs nothing.
+    if (maxStorageSize.isDefined) {
+      val bytes =
+        if (incomingBytes >= 0L) incomingBytes
+        else records.agg(coalesce(sum(length(col("payload"))), lit(0L)))
+          .collect()(0).getLong(0)
+      ensureStorageLimit(bytes)
+    }
     val batch0 = records.select(Records.schema.fieldNames.map(col): _*)
     // batch-internal duplicate ts: reject (Error) or keep-first (Skip —
     // idempotent replay, e.g. re-delivered streaming micro-batches)
@@ -1560,10 +1575,10 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     if (s.quotaType.contains("HARD") && quota > 0 &&
         bucketSizeBytes(bucket) + incomingBytes > quota)
       throw new IllegalArgumentException(s"Quota of '$bucket' exceeded")
-    ensureStorageLimit(incomingBytes)
     checkFreeDiskSpace(incomingBytes)
     write(records, onConflict,
-      maxRecordsPerFile = s.maxBlockRecords.filter(_ > 0).getOrElse(1000000L))
+      maxRecordsPerFile = s.maxBlockRecords.filter(_ > 0).getOrElse(1000000L),
+      incomingBytes = incomingBytes) // cap enforced in write (begin_write analog)
     if (s.quotaType.contains("FIFO") && quota > 0)
       enforceFifoQuota(bucket, quota)
   }
@@ -1571,8 +1586,10 @@ final class BucketStore(val spark: SparkSession, val root: String) {
   /** Global storage cap across ALL buckets —
     * `RS_ENGINE_MAX_STORAGE_SIZE` (PR-1263, cfg/storage_engine.rs:45-47,
     * engine.rs:301-315). None (default) = unlimited; the server sets it
-    * from env, library callers directly. Enforced on every settings-
-    * aware write alongside quota and free-disk admission; uses the
+    * from env, library callers directly. Enforced in [[write]] — the
+    * common mutator every path (wire, zenoh ingest, streaming ingest,
+    * replication) funnels through, mirroring engine::begin_write — plus
+    * a declared-size preflight on the HTTP write admissions; uses the
     * cached whole-store size, so an unset cap costs nothing and a set
     * one costs one cached tree walk per mutation epoch. */
   @volatile var maxStorageSize: Option[Long] = None

@@ -415,17 +415,29 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
       Option(ex.getRemoteAddress).map(_.getAddress),
       name => Option(ex.getRequestHeaders.getFirst(name)))
 
-  /** Declared request-body size for ingress admission
+  /** Declared request-body size, REQUIRED on write paths
     * (entry/common.rs parse_content_length_from_header):
     * `Content-Length` first, then `x-reduct-content-length` — the
     * Fetch-API alternative for browser streaming uploads where the
-    * UA strips Content-Length (PR-1411). A chunked request declaring
-    * neither is accounted 0 at admission — the write paths still
-    * enforce per-record declared lengths against the actual stream. */
-  private def declaredContentLength(ex: HttpExchange): Long =
-    Option(ex.getRequestHeaders.getFirst("Content-Length"))
-      .orElse(Option(ex.getRequestHeaders.getFirst("x-reduct-content-length")))
-      .flatMap(_.trim.toLongOption).filter(_ >= 0).getOrElse(0L)
+    * UA strips Content-Length (PR-1411). A write declaring NEITHER is
+    * a hard 422 ("content-length header is required", common.rs:12-19,
+    * checked before ingress admission, write_single.rs:44-54) — a
+    * chunked upload with no declared size would otherwise be admitted
+    * at 0 ingress bytes while its body streams unbounded into the
+    * spool, defeating `RS_RATE_LIMIT_INGRESS` and the storage-cap
+    * preflight for exactly the client those limits exist to stop.
+    * A present-but-non-numeric value is equally a 422 (common.rs:24-26),
+    * never silently coerced to 0. */
+  private def declaredContentLength(ex: HttpExchange): Long = {
+    val (name, value) =
+      Option(ex.getRequestHeaders.getFirst("Content-Length"))
+        .map(("content-length", _))
+        .orElse(Option(ex.getRequestHeaders.getFirst("x-reduct-content-length"))
+          .map(("x-reduct-content-length", _)))
+        .getOrElse(throw unprocessable("content-length header is required"))
+    value.trim.toLongOption.filter(_ >= 0)
+      .getOrElse(throw unprocessable(s"$name header must be a number"))
+  }
 
   private def auth(ex: HttpExchange, policy: Policy): Unit =
     tokens.check(Option(ex.getRequestHeaders.getFirst("Authorization")),
@@ -799,8 +811,11 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
       throw unprocessable("'ts' parameter is required")).toLong
     // ingress admission against the declared size, BEFORE the body is
     // consumed (write_single.rs:44-54) — a too-large upload is refused
-    // without paying its transfer
-    limits.checkIngress(requestClientIp(ex), declaredContentLength(ex))
+    // without paying its transfer; same for the global storage cap
+    // (engine.rs:226 checks it in begin_write with the declared size)
+    val declared = declaredContentLength(ex)
+    limits.checkIngress(requestClientIp(ex), declared)
+    store.ensureStorageLimit(declared)
     // the whole body copy + write holds one in-flight writer slot
     // (write_record.rs:69) — a flood of slow uploads queues here
     // instead of exhausting threads and staging disk
@@ -1518,16 +1533,31 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     if (rangeHeader.isEmpty) { serveRecord(ex, r); return }
     val payload = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.empty[Byte])
     val total = payload.length.toLong
-    val m = "^bytes=(\\d*)-(\\d*)$".r.findFirstMatchIn(rangeHeader.get.trim)
-      .getOrElse(throw unprocessable(s"Unsupported Range '${rangeHeader.get}'"))
-    val (from, to) = (m.group(1), m.group(2)) match {
-      case ("", "") => throw unprocessable(s"Unsupported Range '${rangeHeader.get}'")
-      case ("", suf) => (math.max(0L, total - suf.toLong), total - 1) // suffix range
-      case (a, "")   => (a.toLong, total - 1)
-      case (a, b)    => (a.toLong, b.toLong)
+    // RFC 9110 §14.2: an invalid or unsupported Range header MUST be
+    // IGNORED — a multi-range, a reversed range (last < first), an
+    // empty "bytes=-", or a value that doesn't parse as a long all fall
+    // back to a plain 200 with the full body. 416 is reserved for a
+    // syntactically VALID but unsatisfiable range (first-byte-pos past
+    // the end, or a zero-length suffix).
+    val parsed: Option[(Long, Long)] =
+      "^bytes=(\\d*)-(\\d*)$".r.findFirstMatchIn(rangeHeader.get.trim)
+        .flatMap { m =>
+          try (m.group(1), m.group(2)) match {
+            case ("", "")   => None
+            case ("", suf)  => // suffix range: last N bytes
+              Some((math.max(0L, total - suf.toLong), total - 1))
+            case (a, "")    => Some((a.toLong, total - 1))
+            case (a, b)     =>
+              val (from, to) = (a.toLong, b.toLong)
+              if (from > to) None else Some((from, to)) // reversed = invalid
+          } catch { case _: NumberFormatException => None } // >19 digits
+        }
+    val (from, to) = parsed match {
+      case Some(ft) => ft
+      case None => serveRecord(ex, r); return
     }
     val h = ex.getResponseHeaders
-    if (from >= total || from > to) {
+    if (from >= total) {
       h.set("Content-Range", s"bytes */$total")
       respond(ex, 416, Array.empty)
       return
@@ -1677,8 +1707,11 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     * so large batches spool to staging like single records do, and the
     * payload slicing happens executor-side ([[BucketStore.writeStagedSlices]]). */
   private def ioWrite(ex: HttpExchange, bucket: String): Unit = {
-    // ingress admission before the body is consumed (io/write.rs:68-78)
-    limits.checkIngress(requestClientIp(ex), declaredContentLength(ex))
+    // ingress admission before the body is consumed (io/write.rs:68-78);
+    // storage-cap preflight with the declared size (engine.rs:226)
+    val declared = declaredContentLength(ex)
+    limits.checkIngress(requestClientIp(ex), declared)
+    store.ensureStorageLimit(declared)
     // body copy + write under one in-flight writer slot (write_record.rs:69)
     inFlight.withWriterSlot { ioWriteAdmitted(ex, bucket) }
   }
@@ -1805,21 +1838,34 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     * Spools past the threshold like writeSingle/ioWrite. */
   private def writeBatched(ex: HttpExchange, bucket: String, entry: String): Unit = {
     // ingress admission on the declared batch size before the body is
-    // consumed (write_batched.rs:66-76)
-    limits.checkIngress(requestClientIp(ex), declaredContentLength(ex))
+    // consumed (write_batched.rs:66-76); storage-cap preflight with the
+    // declared size (engine.rs:226)
+    val declared = declaredContentLength(ex)
+    limits.checkIngress(requestClientIp(ex), declared)
+    store.ensureStorageLimit(declared)
     val timed = BatchWire.sortHeadersByTime(requestHeaders(ex))
       .map { case (ts, raw) => (ts, BatchWire.parseBatchedHeader(raw)) }
     if (timed.isEmpty) throw unprocessable("No records in batch")
     for ((_, h) <- timed if h.contentLength > Int.MaxValue)
       throw unprocessable("Record content length too large")
-    // in-batch duplicate ts (a repeated x-reduct-time-<ts> header) is
-    // rejected HERE, driver-side: the write below runs Preadmitted —
-    // it skips the engine's own dedup jobs on this admission's word
-    timed.groupBy(_._1).collectFirst { case (ts, vs) if vs.size > 1 => ts }
-      .foreach(ts => throw unprocessable(
-        s"Duplicate timestamp $ts within batch"))
     val expected = timed.map(_._2.contentLength).sum
     val respH = ex.getResponseHeaders
+    // in-batch duplicate ts (aliased header spellings — x-reduct-time-0100
+    // and x-reduct-time-100 parse to the same ts) degrades to its
+    // per-record 409 like the reference: the second begin_write at the
+    // same ts fails into the error map and a RecordDrainer eats its body
+    // slice while the REST of the batch writes (write_batched.rs:322-330)
+    // — never an all-or-nothing batch failure. Keep-first leaves the
+    // surviving rows in-batch unique, preserving the Preadmitted
+    // invariant the engine write relies on.
+    val dupIdx: Set[Int] = {
+      val seen = scala.collection.mutable.HashSet.empty[Long]
+      timed.iterator.zipWithIndex
+        .collect { case ((ts, _), i) if !seen.add(ts) => i }.toSet
+    }
+    for (ts <- dupIdx.toSeq.map(timed(_)._1).distinct)
+      respH.set(s"x-reduct-error-$ts",
+        s"409,A record with timestamp $ts already exists")
     val in = ex.getRequestBody
     val head = in.readNBytes(spoolThresholdBytes)
     // The per-record conflict admission (the reference checks per
@@ -1843,22 +1889,23 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
       // slice every record first — conflicting records still consume
       // their body slice, so offsets are per-batch, not per-survivor
       var offset = 0
-      val sliced = timed.map { case (ts, hdr) =>
+      val sliced = timed.zipWithIndex.map { case ((ts, hdr), i) =>
         val len = hdr.contentLength.toInt
         if (offset + len > body.length)
           throw unprocessable("Content length mismatch with record headers")
         val payload = java.util.Arrays.copyOfRange(body, offset, offset + len)
         offset += len
-        (ts, hdr, payload)
+        (ts, hdr, payload, i)
       }
       if (offset != body.length)
         throw unprocessable("Content length mismatch with record headers")
       store.mutating {
         val existing = admitConflicts()
-        val rows = sliced.collect { case (ts, hdr, payload) if !existing(ts) =>
-          Row(bucket, entry, ts, hdr.labels,
-            Map.empty[String, String], hdr.contentType,
-            graft.core.Records.State.Finished, payload)
+        val rows = sliced.collect {
+          case (ts, hdr, payload, i) if !existing(ts) && !dupIdx(i) =>
+            Row(bucket, entry, ts, hdr.labels,
+              Map.empty[String, String], hdr.contentType,
+              graft.core.Records.State.Finished, payload)
         }
         if (rows.nonEmpty) {
           import scala.jdk.CollectionConverters._
@@ -1870,7 +1917,8 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
             onConflict = BucketStore.Conflict.Preadmitted,
             incomingBytes = body.length.toLong)
           store.usage.countWrite(bucket, entry, rows.size.toLong,
-            sliced.filterNot(s => existing(s._1)).map(_._2.contentLength).sum)
+            sliced.filterNot(s => existing(s._1) || dupIdx(s._4))
+              .map(_._2.contentLength).sum)
         }
         rows.size
       }
@@ -1883,10 +1931,11 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
       }
       store.mutating {
         val existing = admitConflicts()
-        val slices = timed.foldLeft((0L, Vector.empty[BucketStore.StagedSlice])) {
-          case ((off, acc), (ts, hdr)) =>
+        val slices = timed.zipWithIndex
+          .foldLeft((0L, Vector.empty[BucketStore.StagedSlice])) {
+          case ((off, acc), ((ts, hdr), i)) =>
             (off + hdr.contentLength,
-              if (existing(ts)) acc // slice skipped, offset still advances
+              if (existing(ts) || dupIdx(i)) acc // slice skipped, offset still advances
               else acc :+ BucketStore.StagedSlice(entry, ts, hdr.labels,
                 hdr.contentType, off, hdr.contentLength))
         }._2

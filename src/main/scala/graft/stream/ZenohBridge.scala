@@ -230,7 +230,13 @@ final class ZenohBridge(
     import scala.jdk.CollectionConverters._
     val df = store.spark.createDataFrame(
       buffer.toList.asJava, graft.core.Records.schema)
-    store.write(df, BucketStore.Conflict.Skip)
+    // payload bytes are known driver-side — hand them to the write so the
+    // global storage cap (RS_ENGINE_MAX_STORAGE_SIZE, engine.rs:226 in
+    // begin_write, which subscriber.rs:86 also passes through) admits
+    // zenoh-sourced batches without an extra agg job
+    val bytes = buffer.iterator
+      .map(_.getAs[Array[Byte]](7).length.toLong).sum
+    store.write(df, BucketStore.Conflict.Skip, incomingBytes = bytes)
     buffer.clear()
   }
 

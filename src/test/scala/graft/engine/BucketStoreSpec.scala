@@ -194,6 +194,30 @@ class BucketStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(store.table().count() == 2)
   }
 
+  test("global cap guards the COMMON write path too (begin_write analog): " +
+      "zenoh/streaming ingest can't grow past it") {
+    // engine.rs:226 enforces ensure_storage_limit in begin_write, which
+    // the zenoh subscriber and streaming ingest pass through — graft's
+    // analog is BucketStore.write, the mutator both flush paths call
+    val store = newStore()
+    store.write(recordsDf(Seq(("e", 1000L, Map()))))
+    store.maxStorageSize = Some(store.storeSizeBytes + 5)
+    // unknown incoming size (the streaming-ingest shape): the cap still
+    // rejects, computing the batch's payload bytes itself
+    val e = intercept[IllegalStateException] {
+      store.write(recordsDf(Seq(("e", 2000L, Map()))))
+    }
+    assert(e.getMessage.contains("storage limit exceeded"))
+    // known incoming size (the zenoh-flush shape)
+    val e2 = intercept[IllegalStateException] {
+      store.write(recordsDf(Seq(("e", 3000L, Map()))), incomingBytes = 100L)
+    }
+    assert(e2.getMessage.contains("storage limit exceeded"))
+    store.maxStorageSize = None
+    store.write(recordsDf(Seq(("e", 2000L, Map()))))
+    assert(store.table().count() == 2)
+  }
+
   test("concurrent writers serialize on the store lock; no lost records") {
     // Without the writeLock this races: Spark jobs appending one root
     // share _temporary/0, so a finishing job can delete a concurrent

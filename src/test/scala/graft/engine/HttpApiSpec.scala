@@ -242,6 +242,20 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
       headers = Seq("Range" -> "bytes=5-9"))
     assert(unsat.statusCode() == 416)
     assert(unsat.headers().firstValue("Content-Range").get() == "bytes */1")
+    // RFC 9110 §14.2: an invalid/unsupported Range MUST be ignored —
+    // 200 with the full body, never 416/422. Reversed, multi-range, and
+    // a value too long for a long all fall back.
+    for (bad <- Seq("bytes=5-2", "bytes=0-0,2-3", "bytes=-",
+        "bytes=99999999999999999999-", "chars=0-0")) {
+      val ignored = req("GET", link.stripPrefix("/api/v1"), token = "",
+        headers = Seq("Range" -> bad))
+      assert(ignored.statusCode() == 200, s"Range '$bad' must be ignored")
+      assert(new String(ignored.body()) == "x")
+    }
+    // a zero-length suffix is syntactically valid but unsatisfiable
+    val sufZero = req("GET", link.stripPrefix("/api/v1"), token = "",
+      headers = Seq("Range" -> "bytes=-0"))
+    assert(sufZero.statusCode() == 416)
     // a link whose record does not match its query resolves to 404 —
     // identity is WITHIN the query results, not a bare point read
     val mkMiss = req("POST", "/links/share.json",
@@ -1222,5 +1236,58 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
     val r1b = req("GET", "/b/bw/sens?ts=1000")
     assert(r1b.headers().firstValue("x-reduct-label-k").isEmpty, "k removed")
     assert(r1b.headers().firstValue("x-reduct-label-k2").get() == "nv")
+  }
+
+  test("in-batch duplicate ts degrades to its per-record 409, rest written " +
+      "(write_batched.rs:322-330 begin_write-fails-into-error-map)") {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    assert(req("POST", "/b/dup").statusCode() == 200)
+    // x-reduct-time-0100 and x-reduct-time-100 alias the SAME ts — the
+    // whole batch must NOT fail: keep-first, per-record 409 on the alias,
+    // the unrelated ts=200 record still lands
+    val w = req("POST", "/b/dup/e/batch", "aaaaaaaaaacccc".getBytes,
+      headers = Seq(
+        "x-reduct-time-0100" -> "5,text/plain",
+        "x-reduct-time-100" -> "5,text/plain",
+        "x-reduct-time-200" -> "4,text/plain"))
+    assert(w.statusCode() == 200, new String(w.body()))
+    assert(w.headers().firstValue("x-reduct-error-100").get().startsWith("409"))
+    assert(w.headers().firstValue("x-reduct-error-200").isEmpty)
+    assert((jsonOf(w) \ "written_records").extract[Long] == 2L)
+    assert(new String(req("GET", "/b/dup/e?ts=100").body()) == "aaaaa")
+    assert(new String(req("GET", "/b/dup/e?ts=200").body()) == "cccc")
+  }
+
+  test("writes without a declared content length hard-422 " +
+      "(common.rs:12-19 'content-length header is required')") {
+    assert(req("POST", "/b/ncl").statusCode() == 200)
+    // the JDK client always sets Content-Length for fixed bodies, so the
+    // chunked no-length case needs a raw socket — the 422 must come back
+    // BEFORE any body chunk is read
+    def raw(headers: String): String = {
+      val sock = new java.net.Socket("127.0.0.1", port)
+      try {
+        val out = sock.getOutputStream
+        out.write(("POST /api/v1/b/ncl/e?ts=7 HTTP/1.1\r\n" +
+          "Host: 127.0.0.1\r\nAuthorization: Bearer root-token\r\n" +
+          headers +
+          "Transfer-Encoding: chunked\r\n\r\n" +
+          "0\r\n\r\n").getBytes("US-ASCII"))
+        out.flush()
+        new java.io.BufferedReader(
+          new java.io.InputStreamReader(sock.getInputStream)).readLine()
+      } finally sock.close()
+    }
+    val none = raw("")
+    assert(none.contains("422"), s"no declared length must 422, got: $none")
+    // a present-but-non-numeric declared length is equally a 422
+    // (common.rs:24-26 'header must be a number'), never coerced to 0
+    val bad = raw("x-reduct-content-length: not-a-number\r\n")
+    assert(bad.contains("422"), s"non-numeric length must 422, got: $bad")
+    // with the alternative header declared, the same chunked write is
+    // admitted (PR-1411) — proving the 422 keys on the declaration only
+    val ok = raw("x-reduct-content-length: 0\r\n")
+    assert(ok.contains("200"), s"declared length must admit, got: $ok")
+    assert(store.existingTimestamps("ncl", "e", Seq(7L)) == Set(7L))
   }
 }

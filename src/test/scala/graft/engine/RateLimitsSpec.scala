@@ -201,6 +201,21 @@ class RateLimitsSpec extends AnyFunSuite with SparkTestBase {
           new java.io.InputStreamReader(sock.getInputStream)).readLine()
         assert(status.contains("429"), s"expected 429, got: $status")
       } finally sock.close()
+      // the bypass is CLOSED: a chunked upload declaring NO length at all
+      // is a hard 422 (common.rs:12-19), never admitted at 0 ingress
+      // bytes with its body streaming unbounded past the limiter
+      val sock2 = new java.net.Socket("127.0.0.1", port)
+      try {
+        val out = sock2.getOutputStream
+        out.write(("POST /api/v1/b/rb/e?ts=6 HTTP/1.1\r\n" +
+          "Host: 127.0.0.1\r\nAuthorization: Bearer root\r\n" +
+          "Transfer-Encoding: chunked\r\n\r\n" +
+          "0\r\n\r\n").getBytes("US-ASCII"))
+        out.flush()
+        val status = new java.io.BufferedReader(
+          new java.io.InputStreamReader(sock2.getInputStream)).readLine()
+        assert(status.contains("422"), s"expected 422, got: $status")
+      } finally sock2.close()
     } finally api.stop()
   }
 
