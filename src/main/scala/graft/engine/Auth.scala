@@ -5,7 +5,7 @@ import scala.collection.mutable
 
 /** Token authentication + authorization policies — the engine-level port
   * of the reference's auth stack (reductstore/src/auth): a token
-  * repository holding salted-SHA256 secrets, bearer-header validation with
+  * repository holding PBKDF2-hardened secrets, bearer-header validation with
   * expiry / inactivity-TTL / IP-allowlist checks, and the per-route policy
   * lattice (anonymous < authenticated < read < write < full access).
   *
@@ -30,7 +30,7 @@ object Auth {
 
   final case class Token(
       name: String,
-      value: String, // salted-sha256 secret, never the raw token
+      value: String, // pbkdf2-sha256 hash, never the raw token
       createdAtMs: Long,
       permissions: Option[Permissions],
       isProvisioned: Boolean = false,
@@ -46,37 +46,69 @@ object Auth {
   // ------------------------------------------------------- secret hashing
 
   private val Sha256Prefix = "sha256$"
+  private val Pbkdf2Prefix = "pbkdf2-sha256$"
   private val rng = new SecureRandom()
+
+  /** PBKDF2 work factor. PR-1273 hardened token secrets at rest with a
+    * memory/work-hardened hash (Argon2 there); PBKDF2WithHmacSHA256 ships
+    * in the JDK (javax.crypto.SecretKeyFactory), giving the same
+    * no-fast-offline-cracking property without a new dependency. The
+    * per-request cost is absorbed by the validation cache below (also
+    * PR-1273: "token validation caching with mutation-based
+    * invalidation") — verification runs once per (token, process),
+    * not once per request. */
+  val Pbkdf2Iterations = 100000
 
   private def sha256(bytes: Array[Byte]): Array[Byte] =
     MessageDigest.getInstance("SHA-256").digest(bytes)
+
+  private def pbkdf2(value: String, salt: Array[Byte], iters: Int): Array[Byte] =
+    javax.crypto.SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+      .generateSecret(new javax.crypto.spec.PBEKeySpec(
+        value.toCharArray, salt, iters, 256))
+      .getEncoded
 
   private def hex(b: Array[Byte]): String = b.map(x => f"${x & 0xFF}%02x").mkString
 
   private def unhex(s: String): Array[Byte] =
     s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
 
-  /** token_secret.rs hash_token_secret: `sha256$<salt-hex>:<hash-hex>`. */
+  /** token_secret.rs hash_token_secret analog, work-factor-hardened:
+    * `pbkdf2-sha256$<iterations>$<salt-hex>:<hash-hex>`. The iteration
+    * count travels in the stored value so it can be raised without
+    * breaking existing hashes. */
   def hashTokenSecret(value: String): String = {
     val salt = new Array[Byte](16)
     rng.nextBytes(salt)
-    val h = sha256(salt ++ value.getBytes("UTF-8"))
-    s"$Sha256Prefix${hex(salt)}:${hex(h)}"
+    s"$Pbkdf2Prefix$Pbkdf2Iterations$$" +
+      s"${hex(salt)}:${hex(pbkdf2(value, salt, Pbkdf2Iterations))}"
   }
 
-  def isHashedTokenSecret(v: String): Boolean = v.startsWith(Sha256Prefix)
+  def isHashedTokenSecret(v: String): Boolean =
+    v.startsWith(Pbkdf2Prefix) || v.startsWith(Sha256Prefix)
 
-  /** Constant-time verification against the stored salted hash. */
-  def verifyTokenSecret(stored: String, candidate: String): Boolean = {
-    if (!isHashedTokenSecret(stored)) return false
-    stored.substring(Sha256Prefix.length).split(":", 2) match {
-      case Array(saltHex, hashHex) =>
-        try MessageDigest.isEqual(
-          sha256(unhex(saltHex) ++ candidate.getBytes("UTF-8")), unhex(hashHex))
-        catch { case _: NumberFormatException => false }
-      case _ => false
-    }
-  }
+  /** Constant-time verification against the stored hash. The legacy
+    * `sha256$<salt>:<hash>` form still verifies (tokens are
+    * env-provisioned per boot, but a long-lived embedded repo may hold
+    * pre-upgrade hashes — the reference's startup-migration analog). */
+  def verifyTokenSecret(stored: String, candidate: String): Boolean =
+    if (stored.startsWith(Pbkdf2Prefix))
+      stored.substring(Pbkdf2Prefix.length).split("[$:]") match {
+        case Array(iters, saltHex, hashHex) =>
+          try MessageDigest.isEqual(
+            pbkdf2(candidate, unhex(saltHex), iters.toInt), unhex(hashHex))
+          catch { case _: NumberFormatException => false }
+        case _ => false
+      }
+    else if (stored.startsWith(Sha256Prefix))
+      stored.substring(Sha256Prefix.length).split(":", 2) match {
+        case Array(saltHex, hashHex) =>
+          try MessageDigest.isEqual(
+            sha256(unhex(saltHex) ++ candidate.getBytes("UTF-8")), unhex(hashHex))
+          catch { case _: NumberFormatException => false }
+        case _ => false
+      }
+    else false
 
   // ------------------------------------------------------------ policies
 
@@ -151,6 +183,22 @@ object Auth {
     private val repo = mutable.LinkedHashMap.empty[String, Token]
     private val bucketNameRe = "^[A-Za-z0-9_*-]+$".r
 
+    /** Validation cache (PR-1273 "token validation caching with
+      * mutation-based invalidation"): SHA-256(candidate) → the token name
+      * it resolved to (None = known-bad). PBKDF2 verification therefore
+      * runs once per (secret, process); every subsequent request is one
+      * digest + map hit. Keyed by digest so no plaintext secret outlives
+      * its request. Invalidated WHOLESALE on any repo mutation — create,
+      * provision, remove, rotate — the simplest scheme that can never
+      * serve a stale grant. Bounded: a flood of distinct bad tokens
+      * clears it rather than growing it. */
+    private val validationCache = mutable.HashMap.empty[String, Option[String]]
+    private val ValidationCacheMax = 4096
+    private def invalidateValidationCache(): Unit = validationCache.clear()
+    private def candidateDigest(value: String): String =
+      value.length + ":" + java.util.Base64.getEncoder.encodeToString(
+        MessageDigest.getInstance("SHA-256").digest(value.getBytes("UTF-8")))
+
     // read_only.rs:148-177 — the configured API token becomes a
     // provisioned full-access init token
     if (apiToken.nonEmpty)
@@ -184,6 +232,7 @@ object Auth {
         // used token must expire ttl after issue, not live forever
         // waiting for a first use to arm the check
         lastAccessMs = Some(createdAt), ipAllowlist = ipAllowlist)
+      invalidateValidationCache()
       TokenCreateResponse(value, createdAt)
     }
 
@@ -196,6 +245,7 @@ object Auth {
       val createdAt = repo.get(name).map(_.createdAtMs).getOrElse(nowMs())
       repo(name) = Token(name, hashTokenSecret(value), createdAt,
         Some(permissions), isProvisioned = true, expiresAtMs = expiresAtMs)
+      invalidateValidationCache()
     }
 
     def getToken(name: String): Token = synchronized {
@@ -209,6 +259,7 @@ object Auth {
         throw conflict(s"Can't remove provisioned token '$name'"))
       if (repo.remove(name).isEmpty)
         throw notFound(s"Token '$name' doesn't exist")
+      invalidateValidationCache()
     }
 
     /** repo.rs rotate_token — re-issue the secret, keep the grants. */
@@ -220,16 +271,31 @@ object Auth {
         throw unprocessable(s"Can't rotate expired token '$name'"))
       val value = s"$name-${(0 until 32).map(_ => f"${rng.nextInt(16)}%x").mkString}"
       repo(name) = t.copy(value = hashTokenSecret(value), createdAtMs = nowMs())
+      invalidateValidationCache()
       TokenCreateResponse(value, nowMs())
     }
 
-    /** repo.rs validate_token — bearer parse, hash match, lifetime + IP. */
+    /** repo.rs validate_token — bearer parse, hash match, lifetime + IP.
+      * The hash match consults the validation cache first; lifetime,
+      * allowlist, and the lastAccess stamp run on EVERY request — only
+      * the expensive secret verification is cached. */
     def validateToken(header: Option[String],
         clientIp: Option[String] = None): Token = synchronized {
       val value = parseBearerToken(header.getOrElse(""))
-      val token = repo.values
-        .find(t => verifyTokenSecret(t.value, value))
-        .getOrElse(throw unauthorized("Invalid token"))
+      val digest = candidateDigest(value)
+      val token = validationCache.get(digest) match {
+        case Some(Some(name)) =>
+          // the cache is cleared on every mutation, so a hit's name is
+          // current; a vanished name would mean a missed invalidation
+          repo.getOrElse(name, throw unauthorized("Invalid token"))
+        case Some(None) => throw unauthorized("Invalid token")
+        case None =>
+          if (validationCache.size >= ValidationCacheMax)
+            validationCache.clear()
+          val found = repo.values.find(t => verifyTokenSecret(t.value, value))
+          validationCache(digest) = found.map(_.name)
+          found.getOrElse(throw unauthorized("Invalid token"))
+      }
       checkTokenLifetime(token)
       checkIpAllowlist(token, clientIp)
       repo(token.name) = token.copy(lastAccessMs = Some(nowMs()))

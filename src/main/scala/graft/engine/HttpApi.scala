@@ -389,9 +389,7 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     try {
       val status = ex.getResponseCode
       if (status > 0) {
-        val clientIp = ClientIp.resolve(
-          Option(ex.getRemoteAddress).map(_.getAddress),
-          n => Option(ex.getRequestHeaders.getFirst(n)))
+        val clientIp = requestClientIp(ex)
         val tokenName =
           if (status == 401) None // AuditLog substitutes "unauthorized"
           else if (!tokens.authRequired) Some("anonymous")
@@ -409,11 +407,30 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     * middleware analog (middleware.rs:48-59): the Forwarded /
     * X-Forwarded-For originating hop behind a trusted proxy, the
     * socket peer otherwise. Feeds the allowlist, the audit trail, and
-    * the rate-limit scope alike. */
-  private def requestClientIp(ex: HttpExchange): Option[String] =
-    ClientIp.resolve(
-      Option(ex.getRemoteAddress).map(_.getAddress),
-      name => Option(ex.getRequestHeaders.getFirst(name)))
+    * the rate-limit scope alike. Resolved ONCE per exchange and
+    * memoized — the pre-route rate-limit check, auth, the read/write
+    * byte admissions, and the audit record all ask, and re-running
+    * Forwarded-header parsing 3-4× per request (health-probe floods
+    * included) is pure dispatch-path waste. Memoized via a thread-local
+    * keyed by exchange IDENTITY, not HttpExchange.setAttribute — JDK
+    * exchange attributes are backed by the per-CONTEXT map, so an
+    * attribute written on one request leaks into every later one
+    * (observed: a proxied client inheriting the previous request's
+    * resolved IP). Each exchange is handled synchronously on a single
+    * dispatch thread, so the thread-local is exact; a stale pair from
+    * a finished exchange never matches (`eq` on the new exchange). */
+  private val clientIpMemo = new ThreadLocal[(HttpExchange, Option[String])]
+  private def requestClientIp(ex: HttpExchange): Option[String] = {
+    val cached = clientIpMemo.get()
+    if (cached != null && (cached._1 eq ex)) cached._2
+    else {
+      val ip = ClientIp.resolve(
+        Option(ex.getRemoteAddress).map(_.getAddress),
+        name => Option(ex.getRequestHeaders.getFirst(name)))
+      clientIpMemo.set((ex, ip))
+      ip
+    }
+  }
 
   /** Declared request-body size, REQUIRED on write paths
     * (entry/common.rs parse_content_length_from_header):

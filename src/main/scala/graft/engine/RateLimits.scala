@@ -139,10 +139,16 @@ final class RateLimits(val config: RateLimits.Config,
   import RateLimits._
 
   // one scope→counter map per kind, each its own lock — mirrors the
-  // three RwLock<HashMap<LimitScope, WindowCounter>> (limits.rs:205-207)
-  private val api = new java.util.HashMap[String, WindowCounter]()
-  private val ingress = new java.util.HashMap[String, WindowCounter]()
-  private val egress = new java.util.HashMap[String, WindowCounter]()
+  // three RwLock<HashMap<LimitScope, WindowCounter>> (limits.rs:205-207).
+  // lastPruneSecs amortizes stale-scope pruning (see consume): guarded by
+  // the same map monitor.
+  private final class ScopeMap {
+    val counters = new java.util.HashMap[String, WindowCounter]()
+    var lastPruneSecs: Long = -1L
+  }
+  private val api = new ScopeMap
+  private val ingress = new ScopeMap
+  private val egress = new ScopeMap
 
   private val GlobalScope = "" // the GlobalFallback sentinel key
 
@@ -167,17 +173,28 @@ final class RateLimits(val config: RateLimits.Config,
   private def scopeLabel(scope: String): String =
     if (scope == GlobalScope) "global" else s"client $scope"
 
-  private def consume(map: java.util.HashMap[String, WindowCounter],
+  private def consume(map: ScopeMap,
       limit: Option[WindowLimit], scope: String, kind: Kind,
       amount: Long): Unit = {
     val lim = limit.getOrElse(return)
     val now = nowSecs()
     map.synchronized {
-      pruneStaleScopes(map, now, lim.windowSecs)
+      // Stale-scope pruning is amortized to AT MOST ONCE PER SECOND:
+      // the reference prunes on every consume (limits.rs:260-268), but
+      // that walk is O(active scopes) under the map lock, and measured
+      // at 10k client-IP scopes it serialized the JDK HttpServer
+      // dispatch pool to ~16k consumes/s (RateLimitLoadProbe, SCALE.md
+      // r18). Pruning is memory hygiene only — window turnover is
+      // per-counter below — so once a second keeps the map bounded by
+      // the active-client set with O(1) consumes in between.
+      if (map.lastPruneSecs != now) {
+        pruneStaleScopes(map.counters, now, lim.windowSecs)
+        map.lastPruneSecs = now
+      }
       val counter = {
-        val existing = map.get(scope)
+        val existing = map.counters.get(scope)
         if (existing != null) existing
-        else { val c = new WindowCounter; map.put(scope, c); c }
+        else { val c = new WindowCounter; map.counters.put(scope, c); c }
       }
       // fixed window: first touch (or turnover) restarts the window
       if (counter.windowStartSecs < 0 ||

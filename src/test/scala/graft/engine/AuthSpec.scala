@@ -99,6 +99,35 @@ class AuthSpec extends AnyFunSuite {
     intercept[ApiError](r.validateToken(Some(s"Bearer ${unused.value}")))
   }
 
+  test("PBKDF2 at-rest hashing + validation cache invalidation (PR-1273)") {
+    // work-factor-hardened format, iteration count self-describing
+    val h = hashTokenSecret("tok-abc")
+    assert(h.startsWith(s"pbkdf2-sha256$$$Pbkdf2Iterations$$"))
+    assert(verifyTokenSecret(h, "tok-abc") && !verifyTokenSecret(h, "tok-abd"))
+    // the legacy salted-SHA256 form still verifies (startup-migration
+    // analog: a long-lived embedded repo may hold pre-upgrade hashes)
+    val legacy = "sha256$" + "00" * 16 + ":" +
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest((new Array[Byte](16)) ++ "old-secret".getBytes("UTF-8"))
+        .map(b => f"${b & 0xFF}%02x").mkString
+    assert(verifyTokenSecret(legacy, "old-secret"))
+    assert(!verifyTokenSecret(legacy, "wrong"))
+    // cache is invalidated by every mutation: a VALIDATED (hence cached)
+    // secret must die instantly on rotate and on remove
+    val r = repo()
+    val c0 = r.createToken("cached", Permissions())
+    r.validateToken(Some(s"Bearer ${c0.value}")) // populate cache
+    val c1 = r.rotateToken("cached")
+    intercept[ApiError](r.validateToken(Some(s"Bearer ${c0.value}")))
+    r.validateToken(Some(s"Bearer ${c1.value}"))
+    r.validateToken(Some(s"Bearer ${c1.value}")) // cache-hit path
+    r.removeToken("cached")
+    intercept[ApiError](r.validateToken(Some(s"Bearer ${c1.value}")))
+    // a cached known-bad stays bad until a mutation could change it
+    intercept[ApiError](r.validateToken(Some("Bearer nope")))
+    intercept[ApiError](r.validateToken(Some("Bearer nope")))
+  }
+
   test("repository survives concurrent validate/create/remove (serving pool)") {
     // Every authenticated request WRITES the repo (lastAccessMs stamp), so
     // the serving pool's threads mutate it concurrently with token CRUD; an
