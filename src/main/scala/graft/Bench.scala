@@ -40,7 +40,18 @@ object Bench {
   private def httpConcurrentWorkload(spark: SparkSession): Unit = {
     val storeDir = java.nio.file.Files.createTempDirectory("graft-bench-http").toString
     val store = new BucketStore(spark, storeDir)
-    val api = new graft.engine.HttpApi(store, apiToken = "bench")
+    // admission paths exercised END-TO-END (SCALE.md r18): rate limits
+    // set far above the workload so every request pays the check but
+    // nothing is rejected, and the in-flight writer gate set to 2 so the
+    // 4 clients' writes actually queue at the admission bound — the
+    // bench pins the real cost + queuing behavior of the middleware, not
+    // the unlimited fast path.
+    val api = new graft.engine.HttpApi(store, apiToken = "bench",
+      env = Map(
+        "RS_RATE_LIMIT_API" -> "1000000000req/h",
+        "RS_RATE_LIMIT_INGRESS" -> "100GB/h",
+        "RS_RATE_LIMIT_EGRESS" -> "100GB/h",
+        "RS_IO_MAX_WRITERS_IN_FLIGHT" -> "2"))
     val port = api.start()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     try {

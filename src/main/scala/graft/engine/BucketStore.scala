@@ -797,6 +797,153 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     usage.countWrite(bucket, entry, records.size.toLong, bytes)
   }
 
+  /** Coalesced serving write: many HTTP write requests folded into ONE
+    * store mutation — one Spark job per touched bucket instead of one
+    * per request. This is the per-mutation-job amortization lever for
+    * the serving path (SCALE.md r17: every HTTP mutation is one
+    * serialized ~0.5-0.8 s Spark job on the store lock; the reference's
+    * analog batches writers behind its single-owner engine too,
+    * storage/engine.rs).
+    *
+    * Semantics are EXACTLY serial execution in `reqs` order:
+    *   - per-record conflict admission sees the store plus every record
+    *     claimed by an earlier request in the fold (keep-first) — one
+    *     [[existingKeys]] scan per bucket admits the whole group;
+    *   - HARD quota / global storage cap / free-disk admission run per
+    *     request with cumulative accounting, so a request that would
+    *     have been rejected serially is rejected here (and only it);
+    *   - a failed request never poisons its fold-mates: its slice is
+    *     excluded and its error returned in its slot;
+    *   - FIFO quota enforcement and usage counting happen per bucket /
+    *     per request exactly as the un-folded path did.
+    *
+    * Returns one result per request, positionally: the set of rejected
+    * (already-existing) timestamps, or the admission/write failure.
+    * Read-your-write visibility holds — the method returns only after
+    * the shared job commits. */
+  def writeFolded(reqs: Seq[BucketStore.FoldReq])
+      : Seq[Either[Throwable, Set[Long]]] = mutating {
+    import scala.util.control.NonFatal
+    val results = new Array[Either[Throwable, Set[Long]]](reqs.size)
+    // group by bucket, preserving queue order within each group
+    val byBucket = reqs.zipWithIndex.groupBy(_._1.bucket)
+    for ((bucket, group) <- byBucket) {
+      val s = bucketSettings(bucket).getOrElse(BucketSettings.defaults)
+      val quota = s.quotaSize.getOrElse(0L)
+      val hard = s.quotaType.contains("HARD")
+      var curBucketSize =
+        if (hard && quota > 0) bucketSizeBytes(bucket) else 0L
+      val existing = existingKeys(bucket,
+        group.flatMap { case (r, _) => r.recs.map(rec => (r.entry, rec.ts)) })
+      var claimed = Set.empty[(String, Long)]
+      var admittedBytes = 0L
+      val rows = Vector.newBuilder[org.apache.spark.sql.Row]
+      val admitted = Vector.newBuilder[(Int, BucketStore.FoldReq, Seq[BucketStore.FoldRec])]
+      for ((req, idx) <- group) {
+        try {
+          val rejected = req.recs.iterator
+            .filter(rec => existing((req.entry, rec.ts)) ||
+              claimed((req.entry, rec.ts)))
+            .map(_.ts).toSet
+          val survivors = req.recs.filterNot(rec => rejected(rec.ts))
+          val bytes = survivors.iterator.map(_.payload.length.toLong).sum
+          if (hard && quota > 0 && curBucketSize + bytes > quota)
+            throw new IllegalArgumentException(s"Quota of '$bucket' exceeded")
+          maxStorageSize.foreach { limit =>
+            if (storeSizeBytes + admittedBytes + bytes > limit)
+              throw new IllegalStateException("storage limit exceeded")
+          }
+          checkFreeDiskSpace(admittedBytes + bytes)
+          curBucketSize += bytes
+          admittedBytes += bytes
+          claimed ++= survivors.iterator.map(rec => (req.entry, rec.ts))
+          rows ++= survivors.map(rec => org.apache.spark.sql.Row(
+            bucket, req.entry, rec.ts, rec.labels,
+            Map.empty[String, String], rec.contentType,
+            Records.State.Finished, rec.payload))
+          admitted += ((idx, req, survivors))
+          results(idx) = Right(rejected)
+        } catch { case NonFatal(e) => results(idx) = Left(e) }
+      }
+      val bucketRows = rows.result()
+      if (bucketRows.nonEmpty) {
+        try {
+          import scala.jdk.CollectionConverters._
+          write(spark.createDataFrame(bucketRows.asJava, Records.schema),
+            BucketStore.Conflict.Preadmitted, // admitted above, same section
+            maxRecordsPerFile = s.maxBlockRecords.filter(_ > 0).getOrElse(1000000L),
+            incomingBytes = admittedBytes)
+          if (s.quotaType.contains("FIFO") && quota > 0)
+            enforceFifoQuota(bucket, quota)
+          for ((_, req, survivors) <- admitted.result())
+            usage.countWrite(bucket, req.entry, survivors.size.toLong,
+              survivors.iterator.map(_.payload.length.toLong).sum)
+        } catch { case NonFatal(e) =>
+          // the shared job failed: every admitted request in this bucket
+          // shares the failure (none of their rows landed)
+          for ((idx, _, _) <- admitted.result()) results(idx) = Left(e)
+        }
+      }
+    }
+    results.toSeq
+  }
+
+  /** Coalesced label updates: concurrent batched PATCHes fold into one
+    * overlay-append job per bucket ([[writeFolded]]'s amortization for
+    * the update path). Each request is (bucket, updates); its result is
+    * the count of ITS updates that matched a record — attribution via
+    * [[updateLabelsMatched]]'s key set. Cross-request deltas on the same
+    * (entry, ts) compose in queue order inside updateLabelsMatched,
+    * exactly the serial outcome. A failed bucket job fails every request
+    * that touched that bucket (infrastructure failure, not per-request
+    * admission — serially each would have hit it too). */
+  def updateLabelsFolded(
+      reqs: Seq[(String, Seq[(String, Long, Map[String, String], Set[String])])])
+      : Seq[Either[Throwable, Long]] = mutating {
+    import scala.util.control.NonFatal
+    val results = new Array[Either[Throwable, Long]](reqs.size)
+    for ((bucket, group) <- reqs.zipWithIndex.groupBy(_._1._1)) {
+      try {
+        val matched =
+          updateLabelsMatched(bucket, group.flatMap(_._1._2))
+        for (((_, updates), idx) <- group)
+          results(idx) = Right(
+            updates.count(u => matched((u._1, u._2))).toLong)
+      } catch { case NonFatal(e) =>
+        for ((_, idx) <- group) results(idx) = Left(e)
+      }
+    }
+    results.toSeq
+  }
+
+  /** Coalesced record removes: concurrent batched DELETEs fold into one
+    * remove job per bucket. Each request is (bucket, keys); its result
+    * maps each of ITS keys to removed-or-missing. A key removed by an
+    * EARLIER request in the fold reports false to later ones —
+    * keep-first, exactly the serial outcome. */
+  def removeFolded(reqs: Seq[(String, Seq[(String, Long)])])
+      : Seq[Either[Throwable, Map[(String, Long), Boolean]]] = mutating {
+    import scala.util.control.NonFatal
+    val results =
+      new Array[Either[Throwable, Map[(String, Long), Boolean]]](reqs.size)
+    for ((bucket, group) <- reqs.zipWithIndex.groupBy(_._1._1)) {
+      try {
+        val removed = removeRecords(bucket,
+          group.flatMap(_._1._2).distinct)
+        var claimed = Set.empty[(String, Long)]
+        for (((_, keys), idx) <- group) {
+          results(idx) = Right(keys.map { k =>
+            k -> (removed.getOrElse(k, false) && !claimed(k))
+          }.toMap)
+          claimed ++= keys.filter(k => removed.getOrElse(k, false))
+        }
+      } catch { case NonFatal(e) =>
+        for ((_, idx) <- group) results(idx) = Left(e)
+      }
+    }
+    results.toSeq
+  }
+
   /** PATCH labels (storage/entry/update_labels.rs:14-36): merge `set` keys
     * over existing labels, drop `remove` keys, payload untouched —
     * LITERALLY: the patch appends (key, merged-labels, seq) rows to the
@@ -991,8 +1138,15 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     * applies them all (a per-record loop would rewrite partitions k
     * times). Returns the number of records found and patched. */
   def updateLabelsBatch(bucket: String,
-      updates0: Seq[(String, Long, Map[String, String], Set[String])]): Long = mutating {
-    if (updates0.isEmpty) return 0
+      updates0: Seq[(String, Long, Map[String, String], Set[String])]): Long =
+    updateLabelsMatched(bucket, updates0).size.toLong
+
+  /** [[updateLabelsBatch]] returning the matched (entry, ts) keys —
+    * the folded variant attributes matches back to each folded request. */
+  def updateLabelsMatched(bucket: String,
+      updates0: Seq[(String, Long, Map[String, String], Set[String])])
+      : Set[(String, Long)] = mutating {
+    if (updates0.isEmpty) return Set.empty
     // compose duplicate (entry, ts) deltas IN ORDER before the join —
     // the inner join would otherwise emit same-seq overlay rows with a
     // nondeterministic winner and an inflated match count (review r15).
@@ -1031,10 +1185,14 @@ final class BucketStore(val spark: SparkSession, val root: String) {
       .withColumn("seq", lit(overlaySeqCounter.incrementAndGet()))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val n = patched.count()
-      if (n == 0) return 0
-      applyPatch(patched, n)
-      n
+      // keys, not a bare count: the folded variant needs per-request
+      // match attribution, and the frame is persisted + batch-bounded,
+      // so collecting (entry, ts) costs what count() did
+      val keys = patched.select("entry", "ts").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      if (keys.isEmpty) return Set.empty
+      applyPatch(patched, keys.length.toLong)
+      keys.toSet
     } finally patched.unpersist()
   }
 
@@ -1052,6 +1210,24 @@ final class BucketStore(val spark: SparkSession, val root: String) {
       .filter(col("bucket") === bucket && col("entry") === entry &&
         col("ts").between(ts.min, ts.max) && col("ts").isin(ts: _*))
       .select("ts").collect().map(_.getLong(0)).toSet
+  }
+
+  /** Multi-entry variant of [[existingTimestamps]] — ONE scan admits a
+    * whole coalesced fold (every request's conflict check) instead of
+    * one Spark job per request. Keys are (entry, ts) within `bucket`;
+    * the ts `isin` bounds the collect exactly like the single-entry
+    * form (entry partition pruning + ts dictionary filter). */
+  def existingKeys(bucket: String,
+      keys: Seq[(String, Long)]): Set[(String, Long)] = {
+    if (keys.isEmpty) return Set.empty
+    val entries = keys.map(_._1).distinct
+    val tss = keys.map(_._2).distinct
+    val hits = baseTableOrEmpty()
+      .filter(col("bucket") === bucket && col("entry").isin(entries: _*) &&
+        col("ts").between(tss.min, tss.max) && col("ts").isin(tss: _*))
+      .select("entry", "ts").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    hits.intersect(keys.toSet)
   }
 
   def removeRecords(bucket: String,
@@ -1698,6 +1874,15 @@ object BucketStore {
   final case class StagedSlice(entry: String, ts: Long,
       labels: Map[String, String], contentType: String,
       offset: Long, len: Long)
+
+  /** One record of a coalesced serving write ([[BucketStore.writeFolded]]). */
+  final case class FoldRec(ts: Long, labels: Map[String, String],
+      contentType: String, payload: Array[Byte])
+
+  /** One request's slice of a coalesced serving write: records for a
+    * single (bucket, entry), in-request-unique by ts (the HTTP layer
+    * rejects/degrades in-batch duplicates before folding). */
+  final case class FoldReq(bucket: String, entry: String, recs: Seq[FoldRec])
 
   /** Per-bucket settings (reduct_base/src/msg/bucket_api.rs:57-67).
     * All fields optional; a PUT merges present fields over the stored

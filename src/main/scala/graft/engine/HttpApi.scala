@@ -65,6 +65,16 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
   /** `RS_IO_MAX_WRITERS_IN_FLIGHT` concurrent-write admission
     * (storage/in_flight.rs, PR-1357/1361). */
   private[engine] val inFlight = InFlightIo.fromEnv(env)
+  /** Cross-request mutation coalescing: concurrent writes, label
+    * updates, and removes each fold into one store mutation (one Spark
+    * job per bucket and mutation type) while preserving serial
+    * per-request semantics — see [[MutationCoalescer]]. */
+  private val writeCoalescer =
+    new MutationCoalescer(store, store.writeFolded)
+  private val updateCoalescer =
+    new MutationCoalescer(store, store.updateLabelsFolded)
+  private val removeCoalescer =
+    new MutationCoalescer(store, store.removeFolded)
   // TLS when an SSLContext is supplied — the analog of the reference's
   // cert_path/cert_key_path settings (HTTPS server, cfg/mod.rs); the
   // JVM-idiomatic key source is a PKCS12 keystore ([[HttpApi.sslContext]])
@@ -850,9 +860,14 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     val in = ex.getRequestBody
     val head = in.readNBytes(spoolThresholdBytes)
     try {
-      if (head.length < spoolThresholdBytes)
-        store.writeBatch(bucket, entry, Seq((ts, labelHeaders(ex), head)), ct)
-      else {
+      if (head.length < spoolThresholdBytes) {
+        // coalesced: concurrent single writes share one store mutation
+        val rejected = writeCoalescer.submit(BucketStore.FoldReq(
+          bucket, entry,
+          Seq(BucketStore.FoldRec(ts, labelHeaders(ex), ct, head))))
+        if (rejected.nonEmpty)
+          throw conflict(s"A record with timestamp $ts already exists")
+      } else {
         val staged = spoolToStaging(head, in)
         spooledWrites.incrementAndGet()
         store.writeStaged(bucket, entry, ts, labelHeaders(ex), ct, staged)
@@ -1808,7 +1823,7 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
         if (idx >= entries.length) throw unprocessable(s"Entry index '$idx' is out of range")
         (idx, entries(idx), startTs + delta)
     }
-    val result = store.removeRecords(bucket, keys.map(k => (k._2, k._3)))
+    val result = removeCoalescer.submit((bucket, keys.map(k => (k._2, k._3))))
     val h = ex.getResponseHeaders
     for ((idx, entry, ts) <- keys if !result((entry, ts)))
       h.set(s"${BatchWire.ErrorHeaderPrefix}$idx-${ts - startTs}", "404,Record not found")
@@ -1841,7 +1856,7 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
         val (set, remove) = BatchWire.parseLabelDelta(v, labelNames)
         (entries(idx), startTs + delta, set, remove)
       }
-    val n = store.updateLabelsBatch(bucket, updates.toSeq)
+    val n = updateCoalescer.submit((bucket, updates.toSeq))
     json(ex, 200, JObject("updated_records" -> JInt(BigInt(n))))
   }
 
@@ -1916,29 +1931,20 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
       }
       if (offset != body.length)
         throw unprocessable("Content length mismatch with record headers")
-      store.mutating {
-        val existing = admitConflicts()
-        val rows = sliced.collect {
-          case (ts, hdr, payload, i) if !existing(ts) && !dupIdx(i) =>
-            Row(bucket, entry, ts, hdr.labels,
-              Map.empty[String, String], hdr.contentType,
-              graft.core.Records.State.Finished, payload)
-        }
-        if (rows.nonEmpty) {
-          import scala.jdk.CollectionConverters._
-          store.writeWithSettings(bucket,
-            store.spark.createDataFrame(rows.asJava, graft.core.Records.schema),
-            // admission happened above, inside THIS mutation section —
-            // the write skips its own dedup/clash jobs (~2 Spark jobs
-            // per serving write, the measured serving bottleneck)
-            onConflict = BucketStore.Conflict.Preadmitted,
-            incomingBytes = body.length.toLong)
-          store.usage.countWrite(bucket, entry, rows.size.toLong,
-            sliced.filterNot(s => existing(s._1) || dupIdx(s._4))
-              .map(_._2.contentLength).sum)
-        }
-        rows.size
-      }
+      // Coalesced: the per-record conflict admission, quota/cap checks,
+      // write, and usage counting all run inside writeFolded's shared
+      // mutation section — concurrent /batch writers share ONE Spark job
+      // per bucket instead of one each (the measured serving bottleneck,
+      // SCALE.md r17/r18), with serial per-request semantics preserved.
+      val rejected = writeCoalescer.submit(BucketStore.FoldReq(
+        bucket, entry,
+        sliced.collect { case (ts, hdr, payload, i) if !dupIdx(i) =>
+          BucketStore.FoldRec(ts, hdr.labels, hdr.contentType, payload)
+        }))
+      for (ts <- rejected)
+        respH.set(s"x-reduct-error-$ts",
+          s"409,A record with timestamp $ts already exists")
+      sliced.size - dupIdx.size - rejected.size
     } else {
       val staged = spoolToStaging(head, in)
       val fs = staged.getFileSystem(store.spark.sparkContext.hadoopConfiguration)
@@ -1983,7 +1989,7 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
       val (set, remove) = hdr.labels.partition(_._2.nonEmpty)
       (entry, ts, set, remove.keySet)
     }
-    val n = store.updateLabelsBatch(bucket, updates)
+    val n = updateCoalescer.submit((bucket, updates))
     json(ex, 200, JObject("updated_records" -> JInt(BigInt(n))))
   }
 
@@ -1993,7 +1999,7 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
   private def removeBatched(ex: HttpExchange, bucket: String, entry: String): Unit = {
     val times = BatchWire.sortHeadersByTime(requestHeaders(ex)).map(_._1)
     if (times.isEmpty) throw unprocessable("No records to remove")
-    val result = store.removeRecords(bucket, times.map(ts => (entry, ts)))
+    val result = removeCoalescer.submit((bucket, times.map(ts => (entry, ts))))
     val h = ex.getResponseHeaders
     for (ts <- times if !result((entry, ts)))
       h.set(s"x-reduct-error-$ts", "404,No record with timestamp " + ts)

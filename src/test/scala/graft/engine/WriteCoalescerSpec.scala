@@ -1,0 +1,130 @@
+package graft.engine
+
+import graft.SparkTestBase
+import graft.engine.BucketStore.{FoldRec, FoldReq}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Cross-request write coalescing: concurrent serving writes fold into
+  * one store mutation with serial per-request semantics (the SCALE.md
+  * r17 per-mutation-Spark-job amortization lever). */
+class WriteCoalescerSpec extends AnyFunSuite with SparkTestBase {
+
+  private def newStore(): BucketStore =
+    new BucketStore(spark, Files.createTempDirectory("graft-coal").toString)
+
+  private def rec(ts: Long, payload: String = "x") =
+    FoldRec(ts, Map("k" -> "v"), "text/plain", payload.getBytes("UTF-8"))
+
+  test("uncontended write degenerates to the old path: full conflict map") {
+    val store = newStore()
+    val c = new MutationCoalescer(store, store.writeFolded)
+    assert(c.submit(FoldReq("b", "e", Seq(rec(1), rec(2)))) == Set.empty)
+    // overlap → rejected set names exactly the existing ts, rest lands
+    assert(c.submit(FoldReq("b", "e", Seq(rec(2, "new"), rec(3)))) == Set(2L))
+    val rows = store.table().select("ts", "payload").collect()
+      .map(r => r.getLong(0) -> new String(r.getAs[Array[Byte]](1), "UTF-8"))
+      .toMap
+    assert(rows == Map(1L -> "x", 2L -> "x", 3L -> "x"),
+      "conflicting record keeps its ORIGINAL payload")
+    assert(c.foldedBatches.get() == 2 && c.foldedRequests.get() == 2)
+  }
+
+  test("contended writes fold into ONE mutation; every request resolves " +
+      "with its own conflict map and all records land") {
+    val store = newStore()
+    store.writeBatch("b", "e1", Seq((100L, Map.empty[String, String],
+      "pre".getBytes("UTF-8"))))
+    val c = new MutationCoalescer(store, store.writeFolded)
+    val base = c.foldedBatches.get()
+    val results = new java.util.concurrent.ConcurrentHashMap[Int, Set[Long]]()
+    val threads = (0 until 4).map { t =>
+      new Thread(() => {
+        // t0 collides with the pre-existing ts=100 on e1; others disjoint
+        val entry = if (t == 0) "e1" else s"x$t"
+        results.put(t, c.submit(FoldReq("b", entry, Seq(rec(100), rec(200 + t)))))
+      })
+    }
+    // hold the store lock so all four writers queue up behind it —
+    // releasing it makes exactly one of them the leader for all four
+    store.mutating {
+      threads.foreach(_.start())
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (c.queuedCount < 4 && System.nanoTime() < deadline)
+        Thread.sleep(5)
+      assert(c.queuedCount == 4, "writers must queue while the lock is held")
+    }
+    threads.foreach(_.join(30000))
+    assert(results.get(0) == Set(100L), "store-existing ts rejected")
+    for (t <- 1 until 4)
+      assert(results.get(t) == Set.empty[Long], s"writer $t clean")
+    assert(c.foldedBatches.get() - base == 1,
+      s"4 contended writes must share ONE mutation, got ${c.foldedBatches.get() - base}")
+    assert(c.foldedRequests.get() == 4)
+    // every record visible after return: read-your-write holds
+    assert(store.table().count() == 1 + 4 + 3) // pre + four 2xx minus one reject
+  }
+
+  test("writeFolded: serial semantics inside a fold — cross-request " +
+      "keep-first, per-request HARD quota, failure isolation") {
+    val store = newStore()
+    // same (entry, ts) from two folded requests: first in queue order
+    // wins, second gets its per-record rejection — exactly serial
+    val r1 = store.writeFolded(Seq(
+      FoldReq("b", "e", Seq(rec(1, "first"))),
+      FoldReq("b", "e", Seq(rec(1, "second"), rec(2)))))
+    assert(r1 == Seq(Right(Set.empty[Long]), Right(Set(1L))))
+    val kept = store.table().filter("ts = 1").select("payload").collect()
+    assert(new String(kept(0).getAs[Array[Byte]](0), "UTF-8") == "first")
+    // HARD quota: request admission is cumulative IN ORDER — a fold
+    // where req A fits and A+B exceeds must admit A and reject only B
+    store.putBucketSettings("q",
+      BucketStore.BucketSettings(quotaType = Some("HARD"),
+        quotaSize = Some(store.bucketSizeBytes("q") + 12)))
+    val r2 = store.writeFolded(Seq(
+      FoldReq("q", "e", Seq(rec(1, "0123456789"))), // 10 bytes, fits
+      FoldReq("q", "e", Seq(rec(2, "0123456789"))))) // would exceed
+    assert(r2(0) == Right(Set.empty[Long]))
+    assert(r2(1).isLeft &&
+      r2(1).left.exists(_.getMessage.contains("Quota of 'q' exceeded")))
+    assert(store.table().filter("bucket = 'q'").count() == 1)
+  }
+
+  test("updateLabelsFolded: per-request match counts; cross-request " +
+      "deltas on one key compose in queue order") {
+    val store = newStore()
+    store.writeBatch("b", "e", Seq(
+      (1L, Map("k" -> "v"), "a".getBytes), (2L, Map("k" -> "v"), "b".getBytes)))
+    val r = store.updateLabelsFolded(Seq(
+      // req 0: sets k2 on both records, one miss (ts=9)
+      ("b", Seq(("e", 1L, Map("k2" -> "x"), Set.empty[String]),
+        ("e", 2L, Map("k2" -> "x"), Set.empty[String]),
+        ("e", 9L, Map("k2" -> "x"), Set.empty[String]))),
+      // req 1: later delta on ts=1 removes k2 and sets k3 — composes
+      // AFTER req 0's (serial order)
+      ("b", Seq(("e", 1L, Map("k3" -> "y"), Set("k2"))))))
+    assert(r == Seq(Right(2L), Right(1L)), "per-request matched counts")
+    val labels1 = store.table().filter("ts = 1")
+      .select("labels").collect()(0).getAs[Map[String, String]](0)
+    assert(labels1 == Map("k" -> "v", "k3" -> "y"),
+      "req 1's remove lands AFTER req 0's set")
+    val labels2 = store.table().filter("ts = 2")
+      .select("labels").collect()(0).getAs[Map[String, String]](0)
+    assert(labels2 == Map("k" -> "v", "k2" -> "x"))
+  }
+
+  test("removeFolded: keep-first — a key removed by an earlier request " +
+      "reports missing to later ones") {
+    val store = newStore()
+    store.writeBatch("b", "e", Seq(
+      (1L, Map.empty[String, String], "a".getBytes),
+      (2L, Map.empty[String, String], "b".getBytes)))
+    val r = store.removeFolded(Seq(
+      ("b", Seq(("e", 1L), ("e", 9L))), // removes 1, misses 9
+      ("b", Seq(("e", 1L), ("e", 2L))))) // 1 already claimed, removes 2
+    assert(r(0) == Right(Map(("e", 1L) -> true, ("e", 9L) -> false)))
+    assert(r(1) == Right(Map(("e", 1L) -> false, ("e", 2L) -> true)),
+      "serially the second DELETE would 404 on ts=1")
+    assert(store.table().filter("bucket = 'b'").count() == 0)
+  }
+}
