@@ -818,13 +818,13 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     *     per request exactly as the un-folded path did.
     *
     * Returns one result per request, positionally: the set of rejected
-    * (already-existing) timestamps, or the admission/write failure.
+    * (already-existing) record keys, or the admission/write failure.
     * Read-your-write visibility holds — the method returns only after
     * the shared job commits. */
   def writeFolded(reqs: Seq[BucketStore.FoldReq])
-      : Seq[Either[Throwable, Set[Long]]] = mutating {
+      : Seq[Either[Throwable, Set[(String, Long)]]] = mutating {
     import scala.util.control.NonFatal
-    val results = new Array[Either[Throwable, Set[Long]]](reqs.size)
+    val results = new Array[Either[Throwable, Set[(String, Long)]]](reqs.size)
     // group by bucket, preserving queue order within each group
     val byBucket = reqs.zipWithIndex.groupBy(_._1.bucket)
     for ((bucket, group) <- byBucket) {
@@ -834,7 +834,7 @@ final class BucketStore(val spark: SparkSession, val root: String) {
       var curBucketSize =
         if (hard && quota > 0) bucketSizeBytes(bucket) else 0L
       val existing = existingKeys(bucket,
-        group.flatMap { case (r, _) => r.recs.map(rec => (r.entry, rec.ts)) })
+        group.flatMap { case (r, _) => r.recs.map(rec => (rec.entry, rec.ts)) })
       var claimed = Set.empty[(String, Long)]
       var admittedBytes = 0L
       val rows = Vector.newBuilder[org.apache.spark.sql.Row]
@@ -842,10 +842,10 @@ final class BucketStore(val spark: SparkSession, val root: String) {
       for ((req, idx) <- group) {
         try {
           val rejected = req.recs.iterator
-            .filter(rec => existing((req.entry, rec.ts)) ||
-              claimed((req.entry, rec.ts)))
-            .map(_.ts).toSet
-          val survivors = req.recs.filterNot(rec => rejected(rec.ts))
+            .filter(rec => existing((rec.entry, rec.ts)) ||
+              claimed((rec.entry, rec.ts)))
+            .map(rec => (rec.entry, rec.ts)).toSet
+          val survivors = req.recs.filterNot(rec => rejected((rec.entry, rec.ts)))
           val bytes = survivors.iterator.map(_.payload.length.toLong).sum
           if (hard && quota > 0 && curBucketSize + bytes > quota)
             throw new IllegalArgumentException(s"Quota of '$bucket' exceeded")
@@ -856,9 +856,9 @@ final class BucketStore(val spark: SparkSession, val root: String) {
           checkFreeDiskSpace(admittedBytes + bytes)
           curBucketSize += bytes
           admittedBytes += bytes
-          claimed ++= survivors.iterator.map(rec => (req.entry, rec.ts))
+          claimed ++= survivors.iterator.map(rec => (rec.entry, rec.ts))
           rows ++= survivors.map(rec => org.apache.spark.sql.Row(
-            bucket, req.entry, rec.ts, rec.labels,
+            bucket, rec.entry, rec.ts, rec.labels,
             Map.empty[String, String], rec.contentType,
             Records.State.Finished, rec.payload))
           admitted += ((idx, req, survivors))
@@ -875,9 +875,10 @@ final class BucketStore(val spark: SparkSession, val root: String) {
             incomingBytes = admittedBytes)
           if (s.quotaType.contains("FIFO") && quota > 0)
             enforceFifoQuota(bucket, quota)
-          for ((_, req, survivors) <- admitted.result())
-            usage.countWrite(bucket, req.entry, survivors.size.toLong,
-              survivors.iterator.map(_.payload.length.toLong).sum)
+          for ((_, _, survivors) <- admitted.result();
+              (entry, es) <- survivors.groupBy(_.entry))
+            usage.countWrite(bucket, entry, es.size.toLong,
+              es.iterator.map(_.payload.length.toLong).sum)
         } catch { case NonFatal(e) =>
           // the shared job failed: every admitted request in this bucket
           // shares the failure (none of their rows landed)
@@ -1876,13 +1877,14 @@ object BucketStore {
       offset: Long, len: Long)
 
   /** One record of a coalesced serving write ([[BucketStore.writeFolded]]). */
-  final case class FoldRec(ts: Long, labels: Map[String, String],
-      contentType: String, payload: Array[Byte])
+  final case class FoldRec(entry: String, ts: Long,
+      labels: Map[String, String], contentType: String, payload: Array[Byte])
 
-  /** One request's slice of a coalesced serving write: records for a
-    * single (bucket, entry), in-request-unique by ts (the HTTP layer
-    * rejects/degrades in-batch duplicates before folding). */
-  final case class FoldReq(bucket: String, entry: String, recs: Seq[FoldRec])
+  /** One request's slice of a coalesced serving write: records for one
+    * bucket (any mix of entries), in-request-unique by (entry, ts) —
+    * the HTTP layer rejects/degrades in-batch duplicates before
+    * folding. */
+  final case class FoldReq(bucket: String, recs: Seq[FoldRec])
 
   /** Per-bucket settings (reduct_base/src/msg/bucket_api.rs:57-67).
     * All fields optional; a PUT merges present fields over the stored

@@ -862,9 +862,8 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     try {
       if (head.length < spoolThresholdBytes) {
         // coalesced: concurrent single writes share one store mutation
-        val rejected = writeCoalescer.submit(BucketStore.FoldReq(
-          bucket, entry,
-          Seq(BucketStore.FoldRec(ts, labelHeaders(ex), ct, head))))
+        val rejected = writeCoalescer.submit(BucketStore.FoldReq(bucket,
+          Seq(BucketStore.FoldRec(entry, ts, labelHeaders(ex), ct, head))))
         if (rejected.nonEmpty)
           throw conflict(s"A record with timestamp $ts already exists")
       } else {
@@ -1749,54 +1748,86 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
   }
 
   private def ioWriteAdmitted(ex: HttpExchange, bucket: String): Unit = {
-    val decoded = BatchWire.decodeBatchV2(requestHeaders(ex))
+    val headers = requestHeaders(ex)
+    val decoded = BatchWire.decodeBatchV2(headers)
     val expected = decoded.map(_.header.contentLength).sum
+    // error headers are keyed (entry_idx, delta) in the v2 wire
+    // (io/write.rs:101-103 err_to_batched_header)
+    val hmap = headers.toMap
+    val entryIdx = hmap.get(BatchWire.EntriesHeader)
+      .map(BatchWire.parseEntriesHeader).getOrElse(Seq.empty)
+      .zipWithIndex.toMap
+    val startTs = hmap.get(BatchWire.StartTsHeader).map(_.toLong).getOrElse(0L)
+    val respH = ex.getResponseHeaders
+    def rejectHeader(entry: String, ts: Long): Unit =
+      respH.set(s"${BatchWire.ErrorHeaderPrefix}${entryIdx.getOrElse(entry, 0)}-" +
+        s"${ts - startTs}", s"409,A record with timestamp $ts already exists")
+    // in-request duplicate (entry, ts) — a repeated v2 record header —
+    // degrades to its per-record 409 like write_batched (keep-first);
+    // preserves the fold's in-request-uniqueness contract
+    val dupIdx: Set[Int] = {
+      val seen = scala.collection.mutable.HashSet.empty[(String, Long)]
+      decoded.iterator.zipWithIndex
+        .collect { case (r, i) if !seen.add((r.entry, r.timestamp)) => i }.toSet
+    }
+    for (i <- dupIdx) rejectHeader(decoded(i).entry, decoded(i).timestamp)
     val in = ex.getRequestBody
     val head = in.readNBytes(spoolThresholdBytes)
-    try {
-      if (head.length < spoolThresholdBytes) {
-        val body = head
-        var offset = 0
-        val rows = decoded.map { rec =>
-          val len = rec.header.contentLength.toInt
-          if (offset + len > body.length)
-            throw unprocessable("Content length mismatch with record headers")
-          val payload = java.util.Arrays.copyOfRange(body, offset, offset + len)
-          offset += len
-          (rec.entry, rec.timestamp, rec.header, payload)
-        }
-        if (offset != body.length)
+    if (head.length < spoolThresholdBytes) {
+      val body = head
+      var offset = 0
+      val rows = decoded.zipWithIndex.map { case (rec, i) =>
+        val len = rec.header.contentLength.toInt
+        if (offset + len > body.length)
           throw unprocessable("Content length mismatch with record headers")
-        import scala.jdk.CollectionConverters._
-        val df = store.spark.createDataFrame(
-          rows.map { case (entry, ts, hdr, payload) =>
-            Row(bucket, entry, ts, hdr.labels, Map.empty[String, String],
-              hdr.contentType, graft.core.Records.State.Finished, payload)
-          }.asJava, graft.core.Records.schema)
-        store.writeWithSettings(bucket, df, incomingBytes = body.length.toLong)
-        for ((entry, rs) <- rows.groupBy(_._1))
-          store.usage.countWrite(bucket, entry, rs.size.toLong,
-            rs.map(_._4.length.toLong).sum)
-      } else {
-        val staged = spoolToStaging(head, in)
-        val fs = staged.getFileSystem(store.spark.sparkContext.hadoopConfiguration)
-        if (fs.getFileStatus(staged).getLen != expected) {
-          fs.delete(staged, false)
-          throw unprocessable("Content length mismatch with record headers")
-        }
-        val slices = decoded.foldLeft((0L, Vector.empty[BucketStore.StagedSlice])) {
-          case ((off, acc), rec) =>
+        val payload = java.util.Arrays.copyOfRange(body, offset, offset + len)
+        offset += len
+        (rec, payload, i)
+      }
+      if (offset != body.length)
+        throw unprocessable("Content length mismatch with record headers")
+      // coalesced + per-record conflict degrade: an existing (entry, ts)
+      // comes back as its x-reduct-error-<idx>-<delta> entry on a 200
+      // with the REST written — the reference's io/write.rs error map
+      // (start_writing fails into error_map per record), which the old
+      // whole-request 409 here diverged from
+      val rejected = writeCoalescer.submit(BucketStore.FoldReq(bucket,
+        rows.collect { case (rec, payload, i) if !dupIdx(i) =>
+          BucketStore.FoldRec(rec.entry, rec.timestamp, rec.header.labels,
+            rec.header.contentType, payload)
+        }))
+      for ((entry, ts) <- rejected) rejectHeader(entry, ts)
+    } else {
+      val staged = spoolToStaging(head, in)
+      val fs = staged.getFileSystem(store.spark.sparkContext.hadoopConfiguration)
+      if (fs.getFileStatus(staged).getLen != expected) {
+        fs.delete(staged, false)
+        throw unprocessable("Content length mismatch with record headers")
+      }
+      // spooled batches keep their own mutation section (the body is on
+      // disk, not foldable without re-spooling) — per-record admission
+      // runs inside it, same semantics as the coalesced path
+      store.mutating {
+        val existing = store.existingKeys(bucket,
+          decoded.zipWithIndex.collect { case (r, i) if !dupIdx(i) =>
+            (r.entry, r.timestamp) })
+        for ((entry, ts) <- existing) rejectHeader(entry, ts)
+        val slices = decoded.zipWithIndex
+          .foldLeft((0L, Vector.empty[BucketStore.StagedSlice])) {
+          case ((off, acc), (rec, i)) =>
             (off + rec.header.contentLength,
-              acc :+ BucketStore.StagedSlice(rec.entry, rec.timestamp,
+              if (dupIdx(i) || existing((rec.entry, rec.timestamp))) acc
+              else acc :+ BucketStore.StagedSlice(rec.entry, rec.timestamp,
                 rec.header.labels, rec.header.contentType,
                 off, rec.header.contentLength))
         }._2
         spooledWrites.incrementAndGet()
-        store.writeStagedSlices(bucket, staged, slices)
+        if (slices.nonEmpty)
+          store.writeStagedSlices(bucket, staged, slices,
+            onConflict = BucketStore.Conflict.Preadmitted) // admitted above
+        else fs.delete(staged, false): Unit
       }
-    } catch { case e: IllegalArgumentException if
-        Option(e.getMessage).exists(_.contains("already exists")) =>
-      throw conflict(e.getMessage) }
+    }
     createdBuckets.add(bucket)
     json(ex, 200, JObject())
   }
@@ -1936,12 +1967,11 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
       // mutation section — concurrent /batch writers share ONE Spark job
       // per bucket instead of one each (the measured serving bottleneck,
       // SCALE.md r17/r18), with serial per-request semantics preserved.
-      val rejected = writeCoalescer.submit(BucketStore.FoldReq(
-        bucket, entry,
+      val rejected = writeCoalescer.submit(BucketStore.FoldReq(bucket,
         sliced.collect { case (ts, hdr, payload, i) if !dupIdx(i) =>
-          BucketStore.FoldRec(ts, hdr.labels, hdr.contentType, payload)
+          BucketStore.FoldRec(entry, ts, hdr.labels, hdr.contentType, payload)
         }))
-      for (ts <- rejected)
+      for ((_, ts) <- rejected)
         respH.set(s"x-reduct-error-$ts",
           s"409,A record with timestamp $ts already exists")
       sliced.size - dupIdx.size - rejected.size

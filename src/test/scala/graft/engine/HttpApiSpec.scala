@@ -1258,6 +1258,31 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
     assert(new String(req("GET", "/b/dup/e?ts=200").body()) == "cccc")
   }
 
+  test("io v2 write conflict degrades per record (io/write.rs error map): " +
+      "200 + x-reduct-error-<idx>-<delta>, rest written") {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val first = BatchWire.encodeBatchV2(Seq(
+      ("ec", 100L, BatchWire.RecordHeader(2, "text/plain", Map.empty))))
+    assert(req("POST", "/io/iw/write", "r0".getBytes, headers = first)
+      .statusCode() == 200)
+    // second batch re-sends ec@100 (conflict) plus two fresh records on
+    // another entry — the batch must NOT 409 wholesale
+    val again = BatchWire.encodeBatchV2(Seq(
+      ("ec", 100L, BatchWire.RecordHeader(2, "text/plain", Map.empty)),
+      ("ed", 100L, BatchWire.RecordHeader(2, "text/plain", Map.empty)),
+      ("ed", 200L, BatchWire.RecordHeader(2, "text/plain", Map.empty))))
+    val w = req("POST", "/io/iw/write", "xxr1r2".getBytes, headers = again)
+    assert(w.statusCode() == 200, new String(w.body()))
+    val errs = w.headers().map().keySet().toArray.map(_.toString.toLowerCase)
+      .filter(_.startsWith("x-reduct-error-")).toSeq
+    assert(errs.size == 1, s"exactly one per-record error, got $errs")
+    assert(w.headers().firstValue(errs.head).get().startsWith("409"))
+    // the conflicting record kept its original payload; the rest landed
+    assert(new String(req("GET", "/b/iw/ec?ts=100").body()) == "r0")
+    assert(new String(req("GET", "/b/iw/ed?ts=100").body()) == "r1")
+    assert(new String(req("GET", "/b/iw/ed?ts=200").body()) == "r2")
+  }
+
   test("writes without a declared content length hard-422 " +
       "(common.rs:12-19 'content-length header is required')") {
     assert(req("POST", "/b/ncl").statusCode() == 200)

@@ -13,15 +13,15 @@ class WriteCoalescerSpec extends AnyFunSuite with SparkTestBase {
   private def newStore(): BucketStore =
     new BucketStore(spark, Files.createTempDirectory("graft-coal").toString)
 
-  private def rec(ts: Long, payload: String = "x") =
-    FoldRec(ts, Map("k" -> "v"), "text/plain", payload.getBytes("UTF-8"))
+  private def rec(entry: String, ts: Long, payload: String = "x") =
+    FoldRec(entry, ts, Map("k" -> "v"), "text/plain", payload.getBytes("UTF-8"))
 
   test("uncontended write degenerates to the old path: full conflict map") {
     val store = newStore()
     val c = new MutationCoalescer(store, store.writeFolded)
-    assert(c.submit(FoldReq("b", "e", Seq(rec(1), rec(2)))) == Set.empty)
+    assert(c.submit(FoldReq("b", Seq(rec("e", 1), rec("e", 2)))) == Set.empty)
     // overlap → rejected set names exactly the existing ts, rest lands
-    assert(c.submit(FoldReq("b", "e", Seq(rec(2, "new"), rec(3)))) == Set(2L))
+    assert(c.submit(FoldReq("b", Seq(rec("e", 2, "new"), rec("e", 3)))) == Set(("e", 2L)))
     val rows = store.table().select("ts", "payload").collect()
       .map(r => r.getLong(0) -> new String(r.getAs[Array[Byte]](1), "UTF-8"))
       .toMap
@@ -37,12 +37,12 @@ class WriteCoalescerSpec extends AnyFunSuite with SparkTestBase {
       "pre".getBytes("UTF-8"))))
     val c = new MutationCoalescer(store, store.writeFolded)
     val base = c.foldedBatches.get()
-    val results = new java.util.concurrent.ConcurrentHashMap[Int, Set[Long]]()
+    val results = new java.util.concurrent.ConcurrentHashMap[Int, Set[(String, Long)]]()
     val threads = (0 until 4).map { t =>
       new Thread(() => {
         // t0 collides with the pre-existing ts=100 on e1; others disjoint
         val entry = if (t == 0) "e1" else s"x$t"
-        results.put(t, c.submit(FoldReq("b", entry, Seq(rec(100), rec(200 + t)))))
+        results.put(t, c.submit(FoldReq("b", Seq(rec(entry, 100), rec(entry, 200 + t)))))
       })
     }
     // hold the store lock so all four writers queue up behind it —
@@ -55,9 +55,9 @@ class WriteCoalescerSpec extends AnyFunSuite with SparkTestBase {
       assert(c.queuedCount == 4, "writers must queue while the lock is held")
     }
     threads.foreach(_.join(30000))
-    assert(results.get(0) == Set(100L), "store-existing ts rejected")
+    assert(results.get(0) == Set(("e1", 100L)), "store-existing ts rejected")
     for (t <- 1 until 4)
-      assert(results.get(t) == Set.empty[Long], s"writer $t clean")
+      assert(results.get(t) == Set.empty[(String, Long)], s"writer $t clean")
     assert(c.foldedBatches.get() - base == 1,
       s"4 contended writes must share ONE mutation, got ${c.foldedBatches.get() - base}")
     assert(c.foldedRequests.get() == 4)
@@ -71,9 +71,9 @@ class WriteCoalescerSpec extends AnyFunSuite with SparkTestBase {
     // same (entry, ts) from two folded requests: first in queue order
     // wins, second gets its per-record rejection — exactly serial
     val r1 = store.writeFolded(Seq(
-      FoldReq("b", "e", Seq(rec(1, "first"))),
-      FoldReq("b", "e", Seq(rec(1, "second"), rec(2)))))
-    assert(r1 == Seq(Right(Set.empty[Long]), Right(Set(1L))))
+      FoldReq("b", Seq(rec("e", 1, "first"))),
+      FoldReq("b", Seq(rec("e", 1, "second"), rec("e", 2)))))
+    assert(r1 == Seq(Right(Set.empty[(String, Long)]), Right(Set(("e", 1L)))))
     val kept = store.table().filter("ts = 1").select("payload").collect()
     assert(new String(kept(0).getAs[Array[Byte]](0), "UTF-8") == "first")
     // HARD quota: request admission is cumulative IN ORDER — a fold
@@ -82,12 +82,24 @@ class WriteCoalescerSpec extends AnyFunSuite with SparkTestBase {
       BucketStore.BucketSettings(quotaType = Some("HARD"),
         quotaSize = Some(store.bucketSizeBytes("q") + 12)))
     val r2 = store.writeFolded(Seq(
-      FoldReq("q", "e", Seq(rec(1, "0123456789"))), // 10 bytes, fits
-      FoldReq("q", "e", Seq(rec(2, "0123456789"))))) // would exceed
-    assert(r2(0) == Right(Set.empty[Long]))
+      FoldReq("q", Seq(rec("e", 1, "0123456789"))), // 10 bytes, fits
+      FoldReq("q", Seq(rec("e", 2, "0123456789"))))) // would exceed
+    assert(r2(0) == Right(Set.empty[(String, Long)]))
     assert(r2(1).isLeft &&
       r2(1).left.exists(_.getMessage.contains("Quota of 'q' exceeded")))
     assert(store.table().filter("bucket = 'q'").count() == 1)
+  }
+
+  test("multi-entry requests fold too (the io v2 wire shape): rejection " +
+      "keys carry the entry") {
+    val store = newStore()
+    store.writeBatch("b", "e2", Seq((5L, Map.empty[String, String],
+      "pre".getBytes("UTF-8"))))
+    val r = store.writeFolded(Seq(FoldReq("b", Seq(
+      rec("e1", 5), rec("e2", 5), rec("e3", 7)))))
+    assert(r == Seq(Right(Set(("e2", 5L)))),
+      "only the existing (entry, ts) pair is rejected, same ts elsewhere lands")
+    assert(store.table().filter("bucket = 'b'").count() == 3) // pre + e1@5 + e3@7
   }
 
   test("updateLabelsFolded: per-request match counts; cross-request " +
