@@ -892,24 +892,27 @@ final class BucketStore(val spark: SparkSession, val root: String) {
   /** Coalesced label updates: concurrent batched PATCHes fold into one
     * overlay-append job per bucket ([[writeFolded]]'s amortization for
     * the update path). Each request is (bucket, updates); its result is
-    * the count of ITS updates that matched a record — attribution via
-    * [[updateLabelsMatched]]'s key set. Cross-request deltas on the same
-    * (entry, ts) compose in queue order inside updateLabelsMatched,
-    * exactly the serial outcome. A failed bucket job fails every request
-    * that touched that bucket (infrastructure failure, not per-request
-    * admission — serially each would have hit it too). */
+    * the set of ITS (entry, ts) keys that matched a record — attribution
+    * via [[updateLabelsMatched]]'s key set, so the HTTP layer derives
+    * BOTH the updated count and the per-record 404 map from the SAME
+    * mutation (no separate existence pre-scan, no check-then-apply
+    * race). Cross-request deltas on the same (entry, ts) compose in
+    * queue order inside updateLabelsMatched, exactly the serial
+    * outcome. A failed bucket job fails every request that touched that
+    * bucket (infrastructure failure, not per-request admission —
+    * serially each would have hit it too). */
   def updateLabelsFolded(
       reqs: Seq[(String, Seq[(String, Long, Map[String, String], Set[String])])])
-      : Seq[Either[Throwable, Long]] = mutating {
+      : Seq[Either[Throwable, Set[(String, Long)]]] = mutating {
     import scala.util.control.NonFatal
-    val results = new Array[Either[Throwable, Long]](reqs.size)
+    val results = new Array[Either[Throwable, Set[(String, Long)]]](reqs.size)
     for ((bucket, group) <- reqs.zipWithIndex.groupBy(_._1._1)) {
       try {
         val matched =
           updateLabelsMatched(bucket, group.flatMap(_._1._2))
         for (((_, updates), idx) <- group)
           results(idx) = Right(
-            updates.count(u => matched((u._1, u._2))).toLong)
+            updates.iterator.map(u => (u._1, u._2)).filter(matched).toSet)
       } catch { case NonFatal(e) =>
         for ((_, idx) <- group) results(idx) = Left(e)
       }

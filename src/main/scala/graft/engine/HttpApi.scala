@@ -1887,8 +1887,8 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
         val (set, remove) = BatchWire.parseLabelDelta(v, labelNames)
         (entries(idx), startTs + delta, set, remove)
       }
-    val n = updateCoalescer.submit((bucket, updates.toSeq))
-    json(ex, 200, JObject("updated_records" -> JInt(BigInt(n))))
+    val matched = updateCoalescer.submit((bucket, updates.toSeq))
+    json(ex, 200, JObject("updated_records" -> JInt(BigInt(matched.size))))
   }
 
   /** POST /b/:b/:e/batch (write_batched.rs): one request writes many
@@ -2011,16 +2011,18 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     val timed = BatchWire.sortHeadersByTime(requestHeaders(ex))
       .map { case (ts, raw) => (ts, BatchWire.parseBatchedHeader(raw)) }
     if (timed.isEmpty) throw unprocessable("No records to update")
-    val existing = store.existingTimestamps(bucket, entry, timed.map(_._1))
-    val respH = ex.getResponseHeaders
-    for (ts <- timed.map(_._1) if !existing(ts))
-      respH.set(s"x-reduct-error-$ts", "404,No record with timestamp " + ts)
-    val updates = timed.collect { case (ts, hdr) if existing(ts) =>
+    val updates = timed.map { case (ts, hdr) =>
       val (set, remove) = hdr.labels.partition(_._2.nonEmpty)
       (entry, ts, set, remove.keySet)
     }
-    val n = updateCoalescer.submit((bucket, updates))
-    json(ex, 200, JObject("updated_records" -> JInt(BigInt(n))))
+    // ONE folded mutation yields both the updated count and the 404 map
+    // (matched-key attribution) — the old existence pre-scan was a
+    // separate Spark job per PATCH and a check-then-apply race window
+    val matched = updateCoalescer.submit((bucket, updates))
+    val respH = ex.getResponseHeaders
+    for (ts <- timed.map(_._1) if !matched((entry, ts)))
+      respH.set(s"x-reduct-error-$ts", "404,No record with timestamp " + ts)
+    json(ex, 200, JObject("updated_records" -> JInt(BigInt(matched.size))))
   }
 
   /** DELETE /b/:b/:e/batch (remove_batched.rs): delete the records named

@@ -115,7 +115,8 @@ class WriteCoalescerSpec extends AnyFunSuite with SparkTestBase {
       // req 1: later delta on ts=1 removes k2 and sets k3 — composes
       // AFTER req 0's (serial order)
       ("b", Seq(("e", 1L, Map("k3" -> "y"), Set("k2"))))))
-    assert(r == Seq(Right(2L), Right(1L)), "per-request matched counts")
+    assert(r == Seq(Right(Set(("e", 1L), ("e", 2L))), Right(Set(("e", 1L)))),
+      "per-request matched keys — ts=9 missing from req 0's set (its 404)")
     val labels1 = store.table().filter("ts = 1")
       .select("labels").collect()(0).getAs[Map[String, String]](0)
     assert(labels1 == Map("k" -> "v", "k3" -> "y"),
