@@ -455,16 +455,19 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     * preflight for exactly the client those limits exist to stop.
     * A present-but-non-numeric value is equally a 422 (common.rs:24-26),
     * never silently coerced to 0. */
-  private def declaredContentLength(ex: HttpExchange): Long = {
-    val (name, value) =
-      Option(ex.getRequestHeaders.getFirst("Content-Length"))
-        .map(("content-length", _))
-        .orElse(Option(ex.getRequestHeaders.getFirst("x-reduct-content-length"))
-          .map(("x-reduct-content-length", _)))
-        .getOrElse(throw unprocessable("content-length header is required"))
-    value.trim.toLongOption.filter(_ >= 0)
-      .getOrElse(throw unprocessable(s"$name header must be a number"))
-  }
+  private def declaredContentLengthOpt(ex: HttpExchange): Option[Long] =
+    Option(ex.getRequestHeaders.getFirst("Content-Length"))
+      .map(("content-length", _))
+      .orElse(Option(ex.getRequestHeaders.getFirst("x-reduct-content-length"))
+        .map(("x-reduct-content-length", _)))
+      .map { case (name, value) =>
+        value.trim.toLongOption.filter(_ >= 0)
+          .getOrElse(throw unprocessable(s"$name header must be a number"))
+      }
+
+  private def declaredContentLength(ex: HttpExchange): Long =
+    declaredContentLengthOpt(ex)
+      .getOrElse(throw unprocessable("content-length header is required"))
 
   private def auth(ex: HttpExchange, policy: Policy): Unit =
     tokens.check(Option(ex.getRequestHeaders.getFirst("Authorization")),
@@ -846,11 +849,11 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     // the whole body copy + write holds one in-flight writer slot
     // (write_record.rs:69) — a flood of slow uploads queues here
     // instead of exhausting threads and staging disk
-    inFlight.withWriterSlot { writeSingleAdmitted(ex, bucket, entry, ts) }
+    inFlight.withWriterSlot { writeSingleAdmitted(ex, bucket, entry, ts, declared) }
   }
 
   private def writeSingleAdmitted(ex: HttpExchange, bucket: String,
-      entry: String, ts: Long): Unit = {
+      entry: String, ts: Long, declared: Long): Unit = {
     val ct = Option(ex.getRequestHeaders.getFirst("Content-Type"))
       .getOrElse("application/octet-stream")
     // Stream, don't buffer (write_single.rs streams bodies): read up to
@@ -859,8 +862,21 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     // 10 MB record costs this handler one chunk buffer, not 10 MB.
     val in = ex.getRequestBody
     val head = in.readNBytes(spoolThresholdBytes)
+    // The body must match its declaration. With a real Content-Length the
+    // server bounds the stream, so this only bites the alt-header +
+    // chunked path (PR-1411) — where a mismatch previously stored a
+    // truncated record silently. Reference messages: record_writer.rs:133
+    // (bigger), write_batched.rs:162 (shorter, bad_request both).
+    def checkDeclared(actual: Long): Unit = {
+      if (actual > declared)
+        throw ApiError(400, "Content is bigger than in content-length")
+      if (actual < declared)
+        throw ApiError(400,
+          "Content is shorter than expected: no more data to read")
+    }
     try {
       if (head.length < spoolThresholdBytes) {
+        checkDeclared(head.length.toLong)
         // coalesced: concurrent single writes share one store mutation
         val rejected = writeCoalescer.submit(BucketStore.FoldReq(bucket,
           Seq(BucketStore.FoldRec(entry, ts, labelHeaders(ex), ct, head))))
@@ -868,6 +884,9 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
           throw conflict(s"A record with timestamp $ts already exists")
       } else {
         val staged = spoolToStaging(head, in)
+        val fs = staged.getFileSystem(store.spark.sparkContext.hadoopConfiguration)
+        try checkDeclared(fs.getFileStatus(staged).getLen)
+        catch { case e: ApiError => fs.delete(staged, false); throw e }
         spooledWrites.incrementAndGet()
         store.writeStaged(bucket, entry, ts, labelHeaders(ex), ct, staged)
       }
@@ -1738,18 +1757,25 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     * so large batches spool to staging like single records do, and the
     * payload slicing happens executor-side ([[BucketStore.writeStagedSlices]]). */
   private def ioWrite(ex: HttpExchange, bucket: String): Unit = {
-    // ingress admission before the body is consumed (io/write.rs:68-78);
-    // storage-cap preflight with the declared size (engine.rs:226)
-    val declared = declaredContentLength(ex)
-    limits.checkIngress(requestClientIp(ex), declared)
-    store.ensureStorageLimit(declared)
-    // body copy + write under one in-flight writer slot (write_record.rs:69)
-    inFlight.withWriterSlot { ioWriteAdmitted(ex, bucket) }
-  }
-
-  private def ioWriteAdmitted(ex: HttpExchange, bucket: String): Unit = {
+    // v2 REQUIRES the declared header AND it must match the sum of the
+    // per-record lengths (io/write.rs:154-173 check_and_get_content_length
+    // → parse_content_length_from_header), all checked BEFORE the body;
+    // ingress admission + storage-cap preflight on that size
+    // (io/write.rs:68-78, engine.rs:226)
     val headers = requestHeaders(ex)
     val decoded = BatchWire.decodeBatchV2(headers)
+    val expected = decoded.map(_.header.contentLength).sum
+    if (declaredContentLength(ex) != expected) throw unprocessable(
+      "content-length header does not match the sum of the content-lengths in the headers")
+    limits.checkIngress(requestClientIp(ex), expected)
+    store.ensureStorageLimit(expected)
+    // body copy + write under one in-flight writer slot (write_record.rs:69)
+    inFlight.withWriterSlot { ioWriteAdmitted(ex, bucket, headers, decoded) }
+  }
+
+  private def ioWriteAdmitted(ex: HttpExchange, bucket: String,
+      headers: Seq[(String, String)],
+      decoded: Seq[BatchWire.EntryRecordHeader]): Unit = {
     val expected = decoded.map(_.header.contentLength).sum
     // error headers are keyed (entry_idx, delta) in the v2 wire
     // (io/write.rs:101-103 err_to_batched_header)
@@ -1900,18 +1926,25 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     * written — the reference's error map, not an all-or-nothing batch.
     * Spools past the threshold like writeSingle/ioWrite. */
   private def writeBatched(ex: HttpExchange, bucket: String, entry: String): Unit = {
-    // ingress admission on the declared batch size before the body is
-    // consumed (write_batched.rs:66-76); storage-cap preflight with the
-    // declared size (engine.rs:226)
-    val declared = declaredContentLength(ex)
-    limits.checkIngress(requestClientIp(ex), declared)
-    store.ensureStorageLimit(declared)
     val timed = BatchWire.sortHeadersByTime(requestHeaders(ex))
       .map { case (ts, raw) => (ts, BatchWire.parseBatchedHeader(raw)) }
     if (timed.isEmpty) throw unprocessable("No records in batch")
     for ((_, h) <- timed if h.contentLength > Int.MaxValue)
       throw unprocessable("Record content length too large")
+    // The batch's expected size is the SUM of the per-record lengths.
+    // A declared content-length header is OPTIONAL here — a body sent
+    // with Content-Encoding arrives without one, and the record sum
+    // defines the size then — but when present it must MATCH the sum
+    // (write_batched.rs:278-298 check_and_get_content_length). Ingress
+    // admission + storage-cap preflight run on the sum, before the body
+    // is consumed (write_batched.rs:66-76, engine.rs:226).
     val expected = timed.map(_._2.contentLength).sum
+    declaredContentLengthOpt(ex).foreach { declared =>
+      if (declared != expected) throw unprocessable(
+        "content-length header does not match the sum of the content-lengths in the headers")
+    }
+    limits.checkIngress(requestClientIp(ex), expected)
+    store.ensureStorageLimit(expected)
     val respH = ex.getResponseHeaders
     // in-batch duplicate ts (aliased header spellings — x-reduct-time-0100
     // and x-reduct-time-100 parse to the same ts) degrades to its

@@ -1315,4 +1315,55 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
     assert(ok.contains("200"), s"declared length must admit, got: $ok")
     assert(store.existingTimestamps("ncl", "e", Seq(7L)) == Set(7L))
   }
+
+  test("declared-vs-actual and declared-vs-sum content length parity " +
+      "(check_and_get_content_length + record_writer bounds)") {
+    assert(req("POST", "/b/cl").statusCode() == 200)
+    def raw(target: String, headers: String, chunkedBody: String): String = {
+      val sock = new java.net.Socket("127.0.0.1", port)
+      try {
+        val out = sock.getOutputStream
+        out.write((s"POST $target HTTP/1.1\r\n" +
+          "Host: 127.0.0.1\r\nAuthorization: Bearer root-token\r\n" +
+          headers + "Transfer-Encoding: chunked\r\n\r\n" +
+          chunkedBody + "0\r\n\r\n").getBytes("US-ASCII"))
+        out.flush()
+        new java.io.BufferedReader(
+          new java.io.InputStreamReader(sock.getInputStream)).readLine()
+      } finally sock.close()
+    }
+    // single write, alt-header chunked: a TRUNCATED body must 400, not
+    // silently store a short record (write_batched.rs:162 message class)
+    val short = raw("/api/v1/b/cl/e?ts=1",
+      "x-reduct-content-length: 10\r\n", "2\r\nab\r\n")
+    assert(short.contains("400"), s"short body must 400, got: $short")
+    // ...and an OVERLONG body must 400 (record_writer.rs:133)
+    val long = raw("/api/v1/b/cl/e?ts=2",
+      "x-reduct-content-length: 1\r\n", "2\r\nab\r\n")
+    assert(long.contains("400"), s"overlong body must 400, got: $long")
+    assert(store.existingTimestamps("cl", "e", Seq(1L, 2L)).isEmpty,
+      "neither mismatched record may land")
+    // v1 batched write WITHOUT any content-length header is ACCEPTED —
+    // the record-length sum defines the size (the Content-Encoding
+    // shape, write_batched.rs:288-291); my earlier 422 here would have
+    // been a parity break
+    val noHdr = raw("/api/v1/b/cl/e/batch",
+      "x-reduct-time-50: 5,text/plain\r\n", "5\r\nhello\r\n")
+    assert(noHdr.contains("200"), s"sum-defined batch must admit, got: $noHdr")
+    assert(store.existingTimestamps("cl", "e", Seq(50L)) == Set(50L))
+    // a PRESENT header that contradicts the sum is a 422
+    // (write_batched.rs:293-297)
+    val clash = raw("/api/v1/b/cl/e/batch",
+      "x-reduct-time-60: 5,text/plain\r\nx-reduct-content-length: 3\r\n",
+      "5\r\nhello\r\n")
+    assert(clash.contains("422"), s"sum mismatch must 422, got: $clash")
+    // io v2: header REQUIRED and must equal the sum (io/write.rs:154-173)
+    // — the JDK client's Content-Length is the body length, so a body
+    // sized differently from the record sum trips the check pre-body
+    val wire = BatchWire.encodeBatchV2(Seq(
+      ("e", 70L, BatchWire.RecordHeader(2, "text/plain", Map.empty))))
+    val w = req("POST", "/io/cl/write", "abcd".getBytes, headers = wire)
+    assert(w.statusCode() == 422, new String(w.body()))
+    assert(new String(w.body()).contains("does not match the sum"))
+  }
 }
