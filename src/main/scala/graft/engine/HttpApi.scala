@@ -165,6 +165,15 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
       // check_api_rate_limit layer wraps the whole router, health
       // probes included (http.rs:271-274, middleware.rs:61-89)
       limits.checkApiRequest(requestClientIp(ex))
+      // unsupported request coding → 415 before any handler work, the
+      // RequestDecompressionLayer default (http.rs:266); supported ones
+      // are decompressed lazily at body-read ([[requestBody]])
+      requestContentEncoding(ex).foreach {
+        case "gzip" | "zstd" => ()
+        case other =>
+          ex.getResponseHeaders.set("Accept-Encoding", "gzip, zstd, identity")
+          throw ApiError(415, s"Unsupported Content-Encoding: $other")
+      }
       (method, segs) match {
         // health probes, both verbs (api/http/server.rs:26-32) —
         // orchestration GETs /ready constantly
@@ -455,9 +464,27 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     * preflight for exactly the client those limits exist to stop.
     * A present-but-non-numeric value is equally a 422 (common.rs:24-26),
     * never silently coerced to 0. */
+  /** Non-identity Content-Encoding of the request, lowercased. */
+  private def requestContentEncoding(ex: HttpExchange): Option[String] =
+    Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
+      .map(_.trim.toLowerCase).filter(e => e.nonEmpty && e != "identity")
+
+  /** Request-body stream with the reference's server-wide
+    * RequestDecompressionLayer semantics (http.rs:262-266): bodies sent
+    * with Content-Encoding gzip/zstd — e.g. compressed replication
+    * batches (Issue-1348) — are transparently decompressed. Unsupported
+    * codings were already 415'd pre-routing ([[handle]]). */
+  private def requestBody(ex: HttpExchange): java.io.InputStream =
+    HttpApi.decodeBody(ex.getRequestBody, requestContentEncoding(ex))
+
   private def declaredContentLengthOpt(ex: HttpExchange): Option[Long] =
     Option(ex.getRequestHeaders.getFirst("Content-Length"))
       .map(("content-length", _))
+      // a compressed body's content-length describes the COMPRESSED
+      // stream — the decompression layer consumes it in the reference
+      // (http.rs:264-265), so the raw size comes from the alternative
+      // header (or the record-length sum on batch routes)
+      .filter(_ => requestContentEncoding(ex).isEmpty)
       .orElse(Option(ex.getRequestHeaders.getFirst("x-reduct-content-length"))
         .map(("x-reduct-content-length", _)))
       .map { case (name, value) =>
@@ -860,7 +887,7 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     // the spool threshold in memory; anything larger is copied to a
     // staging file on the store's filesystem in 64 KiB chunks, so a
     // 10 MB record costs this handler one chunk buffer, not 10 MB.
-    val in = ex.getRequestBody
+    val in = requestBody(ex)
     val head = in.readNBytes(spoolThresholdBytes)
     // The body must match its declaration. With a real Content-Length the
     // server bounds the stream, so this only bites the alt-header +
@@ -1797,7 +1824,7 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
         .collect { case (r, i) if !seen.add((r.entry, r.timestamp)) => i }.toSet
     }
     for (i <- dupIdx) rejectHeader(decoded(i).entry, decoded(i).timestamp)
-    val in = ex.getRequestBody
+    val in = requestBody(ex)
     val head = in.readNBytes(spoolThresholdBytes)
     if (head.length < spoolThresholdBytes) {
       val body = head
@@ -1962,7 +1989,7 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     for (ts <- dupIdx.toSeq.map(timed(_)._1).distinct)
       respH.set(s"x-reduct-error-$ts",
         s"409,A record with timestamp $ts already exists")
-    val in = ex.getRequestBody
+    val in = requestBody(ex)
     val head = in.readNBytes(spoolThresholdBytes)
     // The per-record conflict admission (the reference checks per
     // record) runs inside the SAME store mutation section as the write:
@@ -2214,7 +2241,22 @@ object HttpApi {
       }.toMap).getOrElse(Map.empty)
 
   private[engine] def readBody(ex: HttpExchange): Array[Byte] =
-    ex.getRequestBody.readAllBytes()
+    decodeBody(ex.getRequestBody,
+      Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
+        .map(_.trim.toLowerCase).filter(e => e.nonEmpty && e != "identity"))
+      .readAllBytes()
+
+  /** Wrap a request body in its Content-Encoding decoder — gzip/zstd,
+    * the codings the reference's RequestDecompressionLayer accepts
+    * (http.rs:262-266). Unsupported codings are 415'd pre-routing. */
+  private[engine] def decodeBody(in: java.io.InputStream,
+      encoding: Option[String]): java.io.InputStream = encoding match {
+    case None         => in
+    case Some("gzip") => new java.util.zip.GZIPInputStream(in)
+    case Some("zstd") => new com.github.luben.zstd.ZstdInputStream(in)
+    case Some(other)  => // unreachable: handle() 415s before routing
+      throw Auth.ApiError(415, s"Unsupported Content-Encoding: $other")
+  }
 
   /** SSLContext from a PKCS12 keystore — the JVM packaging of the
     * reference's cert_path + cert_key_path PEM pair. */
@@ -2251,6 +2293,21 @@ object HttpApi {
   }
 
   private[engine] def errorResponse(ex: HttpExchange, status: Int, msg: String): Unit = {
+    // Drain what's left of the request body before erroring — the
+    // reference does the same on write errors (write_batched.rs:105-110
+    // "draining the stream"): an admission 4xx now fires BEFORE the body
+    // is read, and responding with megabytes still in flight makes the
+    // server reset the connection, so the client sees an IO error
+    // instead of the status. Bounded: a body past the cap (64 MiB — far
+    // above any admissible batch, since oversize requests were already
+    // refused at admission) forfeits keep-alive instead of being paid.
+    try {
+      val in = ex.getRequestBody
+      val buf = new Array[Byte](64 * 1024)
+      var drained = 0L
+      var n = in.read(buf)
+      while (n >= 0 && drained <= 64L * 1024 * 1024) { drained += n; n = in.read(buf) }
+    } catch { case scala.util.control.NonFatal(_) => () }
     // header values are Latin-1 on the wire; a non-ASCII char in an
     // exception message (which can echo user data) would otherwise kill
     // the response mid-write and the client sees a dropped connection.

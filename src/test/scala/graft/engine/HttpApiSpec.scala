@@ -1366,4 +1366,48 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
     assert(w.statusCode() == 422, new String(w.body()))
     assert(new String(w.body()).contains("does not match the sum"))
   }
+
+  test("Content-Encoding request decompression (RequestDecompressionLayer " +
+      "analog, http.rs:262-266): gzip/zstd bodies decode, others 415") {
+    assert(req("POST", "/b/enc").statusCode() == 200)
+    def gzip(raw: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(raw); gz.close(); bos.toByteArray
+    }
+    // batched write, gzip body, NO x-reduct-content-length: the client's
+    // Content-Length is the COMPRESSED size and must be ignored — the
+    // record-length sum defines the raw size (write_batched.rs:287-291)
+    val raw = "hello" + "world"
+    val wb = req("POST", "/b/enc/e/batch", gzip(raw.getBytes("UTF-8")),
+      headers = Seq("Content-Encoding" -> "gzip",
+        "x-reduct-time-100" -> "5,text/plain",
+        "x-reduct-time-200" -> "5,text/plain"))
+    assert(wb.statusCode() == 200, new String(wb.body()))
+    assert(new String(req("GET", "/b/enc/e?ts=100").body()) == "hello")
+    assert(new String(req("GET", "/b/enc/e?ts=200").body()) == "world")
+    // single write: raw size declared via the alternative header
+    // (the decompression consumed content-length, PR-1411 shape)
+    val ws = req("POST", "/b/enc/e?ts=300", gzip("payload".getBytes("UTF-8")),
+      headers = Seq("Content-Encoding" -> "gzip",
+        "x-reduct-content-length" -> "7"))
+    assert(ws.statusCode() == 200, new String(ws.body()))
+    assert(new String(req("GET", "/b/enc/e?ts=300").body()) == "payload")
+    // zstd too (compressed replication batches, Issue-1348)
+    val zstd = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new com.github.luben.zstd.ZstdOutputStream(bos)
+      z.write("zz".getBytes("UTF-8")); z.close(); bos.toByteArray
+    }
+    val wz = req("POST", "/b/enc/e?ts=400", zstd,
+      headers = Seq("Content-Encoding" -> "zstd",
+        "x-reduct-content-length" -> "2"))
+    assert(wz.statusCode() == 200, new String(wz.body()))
+    // unsupported coding → 415 before any handler work
+    val bad = req("POST", "/b/enc/e?ts=500", "x".getBytes,
+      headers = Seq("Content-Encoding" -> "br"))
+    assert(bad.statusCode() == 415)
+    assert(bad.headers().firstValue("Accept-Encoding").get()
+      .contains("gzip"))
+  }
 }
