@@ -65,6 +65,16 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
   /** `RS_IO_MAX_WRITERS_IN_FLIGHT` concurrent-write admission
     * (storage/in_flight.rs, PR-1357/1361). */
   private[engine] val inFlight = InFlightIo.fromEnv(env)
+  /** `RS_CORS_ALLOW_ORIGIN` — comma-separated allowed origins, `*` for
+    * any (cfg.rs:511-519, http.rs:281-296 configure_cors: allow_methods/
+    * allow_headers/expose_headers Any). Empty (default) = CORS headers
+    * never emitted, preflights still answered 200 without allow-origin
+    * (the browser then blocks — the CorsLayer-with-no-origins shape). */
+  private val corsAllowOrigins: Seq[String] =
+    env.get("RS_CORS_ALLOW_ORIGIN")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+
   /** Cross-request mutation coalescing: concurrent writes, label
     * updates, and removes each fold into one store mutation (one Spark
     * job per bucket and mutation type) while preserving serial
@@ -157,6 +167,34 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
       // gate compatibility on x-reduct-api (api/http/middleware.rs:29-45)
       ex.getResponseHeaders.set("Server", s"graft ${HttpApi.ServerVersion}")
       ex.getResponseHeaders.set("x-reduct-api", HttpApi.ApiVersion)
+      // CORS runs OUTERMOST — the reference's CorsLayer is the last
+      // .layer() in http.rs:275, so preflights never reach rate limiting,
+      // auth, or routing. Allowed origins echo back (or `*` in any-mode);
+      // a disallowed origin gets no CORS headers but the request still
+      // serves (the browser enforces).
+      Option(ex.getRequestHeaders.getFirst("Origin")).foreach { origin =>
+        val allowed =
+          if (corsAllowOrigins.contains("*")) Some("*")
+          else if (corsAllowOrigins.contains(origin)) Some(origin)
+          else None
+        allowed.foreach { a =>
+          val h = ex.getResponseHeaders
+          h.set("Access-Control-Allow-Origin", a)
+          h.set("Access-Control-Expose-Headers", "*")
+          if (a != "*") h.add("Vary", "Origin")
+        }
+      }
+      if (ex.getRequestMethod.equalsIgnoreCase("OPTIONS") &&
+          ex.getRequestHeaders.containsKey("Origin") &&
+          ex.getRequestHeaders.containsKey("Access-Control-Request-Method")) {
+        val h = ex.getResponseHeaders
+        if (h.containsKey("Access-Control-Allow-Origin")) {
+          h.set("Access-Control-Allow-Methods", "*")
+          h.set("Access-Control-Allow-Headers", "*")
+        }
+        respond(ex, 200, Array.empty)
+        return
+      }
       val path = ex.getRequestURI.getPath.stripPrefix("/api/v1").stripPrefix("/")
       val segs = path.split("/").filter(_.nonEmpty).map(urlDecode).toList
       val method = ex.getRequestMethod.toUpperCase

@@ -1367,6 +1367,64 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
     assert(new String(w.body()).contains("does not match the sum"))
   }
 
+  test("CORS (RS_CORS_ALLOW_ORIGIN, http.rs:281-296): preflight + echo " +
+      "for allowed origins, silence for others, star mode") {
+    val corsStore = new BucketStore(spark,
+      Files.createTempDirectory("graft-cors").toString)
+    val corsApi = new HttpApi(corsStore, apiToken = "root-token",
+      env = Map("RS_CORS_ALLOW_ORIGIN" -> "https://a.example, https://b.example"))
+    val p = corsApi.start()
+    def creq(method: String, headers: Seq[(String, String)]): HttpResponse[Array[Byte]] = {
+      var b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/api/v1/alive"))
+        .method(method, HttpRequest.BodyPublishers.noBody())
+      for ((k, v) <- headers) b = b.header(k, v)
+      client.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
+    }
+    try {
+      // preflight: 200 BEFORE auth/rate limiting/routing (the CorsLayer
+      // is the outermost layer), allowed origin echoed, Any methods/headers
+      val pre = creq("OPTIONS", Seq("Origin" -> "https://a.example",
+        "Access-Control-Request-Method" -> "POST"))
+      assert(pre.statusCode() == 200)
+      assert(pre.headers().firstValue("Access-Control-Allow-Origin").get()
+        == "https://a.example")
+      assert(pre.headers().firstValue("Access-Control-Allow-Methods").get() == "*")
+      assert(pre.headers().firstValue("Access-Control-Allow-Headers").get() == "*")
+      // simple request: origin echoed + expose-headers; Vary: Origin set
+      val ok = creq("GET", Seq("Origin" -> "https://b.example"))
+      assert(ok.statusCode() == 200)
+      assert(ok.headers().firstValue("Access-Control-Allow-Origin").get()
+        == "https://b.example")
+      assert(ok.headers().firstValue("Access-Control-Expose-Headers").get() == "*")
+      assert(ok.headers().allValues("Vary").toArray.mkString(",").contains("Origin"))
+      // disallowed origin: request still serves, NO CORS headers (the
+      // browser enforces); preflight answers 200 without allow-origin
+      val no = creq("GET", Seq("Origin" -> "https://evil.example"))
+      assert(no.statusCode() == 200)
+      assert(no.headers().firstValue("Access-Control-Allow-Origin").isEmpty)
+      val noPre = creq("OPTIONS", Seq("Origin" -> "https://evil.example",
+        "Access-Control-Request-Method" -> "POST"))
+      assert(noPre.statusCode() == 200)
+      assert(noPre.headers().firstValue("Access-Control-Allow-Origin").isEmpty)
+    } finally corsApi.stop()
+    // star mode allows any origin as literal *
+    val anyApi = new HttpApi(corsStore, apiToken = "root-token",
+      env = Map("RS_CORS_ALLOW_ORIGIN" -> "*"))
+    val p2 = anyApi.start()
+    try {
+      val r = client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$p2/api/v1/alive"))
+        .header("Origin", "https://anything.example")
+        .method("GET", HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(r.headers().firstValue("Access-Control-Allow-Origin").get() == "*")
+    } finally anyApi.stop()
+    // default (unset): no CORS headers ever
+    val plain = req("GET", "/alive", token = "",
+      headers = Seq("Origin" -> "https://a.example"))
+    assert(plain.headers().firstValue("Access-Control-Allow-Origin").isEmpty)
+  }
+
   test("Content-Encoding request decompression (RequestDecompressionLayer " +
       "analog, http.rs:262-266): gzip/zstd bodies decode, others 415") {
     assert(req("POST", "/b/enc").statusCode() == 200)
