@@ -36,7 +36,21 @@ import scala.util.control.NonFatal
   * them on read unless asked, so the pair keeps an end-to-end integrity
   * check on the payload path; hdfs/s3a schemes are unaffected.
   */
-final class BucketStore(val spark: SparkSession, val root: String) {
+final class BucketStore(val spark: SparkSession, val root: String,
+    /** Read-only replica mode — `RS_INSTANCE_ROLE=REPLICA`
+      * (cfg.rs:217-228). A replica serves reads over a SHARED tree the
+      * primary owns: it never takes the writer lock (the primary holds
+      * it), and every mutator is refused with the reference's
+      * check_mode error (engine.rs:163-171, 403 forbidden). The parquet
+      * table re-lists files per query, so new primary writes become
+      * visible without any sync protocol; [[refreshReplica]] invalidates
+      * the version-keyed caches (sizes, counts) on the reference's
+      * replica-reload cadence (engine/read_only.rs reload_replica,
+      * launcher.rs periodical_replica_reload). Shared-tree visibility
+      * beyond one process inherits the Hadoop FS's listing semantics —
+      * the same contract the reference's replica has over its remote
+      * backend. */
+    val readOnly: Boolean = false) {
   import BucketStore._
 
   spark.conf.set("spark.sql.parquet.compression.codec", "zstd")
@@ -48,7 +62,8 @@ final class BucketStore(val spark: SparkSession, val root: String) {
   // claims `root/_writer.lock`, later same-process instances attach, a
   // different live process fails fast here. Stale (dead-holder) locks
   // are taken over after WriterLock.staleMs. See [[WriterLock]].
-  WriterLock.acquire(root, spark.sparkContext.hadoopConfiguration)
+  // A read-only replica never claims it — the primary owns the root.
+  if (!readOnly) WriterLock.acquire(root, spark.sparkContext.hadoopConfiguration)
 
   private val lockReleased = new java.util.concurrent.atomic.AtomicBoolean(false)
 
@@ -59,7 +74,7 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     * same-root instance. Optional — a JVM shutdown hook releases
     * everything on normal exit. */
   def close(): Unit =
-    if (lockReleased.compareAndSet(false, true))
+    if (!readOnly && lockReleased.compareAndSet(false, true))
       WriterLock.release(root, spark.sparkContext.hadoopConfiguration)
 
   /** Store-wide mutation lock. Spark's file committer stages every job
@@ -84,8 +99,17 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     * to `writeLock.synchronized`, then the data version moves so cached
     * figures invalidate. A bump on a failed/no-op mutation is harmless
     * (one spare recompute). */
-  private[graft] def mutating[T](f: => T): T =
+  private[graft] def mutating[T](f: => T): T = {
+    if (readOnly) throw new BucketStore.ReadOnlyStoreException(
+      "Cannot perform this operation in read-only mode")
     writeLock.synchronized { try f finally dataVersionCounter.incrementAndGet() }
+  }
+
+  /** Replica cache refresh (reload_replica analog): the data table
+    * re-lists files per query already, so a refresh only needs to
+    * invalidate version-keyed derived figures (store/bucket sizes,
+    * counts) so they recompute against the primary's current tree. */
+  def refreshReplica(): Unit = { dataVersionCounter.incrementAndGet(); () }
 
   /** Rewrite epoch: ODD while a partition-swap's visible changes
     * (renames + emptied-dir deletes) are in flight, even when the tree
@@ -1562,6 +1586,74 @@ final class BucketStore(val spark: SparkSession, val root: String) {
       }.toMap
   }
 
+  /** Periodic storage maintenance — the engine's compaction tick
+    * (`RS_ENGINE_COMPACTION_INTERVAL`, engine.rs:520-531
+    * run_bucket_maintenance → entry.rs:340 compact). The reference
+    * flushes block-manager cache metadata and WAL indexes; a parquet
+    * store's equivalent layout debt is SMALL FILES — the serving write
+    * path lands one file per (bucket, entry, day) per mutation, so a
+    * day of single-record writes degrades a partition into thousands of
+    * tiny files and every scan pays per-file open/footer cost. Compacts
+    * every partition holding more than `maxFilesPerPartition` files by
+    * rewriting it coalesced through the SAME atomic partition swap the
+    * label fold uses: readers see before or after, never a mix, and
+    * outstanding label patches fold into the rewritten files
+    * (prunedPartitionScan contract), with the matching overlay dirs
+    * purged inside the swap window.
+    *
+    * The overcrowded-partition probe runs LOCK-FREE first: an idle tick
+    * costs one parallel FS walk and neither takes the store lock nor
+    * bumps the data version (cached size figures stay valid — the
+    * no-tree-walk-between-mutations contract). Only a tick with real
+    * work mutates. Returns the number of partitions compacted. */
+  def compact(maxFilesPerPartition: Int = 16): Int = {
+    if (listOvercrowdedPartitions(maxFilesPerPartition).isEmpty) return 0
+    mutating {
+      val affected = listOvercrowdedPartitions(maxFilesPerPartition) // exact, under the lock
+      if (affected.isEmpty) 0
+      else {
+        overwritePartitions(prunedPartitionScan(affected),
+          dropMissingFrom = affected,
+          extraSwapActions = () => purgeOverlayDirs(affected))
+        affected.length
+      }
+    }
+  }
+
+  /** (bucket, entry, dt) partitions whose file count exceeds `maxFiles`.
+    * Read-only FS walk, parallel across entry dirs. */
+  private def listOvercrowdedPartitions(
+      maxFiles: Int): Array[(String, String, String)] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return Array.empty
+    def subDirs(p: org.apache.hadoop.fs.Path, prefix: String) =
+      try fs.listStatus(p).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      catch { case _: java.io.FileNotFoundException => Seq.empty }
+    val found = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, String)]()
+    val entryDirs = for {
+      b <- subDirs(rootPath, "bucket=")
+      e <- subDirs(b.getPath, "entry=")
+    } yield (b.getPath.getName, e.getPath)
+    parallelFs(entryDirs) { case (bucketDir, entryPath) =>
+      for (d <- subDirs(entryPath, "dt=")) {
+        val files =
+          try fs.listStatus(d.getPath).count(st =>
+            st.isFile && !st.getPath.getName.startsWith("_") &&
+              !st.getPath.getName.startsWith("."))
+          catch { case _: java.io.FileNotFoundException => 0 }
+        if (files > maxFiles)
+          found.add((
+            unescapePartition(bucketDir.stripPrefix("bucket=")),
+            unescapePartition(entryPath.getName.stripPrefix("entry=")),
+            d.getPath.getName.stripPrefix("dt=")))
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    found.iterator().asScala.toArray
+  }
+
   /** FIFO quota (bucket/quotas.rs:44-95): evict oldest day-partitions
     * until under `maxBytes`; `$meta` entries are never eviction candidates.
     * Returns evicted partition count. */
@@ -1723,6 +1815,8 @@ final class BucketStore(val spark: SparkSession, val root: String) {
     * [[BucketSettings.over]] gives the reference's fill_settings
     * semantics, bucket/settings.rs:61-79). */
   def putBucketSettings(bucket: String, s: BucketSettings): Unit = {
+    if (readOnly) throw new BucketStore.ReadOnlyStoreException(
+      "Cannot perform this operation in read-only mode")
     val p = settingsPath(bucket)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
@@ -1823,6 +1917,11 @@ object BucketStore {
   /** Write admission failure: the data volume can't hold the record
     * (reference ErrorCode::InsufficientStorage → HTTP 507). */
   final class InsufficientStorageException(msg: String)
+      extends RuntimeException(msg)
+
+  /** Mutation refused on a read-only replica (engine.rs check_mode →
+    * HTTP 403 forbidden). */
+  final class ReadOnlyStoreException(msg: String)
       extends RuntimeException(msg)
 
   /** Striped per-export-path monitors ([[BucketStore.exportShards]]):

@@ -34,6 +34,13 @@ import java.nio.charset.StandardCharsets.UTF_8
   */
 final class HttpApi(store: BucketStore, apiToken: String = "",
     port: Int = 0, queryTtlMs: Long = 60000L,
+    /** Bind address — `RS_HOST` (cfg.rs DEFAULT_HOST 0.0.0.0; the
+      * embedded/test default here stays loopback). */
+    host: String = "127.0.0.1",
+    /** Route prefix BEFORE /api/v1 — `RS_API_BASE_PATH`
+      * (http.rs:233-258 nests every router under it). Normalized: "" or
+      * "/prefix" (no trailing slash). */
+    basePath: String = "",
     /** Live-cursor cap: opens past it are 429'd (QueryRegistry doc). */
     maxCursors: Int = 8192,
     spoolThresholdBytes: Int = 1 << 20,
@@ -75,6 +82,35 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
 
+  /** `RS_INSTANCE_ROLE` (cfg.rs:217-228) — STANDALONE (default) /
+    * PRIMARY / SECONDARY / REPLICA; invalid values fail construction
+    * like the reference's panic. The functional switch is the STORE's
+    * read-only flag (a replica's BucketStore is constructed
+    * `readOnly = true` so it never claims the writer lock); the env
+    * value must agree with it. */
+  private[engine] val instanceRole: String = {
+    val role = env.getOrElse("RS_INSTANCE_ROLE", "STANDALONE").toLowerCase
+    require(Set("standalone", "primary", "secondary", "replica")(role),
+      "Invalid value for RS_INSTANCE_ROLE: must be one of STANDALONE, " +
+        "PRIMARY, SECONDARY, REPLICA")
+    require((role == "replica") == store.readOnly,
+      s"RS_INSTANCE_ROLE=$role disagrees with the store's readOnly=" +
+        s"${store.readOnly} — construct a replica's BucketStore with " +
+        "readOnly = true")
+    role
+  }
+
+  /** Maintenance cadences (cfg/storage_engine.rs:17-18, both default
+    * 60 s, 0 disables): the compaction tick (skipped on replicas,
+    * engine.rs:530) and the replica cache refresh
+    * (launcher.rs:99-105). */
+  private val compactionIntervalSecs: Long =
+    env.get("RS_ENGINE_COMPACTION_INTERVAL")
+      .flatMap(_.trim.toLongOption).filter(_ >= 0).getOrElse(60L)
+  private val replicaUpdateIntervalSecs: Long =
+    env.get("RS_ENGINE_REPLICA_UPDATE_INTERVAL")
+      .flatMap(_.trim.toLongOption).filter(_ >= 0).getOrElse(60L)
+
   /** Cross-request mutation coalescing: concurrent writes, label
     * updates, and removes each fold into one store mutation (one Spark
     * job per bucket and mutation type) while preserving serial
@@ -88,13 +124,17 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
   // TLS when an SSLContext is supplied — the analog of the reference's
   // cert_path/cert_key_path settings (HTTPS server, cfg/mod.rs); the
   // JVM-idiomatic key source is a PKCS12 keystore ([[HttpApi.sslContext]])
+  private val normalizedBasePath: String = {
+    val b = basePath.trim.stripSuffix("/")
+    if (b.isEmpty || b.startsWith("/")) b else s"/$b"
+  }
   private val server = ssl match {
     case Some(ctx) =>
       val s = com.sun.net.httpserver.HttpsServer.create(
-        new InetSocketAddress("127.0.0.1", port), 0)
+        new InetSocketAddress(host, port), 0)
       s.setHttpsConfigurator(new com.sun.net.httpserver.HttpsConfigurator(ctx))
       s
-    case None => HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    case None => HttpServer.create(new InetSocketAddress(host, port), 0)
   }
   // serving pool sized to the box (the reference's tokio runtime uses a
   // worker per core): a 4-thread pool let a handful of slow uploads
@@ -111,7 +151,8 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
       val t = new Thread(r, "graft-http-dispatch"); t.setDaemon(true); t
     })
   server.setExecutor(dispatchPool)
-  server.createContext("/api/v1/", (ex: HttpExchange) => handle(ex))
+  server.createContext(s"$normalizedBasePath/api/v1/",
+    (ex: HttpExchange) => handle(ex))
 
   /** Periodic usage flush (syslog/aggregate/usage.rs, 60 s
     * USAGE_FLUSH_INTERVAL; the `duration` payload field carries measured
@@ -141,8 +182,28 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     // drain, a low-traffic instance (few distinct token/method/path
     // keys) never crosses the audit buffer's size threshold and the
     // $system audit trail stays empty for the server's whole life
-    usageFlusher.scheduleAtFixedRate(() => { flushUsageNow(); flushAuditNow() },
-      60L, 60L, java.util.concurrent.TimeUnit.SECONDS)
+    // a replica never writes $system events — it doesn't own the store
+    // (the primary's syslog is the record of record); its flush would
+    // only throw ReadOnlyStoreException each tick
+    if (!store.readOnly)
+      usageFlusher.scheduleAtFixedRate(() => { flushUsageNow(); flushAuditNow() },
+        60L, 60L, java.util.concurrent.TimeUnit.SECONDS)
+    // maintenance ticks share the flusher thread: compaction on
+    // writable stores (engine.rs:520-531; replicas skip, :530), cache
+    // refresh on replicas (launcher.rs periodical_replica_reload).
+    // Both swallow errors — maintenance must never take serving down.
+    if (!store.readOnly && compactionIntervalSecs > 0)
+      usageFlusher.scheduleAtFixedRate(() =>
+        try { store.compact(): Unit }
+        catch { case scala.util.control.NonFatal(_) => () },
+        compactionIntervalSecs, compactionIntervalSecs,
+        java.util.concurrent.TimeUnit.SECONDS)
+    if (store.readOnly && replicaUpdateIntervalSecs > 0)
+      usageFlusher.scheduleAtFixedRate(() =>
+        try store.refreshReplica()
+        catch { case scala.util.control.NonFatal(_) => () },
+        replicaUpdateIntervalSecs, replicaUpdateIntervalSecs,
+        java.util.concurrent.TimeUnit.SECONDS)
     server.getAddress.getPort
   }
   def stop(): Unit = {
@@ -195,7 +256,8 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
         respond(ex, 200, Array.empty)
         return
       }
-      val path = ex.getRequestURI.getPath.stripPrefix("/api/v1").stripPrefix("/")
+      val path = ex.getRequestURI.getPath.stripPrefix(normalizedBasePath)
+        .stripPrefix("/api/v1").stripPrefix("/")
       val segs = path.split("/").filter(_.nonEmpty).map(urlDecode).toList
       val method = ex.getRequestMethod.toUpperCase
       val q = queryParams(ex)
@@ -416,6 +478,8 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
         errorResponse(ex, e.status, e.message)
       case e: BucketStore.InsufficientStorageException =>
         errorResponse(ex, 507, e.getMessage)
+      case e: BucketStore.ReadOnlyStoreException =>
+        errorResponse(ex, 403, e.getMessage) // check_mode forbidden (engine.rs:165)
       case e: QueryRegistry.TooManyQueriesException =>
         errorResponse(ex, 429, e.getMessage)
       case e: IllegalArgumentException =>
@@ -1613,10 +1677,11 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
       bucket = Some(bucket))
     val token =
       QueryLinks.sign(spec, recordEntry.get, recordTs.get, expiresAtMs, linkSecret)
-    val file = ex.getRequestURI.getPath.stripPrefix("/api/v1/links").stripPrefix("/")
+    val file = ex.getRequestURI.getPath.stripPrefix(normalizedBasePath)
+      .stripPrefix("/api/v1/links").stripPrefix("/")
     json(ex, 200, JObject(
-      "link" -> JString(
-        s"${baseUrl.getOrElse("")}/api/v1/links/$file?token=${urlEncode(token)}")))
+      "link" -> JString(s"${baseUrl.getOrElse("")}$normalizedBasePath" +
+        s"/api/v1/links/$file?token=${urlEncode(token)}")))
   }
 
   /** GET /links/...?token= — replay the signed query (no other auth) and
@@ -2226,7 +2291,10 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     // settings-protected through the API, with the env-configured FIFO
     // quota reapplied at every startup so a changed
     // RS_SYSTEM_EVENTS_QUOTA_SIZE takes effect on restart.
-    if (provisionedResources.systemEvents.enabled) {
+    // A REPLICA provisions nothing to storage — the tree belongs to the
+    // primary (its boot already provisioned it); only in-memory state
+    // (tokens) applies here.
+    if (provisionedResources.systemEvents.enabled && !store.readOnly) {
       store.putBucketSettings("$system", BucketStore.BucketSettings(
         quotaType = Some("FIFO"),
         quotaSize = Some(provisionedResources.systemEvents.quotaSize))
@@ -2234,7 +2302,7 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
       createdBuckets.add("$system")
       provisionedBuckets.add("$system")
     }
-    for ((name, settings) <- provisionedResources.buckets) {
+    for ((name, settings) <- provisionedResources.buckets if !store.readOnly) {
       store.putBucketSettings(name, settings.over(defaultBucketSettings))
       createdBuckets.add(name)
       provisionedBuckets.add(name)

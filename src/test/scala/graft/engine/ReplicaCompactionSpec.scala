@@ -1,0 +1,126 @@
+package graft.engine
+
+import graft.SparkTestBase
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Read-only replica role (RS_INSTANCE_ROLE=REPLICA, engine.rs
+  * check_mode + reload_replica) and the periodic small-file compaction
+  * tick (RS_ENGINE_COMPACTION_INTERVAL — entry.rs:340's maintenance,
+  * re-expressed as parquet partition coalescing). */
+class ReplicaCompactionSpec extends AnyFunSuite with SparkTestBase {
+
+  private def fileCount(store: BucketStore, b: String, e: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(
+      s"${store.root}/bucket=$b/entry=$e")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).filter(_.isDirectory).map(d =>
+      fs.listStatus(d.getPath).count(st => st.isFile &&
+        !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))).sum
+  }
+
+  test("compact coalesces an overcrowded partition; data + labels exact; " +
+      "idle tick is a no-op that keeps caches valid") {
+    val store = new BucketStore(spark,
+      Files.createTempDirectory("graft-compact").toString)
+    // 24 single-record mutations = 24 files in one (bucket, entry, day)
+    for (i <- 0 until 24)
+      store.writeBatch("b", "e", Seq((i.toLong, Map("i" -> i.toString),
+        s"p$i".getBytes("UTF-8"))))
+    // an outstanding label patch must fold into the rewrite
+    store.updateLabelsBatch("b", Seq(("e", 3L, Map("patched" -> "yes"), Set.empty)))
+    assert(fileCount(store, "b", "e") >= 24)
+    val before = store.table().orderBy("ts")
+      .collect().map(r => (r.getAs[Long]("ts"),
+        r.getAs[Map[String, String]]("labels"),
+        new String(r.getAs[Array[Byte]]("payload"), "UTF-8")))
+    assert(store.compact(maxFilesPerPartition = 16) == 1)
+    assert(fileCount(store, "b", "e") < 24, "files must coalesce")
+    val after = store.table().orderBy("ts")
+      .collect().map(r => (r.getAs[Long]("ts"),
+        r.getAs[Map[String, String]]("labels"),
+        new String(r.getAs[Array[Byte]]("payload"), "UTF-8")))
+    assert(after.toSeq == before.toSeq, "every record byte-identical")
+    assert(after.find(_._1 == 3L).get._2("patched") == "yes",
+      "overlay patch folded into the rewrite")
+    // nothing overcrowded anymore: the tick is lock-free and does not
+    // bump the data version (cached sizes stay valid between mutations)
+    val v = store.dataVersion
+    assert(store.compact(maxFilesPerPartition = 16) == 0)
+    assert(store.dataVersion == v, "idle compact must not invalidate caches")
+  }
+
+  test("replica: reads shared tree, mutators 403-shaped, refresh sees " +
+      "primary progress, writer lock untouched") {
+    val root = Files.createTempDirectory("graft-replica").toString
+    val primary = new BucketStore(spark, root)
+    primary.writeBatch("b", "e", Seq((1L, Map.empty[String, String],
+      "one".getBytes("UTF-8"))))
+    // the replica never claims the writer lock (the primary holds it) —
+    // constructing one alongside a live primary must not throw
+    val replica = new BucketStore(spark, root, readOnly = true)
+    assert(replica.table().count() == 1)
+    val e = intercept[BucketStore.ReadOnlyStoreException] {
+      replica.writeBatch("b", "e", Seq((2L, Map.empty[String, String],
+        "two".getBytes("UTF-8"))))
+    }
+    assert(e.getMessage.contains("read-only mode"))
+    intercept[BucketStore.ReadOnlyStoreException](
+      replica.putBucketSettings("b", BucketStore.BucketSettings()))
+    intercept[BucketStore.ReadOnlyStoreException](
+      replica.removeRecords("b", Seq(("e", 1L))))
+    // cached size figures refresh on the reload cadence
+    val sizeBefore = replica.storeSizeBytes
+    primary.writeBatch("b", "e", Seq((2L, Map.empty[String, String],
+      ("x" * 4096).getBytes("UTF-8"))))
+    replica.refreshReplica()
+    assert(replica.storeSizeBytes > sizeBefore, "refresh re-walks the tree")
+    assert(replica.table().count() == 2, "new primary writes visible")
+    replica.close() // no lock release to perform; must not throw
+    primary.close()
+  }
+
+  test("HTTP facade on a replica: reads serve, writes 403 with the " +
+      "check_mode message; role env must agree with the store") {
+    import java.net.URI
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    val root = Files.createTempDirectory("graft-replica-http").toString
+    val primary = new BucketStore(spark, root)
+    primary.writeBatch("b", "e", Seq((1L, Map.empty[String, String],
+      "r".getBytes("UTF-8"))))
+    val replica = new BucketStore(spark, root, readOnly = true)
+    val api = new HttpApi(replica, apiToken = "root",
+      env = Map("RS_INSTANCE_ROLE" -> "REPLICA"))
+    val port = api.start()
+    val client = HttpClient.newHttpClient()
+    def req(method: String, path: String, body: Array[Byte] = Array.empty) =
+      client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port/api/v1$path"))
+        .header("Authorization", "Bearer root")
+        .method(method, HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+    try {
+      val r = req("GET", "/b/b/e?ts=1")
+      assert(r.statusCode() == 200 && new String(r.body()) == "r")
+      val w = req("POST", "/b/b/e?ts=9", "nope".getBytes)
+      assert(w.statusCode() == 403, new String(w.body()))
+      assert(new String(w.body(), "UTF-8").contains("read-only mode"))
+      val rm = req("DELETE", "/b/b/e/batch",
+        body = Array.empty)
+      assert(rm.statusCode() == 403 || rm.statusCode() == 422)
+    } finally { api.stop(); primary.close() }
+    // role/store disagreement fails construction (the reference panics
+    // on an invalid role; a replica role on a writable store would
+    // silently bypass check_mode)
+    intercept[IllegalArgumentException] {
+      new HttpApi(primary, apiToken = "root",
+        env = Map("RS_INSTANCE_ROLE" -> "REPLICA"))
+    }
+    intercept[IllegalArgumentException] {
+      new HttpApi(primary, apiToken = "root",
+        env = Map("RS_INSTANCE_ROLE" -> "bogus"))
+    }
+  }
+}
