@@ -60,6 +60,9 @@ object ServerMain {
         case _       => "WARN"
       })
     val dataPath = env.getOrElse("RS_DATA_PATH", "/data")
+    // RS_LOCK_FILE_ENABLED/TTL/TIMEOUT/POLLING_INTERVAL/FAILURE_ACTION
+    // configure the writer-lock acquisition (cfg/lock_file.rs)
+    graft.engine.WriterLock.configure(env)
     val replica = env.getOrElse("RS_INSTANCE_ROLE", "STANDALONE")
       .equalsIgnoreCase("replica")
     val store = new BucketStore(spark, dataPath, readOnly = replica)

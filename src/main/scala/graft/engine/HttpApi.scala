@@ -1194,12 +1194,25 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     v.toLongOption.filter(_ >= 0).getOrElse(throw unprocessable(err))
 
   /** `#batch_records` / `#batch_size` directives — per-query overrides of
-    * the batched-read page limits (filters/when/io_cfg.rs; defaults
-    * cfg/io.rs:18-47). */
+    * the batched-read page limits (filters/when/io_cfg.rs). Instance
+    * defaults come from `RS_IO_BATCH_MAX_RECORDS` /
+    * `RS_IO_BATCH_MAX_SIZE` / `RS_IO_BATCH_MAX_METADATA_SIZE`
+    * (cfg/io.rs:9-11,50-61: 85 records / 8 MB body / 512 kB metadata).
+    * The reference's `RS_IO_BATCH_TIMEOUT`/`RS_IO_BATCH_RECORDS_TIMEOUT`
+    * bound how long its push-side batcher WAITS to fill a batch; graft's
+    * pages are pull-based (a fetch returns whatever the cursor has, at
+    * once), so there is nothing to wait on — deliberately N/A. */
   private val queryLimits =
     new java.util.concurrent.ConcurrentHashMap[Long, (Int, Long)]()
-  private val DefaultBatchRecords = 85
-  private val DefaultBatchBytes = 8000000L
+  private val DefaultBatchRecords =
+    env.get("RS_IO_BATCH_MAX_RECORDS")
+      .flatMap(_.trim.toIntOption).filter(_ > 0).getOrElse(85)
+  private val DefaultBatchBytes =
+    env.get("RS_IO_BATCH_MAX_SIZE")
+      .flatMap(Provisioning.parseByteSize).filter(_ > 0).getOrElse(8000000L)
+  private val MaxBatchMetadataBytes =
+    env.get("RS_IO_BATCH_MAX_METADATA_SIZE")
+      .flatMap(Provisioning.parseByteSize).filter(_ > 0).getOrElse(512000L)
 
   private def rememberBatchLimits(id: Long, spec: QuerySpec): Unit =
     for (w <- spec.when) {
@@ -1212,8 +1225,9 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     }
 
   /** Drain one page from a cursor: up to the record cap, stopping once
-    * the payload-byte budget is exceeded (at least one record is always
-    * served). Returns (rows, last). */
+    * the payload-byte or metadata-byte budget is exceeded (at least one
+    * record is always served — read_batched.rs:187-189 checks the caps
+    * AFTER admitting a record). Returns (rows, last). */
   private def fetchPage(id: Long, maxParam: Option[Int]): (Seq[Row], Boolean) = {
     val (dirRec, dirBytes) = queryLimits.getOrDefault(id,
       (DefaultBatchRecords, DefaultBatchBytes))
@@ -1221,8 +1235,10 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     val out = Seq.newBuilder[Row]
     var n = 0
     var bytes = 0L
+    var metaBytes = 0L
     var last = false
-    while (n < maxRec && bytes < dirBytes && !last) {
+    while (n < maxRec && bytes < dirBytes && metaBytes < MaxBatchMetadataBytes
+        && !last) {
       registry.fetch(id, 1) match {
         case None => throw notFound(s"Query $id doesn't exist or expired")
         case Some(Nil) => last = true
@@ -1230,6 +1246,14 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
           val r = rows.head
           bytes += Option(r.getAs[Array[Byte]]("payload")).map(_.length.toLong)
             .getOrElse(0L)
+          // approximate serialized v1 header size: ts digits + length,
+          // content-type, and label pairs — what the client's header
+          // parser must buffer (batch_max_metadata_size's concern)
+          metaBytes += 48L +
+            Option(r.getAs[String]("content_type")).fold(0)(_.length) +
+            Option(r.getAs[collection.Map[String, String]]("labels"))
+              .fold(0L)(_.iterator.map { case (k, v) =>
+                k.length + v.length + 2L }.sum)
           out += r
           n += 1
       }

@@ -42,8 +42,42 @@ object WriterLock {
   val LockFile = "_writer.lock"
 
   /** Holder considered dead when its lock mtime is older than this.
-    * Test seam; new acquires/heartbeats pick the current value up. */
+    * Test seam; new acquires/heartbeats pick the current value up.
+    * The reference's `RS_LOCK_FILE_TTL` (cfg/lock_file.rs:10, default
+    * 30 s there; graft's library default stays 60 s — [[configure]]
+    * applies the env). */
   @volatile var staleMs: Long = 60000L
+
+  /** `RS_LOCK_FILE_*` acquisition knobs (cfg/lock_file.rs:38-65 +
+    * lock_file.rs:120-161): `enabled=false` disables locking entirely;
+    * a nonzero `acquireTimeoutMs` makes [[acquire]] WAIT for a live
+    * holder to release (polling every `pollingMs`) instead of failing
+    * fast, and on timeout either aborts (default) or — failure action
+    * `proceed` — forcibly takes the lock over, exactly the reference's
+    * break-out-and-claim. Library defaults preserve the historical
+    * fail-fast contract; [[configure]] applies a server's env. */
+  @volatile var enabled: Boolean = true
+  @volatile var acquireTimeoutMs: Long = 0L
+  @volatile var pollingMs: Long = 10000L
+  @volatile var proceedOnTimeout: Boolean = false
+
+  /** Apply the `RS_LOCK_FILE_*` env surface (ServerMain boot). */
+  def configure(env: Map[String, String]): Unit = {
+    env.get("RS_LOCK_FILE_ENABLED").foreach(v =>
+      enabled = v.equalsIgnoreCase("true") || v == "1")
+    env.get("RS_LOCK_FILE_TTL").flatMap(_.trim.toLongOption)
+      .filter(_ > 0).foreach(ttl => staleMs = ttl * 1000L)
+    env.get("RS_LOCK_FILE_TIMEOUT").flatMap(_.trim.toLongOption)
+      .filter(_ >= 0).foreach(t => acquireTimeoutMs = t * 1000L)
+    env.get("RS_LOCK_FILE_POLLING_INTERVAL").flatMap(_.trim.toLongOption)
+      .filter(_ > 0).foreach(pi => pollingMs = pi * 1000L)
+    env.get("RS_LOCK_FILE_FAILURE_ACTION").map(_.trim.toLowerCase).foreach {
+      case "proceed" => proceedOnTimeout = true
+      case "abort"   => proceedOnTimeout = false
+      case _ => throw new IllegalArgumentException(
+        "Invalid value for RS_LOCK_FILE_FAILURE_ACTION: must be 'proceed' or 'abort'")
+    }
+  }
 
   private final class Holder(val path: Path, val fs: FileSystem) {
     var refs: Int = 1
@@ -80,7 +114,31 @@ object WriterLock {
     * (the lost refcount would let one close() release a lock another
     * live instance relies on). Acquire is once per root per process,
     * so serializing the fs work here costs nothing that matters. */
-  def acquire(root: String, conf: org.apache.hadoop.conf.Configuration): Unit = held.synchronized {
+  def acquire(root: String, conf: org.apache.hadoop.conf.Configuration): Unit = {
+    if (!enabled) return
+    val deadline = System.currentTimeMillis() + acquireTimeoutMs
+    while (true) {
+      try { tryAcquireOnce(root, conf, force = false); return }
+      catch { case e: IllegalStateException =>
+        val remaining = deadline - System.currentTimeMillis()
+        if (acquireTimeoutMs <= 0L || remaining <= 0L) {
+          if (proceedOnTimeout && acquireTimeoutMs > 0L) {
+            // FailureAction::Proceed (lock_file.rs:143-149): claim anyway
+            System.err.println(s"[writer-lock] timeout waiting for '$root', " +
+              "proceeding per RS_LOCK_FILE_FAILURE_ACTION=proceed")
+            tryAcquireOnce(root, conf, force = true)
+            return
+          }
+          throw e
+        }
+        Thread.sleep(math.min(pollingMs, remaining))
+      }
+    }
+  }
+
+  private def tryAcquireOnce(root: String,
+      conf: org.apache.hadoop.conf.Configuration,
+      force: Boolean): Unit = held.synchronized {
     val p0 = new Path(root, LockFile)
     val fs = p0.getFileSystem(conf)
     val p = fs.makeQualified(p0)
@@ -95,7 +153,8 @@ object WriterLock {
       case Some(s) if readOwner(fs, p).contains(processOwnerId) =>
         // ours from a prior un-released instance in this process: reattach
         ()
-      case Some(s) if System.currentTimeMillis() - s.getModificationTime <= staleMs =>
+      case Some(s) if !force &&
+          System.currentTimeMillis() - s.getModificationTime <= staleMs =>
         throw new IllegalStateException(
           s"store root '$root' is owned by another live writer process " +
             s"(${readOwner(fs, p).getOrElse("unknown")}, lock ${p.toUri.getPath}, " +

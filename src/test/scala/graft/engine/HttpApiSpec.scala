@@ -1367,6 +1367,52 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
     assert(new String(w.body()).contains("does not match the sum"))
   }
 
+  test("RS_IO_BATCH_MAX_RECORDS / MAX_METADATA_SIZE cap batched-read " +
+      "pages (cfg/io.rs:50-61)") {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val bStore = new BucketStore(spark,
+      Files.createTempDirectory("graft-iobatch").toString)
+    val bApi = new HttpApi(bStore, apiToken = "root",
+      env = Map("RS_IO_BATCH_MAX_RECORDS" -> "3"))
+    val p = bApi.start()
+    val c = HttpClient.newHttpClient()
+    def breq(method: String, path: String, body: Array[Byte] = Array.empty) =
+      c.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/api/v1$path"))
+        .header("Authorization", "Bearer root")
+        .method(method, HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+    try {
+      for (i <- 0 until 7)
+        assert(breq("POST", s"/b/bb/e?ts=${i * 100}",
+          s"p$i".getBytes).statusCode() == 200)
+      val q = breq("POST", "/b/bb/e/q", "{}".getBytes)
+      val qid = (jsonOf(q) \ "id").extract[Long]
+      val page = breq("GET", s"/b/bb/e/batch?q=$qid")
+      val recs = page.headers().map().keySet().toArray.map(_.toString.toLowerCase)
+        .count(_.startsWith("x-reduct-time-"))
+      assert(recs == 3, s"instance default must cap the page at 3, got $recs")
+      assert(page.headers().firstValue("x-reduct-last").get() == "false")
+    } finally bApi.stop()
+    // a tiny metadata budget degrades gracefully to one record per page
+    val mApi = new HttpApi(bStore, apiToken = "root",
+      env = Map("RS_IO_BATCH_MAX_METADATA_SIZE" -> "10"))
+    val p2 = mApi.start()
+    def mreq(method: String, path: String, body: Array[Byte] = Array.empty) =
+      c.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p2/api/v1$path"))
+        .header("Authorization", "Bearer root")
+        .method(method, HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+    try {
+      val q2 = mreq("POST", "/b/bb/e/q", "{}".getBytes)
+      val qid2 = (jsonOf(q2) \ "id").extract[Long]
+      val page2 = mreq("GET", s"/b/bb/e/batch?q=$qid2")
+      val recs2 = page2.headers().map().keySet().toArray.map(_.toString.toLowerCase)
+        .count(_.startsWith("x-reduct-time-"))
+      assert(recs2 == 1, "at least one record always serves, never more " +
+        s"than the metadata budget admits, got $recs2")
+    } finally mApi.stop()
+  }
+
   test("CORS (RS_CORS_ALLOW_ORIGIN, http.rs:281-296): preflight + echo " +
       "for allowed origins, silence for others, star mode") {
     val corsStore = new BucketStore(spark,

@@ -95,6 +95,50 @@ class WriterLockSpec extends AnyFunSuite with SparkTestBase {
     } finally WriterLock.staleMs = prev
   }
 
+  test("RS_LOCK_FILE_* knobs: disabled skips locking; a bounded wait " +
+      "rides out a holder that releases; proceed takes over on timeout") {
+    val saved = (WriterLock.enabled, WriterLock.acquireTimeoutMs,
+      WriterLock.pollingMs, WriterLock.proceedOnTimeout, WriterLock.staleMs)
+    try {
+      // RS_LOCK_FILE_ENABLED=false: a foreign LIVE lock is ignored
+      WriterLock.configure(Map("RS_LOCK_FILE_ENABLED" -> "false"))
+      val root1 = Files.createTempDirectory("graft-wl-off").toString
+      plantForeignLock(root1, ageMs = 0)
+      val s1 = new BucketStore(spark, root1) // must not throw
+      s1.write(oneRecord(1L)); s1.close()
+      WriterLock.configure(Map("RS_LOCK_FILE_ENABLED" -> "true"))
+      // a bounded wait (timeout 10 s, poll 1 s): holder releases mid-wait
+      WriterLock.configure(Map("RS_LOCK_FILE_TIMEOUT" -> "10",
+        "RS_LOCK_FILE_POLLING_INTERVAL" -> "1"))
+      val root2 = Files.createTempDirectory("graft-wl-wait").toString
+      val lockFile = plantForeignLock(root2, ageMs = 0)
+      val releaser = new Thread(() => { Thread.sleep(1500); lockFile.delete(): Unit })
+      releaser.start()
+      val t0 = System.nanoTime()
+      val s2 = new BucketStore(spark, root2) // waits ~1.5 s, then claims
+      val waited = (System.nanoTime() - t0) / 1e6
+      assert(waited >= 900, s"must have polled, waited only $waited ms")
+      s2.close(); releaser.join()
+      // proceed: timeout expires against a live holder -> forcible claim
+      WriterLock.configure(Map("RS_LOCK_FILE_TIMEOUT" -> "1",
+        "RS_LOCK_FILE_POLLING_INTERVAL" -> "1",
+        "RS_LOCK_FILE_FAILURE_ACTION" -> "proceed"))
+      val root3 = Files.createTempDirectory("graft-wl-proceed").toString
+      plantForeignLock(root3, ageMs = 0)
+      val s3 = new BucketStore(spark, root3) // proceeds after ~1 s
+      s3.write(oneRecord(1L)); s3.close()
+      // invalid failure action rejects like the reference's panic
+      intercept[IllegalArgumentException](
+        WriterLock.configure(Map("RS_LOCK_FILE_FAILURE_ACTION" -> "explode")))
+    } finally {
+      WriterLock.enabled = saved._1
+      WriterLock.acquireTimeoutMs = saved._2
+      WriterLock.pollingMs = saved._3
+      WriterLock.proceedOnTimeout = saved._4
+      WriterLock.staleMs = saved._5
+    }
+  }
+
   test("lock file is invisible to the data path") {
     val root = Files.createTempDirectory("graft-wl").toString
     val store = new BucketStore(spark, root)
