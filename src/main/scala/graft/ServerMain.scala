@@ -63,6 +63,11 @@ object ServerMain {
     // RS_LOCK_FILE_ENABLED/TTL/TIMEOUT/POLLING_INTERVAL/FAILURE_ACTION
     // configure the writer-lock acquisition (cfg/lock_file.rs)
     graft.engine.WriterLock.configure(env)
+    // RS_EXT_PATH: load #ext processor jars (ext/ext_repository.rs)
+    env.get("RS_EXT_PATH").filter(_.nonEmpty).foreach { dir =>
+      val n = graft.engine.Processors.loadExtensionsFrom(dir)
+      println(s"[ext] loaded $n processor(s) from $dir")
+    }
     val replica = env.getOrElse("RS_INSTANCE_ROLE", "STANDALONE")
       .equalsIgnoreCase("replica")
     val store = new BucketStore(spark, dataPath, readOnly = replica)

@@ -72,6 +72,14 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
   /** `RS_IO_MAX_WRITERS_IN_FLIGHT` concurrent-write admission
     * (storage/in_flight.rs, PR-1357/1361). */
   private[engine] val inFlight = InFlightIo.fromEnv(env)
+  /** `RS_PUBLIC_URL` (cfg.rs:269-280) — the instance's externally
+    * reachable URL; created query links use it as their base when the
+    * request supplies no `base_url` (links/create.rs:54-58). Empty
+    * (the embedded default) keeps the historical host-relative links. */
+  private val publicUrl: String =
+    env.get("RS_PUBLIC_URL").map(_.trim).filter(_.nonEmpty)
+      .map(u => u.stripSuffix("/")).getOrElse("")
+
   /** `RS_CORS_ALLOW_ORIGIN` — comma-separated allowed origins, `*` for
     * any (cfg.rs:511-519, http.rs:281-296 configure_cors: allow_methods/
     * allow_headers/expose_headers Any). Empty (default) = CORS headers
@@ -1704,7 +1712,7 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     val file = ex.getRequestURI.getPath.stripPrefix(normalizedBasePath)
       .stripPrefix("/api/v1/links").stripPrefix("/")
     json(ex, 200, JObject(
-      "link" -> JString(s"${baseUrl.getOrElse("")}$normalizedBasePath" +
+      "link" -> JString(s"${baseUrl.getOrElse(publicUrl)}$normalizedBasePath" +
         s"/api/v1/links/$file?token=${urlEncode(token)}")))
   }
 

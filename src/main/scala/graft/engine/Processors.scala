@@ -150,6 +150,34 @@ object Processors {
       .map(p => p.name -> p).toMap
   }
 
-  /** The full `#ext` registry: builtins + classpath-discovered. */
-  lazy val registry: Map[String, RecordProcessor] = discovered ++ builtins
+  /** `RS_EXT_PATH` (cfg.rs ext_path, ext/ext_repository.rs): the
+    * reference loads compiled extensions from a directory at boot; the
+    * JVM-idiomatic container is a JAR — every jar in the directory joins
+    * a child classloader and its ServiceLoader-registered
+    * [[RecordProcessor]]s enter the registry (same discovery contract as
+    * the classpath, same builtins-win shadowing rule). Call once at
+    * server boot, before the first `#ext` query compiles the registry. */
+  @volatile private var extPathProcessors: Map[String, RecordProcessor] = Map.empty
+  def loadExtensionsFrom(dir: String): Int = {
+    val d = new java.io.File(dir)
+    val jars = Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".jar"))
+      .map(_.toURI.toURL)
+    if (jars.isEmpty) return 0
+    val loader = new java.net.URLClassLoader(jars, getClass.getClassLoader)
+    import scala.jdk.CollectionConverters._
+    // the child loader's ServiceLoader view INCLUDES the parent
+    // classpath's providers (parent-first delegation) — only the jars'
+    // own additions count as ext-path loads
+    val found = java.util.ServiceLoader.load(classOf[RecordProcessor], loader)
+      .asScala.map(p => p.name -> p).toMap -- discovered.keySet
+    extPathProcessors = extPathProcessors ++ found
+    found.size
+  }
+
+  /** The full `#ext` registry: builtins + classpath-discovered +
+    * RS_EXT_PATH-loaded. `def`, not lazy val: ext-path loading at boot
+    * must be visible to queries compiled after it. */
+  def registry: Map[String, RecordProcessor] =
+    discovered ++ extPathProcessors ++ builtins
 }

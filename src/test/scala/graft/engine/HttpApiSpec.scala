@@ -1367,6 +1367,36 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
     assert(new String(w.body()).contains("does not match the sum"))
   }
 
+  test("RS_PUBLIC_URL is the default query-link base (links/create.rs:54)") {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val pStore = new BucketStore(spark,
+      Files.createTempDirectory("graft-puburl").toString)
+    val pApi = new HttpApi(pStore, apiToken = "root",
+      env = Map("RS_PUBLIC_URL" -> "https://store.example.com/"))
+    val p = pApi.start()
+    val c = HttpClient.newHttpClient()
+    def preq(method: String, path: String, body: Array[Byte] = Array.empty) =
+      c.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/api/v1$path"))
+        .header("Authorization", "Bearer root")
+        .method(method, HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+    try {
+      assert(preq("POST", "/b/pb/e?ts=5", "x".getBytes).statusCode() == 200)
+      val mk = preq("POST", "/links/f.bin",
+        ("""{"bucket": "pb", "entry": "e", "record_entry": "e",""" +
+          """ "record_timestamp": 5, "query": {}}""").getBytes)
+      val link = (jsonOf(mk) \ "link").extract[String]
+      assert(link.startsWith("https://store.example.com/api/v1/links/"), link)
+      // an explicit base_url still overrides the instance default
+      val mk2 = preq("POST", "/links/f.bin",
+        ("""{"bucket": "pb", "entry": "e", "record_entry": "e",""" +
+          """ "record_timestamp": 5, "query": {},""" +
+          """ "base_url": "https://other.example"}""").getBytes)
+      assert((jsonOf(mk2) \ "link").extract[String]
+        .startsWith("https://other.example/api/v1/links/"))
+    } finally pApi.stop()
+  }
+
   test("RS_IO_BATCH_MAX_RECORDS / MAX_METADATA_SIZE cap batched-read " +
       "pages (cfg/io.rs:50-61)") {
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats

@@ -31,6 +31,28 @@ class ServiceLoaderExtensionSpec extends AnyFunSuite with SparkTestBase {
     assert(out == Seq("HELLO", "WORLD"))
   }
 
+  test("RS_EXT_PATH jars feed the registry (ext_repository.rs analog)") {
+    assert(!Processors.registry.contains("test_ext_path_only"),
+      "the ext-path-only provider must not be classpath-registered")
+    // a real extension jar: its services file names the provider class
+    // (resolved parent-first — the jar only has to carry the metadata
+    // here, which is exactly what ServiceLoader reads from it)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ext-path")
+    val jar = dir.resolve("ext.jar")
+    val out = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(jar))
+    out.putNextEntry(new java.util.zip.ZipEntry(
+      "META-INF/services/graft.engine.RecordProcessor"))
+    out.write("graft.engine.ExtPathOnlyProcessor".getBytes("UTF-8"))
+    out.closeEntry()
+    out.close()
+    assert(Processors.loadExtensionsFrom(dir.toString) == 1)
+    assert(Processors.registry.contains("test_ext_path_only"))
+    // an empty/missing dir is a clean zero, not an error
+    assert(Processors.loadExtensionsFrom(
+      dir.resolve("nothing-here").toString) == 0)
+  }
+
   test("discovered processors never shadow builtins of the same name") {
     // the test classpath registers a no-op provider named split_lines;
     // the registry must still resolve the builtin (which splits rows)

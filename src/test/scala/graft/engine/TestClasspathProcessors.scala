@@ -23,3 +23,11 @@ final class ShadowingSplitLines extends RecordProcessor {
   val name = "split_lines"
   def process(df: DataFrame, config: JValue): DataFrame = df
 }
+
+/** NOT registered in the test-resources services file — only an
+  * RS_EXT_PATH jar's own `META-INF/services` entry discovers it
+  * (Processors.loadExtensionsFrom spec). */
+final class ExtPathOnlyProcessor extends RecordProcessor {
+  val name = "test_ext_path_only"
+  def process(df: DataFrame, config: JValue): DataFrame = df
+}
