@@ -19,7 +19,10 @@ import scala.util.control.NonFatal
   * path. Timestamps are strictly increasing (ts is the record id).
   */
 final class AuditLog(store: BucketStore, instance: String,
-    enabled: Boolean, flushEvery: Int = 64) {
+    enabled: Boolean, flushEvery: Int = 64,
+    /** Replica sink (syslog/forward_writer.rs): audit events forward to
+      * the primary instead of writing the local `$system`. */
+    forwarder: Option[SystemEventForwarder] = None) {
 
   private val inst = if (instance.isEmpty) "unknown" else instance
   private val buf =
@@ -68,11 +71,18 @@ final class AuditLog(store: BucketStore, instance: String,
         Map.empty[String, String], "application/json",
         graft.core.Records.State.Finished, payload.getBytes("UTF-8"))
     }
-    try
-      store.writeWithSettings("$system", store.spark.createDataFrame(
-        rows.asJava, graft.core.Records.schema), BucketStore.Conflict.Skip,
-        incomingBytes = rows.map(_.getAs[Array[Byte]](7).length.toLong).sum)
-    catch { case NonFatal(_) => () } // auditing must never fail a request
+    forwarder match {
+      case Some(fwd) =>
+        for (r <- rows)
+          fwd.send(r.getAs[String](1), r.getAs[Long](2),
+            r.getAs[Map[String, String]](3), r.getAs[Array[Byte]](7)): Unit
+      case None =>
+        try
+          store.writeWithSettings("$system", store.spark.createDataFrame(
+            rows.asJava, graft.core.Records.schema), BucketStore.Conflict.Skip,
+            incomingBytes = rows.map(_.getAs[Array[Byte]](7).length.toLong).sum)
+        catch { case NonFatal(_) => () } // auditing must never fail a request
+    }
   }
 
   private def js(s: String): String = "\"" + s.flatMap {

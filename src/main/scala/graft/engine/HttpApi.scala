@@ -190,10 +190,10 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     // drain, a low-traffic instance (few distinct token/method/path
     // keys) never crosses the audit buffer's size threshold and the
     // $system audit trail stays empty for the server's whole life
-    // a replica never writes $system events — it doesn't own the store
-    // (the primary's syslog is the record of record); its flush would
-    // only throw ReadOnlyStoreException each tick
-    if (!store.readOnly)
+    // a replica without forwarding never writes $system events — it
+    // doesn't own the store; with RS_PRIMARY_URL configured its events
+    // FORWARD to the primary (syslog.rs:132), so the flushers run
+    if (!store.readOnly || eventForwarder.isDefined)
       usageFlusher.scheduleAtFixedRate(() => { flushUsageNow(); flushAuditNow() },
         60L, 60L, java.util.concurrent.TimeUnit.SECONDS)
     // maintenance ticks share the flusher thread: compaction on
@@ -2288,6 +2288,13 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
   store.maxStorageSize = env.get("RS_ENGINE_MAX_STORAGE_SIZE")
     .flatMap(Provisioning.parseByteSize).filter(_ > 0)
 
+  /** Replica `$system` forwarding (RS_PRIMARY_URL / RS_SECONDARY_URL,
+    * syslog/forward_writer.rs): a non-owning role ships its usage/audit
+    * events to the primary's HTTP API instead of writing the shared
+    * tree it must not mutate. */
+  private val eventForwarder: Option[SystemEventForwarder] =
+    if (store.readOnly) SystemEventForwarder.fromEnv(env, apiToken) else None
+
   /** Engine log capture into `$system/logs/<instance>/messages`
     * (syslog/capture/logs.rs, PR-1481), gated by
     * RS_SYSTEM_EVENTS_LOG_LEVEL and RS_SYSTEM_EVENTS_ENABLED. */
@@ -2296,7 +2303,8 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     if (provisionedResources.systemEvents.enabled)
       provisionedResources.systemEvents.logLevel
     else None,
-    eventsEnabled = provisionedResources.systemEvents.enabled)
+    eventsEnabled = provisionedResources.systemEvents.enabled,
+    forwarder = eventForwarder)
 
   /** `$system` API audit trail (middleware/audit.rs, aggregated per
     * (token, method, path, status) like syslog/aggregate/audit.rs).
@@ -2312,7 +2320,8 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     enabled = provisionedResources.systemEvents.enabled &&
       env.get("RS_AUDIT_ENABLED")
         .map(v => v.equalsIgnoreCase("true") || v == "1")
-        .getOrElse(apiToken.nonEmpty))
+        .getOrElse(apiToken.nonEmpty),
+    forwarder = eventForwarder)
 
   provisionedResources.warnings.foreach { w =>
     System.err.println(s"[provision] $w")

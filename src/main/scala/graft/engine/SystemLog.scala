@@ -22,7 +22,13 @@ final class SystemLog(store: BucketStore, instance: String,
     /** Gates the non-log event families (replication/lifecycle
       * diagnostics) — RS_SYSTEM_EVENTS_ENABLED; log capture is gated by
       * `persistLevel` alone, matching cfg/system_events.rs. */
-    eventsEnabled: Boolean = true) {
+    eventsEnabled: Boolean = true,
+    /** Remote sink for non-owning roles (syslog.rs:61,132: local on
+      * primary/standalone, FORWARD on a replica — which keeps no local
+      * `$system`). When set, [[events]] forwards instead of writing;
+      * [[log]] capture is node-local and SKIPPED on a replica
+      * (syslog.rs:332 — avoids the forward loop). */
+    forwarder: Option[SystemEventForwarder] = None) {
   import SystemLog._
 
   private val inst = if (instance.isEmpty) "unknown" else instance
@@ -36,6 +42,7 @@ final class SystemLog(store: BucketStore, instance: String,
     * above the persist level), false when dropped by the gate. */
   def log(level: String, target: String, message: String,
       nowUs: Long = System.currentTimeMillis() * 1000L): Boolean = {
+    if (forwarder.isDefined) return false // node-local: skipped on replicas
     val lvl = level.trim.toUpperCase
     val persist = persistLevel.exists(p =>
       Rank.getOrElse(lvl, Int.MaxValue) <= Rank.getOrElse(p, 0))
@@ -92,6 +99,18 @@ final class SystemLog(store: BucketStore, instance: String,
     * before the per-bucket events it summarizes. */
   def events(items: Seq[Event]): Boolean = {
     if (!eventsEnabled || items.isEmpty) return false
+    forwarder.foreach { fwd =>
+      // replica: every event forwards to the primary's HTTP API as its
+      // own single-record write (forward_writer.rs log_forward)
+      var ok = true
+      for (e <- items) {
+        val ts = lastUs.updateAndGet(prev => math.max(prev + 1, e.nowUs))
+        ok &= fwd.send(s"${e.entryPrefix}/$inst/${e.name}", ts,
+          Map("status" -> e.status.toString) ++ e.extraLabels,
+          e.payloadJson.getBytes("UTF-8"))
+      }
+      return ok
+    }
     import scala.jdk.CollectionConverters._
     val rows = items.map { e =>
       val ts = lastUs.updateAndGet(prev => math.max(prev + 1, e.nowUs))

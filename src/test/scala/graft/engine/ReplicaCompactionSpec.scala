@@ -123,4 +123,43 @@ class ReplicaCompactionSpec extends AnyFunSuite with SparkTestBase {
         env = Map("RS_INSTANCE_ROLE" -> "bogus"))
     }
   }
+
+  test("replica forwards $system events to the primary over HTTP " +
+      "(RS_PRIMARY_URL, syslog/forward_writer.rs), with failover") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft-fwd").toString
+    val primary = new BucketStore(spark, root)
+    val primaryApi = new HttpApi(primary, apiToken = "shared")
+    val pPort = primaryApi.start()
+    val replica = new BucketStore(spark, root, readOnly = true)
+    // primary URL is a DEAD port — the live primary is the SECONDARY:
+    // proves both the failover policy and the forward wire shape
+    val api = new HttpApi(replica, apiToken = "shared",
+      env = Map("RS_INSTANCE_ROLE" -> "REPLICA",
+        "RS_PRIMARY_URL" -> "http://127.0.0.1:9",
+        "RS_SECONDARY_URL" -> s"http://127.0.0.1:$pPort",
+        "RS_SYSTEM_EVENTS_REMOTE_TIMEOUT" -> "2"))
+    api.start()
+    try {
+      // generate replica-side telemetry, then flush — the usage events
+      // must LAND IN THE PRIMARY'S TREE, shipped over its write API
+      replica.usage.countRead("b", "e", 3L, 42L)
+      api.flushUsageNow()
+      val landed = primary.readConsistent {
+        primary.table()
+          .filter(col("bucket") === "$system" &&
+            col("entry").startsWith("usage/"))
+          .select("entry", "labels").collect()
+      }
+      assert(landed.nonEmpty, "forwarded usage events must land on the primary")
+      assert(landed.forall(r =>
+        r.getAs[Map[String, String]]("labels").contains("status")),
+        "the status label travels as x-reduct-label-status")
+      // the replica kept NO local $system of its own beyond the shared
+      // tree (it cannot write; the rows above came through the primary)
+      // and log capture is node-local: skipped on a replica
+      assert(!api.systemLog.log("ERROR", "t", "m"),
+        "replica log capture must be skipped (syslog.rs:332)")
+    } finally { api.stop(); primaryApi.stop(); primary.close() }
+  }
 }
