@@ -190,11 +190,32 @@ object Auth {
       * digest + map hit. Keyed by digest so no plaintext secret outlives
       * its request. Invalidated WHOLESALE on any repo mutation — create,
       * provision, remove, rotate — the simplest scheme that can never
-      * serve a stale grant. Bounded: a flood of distinct bad tokens
-      * clears it rather than growing it. */
-    private val validationCache = mutable.HashMap.empty[String, Option[String]]
-    private val ValidationCacheMax = 4096
-    private def invalidateValidationCache(): Unit = validationCache.clear()
+      * serve a stale grant. Bounded by LRU: a flood of distinct bad
+      * bearer values evicts one entry per insert (the least-recently
+      * consulted), so it can never evict the hot legitimate entries
+      * wholesale — a clear()-at-capacity scheme would hand an attacker a
+      * lever to force every real client back onto the slow path. */
+    private[engine] var validationCacheMax = 4096 // var: spec-shrinkable
+    private val validationCache =
+      new java.util.LinkedHashMap[String, Option[String]](256, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Option[String]]): Boolean =
+          size() > validationCacheMax
+      }
+    /** Spec probes: PBKDF2 verifications actually run (the targeted-
+      * lookup pin), and cache membership (containsKey does NOT touch the
+      * LRU access order, so probing is side-effect-free). */
+    private[engine] val verifyCount = new java.util.concurrent.atomic.AtomicLong
+    private[engine] def isCachedCandidate(value: String): Boolean =
+      synchronized(validationCache.containsKey(candidateDigest(value)))
+    /** Bumped on every repo mutation. A slow-path verification that
+      * started against the pre-mutation repo snapshot must not write its
+      * conclusion into the (just-invalidated) cache — it rechecks the
+      * epoch under the monitor before caching. */
+    private var cacheEpoch = 0L
+    private def invalidateValidationCache(): Unit = {
+      validationCache.clear(); cacheEpoch += 1
+    }
     private def candidateDigest(value: String): String =
       value.length + ":" + java.util.Base64.getEncoder.encodeToString(
         MessageDigest.getInstance("SHA-256").digest(value.getBytes("UTF-8")))
@@ -275,31 +296,84 @@ object Auth {
       TokenCreateResponse(value, nowMs())
     }
 
+    /** Generated secrets embed their token name (`<name>-<32 hex>`,
+      * [[createToken]]/[[rotateToken]]) — recover it so a cache-missing
+      * candidate verifies against ONE stored hash, not the whole repo. */
+    private def candidateNamePrefix(value: String): Option[String] =
+      if (value.length > 33 && value(value.length - 33) == '-' &&
+          value.takeRight(32).forall(c =>
+            (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')))
+        Some(value.dropRight(33))
+      else None
+
     /** repo.rs validate_token — bearer parse, hash match, lifetime + IP.
       * The hash match consults the validation cache first; lifetime,
       * allowlist, and the lastAccess stamp run on EVERY request — only
-      * the expensive secret verification is cached. */
+      * the expensive secret verification is cached.
+      *
+      * PBKDF2 (100k iterations, ~50-100 ms) runs OUTSIDE the monitor:
+      * holding it while hashing would serialize ALL auth behind one slow
+      * verification — a DoS lever for an attacker spraying distinct bad
+      * bearer values. The slow path (a) snapshots only the candidate
+      * hashes it must check under the monitor — usually exactly one, via
+      * the `name-` secret prefix; a full scan happens only for
+      * provisioned/legacy secrets that don't carry the prefix — then
+      * (b) verifies lock-free, and (c) re-takes the monitor to cache the
+      * verdict iff no repo mutation intervened (cacheEpoch), so a
+      * mid-flight rotate/remove can never plant a stale cache entry. */
     def validateToken(header: Option[String],
-        clientIp: Option[String] = None): Token = synchronized {
+        clientIp: Option[String] = None): Token = {
       val value = parseBearerToken(header.getOrElse(""))
       val digest = candidateDigest(value)
-      val token = validationCache.get(digest) match {
-        case Some(Some(name)) =>
-          // the cache is cleared on every mutation, so a hit's name is
-          // current; a vanished name would mean a missed invalidation
-          repo.getOrElse(name, throw unauthorized("Invalid token"))
-        case Some(None) => throw unauthorized("Invalid token")
-        case None =>
-          if (validationCache.size >= ValidationCacheMax)
-            validationCache.clear()
-          val found = repo.values.find(t => verifyTokenSecret(t.value, value))
-          validationCache(digest) = found.map(_.name)
-          found.getOrElse(throw unauthorized("Invalid token"))
+      val resolvedName: Option[String] = {
+        val cachedOrWork: Either[(Long, Seq[(String, String)]), Option[String]] =
+          synchronized {
+            Option(validationCache.get(digest)) match {
+              case Some(hit) => Right(hit)
+              case None =>
+                val targeted = for {
+                  name <- candidateNamePrefix(value)
+                  t <- repo.get(name)
+                } yield Seq((t.name, t.value))
+                Left((cacheEpoch, targeted.getOrElse(
+                  repo.values.map(t => (t.name, t.value)).toSeq)))
+            }
+          }
+        cachedOrWork match {
+          case Right(hit) => hit
+          case Left((epoch, primary)) =>
+            // lock-free PBKDF2 against the snapshot; if the name-prefix
+            // guess missed (e.g. a provisioned secret that happens to
+            // LOOK generated), fall back to the full scan once
+            var found = primary.find { case (_, stored) =>
+              verifyCount.incrementAndGet()
+              verifyTokenSecret(stored, value) }.map(_._1)
+            if (found.isEmpty && primary.length == 1) {
+              val rest = synchronized {
+                repo.values.collect {
+                  case t if t.name != primary.head._1 => (t.name, t.value)
+                }.toSeq
+              }
+              found = rest.find { case (_, stored) =>
+                verifyCount.incrementAndGet()
+                verifyTokenSecret(stored, value) }.map(_._1)
+            }
+            synchronized {
+              if (cacheEpoch == epoch) validationCache.put(digest, found)
+            }
+            found
+        }
       }
-      checkTokenLifetime(token)
-      checkIpAllowlist(token, clientIp)
-      repo(token.name) = token.copy(lastAccessMs = Some(nowMs()))
-      token
+      synchronized {
+        // a cached name always re-resolves against the CURRENT repo — a
+        // vanished name would mean a missed invalidation
+        val token = resolvedName.flatMap(repo.get)
+          .getOrElse(throw unauthorized("Invalid token"))
+        checkTokenLifetime(token)
+        checkIpAllowlist(token, clientIp)
+        repo(token.name) = token.copy(lastAccessMs = Some(nowMs()))
+        token
+      }
     }
 
     private def checkTokenLifetime(t: Token): Unit = {

@@ -885,7 +885,11 @@ final class BucketStore(val spark: SparkSession, val root: String,
             bucket, rec.entry, rec.ts, rec.labels,
             Map.empty[String, String], rec.contentType,
             Records.State.Finished, rec.payload))
-          admitted += ((idx, req, survivors))
+          // a request whose records ALL conflicted is a committed no-op
+          // (serially it would succeed with its 409 map regardless of any
+          // later write) — keep it out of `admitted` so a shared-job
+          // failure can't overwrite its Right(rejected) with Left(e)
+          if (survivors.nonEmpty) admitted += ((idx, req, survivors))
           results(idx) = Right(rejected)
         } catch { case NonFatal(e) => results(idx) = Left(e) }
       }

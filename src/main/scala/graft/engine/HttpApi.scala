@@ -2448,13 +2448,27 @@ object HttpApi {
     // instead of the status. Bounded: a body past the cap (64 MiB — far
     // above any admissible batch, since oversize requests were already
     // refused at admission) forfeits keep-alive instead of being paid.
+    // Unauthenticated / rate-limited rejections (401/403/429) get a
+    // 64 KiB cap instead: those fire before ANY request-cost was earned,
+    // and a full drain would let an unauthenticated client bill the
+    // server up to 64 MiB of socket reads per rejected request — an
+    // amplification lever on cheap floods. Their keep-alive is not worth
+    // preserving; past the small cap the connection just closes.
+    val drainCap =
+      if (status == 401 || status == 403 || status == 429) 64L * 1024
+      else 64L * 1024 * 1024
+    var bodyRemains = false
     try {
       val in = ex.getRequestBody
       val buf = new Array[Byte](64 * 1024)
       var drained = 0L
       var n = in.read(buf)
-      while (n >= 0 && drained <= 64L * 1024 * 1024) { drained += n; n = in.read(buf) }
+      while (n >= 0 && drained <= drainCap) { drained += n; n = in.read(buf) }
+      bodyRemains = n >= 0
     } catch { case scala.util.control.NonFatal(_) => () }
+    // undrained bytes would be misread as the NEXT request on this
+    // connection — tell the JDK server to close it after the response
+    if (bodyRemains) ex.getResponseHeaders.set("Connection", "close")
     // header values are Latin-1 on the wire; a non-ASCII char in an
     // exception message (which can echo user data) would otherwise kill
     // the response mid-write and the client sees a dropped connection.

@@ -57,6 +57,14 @@ final class MutationCoalescer[Req, Res](store: BucketStore,
     * throws its admission/processing failure exactly as the un-folded
     * path would. */
   def submit(req: Req): Res = {
+    // Refuse BEFORE enqueueing on a read-only store: every mutation 403s
+    // there (check_mode, engine.rs:163-171), and mutating{} throws before
+    // the drain ever runs — an enqueued Pending (holding the full request
+    // payload) would never be drained by anyone and leak forever. A
+    // replica receiving misdirected or retried writes must not grow
+    // memory per rejected request.
+    if (store.readOnly) throw new BucketStore.ReadOnlyStoreException(
+      "Cannot perform this operation in read-only mode")
     val mine = new Pending(req)
     queue.add(mine)
     store.mutating {
@@ -81,7 +89,18 @@ final class MutationCoalescer[Req, Res](store: BucketStore,
           // forever
           for (pending <- batch if pending.result == null)
             pending.result = Left(t)
-        } finally batch.foreach(_.done.countDown())
+        } finally {
+          // result-alignment backstop: a `process` that returns FEWER
+          // results than requests (a folded-impl bug) would leave the
+          // tail unresolved — the latch still opens below, and a null
+          // result would NPE the requester. Fail those requests
+          // explicitly instead.
+          for (pending <- batch if pending.result == null)
+            pending.result = Left(new IllegalStateException(
+              "coalesced mutation resolved no result for this request " +
+                "(process returned fewer results than requests)"))
+          batch.foreach(_.done.countDown())
+        }
       }
     }
     // resolved either by this thread (as leader) or by an earlier one

@@ -128,6 +128,87 @@ class AuthSpec extends AnyFunSuite {
     intercept[ApiError](r.validateToken(Some("Bearer nope")))
   }
 
+  test("targeted verification: a generated secret verifies against ONE " +
+      "stored hash via its name prefix, not the whole repo (DoS lever)") {
+    val r = repo()
+    for (i <- 0 until 6) r.createToken(s"tok$i", Permissions())
+    val good = r.createToken("hot", Permissions())
+    val base = r.verifyCount.get()
+    r.validateToken(Some(s"Bearer ${good.value}")) // cache miss, prefixed
+    assert(r.verifyCount.get() - base == 1,
+      s"prefixed secret must verify exactly one hash, " +
+        s"ran ${r.verifyCount.get() - base}")
+    // a PREFIXED but wrong secret: targeted verify fails, full-scan
+    // fallback runs once (a provisioned secret could LOOK generated),
+    // verdict cached as known-bad
+    val bogus = "hot-" + "0" * 32
+    val b0 = r.verifyCount.get()
+    intercept[ApiError](r.validateToken(Some(s"Bearer $bogus")))
+    assert(r.verifyCount.get() - b0 == 1 + 7, // hot + (init + 6 + hot - hot)
+      "fallback scans the rest exactly once")
+    val b1 = r.verifyCount.get()
+    intercept[ApiError](r.validateToken(Some(s"Bearer $bogus")))
+    assert(r.verifyCount.get() == b1, "known-bad verdict must be cached")
+  }
+
+  test("provisioned secret that LOOKS generated still validates via the " +
+      "full-scan fallback") {
+    val r = repo()
+    // secret parses to name-prefix "ghost", which is no repo token
+    val secret = "ghost-" + "ab" * 16
+    r.provisionToken("svc", secret, Permissions(fullAccess = true))
+    assert(r.validateToken(Some(s"Bearer $secret")).name == "svc")
+    // and the cache now serves it without re-verification
+    val c = r.verifyCount.get()
+    assert(r.validateToken(Some(s"Bearer $secret")).name == "svc")
+    assert(r.verifyCount.get() == c)
+  }
+
+  test("validation cache evicts per-entry LRU under a bad-bearer flood — " +
+      "hot legitimate entries survive") {
+    val r = repo()
+    r.validationCacheMax = 4 // spec-scale the cap; semantics unchanged
+    val good = r.createToken("hot", Permissions())
+    r.validateToken(Some(s"Bearer ${good.value}"))
+    assert(r.isCachedCandidate(good.value))
+    // 8 distinct bad bearers, touching the hot entry between them: each
+    // insert evicts the LEAST-RECENTLY-USED entry, never the hot one
+    for (i <- 0 until 8) {
+      intercept[ApiError](r.validateToken(Some(s"Bearer flood-$i")))
+      r.validateToken(Some(s"Bearer ${good.value}")) // keeps it recent
+      assert(r.isCachedCandidate(good.value),
+        s"hot entry evicted by bad-bearer #$i — wholesale clear is back")
+    }
+    // the flood itself is bounded: oldest flood entries are gone
+    assert(!r.isCachedCandidate("flood-0"))
+  }
+
+  test("PBKDF2 verification runs OUTSIDE the repo monitor: cached auth " +
+      "proceeds while a slow full-scan verification is in flight") {
+    val r = repo()
+    for (i <- 0 until 4) r.createToken(s"t$i", Permissions())
+    val good = r.createToken("hot", Permissions())
+    r.validateToken(Some(s"Bearer ${good.value}")) // cache it
+    // no name prefix → full scan: 6 PBKDF2 verifications, several
+    // hundred ms, all of which must run lock-free
+    val slow = new Thread(() =>
+      try r.validateToken(Some("Bearer no-prefix-bogus"))
+      catch { case _: ApiError => () })
+    slow.start()
+    Thread.sleep(30) // slow thread is inside PBKDF2 by now
+    val t0 = System.nanoTime()
+    r.validateToken(Some(s"Bearer ${good.value}"))
+    val cachedMs = (System.nanoTime() - t0) / 1e6
+    val stillScanning = slow.isAlive
+    slow.join(30000)
+    // only meaningful if the scan was genuinely concurrent; with 6
+    // 100k-iteration verifications it always is
+    assert(stillScanning, "slow scan finished implausibly fast")
+    assert(cachedMs < 100,
+      f"cached validation stalled $cachedMs%.0f ms behind the scan — " +
+        "PBKDF2 is back under the monitor")
+  }
+
   test("repository survives concurrent validate/create/remove (serving pool)") {
     // Every authenticated request WRITES the repo (lastAccessMs stamp), so
     // the serving pool's threads mutate it concurrently with token CRUD; an

@@ -1367,6 +1367,34 @@ class HttpApiSpec extends AnyFunSuite with SparkTestBase {
     assert(new String(w.body()).contains("does not match the sum"))
   }
 
+  test("unauthenticated errors drain at most 64 KiB and close the " +
+      "connection — no 64 MiB read amplification per rejected request") {
+    val sock = new java.net.Socket("127.0.0.1", port)
+    try {
+      sock.setSoTimeout(30000)
+      val out = sock.getOutputStream
+      // declare 1 MB, send only ~160 KB with a BAD bearer: the old
+      // full-drain would block forever waiting for the remaining body;
+      // the capped drain answers 401 after ≤ ~128 KB of reads
+      out.write(("POST /api/v1/b/dr/e?ts=1 HTTP/1.1\r\n" +
+        "Host: 127.0.0.1\r\nAuthorization: Bearer wrong-token\r\n" +
+        "Content-Length: 1000000\r\n\r\n").getBytes("US-ASCII"))
+      out.write(new Array[Byte](160 * 1024))
+      out.flush()
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(sock.getInputStream))
+      val status = in.readLine()
+      assert(status != null && status.contains("401"),
+        s"401 must come back without the full body, got: $status")
+      val headers = Iterator.continually(in.readLine())
+        .takeWhile(l => l != null && l.nonEmpty).toSeq
+      assert(headers.exists(h =>
+          h.toLowerCase.startsWith("connection:") &&
+            h.toLowerCase.contains("close")),
+        s"an undrained connection must not keep-alive, headers: $headers")
+    } finally sock.close()
+  }
+
   test("RS_PUBLIC_URL is the default query-link base (links/create.rs:54)") {
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
     val pStore = new BucketStore(spark,

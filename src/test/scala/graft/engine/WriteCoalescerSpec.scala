@@ -140,4 +140,51 @@ class WriteCoalescerSpec extends AnyFunSuite with SparkTestBase {
       "serially the second DELETE would 404 on ts=1")
     assert(store.table().filter("bucket = 'b'").count() == 0)
   }
+
+  test("read-only store: submit refuses BEFORE enqueueing — a replica " +
+      "must not leak a Pending per rejected mutation") {
+    val dir = Files.createTempDirectory("graft-coal-ro").toString
+    new BucketStore(spark, dir).close() // primary creates the tree, releases
+    val replica = new BucketStore(spark, dir, readOnly = true)
+    val c = new MutationCoalescer(replica, replica.writeFolded)
+    for (i <- 0 until 8)
+      assertThrows[BucketStore.ReadOnlyStoreException](
+        c.submit(FoldReq("b", Seq(rec("e", i.toLong)))))
+    assert(c.queuedCount == 0,
+      "rejected mutations must leave nothing queued (unbounded growth " +
+        "on a replica receiving retried writes)")
+    assert(c.foldedBatches.get() == 0 && c.foldedRequests.get() == 0)
+  }
+
+  test("misaligned process (fewer results than requests) fails the " +
+      "unresolved request instead of NPE-ing or hanging it") {
+    val store = newStore()
+    // a broken folded-impl: always returns ONE result regardless of
+    // batch size
+    val broken = new MutationCoalescer[Int, Int](store,
+      reqs => Seq(Right(reqs.head)))
+    assert(broken.submit(7) == 7, "aligned single request still works")
+    // force a 2-request fold: hold the store lock while both queue
+    val results = new java.util.concurrent.ConcurrentHashMap[Int, Either[Throwable, Int]]()
+    val threads = (0 until 2).map { t =>
+      new Thread(() => results.put(t,
+        try Right(broken.submit(t)) catch { case e: Throwable => Left(e) }))
+    }
+    store.mutating {
+      threads.foreach(_.start())
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (broken.queuedCount < 2 && System.nanoTime() < deadline)
+        Thread.sleep(5)
+      assert(broken.queuedCount == 2)
+    }
+    threads.foreach(_.join(30000))
+    assert(!threads.exists(_.isAlive), "no requester may hang")
+    val outcomes = (0 until 2).map(results.get)
+    assert(outcomes.count(_.isRight) == 1, "the aligned head resolves")
+    assert(outcomes.exists {
+      case Left(e: IllegalStateException) =>
+        e.getMessage.contains("fewer results than requests")
+      case _ => false
+    }, s"the unresolved tail must fail explicitly, got $outcomes")
+  }
 }
