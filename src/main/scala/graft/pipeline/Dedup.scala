@@ -119,6 +119,80 @@ object Dedup {
     }
   }
 
+  // ------------------------- candidate verification (shared, r19 shape)
+
+  /** Exact-Jaccard verification of a deduplicated (a, b) candidate frame
+    * against a hashed-set table `hsTab` = (id, hs) with `hs` the sorted
+    * distinct 60-bit hashes. Returns (a, b, jaccard) with jaccard
+    * rounded to 6 — the common tail of [[minhashPairs]] and the
+    * oversized-group branch of [[groupedJaccardPairs]].
+    *
+    * Two shape decisions, both from the r19 plan audit (plans/r19):
+    *
+    *  1. ONE pass over `hsTab`, not two. The candidates are exploded to
+    *     (a, b, role-id) rows, joined to `hsTab` ONCE, and regrouped to
+    *     (a, b, ha, hb). The previous two-join form (`pairs ⋈ hsTab as
+    *     a ⋈ hsTab as b`) streamed the whole corpus through BOTH probe
+    *     sides (AQE broadcasts the tiny pair list), so the text-hash
+    *     kernel ran corpus-wide once per side — plus once for the
+    *     signatures, three full passes per query. This shape pays two,
+    *     and the regroup exchange carries only candidate-sized hash
+    *     sets (bounded by the bucket caps upstream).
+    *  2. The merge kernel runs ONCE per candidate, AFTER the cheap
+    *     prefilters. Catalyst pushes a `jaccard >= t` filter into the
+    *     join condition and orders it first, so every candidate paid
+    *     two [[DedupExprs.sortedIntersectCount]] calls before the
+    *     size-ratio prune even ran (visible in the r19 before-plans:
+    *     the kernel twice in the join condition, again in the
+    *     projection). [[EvalOnceExpr]] pins the kernel to one
+    *     evaluation site (a marker COLUMN is not enough — column
+    *     pruning strips an unused marker and the pushdown re-fires,
+    *     measured in the r19 mid-plans), giving the order:
+    *     ratio prune → one kernel call → threshold filter.
+    *
+    * Result-identical to the two-join form: every candidate id comes
+    * from an `hsTab` row upstream, so both roles always resolve, and
+    * the jaccard arithmetic is byte-for-byte the same expressions. */
+  private def verifiedJaccard(pairs: DataFrame, hsTab: DataFrame,
+      threshold: Double): DataFrame = {
+    // collect_list (TypedImperativeAggregate → ObjectHashAggregate)
+    // rather than max-over-array (whose array-typed buffer forces a
+    // SortAggregate + two candidate-set sorts, measured +0.3 s at
+    // sf0.1); each group is exactly the pair's two role rows, so the
+    // list is 2 structs and role extraction is an O(2) array filter
+    val paired = pairs
+      .select(col("a"), col("b"),
+        explode(array(col("a"), col("b"))).as("id"))
+      .join(hsTab, "id")
+      .groupBy("a", "b")
+      .agg(collect_list(struct((col("id") === col("a")).as("isa"),
+        col("hs").as("h"))).as("__rh"))
+      .select(col("a"), col("b"),
+        element_at(filter(col("__rh"), e => e.getField("isa")), 1)
+          .getField("h").as("ha"),
+        element_at(filter(col("__rh"), e => !e.getField("isa")), 1)
+          .getField("h").as("hb"))
+    verifyPairsTail(paired, threshold)
+  }
+
+  /** The shared verification tail over a (a, b, ha, hb) frame: ratio
+    * prune → ONE pinned kernel call → threshold filter (see
+    * [[verifiedJaccard]] point 2). A pair missing a role (null ha/hb —
+    * cannot happen when candidates come from `hsTab`, kept for exact
+    * parity with the inner-join form) is dropped. */
+  private def verifyPairsTail(paired: DataFrame, threshold: Double): DataFrame =
+    paired
+      .filter(col("ha").isNotNull && col("hb").isNotNull &&
+        least(size(col("ha")), size(col("hb"))).cast("double") >=
+          lit(threshold) * greatest(size(col("ha")), size(col("hb"))))
+      .select(col("a"), col("b"), col("ha"), col("hb"),
+        DedupExprs.evalOnce(
+          DedupExprs.sortedIntersectCount(col("ha"), col("hb"))).as("ni"))
+      .withColumn("jaccard", col("ni").cast("double") /
+        (size(col("ha")) + size(col("hb")) - col("ni")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+
   // ------------------------------------------------------------- exact
 
   /** Exact duplicate groups by content digest. Returns one row per distinct
@@ -208,8 +282,13 @@ object Dedup {
       maxBucketSize: Int = 1000, capName: String = "minhash"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
+    // hs pinned to one evaluation ([[EvalOnceExpr]]): the non-empty
+    // filter above an unpinned projection gets inlined by pushdown and
+    // the shingle kernel ran TWICE per row (Filter + Project of the
+    // same scan stage, r19 before-plans)
     val hsTab = docs
-      .select(col(idCol).as("id"), shingleHashes(col(textCol), k).as("hs"))
+      .select(col(idCol).as("id"),
+        DedupExprs.evalOnce(shingleHashes(col(textCol), k)).as("hs"))
       .filter(size(col("hs")) > 0)
     val withSig = hsTab
       .withColumn("sig", minhashSignature(col("hs"), numHashes))
@@ -235,22 +314,12 @@ object Dedup {
       .select(col("p.a"), col("p.b"))
       .dropDuplicates("a", "b")
     // exact Jaccard verification over the sorted hash sets (native merge
-    // kernel) — recomputed for the (small) candidate set only. The
-    // size-ratio prefilter is RESULT-INVARIANT (jaccard(A,B) ≤
-    // min|A|,|B| / max|A|,|B|: intersect ≤ min, union ≥ max), so a pair
-    // whose set sizes are too lopsided to reach the threshold skips the
-    // O(|A|+|B|) merge — at sf1 the hot-bucket candidate set is the cost
-    // center, and the ratio prunes before the expensive kernel runs.
-    pairs
-      .join(hsTab.select(col("id").as("a"), col("hs").as("ha")), "a")
-      .join(hsTab.select(col("id").as("b"), col("hs").as("hb")), "b")
-      .filter(least(size(col("ha")), size(col("hb"))).cast("double") >=
-        lit(threshold) * greatest(size(col("ha")), size(col("hb"))))
-      .withColumn("ni", DedupExprs.sortedIntersectCount(col("ha"), col("hb")))
-      .withColumn("jaccard", col("ni").cast("double") /
-        (size(col("ha")) + size(col("hb")) - col("ni")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+    // kernel) — recomputed for the (small) candidate set only, one
+    // corpus pass + one kernel call per ratio-surviving candidate (the
+    // size-ratio prefilter is RESULT-INVARIANT: jaccard(A,B) ≤
+    // min|A|,|B| / max|A|,|B| since intersect ≤ min and union ≥ max).
+    // See [[verifiedJaccard]] for the measured shape rationale.
+    verifiedJaccard(pairs, hsTab, threshold)
   }
 
   /** [[minhashPairs]] with the banding dial read from the session conf —
@@ -384,13 +453,22 @@ object Dedup {
     // union array per pair. Size-ratio prefilter in the JOIN condition
     // (result-invariant: jaccard ≤ min/max sizes) prunes lopsided pairs
     // before the merge kernel ever runs.
+    // the join condition keeps ONLY the cheap conjuncts (group equality,
+    // id order, size-ratio prune); the merge kernel is evaluated once
+    // per surviving pair in a projection the threshold filter cannot be
+    // pushed below ([[EvalOnceExpr]] — without it Catalyst inlines
+    // `j >= t` into the join condition and orders the kernel FIRST, so
+    // every group cross-pair paid two kernel calls before the
+    // prefilters ran; see [[verifiedJaccard]]).
     val exact = a.join(b, col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
         least(size(col("a.toks")), size(col("b.toks"))).cast("double") >=
           lit(threshold) * greatest(size(col("a.toks")), size(col("b.toks"))))
-      .withColumn("ni", DedupExprs.sortedIntersectCount(col("a.toks"), col("b.toks")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (col("ni").cast("double") /
-          (size(col("a.toks")) + size(col("b.toks")) - col("ni"))).as("j"))
+        size(col("a.toks")).as("__sa"), size(col("b.toks")).as("__sb"),
+        DedupExprs.evalOnce(DedupExprs.sortedIntersectCount(
+          col("a.toks"), col("b.toks"))).as("ni"))
+      .withColumn("j", col("ni").cast("double") /
+        (col("__sa") + col("__sb") - col("ni")))
       .filter(col("j") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"),
         lit(false).as("capped"))
@@ -399,7 +477,13 @@ object Dedup {
 
     // ---- oversized groups: minhash-blocked candidates, same exact verify
     val r = numHashes / bands
-    val big = big0.get.filter(size(col("toks")) > 0)
+    // toks pinned ([[EvalOnceExpr]]) so the non-empty filter doesn't
+    // re-inline the token-hash kernel (see [[minhashPairs]]'s hsTab);
+    // pinned HERE, not in d0, so splitByGroupSize's routing agg keeps
+    // pruning the toks column away entirely
+    val big = big0.get
+      .select(col("g"), col("id"), DedupExprs.evalOnce(col("toks")).as("toks"))
+      .filter(size(col("toks")) > 0)
     val banded = big
       .withColumn("sig", DedupExprs.minhashSig(col("toks"), numHashes))
       .select(col("g"), col("id"),
@@ -418,18 +502,21 @@ object Dedup {
              p -> p.a < p.b)""")).as("p"))
       .select(col("p.a"), col("p.b"))
       .dropDuplicates("a", "b")
-    val blocked = cand
-      .join(big.select(col("id").as("a"), col("toks").as("ta")), "a")
-      .join(big.select(col("id").as("b"), col("toks").as("tb")), "b")
-      // same result-invariant size-ratio prune as the exact branch
-      .filter(least(size(col("ta")), size(col("tb"))).cast("double") >=
-        lit(threshold) * greatest(size(col("ta")), size(col("tb"))))
-      .withColumn("ni", DedupExprs.sortedIntersectCount(col("ta"), col("tb")))
-      .select(col("a").as("id_a"), col("b").as("id_b"),
-        (col("ni").cast("double") /
-          (size(col("ta")) + size(col("tb")) - col("ni"))).as("j"))
-      .filter(col("j") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"),
+    // two-join attach here, NOT [[verifiedJaccard]]'s single-pass
+    // regroup: the capped regime is the OPPOSITE of minhash's — the
+    // oversized-group row set is small and bounded while the candidate
+    // set is quadratic-in-cap large (sf1 probe: 150k candidates from a
+    // 2.5k-doc group), so re-streaming the group rows through two
+    // broadcast probes is far cheaper than shuffling candidate-sized
+    // hash arrays through a regroup (measured +19% on q_jaccard_capped
+    // with the regroup at sf0.1). The evaluation discipline still
+    // holds: `toks` is pinned in `big`, and [[verifyPairsTail]] keeps
+    // ratio prune → one kernel call → threshold filter.
+    val paired = cand
+      .join(big.select(col("id").as("a"), col("toks").as("ha")), "a")
+      .join(big.select(col("id").as("b"), col("toks").as("hb")), "b")
+    val blocked = verifyPairsTail(paired, threshold)
+      .select(col("a").as("id_a"), col("b").as("id_b"), col("jaccard"),
         lit(true).as("capped"))
 
     exact.unionByName(blocked)
