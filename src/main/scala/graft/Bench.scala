@@ -37,7 +37,7 @@ object Bench {
     * contention signal (4-way concurrent dispatch, interleaved
     * reads-during-writes) without doubling the bench total. Any client
     * failure fails the entry (timed() records an error, not a timing). */
-  private def httpConcurrentWorkload(spark: SparkSession): Unit = {
+  private[graft] def httpConcurrentWorkload(spark: SparkSession): Unit = {
     val storeDir = java.nio.file.Files.createTempDirectory("graft-bench-http").toString
     val store = new BucketStore(spark, storeDir)
     // admission paths exercised END-TO-END (SCALE.md r18): rate limits

@@ -548,8 +548,12 @@ object Dedup {
       .select(explode(shingleHashes(col(textCol), k)).as("h"))
       .distinct().withColumn("__hit", lit(1))
     val bench = if (broadcastBenchmark) broadcast(bench0) else bench0
+    // hs pinned ([[EvalOnceExpr]]): unpinned, Catalyst inlined the
+    // shingle kernel into the size filter, the isnotnull guard, the
+    // ngrams projection AND the explode Generate — four corpus-wide
+    // kernel evaluations per row (r19 before-plans)
     docs.select(col(idCol).as("id"),
-        shingleHashes(col(textCol), k).as("hs"))
+        DedupExprs.evalOnce(shingleHashes(col(textCol), k)).as("hs"))
       .filter(size(col("hs")) > 0)
       .select(col("id"), size(col("hs")).cast("long").as("ngrams"),
         explode(col("hs")).as("h"))
@@ -599,8 +603,12 @@ object Dedup {
     val prevDg0 = previous.select(md5(col(textCol)).as("__digest"))
       .distinct().withColumn("__seen", lit(1))
     val prevDg = if (broadcastPrevious) broadcast(prevDg0) else prevDg0
+    // hs pinned ([[EvalOnceExpr]]) — one kernel evaluation feeding both
+    // the size projection and the explode; the digest-only branch below
+    // still prunes the unused hs column away entirely
     val base = newDocs.select(col(idCol).as("id"),
-      md5(col(textCol)).as("__digest"), shingleHashes(col(textCol), k).as("hs"))
+      md5(col(textCol)).as("__digest"),
+      DedupExprs.evalOnce(shingleHashes(col(textCol), k)).as("hs"))
     // explode_outer keeps shingle-less docs: their null h never joins a
     // hit, so they score (ngrams 0, matched 0)
     val scored = base

@@ -40,15 +40,18 @@ object Similarity {
     * bit-reproducible. Zero vectors pass through unchanged (flagged).
     */
   def normalizeEmbeddings(corpus: DataFrame,
-      vecCol: String = "embedding"): DataFrame = {
-    val n = norm(col(vecCol))
+      vecCol: String = "embedding"): DataFrame =
+    // the norm is STAGED as a pinned column and referenced by attribute:
+    // inlining the fold-dot inside the transform lambda re-evaluated it
+    // per ELEMENT — O(d^2) per row for an O(d) job (r19 plan audit; the
+    // pin keeps CollapseProject from re-inlining it)
     corpus
-      .withColumn("norm", n)
+      .withColumn("norm", DedupExprs.evalOnce(norm(col(vecCol))))
       .withColumn(vecCol,
-        when(n > 0, transform(col(vecCol), x => x.cast("double") / n))
+        when(col("norm") > 0,
+          transform(col(vecCol), x => x.cast("double") / col("norm")))
           .otherwise(transform(col(vecCol), x => x.cast("double"))))
-      .withColumn("zero_vec", n === 0)
-  }
+      .withColumn("zero_vec", col("norm") === 0)
 
   /** Symmetric int8 quantization per vector: `q_i = floor(x_i * 127 /
     * amax + 0.5)` with `amax = max |x_i|` — 4x smaller candidate scans
@@ -59,14 +62,21 @@ object Similarity {
     */
   def quantizeInt8(corpus: DataFrame,
       vecCol: String = "embedding"): DataFrame = {
+    // amax staged as a pinned column (same O(d^2) trap as
+    // [[normalizeEmbeddings]]: the aggregate inlined in the transform
+    // lambda re-ran per element — d=64 made that 4096 ops/row)
     val amax = aggregate(col(vecCol), lit(0.0d),
       (acc, x) => greatest(acc, abs(x.cast("double"))))
     corpus
-      .withColumn("scale", when(amax > 0, amax / 127.0d).otherwise(0.0d))
-      .withColumn("qvec", when(amax > 0,
+      .withColumn("__amax", DedupExprs.evalOnce(amax))
+      .withColumn("scale",
+        when(col("__amax") > 0, col("__amax") / 127.0d).otherwise(0.0d))
+      .withColumn("qvec", when(col("__amax") > 0,
           transform(col(vecCol), x =>
-            floor(x.cast("double") * lit(127.0d) / amax + 0.5d).cast("int")))
+            floor(x.cast("double") * lit(127.0d) / col("__amax") + 0.5d)
+              .cast("int")))
         .otherwise(transform(col(vecCol), x => lit(0))))
+      .drop("__amax")
   }
 
   /** Exact cosine top-k per query vector.
@@ -181,8 +191,11 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       planes: Int = 8, dim: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // bucket pinned: the bucket-join's inferred isnotnull filter
+    // otherwise inlines the whole planes-dot signature and every corpus
+    // row pays it twice (Filter + Project, r19 before-plans)
     val bucketed = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
-      lshSignature(col(vecCol), planes, dim).as("bucket"))
+      DedupExprs.evalOnce(lshSignature(col(vecCol), planes, dim)).as("bucket"))
     // query probes: own bucket + flip each bit once. The signature is
     // staged as a column FIRST — inlining it into each of the planes+1
     // probe elements replicates the (planes x dim)-literal hyperplane
@@ -305,8 +318,10 @@ object Similarity {
                    else 2 * nCentroids * seeds(0).length
       refineCentroids(corpus, seeds, trainN, idCol, vecCol)._1
     }
+    // bucket pinned — same inferred-isnotnull double evaluation as
+    // [[lshTopK]], but over the full nCentroids-literal scoring tree
     val bucketed = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
-      assignCentroid(col(vecCol), refined).as("bucket"))
+      DedupExprs.evalOnce(assignCentroid(col(vecCol), refined)).as("bucket"))
     // query probes: the nprobe highest-scoring centroids
     val centArr = centroidScores(col("qvec"), refined)
     val probes = queries.select(col("qid"), col("qvec"),
@@ -327,8 +342,11 @@ object Similarity {
       vecCol: String = "embedding", maxGroupSize: Int = 1000,
       planes: Int = 8, dim: Int = 64, maxBucketSize: Int = 1000,
       capName: String = "embed_group"): DataFrame = {
+    // nrm pinned ([[DedupExprs.evalOnce]]): the join-constraint
+    // isnotnull filter otherwise inlines the sqrt-dot and every row
+    // pays the norm twice (Filter + Project, r19 before-plans)
     val d = corpus.select(col(groupCol).as("g"), col(idCol).as("id"),
-      col(vecCol).as("vec"), norm(col(vecCol)).as("nrm"))
+      col(vecCol).as("vec"), DedupExprs.evalOnce(norm(col(vecCol))).as("nrm"))
     // BOUNDED-GROUP contract, same shape as Dedup.groupedJaccardPairs:
     // the all-pairs join is quadratic in group size (a fixed group key
     // over a 10× corpus costs 100× — measured, SCALE.md sf1 probe), so
@@ -341,11 +359,16 @@ object Similarity {
     // adaptive plan-time routing — see [[Dedup.splitByGroupSize]]
     val (small, big0) = Dedup.splitByGroupSize(d, maxGroupSize)
     val a = small.as("a"); val b = small.as("b")
+    // sim pinned: unpinned, Catalyst pushed `sim >= t` into the join
+    // condition AHEAD of the cheap id ordering and re-evaluated the
+    // fold-dot in the projection — two dots per cross pair instead of
+    // one per id-ordered pair (r19 before-plans)
     val exact = a.join(b, col("a.g") === col("b.g") && col("a.id") < col("b.id"))
-      .withColumn("sim",
-        dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")))
-      .filter(col("sim") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        DedupExprs.evalOnce(dot(col("a.vec"), col("b.vec")) /
+          (col("a.nrm") * col("b.nrm"))).as("sim"))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"),
         round(col("sim"), 6).as("sim"), lit(false).as("capped"))
     if (big0.isEmpty) return exact
     val big = big0.get
@@ -373,7 +396,9 @@ object Similarity {
         col("nrm").as("na")), "id_a")
       .join(vecs.select(col("id").as("id_b"), col("vec").as("vb"),
         col("nrm").as("nb")), "id_b")
-      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .select(col("id_a"), col("id_b"),
+        DedupExprs.evalOnce(dot(col("va"), col("vb")) /
+          (col("na") * col("nb"))).as("sim"))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"),
         round(col("sim"), 6).as("sim"), lit(true).as("capped"))
@@ -404,7 +429,8 @@ object Similarity {
       capName: String = "semdedup"): DataFrame = {
     val seeds = seedCentroids(corpus, nCentroids, idCol, vecCol)
     val assigned = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("cluster", assignCentroid(col("vec"), seeds))
+      .withColumn("cluster",
+        DedupExprs.evalOnce(assignCentroid(col("vec"), seeds)))
     val pairs = cosineDupPairsByGroup(assigned, "cluster", threshold,
       idCol = "id", vecCol = "vec", maxGroupSize = maxGroupSize,
       planes = planes, dim = dim, capName = capName)
@@ -431,8 +457,10 @@ object Similarity {
       planes: Int = 8, dim: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding",
       maxBucketSize: Int = 1000, capName: String = "embed_lsh"): DataFrame = {
+    // nrm pinned — see [[cosineDupPairsByGroup]]; without it the
+    // join-constraint isnotnull filter re-evaluates the sqrt-dot per row
     val bucketed = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      norm(col(vecCol)).as("nrm"),
+      DedupExprs.evalOnce(norm(col(vecCol))).as("nrm"),
       lshSignature(col(vecCol), planes, dim).as("bucket"))
     val byBucket = Dedup.observeBucketCap(
         bucketed.select(col("id"), col("bucket"))
@@ -455,7 +483,11 @@ object Similarity {
         col("nrm").as("na")), "id_a")
       .join(vecs.select(col("id").as("id_b"), col("vec").as("vb"),
         col("nrm").as("nb")), "id_b")
-      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      // sim pinned: one fold-dot per candidate, after the joins, with
+      // the threshold filter above it (see [[cosineDupPairsByGroup]])
+      .select(col("id_a"), col("id_b"),
+        DedupExprs.evalOnce(dot(col("va"), col("vb")) /
+          (col("na") * col("nb"))).as("sim"))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
