@@ -162,4 +162,147 @@ class ReplicaCompactionSpec extends AnyFunSuite with SparkTestBase {
         "replica log capture must be skipped (syslog.rs:332)")
     } finally { api.stop(); primaryApi.stop(); primary.close() }
   }
+
+  test("compaction candidates are incremental: idle tick lists nothing, " +
+      "a touched tick lists only the touched entries' dirs") {
+    val root = Files.createTempDirectory("graft-compact-inc").toString
+    val store = new BucketStore(spark, root)
+    // 8 quiet entries, one record each — the standing tree the old
+    // full-walk probe would re-list every tick
+    for (i <- 0 until 8)
+      store.writeBatch("b", s"quiet$i", Seq((1L, Map.empty[String, String],
+        "q".getBytes("UTF-8"))))
+    // first tick carries the accumulated dirtiness (incl. boot debt in
+    // general); nothing overcrowded
+    assert(store.compact(maxFilesPerPartition = 16) == 0)
+    // idle tick: the dirty set is drained — ZERO FS listings
+    assert(store.compact(maxFilesPerPartition = 16) == 0)
+    assert(store.lastProbeListings.get == 0L,
+      "idle tick must cost zero FS listings")
+    // fragment ONE entry; the tick must probe only that entry's dirs,
+    // not the 8 quiet ones (full walk here = root + bucket + 9 entry
+    // dirs + 9 dt dirs = 20 listings; scoped ~4 incl. the under-lock
+    // re-probe)
+    for (i <- 0 until 20)
+      store.writeBatch("b", "hot", Seq((i.toLong, Map.empty[String, String],
+        s"h$i".getBytes("UTF-8"))))
+    assert(store.compact(maxFilesPerPartition = 16) == 1, "hot compacts")
+    val listings = store.lastProbeListings.get
+    assert(listings > 0 && listings <= 8,
+      s"scoped tick must list only the touched entry's dirs, got $listings")
+    // the rewrite is invisible to readers: every record byte-identical
+    val rows = store.table().orderBy("entry", "ts").collect()
+    assert(rows.length == 28)
+    // a generic write(records) without declared entries falls back to
+    // the full walk ONCE, then the set is incremental again
+    store.write(graft.core.Records.fromEvents(spark.range(1).selectExpr(
+      "id as event_id", "timestamp_micros(1000000) as ts", "id as user_id",
+      "'t' as event_type", "cast(1.0 as double) as value", "'{}' as props")))
+    assert(store.compact(maxFilesPerPartition = 16) == 0)
+    assert(store.lastProbeListings.get > 8,
+      "undeclared bulk write must re-arm the full walk")
+    assert(store.compact(maxFilesPerPartition = 16) == 0)
+    assert(store.lastProbeListings.get == 0L, "then incremental again")
+    store.close()
+  }
+
+  test("replica readConsistent retries missing-file errors (the primary's " +
+      "swap race); owning stores still rethrow them") {
+    val root = Files.createTempDirectory("graft-replica-retry").toString
+    val primary = new BucketStore(spark, root)
+    val replica = new BucketStore(spark, root, readOnly = true)
+    try {
+      // the replica's epoch counter cannot see the primary's swaps, so a
+      // vanished-file error IS the race: first attempts fail, the read
+      // settles on retry — across the error shapes Spark actually throws
+      // (typed FNF at execution, wrapped SparkException from a task,
+      // message-only path-not-found from listing/planning)
+      for (mk <- Seq[() => Throwable](
+          () => new java.io.FileNotFoundException(s"$root/bucket=b/gone.parquet"),
+          () => new RuntimeException("job aborted",
+            new java.io.FileNotFoundException("part-0000.parquet")),
+          () => new RuntimeException(
+            "[PATH_NOT_FOUND] Path does not exist: bucket=b/entry=e"))) {
+        var calls = 0
+        val out = replica.readConsistent {
+          calls += 1
+          if (calls <= 2) throw mk()
+          42
+        }
+        assert(out == 42 && calls == 3, "retry until the swap settles")
+      }
+      // an owning store's epoch DOES see its own swaps — an FNF with no
+      // epoch movement is a real error and must surface, not retry
+      var ownerCalls = 0
+      val ex = intercept[java.io.FileNotFoundException] {
+        primary.readConsistent {
+          ownerCalls += 1
+          throw new java.io.FileNotFoundException("really-missing.parquet")
+        }
+      }
+      assert(ownerCalls == 1 && ex.getMessage.contains("really-missing"))
+      // unrelated replica errors are not retried either
+      var otherCalls = 0
+      intercept[IllegalArgumentException] {
+        replica.readConsistent {
+          otherCalls += 1
+          throw new IllegalArgumentException("bad spec")
+        }
+      }
+      assert(otherCalls == 1, "non-race errors must not retry on a replica")
+    } finally { primary.close() }
+  }
+
+  test("replica reads race the primary's compact+fold+remove loop: " +
+      "zero failures, zero dropped rows across >= 100 reads") {
+    val root = Files.createTempDirectory("graft-replica-race").toString
+    val primary = new BucketStore(spark, root)
+    // a stable floor the mutation loop never touches, plus a churn entry
+    primary.writeBatch("b", "stable", (0 until 50).map(i =>
+      (i.toLong, Map.empty[String, String], s"s$i".getBytes("UTF-8"))))
+    val replica = new BucketStore(spark, root, readOnly = true)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val primaryFailure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    // primary churn: fragment the churn entry with single-record writes,
+    // fold a label patch, compact (partition swap), remove (another
+    // swap) — every iteration crosses at least two rename windows
+    val churn = new Thread(() => {
+      try {
+        var i = 0
+        while (!stop.get()) {
+          val ts = (1000 + i).toLong
+          primary.writeBatch("b", "churn",
+            Seq((ts, Map("i" -> i.toString), s"c$i".getBytes("UTF-8"))))
+          primary.writeBatch("b", "churn",
+            Seq((ts + 100000, Map.empty[String, String], "x".getBytes("UTF-8"))))
+          primary.updateLabelsBatch("b",
+            Seq(("churn", ts, Map("patched" -> "y"), Set.empty[String])))
+          primary.compact(maxFilesPerPartition = 1): Unit
+          primary.removeRecords("b", Seq(("churn", ts + 100000))): Unit
+          i += 1
+        }
+      } catch { case t: Throwable => primaryFailure.set(t) }
+    })
+    churn.start()
+    try {
+      var reads = 0
+      while (reads < 100 && primaryFailure.get() == null) {
+        // the count must never lose the stable floor: a silently-dropped
+        // partition (the ignoreMissingFiles failure mode) or a 5xx-shaped
+        // throw both fail the spec
+        val n = replica.readConsistent {
+          replica.table().filter(org.apache.spark.sql.functions.col("entry") === "stable").count()
+        }
+        assert(n == 50, s"stable rows must survive every swap (got $n)")
+        reads += 1
+      }
+      assert(reads >= 100)
+      assert(primaryFailure.get() == null,
+        s"primary churn failed: ${primaryFailure.get()}")
+    } finally {
+      stop.set(true)
+      churn.join(60000)
+      primary.close()
+    }
+  }
 }
