@@ -203,27 +203,33 @@ object QueryEngine {
     val cmpNames = Node.computedRefNames(root).toSeq.sorted
     val lblCols = lblNames.zipWithIndex.map { case (n, i) => n -> s"__pv$i" }
     val cmpCols = cmpNames.zipWithIndex.map { case (n, i) => n -> s"__pc$i" }
-    // The marker column is nondeterministic, which stops predicate pushdown
-    // from substituting the parse structs back into the filter (that
-    // re-inlining duplicates the predicate per use site and can push
-    // generated code past the 64KB JVM method limit). The ts/state/entry
-    // filters are applied below this projection and still reach the scan.
-    // Streaming frames forbid nondeterministic expressions; there the
-    // barrier is skipped — duplication is tolerable since every label
-    // parse is a single native call (ParseValueExpr).
-    var df =
-      if (base.isStreaming) base
-      else base.withColumn("__nd", monotonically_increasing_id())
+    // Each parse struct is PINNED to one evaluation site with
+    // [[graft.core.EvalOnceExpr]] (nondeterministic identity): predicate
+    // pushdown would otherwise substitute the parse back into the filter
+    // once per USE SITE — the r19 plan audit caught q_logic evaluating
+    // graft_parse_value(element_at(labels, type)) ~12x per row after the
+    // previous marker-COLUMN barrier (`__nd`) was column-pruned away and
+    // the pushdown re-fired. Re-inlining also risks pushing generated
+    // code past the 64KB JVM method limit (ParseValueExpr scaladoc). The
+    // ts/state/entry filters are applied below this projection and still
+    // reach the scan. Streaming frames forbid nondeterministic
+    // expressions; there the pin is skipped — duplication is tolerable
+    // since every label parse is a single native call (ParseValueExpr).
+    val pin: Column => Column =
+      if (base.isStreaming) identity else graft.core.EvalOnce(_)
+    var df = base
     for ((n, c) <- lblCols)
-      df = df.withColumn(c, CondCompiler.parseValue(try_element_at(col("labels"), lit(n))))
+      df = df.withColumn(c,
+        pin(CondCompiler.parseValue(try_element_at(col("labels"), lit(n)))))
     for ((n, c) <- cmpCols)
-      df = df.withColumn(c, CondCompiler.parseValue(try_element_at(col("computed_labels"), lit(n))))
+      df = df.withColumn(c,
+        pin(CondCompiler.parseValue(try_element_at(col("computed_labels"), lit(n)))))
     val cols = CondCompiler.Cols(
       col("ts"), col("labels"), col("computed_labels"),
       lblCols.map { case (n, c) => n -> col(c) }.toMap,
       cmpCols.map { case (n, c) => n -> col(c) }.toMap)
     (df, (n: Node) => CondCompiler.compilePredicate(n, cols),
-      "__nd" +: (lblCols ++ cmpCols).map(_._2))
+      (lblCols ++ cmpCols).map(_._2))
   }
 
   private def applyWhen(base: DataFrame, parsed: ParsedCondition, strict: Boolean): DataFrame = {

@@ -336,40 +336,14 @@ final case class SortedIntersectCountExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** Identity wrapper that PINS its child to one evaluation site. Marked
-  * nondeterministic so the optimizer can neither push filters below the
-  * projection computing it (PushDownPredicates requires deterministic
-  * project lists), inline it into a join condition, duplicate it via
-  * CollapseProject, nor prune-then-repush around it — the r19 plan audit
-  * showed exactly those rewrites evaluating the expensive text-hash /
-  * set-merge kernels 2-3x per row (kernel inside Filter AND Project of
-  * one stage; jaccard filter reordered FIRST in a join condition, before
-  * the cheap size-ratio prune). The child IS deterministic — this is an
-  * optimizer fence, not a semantics change — and codegen delegates
-  * straight to the child, so runtime cost is zero. */
-final case class EvalOnceExpr(child: Expression) extends UnaryExpression {
-  override lazy val deterministic: Boolean = false
-  override def foldable: Boolean = false
-  override def dataType: DataType = child.dataType
-  override def nullable: Boolean = child.nullable
-  override def prettyName: String = "graft_eval_once"
-
-  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
-    child.eval(input)
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val c = child.genCode(ctx)
-    ev.copy(code = c.code, isNull = c.isNull, value = c.value)
-  }
-
-  override protected def withNewChildInternal(newChild: Expression): EvalOnceExpr =
-    copy(child = newChild)
-}
-
 object DedupExprs {
-  /** [[EvalOnceExpr]] as a Column combinator. */
-  def evalOnce(c: Column): Column =
-    GraftColumnBridge.column(EvalOnceExpr(GraftColumnBridge.expression(c)))
+  /** [[graft.core.EvalOnceExpr]] as a Column combinator — the optimizer
+    * fence pinning an expensive expression to one evaluation site (see
+    * that class for the rewrites it blocks, all observed in the r19
+    * plan audit: kernels inside Filter AND Project of one stage,
+    * threshold filters reordered FIRST in join conditions ahead of the
+    * cheap prunes, per-element re-evaluation inside transform lambdas). */
+  def evalOnce(c: Column): Column = graft.core.EvalOnce(c)
   def minhashSig(hashed: Column, numHashes: Int): Column =
     GraftColumnBridge.column(
       MinhashSigExpr(GraftColumnBridge.expression(hashed), numHashes))
