@@ -801,17 +801,23 @@ object Dedup {
         * (min reachable id) either way — the specs run both paths and
         * compare. Set 0 to force the distributed path. */
       maxDriverEdges: Long = 1000000L): DataFrame = {
-    // materialize the (possibly expensive) pair pipeline ONCE before the
-    // symmetric union references it twice — union's two branches would
-    // otherwise each evaluate it
+    // One bounded probe decides the path AND delivers the driver-side
+    // edge list in the same job: limit(maxDriverEdges + 1).collect()
+    // either returns the COMPLETE edge set (≤ bound — the common case,
+    // LSH near-dup graphs are sparse) or proves it oversized. The
+    // previous persist + count + collect shape paid three actions and a
+    // cache pin for the same decision (r19: ~0.2-0.3 s per call at
+    // sf0.1, inherited by every clusters consumer).
     val p0 = pairs.select(col("a").cast("long").as("a"),
-      col("b").cast("long").as("b")).persist()
-    val nEdges = p0.count()
-    if (nEdges <= maxDriverEdges) {
-      try return driverClusters(docs, p0, idCol)
-      finally p0.unpersist()
-    }
-    val edges = p0.union(p0.select(col("b").as("a"), col("a").as("b")))
+      col("b").cast("long").as("b"))
+    val head = p0.limit(maxDriverEdges.toInt + 1).collect()
+    if (head.length <= maxDriverEdges)
+      return driverClusters(docs, head.map(r => (r.getLong(0), r.getLong(1))), idCol)
+    // oversized: NOW pin the pair pipeline — the distributed rounds (and
+    // the symmetric union's two branches) reference it repeatedly
+    val pp = p0.persist()
+    val nEdges = pp.count()
+    val edges = pp.union(pp.select(col("b").as("a"), col("a").as("b")))
     var labels = docs.select(col(idCol).cast("long").as("id"))
       .withColumn("lbl", col("id")).localCheckpoint(true)
     var round = 0
@@ -834,7 +840,7 @@ object Dedup {
       labels = next.drop("chg")
       round += 1
     }
-    p0.unpersist()
+    pp.unpersist()
     labels.select(col("id").as(idCol), col("lbl").as("cluster_id"),
       (col("id") === col("lbl")).as("canonical"))
   }
@@ -861,11 +867,12 @@ object Dedup {
       .select(col(idCol), col("cluster_id"), col("quality"), col("keep"))
   }
 
-  /** Small-graph path: collected union-find with path compression; the
-    * component label is the min member id, matching the distributed
-    * fixpoint exactly. Nodes outside the edge list label themselves via
-    * the left join's coalesce. */
-  private def driverClusters(docs: DataFrame, p0: DataFrame,
+  /** Small-graph path: collected union-find with path compression over
+    * an ALREADY-COLLECTED edge list (the caller's routing probe is the
+    * collect — no second job); the component label is the min member id,
+    * matching the distributed fixpoint exactly. Nodes outside the edge
+    * list label themselves via the left join's coalesce. */
+  private def driverClusters(docs: DataFrame, edges: Array[(Long, Long)],
       idCol: String): DataFrame = {
     val spark = docs.sparkSession
     val parent = new java.util.HashMap[Long, Long]()
@@ -878,8 +885,8 @@ object Dedup {
       }
       x
     }
-    p0.collect().foreach { r =>
-      val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
       if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
     }
     // larger roots always link to smaller, so every component's final
