@@ -174,9 +174,9 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis())
 
   /** Telemetry must never break serving: all flush errors are swallowed
-    * (usage.rs:111-112). Package-visible so specs can force a flush
-    * instead of waiting out the interval. */
-  private[engine] def flushUsageNow(): Unit = try {
+    * (usage.rs:111-112). Graft-visible so specs and probes can force a
+    * flush instead of waiting out the interval. */
+  private[graft] def flushUsageNow(): Unit = try {
     if (provisionedResources.systemEvents.enabled) {
       val now = System.currentTimeMillis()
       val dur = (now - lastUsageFlushMs.getAndSet(now)) / 1000.0

@@ -101,15 +101,36 @@ final class SystemLog(store: BucketStore, instance: String,
     if (!eventsEnabled || items.isEmpty) return false
     forwarder.foreach { fwd =>
       // replica: every event forwards to the primary's HTTP API as its
-      // own single-record write (forward_writer.rs log_forward)
-      var ok = true
-      for (e <- items) {
+      // own single-record write (forward_writer.rs log_forward) — but
+      // dispatched with BOUNDED CONCURRENCY (r19): sent serially, each
+      // event is one primary mutation job (~0.5 s), so a many-bucket
+      // usage flush backs up the 60 s flusher — the same arithmetic the
+      // local path's batched write below exists for. In flight
+      // together, the primary's MutationCoalescer folds them into
+      // jobs-per-drain (SCALE.md r18: 7.3x fan-in at 16 writers).
+      // Timestamps are assigned serially BEFORE dispatch, so the
+      // strictly-increasing clock and event ordering are unchanged, and
+      // the wire shape stays the reference's per-event POST; per-event
+      // failure semantics are unchanged (all attempted, AND of results).
+      val tasks = items.map { e =>
         val ts = lastUs.updateAndGet(prev => math.max(prev + 1, e.nowUs))
-        ok &= fwd.send(s"${e.entryPrefix}/$inst/${e.name}", ts,
+        () => fwd.send(s"${e.entryPrefix}/$inst/${e.name}", ts,
           Map("status" -> e.status.toString) ++ e.extraLabels,
           e.payloadJson.getBytes("UTF-8"))
       }
-      return ok
+      if (tasks.size == 1) return tasks.head()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(8, tasks.size))
+      try {
+        val futs = tasks.map(t => pool.submit(
+          new java.util.concurrent.Callable[Boolean] { def call(): Boolean = t() }))
+        return futs.map(f =>
+          try f.get()
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[system-log] forward dispatch failed: $e")
+            false
+          }).forall(identity)
+      } finally pool.shutdownNow()
     }
     import scala.jdk.CollectionConverters._
     val rows = items.map { e =>
