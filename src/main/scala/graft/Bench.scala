@@ -117,10 +117,40 @@ object Bench {
     }
   }
 
+  /** Per-query medians of the PREVIOUS committed run, read from
+    * bench_results.json before this run overwrites it. Used only to
+    * SELECT the compact headline's entries (never to alter a timing):
+    * ranking the top-20 by current slowness alone selects improvement
+    * OUT of the round-over-round window — a query that halves leaves
+    * the top-20 and shows up as "dropped_from_bench" while regression
+    * is selected IN (the r19 comparison read 0 improved with the
+    * round's two biggest verified wins both "dropped"). Ranking by
+    * max(current, previous) keeps an improved query comparable. */
+  private def previousCommittedQueries(): Map[String, Double] = try {
+    val p = java.nio.file.Paths.get("bench_results.json")
+    if (!java.nio.file.Files.exists(p)) return Map.empty
+    val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    val tag = "\"queries\":{"
+    val i = s.indexOf(tag)
+    if (i < 0) return Map.empty
+    val start = i + tag.length
+    val end = s.indexOf('}', start)
+    if (end < 0) return Map.empty
+    s.substring(start, end).split(",").iterator.flatMap { kv =>
+      val j = kv.lastIndexOf(':')
+      if (j <= 0) None
+      else {
+        val k = kv.substring(0, j).trim.stripPrefix("\"").stripSuffix("\"")
+        kv.substring(j + 1).toDoubleOption.map(k -> _)
+      }
+    }.toMap
+  } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val passes = math.max(1, sys.env.getOrElse("GRAFT_BENCH_PASSES", "3").toInt)
+    val prevCommitted = previousCommittedQueries()
     // GraftSession carries the shared recommended config (raw-fs, UTC,
     // nanosAsLong, verify-checksum ON, 1024-entry codegen cache — each
     // with its rationale there)
@@ -296,7 +326,9 @@ object Bench {
     }
     println(line)
     val headline = results.filter(_._1.startsWith("w_")) ++
-      results.filterNot(_._1.startsWith("w_")).toSeq.sortBy(-_._2).take(20)
+      results.filterNot(_._1.startsWith("w_")).toSeq
+        .sortBy { case (k, v) => -math.max(v, prevCommitted.getOrElse(k, 0.0)) }
+        .take(20)
     val hq = headline.map { case (k, v) =>
       jstr(k) + ":" + (math.rint(v * 1000) / 1000)
     }.mkString("{", ",", "}")

@@ -158,6 +158,7 @@ final class BucketStore(val spark: SparkSession, val root: String,
       maxWaitMs: Long = 60000L): T = {
     var attempts = 0
     var waitStartNanos = 0L // 0 = not currently waiting on an odd epoch
+    var lastEx: Throwable = null // surfaced as the cause when retries exhaust
     while (attempts <= maxRetries) {
       val e0 = rewriteEpochCounter.get
       if ((e0 & 1L) == 0L) {
@@ -167,8 +168,10 @@ final class BucketStore(val spark: SparkSession, val root: String,
           if (rewriteEpochCounter.get == e0) return out
         } catch {
           case NonFatal(ex) if rewriteEpochCounter.get != e0 => // raced: retry
+            lastEx = ex
           case NonFatal(ex) if readOnly && isSwapTransient(ex) =>
             // primary's swap window (ms of renames) — settle, retry
+            lastEx = ex
             Thread.sleep(5)
           case NonFatal(ex) => throw ex
         }
@@ -190,16 +193,23 @@ final class BucketStore(val spark: SparkSession, val root: String,
         Thread.sleep(1)
       }
     }
+    // the last caught exception rides along as the cause — without it a
+    // genuinely failing read (e.g. a replica pointed at a bad root whose
+    // errors happen to look swap-transient) surfaces as an opaque
+    // "did not settle" with the real failure discarded (ADVICE r19)
     throw new IllegalStateException(
-      s"read did not settle after $maxRetries rewrite-racing retries")
+      s"read did not settle after $maxRetries rewrite-racing retries", lastEx)
   }
 
   /** Is `ex` the missing-file/vanished-partition class a reader can
     * observe while the PRIMARY's partition swap renames files — i.e.
     * retryable on a read-only replica? Walks the cause chain (Spark
-    * wraps task failures in SparkException layers) and matches both the
-    * typed FileNotFoundException and the listing/planning variants that
-    * only carry the path-not-found message. */
+    * wraps task failures in SparkException layers) and matches the typed
+    * FileNotFoundException plus the listing/planning variants that only
+    * carry the PATH_NOT_FOUND error class in the message. Deliberately
+    * NOT a bare "does not exist" match (ADVICE r19): analysis errors on
+    * a misconfigured replica (nonexistent root, bad view) carry that
+    * phrase too and must surface immediately, not after 50 retries. */
   private def isSwapTransient(ex: Throwable): Boolean = {
     var t: Throwable = ex
     var depth = 0
@@ -207,7 +217,7 @@ final class BucketStore(val spark: SparkSession, val root: String,
       if (t.isInstanceOf[java.io.FileNotFoundException]) return true
       val m = t.getMessage
       if (m != null && (m.contains("FileNotFoundException") ||
-          m.contains("PATH_NOT_FOUND") || m.contains("does not exist")))
+          m.contains("PATH_NOT_FOUND")))
         return true
       t = t.getCause
       depth += 1
@@ -290,11 +300,50 @@ final class BucketStore(val spark: SparkSession, val root: String,
     try table()
     catch { case NonFatal(_) => emptyRecords(spark) }
 
+  /** Resolved base-tree plan (schema-pinned scan over `root`) cached per
+    * (dataVersion, rewriteEpoch). Building it costs a FULL tree listing —
+    * InMemoryFileIndex walks every bucket/entry/dt dir — plus analysis;
+    * at the 10k-entry design point that is O(100k) FS metadata calls PER
+    * READ (guide §6 file listing), and it was the bulk of the per-request
+    * driver-side wall the r19 HTTP workload profile measured (each
+    * request re-listed and re-planned an unchanged tree). Keyed on BOTH
+    * counters: dataVersion only moves when a mutation EXITS, so a
+    * partition swap's renames (mid-mutation) must invalidate via the
+    * rewrite epoch — otherwise a reader retrying the swap race would be
+    * served the pre-swap file list forever and fail its retries. Internal
+    * raw-fs deletes that a SAME mutation then re-reads (the FIFO eviction
+    * loop) invalidate explicitly. */
+  private val baseTableCache =
+    new java.util.concurrent.atomic.AtomicReference[(Long, Long, DataFrame)]()
+  /** Cache-rebuild count — observable by specs pinning one-listing-per-version. */
+  private[graft] val baseTableBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private[graft] def invalidateBaseTable(): Unit = baseTableCache.set(null)
+
   /** The base parquet tree only — PATCHed labels NOT applied. For
     * key-only internal reads (conflict admission, entry catalog, oldest
     * partition) where the overlay can't change the answer and the join
-    * would be waste. */
-  private[graft] def baseTable(): DataFrame =
+    * would be waste. Read-only replicas never cache: their counters
+    * cannot see the primary's mutations, and the replica contract is a
+    * fresh listing per query (refreshReplica only invalidates derived
+    * figures). */
+  private[graft] def baseTable(): DataFrame = {
+    if (readOnly) return freshBaseTable()
+    val v0 = dataVersion
+    val e0 = rewriteEpoch
+    val hit = baseTableCache.get
+    if (hit != null && hit._1 == v0 && hit._2 == e0) return hit._3
+    val df = freshBaseTable()
+    baseTableBuilds.incrementAndGet()
+    // install only when nothing moved during the listing — a listing
+    // that overlapped a mutation may be partial and must not be keyed
+    // as current
+    if (dataVersion == v0 && rewriteEpoch == e0)
+      baseTableCache.set((v0, e0, df))
+    df
+  }
+
+  private def freshBaseTable(): DataFrame =
     spark.read.schema(storedSchema).parquet(root)
       .drop("dt") // derived; queries use ts
 
@@ -1847,6 +1896,10 @@ final class BucketStore(val spark: SparkSession, val root: String,
         }
       }
       if (!any) return
+      // the deletes above happened mid-mutation (no version bump yet):
+      // the next iteration's oldest-dt scan must re-list, not read the
+      // cached pre-delete file index
+      invalidateBaseTable()
     }
   }
 

@@ -31,16 +31,96 @@ final class SystemEventForwarder(
       java.net.URLEncoder.encode(seg, "UTF-8").replace("+", "%20"))
       .mkString("/")
 
+  private def configuredBases: Seq[String] = {
+    val bases = Seq(primaryUrl, secondaryUrl).flatten
+      .map(_.trim).filter(_.nonEmpty)
+    if (bases.isEmpty)
+      System.err.println("[system-forward] neither primary nor secondary " +
+        "URL is configured for replica system bucket writes")
+    bases
+  }
+
+  /** Forward a whole flush as ONE multi-entry io-v2 batch
+    * (POST /io/$system/write): N events cost ONE primary mutation
+    * instead of N. The r19 pricing measured the per-event POST shape at
+    * ~21 primary drains per 25 forwarded events on loopback (each POST
+    * outruns the coalescer's staggered arrivals), 0.29-0.40 s/event —
+    * the flusher holds every event of a flush in hand, so shipping them
+    * as one batch is pure amortization (guide §2). Per-event semantics
+    * are preserved: ts-ordering is fixed by the caller before encoding,
+    * a duplicate-ts event comes back as its per-record x-reduct-error-*
+    * header on a 200 with the REST written (the same outcome as the
+    * per-event POST's lone 409), and failover follows [[send]]'s policy
+    * (connect error / 5xx → next base; 4xx is final — the primary
+    * answered). Returns true only when the batch landed with ZERO
+    * per-record errors — the AND of the per-event results, as before. */
+  def sendBatch(
+      events: Seq[(String, Long, Map[String, String], Array[Byte])]): Boolean = {
+    if (events.isEmpty) return true
+    if (events.size == 1) {
+      val e = events.head
+      return send(e._1, e._2, e._3, e._4)
+    }
+    val bases = configuredBases
+    if (bases.isEmpty) return false
+    // header and body must agree on record order: encodeBatchV2 emits
+    // record headers sorted by (first-appearance entry index, ts), so
+    // sort the events identically and concatenate payloads in that order
+    val entryIdx = events.map(_._1).distinct.zipWithIndex.toMap
+    val sorted = events.sortBy(e => (entryIdx(e._1), e._2))
+    val headers = BatchWire.encodeBatchV2(sorted.map { case (entry, ts, labels, payload) =>
+      (entry, ts, BatchWire.RecordHeader(payload.length.toLong,
+        "application/json", labels))
+    })
+    val body = {
+      val out = new java.io.ByteArrayOutputStream(
+        sorted.iterator.map(_._4.length).sum)
+      sorted.foreach(e => out.write(e._4))
+      out.toByteArray
+    }
+    for (base <- bases) {
+      try {
+        var b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+            s"${base.stripSuffix("/")}/api/v1/io/%24system/write"))
+          .timeout(java.time.Duration.ofMillis(timeoutMs))
+        if (apiToken.nonEmpty)
+          b = b.header("Authorization", s"Bearer $apiToken")
+        for ((k, v) <- headers) b = b.header(k, v)
+        val resp = client.send(
+          b.POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(body))
+            .build(),
+          java.net.http.HttpResponse.BodyHandlers.discarding())
+        val code = resp.statusCode()
+        if (code >= 200 && code < 300) {
+          import scala.jdk.CollectionConverters._
+          val errs = resp.headers().map().keySet().asScala
+            .filter(_.toLowerCase.startsWith(BatchWire.ErrorHeaderPrefix))
+          for (h <- errs)
+            System.err.println(s"[system-forward] batch record rejected: " +
+              s"$h=${resp.headers().firstValue(h).orElse("")} via $base")
+          return errs.isEmpty
+        }
+        if (code < 500) { // the primary ANSWERED: no failover (4xx is final)
+          System.err.println(
+            s"[system-forward] ${events.size}-event batch rejected with " +
+              s"$code by $base")
+          return false
+        }
+        System.err.println(
+          s"[system-forward] batch got $code from $base, failing over")
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[system-forward] batch unreachable at $base: $e")
+      }
+    }
+    false
+  }
+
   /** Forward one event; true on a 2xx from either endpoint. */
   def send(entry: String, ts: Long, labels: Map[String, String],
       payloadJson: Array[Byte]): Boolean = {
-    val bases = Seq(primaryUrl, secondaryUrl).flatten
-      .map(_.trim).filter(_.nonEmpty)
-    if (bases.isEmpty) {
-      System.err.println("[system-forward] neither primary nor secondary " +
-        "URL is configured for replica system bucket writes")
-      return false
-    }
+    val bases = configuredBases
+    if (bases.isEmpty) return false
     for (base <- bases) {
       try {
         var b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(

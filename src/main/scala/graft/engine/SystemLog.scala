@@ -63,10 +63,16 @@ final class SystemLog(store: BucketStore, instance: String,
       // (the ctor logs provisioning warnings) or turn an already-
       // completed operation into an error response.
       try {
+        // touchedEntries declared: an undeclared write marks the WHOLE
+        // store dirty, so on a live server every 60 s usage flush and
+        // every captured log line would re-arm the full-walk compaction
+        // probe — defeating the r19 incremental-candidate optimization
+        // for exactly the steady-state ticks it exists for (ADVICE r19)
         store.writeWithSettings("$system", store.spark.createDataFrame(
           Seq(row).asJava, graft.core.Records.schema),
           BucketStore.Conflict.Skip,
-          incomingBytes = payload.getBytes("UTF-8").length.toLong)
+          incomingBytes = payload.getBytes("UTF-8").length.toLong,
+          touchedEntries = Some(Seq(("$system", s"logs/$inst/messages"))))
       } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[system-log] dropped log write: $e")
         return false
@@ -100,37 +106,24 @@ final class SystemLog(store: BucketStore, instance: String,
   def events(items: Seq[Event]): Boolean = {
     if (!eventsEnabled || items.isEmpty) return false
     forwarder.foreach { fwd =>
-      // replica: every event forwards to the primary's HTTP API as its
-      // own single-record write (forward_writer.rs log_forward) — but
-      // dispatched with BOUNDED CONCURRENCY (r19): sent serially, each
-      // event is one primary mutation job (~0.5 s), so a many-bucket
-      // usage flush backs up the 60 s flusher — the same arithmetic the
-      // local path's batched write below exists for. In flight
-      // together, the primary's MutationCoalescer folds them into
-      // jobs-per-drain (SCALE.md r18: 7.3x fan-in at 16 writers).
-      // Timestamps are assigned serially BEFORE dispatch, so the
-      // strictly-increasing clock and event ordering are unchanged, and
-      // the wire shape stays the reference's per-event POST; per-event
-      // failure semantics are unchanged (all attempted, AND of results).
-      val tasks = items.map { e =>
+      // replica: the whole flush forwards to the primary as ONE
+      // multi-entry io-v2 batch (r20, replacing r19's bounded-concurrent
+      // per-event POSTs): the flusher holds every event of a flush in
+      // hand, so a many-bucket usage flush costs one primary mutation
+      // instead of ~N (r19 pricing: ~21 drains / 25 events on loopback,
+      // 0.29-0.40 s/event — the per-event POSTs outran the coalescer).
+      // Timestamps are assigned serially BEFORE encoding, so the
+      // strictly-increasing clock and event ordering are unchanged; a
+      // single event keeps the reference's per-event POST wire shape;
+      // per-record conflicts come back as the batch's error headers and
+      // report false exactly like the per-event 409 did.
+      val recs = items.map { e =>
         val ts = lastUs.updateAndGet(prev => math.max(prev + 1, e.nowUs))
-        () => fwd.send(s"${e.entryPrefix}/$inst/${e.name}", ts,
+        (s"${e.entryPrefix}/$inst/${e.name}", ts,
           Map("status" -> e.status.toString) ++ e.extraLabels,
           e.payloadJson.getBytes("UTF-8"))
       }
-      if (tasks.size == 1) return tasks.head()
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(8, tasks.size))
-      try {
-        val futs = tasks.map(t => pool.submit(
-          new java.util.concurrent.Callable[Boolean] { def call(): Boolean = t() }))
-        return futs.map(f =>
-          try f.get()
-          catch { case scala.util.control.NonFatal(e) =>
-            System.err.println(s"[system-log] forward dispatch failed: $e")
-            false
-          }).forall(identity)
-      } finally pool.shutdownNow()
+      return fwd.sendBatch(recs)
     }
     import scala.jdk.CollectionConverters._
     val rows = items.map { e =>
@@ -145,11 +138,17 @@ final class SystemLog(store: BucketStore, instance: String,
     // payloads are 3 bytes/char and the quota/preflight admission must
     // see the real size
     try {
+      // touchedEntries declared — see log()'s guard: the batched usage
+      // flush is THE steady-state write on a live server, and leaving it
+      // undeclared re-armed the full-walk probe every tick (ADVICE r19)
       store.writeWithSettings("$system", store.spark.createDataFrame(
         rows.asJava, graft.core.Records.schema),
         BucketStore.Conflict.Skip,
         incomingBytes = items.iterator
-          .map(_.payloadJson.getBytes("UTF-8").length.toLong).sum)
+          .map(_.payloadJson.getBytes("UTF-8").length.toLong).sum,
+        touchedEntries = Some(items.iterator
+          .map(e => ("$system", s"${e.entryPrefix}/$inst/${e.name}"))
+          .toSeq.distinct))
       true
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[system-log] dropped ${items.size}-event write: $e")

@@ -5,14 +5,14 @@ import graft.engine.{BucketStore, HttpApi}
 
 /** Prices the replica's two serving-side loops (VERDICT r18 #6):
   *
-  *  1. `$system` event forwarding: a replica flush forwards one POST
-  *     per event to the primary, each a primary store mutation. This
-  *     probe generates usage traffic across N buckets, times
-  *     flushUsageNow(), and REQUIREs the per-event wall stays under
-  *     0.4 s — a serial dispatch (one ~0.5-0.8 s mutation job per
-  *     event) fails it; the r19 bounded-concurrent dispatch passes
-  *     because the primary's MutationCoalescer folds the in-flight
-  *     writes into jobs-per-drain.
+  *  1. `$system` event forwarding: a replica flush forwards the whole
+  *     event burst to the primary — since r20 as ONE multi-entry io-v2
+  *     batch (one primary mutation per flush; r19 shipped one POST per
+  *     event, ~21 primary drains per 25 events on loopback at 0.29-0.40
+  *     s/event). This probe generates usage traffic across N buckets,
+  *     times flushUsageNow(), and REQUIREs the per-event wall stays
+  *     under 0.1 s — a per-event-mutation dispatch fails it; the
+  *     batched flush passes because N events cost one store job.
   *  2. Replica read latency while the primary writes steadily: times
   *     100 replica table-count reads against a live write loop and
   *     prints p50/p95 (pinning the readConsistent retry path's cost
@@ -22,11 +22,10 @@ import graft.engine.{BucketStore, HttpApi}
 object ReplicaForwardProbe {
   def main(args: Array[String]): Unit = {
     val nBuckets = if (args.nonEmpty) args(0).toInt else 24
-    // measured steady-state on this box: 0.29-0.40 s/event (the cost is
-    // ONE coalescer drain on the primary per ~1.2 events — see SCALE.md
-    // r19; the r20 lever is a source-side multi-entry batch). The bound
-    // is a regression guard, not a target.
-    val maxPerEvent = if (args.length > 1) args(1).toDouble else 0.5
+    // r20 batched flush: one primary mutation per flush → the per-event
+    // wall is the batch job cost / N. The bound is a regression guard
+    // (VERDICT r19 #4: ≤0.1 s/event on loopback), not a target.
+    val maxPerEvent = if (args.length > 1) args(1).toDouble else 0.1
     val spark = GraftSession.builder("local[8]", "graft-replica-probe")
       .config("spark.sql.shuffle.partitions", 8)
       .getOrCreate()

@@ -810,8 +810,12 @@ object Dedup {
     // sf0.1, inherited by every clusters consumer).
     val p0 = pairs.select(col("a").cast("long").as("a"),
       col("b").cast("long").as("b"))
-    val head = p0.limit(maxDriverEdges.toInt + 1).collect()
-    if (head.length <= maxDriverEdges)
+    // clamp before the Int cast: a caller passing maxDriverEdges >=
+    // Int.MaxValue would otherwise overflow into a NEGATIVE limit and
+    // fail the query instead of routing to the distributed path
+    val cap = math.min(maxDriverEdges, (Int.MaxValue - 1).toLong).toInt
+    val head = p0.limit(cap + 1).collect()
+    if (head.length <= cap)
       return driverClusters(docs, head.map(r => (r.getLong(0), r.getLong(1))), idCol)
     // oversized: NOW pin the pair pipeline — the distributed rounds (and
     // the symmetric union's two branches) reference it repeatedly

@@ -40,6 +40,27 @@ class BucketStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(new String(r.getAs[Array[Byte]]("payload")) == "payload-7")
   }
 
+  test("base-table file index caches per data version: repeated reads " +
+      "reuse one listing, a mutation invalidates (read-your-write)") {
+    val store = newStore()
+    store.write(recordsDf(Seq(("e", 1L, Map("k" -> "1")))))
+    val b0 = store.baseTableBuilds.get
+    assert(store.table().count() == 1)
+    assert(store.table().count() == 1)
+    assert(store.entries("b") == Seq("e"))
+    assert(store.baseTableBuilds.get == b0 + 1,
+      "reads between mutations must share ONE tree listing")
+    // a mutation bumps the data version: the next read re-lists and sees
+    // the new files — never the cached pre-mutation index
+    store.write(recordsDf(Seq(("e", 2L, Map("k" -> "2")))))
+    assert(store.table().count() == 2, "read-your-write after a mutation")
+    assert(store.baseTableBuilds.get > b0 + 1)
+    // a partition swap (remove rewrites files mid-mutation) also
+    // invalidates — via the rewrite epoch, not just the exit-time bump
+    assert(store.removeQuery(QuerySpec(stop = Some(2L))) == 1L)
+    assert(store.table().collect().map(_.getAs[Long]("ts")).toSeq == Seq(2L))
+  }
+
   test("duplicate ts conflicts: in-batch and vs existing; Skip mode") {
     val store = newStore()
     intercept[IllegalArgumentException] {

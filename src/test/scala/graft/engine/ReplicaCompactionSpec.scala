@@ -154,7 +154,20 @@ class ReplicaCompactionSpec extends AnyFunSuite with SparkTestBase {
       assert(landed.nonEmpty, "forwarded usage events must land on the primary")
       assert(landed.forall(r =>
         r.getAs[Map[String, String]]("labels").contains("status")),
-        "the status label travels as x-reduct-label-status")
+        "the status label travels on the batch wire")
+      // ordering semantics of the r20 batched flush: ts are assigned
+      // serially before encoding, so usage/total (emitted first) sorts
+      // strictly before the per-bucket events it summarizes
+      val byTs = primary.readConsistent {
+        primary.table()
+          .filter(col("bucket") === "$system" &&
+            col("entry").startsWith("usage/"))
+          .select("entry", "ts").collect()
+      }.map(r => (r.getAs[String]("entry"), r.getAs[Long]("ts"))).sortBy(_._2)
+      assert(byTs.map(_._2).distinct.length == byTs.length,
+        "batched events keep strictly-increasing unique timestamps")
+      assert(byTs.head._1.matches("usage/[^/]+/total"),
+        s"usage/total must keep the earliest ts in the flush: ${byTs.toSeq}")
       // the replica kept NO local $system of its own beyond the shared
       // tree (it cannot write; the rows above came through the primary)
       // and log capture is node-local: skipped on a replica
@@ -304,5 +317,53 @@ class ReplicaCompactionSpec extends AnyFunSuite with SparkTestBase {
       churn.join(60000)
       primary.close()
     }
+  }
+
+  test("scoped compaction probe resolves slash-containing entry names " +
+      "(escapePartition matches the partition writer's %2F dirs)") {
+    val root = Files.createTempDirectory("graft-compact-slash").toString
+    val store = new BucketStore(spark, root)
+    // the dir on disk is entry=events%2Fpurchase — the scoped probe must
+    // construct exactly that path, or the dirty mark drains into nothing
+    // and the partition is never compacted again (ADVICE r19)
+    for (i <- 0 until 20)
+      store.writeBatch("b", "events/purchase",
+        Seq((i.toLong, Map.empty[String, String], s"p$i".getBytes("UTF-8"))))
+    assert(store.compact(maxFilesPerPartition = 16) == 1,
+      "slash-entry partitions must be visible to the scoped probe")
+    val rows = store.table().orderBy("ts").collect()
+    assert(rows.length == 20 &&
+      rows.forall(_.getAs[String]("entry") == "events/purchase"),
+      "compaction must preserve every slash-entry record")
+    // the dirty mark was consumed by a PROBE THAT SAW THE DIRS — the
+    // next tick is idle, not a silent-debt-loss retry loop
+    assert(store.compact(maxFilesPerPartition = 16) == 0)
+    assert(store.lastProbeListings.get == 0L)
+    store.close()
+  }
+
+  test("$system writes declare their touched entries: a usage flush / log " +
+      "capture doesn't re-arm the full-walk probe (ADVICE r19)") {
+    val root = Files.createTempDirectory("graft-sys-dirty").toString
+    val store = new BucketStore(spark, root)
+    // 8 quiet entries — what an undeclared $system write would force the
+    // probe to re-list every tick
+    for (i <- 0 until 8)
+      store.writeBatch("b", s"quiet$i",
+        Seq((1L, Map.empty[String, String], "q".getBytes("UTF-8"))))
+    assert(store.compact(maxFilesPerPartition = 16) == 0) // drain boot debt
+    val syslog = new SystemLog(store, "srv", Some("INFO"))
+    assert(syslog.log("ERROR", "t", "boom"))
+    assert(syslog.events(Seq(
+      SystemLog.Event("usage", "total", 200, "{}"),
+      SystemLog.Event("usage", "b", 200, "{}"))))
+    assert(store.compact(maxFilesPerPartition = 16) == 0)
+    val listings = store.lastProbeListings.get
+    // scoped to the 3 distinct $system entries (one listing each + their
+    // dt dirs) — a full walk here would be root + 2 bucket dirs + 11
+    // entry dirs + 11 dt dirs
+    assert(listings > 0 && listings <= 7,
+      s"a $$system flush must probe only its own entries, got $listings")
+    store.close()
   }
 }
