@@ -51,21 +51,45 @@ final class AuditLog(store: BucketStore, instance: String,
     * `client_ip` on a flushed row is the flushing request's — an
     * aggregated row can merge calls from several clients, and the
     * per-key tally (not per-client attribution) is the audit signal. */
+  private def drainBuf(): Seq[((String, String, String, Int), (Long, Double))] = {
+    import scala.jdk.CollectionConverters._
+    buf.keySet().asScala.toSeq.sortBy(_.toString()).flatMap {
+      k => Option(buf.remove(k)).map(v => (k, v))
+    }
+  }
+
+  private def payloadJson(token: String, method: String, path: String,
+      clientIp: Option[String], n: Long, dur: Double): String =
+    s"""{"event_type":"api_call","token_name":${js(token)},""" +
+      s""""method":${js(method)},"path":${js(path)},""" +
+      s""""client_ip":${clientIp.map(js).getOrElse("null")},""" +
+      s""""call_count":$n,"duration":$dur}"""
+
+  /** Drain the buffer into [[SystemLog.Event]]s for a SHARED `$system`
+    * write: the periodic tick and the shutdown flush fold the audit
+    * drain into the usage flush's single store mutation instead of
+    * paying a second one (one job per flush, not two — the mutation's
+    * fixed cost is the measured serving bottleneck). Entry, labels and
+    * payload are identical to [[flush]]'s rows; ts assignment moves to
+    * the syslog's shared strictly-increasing clock. */
+  def drainAsEvents(clientIp: Option[String] = None,
+      nowUs: Long = System.currentTimeMillis() * 1000L): Seq[SystemLog.Event] = {
+    if (!enabled || buf.isEmpty) return Seq.empty
+    drainBuf().map { case ((token, method, path, status), (n, dur)) =>
+      SystemLog.Event("audit", token, status,
+        payloadJson(token, method, path, clientIp, n, dur), nowUs)
+    }
+  }
+
   def flush(clientIp: Option[String] = None,
       nowUs: Long = System.currentTimeMillis() * 1000L): Unit = {
     if (!enabled || buf.isEmpty) return
     import scala.jdk.CollectionConverters._
-    val drained = buf.keySet().asScala.toSeq.sortBy(_.toString()).flatMap {
-      k => Option(buf.remove(k)).map(v => (k, v))
-    }
+    val drained = drainBuf()
     if (drained.isEmpty) return
     val rows = drained.map { case ((token, method, path, status), (n, dur)) =>
       val ts = lastUs.updateAndGet(prev => math.max(prev + 1, nowUs))
-      val payload =
-        s"""{"event_type":"api_call","token_name":${js(token)},""" +
-          s""""method":${js(method)},"path":${js(path)},""" +
-          s""""client_ip":${clientIp.map(js).getOrElse("null")},""" +
-          s""""call_count":$n,"duration":$dur}"""
+      val payload = payloadJson(token, method, path, clientIp, n, dur)
       Row("$system", s"audit/$inst/$token", ts,
         Map("status" -> status.toString),
         Map.empty[String, String], "application/json",
@@ -73,14 +97,23 @@ final class AuditLog(store: BucketStore, instance: String,
     }
     forwarder match {
       case Some(fwd) =>
-        for (r <- rows)
-          fwd.send(r.getAs[String](1), r.getAs[Long](2),
-            r.getAs[Map[String, String]](3), r.getAs[Array[Byte]](7)): Unit
+        // one multi-entry io-v2 batch per flush — same amortization as
+        // SystemLog.events (one primary mutation instead of one POST per
+        // aggregated audit row)
+        fwd.sendBatch(rows.map(r => (r.getAs[String](1), r.getAs[Long](2),
+          r.getAs[Map[String, String]](3), r.getAs[Array[Byte]](7)))): Unit
       case None =>
         try
           store.writeWithSettings("$system", store.spark.createDataFrame(
             rows.asJava, graft.core.Records.schema), BucketStore.Conflict.Skip,
-            incomingBytes = rows.map(_.getAs[Array[Byte]](7).length.toLong).sum)
+            incomingBytes = rows.map(_.getAs[Array[Byte]](7).length.toLong).sum,
+            // declared entries + serially-assigned ts bounds: the flush
+            // must neither re-arm the full-walk compaction probe nor pay
+            // a bounds-agg job for values already in hand
+            touchedEntries = Some(rows.map(r =>
+              ("$system", r.getAs[String](1))).distinct),
+            knownTsBounds = Some((rows.head.getAs[Long](2),
+              rows.last.getAs[Long](2))))
         catch { case NonFatal(_) => () } // auditing must never fail a request
     }
   }

@@ -290,6 +290,11 @@ final class BucketStore(val spark: SparkSession, val root: String,
     dirtyEntrySet.clear()
   }
 
+  /** Message prefix of the in-job duplicate-key raise on the empty-store
+    * write path — matched when re-shaping the job failure back to the
+    * admission contract's IllegalArgumentException. */
+  private val InBatchDupMarker = "duplicate timestamp within batch:"
+
   private def dtCol = to_date(timestamp_micros(col("ts")))
 
   /** The whole store as one logical table (records schema + dt), with
@@ -855,7 +860,13 @@ final class BucketStore(val spark: SparkSession, val root: String,
       /** (bucket, entry) pairs this batch writes into, when the caller
         * knows them (every wire path does) — feeds the incremental
         * compaction candidate set; None marks the whole store dirty. */
-      touchedEntries: Option[Seq[(String, String)]] = None): Unit = mutating {
+      touchedEntries: Option[Seq[(String, String)]] = None,
+      /** (min, max) record ts of the batch when the caller knows them
+        * (driver-assembled batches — the `$system` flushes assign every
+        * ts serially). Skips the bounds-aggregation Spark job the
+        * Conflict.Skip admission otherwise runs before the write: one
+        * whole job per telemetry flush for a value already in hand. */
+      knownTsBounds: Option[(Long, Long)] = None): Unit = mutating {
     // the global storage cap guards the COMMON mutator, not just the
     // settings-aware wire path — the reference enforces it in
     // engine::begin_write (engine.rs:226), which the zenoh subscriber
@@ -882,7 +893,29 @@ final class BucketStore(val spark: SparkSession, val root: String,
         // write — the per-mutation job cost is the measured serving
         // bottleneck (SCALE.md r17).
         batch0
-      case Conflict.Skip => antiExisting(batch0.dropDuplicates("bucket", "entry", "ts"))
+      case Conflict.Skip =>
+        antiExisting(batch0.dropDuplicates("bucket", "entry", "ts"),
+          knownTsBounds)
+      case Conflict.Error if !baseHasBucketDirs() =>
+        // fresh/empty store — the bulk-initial-ingest shape: no existing
+        // record can clash, so the only admission left is the in-batch
+        // duplicate check, and it rides INSIDE the write job as a window
+        // flag + raise_error instead of a separate stats-agg pass over
+        // the whole batch (guide §5: don't pay an extra pass for a check
+        // the one required pass can carry). Reject-before-write holds:
+        // a raised duplicate aborts the write JOB, and the committer's
+        // staging dirs (_temporary) are invisible to partition discovery
+        // — no row of a rejected batch is ever readable. The wrapped
+        // SparkException is re-shaped to the contract's
+        // IllegalArgumentException below (see the write action).
+        val dupW = org.apache.spark.sql.expressions.Window
+          .partitionBy("bucket", "entry", "ts")
+        batch0.withColumn("payload",
+          when(count(lit(1)).over(dupW) > 1,
+            raise_error(concat(lit(InBatchDupMarker + " "),
+              col("bucket"), lit("/"), col("entry"), lit("@"),
+              col("ts").cast("string"))).cast("binary"))
+            .otherwise(col("payload")))
       case Conflict.Error =>
         // one aggregation pass yields BOTH the in-batch-duplicate flag and
         // the ts bounds for the overlap check (was two scans)
@@ -895,7 +928,7 @@ final class BucketStore(val spark: SparkSession, val root: String,
           throw new IllegalArgumentException(
             s"duplicate timestamp within batch: $dup")
         }
-        if (!stats.isNullAt(1) && baseHasBucketDirs()) {
+        if (!stats.isNullAt(1)) {
           val existing = baseTableOrEmpty() // keys only
             .filter(col("ts").between(stats.getLong(1), stats.getLong(2)))
             .select("bucket", "entry", "ts")
@@ -924,19 +957,41 @@ final class BucketStore(val spark: SparkSession, val root: String,
       .mode(SaveMode.Append)
     // per-write codec override (replication transfer compression); None
     // keeps the session default (zstd, set above)
-    ptimed("write:partitioned-write")(
+    try ptimed("write:partitioned-write")(
       codec.fold(writer)(c => writer.option("compression", c)).parquet(root))
+    catch { case NonFatal(e) =>
+      // the empty-store duplicate check raises inside the job: re-shape
+      // the SparkException wrapping back to the admission contract's
+      // IllegalArgumentException, carrying the offending key
+      var t: Throwable = e
+      var depth = 0
+      while (t != null && depth < 12) {
+        val m = t.getMessage
+        if (m != null && m.contains(InBatchDupMarker)) {
+          val i = m.indexOf(InBatchDupMarker)
+          throw new IllegalArgumentException(m.substring(i).takeWhile(_ != '\n'))
+        }
+        t = t.getCause
+        depth += 1
+      }
+      throw e
+    }
     touchedEntries match {
       case Some(pairs) => markEntriesDirty(pairs)
       case None => markAllEntriesDirty()
     }
   }
 
-  private def antiExisting(batch: DataFrame): DataFrame = {
-    val bounds = batch.agg(min("ts"), max("ts")).collect()(0)
-    if (bounds.isNullAt(0) || !baseHasBucketDirs()) return batch
+  private def antiExisting(batch: DataFrame,
+      knownTsBounds: Option[(Long, Long)] = None): DataFrame = {
+    val bounds = knownTsBounds.getOrElse {
+      val r = batch.agg(min("ts"), max("ts")).collect()(0)
+      if (r.isNullAt(0)) return batch
+      (r.getLong(0), r.getLong(1))
+    }
+    if (!baseHasBucketDirs()) return batch
     val existing = baseTableOrEmpty() // keys only
-      .filter(col("ts").between(bounds.getLong(0), bounds.getLong(1)))
+      .filter(col("ts").between(bounds._1, bounds._2))
       .select("bucket", "entry", "ts")
     batch.join(existing, Seq("bucket", "entry", "ts"), "left_anti")
   }
@@ -2043,7 +2098,8 @@ final class BucketStore(val spark: SparkSession, val root: String,
     *        without a pre-write scan. */
   def writeWithSettings(bucket: String, records: DataFrame,
       onConflict: Conflict = Conflict.Error, incomingBytes: Long = 0L,
-      touchedEntries: Option[Seq[(String, String)]] = None): Unit = mutating {
+      touchedEntries: Option[Seq[(String, String)]] = None,
+      knownTsBounds: Option[(Long, Long)] = None): Unit = mutating {
     val s = bucketSettings(bucket).getOrElse(BucketSettings.defaults)
     val quota = s.quotaSize.getOrElse(0L)
     if (s.quotaType.contains("HARD") && quota > 0 &&
@@ -2053,7 +2109,8 @@ final class BucketStore(val spark: SparkSession, val root: String,
     write(records, onConflict,
       maxRecordsPerFile = s.maxBlockRecords.filter(_ > 0).getOrElse(1000000L),
       incomingBytes = incomingBytes, // cap enforced in write (begin_write analog)
-      touchedEntries = touchedEntries)
+      touchedEntries = touchedEntries,
+      knownTsBounds = knownTsBounds)
     if (s.quotaType.contains("FIFO") && quota > 0)
       enforceFifoQuota(bucket, quota)
   }

@@ -184,6 +184,24 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     }
   } catch { case scala.util.control.NonFatal(_) => () }
 
+  /** The periodic tick's and shutdown's combined telemetry drain: the
+    * audit buffer folds into the usage flush's single `$system` write —
+    * ONE store mutation per tick instead of one per family (each
+    * mutation is a full Spark job; the pair was the bulk of api.stop()'s
+    * wall and recurs every 60 s on a live server). With system events
+    * disabled the audit trail is disabled too (its enablement requires
+    * them), so the fallback separate flush is only defensive. */
+  private[graft] def flushTelemetryNow(): Unit = {
+    try {
+      if (provisionedResources.systemEvents.enabled) {
+        val now = System.currentTimeMillis()
+        val dur = (now - lastUsageFlushMs.getAndSet(now)) / 1000.0
+        graft.lifecycle.Lifecycle.flushUsage(store, systemLog, dur,
+          extraEvents = auditLog.drainAsEvents())
+      } else flushAuditNow()
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
+
   def start(): Int = {
     server.start()
     // usage AND audit flush on the same interval: without a periodic
@@ -194,7 +212,7 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
     // doesn't own the store; with RS_PRIMARY_URL configured its events
     // FORWARD to the primary (syslog.rs:132), so the flushers run
     if (!store.readOnly || eventForwarder.isDefined)
-      usageFlusher.scheduleAtFixedRate(() => { flushUsageNow(); flushAuditNow() },
+      usageFlusher.scheduleAtFixedRate(() => flushTelemetryNow(),
         60L, 60L, java.util.concurrent.TimeUnit.SECONDS)
     // maintenance ticks share the flusher thread: compaction on
     // writable stores (engine.rs:520-531; replicas skip, :530), cache
@@ -216,8 +234,7 @@ final class HttpApi(store: BucketStore, apiToken: String = "",
   }
   def stop(): Unit = {
     usageFlusher.shutdownNow()
-    flushUsageNow()
-    flushAuditNow() // buffered audit entries must survive shutdown
+    flushTelemetryNow() // usage + buffered audit in ONE shutdown write
     server.stop(0)
     dispatchPool.shutdown()
   }

@@ -72,7 +72,8 @@ final class SystemLog(store: BucketStore, instance: String,
           Seq(row).asJava, graft.core.Records.schema),
           BucketStore.Conflict.Skip,
           incomingBytes = payload.getBytes("UTF-8").length.toLong,
-          touchedEntries = Some(Seq(("$system", s"logs/$inst/messages"))))
+          touchedEntries = Some(Seq(("$system", s"logs/$inst/messages"))),
+          knownTsBounds = Some((ts, ts)))
       } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[system-log] dropped log write: $e")
         return false
@@ -148,7 +149,9 @@ final class SystemLog(store: BucketStore, instance: String,
           .map(_.payloadJson.getBytes("UTF-8").length.toLong).sum,
         touchedEntries = Some(items.iterator
           .map(e => ("$system", s"${e.entryPrefix}/$inst/${e.name}"))
-          .toSeq.distinct))
+          .toSeq.distinct),
+        // ts are assigned serially above — min is the first, max the last
+        knownTsBounds = Some((rows.head.getLong(2), rows.last.getLong(2))))
       true
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[system-log] dropped ${items.size}-event write: $e")

@@ -118,7 +118,13 @@ object Lifecycle {
     * pinned as queryable record labels. */
   def flushUsage(store: BucketStore, syslog: graft.engine.SystemLog,
       durationSec: Double,
-      nowUs: Long = System.currentTimeMillis() * 1000L): Unit = {
+      nowUs: Long = System.currentTimeMillis() * 1000L,
+      /** Additional events folded into the SAME `$system` write (the
+        * API layer's audit drain rides the usage flush's mutation — one
+        * store job per telemetry tick, not one per family). Appended
+        * after the usage events, so `usage/total` keeps the earliest
+        * ts of the flush. */
+      extraEvents: Seq[graft.engine.SystemLog.Event] = Nil): Unit = {
     val drained = store.usage.drain()
     val snapshot = store.tableOrEmpty().groupBy("bucket")
       .agg(count(lit(1)).as("records"),
@@ -170,11 +176,11 @@ object Lifecycle {
           allNames.length.toLong, perBucket.map(_._4).sum,
           perBucket.map(_._5).sum, totalRecords),
         nowUs, extraLabels = labels(drained.total, totalRecords)) +:
-      (for ((name, t, records, entries, blocks, storageBytes) <- perBucket
+      ((for ((name, t, records, entries, blocks, storageBytes) <- perBucket
             if !name.startsWith("$"))
         yield graft.engine.SystemLog.Event("usage", name, 200,
           payloadJson(t, storageBytes, 1L, entries, blocks, records),
-          nowUs, extraLabels = labels(t, records))))
+          nowUs, extraLabels = labels(t, records))) ++ extraEvents))
   }
 
   /** `$system` usage events (syslog.rs:52-155): the engine's own telemetry
