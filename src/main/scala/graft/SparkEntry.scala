@@ -49,10 +49,53 @@ object SparkEntry {
     }
     df
   }
+  /** Kernel-stage parallelism guard (r20; guide §2). A single-file,
+    * single-row-group input scans as ONE task — parquet can't split a
+    * row group — so every per-row kernel in the projection above the
+    * scan (shingle hashing, embedding folds, tokenization) runs
+    * serially no matter the core count. Measured at sf1: the pair/ANN
+    * family ran FASTER on 8 cores than 32 (q_minhash_pairs 6.9 vs
+    * 8.2 s) because nothing upstream of the first shuffle
+    * parallelized; with the guard, 32 cores reads 1.24 s (6.6x) and
+    * beats 8. Round-robin repartition to the session's default
+    * parallelism (deterministic under retries —
+    * spark.sql.execution.sortBeforeRepartition), applied ONLY when
+    *   (a) the input is big enough that the serial kernel work
+    *       dominates the extra exchange+stage: >= 2 MB on disk
+    *       (SPARK_GRAFT_SCAN_FANOUT_MIN_BYTES; below it the A/B showed
+    *       the exchange costs MORE than it saves — sf0.1's 0.6 MB docs
+    *       lost 0.3-0.4 s/query while sf1's 5.9 MB gained seconds), and
+    *   (b) the scan resolves to fewer partitions than the default
+    *       parallelism — a no-op at production scale, where file
+    *       counts already exceed core counts.
+    * Applied to the KERNEL-heavy inputs (documents, embeddings) only:
+    * plain relational tables (lineitem, orders) gain nothing — their
+    * aggregates reduce map-side BEFORE any exchange, so a pre-agg
+    * round-robin of full rows is strictly worse (A/B: q_lineitem_agg
+    * 0.24 -> 0.69 s). Results are distribution-independent; the full
+    * oracle re-verified at sf0.01, sf0.1 and sf1 with the guard on. */
+  private val scanFanoutMinBytes = sys.env
+    .getOrElse("SPARK_GRAFT_SCAN_FANOUT_MIN_BYTES", "2097152").toLong
+  private val kernelInputs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def kernelScan(s: SparkSession, dir: String, file: String): DataFrame =
+    kernelInputs.getOrElseUpdate((s, s"$dir/$file"), {
+      val df = session(s).read.parquet(s"$dir/$file")
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$file")
+      val bytes =
+        try p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .getFileStatus(p).getLen
+        catch { case scala.util.control.NonFatal(_) => 0L }
+      val par = s.sparkContext.defaultParallelism
+      if (bytes >= scanFanoutMinBytes && df.rdd.getNumPartitions < par)
+        df.repartition(par)
+      else df
+    })
+
   private def docs(s: SparkSession, dir: String): DataFrame =
-    session(s).read.parquet(s"$dir/documents.parquet")
+    kernelScan(s, dir, "documents.parquet")
   private def embeddings(s: SparkSession, dir: String): DataFrame =
-    session(s).read.parquet(s"$dir/embeddings.parquet")
+    kernelScan(s, dir, "embeddings.parquet")
   private def table(s: SparkSession, dir: String, name: String): DataFrame =
     session(s).read.parquet(s"$dir/$name.parquet")
 
