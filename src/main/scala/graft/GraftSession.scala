@@ -44,4 +44,13 @@ object GraftSession {
       // >100 live query shapes otherwise thrash the generated-class cache
       .config("spark.sql.codegen.cache.maxEntries",
         CodegenCacheEntries.toString)
+  // AQE stays at Spark 4 defaults (adaptive + coalescePartitions ON,
+  // parallelismFirst=true). The r20 #8 experiment flipped
+  // parallelismFirst=false + advisoryPartitionSizeInBytes=4m so tiny
+  // events-family aggregates would coalesce to one partition: MEASURED
+  // WORSE at sf0.1 — the 14-query events probe regressed 3.88 → 4.39 s
+  // (every query slower; size-based coalescing collapses the staged
+  // record table's window exchange to ONE partition and serializes every
+  // downstream filter stage). The sub-0.3 s tail is per-STAGE scheduling
+  // overhead, not partition-count overhead — documented no-go.
 }

@@ -52,6 +52,55 @@ class ReplicaCompactionSpec extends AnyFunSuite with SparkTestBase {
     assert(store.dataVersion == v, "idle compact must not invalidate caches")
   }
 
+  test("oracle-gated compaction invisibility (VERDICT r18 #3 / r19 #7): " +
+      "a fragmented sf0.01 corpus compacts mid-ingest with query results " +
+      "byte-identical to the never-compacted staging") {
+    import org.apache.spark.sql.functions.col
+    val store = new BucketStore(spark,
+      Files.createTempDirectory("graft-compact-oracle").toString)
+    // the REAL sf0.01 corpus the driver oracles against, in record layout
+    val corpus = graft.core.Records.fromEvents(
+      spark.read.parquet("/root/testdata/sf0.01/events.parquet"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = corpus.count()
+    val half = corpus.agg(org.apache.spark.sql.functions
+      .percentile_approx(col("ts"), org.apache.spark.sql.functions.lit(0.5),
+        org.apache.spark.sql.functions.lit(10000))).collect()(0).getLong(0)
+    // fragment: tiny files per (bucket, entry, dt) partition
+    store.write(corpus.filter(col("ts") <= half), maxRecordsPerFile = 8L)
+    // MID-CORPUS compact: the second half lands AFTER the rewrite swap
+    assert(store.compact(maxFilesPerPartition = 4) > 0,
+      "the fragmented first half must actually compact")
+    store.write(corpus.filter(col("ts") > half), maxRecordsPerFile = 8L)
+    assert(store.compact(maxFilesPerPartition = 4) > 0,
+      "the fragmented second half must actually compact")
+    // byte-exactness of the whole served corpus ⇒ every deterministic
+    // query over it (the driver's 116-hash gate) is unchanged; plus two
+    // representative QueryEngine paths compared end to end
+    assert(store.table().count() == n)
+    // set ops reject MAP columns — compare labels as sorted entry arrays
+    def canon(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("bucket"), col("entry"), col("ts"),
+      org.apache.spark.sql.functions.array_sort(
+        org.apache.spark.sql.functions.map_entries(col("labels"))).as("lbl"),
+      col("payload"))
+    val diff = canon(store.table()).exceptAll(canon(corpus)).count()
+    assert(diff == 0, "served rows must be byte-identical after compaction")
+    val specs = Seq(
+      QuerySpec(when = Some("""{"&value": {"$gt": 100}, "$in": ["&type", "click", "view"]}""")),
+      QuerySpec(when = Some("""{"$each_n": 7}""")))
+    for (spec <- specs) {
+      val viaStore = QueryEngine.query(store.table(), spec)
+        .select("entry", "ts").collect().map(r => (r.getString(0), r.getLong(1)))
+      val direct = QueryEngine.query(corpus, spec)
+        .select("entry", "ts").collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(viaStore.toSeq == direct.toSeq,
+        s"query through the compacted store must match the staging: $spec")
+    }
+    corpus.unpersist()
+    store.close()
+  }
+
   test("replica: reads shared tree, mutators 403-shaped, refresh sees " +
       "primary progress, writer lock untouched") {
     val root = Files.createTempDirectory("graft-replica").toString
