@@ -352,7 +352,7 @@ final class BucketStore(val spark: SparkSession, val root: String,
     spark.read.schema(storedSchema).parquet(root)
       .drop("dt") // derived; queries use ts
 
-  private def baseTableOrEmpty(): DataFrame =
+  private[graft] def baseTableOrEmpty(): DataFrame =
     try baseTable()
     catch { case NonFatal(_) => emptyRecords(spark) }
 
